@@ -1,0 +1,586 @@
+package graft.ops
+
+import graft.{QueryDef, QueryModule, Tables => T}
+import graft.Dsl._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The relational query surface: scans, projections, scalar functions,
+  * joins (broadcast/shuffle/semi/anti/outer/non-equi), aggregations
+  * (group-by, distinct, rollup/cube), windows, top-k, set ops, subqueries.
+  *
+  * The reference (arbirk/ETL-template) computes only 1→1 record transforms
+  * (tools/tools.go:72-77) and line counts (tools/tools.go:651-669); this
+  * module is the SURVEY.md §2.5 parity-plus surface, all Catalyst built-ins.
+  *
+  * Scale notes (100 TB):
+  *  - fact⋈fact joins (orders⋈lineitem) shuffle on the join key; AQE picks
+  *    shuffled-hash vs sort-merge and handles skew at runtime.
+  *  - dim joins (nation/region/supplier/part) are explicitly broadcast —
+  *    dims stay small at any TPC-H-ish scale factor.
+  *  - every aggregate here is partial-aggregable (sum/count/min/max on
+  *    decimals/longs), so map-side combine keeps shuffle volume ∝ groups,
+  *    not rows.
+  *  - ORDER BY on final outputs is for oracle determinism; at production
+  *    scale callers drop it (it's a single extra stage over the already
+  *    aggregated, small result).
+  */
+object Relational extends QueryModule {
+
+  override val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // q01: TPC-H Q1-shaped pricing summary: filter → hash agg → sort.
+    // Flagship: scan pushdown (shipdate filter reaches parquet), partial agg.
+    QueryDef(
+      "q01_pricing_summary",
+      (s, dir) => {
+        T.lineitem(s, dir)
+          .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity"), 2).as("sum_qty"),
+            dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+            dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+              .as("sum_disc_price"),
+            dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+              * (lit(1) + col("l_tax")), 6).as("sum_charge"),
+            davg(col("l_quantity"), 2).as("avg_qty"),
+            davg(col("l_extendedprice"), 2).as("avg_price"),
+            davg(col("l_discount"), 2).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some(s"""
+        SELECT l_returnflag, l_linestatus,
+               ${dsumSql("l_quantity", 2)} AS sum_qty,
+               ${dsumSql("l_extendedprice", 2)} AS sum_base_price,
+               ${dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS sum_disc_price,
+               ${dsumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
+               ${davgSql("l_quantity", 2)} AS avg_qty,
+               ${davgSql("l_extendedprice", 2)} AS avg_price,
+               ${davgSql("l_discount", 2)} AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // ------------------------------------------------------------------
+    // q02: projection + rename + scalar string funcs — the reference's T3
+    // transform shape (etl.go:54-60) over a real table.
+    QueryDef(
+      "q02_project_scalar",
+      (s, dir) => {
+        T.customer(s, dir)
+          .filter(col("c_acctbal") > 1000)
+          .select(
+            col("c_custkey").as("user_id"),
+            format_string("Processed_%s_Individually", col("c_name"))
+              .as("processed_name"),
+            upper(col("c_mktsegment")).as("segment_upper"),
+            length(col("c_name")).cast("long").as("name_len"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        SELECT c_custkey AS user_id,
+               'Processed_' || c_name || '_Individually' AS processed_name,
+               upper(c_mktsegment) AS segment_upper,
+               length(c_name) AS name_len
+        FROM customer WHERE c_acctbal > 1000
+        ORDER BY user_id""")),
+
+    // ------------------------------------------------------------------
+    // q03: TPC-H Q5-shaped: two broadcast dim joins + two fact joins + agg.
+    QueryDef(
+      "q03_region_revenue",
+      (s, dir) => {
+        val asia = T.region(s, dir).filter(col("r_name") === "ASIA")
+        T.lineitem(s, dir)
+          .join(T.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(T.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(T.nation(s, dir)),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+              .as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("n_name"))
+      },
+      Some(s"""
+        SELECT n_name,
+               ${dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem, orders, customer, nation, region
+        WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+          AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+        GROUP BY n_name ORDER BY n_name""")),
+
+    // ------------------------------------------------------------------
+    // q04: EXISTS → left-semi join (TPC-H Q4 shape).
+    QueryDef(
+      "q04_order_priority_semi",
+      (s, dir) => {
+        val o = T.orders(s, dir)
+        val li = T.lineitem(s, dir)
+        o.join(li,
+            o("o_orderkey") === li("l_orderkey") &&
+              li("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"),
+            "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ------------------------------------------------------------------
+    // q05: TPC-H Q3-shaped: 3-way join, agg, deterministic top-10.
+    QueryDef(
+      "q05_top_urgent_revenue",
+      (s, dir) => {
+        T.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+          .join(T.orders(s, dir), col("c_custkey") === col("o_custkey"))
+          .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .join(T.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+          .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+          .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("order_date"),
+            col("o_orderpriority"))
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some(s"""
+        SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+               o_orderpriority,
+               ${dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS revenue
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+          AND o_orderkey = l_orderkey
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
+
+    // ------------------------------------------------------------------
+    // q06: TPC-H Q6-shaped single-row scalar aggregate; every predicate
+    // reaches the parquet scan as a pushed filter.
+    QueryDef(
+      "q06_forecast_revenue",
+      (s, dir) => {
+        T.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+            && col("l_shipdate") < lit("1998-01-01").cast("timestamp")
+            && col("l_discount") >= 0.03 && col("l_discount") <= 0.05
+            && col("l_quantity") < 24)
+          .agg(
+            dsum(col("l_extendedprice") * col("l_discount"), 6).as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some(s"""
+        SELECT ${dsumSql("l_extendedprice * l_discount", 6)} AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount >= 0.03 AND l_discount <= 0.05
+          AND l_quantity < 24""")),
+
+    // ------------------------------------------------------------------
+    // q07: NOT EXISTS → left-anti join.
+    QueryDef(
+      "q07_customers_no_urgent_orders",
+      (s, dir) => {
+        T.customer(s, dir)
+          .join(
+            T.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_mktsegment"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+        ORDER BY c_custkey""")),
+
+    // ------------------------------------------------------------------
+    // q08: left-outer join preserving zero-order customers + count(col).
+    QueryDef(
+      "q08_orders_per_customer",
+      (s, dir) => {
+        val c = T.customer(s, dir)
+        val o = T.orders(s, dir)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("n_orders"),
+            dsum(col("o_totalprice"), 2).as("total_spend"))
+          .orderBy(col("c_custkey"))
+      },
+      Some(s"""
+        SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+               ${dsumSql("o_totalprice", 2)} AS total_spend
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey ORDER BY c_custkey""")),
+
+    // ------------------------------------------------------------------
+    // q09: DISTINCT projection.
+    QueryDef(
+      "q09_distinct_segments",
+      (s, dir) => {
+        T.customer(s, dir)
+          .select(col("c_mktsegment"), col("c_nationkey"))
+          .distinct()
+          .orderBy(col("c_mktsegment"), col("c_nationkey"))
+      },
+      Some("""
+        SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+        ORDER BY c_mktsegment, c_nationkey""")),
+
+    // ------------------------------------------------------------------
+    // q10: exact count-distinct per group (expands to two-phase agg).
+    QueryDef(
+      "q10_distinct_parts_per_flag",
+      (s, dir) => {
+        T.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_suppkey")).as("n_supps"),
+            count(lit(1)).as("n_rows"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""
+        SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ------------------------------------------------------------------
+    // q11: ROLLUP grouping sets.
+    QueryDef(
+      "q11_rollup_sales",
+      (s, dir) => {
+        T.lineitem(s, dir)
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice"), 2).as("sales"))
+          .orderBy(col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first)
+      },
+      Some(s"""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               ${dsumSql("l_extendedprice", 2)} AS sales
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
+    // ------------------------------------------------------------------
+    // q12: CUBE grouping sets.
+    QueryDef(
+      "q12_cube_status",
+      (s, dir) => {
+        T.orders(s, dir)
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("total"))
+          .orderBy(col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first)
+      },
+      Some(s"""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               ${dsumSql("o_totalprice", 2)} AS total
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
+
+    // ------------------------------------------------------------------
+    // q13: top-N per group via row_number window.
+    QueryDef(
+      "q13_top3_orders_per_priority",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        T.orders(s, dir)
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("o_orderpriority"), col("rank"), col("o_orderkey"),
+            col("o_totalprice"))
+          .orderBy(col("o_orderpriority"), col("rank"))
+      },
+      Some("""
+        SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
+          SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rank
+          FROM orders)
+        WHERE rank <= 3 ORDER BY o_orderpriority, rank""")),
+
+    // ------------------------------------------------------------------
+    // q14: running-sum window with explicit ROWS frame, full tiebreak so
+    // the frame is deterministic.
+    QueryDef(
+      "q14_running_supplier_qty",
+      (s, dir) => {
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T.lineitem(s, dir)
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            sum(col("l_quantity").cast("decimal(30,2)")).over(w)
+              .cast("double").as("running_qty"))
+          .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) OVER (
+                 PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 AS running_qty
+        FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""")),
+
+    // ------------------------------------------------------------------
+    // q15: lag/lead over event time per user.
+    QueryDef(
+      "q15_event_value_lag",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        T.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("value"),
+            lag(col("value"), 1).over(w).as("prev_value"),
+            lead(col("value"), 1).over(w).as("next_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT event_id, user_id, value,
+               lag(value, 1) OVER w AS prev_value,
+               lead(value, 1) OVER w AS next_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY event_id""")),
+
+    // ------------------------------------------------------------------
+    // q16: global top-k — Spark plans TakeOrderedAndProject (no full sort).
+    QueryDef(
+      "q16_topk_orders",
+      (s, dir) => {
+        T.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(20)
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""")),
+
+    // ------------------------------------------------------------------
+    // q17: set operations: INTERSECT → UNION(distinct) → EXCEPT.
+    QueryDef(
+      "q17_segment_setops",
+      (s, dir) => {
+        val c = T.customer(s, dir)
+        val auto = c.filter(col("c_mktsegment") === "AUTOMOBILE")
+          .select(col("c_custkey"))
+        val rich = c.filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+        val brokeBuilders = c.filter(col("c_mktsegment") === "BUILDING"
+          && col("c_acctbal") < 0).select(col("c_custkey"))
+        val finished = T.orders(s, dir).filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("c_custkey"))
+        auto.intersect(rich).union(brokeBuilders).distinct()
+          .except(finished)
+          .orderBy(col("c_custkey"))
+      },
+      Some("""
+        SELECT c_custkey FROM (
+          (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+           INTERSECT
+           SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+          UNION
+          SELECT c_custkey FROM customer
+            WHERE c_mktsegment = 'BUILDING' AND c_acctbal < 0
+          EXCEPT
+          SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F')
+        ORDER BY c_custkey""")),
+
+    // ------------------------------------------------------------------
+    // q18: equi + range (non-equi) join condition.
+    QueryDef(
+      "q18_shipdate_range_join",
+      (s, dir) => {
+        val o = T.orders(s, dir)
+        val li = T.lineitem(s, dir)
+        li.join(o,
+            li("l_orderkey") === o("o_orderkey") &&
+              li("l_shipdate") >= o("o_orderdate") &&
+              li("l_shipdate") <= o("o_orderdate") + expr("INTERVAL 90 DAYS"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_fast_items"),
+            dsum(col("l_extendedprice"), 2).as("fast_value"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some(s"""
+        SELECT o_orderpriority, COUNT(*) AS n_fast_items,
+               ${dsumSql("l_extendedprice", 2)} AS fast_value
+        FROM lineitem JOIN orders
+          ON l_orderkey = o_orderkey
+         AND l_shipdate >= o_orderdate
+         AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ------------------------------------------------------------------
+    // q19: scalar subquery (uncorrelated) as a broadcast cross join.
+    QueryDef(
+      "q19_above_avg_parts",
+      (s, dir) => {
+        val p = T.part(s, dir)
+        val avgPrice = p.agg(davg(col("p_retailprice"), 4).as("avg_price"))
+        p.crossJoin(broadcast(avgPrice))
+          .filter(col("p_retailprice") > col("avg_price") * 1.04)
+          .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+          .orderBy(col("p_partkey"))
+      },
+      Some(s"""
+        SELECT p_partkey, p_brand, p_retailprice FROM part
+        WHERE p_retailprice > (SELECT ${davgSql("p_retailprice", 4)}
+                               FROM part) * 1.04
+        ORDER BY p_partkey""")),
+
+    // ------------------------------------------------------------------
+    // q20: conditional aggregation (manual pivot) per event day.
+    QueryDef(
+      "q20_daily_event_pivot",
+      (s, dir) => {
+        def bucket(t: String) =
+          dsum(when(col("event_type") === t, col("value")).otherwise(lit(0.0)), 4)
+        T.events(s, dir)
+          .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+          .agg(
+            bucket("click").as("click_value"),
+            bucket("purchase").as("purchase_value"),
+            bucket("error").as("error_value"),
+            count(lit(1)).as("n_events"))
+          .orderBy(col("day"))
+      },
+      Some(s"""
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               ${dsumSql("CASE WHEN event_type = 'click' THEN value ELSE 0 END", 4)} AS click_value,
+               ${dsumSql("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END", 4)} AS purchase_value,
+               ${dsumSql("CASE WHEN event_type = 'error' THEN value ELSE 0 END", 4)} AS error_value,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1 ORDER BY day""")),
+
+    // ------------------------------------------------------------------
+    // q21: semi-structured JSON extraction (reference F6: json round-trip).
+    QueryDef(
+      "q21_event_props_json",
+      (s, dir) => {
+        T.events(s, dir)
+          .select(from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"))
+          .groupBy((col("k") % 10).as("k_bucket"))
+          .agg(count(lit(1)).as("n"),
+            (sum(col("k")) / count(lit(1))).as("avg_k"))
+          .orderBy(col("k_bucket"))
+      },
+      Some("""
+        SELECT k % 10 AS k_bucket, COUNT(*) AS n,
+               CAST(SUM(k) AS BIGINT) / COUNT(*) AS avg_k
+        FROM (SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k
+              FROM events)
+        GROUP BY k % 10 ORDER BY k_bucket""")),
+
+    // ------------------------------------------------------------------
+    // q22: UNION ALL of two branch projections, then agg.
+    QueryDef(
+      "q22_union_all_branches",
+      (s, dir) => {
+        val o = T.orders(s, dir)
+        val hi = o.filter(col("o_totalprice") > 300000)
+          .select(col("o_orderpriority"), lit("high").as("band"))
+        val lo = o.filter(col("o_totalprice") < 50000)
+          .select(col("o_orderpriority"), lit("low").as("band"))
+        hi.unionAll(lo)
+          .groupBy(col("o_orderpriority"), col("band"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("o_orderpriority"), col("band"))
+      },
+      Some("""
+        SELECT o_orderpriority, band, COUNT(*) AS n FROM (
+          SELECT o_orderpriority, 'high' AS band FROM orders
+            WHERE o_totalprice > 300000
+          UNION ALL
+          SELECT o_orderpriority, 'low' AS band FROM orders
+            WHERE o_totalprice < 50000)
+        GROUP BY o_orderpriority, band ORDER BY o_orderpriority, band""")),
+
+    // ------------------------------------------------------------------
+    // q23: gap-based sessionization via lag window + conditional count —
+    // the batch twin of streaming session windows (graft.streaming).
+    QueryDef(
+      "q23_user_sessions",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        T.events(s, dir)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              col("ts") - col("prev_ts") > expr("INTERVAL 30 MINUTES"), 1L)
+              .otherwise(0L))
+          .groupBy(col("user_id"))
+          .agg(sum(col("new_session")).as("n_sessions"),
+            count(lit(1)).as("n_events"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        SELECT user_id,
+               CAST(SUM(CASE WHEN prev_ts IS NULL
+                             OR ts - prev_ts > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+               COUNT(*) AS n_events
+        FROM (SELECT user_id, ts, event_id,
+                     lag(ts, 1) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev_ts
+              FROM events)
+        GROUP BY user_id ORDER BY user_id""")),
+
+    // ------------------------------------------------------------------
+    // q24: as-of join — for each event, the user's most recent order at
+    // event time. Composed as range join + per-event argmax window (the
+    // Spark-first way to express as-of without a custom SparkPlan).
+    QueryDef(
+      "q24_asof_last_order",
+      (s, dir) => {
+        val e = T.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+        val o = T.orders(s, dir)
+        val w = Window.partitionBy(col("event_id"))
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        e.join(o, col("user_id") === col("o_custkey")
+            && col("o_orderdate") <= col("ts"), "inner")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("event_id"), col("user_id"),
+            col("o_orderkey").as("last_order_key"),
+            col("o_orderdate").cast("date").as("last_order_date"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT event_id, user_id, last_order_key, last_order_date FROM (
+          SELECT e.event_id, e.user_id, o.o_orderkey AS last_order_key,
+                 CAST(o.o_orderdate AS DATE) AS last_order_date,
+                 row_number() OVER (PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+          FROM events e JOIN orders o
+            ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+        WHERE rn = 1 ORDER BY event_id"""))
+  )
+}
