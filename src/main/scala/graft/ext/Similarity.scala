@@ -1,0 +1,142 @@
+package graft.ext
+
+import graft.{QueryDef, QueryModule, Tables => T}
+import graft.ext.{TextDsl => X}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors):
+  * brute-force cosine nearest-neighbor as the correctness baseline, a
+  * sign-bit LSH bucketed variant as the scale path, and an intra-label
+  * cosine analytics aggregate.
+  *
+  * Determinism: floats are scaled to exact int64 (×1e7, floor) so dot
+  * products and norms are exact integers; cosine is then one division on
+  * identical operands — bit-identical on Spark and DuckDB — so rank
+  * orderings (with id tiebreaks) agree exactly.
+  *
+  * Scale notes (100 TB): brute-force all-pairs is O(n²) — correct at
+  * fixture scale, shipped as the oracle baseline. The production path is
+  * q51's LSH bucketing (hyperplane-sign signatures → candidates share a
+  * bucket → shuffle ∝ bucket sizes), the same pattern an IVF index gives.
+  * For a q-vs-corpus workload, the query side is small → broadcast it
+  * and the corpus never shuffles at all.
+  */
+object Similarity extends QueryModule {
+
+  /** vec_id, label, scaled int vector, exact squared norm. */
+  private def scaled(s: SparkSession, dir: String): DataFrame =
+    T.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), X.scaledVec(col("embedding")).as("v"))
+      .withColumn("n2", X.norm2Int(col("v")))
+
+  private val scaledSqlCte =
+    s"""sc AS (SELECT vec_id, label, ${X.scaledVecSql("embedding")} AS v FROM embeddings),
+       scn AS (SELECT vec_id, label, v, ${X.norm2IntSql("v")} AS n2 FROM sc)"""
+
+  override val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // q50: brute-force cosine nearest neighbor for every vector.
+    QueryDef(
+      "q50_nn_brute",
+      (s, dir) => {
+        val base = scaled(s, dir)
+        val a = base.select(col("vec_id").as("qid"), col("v").as("va"), col("n2").as("n2a"))
+        val b = base.select(col("vec_id").as("nid"), col("v").as("vb"), col("n2").as("n2b"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+        a.crossJoin(b).filter(col("qid") =!= col("nid"))
+          .withColumn("cos", X.cosineFromInts(
+            X.dotInt(col("va"), col("vb")), col("n2a"), col("n2b")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("qid"), col("nid").as("nn_id"), col("cos").as("nn_cos"))
+          .orderBy(col("qid"))
+      },
+      Some(s"""
+        WITH $scaledSqlCte,
+        pairs AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+                    ${X.cosineFromIntsSql(X.dotIntSql("a.v", "b.v"), "a.n2", "b.n2")} AS cos
+                  FROM scn a JOIN scn b ON a.vec_id != b.vec_id)
+        SELECT qid, nid AS nn_id, cos AS nn_cos
+        FROM (SELECT qid, nid, cos,
+                     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+              FROM pairs)
+        WHERE rn = 1 ORDER BY qid""")),
+
+    // ------------------------------------------------------------------
+    // q51: LSH-bucketed ANN — signature = sign bits of the first 8 dims
+    // (16 fixed hyperplanes would be the general form; axis-aligned signs
+    // keep the oracle exact). Candidates share a bucket; top-3 per query.
+    QueryDef(
+      "q51_ann_lsh",
+      (s, dir) => {
+        val base = scaled(s, dir).withColumn("sig",
+          expr("aggregate(sequence(1, 8), 0L, (acc, i) -> acc + IF(element_at(v, i) >= 0, shiftleft(1L, i-1), 0L))"))
+        val q = base.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("qid"), col("v").as("va"),
+            col("n2").as("n2a"), col("sig"))
+        val c = base.select(col("vec_id").as("nid"), col("v").as("vb"),
+          col("n2").as("n2b"), col("sig"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+        q.join(c, Seq("sig")).filter(col("qid") =!= col("nid"))
+          .withColumn("cos", X.cosineFromInts(
+            X.dotInt(col("va"), col("vb")), col("n2a"), col("n2b")))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("qid"), col("rank"), col("nid"), col("cos"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""
+        WITH $scaledSqlCte,
+        sig AS (SELECT vec_id, label, v, n2,
+                  list_aggregate(list_transform(range(1, 9),
+                    i -> CASE WHEN v[i] >= 0 THEN (CAST(1 AS BIGINT) << (i-1))
+                              ELSE CAST(0 AS BIGINT) END), 'sum') AS sig
+                FROM scn),
+        pairs AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+                    ${X.cosineFromIntsSql(X.dotIntSql("a.v", "b.v"), "a.n2", "b.n2")} AS cos
+                  FROM sig a JOIN sig b
+                    ON a.sig = b.sig AND a.vec_id != b.vec_id
+                  WHERE a.vec_id < 50)
+        SELECT qid, rank, nid, cos FROM (
+          SELECT qid, nid, cos,
+                 row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+          FROM pairs)
+        WHERE rank <= 3 ORDER BY qid, rank""")),
+
+    // ------------------------------------------------------------------
+    // q52: average pairwise intra-label cosine — embedding analytics.
+    // Each pairwise cosine is a bit-identical double; flooring it to a
+    // ×1e9-scaled int64 makes the SUM exact and order-independent, and
+    // the final int64/count division is identical IEEE on both engines.
+    // (A decimal-sum-then-cast would NOT work here: Spark and DuckDB
+    // round wide-decimal→double differently in the last bit.)
+    QueryDef(
+      "q52_intra_label_cosine",
+      (s, dir) => {
+        val base = scaled(s, dir)
+        val a = base.select(col("label"), col("vec_id").as("ida"),
+          col("v").as("va"), col("n2").as("n2a"))
+        val b = base.select(col("label").as("lb"), col("vec_id").as("idb"),
+          col("v").as("vb"), col("n2").as("n2b"))
+        a.join(b, col("label") === col("lb") && col("ida") < col("idb"))
+          .withColumn("cos_e9", floor(X.cosineFromInts(
+            X.dotInt(col("va"), col("vb")), col("n2a"), col("n2b")) * 1e9).cast("long"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_pairs"),
+            (sum(col("cos_e9")).cast("double")
+              / count(lit(1)).cast("double")).as("avg_intra_cos_e9"))
+          .orderBy(col("label"))
+      },
+      Some(s"""
+        WITH $scaledSqlCte,
+        pairs AS (SELECT a.label,
+                    CAST(floor(${X.cosineFromIntsSql(X.dotIntSql("a.v", "b.v"), "a.n2", "b.n2")} * 1e9) AS BIGINT) AS cos_e9
+                  FROM scn a JOIN scn b ON a.label = b.label AND a.vec_id < b.vec_id)
+        SELECT label, COUNT(*) AS n_pairs,
+               CAST(SUM(cos_e9) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_intra_cos_e9
+        FROM pairs GROUP BY label ORDER BY label"""))
+  )
+}

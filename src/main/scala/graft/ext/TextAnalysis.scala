@@ -1,0 +1,175 @@
+package graft.ext
+
+import graft.{QueryDef, QueryModule, Tables => T}
+import graft.ext.{TextDsl => X}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: per-doc statistics,
+  * n-gram-heuristic language ID, quality scoring, token counting
+  * (whitespace + BPE-ish regex), and positional document fingerprinting.
+  *
+  * The reference (arbirk/ETL-template) has no text analytics — its only
+  * scalar string work is sprintf/trim (tools/tools.go:533, etl.go:57);
+  * this module is north-star surface for LLM-data pipelines.
+  *
+  * Scale notes (100 TB): every query here is scan → per-row HOF compute →
+  * (optionally) one partial-aggregable group-by. No joins, no explodes:
+  * token arrays never leave the row, so shuffle volume is O(groups).
+  */
+object TextAnalysis extends QueryModule {
+
+  /** English stopwords present in the fixture vocabulary. */
+  private val stop = Seq("the", "a", "of", "to", "and", "in", "is")
+  private def stopArr = array(stop.map(lit): _*)
+  private def stopSql = stop.mkString("['", "','", "']")
+
+  override val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // q30: per-document token statistics. Counts are exact ints; the one
+    // double (avg token length) is a single division of exact operands.
+    QueryDef(
+      "q30_text_stats",
+      (s, dir) => {
+        T.documents(s, dir)
+          .select(col("doc_id"), X.tokens(col("text")).as("tk"))
+          .select(
+            col("doc_id"),
+            size(col("tk")).cast("long").as("n_tokens"),
+            size(array_distinct(col("tk"))).cast("long").as("n_distinct"),
+            aggregate(col("tk"), lit(0L), (a, t) => a + length(t)).as("sum_len"))
+          .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+            (col("sum_len").cast("double") / col("n_tokens").cast("double"))
+              .as("avg_token_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+               CAST(list_aggregate(list_transform(tk, t -> length(t)), 'sum') AS DOUBLE)
+                 / CAST(len(tk) AS DOUBLE) AS avg_token_len
+        FROM (SELECT doc_id, ${X.tokensSql("text")} AS tk FROM documents)
+        ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q31: language ID by stopword-hit heuristic, validated against the
+    // fixture's lang column; output is the (lang, guess) confusion matrix.
+    QueryDef(
+      "q31_lang_id",
+      (s, dir) => {
+        T.documents(s, dir)
+          .select(col("lang"), array_distinct(X.tokens(col("text"))).as("td"))
+          .withColumn("hits", size(array_intersect(col("td"), stopArr)).cast("long"))
+          .withColumn("guess", when(col("hits") >= 2, lit("en")).otherwise(lit("unk")))
+          .groupBy(col("lang"), col("guess"))
+          .agg(count(lit(1)).as("n"), sum(col("hits")).as("total_hits"))
+          .orderBy(col("lang"), col("guess"))
+      },
+      Some(s"""
+        SELECT lang, guess, COUNT(*) AS n, CAST(SUM(hits) AS BIGINT) AS total_hits
+        FROM (SELECT lang, CAST(len(list_intersect(list_distinct(tk), $stopSql)) AS BIGINT) AS hits,
+                     CASE WHEN len(list_intersect(list_distinct(tk), $stopSql)) >= 2
+                          THEN 'en' ELSE 'unk' END AS guess
+              FROM (SELECT lang, ${X.tokensSql("text")} AS tk FROM documents))
+        GROUP BY lang, guess ORDER BY lang, guess""")),
+
+    // ------------------------------------------------------------------
+    // q32: composite quality score — length, stopword density, and
+    // short-token penalty, linearly combined. All ratios are exact-int
+    // divisions; the weighted sum applies identical double ops per engine.
+    QueryDef(
+      "q32_quality_score",
+      (s, dir) => {
+        T.documents(s, dir)
+          .select(col("doc_id"), X.tokens(col("text")).as("tk"))
+          .withColumn("n", size(col("tk")).cast("long"))
+          .withColumn("stop_hits",
+            size(filter(col("tk"), t => t.isin(stop: _*))).cast("long"))
+          .withColumn("short_hits",
+            size(filter(col("tk"), t => length(t) <= 2)).cast("long"))
+          .select(col("doc_id"),
+            (least(col("n"), lit(200L)).cast("double") / 200.0 * 0.5
+              + col("stop_hits").cast("double") / col("n").cast("double") * 0.3
+              + (lit(1.0) - col("short_hits").cast("double") / col("n").cast("double")) * 0.2)
+              .as("quality"))
+          .withColumn("band",
+            when(col("quality") >= 0.4, "high")
+              .when(col("quality") >= 0.25, "mid").otherwise("low"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        SELECT doc_id, quality,
+               CASE WHEN quality >= 0.4 THEN 'high'
+                    WHEN quality >= 0.25 THEN 'mid' ELSE 'low' END AS band
+        FROM (
+          SELECT doc_id,
+                 CAST(least(len(tk), 200) AS DOUBLE) / 200.0 * 0.5
+                 + CAST(len(list_filter(tk, t -> list_contains($stopSql, t))) AS DOUBLE)
+                   / CAST(len(tk) AS DOUBLE) * 0.3
+                 + (1.0 - CAST(len(list_filter(tk, t -> length(t) <= 2)) AS DOUBLE)
+                   / CAST(len(tk) AS DOUBLE)) * 0.2 AS quality
+          FROM (SELECT doc_id, ${X.tokensSql("text")} AS tk FROM documents))
+        ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q33: token counting three ways per source — whitespace split,
+    // BPE-ish regex segmentation, and the chars/4 heuristic.
+    QueryDef(
+      "q33_token_counts",
+      (s, dir) => {
+        T.documents(s, dir)
+          .select(col("source"),
+            size(X.tokens(col("text"))).cast("long").as("ws"),
+            size(regexp_extract_all(lower(col("text")),
+              lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("bpe"),
+            (length(col("text")).cast("long") / lit(4L)).cast("long").as("est"))
+          .groupBy(col("source"))
+          .agg(sum(col("ws")).as("ws_tokens"),
+            sum(col("bpe")).as("bpe_tokens"),
+            sum(col("est")).as("est_tokens"),
+            count(lit(1)).as("n_docs"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        SELECT source,
+               CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+               CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+               CAST(SUM(est) AS BIGINT) AS est_tokens,
+               COUNT(*) AS n_docs
+        FROM (SELECT source,
+                     CAST(len(list_filter(regexp_split_to_array(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +'), t -> t != '')) AS BIGINT) AS ws,
+                     CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe,
+                     CAST(length(text) // 4 AS BIGINT) AS est
+              FROM documents)
+        GROUP BY source ORDER BY source""")),
+
+    // ------------------------------------------------------------------
+    // q34: positional document fingerprint — Σ_i hash(token_i)·i mod P,
+    // order-sensitive, collision-resistant enough for dedup bucketing.
+    QueryDef(
+      "q34_fingerprint",
+      (s, dir) => {
+        T.documents(s, dir)
+          .select(col("doc_id"), col("source"), X.tokens(col("text")).as("tk"))
+          .withColumn("fp",
+            when(size(col("tk")) < 1, lit(0L)).otherwise(
+              aggregate(sequence(lit(1), size(col("tk"))), lit(0L),
+                (acc, i) => (acc + (X.hp(element_at(col("tk"), i)) * i)) % X.P)))
+          .groupBy(col("source"))
+          .agg(countDistinct(col("fp")).as("n_fingerprints"),
+            count(lit(1)).as("n_docs"),
+            min(col("fp")).as("min_fp"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        SELECT source, COUNT(DISTINCT fp) AS n_fingerprints, COUNT(*) AS n_docs,
+               MIN(fp) AS min_fp
+        FROM (SELECT doc_id, source,
+                     CASE WHEN len(tk) < 1 THEN CAST(0 AS BIGINT) ELSE
+                       list_aggregate(list_transform(range(1, len(tk)+1),
+                         i -> (${X.hpSql("tk[i]")} * i) % ${X.P}), 'sum') % ${X.P}
+                     END AS fp
+              FROM (SELECT doc_id, source, ${X.tokensSql("text")} AS tk FROM documents))
+        GROUP BY source ORDER BY source"""))
+  )
+}

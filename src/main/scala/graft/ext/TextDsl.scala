@@ -1,0 +1,128 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine text/hash primitives for the LLM-data operators.
+  *
+  * Every helper exists twice: as a Spark `Column` builder and as a DuckDB
+  * SQL fragment builder (suffix `Sql`) used by the oracle. The pairs are
+  * kept adjacent so the bit-for-bit contract between engine and oracle is
+  * reviewable side by side.
+  *
+  * Determinism strategy (same as [[graft.Dsl]]): keep every REDUCTION in
+  * exact integer space (hashes mod a 31-bit prime, floats scaled to
+  * integers), and allow floating point only in final scalar ops (a single
+  * division / sqrt on exact operands is bit-identical IEEE-754 on both
+  * engines). No reliance on engine hash functions (Spark murmur3 vs DuckDB
+  * wyhash differ): the shared 60-bit hash is the first 15 hex digits of
+  * MD5, identical everywhere.
+  *
+  * Scale notes (100 TB): all per-document work (tokenize, shingle, hash,
+  * minhash signature, simhash) is expressed as nested higher-order
+  * functions over array columns — strictly map-side, no explode, no
+  * shuffle, no UDF. Data only shuffles at the LSH band join / group-by,
+  * which is the intended O(candidates) exchange.
+  */
+object TextDsl {
+
+  /** 2^31-1, Mersenne prime: hash values stay < 2^31 so an (a*h+b) pass
+    * stays < 2^62 — no overflow on either engine (DuckDB errors on int64
+    * overflow rather than wrapping, so bounds are load-bearing). */
+  val P = 2147483647L
+
+  // -------------------------------------------------------------------
+  // Tokenization: lowercase, strip non-alphanumerics, split, drop empties.
+  def tokens(c: Column): Column =
+    filter(split(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +"), t => t =!= "")
+
+  def tokensSql(c: String): String =
+    s"list_filter(regexp_split_to_array(regexp_replace(lower($c),'[^a-z0-9 ]',' ','g'),' +'), t -> t != '')"
+
+  // -------------------------------------------------------------------
+  // Shared 60-bit hash: first 15 hex digits of MD5, as a non-negative
+  // BIGINT. MD5 is MD5 on every engine; 60 bits < 2^63 parses exactly.
+  def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  def h60Sql(c: String): String =
+    s"CAST(CONCAT('0x', substr(md5($c),1,15)) AS BIGINT)"
+
+  /** h60 reduced mod P — the working hash for minhash/fingerprints. */
+  def hp(c: Column): Column = h60(c) % P
+  def hpSql(c: String): String = s"(${h60Sql(c)} % $P)"
+
+  // -------------------------------------------------------------------
+  // Word n-gram shingles: ["a","b","c","d"], n=3 → ["a b c","b c d"].
+  // Guard size<n: Spark's sequence(1, 0) would count DOWN; DuckDB's
+  // range(1, 0) is empty.
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+
+  def shinglesSql(toks: String, n: Int): String =
+    s"(CASE WHEN len($toks) < $n THEN CAST([] AS VARCHAR[]) " +
+      s"ELSE list_transform(range(1, len($toks)-${n - 2}), i -> array_to_string(($toks)[i:i+${n - 1}],' ')) END)"
+
+  // -------------------------------------------------------------------
+  // MinHash signature of a shingle-hash array (values already mod P):
+  // sig[i] = min over h of ((1 + 7919 i) h + 104729 (i+1)) mod P, i<k.
+  // a_i ≤ 1+7919(k-1), so a_i*h < 2^62 for k ≤ ~10^5. Empty input → P
+  // (the fold's init), which never collides with a real minhash < P.
+  def minhashSig(hashes: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)), i =>
+      aggregate(hashes, lit(P),
+        (acc, h) => least(acc, ((lit(7919L) * i + 1L) * h + lit(104729L) * (i + 1L)) % P)))
+
+  def minhashSigSql(hashes: String, k: Int): String =
+    s"list_transform(range(0, $k), i -> coalesce(list_aggregate(" +
+      s"list_transform($hashes, h -> ((1 + 7919*i)*h + 104729*(i+1)) % $P), 'min'), $P))"
+
+  // -------------------------------------------------------------------
+  // SimHash (60-bit) over a token-hash array (h60 values, NOT mod P —
+  // we want all 60 bits): bit j set iff Σ_tokens (2·bit_j(h) − 1) > 0.
+  // Built as a SQL expr string: the Scala `shiftright(col, Int)` API only
+  // takes a literal shift, but the SQL expression form accepts a column
+  // (the lambda index j), and hashes ≥ 0 makes `% 2` ≡ `& 1`.
+  def simhash(hashesCol: String): Column = expr(
+    s"aggregate(transform(sequence(0, 59), j -> " +
+      s"IF(aggregate($hashesCol, 0L, (acc, h) -> acc + (shiftright(h, j) % 2)*2 - 1) > 0, " +
+      s"shiftleft(1L, j), 0L)), 0L, (acc, b) -> acc + b)")
+
+  def simhashSql(hashes: String): String =
+    s"list_aggregate(list_transform(range(0, 60), j -> CASE WHEN " +
+      s"list_aggregate(list_transform($hashes, h -> ((h >> j) & 1)*2 - 1), 'sum') > 0 " +
+      s"THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END), 'sum')"
+
+  // -------------------------------------------------------------------
+  // Scaled-integer embedding vector: float → floor(x * 1e7) as BIGINT.
+  // Dot products and norms over these are exact int64 (|x|≲16 → scaled
+  // ≲1.6e8; 64-dim dot ≲ 64·(1.6e8)² ≈ 1.6e18 < 2^63).
+  def scaledVec(c: Column): Column =
+    transform(c, x => floor(x.cast("double") * 10000000d).cast("long"))
+
+  def scaledVecSql(c: String): String =
+    s"list_transform($c, x -> CAST(floor(CAST(x AS DOUBLE)*10000000) AS BIGINT))"
+
+  /** Exact int64 dot product of two scaled vectors. */
+  def dotInt(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  def dotIntSql(a: String, b: String): String =
+    s"list_aggregate(list_transform(range(1, len($a)+1), i -> ($a)[i]*($b)[i]), 'sum')"
+
+  /** Exact int64 squared norm. */
+  def norm2Int(a: Column): Column = dotInt(a, a)
+  def norm2IntSql(a: String): String =
+    s"list_aggregate(list_transform($a, x -> x*x), 'sum')"
+
+  /** Cosine from exact integer dot/norms — one division + two sqrt on
+    * identical operands ⇒ bit-identical double on both engines. */
+  def cosineFromInts(dot: Column, n2a: Column, n2b: Column): Column =
+    dot.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
+
+  def cosineFromIntsSql(dot: String, n2a: String, n2b: String): String =
+    s"(CAST($dot AS DOUBLE) / (sqrt(CAST($n2a AS DOUBLE)) * sqrt(CAST($n2b AS DOUBLE))))"
+}
