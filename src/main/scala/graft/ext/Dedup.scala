@@ -14,28 +14,45 @@ import org.apache.spark.sql.functions._
   * Scale notes (100 TB):
   *  - exact dedup = one shuffle on the normalized-text hash; partial agg
   *    keeps the exchange ∝ distinct docs.
-  *  - MinHash signatures are computed per-row with HOFs (no shuffle, no
-  *    UDF); only the (band, band-signature) pairs — k ints per doc, not
-  *    shingles — are exchanged for the LSH bucket join. Candidate pairs
-  *    ∝ true near-dups, never O(n²).
-  *  - SimHash likewise: 60-bit row-local fingerprint, then a 4×15-bit
-  *    band join on the fingerprint only.
+  *  - MinHash signatures are computed per-row with single-fold HOFs (no
+  *    shuffle, no UDF, input hashed exactly once per row); the signature
+  *    table is persisted so banding and Jaccard verification share ONE
+  *    computation — at cluster scale this materialization would be a
+  *    checkpoint to storage, the standard shape of a minhash pipeline.
+  *  - candidate pairs come from groupBy(band-signature) + collect_list +
+  *    in-row pair expansion: one exchange of (band, sig, doc_id) tuples —
+  *    k ints per doc, not shingles — and work ∝ Σ bucket², never O(n²).
+  *    Empty-shingle docs are filtered BEFORE banding: they all share the
+  *    degenerate all-P signature and would otherwise form one quadratic
+  *    bucket (they can never be true near-dups — Jaccard is 0/0).
   *  - exact n-gram Jaccard (q43) IS O(shared-shingle pairs) — shipped as
   *    the recall baseline; production path is q41.
   */
 object Dedup extends QueryModule {
 
-  /** doc_id, distinct 3-word shingle set, and per-shingle hashes mod P. */
+  /** doc_id, distinct 3-word shingle set, and per-shingle hashes mod P.
+    * Staged projections (tk, then sh, then hm) keep each stage's input
+    * referenced ≥2× so CollapseProject cannot inline the tokenizer into
+    * every downstream lambda. */
   private def shingled(s: SparkSession, dir: String): DataFrame =
     T.documents(s, dir)
-      .select(col("doc_id"),
-        array_distinct(X.shingles(X.tokens(col("text")), 3)).as("sh"))
+      .select(col("doc_id"), X.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), array_distinct(X.shingles(col("tk"), 3)).as("sh"))
       .withColumn("hm", transform(col("sh"), x => X.hp(x)))
 
   private val shingledSqlCte =
     s"""toks AS (SELECT doc_id, ${X.tokensSql("text")} AS tk FROM documents),
        shg AS (SELECT doc_id, list_distinct(${X.shinglesSql("tk", 3)}) AS sh FROM toks),
        hm AS (SELECT doc_id, sh, list_transform(sh, s -> ${X.hpSql("s")}) AS hm FROM shg)"""
+
+  /** All (a, b) pairs with a.doc_id < b.doc_id from a bucket's collected
+    * id array — in-row expansion after the band group-by, so candidate
+    * generation is a single aggregation, not a self-join that recomputes
+    * the signature pipeline on both sides. */
+  private def pairsOf(ids: Column): Column =
+    filter(
+      flatten(transform(ids, a => transform(ids, b => struct(a.as("a"), b.as("b"))))),
+      p => p.getField("a") < p.getField("b"))
 
   /** Exact Jaccard between two distinct shingle-set columns: intersection
     * and union counts are exact ints; one double division. */
@@ -78,24 +95,26 @@ object Dedup extends QueryModule {
       "q41_dedup_minhash_lsh",
       (s, dir) => {
         val base = shingled(s, dir)
+          .filter(size(col("sh")) > 0)
           .withColumn("sig", X.minhashSig(col("hm"), 12))
+          .select(col("doc_id"), col("sh"), col("sig"))
+          .persist()
         val bands = base.select(col("doc_id"),
             explode(transform(sequence(lit(0), lit(2)), b =>
               struct(b.as("band"),
                 concat_ws("-", slice(col("sig"), b * 4 + 1, lit(4))).as("bsig"))))
               .as("bd"))
           .select(col("doc_id"), col("bd.band").as("band"), col("bd.bsig").as("bsig"))
-        val cand = bands.as("a")
-          .join(bands.as("b"),
-            col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig")
-              && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        val cand = bands
+          .groupBy(col("band"), col("bsig"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+          .filter(size(col("ids")) > 1)
+          .select(explode(pairsOf(col("ids"))).as("p"))
+          .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
           .distinct()
-        val sets = base.select(col("doc_id"), col("sh"))
         cand
-          .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
-          .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
-          .filter(size(col("sha")) > 0)
+          .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+          .join(base.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
           .withColumn("jac", jaccard(col("sha"), col("shb")))
           .filter(col("jac") >= 0.5)
           .select(col("doc_a"), col("doc_b"), col("jac"))
@@ -103,7 +122,7 @@ object Dedup extends QueryModule {
       },
       Some(s"""
         WITH $shingledSqlCte,
-        sig AS (SELECT doc_id, sh, ${X.minhashSigSql("hm", 12)} AS sig FROM hm),
+        sig AS (SELECT doc_id, sh, ${X.minhashSigSql("hm", 12)} AS sig FROM hm WHERE len(sh) > 0),
         bands AS (SELECT doc_id, bnd, array_to_string(sig[bnd*4+1:bnd*4+4], '-') AS bsig
                   FROM sig, (SELECT unnest(range(0, 3)) AS bnd)),
         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -117,26 +136,32 @@ object Dedup extends QueryModule {
     // ------------------------------------------------------------------
     // q42: SimHash near-dup: 60-bit row-local fingerprint from token
     // hashes, 4×15-bit LSH bands, hamming-distance verify (≤ 12 bits).
+    // The fingerprint rides through the band group-by inside the
+    // collected struct, so no verify join-back is needed at all.
     QueryDef(
       "q42_dedup_simhash",
       (s, dir) => {
         val base = T.documents(s, dir)
           .select(col("doc_id"), X.tokens(col("text")).as("tk"))
-          .withColumn("hs", transform(col("tk"), t => X.h60(t)))
+          .select(col("doc_id"), transform(col("tk"), t => X.h60(t)).as("hs"))
           .withColumn("sim", X.simhash("hs"))
           .select(col("doc_id"), col("sim"))
-        val bands = base.select(col("doc_id"), col("sim"),
+        val bands = base.select(
+            struct(col("doc_id"), col("sim")).as("ds"),
             explode(expr(
               "transform(sequence(0, 3), b -> struct(b AS band, shiftright(sim, b*15) % 32768 AS bval))"))
               .as("bd"))
-          .select(col("doc_id"), col("sim"),
-            col("bd.band").as("band"), col("bd.bval").as("bval"))
-        bands.as("a")
-          .join(bands.as("b"),
-            col("a.band") === col("b.band") && col("a.bval") === col("b.bval")
-              && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            col("a.sim").as("sa"), col("b.sim").as("sb"))
+          .select(col("ds"), col("bd.band").as("band"), col("bd.bval").as("bval"))
+        bands
+          .groupBy(col("band"), col("bval"))
+          .agg(sort_array(collect_list(col("ds"))).as("ids"))
+          .filter(size(col("ids")) > 1)
+          .select(explode(expr(
+            "filter(flatten(transform(ids, a -> transform(ids, b -> " +
+              "struct(a.doc_id AS doc_a, b.doc_id AS doc_b, a.sim AS sa, b.sim AS sb)))), " +
+              "p -> p.doc_a < p.doc_b)")).as("p"))
+          .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+            col("p.sa").as("sa"), col("p.sb").as("sb"))
           .distinct()
           .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
           .filter(col("hamming") <= 12)
@@ -158,22 +183,22 @@ object Dedup extends QueryModule {
         ORDER BY doc_a, doc_b""")),
 
     // ------------------------------------------------------------------
-    // q43: exact n-gram Jaccard near-dup — shared-shingle candidate join
-    // (full recall; the O(n²)-risk baseline that q41 approximates).
+    // q43: exact n-gram Jaccard near-dup — shared-shingle candidate
+    // group-by (full recall; the O(n²)-risk baseline q41 approximates).
     QueryDef(
       "q43_dedup_ngram_jaccard",
       (s, dir) => {
-        val base = shingled(s, dir)
-        val ex = base.select(col("doc_id"), explode(col("sh")).as("s"))
-        val cand = ex.as("a")
-          .join(ex.as("b"),
-            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        val base = shingled(s, dir).select(col("doc_id"), col("sh")).persist()
+        val cand = base.select(col("doc_id"), explode(col("sh")).as("s"))
+          .groupBy(col("s"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+          .filter(size(col("ids")) > 1)
+          .select(explode(pairsOf(col("ids"))).as("p"))
+          .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
           .distinct()
-        val sets = base.select(col("doc_id"), col("sh"))
         cand
-          .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
-          .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+          .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+          .join(base.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
           .withColumn("jac", jaccard(col("sha"), col("shb")))
           .filter(col("jac") >= 0.5)
           .select(col("doc_a"), col("doc_b"), col("jac"))

@@ -42,16 +42,21 @@ object Similarity extends QueryModule {
     QueryDef(
       "q50_nn_brute",
       (s, dir) => {
+        // argmax via max_by instead of a row_number window: the all-pairs
+        // stream reduces map-side to one row per query vector (partial
+        // aggregation), so the O(n²) pair set is never shuffled or sorted.
+        // Tie-break on least nid = greatest -nid (struct compare is
+        // lexicographic).
         val base = scaled(s, dir)
         val a = base.select(col("vec_id").as("qid"), col("v").as("va"), col("n2").as("n2a"))
         val b = base.select(col("vec_id").as("nid"), col("v").as("vb"), col("n2").as("n2b"))
-        val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
         a.crossJoin(b).filter(col("qid") =!= col("nid"))
-          .withColumn("cos", X.cosineFromInts(
-            X.dotInt(col("va"), col("vb")), col("n2a"), col("n2b")))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("qid"), col("nid").as("nn_id"), col("cos").as("nn_cos"))
+          .select(col("qid"), col("nid"), X.cosineFromInts(
+            X.dotInt(col("va"), col("vb")), col("n2a"), col("n2b")).as("cos"))
+          .groupBy(col("qid"))
+          .agg(max_by(struct(col("nid"), col("cos")),
+            struct(col("cos"), (-col("nid")).as("neg"))).as("best"))
+          .select(col("qid"), col("best.nid").as("nn_id"), col("best.cos").as("nn_cos"))
           .orderBy(col("qid"))
       },
       Some(s"""

@@ -71,10 +71,18 @@ object TextDsl {
   // sig[i] = min over h of ((1 + 7919 i) h + 104729 (i+1)) mod P, i<k.
   // a_i ≤ 1+7919(k-1), so a_i*h < 2^62 for k ≤ ~10^5. Empty input → P
   // (the fold's init), which never collides with a real minhash < P.
+  //
+  // Shape matters: this is a SINGLE fold over `hashes` carrying a k-wide
+  // accumulator, NOT transform(0..k-1, i -> aggregate(hashes, …)). The
+  // latter evaluates the `hashes` child expression k times per row, and
+  // after CollapseProject inlines the tokenize→shingle→md5 pipeline into
+  // it, each of those k evaluations re-hashes the whole document — a
+  // measured 15× wall-clock blowup. A fold evaluates its input once no
+  // matter what Catalyst inlines into it.
   def minhashSig(hashes: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), i =>
-      aggregate(hashes, lit(P),
-        (acc, h) => least(acc, ((lit(7919L) * i + 1L) * h + lit(104729L) * (i + 1L)) % P)))
+    aggregate(hashes, array_repeat(lit(P), k),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(k - 1)),
+        (a, i) => least(a, ((lit(7919L) * i + 1L) * h + lit(104729L) * (i + 1L)) % P)))
 
   def minhashSigSql(hashes: String, k: Int): String =
     s"list_transform(range(0, $k), i -> coalesce(list_aggregate(" +
@@ -86,10 +94,16 @@ object TextDsl {
   // Built as a SQL expr string: the Scala `shiftright(col, Int)` API only
   // takes a literal shift, but the SQL expression form accepts a column
   // (the lambda index j), and hashes ≥ 0 makes `% 2` ≡ `& 1`.
+  //
+  // Single fold over the hash array with a 60-counter accumulator (not
+  // 60 aggregates) — same reasoning as minhashSig: the input expression
+  // is evaluated once per row regardless of what Catalyst inlines.
   def simhash(hashesCol: String): Column = expr(
-    s"aggregate(transform(sequence(0, 59), j -> " +
-      s"IF(aggregate($hashesCol, 0L, (acc, h) -> acc + (shiftright(h, j) % 2)*2 - 1) > 0, " +
-      s"shiftleft(1L, j), 0L)), 0L, (acc, b) -> acc + b)")
+    s"aggregate(zip_with(" +
+      s"aggregate($hashesCol, array_repeat(0L, 60), (acc, h) -> " +
+      s"  zip_with(acc, sequence(0, 59), (a, j) -> a + (shiftright(h, j) % 2)*2 - 1)), " +
+      s"sequence(0, 59), (c, j) -> IF(c > 0, shiftleft(1L, j), 0L)), " +
+      s"0L, (acc, b) -> acc + b)")
 
   def simhashSql(hashes: String): String =
     s"list_aggregate(list_transform(range(0, 60), j -> CASE WHEN " +
@@ -106,9 +120,11 @@ object TextDsl {
   def scaledVecSql(c: String): String =
     s"list_transform($c, x -> CAST(floor(CAST(x AS DOUBLE)*10000000) AS BIGINT))"
 
-  /** Exact int64 dot product of two scaled vectors. */
+  /** Exact int64 dot product of two scaled vectors — native codegen
+    * expression (graft.functions.DotProductInt64): the pairwise kernel
+    * of every similarity join must be compiled, not interpreted. */
   def dotInt(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.dotInt64(a, b)
 
   def dotIntSql(a: String, b: String): String =
     s"list_aggregate(list_transform(range(1, len($a)+1), i -> ($a)[i]*($b)[i]), 'sum')"
