@@ -11,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
-    ops.Relational, ext.TextAnalysis, ext.Dedup, ext.Similarity)
+    ops.Relational, ops.PipelineOps,
+    ext.TextAnalysis, ext.Dedup, ext.Similarity)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

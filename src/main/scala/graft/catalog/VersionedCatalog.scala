@@ -1,0 +1,102 @@
+package graft.catalog
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Versioned table catalog: every "table" is a directory `root/<step>/`
+  * holding immutable versions `v=1, v=2, …`; the next version is max+1.
+  *
+  * Mirrors the reference's file catalog (arbirk/ETL-template
+  * tools/tools.go:343-444, 492-511: `output/<step>/N.jsonl`, next =
+  * max+1, latest = max, specific version = time travel), re-expressed
+  * for Spark: a version is a directory written by a distributed job, not
+  * a single file, and writes stage to a temp location then promote by
+  * atomic rename — the same write-to-temp-then-promote shape as the
+  * reference's `temp/` staging (etl.go:77-121), which also means a
+  * failed job never publishes a partial version (tools.go K5 cleanup
+  * semantics come free).
+  *
+  * All paths go through Hadoop [[FileSystem]], so the catalog works
+  * unchanged on HDFS/S3/GCS at cluster scale; only the tiny version
+  * listing is driver-side (one directory listing per resolve — no data
+  * movement).
+  *
+  * @param format any DataFrameWriter format; default "json" = JSONL,
+  *               the reference's wire format (one JSON object per line).
+  */
+final class VersionedCatalog(
+    spark: SparkSession,
+    root: String,
+    format: String = "json") {
+
+  private val rootPath = new Path(root)
+  private def fs: FileSystem =
+    rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def stepDir(step: String): Path = new Path(rootPath, step)
+  private def versionDir(step: String, v: Int): Path =
+    new Path(stepDir(step), s"v=$v")
+
+  /** All committed versions of a step, ascending; empty if none. */
+  def versions(step: String): Seq[Int] = {
+    val dir = stepDir(step)
+    if (!fs.exists(dir)) Seq.empty
+    else
+      fs.listStatus(dir).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .collect { case s if s.startsWith("v=") => s.drop(2).toIntOption }
+        .flatten
+        .sorted
+  }
+
+  /** Highest committed version, if any (tools.go:392-430 semantics:
+    * resolving a step with no versions is an error at read time). */
+  def latestVersion(step: String): Option[Int] = versions(step).lastOption
+
+  /** Next version to write: max+1, or 1 for a fresh step
+    * (tools.go:343-366). */
+  def nextVersion(step: String): Int = latestVersion(step).getOrElse(0) + 1
+
+  /** Write `df` as the next version of `step`; returns the committed
+    * version number. Stages to `root/.staging/` then renames into place,
+    * so readers never observe a partially-written version. */
+  def writeNext(step: String, df: DataFrame): Int = {
+    val v = nextVersion(step)
+    val staging = new Path(
+      new Path(rootPath, ".staging"),
+      s"$step-v$v-${java.util.UUID.randomUUID()}")
+    df.write.mode(SaveMode.Overwrite).format(format).save(staging.toString)
+    val target = versionDir(step, v)
+    fs.mkdirs(target.getParent)
+    if (!fs.rename(staging, target))
+      throw new IllegalStateException(
+        s"catalog: failed to promote $staging -> $target " +
+          "(concurrent writer for the same version?)")
+    v
+  }
+
+  /** Read a specific committed version (time travel; tools.go:593-604). */
+  def read(step: String, version: Int, schema: Option[StructType] = None): DataFrame = {
+    val dir = versionDir(step, version)
+    if (!fs.exists(dir))
+      throw new NoSuchElementException(s"catalog: $step has no version $version under $root")
+    reader(schema).load(dir.toString)
+  }
+
+  /** Read the latest committed version (tools.go:578-589). */
+  def latest(step: String, schema: Option[StructType] = None): DataFrame = {
+    val v = latestVersion(step).getOrElse(
+      throw new NoSuchElementException(s"catalog: step $step has no versions under $root"))
+    read(step, v, schema)
+  }
+
+  private def reader(schema: Option[StructType]) = {
+    // FAILFAST mirrors the reference's abort-on-malformed-line
+    // (tools.go:540-542); production reads always carry an explicit
+    // schema, like the reference's always-supplied record template.
+    val r = spark.read.format(format).option("mode", "FAILFAST")
+    schema.fold(r)(r.schema)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.ops
+
+import graft.catalog.VersionedCatalog
+import graft.pipeline.ExamplePipeline
+import graft.{QueryDef, QueryModule, Tables => T}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Driver-visible queries exercising the reference-parity layer — the
+  * versioned catalog and the 3-step example pipeline — through the
+  * DuckDB-oracle correctness gate. Each run works in a fresh temp dir,
+  * so results are deterministic and runs are independent.
+  */
+object PipelineOps extends QueryModule {
+
+  override val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // q60: the reference's example pipeline end-to-end (etl.go:146-159):
+    // extract 6 literal users → versioned catalog → transform → staging
+    // → promote to versioned output → read back the committed result.
+    // Timestamp pinned for determinism (SURVEY.md §7.4/F2 deviation).
+    QueryDef(
+      "q60_pipeline_example",
+      (s, _) => {
+        val work = Files.createTempDirectory("graft-q60-").toString
+        ExamplePipeline.run(s, s"$work/output", s"$work/temp",
+          ts = "2024-01-01T00:00:00Z")
+        new VersionedCatalog(s, s"$work/output")
+          .latest("LoadOutput",
+            Some(org.apache.spark.sql.types.StructType.fromDDL(
+              "userId STRING, processedName STRING, timestamp STRING")))
+          .select(col("userId"), col("processedName"), col("timestamp"))
+          .orderBy(col("userId").cast("int"))
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          ('1', 'Processed_Alice_Individually', '2024-01-01T00:00:00Z'),
+          ('2', 'Processed_Bob_Individually', '2024-01-01T00:00:00Z'),
+          ('3', 'Processed_Charlie_Individually', '2024-01-01T00:00:00Z'),
+          ('4', 'Processed_Diana_Individually', '2024-01-01T00:00:00Z'),
+          ('10', 'Processed_Bad User Transform_Individually', '2024-01-01T00:00:00Z'),
+          ('11', 'Processed_Bad User Load_Individually', '2024-01-01T00:00:00Z'))
+          AS t(userId, processedName, "timestamp")
+        ORDER BY CAST(userId AS INT)""")),
+
+    // ------------------------------------------------------------------
+    // q61: catalog versioning + time travel: three growing snapshots of
+    // orders are committed as v1..v3; reading v=2 must see exactly the
+    // second snapshot — versions are immutable, later writes don't leak.
+    QueryDef(
+      "q61_catalog_timetravel",
+      (s, dir) => {
+        val work = Files.createTempDirectory("graft-q61-").toString
+        val cat = new VersionedCatalog(s, work)
+        val orders = T.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderstatus"))
+        cat.writeNext("orders_snap", orders.filter(col("o_orderkey") % 10 === 1))
+        cat.writeNext("orders_snap", orders.filter(col("o_orderkey") % 10 <= 3))
+        cat.writeNext("orders_snap", orders)
+        cat.read("orders_snap", 2,
+            Some(org.apache.spark.sql.types.StructType.fromDDL(
+              "o_orderkey BIGINT, o_orderstatus STRING")))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""
+        SELECT o_orderstatus, COUNT(*) AS n, SUM(o_orderkey) AS key_sum
+        FROM orders
+        WHERE o_orderkey % 10 <= 3
+        GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+  )
+}

@@ -1,0 +1,46 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.types.StructType
+
+class JsonlSpec extends SparkSpec {
+
+  private val schema = StructType.fromDDL("id STRING, name STRING")
+
+  test("round-trip: write then read preserves records") {
+    withTempDir { dir =>
+      val s = spark
+      import s.implicits._
+      val df = Seq(("1", "Alice"), ("2", "Bob")).toDF("id", "name")
+      Jsonl.write(df, s"$dir/out")
+      val back = Jsonl.read(spark, s"$dir/out", schema)
+        .collect().map(r => (r.getString(0), r.getString(1))).sorted
+      assert(back.toSeq == Seq(("1", "Alice"), ("2", "Bob")))
+    }
+  }
+
+  test("blank and whitespace-only lines are skipped (tools.go:533-535)") {
+    withTempDir { dir =>
+      val f = dir.resolve("data.jsonl")
+      java.nio.file.Files.write(f,
+        "{\"id\":\"1\",\"name\":\"A\"}\n\n   \n{\"id\":\"2\",\"name\":\"B\"}\n".getBytes)
+      val rows = Jsonl.read(spark, f.toString, schema).collect()
+      assert(rows.length == 2)
+    }
+  }
+
+  test("malformed line fails fast (tools.go:540-542 FAILFAST semantics)") {
+    withTempDir { dir =>
+      val f = dir.resolve("bad.jsonl")
+      java.nio.file.Files.write(f,
+        "{\"id\":\"1\",\"name\":\"A\"}\nnot json at all\n".getBytes)
+      val e = intercept[Exception] {
+        Jsonl.read(spark, f.toString, schema).collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(m =>
+        m.contains("FAILFAST") || m.contains("Malformed") || m.contains("malformed")))
+    }
+  }
+}
