@@ -1,0 +1,142 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+import java.sql.Timestamp
+
+/** Streaming/incremental processing over the `events` schema —
+  * the Spark-native re-expression of the reference's resumable
+  * checkpointed loop (arbirk/ETL-template tools/tools.go:676-806):
+  *
+  *  - the reference persists `LastSuccessfullyProcessedIndex` after
+  *    every record and skips past it on restart (ST1/ST2) → Structured
+  *    Streaming's `checkpointLocation` offset log, with
+  *    `Trigger.AvailableNow` for batch-shaped incremental runs
+  *  - per-record retry (ST3) → `foreachBatch` + [[graft.pipeline
+  *    .Transforms.retry]] against an idempotent sink (epoch id =
+  *    the retry key)
+  *  - the reference has NO event-time concepts (SURVEY.md §2.7:
+  *    wall-clock only) — watermarks, tumbling/sliding/session windows
+  *    and stateful dedup below are north-star surface over `events`
+  *
+  * All transforms are source-agnostic `DataFrame => DataFrame`: the
+  * same code runs on `readStream` (incremental) and `read` (batch
+  * backfill) inputs — Spark's unified batch/streaming contract.
+  *
+  * Scale notes: every aggregation below keys its state by (window,
+  * key-column) and carries a watermark, so state size is bounded by
+  * (active windows × keys) and late data past the watermark is dropped
+  * instead of growing state forever. Shuffle = one exchange per agg on
+  * the group keys, the minimum possible.
+  */
+object EventPipelines {
+
+  final case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  /** Tumbling 10-minute per-type counts with a 5-minute watermark. */
+  def tumblingCounts(events: DataFrame,
+      window_ : String = "10 minutes", watermark: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Sliding windows: 10-minute windows every 5 minutes. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Session windows per user: gap-based (5-minute inactivity closes). */
+  def sessionAgg(events: DataFrame, gap: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "5 minutes")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  /** Stateful exact dedup by event_id, state bounded by the watermark
+    * (duplicates can only arrive within the lateness horizon). */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  // -------------------------------------------------------------------
+  // Arbitrary per-key state: running per-user aggregate via
+  // flatMapGroupsWithState — the general extension point the
+  // reference's LoopState (tools.go:60-62) maps to when the state is
+  // per-key instead of per-file.
+
+  final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  def runningPerUser(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          rows.foreach { e => n += 1; tot += e.value }
+          val next = UserRunning(uid, n, tot)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+
+  /** Batch-shaped incremental run (the reference's whole execution
+    * model): process everything available now, checkpoint offsets,
+    * stop. Rerunning with the same checkpoint resumes exactly after
+    * the last committed batch — ST1's resume semantics at epoch
+    * granularity (SURVEY.md §7.4). Returns once the run finishes. */
+  def runAvailableNow(
+      out: DataFrame,
+      checkpoint: String,
+      sinkPath: String,
+      outputMode: String = "append"): Unit = {
+    val q = out.writeStream
+      .outputMode(outputMode)
+      .format("json")
+      .option("checkpointLocation", checkpoint)
+      .option("path", sinkPath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** foreachBatch with per-batch retry against a user sink — ST3's
+    * retry at epoch granularity; pair with an idempotent sink keyed on
+    * (batchId) for exactly-once effects. */
+  def runForeachBatchWithRetry(
+      out: DataFrame,
+      checkpoint: String,
+      cfg: graft.pipeline.Transforms.RetryConfig)(
+      sink: (DataFrame, Long) => Unit): Unit = {
+    val q = out.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.pipeline.Transforms.retry(cfg)(sink(batch, id))
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Batch views of the streaming transforms over the fixture table —
+    * the unified-API property: identical code, batch source. */
+  def eventsBatch(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
+}

@@ -1,0 +1,155 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.streaming.EventPipelines._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import java.sql.Timestamp
+
+class EventPipelinesSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $s")
+  private def ev(id: Long, t: String, uid: Long = 1L, typ: String = "click",
+      v: Double = 1.0): Event = Event(id, ts(t), uid, typ, v, "{}")
+
+  test("tumbling window with watermark: closed windows emit, late data dropped") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = tumblingCounts(ms.toDF())
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("append").start()
+    try {
+      // window [00:00, 00:10): two events
+      ms.addData(ev(1, "00:01:00"), ev(2, "00:05:00"))
+      q.processAllAvailable()
+      // advance event time to 00:30 -> watermark 00:25 after this batch
+      ms.addData(ev(3, "00:30:00"))
+      q.processAllAvailable()
+      // next batch: close [00:00,00:10) and try to sneak in a late event
+      ms.addData(ev(4, "00:31:00"), ev(99, "00:02:00"))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling")
+        .select("window_start", "n").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+      // the 00:00 window emitted exactly the 2 on-time events; the late
+      // event 99 (beyond the 00:25 watermark) was dropped
+      assert(rows(ts("00:00:00")) == 2L)
+    } finally q.stop()
+  }
+
+  test("session windows: 5-minute gap splits user activity into sessions") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = sessionAgg(ms.toDF())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: burst at 00:00-00:04 (one session), solo event at 00:20
+      ms.addData(ev(1, "00:00:00"), ev(2, "00:02:00"), ev(3, "00:04:00"),
+        ev(4, "00:20:00"))
+      q.processAllAvailable()
+      // advance watermark far past both sessions, then one more batch to emit
+      ms.addData(ev(5, "01:00:00", uid = 2))
+      q.processAllAvailable()
+      ms.addData(ev(6, "01:10:00", uid = 2))
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .select("user_id", "n_events").collect()
+        .filter(_.getLong(0) == 1L).map(_.getLong(1)).sorted
+      assert(rows.toSeq == Seq(1L, 3L)) // the burst session and the solo session
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark: repeated event_ids emit once") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = dedupWithinWatermark(ms.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      ms.addData(ev(1, "00:01:00"), ev(2, "00:02:00"))
+      q.processAllAvailable()
+      ms.addData(ev(1, "00:03:00"), ev(3, "00:04:00")) // id 1 is a duplicate
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState: running per-user totals across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = runningPerUser(ms.toDS())
+      .writeStream.format("memory").queryName("running")
+      .outputMode("update").start()
+    try {
+      ms.addData(ev(1, "00:01:00", uid = 7, v = 2.0), ev(2, "00:02:00", uid = 7, v = 3.0))
+      q.processAllAvailable()
+      ms.addData(ev(3, "00:03:00", uid = 7, v = 5.0))
+      q.processAllAvailable()
+      val last = spark.table("running")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .filter(_._1 == 7L).maxBy(_._2)
+      assert(last == ((7L, 3L, 10.0))) // state carried across batches
+    } finally q.stop()
+  }
+
+  test("AvailableNow + checkpoint: rerun resumes after last committed batch (ST1)") {
+    val s = spark
+    import s.implicits._
+    withTempDir { dir =>
+      val in = s"$dir/in"; val ckpt = s"$dir/ckpt"; val out = s"$dir/out"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      def writeInput(name: String, ids: Seq[Long]): Unit =
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/$name"),
+          ids.map(i => s"""{"event_id":$i,"user_id":1}""").mkString("\n").getBytes)
+
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, user_id BIGINT")
+      def stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(in)
+
+      writeInput("batch1.json", Seq(1, 2, 3))
+      runAvailableNow(stream, ckpt, out)
+      val afterFirst = spark.read.schema(schema).json(out).count()
+      assert(afterFirst == 3)
+
+      // second run with MORE input: only the new file is processed —
+      // the offset log is the LastSuccessfullyProcessedIndex analog
+      writeInput("batch2.json", Seq(4, 5))
+      runAvailableNow(stream, ckpt, out)
+      val ids = spark.read.schema(schema).json(out)
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L, 4L, 5L)) // no reprocessing, no loss
+    }
+  }
+
+  test("foreachBatch retry: transient sink failure retried within an epoch (ST3)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withTempDir { dir =>
+      val ms = MemoryStream[Event]
+      ms.addData(ev(1, "00:01:00"), ev(2, "00:02:00"))
+      val attempts = new java.util.concurrent.atomic.AtomicInteger
+      val delivered = scala.collection.mutable.ArrayBuffer.empty[Long]
+      runForeachBatchWithRetry(ms.toDF(), s"$dir/ckpt",
+        graft.pipeline.Transforms.RetryConfig(maxRetries = 2)) { (batch, _) =>
+        if (attempts.incrementAndGet() == 1)
+          throw new RuntimeException("transient sink outage")
+        delivered ++= batch.select("event_id").collect().map(_.getLong(0))
+      }
+      assert(attempts.get() >= 2)
+      assert(delivered.sorted.toSeq == Seq(1L, 2L))
+    }
+  }
+}
