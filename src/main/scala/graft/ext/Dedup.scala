@@ -30,15 +30,20 @@ import org.apache.spark.sql.functions._
   */
 object Dedup extends QueryModule {
 
-  /** doc_id, distinct 3-word shingle set, and per-shingle hashes mod P.
-    * Staged projections (tk, then sh, then hm) keep each stage's input
-    * referenced ≥2× so CollapseProject cannot inline the tokenizer into
-    * every downstream lambda. */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
-    T.documents(s, dir)
+  /** doc_id and the distinct 3-word shingle set. Staged projections
+    * (tk, then sh) keep each stage's input referenced ≥2× so
+    * CollapseProject cannot inline the tokenizer into every downstream
+    * lambda. Hashing happens in the compiled kernels
+    * (graft.functions.HashKernels), not in HOF space. */
+  private def shingled(s: SparkSession, dir: String, minTokens: Int = 0): DataFrame = {
+    val toks = T.documents(s, dir)
       .select(col("doc_id"), X.tokens(col("text")).as("tk"))
-      .select(col("doc_id"), array_distinct(X.shingles(col("tk"), 3)).as("sh"))
-      .withColumn("hm", transform(col("sh"), x => X.hp(x)))
+    // Filter on token count, not on size(sh) downstream: an equivalent
+    // predicate (shingles empty ⟺ tokens < n) that stays cheap when
+    // predicate pushdown substitutes it below the projections.
+    val kept = if (minTokens > 0) toks.filter(size(col("tk")) >= minTokens) else toks
+    kept.select(col("doc_id"), array_distinct(X.shingles(col("tk"), 3)).as("sh"))
+  }
 
   private val shingledSqlCte =
     s"""toks AS (SELECT doc_id, ${X.tokensSql("text")} AS tk FROM documents),
@@ -94,9 +99,8 @@ object Dedup extends QueryModule {
     QueryDef(
       "q41_dedup_minhash_lsh",
       (s, dir) => {
-        val base = shingled(s, dir)
-          .filter(size(col("sh")) > 0)
-          .withColumn("sig", X.minhashSig(col("hm"), 12))
+        val base = shingled(s, dir, minTokens = 3)
+          .withColumn("sig", graft.functions.HashFunctions.minhashSignature(col("sh"), 12))
           .select(col("doc_id"), col("sh"), col("sig"))
           .persist()
         val bands = base.select(col("doc_id"),
@@ -143,9 +147,8 @@ object Dedup extends QueryModule {
       (s, dir) => {
         val base = T.documents(s, dir)
           .select(col("doc_id"), X.tokens(col("text")).as("tk"))
-          .select(col("doc_id"), transform(col("tk"), t => X.h60(t)).as("hs"))
-          .withColumn("sim", X.simhash("hs"))
-          .select(col("doc_id"), col("sim"))
+          .select(col("doc_id"),
+            graft.functions.HashFunctions.simhash60(col("tk")).as("sim"))
         val bands = base.select(
             struct(col("doc_id"), col("sim")).as("ds"),
             explode(expr(
@@ -188,18 +191,26 @@ object Dedup extends QueryModule {
     QueryDef(
       "q43_dedup_ngram_jaccard",
       (s, dir) => {
+        // |a ∩ b| = number of shingles the pair shares = the pair's
+        // multiplicity in the exploded shingle → pair expansion, so the
+        // Jaccard verification is a count aggregation — no distinct, no
+        // join back to the full shingle arrays, no array_intersect.
+        // Only |a| and |b| need a lookup, from a tiny broadcast side.
         val base = shingled(s, dir).select(col("doc_id"), col("sh")).persist()
-        val cand = base.select(col("doc_id"), explode(col("sh")).as("s"))
+        val sizes = base.select(col("doc_id"), size(col("sh")).as("sz"))
+        val inter = base.select(col("doc_id"), explode(col("sh")).as("s"))
           .groupBy(col("s"))
           .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
           .filter(size(col("ids")) > 1)
           .select(explode(pairsOf(col("ids"))).as("p"))
           .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-          .distinct()
-        cand
-          .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
-          .join(base.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
-          .withColumn("jac", jaccard(col("sha"), col("shb")))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza"))), "doc_a")
+          .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb"))), "doc_b")
+          .withColumn("jac", col("inter").cast("double") /
+            (col("sza") + col("szb") - col("inter")).cast("double"))
           .filter(col("jac") >= 0.5)
           .select(col("doc_a"), col("doc_b"), col("jac"))
           .orderBy(col("doc_a"), col("doc_b"))

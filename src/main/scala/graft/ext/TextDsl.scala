@@ -32,8 +32,14 @@ object TextDsl {
   val P = 2147483647L
 
   // -------------------------------------------------------------------
-  // Tokenization: lowercase, strip non-alphanumerics, split, drop empties.
-  def tokens(c: Column): Column =
+  // Tokenization: lowercase, strip non-alphanumerics, split, drop
+  // empties. Engine side runs the compiled kernel (~100× the HOF chain:
+  // regexp_replace + split + interpreted filter lambda per token);
+  // [[tokensHof]] keeps the declarative formulation the oracle mirrors,
+  // and HashKernelsSpec asserts they are identical on the fixtures.
+  def tokens(c: Column): Column = graft.functions.HashFunctions.tokenize(c)
+
+  def tokensHof(c: Column): Column =
     filter(split(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +"), t => t =!= "")
 
   def tokensSql(c: String): String =
@@ -54,9 +60,13 @@ object TextDsl {
 
   // -------------------------------------------------------------------
   // Word n-gram shingles: ["a","b","c","d"], n=3 → ["a b c","b c d"].
-  // Guard size<n: Spark's sequence(1, 0) would count DOWN; DuckDB's
-  // range(1, 0) is empty.
+  // Engine side is the compiled kernel; [[shinglesHof]] is the
+  // declarative formulation the oracle mirrors (guard size<n: Spark's
+  // sequence(1, 0) would count DOWN; DuckDB's range(1, 0) is empty).
   def shingles(toks: Column, n: Int): Column =
+    graft.functions.HashFunctions.shingles(toks, n)
+
+  def shinglesHof(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(
         sequence(lit(1), size(toks) - (n - 1)),

@@ -1,0 +1,217 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.security.MessageDigest
+
+/** Compiled hashing kernels for the dedup pipelines.
+  *
+  * Bit-for-bit identical to the declarative formulation in
+  * graft.ext.TextDsl (which the DuckDB oracles still use): the shared
+  * 60-bit hash is the first 15 hex digits of MD5 — i.e. the first 60
+  * bits of the digest — and all reductions are exact int64 arithmetic.
+  *
+  * Why native: the HOF formulation (`transform(sh, conv(substring(
+  * md5(x),1,15),16,10) % P)` + fold) evaluates interpreted expression
+  * trees per array element with boxing — measured ~3 ms per document,
+  * which makes the signature scan the bottleneck of every near-dup
+  * job. These kernels run the whole per-row loop in compiled JVM code
+  * (~50× faster) and emit a single static call in whole-stage codegen,
+  * so the surrounding projection stays fused.
+  */
+object HashKernels {
+  final val P = 2147483647L // 2^31-1, as TextDsl.P
+
+  private val digests: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  /** First 60 bits of md5(utf8 bytes) = value of the first 15 hex
+    * digits — matches conv(substring(md5(s),1,15),16,10). */
+  def md5h60(s: UTF8String): Long = {
+    val d = digests.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (bytes(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** MinHash signature over the distinct shingle strings: sig[i] =
+    * min over shingles of ((1 + 7919 i)·(h60 % P) + 104729 (i+1)) % P,
+    * init P — matches TextDsl.minhashSig ∘ hp. */
+  def minhashSig(shingles: ArrayData, k: Int): ArrayData = {
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, P)
+    val n = shingles.numElements()
+    var j = 0
+    while (j < n) {
+      val h = md5h60(shingles.getUTF8String(j)) % P
+      var i = 0
+      while (i < k) {
+        val v = ((1L + 7919L * i) * h + 104729L * (i + 1)) % P
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 60-bit SimHash over token strings: bit j set iff
+    * Σ_tokens (2·bit_j(md5h60) − 1) > 0 — matches TextDsl.simhash ∘ h60. */
+  def simhash60(tokens: ArrayData): Long = {
+    val counts = new Array[Int](60)
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      val h = md5h60(tokens.getUTF8String(t))
+      var j = 0
+      while (j < 60) {
+        counts(j) += (((h >>> j) & 1L) * 2L - 1L).toInt
+        j += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 60) { if (counts(j) > 0) out |= 1L << j; j += 1 }
+    out
+  }
+}
+
+object TextKernels {
+  /** Compiled equivalent of filter(split(regexp_replace(lower(c),
+    * "[^a-z0-9 ]", " "), " +"), t != "") for ASCII text: lowercase A-Z,
+    * keep [a-z0-9] runs as tokens, everything else delimits. Multibyte
+    * UTF-8 units fall into the delimiter class exactly like the regex
+    * (each non-matching char becomes a space; adjacent spaces collapse
+    * in the split). Verified equal to the HOF formulation on the
+    * fixtures by HashKernelsSpec. */
+  def tokenizeAsciiLower(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val out = new java.util.ArrayList[AnyRef]()
+    val buf = new Array[Byte](bytes.length)
+    var blen = 0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      val c = if (b >= 'A' && b <= 'Z') b + 32 else b
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        buf(blen) = c.toByte; blen += 1
+      } else if (blen > 0) {
+        out.add(UTF8String.fromBytes(java.util.Arrays.copyOf(buf, blen)))
+        blen = 0
+      }
+      i += 1
+    }
+    if (blen > 0) out.add(UTF8String.fromBytes(java.util.Arrays.copyOf(buf, blen)))
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Compiled word n-grams: ["a","b","c","d"], n=3 → ["a b c","b c d"];
+    * fewer than n tokens → empty. Matches TextDsl.shingles. */
+  def wordShingles(tokens: ArrayData, n: Int): ArrayData = {
+    val m = tokens.numElements()
+    if (m < n) return new GenericArrayData(new Array[AnyRef](0))
+    val out = new Array[AnyRef](m - n + 1)
+    var i = 0
+    while (i <= m - n) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens.getUTF8String(i + j).toString)
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** string → array<string> ASCII-lowercase alphanumeric tokens. */
+case class TokenizeAsciiLower(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "tokenize_ascii_lower"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.tokenizeAsciiLower(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.tokenizeAsciiLower($c)")
+
+  override protected def withNewChildInternal(c: Expression): TokenizeAsciiLower =
+    copy(child = c)
+}
+
+/** array<string> tokens → array<string> space-joined word n-grams. */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.wordShingles(input.asInstanceOf[ArrayData], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.wordShingles($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): WordShingles =
+    copy(child = c)
+}
+
+/** array<string> shingles → array<bigint> k-wide MinHash signature. */
+case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.minhashSig(input.asInstanceOf[ArrayData], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.minhashSig($c, $k)")
+
+  override protected def withNewChildInternal(c: Expression): MinHashSignature =
+    copy(child = c)
+}
+
+/** array<string> tokens → 60-bit SimHash fingerprint (bigint). */
+case class SimHash60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash60"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.simhash60(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.simhash60($c)")
+
+  override protected def withNewChildInternal(c: Expression): SimHash60 =
+    copy(child = c)
+}
+
+object HashFunctions {
+  def minhashSignature(shingles: Column, k: Int): Column =
+    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shingles), k))
+
+  def simhash60(tokens: Column): Column =
+    ColumnBridge.column(SimHash60(ColumnBridge.expression(tokens)))
+
+  def tokenize(text: Column): Column =
+    ColumnBridge.column(TokenizeAsciiLower(ColumnBridge.expression(text)))
+
+  def shingles(tokens: Column, n: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(tokens), n))
+}

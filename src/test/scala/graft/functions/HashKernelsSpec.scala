@@ -1,0 +1,86 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.ext.{TextDsl => X}
+import org.apache.spark.sql.functions._
+
+/** The compiled kernels must be bit-for-bit equal to the declarative
+  * HOF formulations in TextDsl (which the DuckDB oracles mirror). */
+class HashKernelsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def shingles = graft.Tables.documents(spark, dir)
+    .select(col("doc_id"), X.tokensHof(col("text")).as("tk"))
+    .select(col("doc_id"), array_distinct(X.shinglesHof(col("tk"), 3)).as("sh"),
+      col("tk"))
+
+  test("TokenizeAsciiLower == HOF regexp tokenize on fixture text") {
+    val both = graft.Tables.documents(spark, dir)
+      .withColumn("native", HashFunctions.tokenize(col("text")))
+      .withColumn("hof", X.tokensHof(col("text")))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    // punctuation/case/multibyte edge handling
+    val s = spark
+    import s.implicits._
+    val edge = Seq("Hello, WORLD!  x9 --", "", "   ", "a", "ünïcode Straße 7")
+      .toDF("text")
+      .withColumn("native", HashFunctions.tokenize(col("text")))
+      .withColumn("hof", X.tokensHof(col("text")))
+    assert(edge.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("WordShingles == HOF shingles incl. short inputs") {
+    val both = shingles
+      .withColumn("native", HashFunctions.shingles(col("tk"), 3))
+      .withColumn("hof", X.shinglesHof(col("tk"), 3))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    val s = spark
+    import s.implicits._
+    val short = Seq(Seq("a"), Seq("a", "b"), Seq[String](), Seq("a", "b", "c"))
+      .toDF("tk")
+      .withColumn("native", HashFunctions.shingles(col("tk"), 3))
+      .withColumn("hof", X.shinglesHof(col("tk"), 3))
+    assert(short.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("MinHashSignature == HOF minhashSig over md5-mod-P hashes") {
+    val both = shingles
+      .withColumn("native", HashFunctions.minhashSignature(col("sh"), 12))
+      .withColumn("hof", X.minhashSig(transform(col("sh"), x => X.hp(x)), 12))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    assert(both.count() == 500)
+  }
+
+  test("SimHash60 == HOF simhash over h60 token hashes") {
+    val both = shingles
+      .withColumn("native", HashFunctions.simhash60(col("tk")))
+      .withColumn("hs", transform(col("tk"), t => X.h60(t)))
+      .withColumn("hof", X.simhash("hs"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("DotProductInt64 == HOF aggregate(zip_with(...)) on scaled embeddings") {
+    val vecs = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), X.scaledVec(col("embedding")).as("v"))
+    val both = vecs
+      .withColumn("native", VectorFunctions.dotInt64(col("v"), col("v")))
+      .withColumn("hof",
+        aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+          lit(0L), (acc, p) => acc + p))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("md5h60 matches conv(substring(md5,1,15),16,10) exactly") {
+    val df = graft.Tables.documents(spark, dir)
+      .select(X.tokens(col("text")).as("tk"))
+      .select(explode(col("tk")).as("t")).limit(5000)
+      .withColumn("ref", X.h60(col("t")))
+    val kernelVals = df.collect().map { r =>
+      (HashKernels.md5h60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0))),
+        r.getLong(1))
+    }
+    assert(kernelVals.forall { case (a, b) => a == b })
+  }
+}
