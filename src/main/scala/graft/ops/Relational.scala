@@ -560,17 +560,24 @@ object Relational extends QueryModule {
     QueryDef(
       "q24_asof_last_order",
       (s, dir) => {
+        // argmax via max_by instead of a row_number window: the joined
+        // (event × earlier-orders) stream reduces map-side to one row
+        // per event (partial aggregation), so the intermediate never
+        // gets sort-shuffled. Struct compare is lexicographic, so
+        // max_by(_, struct(o_orderdate, o_orderkey)) = latest order,
+        // ties broken by highest key — identical to the window's
+        // ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1.
         val e = T.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
         val o = T.orders(s, dir)
-        val w = Window.partitionBy(col("event_id"))
-          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
         e.join(o, col("user_id") === col("o_custkey")
             && col("o_orderdate") <= col("ts"), "inner")
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
+          .groupBy(col("event_id"), col("user_id"))
+          .agg(max_by(
+            struct(col("o_orderkey"), col("o_orderdate")),
+            struct(col("o_orderdate"), col("o_orderkey"))).as("best"))
           .select(col("event_id"), col("user_id"),
-            col("o_orderkey").as("last_order_key"),
-            col("o_orderdate").cast("date").as("last_order_date"))
+            col("best.o_orderkey").as("last_order_key"),
+            col("best.o_orderdate").cast("date").as("last_order_date"))
           .orderBy(col("event_id"))
       },
       Some("""
