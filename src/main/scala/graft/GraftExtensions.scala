@@ -1,0 +1,56 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL surface for the compiled kernels: register with
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.GraftExtensions`, then call
+  * from SQL:
+  *
+  *   SELECT minhash_signature(word_shingles(tokenize_ascii_lower(text), 3), 12)
+  *   FROM documents
+  *
+  * Kept deliberately small: functions only, no planner rules — the
+  * relational surface is fully served by Catalyst built-ins
+  * (SURVEY.md §4.2), so the optimizer surface stays zero.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, fn: String, pos: Int): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument $pos must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("tokenize_ascii_lower"),
+      new ExpressionInfo(classOf[TokenizeAsciiLower].getName, "tokenize_ascii_lower"),
+      (args: Seq[Expression]) => TokenizeAsciiLower(args.head)))
+
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (args: Seq[Expression]) =>
+        WordShingles(args.head, intArg(args(1), "word_shingles", 2))))
+
+    ext.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (args: Seq[Expression]) =>
+        MinHashSignature(args.head, intArg(args(1), "minhash_signature", 2))))
+
+    ext.injectFunction((
+      FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
+      (args: Seq[Expression]) => SimHash60(args.head)))
+
+    ext.injectFunction((
+      FunctionIdentifier("dot_int64"),
+      new ExpressionInfo(classOf[DotProductInt64].getName, "dot_int64"),
+      (args: Seq[Expression]) => DotProductInt64(args.head, args(1))))
+  }
+}

@@ -223,6 +223,61 @@ object Dedup extends QueryModule {
         SELECT doc_a, doc_b, ${jaccardSql("x.sh", "y.sh")} AS jac
         FROM cand JOIN shg x ON x.doc_id = doc_a JOIN shg y ON y.doc_id = doc_b
         WHERE ${jaccardSql("x.sh", "y.sh")} >= 0.5
+        ORDER BY doc_a, doc_b""")),
+
+    // ------------------------------------------------------------------
+    // q44: embedding-cosine near-dup — candidates from 4 bands × 4
+    // sign-bit hyperplane LSH over the first 16 dims (multi-band trades
+    // precision for recall at moderate thresholds), verified with the
+    // exact integer-scaled cosine. documents.doc_id == embeddings.vec_id
+    // (FIXTURES.md), so these are document near-dups by embedding.
+    // Threshold 0.4 suits the fixture's near-orthogonal vectors (max
+    // pairwise cos ≈ 0.51); real corpora would use ≥ 0.9 and more bands.
+    QueryDef(
+      "q44_dedup_embedding_cosine",
+      (s, dir) => {
+        val base = T.embeddings(s, dir)
+          .select(col("vec_id").as("doc_id"), X.scaledVec(col("embedding")).as("v"))
+          .withColumn("n2", X.norm2Int(col("v")))
+          .persist()
+        val bands = base.select(col("doc_id"), explode(expr(
+            "transform(sequence(0, 3), b -> struct(b AS band, " +
+              "aggregate(sequence(1, 4), 0L, (acc, i) -> acc + " +
+              "IF(element_at(v, b*4 + i) >= 0, shiftleft(1L, i-1), 0L)) AS bits))"))
+            .as("bd"))
+          .select(col("doc_id"), col("bd.band").as("band"), col("bd.bits").as("bits"))
+        val cand = bands
+          .groupBy(col("band"), col("bits"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+          .filter(size(col("ids")) > 1)
+          .select(explode(pairsOf(col("ids"))).as("p"))
+          .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+          .distinct()
+        cand
+          .join(base.select(col("doc_id").as("doc_a"), col("v").as("va"), col("n2").as("n2a")), "doc_a")
+          .join(base.select(col("doc_id").as("doc_b"), col("v").as("vb"), col("n2").as("n2b")), "doc_b")
+          .withColumn("cos", X.cosineFromInts(
+            X.dotInt(col("va"), col("vb")), col("n2a"), col("n2b")))
+          .filter(col("cos") >= 0.4)
+          .select(col("doc_a"), col("doc_b"), col("cos"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""
+        WITH sc AS (SELECT vec_id AS doc_id, ${X.scaledVecSql("embedding")} AS v FROM embeddings),
+        scn AS (SELECT doc_id, v, ${X.norm2IntSql("v")} AS n2 FROM sc),
+        bands AS (SELECT doc_id, bnd,
+                    list_aggregate(list_transform(range(1, 5),
+                      i -> CASE WHEN v[CAST(bnd*4 + i AS INT)] >= 0
+                                THEN (CAST(1 AS BIGINT) << (i-1))
+                                ELSE CAST(0 AS BIGINT) END), 'sum') AS bits
+                  FROM scn, (SELECT unnest(range(0, 4)) AS bnd)),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bands a JOIN bands b
+                   ON a.bnd = b.bnd AND a.bits = b.bits AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               ${X.cosineFromIntsSql(X.dotIntSql("x.v", "y.v"), "x.n2", "y.n2")} AS cos
+        FROM cand JOIN scn x ON x.doc_id = doc_a JOIN scn y ON y.doc_id = doc_b
+        WHERE ${X.cosineFromIntsSql(X.dotIntSql("x.v", "y.v"), "x.n2", "y.n2")} >= 0.4
         ORDER BY doc_a, doc_b"""))
   )
 }

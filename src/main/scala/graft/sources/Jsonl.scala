@@ -24,4 +24,11 @@ object Jsonl {
 
   def write(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Whole-file (multi-line) JSON document read — the reference's
+    * `ReadJSON` (tools.go:463-469): one JSON document → one record.
+    * Used for control-plane files; data stays line-delimited. */
+  def readWholeFile(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("multiLine", true)
+      .option("mode", "FAILFAST").json(path)
 }

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The kernels are callable from plain SQL once the extensions are
+  * installed (spark.sql.extensions=graft.GraftExtensions). */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("kernel functions resolve and compute in spark.sql") {
+    // force the shared context up first so we reuse it
+    val base = SparkSpec.session
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val row = s.sql(
+        """SELECT
+          |  tokenize_ascii_lower('Hello, World! 42') AS tk,
+          |  word_shingles(array('a','b','c','d'), 3) AS sh,
+          |  size(minhash_signature(array('a b c'), 12)) AS sig_len,
+          |  simhash60(array('hello')) AS sim,
+          |  dot_int64(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS dot
+          |""".stripMargin).head()
+      assert(row.getSeq[String](0) == Seq("hello", "world", "42"))
+      assert(row.getSeq[String](1) == Seq("a b c", "b c d"))
+      assert(row.getInt(2) == 12)
+      assert(row.getLong(4) == 32L)
+      // simhash of a single token = its 60-bit hash pattern
+      import org.apache.spark.unsafe.types.UTF8String
+      assert(row.getLong(3) ==
+        graft.functions.HashKernels.md5h60(UTF8String.fromString("hello")))
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
+}

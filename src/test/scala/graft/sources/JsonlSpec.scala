@@ -29,6 +29,19 @@ class JsonlSpec extends SparkSpec {
     }
   }
 
+  test("whole-file multiLine JSON read parses a pretty-printed manifest (S6)") {
+    withTempDir { dir =>
+      val run = new graft.pipeline.PipelineRun(spark, s"$dir/status.json", s"$dir/tmp")
+      run.executeStep("a") { () }
+      run.stow()
+      val manifest = Jsonl.readWholeFile(spark, s"$dir/status.json",
+        StructType.fromDDL("runId STRING, status STRING, startTime STRING"))
+        .head()
+      assert(manifest.getString(0).startsWith("run_"))
+      assert(manifest.getString(1) == "Completed")
+    }
+  }
+
   test("malformed line fails fast (tools.go:540-542 FAILFAST semantics)") {
     withTempDir { dir =>
       val f = dir.resolve("bad.jsonl")
