@@ -78,13 +78,8 @@ object Dedup extends QueryModule {
     QueryDef(
       "q40_dedup_exact",
       (s, dir) => {
-        T.documents(s, dir)
-          .select(col("doc_id"),
-            concat_ws(" ", X.tokens(col("text"))).as("norm"))
-          .groupBy(col("norm"))
-          .agg(min(col("doc_id")).as("survivor_id"),
-            count(lit(1)).as("n_copies"))
-          .select(col("survivor_id"), col("n_copies"))
+        graft.operators.NearDup.exact(T.documents(s, dir),
+            col("doc_id"), concat_ws(" ", X.tokens(col("text"))))
           .orderBy(col("survivor_id"))
       },
       Some(s"""
@@ -99,29 +94,9 @@ object Dedup extends QueryModule {
     QueryDef(
       "q41_dedup_minhash_lsh",
       (s, dir) => {
-        val base = shingled(s, dir, minTokens = 3)
-          .withColumn("sig", graft.functions.HashFunctions.minhashSignature(col("sh"), 12))
-          .select(col("doc_id"), col("sh"), col("sig"))
-          .persist()
-        val bands = base.select(col("doc_id"),
-            explode(transform(sequence(lit(0), lit(2)), b =>
-              struct(b.as("band"),
-                concat_ws("-", slice(col("sig"), b * 4 + 1, lit(4))).as("bsig"))))
-              .as("bd"))
-          .select(col("doc_id"), col("bd.band").as("band"), col("bd.bsig").as("bsig"))
-        val cand = bands
-          .groupBy(col("band"), col("bsig"))
-          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-          .filter(size(col("ids")) > 1)
-          .select(explode(pairsOf(col("ids"))).as("p"))
-          .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-          .distinct()
-        cand
-          .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
-          .join(base.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
-          .withColumn("jac", jaccard(col("sha"), col("shb")))
-          .filter(col("jac") >= 0.5)
-          .select(col("doc_a"), col("doc_b"), col("jac"))
+        graft.operators.NearDup.minhashLsh(T.documents(s, dir),
+            col("doc_id"), col("text"),
+            numHashes = 12, bands = 3, shingleWidth = 3, threshold = 0.5)
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some(s"""
@@ -236,30 +211,9 @@ object Dedup extends QueryModule {
     QueryDef(
       "q44_dedup_embedding_cosine",
       (s, dir) => {
-        val base = T.embeddings(s, dir)
-          .select(col("vec_id").as("doc_id"), X.scaledVec(col("embedding")).as("v"))
-          .withColumn("n2", X.norm2Int(col("v")))
-          .persist()
-        val bands = base.select(col("doc_id"), explode(expr(
-            "transform(sequence(0, 3), b -> struct(b AS band, " +
-              "aggregate(sequence(1, 4), 0L, (acc, i) -> acc + " +
-              "IF(element_at(v, b*4 + i) >= 0, shiftleft(1L, i-1), 0L)) AS bits))"))
-            .as("bd"))
-          .select(col("doc_id"), col("bd.band").as("band"), col("bd.bits").as("bits"))
-        val cand = bands
-          .groupBy(col("band"), col("bits"))
-          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-          .filter(size(col("ids")) > 1)
-          .select(explode(pairsOf(col("ids"))).as("p"))
-          .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-          .distinct()
-        cand
-          .join(base.select(col("doc_id").as("doc_a"), col("v").as("va"), col("n2").as("n2a")), "doc_a")
-          .join(base.select(col("doc_id").as("doc_b"), col("v").as("vb"), col("n2").as("n2b")), "doc_b")
-          .withColumn("cos", X.cosineFromInts(
-            X.dotInt(col("va"), col("vb")), col("n2a"), col("n2b")))
-          .filter(col("cos") >= 0.4)
-          .select(col("doc_a"), col("doc_b"), col("cos"))
+        graft.operators.SimilarityJoin.cosineLsh(T.embeddings(s, dir),
+            col("vec_id"), col("embedding"),
+            bands = 4, bitsPerBand = 4, threshold = 0.4)
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some(s"""

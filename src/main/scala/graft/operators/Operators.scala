@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.ext.{TextDsl => X}
+import graft.functions.HashFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Reusable whole-operator APIs — the operator library a user composes
+  * instead of hand-writing the patterns. Each is pure DataFrame → Data-
+  * Frame (lazy, Catalyst-optimized); the oracle-checked queries in
+  * graft.ops / graft.ext are thin instantiations of these.
+  *
+  * Scale contracts are part of each operator's signature-level design:
+  * candidate generation is always bucket-grouped (work ∝ Σ bucket², not
+  * n²), argmax is always partial-aggregable max_by (never a sort-based
+  * window over the full pair stream), and per-row kernels are compiled
+  * expressions (graft.functions).
+  */
+object Joins {
+
+  /** As-of join: for each left-side group, the single best right match
+    * under `ordering` (lexicographic struct compare, max wins) among
+    * rows satisfying `joinCond` — e.g. "latest order at event time".
+    * Returns `groupCols` + the chosen `payload` as column "asof".
+    *
+    * Shape: equi+range join, then map-side-reducing argmax — the
+    * intermediate match stream never gets sort-shuffled, so the
+    * operator scales with matches/executor, not with a global sort. */
+  def asOf(
+      left: DataFrame, right: DataFrame, joinCond: Column,
+      groupCols: Seq[Column], ordering: Seq[Column],
+      payload: Column): DataFrame =
+    left.join(right, joinCond)
+      .groupBy(groupCols: _*)
+      .agg(max_by(payload, struct(ordering: _*)).as("asof"))
+}
+
+object NearDup {
+
+  /** Exact dedup by a normalization column: one survivor (min id) per
+    * normalized value plus the duplicate count. One shuffle, partial
+    * aggregation on the map side. */
+  def exact(df: DataFrame, id: Column, norm: Column): DataFrame =
+    df.select(id.as("_id"), norm.as("_norm"))
+      .groupBy(col("_norm"))
+      .agg(min(col("_id")).as("survivor_id"), count(lit(1)).as("n_copies"))
+      .select(col("survivor_id"), col("n_copies"))
+
+  /** In-bucket pair expansion: all (a, b), a < b, from a collected and
+    * sorted id array — runs inside a row after the bucket group-by, so
+    * candidate generation is one aggregation, never a self-join. */
+  private[graft] def pairsOf(ids: Column): Column =
+    filter(
+      flatten(transform(ids, a => transform(ids, b => struct(a.as("a"), b.as("b"))))),
+      p => p.getField("a") < p.getField("b"))
+
+  /** MinHash+LSH near-duplicate pairs over a text column: tokenize →
+    * distinct word n-gram shingles → k-wide MinHash signature (compiled
+    * kernels) → `bands` LSH bands → bucket-grouped candidate pairs →
+    * exact Jaccard verify ≥ `threshold`.
+    *
+    * Only (band, band-signature, id) tuples shuffle for candidate
+    * generation — k ints per doc, not shingles. The signature table is
+    * persisted because banding and verification share it; at cluster
+    * scale that materialization is the standard signature checkpoint. */
+  def minhashLsh(
+      docs: DataFrame, id: Column, text: Column,
+      numHashes: Int = 12, bands: Int = 3, shingleWidth: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val rows = bands match {
+      case b if numHashes % b == 0 => numHashes / b
+      case _ => throw new IllegalArgumentException(
+        s"bands ($bands) must divide numHashes ($numHashes)")
+    }
+    val base = docs
+      .select(id.as("doc_id"), X.tokens(text).as("tk"))
+      .filter(size(col("tk")) >= shingleWidth)
+      .select(col("doc_id"),
+        array_distinct(X.shingles(col("tk"), shingleWidth)).as("sh"))
+      .withColumn("sig", HashFunctions.minhashSignature(col("sh"), numHashes))
+      .select(col("doc_id"), col("sh"), col("sig"))
+      .persist()
+    val banded = base.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          struct(b.as("band"),
+            concat_ws("-", slice(col("sig"), b * rows + 1, lit(rows))).as("bsig"))))
+          .as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"), col("bd.bsig").as("bsig"))
+    val cand = banded
+      .groupBy(col("band"), col("bsig"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
+    val inter = size(array_intersect(col("sha"), col("shb")))
+    cand
+      .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .withColumn("jac", inter.cast("double") /
+        (size(col("sha")) + size(col("shb")) - inter).cast("double"))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+  }
+}
+
+object SimilarityJoin {
+
+  /** LSH-bucketed cosine near-neighbor pairs over a float-vector
+    * column: multi-band sign-bit hyperplane buckets → in-bucket pair
+    * expansion → exact integer-scaled cosine ≥ `threshold`.
+    *
+    * Work ∝ Σ bucket² per band; the full vectors only join back for
+    * verified candidates. More bands = recall, more bits = precision. */
+  def cosineLsh(
+      vecs: DataFrame, id: Column, vec: Column,
+      bands: Int = 4, bitsPerBand: Int = 4,
+      threshold: Double = 0.4): DataFrame = {
+    val base = vecs
+      .select(id.as("doc_id"), X.scaledVec(vec).as("v"))
+      .withColumn("n2", X.norm2Int(col("v")))
+      .persist()
+    val banded = base.select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> struct(b AS band, " +
+          s"aggregate(sequence(1, $bitsPerBand), 0L, (acc, i) -> acc + " +
+          s"IF(element_at(v, b*$bitsPerBand + i) >= 0, shiftleft(1L, i-1), 0L)) AS bits))"))
+        .as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"), col("bd.bits").as("bits"))
+    val cand = banded
+      .groupBy(col("band"), col("bits"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(NearDup.pairsOf(col("ids"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
+    cand
+      .join(base.select(col("doc_id").as("doc_a"), col("v").as("va"), col("n2").as("n2a")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("v").as("vb"), col("n2").as("n2b")), "doc_b")
+      .withColumn("cos", X.cosineFromInts(
+        X.dotInt(col("va"), col("vb")), col("n2a"), col("n2b")))
+      .filter(col("cos") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("cos"))
+  }
+}

@@ -569,15 +569,14 @@ object Relational extends QueryModule {
         // ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1.
         val e = T.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
         val o = T.orders(s, dir)
-        e.join(o, col("user_id") === col("o_custkey")
-            && col("o_orderdate") <= col("ts"), "inner")
-          .groupBy(col("event_id"), col("user_id"))
-          .agg(max_by(
-            struct(col("o_orderkey"), col("o_orderdate")),
-            struct(col("o_orderdate"), col("o_orderkey"))).as("best"))
+        graft.operators.Joins.asOf(e, o,
+            col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"),
+            groupCols = Seq(col("event_id"), col("user_id")),
+            ordering = Seq(col("o_orderdate"), col("o_orderkey")),
+            payload = struct(col("o_orderkey"), col("o_orderdate")))
           .select(col("event_id"), col("user_id"),
-            col("best.o_orderkey").as("last_order_key"),
-            col("best.o_orderdate").cast("date").as("last_order_date"))
+            col("asof.o_orderkey").as("last_order_key"),
+            col("asof.o_orderdate").cast("date").as("last_order_date"))
           .orderBy(col("event_id"))
       },
       Some("""

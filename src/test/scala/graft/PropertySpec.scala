@@ -1,0 +1,116 @@
+package graft
+
+import graft.catalog.VersionedCatalog
+import graft.pipeline.Transforms
+import graft.sources.Jsonl
+import org.apache.spark.sql.types.StructType
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-style suites (SURVEY.md §5.2(3)) — ScalaCheck generators
+  * driven deterministically (fixed seed) so failures are reproducible. */
+class PropertySpec extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("JSONL round-trip ≡ identity for arbitrary printable records") {
+    val s = spark
+    import s.implicits._
+    val recGen = for {
+      id <- Gen.choose(0L, Long.MaxValue)
+      name <- Gen.listOfN(12, Gen.oneOf(
+        Gen.alphaNumChar, Gen.oneOf(' ', '"', '\\', '\n', '\t', 'ü', '→')))
+        .map(_.mkString)
+    } yield (id, name)
+    val rows = samples(recGen, 60)
+    withTempDir { dir =>
+      Jsonl.write(rows.toDF("id", "name"), s"$dir/rt")
+      val back = Jsonl.read(spark, s"$dir/rt",
+        StructType.fromDDL("id BIGINT, name STRING"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(back.sorted.toSeq == rows.sorted)
+    }
+  }
+
+  test("catalog versions are 1..n monotonic and content-stable for any write sequence") {
+    val s = spark
+    import s.implicits._
+    val batchesGen = Gen.choose(1, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.nonEmptyListOf(Gen.choose(0, 1000))))
+    samples(batchesGen, 6).foreach { batches =>
+      withTempDir { dir =>
+        val cat = new VersionedCatalog(spark, dir.toString)
+        val written = batches.zipWithIndex.map { case (b, i) =>
+          val v = cat.writeNext("t", b.toDF("x"))
+          assert(v == i + 1)
+          v -> b.sorted
+        }
+        assert(cat.versions("t") == (1 to batches.size))
+        // every committed version still reads back its own content
+        written.foreach { case (v, expect) =>
+          val got = cat.read("t", v, Some(StructType.fromDDL("x INT")))
+            .collect().map(_.getInt(0)).sorted.toSeq
+          assert(got == expect)
+        }
+      }
+    }
+  }
+
+  test("retry succeeds iff failures ≤ maxRetries, with exactly failures+1 attempts") {
+    val cases = for {
+      failures <- Gen.choose(0, 4)
+      maxRetries <- Gen.choose(0, 4)
+    } yield (failures, maxRetries)
+    samples(cases, 40).foreach { case (failures, maxRetries) =>
+      var calls = 0
+      def body: String = {
+        calls += 1
+        if (calls <= failures) throw new RuntimeException(s"fail $calls") else "ok"
+      }
+      if (failures <= maxRetries) {
+        assert(Transforms.retry(Transforms.RetryConfig(maxRetries))(body) == "ok")
+        assert(calls == failures + 1)
+      } else {
+        intercept[RuntimeException](
+          Transforms.retry(Transforms.RetryConfig(maxRetries))(body))
+        assert(calls == maxRetries + 1)
+      }
+    }
+  }
+
+  test("tokenizer invariants: tokens are lowercase alnum; re-tokenizing is identity") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val textGen = Gen.listOfN(40, Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf(' ', ',', '.', '!', 'Ü', '-', '\n')))
+      .map(_.mkString)
+    samples(textGen, 200).foreach { text =>
+      val toks = graft.functions.TextKernels
+        .tokenizeAsciiLower(UTF8String.fromString(text))
+      val strs = (0 until toks.numElements()).map(toks.getUTF8String(_).toString)
+      assert(strs.forall(t => t.nonEmpty && t.forall(c =>
+        (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9'))))
+      // idempotence: tokenizing the joined tokens yields the same tokens
+      val again = graft.functions.TextKernels
+        .tokenizeAsciiLower(UTF8String.fromString(strs.mkString(" ")))
+      val strs2 = (0 until again.numElements()).map(again.getUTF8String(_).toString)
+      assert(strs2 == strs)
+    }
+  }
+
+  test("minhash signature values are < P and permutation-count wide") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val setGen = Gen.listOf(Gen.identifier).map(_.distinct)
+    samples(setGen, 60).foreach { shingles =>
+      val arr = new GenericArrayData(
+        shingles.map(s => UTF8String.fromString(s): AnyRef).toArray)
+      val sig = graft.functions.HashKernels.minhashSig(arr, 12)
+      assert(sig.numElements() == 12)
+      val vals = (0 until 12).map(sig.getLong)
+      assert(vals.forall(v => v >= 0 && v <= graft.functions.HashKernels.P))
+      if (shingles.isEmpty)
+        assert(vals.forall(_ == graft.functions.HashKernels.P))
+    }
+  }
+}
