@@ -33,6 +33,23 @@ object Joins {
     left.join(right, joinCond)
       .groupBy(groupCols: _*)
       .agg(max_by(payload, struct(ordering: _*)).as("asof"))
+
+  /** Skew-safe equi join: spread each (possibly hot) left key over
+    * `salts` sub-keys — salt is a deterministic hash of the whole left
+    * row, so retries re-derive it — and replicate the right side once
+    * per salt. One hot key then lands on `salts` tasks instead of one.
+    * AQE's skew-join split handles sort-merge skew adaptively at
+    * runtime; explicit salting is for known-hot keys, broadcast-size
+    * right sides, and plans where AQE can't intervene.
+    * `key` must name a column present on both sides. */
+  def saltedEquiJoin(
+      left: DataFrame, right: DataFrame, key: String, salts: Int): DataFrame = {
+    val l = left.withColumn("_salt",
+      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(salts.toLong)))
+    val r = right.withColumn("_salt",
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    l.join(r, Seq(key, "_salt")).drop("_salt")
+  }
 }
 
 object NearDup {

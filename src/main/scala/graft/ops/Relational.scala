@@ -587,6 +587,25 @@ object Relational extends QueryModule {
                    ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
           FROM events e JOIN orders o
             ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
-        WHERE rn = 1 ORDER BY event_id"""))
+        WHERE rn = 1 ORDER BY event_id""")),
+
+    // ------------------------------------------------------------------
+    // q25: HLL sketch aggregation — approx_count_distinct next to the
+    // exact count per segment. No oracle: sketch estimates are
+    // engine-specific (driver records a rows-only check); the exact
+    // column anchors plausibility and the relative-error contract is
+    // asserted in RelationalSpec.
+    QueryDef(
+      "q25_approx_distinct",
+      (s, dir) => {
+        T.orders(s, dir)
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
+            countDistinct(col("o_custkey")).as("exact_customers"),
+            count(lit(1)).as("n_orders"))
+          .orderBy(col("o_orderpriority"))
+      },
+      None)
   )
 }
