@@ -142,6 +142,22 @@ object Similarity extends QueryModule {
                   FROM scn a JOIN scn b ON a.label = b.label AND a.vec_id < b.vec_id)
         SELECT label, COUNT(*) AS n_pairs,
                CAST(SUM(cos_e9) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_intra_cos_e9
-        FROM pairs GROUP BY label ORDER BY label"""))
+        FROM pairs GROUP BY label ORDER BY label""")),
+
+    // ------------------------------------------------------------------
+    // q53: IVF ANN — KMeans cell index, probe 4 of 16 cells per query,
+    // exact cosine re-rank, top-3 for the first 50 vectors. KMeans is
+    // not expressible in the DuckDB oracle → rows-only check; exactness
+    // of the scoring path and recall are covered by SimilarityIvfSpec.
+    QueryDef(
+      "q53_ann_ivf",
+      (s, dir) => {
+        graft.operators.SimilarityJoin.ivfTopK(
+            T.embeddings(s, dir), col("vec_id"), col("embedding"),
+            queryPred = col("vec_id") < 50,
+            nCells = 16, nProbe = 4, k = 3)
+          .orderBy(col("qid"), col("rank"))
+      },
+      None)
   )
 }

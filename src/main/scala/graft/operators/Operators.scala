@@ -123,6 +123,73 @@ object NearDup {
 
 object SimilarityJoin {
 
+  /** IVF (inverted-file) ANN top-k: a KMeans index partitions the
+    * corpus into `nCells` cells; each query scores only the `nProbe`
+    * cells whose centroids are nearest, then exact integer-scaled
+    * cosine re-ranks the candidates. The scale path when LSH recall is
+    * poor (e.g. near-orthogonal embeddings): cell assignment is one
+    * MLlib fit + one transform, probing is a broadcast of nCells
+    * centroids, and the candidate join shuffles only cell ids.
+    *
+    * Not oracle-expressible (KMeans lives in Spark only) — semantics
+    * are covered by SimilarityIvfSpec: exact scores, per-query rank
+    * monotonicity, and recall vs the brute-force baseline. */
+  def ivfTopK(
+      vecs: DataFrame, id: Column, vec: Column,
+      queryPred: Column, nCells: Int = 16, nProbe: Int = 4,
+      k: Int = 3, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.vector_to_array
+    import org.apache.spark.sql.expressions.Window
+
+    val base = vecs
+      .select(id.as("doc_id"), X.scaledVec(vec).as("v"),
+        org.apache.spark.ml.functions.array_to_vector(
+          vec.cast("array<double>")).as("features"),
+        queryPred.as("is_query"))
+      .withColumn("n2", X.norm2Int(col("v")))
+    val model = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("features")
+      .fit(base.select(col("features")))
+    val assigned = model.transform(base)
+      .select(col("doc_id"), col("v"), col("n2"), col("is_query"),
+        vector_to_array(col("features")).as("fd"),
+        col("prediction").as("cell"))
+      .persist()
+
+    // nCells centroids → a literal probe table: for each query, the
+    // nProbe cells with the nearest centroid (squared L2 on doubles).
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.toSeq)
+    }.toSeq
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val centDf = centroids.toDF("cell_probe", "centroid")
+    val probeW = Window.partitionBy(col("doc_id")).orderBy(col("dist"), col("cell_probe"))
+    val probes = assigned.filter(col("is_query"))
+      .select(col("doc_id"), col("fd"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("dist", aggregate(
+        zip_with(col("fd"), col("centroid"), (a, b) => (a - b) * (a - b)),
+        lit(0.0d), (acc, d) => acc + d))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nProbe)
+      .select(col("doc_id").as("qid"), col("cell_probe").as("cell"))
+
+    val queries = assigned.filter(col("is_query"))
+      .select(col("doc_id").as("qid"), col("v").as("va"), col("n2").as("n2a"))
+    val rankW = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    probes
+      .join(assigned.select(col("doc_id").as("nid"), col("v").as("vb"),
+        col("n2").as("n2b"), col("cell")), "cell")
+      .join(queries, "qid")
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), X.cosineFromInts(
+        X.dotInt(col("va"), col("vb")), col("n2a"), col("n2b")).as("cos"))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+  }
+
   /** LSH-bucketed cosine near-neighbor pairs over a float-vector
     * column: multi-band sign-bit hyperplane buckets → in-bucket pair
     * expansion → exact integer-scaled cosine ≥ `threshold`.

@@ -96,6 +96,25 @@ object EventPipelines {
       }
   }
 
+  /** Stream-stream interval join: purchases matched to the same user's
+    * clicks within the preceding hour. Both sides carry watermarks so
+    * the join state is bounded: a click can be dropped once no
+    * purchase within its interval can still arrive. */
+  def clickToPurchase(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+  }
+
   /** Batch-shaped incremental run (the reference's whole execution
     * model): process everything available now, checkpoint offsets,
     * stop. Rerunning with the same checkpoint resumes exactly after

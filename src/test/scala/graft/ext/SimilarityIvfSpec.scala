@@ -1,0 +1,54 @@
+package graft.ext
+
+import graft.SparkSpec
+import graft.ext.{TextDsl => X}
+import org.apache.spark.sql.functions._
+
+class SimilarityIvfSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val ivf = graft.operators.SimilarityJoin.ivfTopK(
+      graft.Tables.embeddings(spark, dir), col("vec_id"), col("embedding"),
+      queryPred = col("vec_id") < 50, nCells = 16, nProbe = 4, k = 3)
+    .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+
+  private lazy val brute: Map[(Long, Long), Double] = {
+    val base = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), X.scaledVec(col("embedding")).as("v"))
+      .withColumn("n2", X.norm2Int(col("v")))
+    val q = base.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("v").as("va"), col("n2").as("n2a"))
+    val c = base.select(col("vec_id").as("nid"), col("v").as("vb"), col("n2").as("n2b"))
+    q.crossJoin(c).filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), X.cosineFromInts(
+        X.dotInt(col("va"), col("vb")), col("n2a"), col("n2b")).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+  }
+
+  test("each query gets exactly k monotone-ranked neighbors with exact cosines") {
+    val byQ = ivf.groupBy(_._1)
+    assert(byQ.size == 50)
+    byQ.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == Seq(1L, 2L, 3L))
+      // ranks ordered by descending cosine
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sorted(Ordering[Double].reverse).toSeq)
+      // cosines are EXACT: identical to the brute-force scores
+      sorted.foreach { case (q, _, n, cos) => assert(brute((q, n)) == cos) }
+    }
+  }
+
+  test("recall@3 vs brute force is substantial even on near-orthogonal vectors") {
+    val bruteTop = brute.toSeq.groupBy(_._1._1).map { case (q, entries) =>
+      q -> entries.sortBy { case ((_, n), cos) => (-cos, n) }.take(3)
+        .map(_._1._2).toSet
+    }
+    val hits = ivf.groupBy(_._1).map { case (q, rows) =>
+      rows.map(_._3).count(bruteTop(q))
+    }.sum
+    val recall = hits.toDouble / (50 * 3)
+    info(f"IVF recall@3 = $recall%.2f")
+    assert(recall >= 0.25) // probing 4/16 cells of clusterless vectors
+  }
+}

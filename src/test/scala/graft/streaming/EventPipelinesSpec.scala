@@ -103,6 +103,28 @@ class EventPipelinesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches purchases to preceding clicks per user") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = clickToPurchase(ms.toDF())
+      .select("click_id", "purchase_id")
+      .writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        ev(1, "00:00:00", uid = 1, typ = "click"),
+        ev(2, "00:30:00", uid = 1, typ = "purchase", v = 9.99), // within 1h of click 1
+        ev(3, "02:00:00", uid = 1, typ = "purchase"), // too late for click 1
+        ev(4, "00:10:00", uid = 2, typ = "purchase")) // other user, no click
+      q.processAllAvailable()
+      val pairs = spark.table("ssj").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(pairs.toSeq == Seq((1L, 2L)))
+    } finally q.stop()
+  }
+
   test("AvailableNow + checkpoint: rerun resumes after last committed batch (ST1)") {
     val s = spark
     import s.implicits._
