@@ -77,8 +77,14 @@ object Similarity extends QueryModule {
     QueryDef(
       "q51_ann_lsh",
       (s, dir) => {
-        val base = scaled(s, dir).withColumn("sig",
-          expr("aggregate(sequence(1, 8), 0L, (acc, i) -> acc + IF(element_at(v, i) >= 0, shiftleft(1L, i-1), 0L))"))
+        // sig as a plain sum of when() terms, not a lambda fold: the
+        // HOF formulation hit a Spark attribute-binding bug under this
+        // query's self-join + AQE shape at larger scale (v#N not found
+        // at task bind time); expanded expressions survive it.
+        val sigExpr = (1 to 8).map(i =>
+          when(element_at(col("v"), i) >= 0, lit(1L << (i - 1)))
+            .otherwise(lit(0L))).reduce(_ + _)
+        val base = scaled(s, dir).withColumn("sig", sigExpr)
         val q = base.filter(col("vec_id") < 50)
           .select(col("vec_id").as("qid"), col("v").as("va"),
             col("n2").as("n2a"), col("sig"))

@@ -1,0 +1,50 @@
+package graft.ext
+
+import graft.SparkSpec
+import graft.operators.NearDup
+import org.apache.spark.sql.functions._
+
+/** Scale-shape smoke: replicate the fixture corpus with id offsets so
+  * every document has a known number of exact copies, then check the
+  * dedup operators produce exactly the predicted structure at 10-20×
+  * the fixture size. This exercises the paths that break under scale —
+  * bucket grouping with REAL duplicate density (every bucket holds all
+  * copies), pair expansion, candidate dedup — not just timing. */
+class ScaleSmokeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def replicated(copies: Int) = {
+    val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
+    (0 until copies)
+      .map(i => docs.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionAll _)
+  }
+
+  test("exact dedup at 20x: every survivor reports exactly 20 copies") {
+    val out = NearDup.exact(replicated(20),
+        col("doc_id"), concat_ws(" ", TextDsl.tokens(col("text"))))
+      .collect()
+    assert(out.length == 500) // distinct normalized texts unchanged
+    assert(out.forall(_.getLong(1) == 20L))
+    // survivor is always the min id = an original (offset-0) doc id
+    assert(out.forall(_.getLong(0) < 1000000L))
+  }
+
+  test("minhash LSH at 10x: replicas are found as near-dup pairs (jac = 1)") {
+    val copies = 10
+    val pairs = NearDup.minhashLsh(replicated(copies),
+        col("doc_id"), col("text"), numHashes = 12, bands = 3)
+      .collect()
+    // every (doc, replica) pair collides in every band and has Jaccard 1:
+    // 500 docs × C(10,2) = 22,500 exact-dup pairs, plus the fixture's
+    // planted near-dups (28 pairs at sf0.001) in each of 10×10 copy combos
+    val exactPairs = pairs.filter(_.getDouble(2) == 1.0d)
+    assert(exactPairs.length >= 500 * copies * (copies - 1) / 2)
+    // structure: for a sampled doc, all its replicas pair with each other
+    val sample = pairs.filter(r => r.getLong(0) % 1000000L == 7L &&
+      r.getLong(1) % 1000000L == 7L)
+    assert(sample.length == copies * (copies - 1) / 2)
+    spark.catalog.clearCache()
+  }
+}
