@@ -149,6 +149,8 @@ object SimilarityJoin {
         queryPred.as("is_query"))
       .withColumn("n2", X.norm2Int(col("v")))
     val model = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("features")
+      .setMaxIter(8) // index build: cell quality plateaus early, recall
+                     // comes from nProbe — don't pay 20 default iters
       .fit(base.select(col("features")))
     val assigned = model.transform(base)
       .select(col("doc_id"), col("v"), col("n2"), col("is_query"),

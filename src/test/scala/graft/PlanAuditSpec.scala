@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+/** Automated plan-quality audit: every declared query's physical plan
+  * must be the plan you'd WANT at scale — no accidental cartesian
+  * blowups, whole-stage codegen present. Queries whose semantics
+  * genuinely need an all-pairs or scalar-broadcast shape are
+  * whitelisted explicitly, so a regression that silently degrades a
+  * join to nested-loop fails the build.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val allPairsByDesign = Set(
+    "q50_nn_brute", // brute-force baseline: the cross join IS the query
+    "q19_above_avg_parts", // scalar subquery = 1-row broadcast cross join
+    "q53_ann_ivf" // nCells-row centroid table broadcast to queries
+  )
+
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
+    val here = p match {
+      case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)
+      case _ => Seq(p)
+    }
+    here ++ p.children.flatMap(collectAll) ++
+      p.subqueries.flatMap(collectAll)
+  }
+
+  test("no accidental cartesian/nested-loop joins in any query plan") {
+    SparkEntry.queries
+      .filterNot { case (n, _) => allPairsByDesign(n) }
+      .foreach { case (name, fn) =>
+        val plan = fn(spark, "/root/testdata/sf0.001").queryExecution.executedPlan
+        val bad = collectAll(plan).filter {
+          case _: CartesianProductExec => true
+          case _: BroadcastNestedLoopJoinExec => true
+          case _ => false
+        }
+        assert(bad.isEmpty,
+          s"$name contains ${bad.map(_.nodeName).mkString(", ")} — " +
+            "an equi-key or bucket structure is missing")
+        spark.catalog.clearCache()
+      }
+  }
+
+  test("whole-stage codegen is present in the relational plans") {
+    Seq("q01_pricing_summary", "q03_region_revenue", "q05_top_urgent_revenue",
+      "q13_top3_orders_per_priority", "q24_asof_last_order")
+      .foreach { name =>
+        val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+        df.collect() // finalize AQE on THIS plan (count() builds another)
+        val tree = df.queryExecution.executedPlan.treeString
+        // "*(n) " prefixes mark WholeStageCodegen spans (AQE nests the
+        // actual nodes inside QueryStageExec wrappers with no children)
+        assert(tree.contains("*("),
+          s"$name lost whole-stage codegen:\n${tree.take(2000)}")
+      }
+  }
+}
