@@ -606,6 +606,30 @@ object Relational extends QueryModule {
             count(lit(1)).as("n_orders"))
           .orderBy(col("o_orderpriority"))
       },
-      None)
+      None),
+
+    // ------------------------------------------------------------------
+    // q26: exact percentiles — Spark's percentile() and DuckDB's
+    // quantile_cont share the same definition (sort + linear
+    // interpolation at rank (n-1)p), and l_quantity holds small exact
+    // integers-as-doubles, so the interpolated doubles are bit-equal.
+    QueryDef(
+      "q26_percentiles",
+      (s, dir) => {
+        T.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("percentile(l_quantity, 0.5)").as("median_qty"),
+            expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+            max(col("l_quantity")).as("max_qty"),
+            count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.5) AS median_qty,
+               quantile_cont(l_quantity, 0.9) AS p90_qty,
+               MAX(l_quantity) AS max_qty, COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }
