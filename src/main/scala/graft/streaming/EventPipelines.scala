@@ -96,6 +96,42 @@ object EventPipelines {
       }
   }
 
+  /** transformWithState variant of [[runningPerUser]] — the modern
+    * arbitrary-state API (Spark 4): named state variables with
+    * per-variable encoders and TTL, instead of a single implicit state
+    * value. Requires the RocksDB state store provider. */
+  class RunningTotalProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserRunning] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimerValues, ValueState}
+    import org.apache.spark.sql.{Encoders, streaming}
+    @transient private var state: ValueState[UserRunning] = _
+
+    override def init(outputMode: streaming.OutputMode,
+        timeMode: streaming.TimeMode): Unit =
+      state = getHandle.getValueState[UserRunning](
+        "running", Encoders.product[UserRunning], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[UserRunning] = {
+      val prev = Option(state.get()).getOrElse(UserRunning(key, 0L, 0.0))
+      var n = prev.n_events
+      var tot = prev.total_value
+      rows.foreach { e => n += 1; tot += e.value }
+      val next = UserRunning(key, n, tot)
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def runningPerUserTws(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Stream-stream interval join: purchases matched to the same user's
     * clicks within the preceding hour. Both sides carry watermarks so
     * the join state is bounded: a click can be dropped once no

@@ -103,6 +103,35 @@ class EventPipelinesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState: running totals via the named-state API (RocksDB)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Event]
+    val q = runningPerUserTws(ms.toDS())
+      .writeStream.format("memory").queryName("running_tws")
+      .outputMode("update").start()
+    try {
+      ms.addData(ev(1, "00:01:00", uid = 5, v = 1.5), ev(2, "00:02:00", uid = 5, v = 2.5))
+      q.processAllAvailable()
+      ms.addData(ev(3, "00:03:00", uid = 5, v = 6.0))
+      q.processAllAvailable()
+      val last = spark.table("running_tws")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .filter(_._1 == 5L).maxBy(_._2)
+      assert(last == ((5L, 3L, 10.0)))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-stream interval join matches purchases to preceding clicks per user") {
     val s = spark
     import s.implicits._
