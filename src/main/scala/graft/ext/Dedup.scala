@@ -50,14 +50,12 @@ object Dedup extends QueryModule {
        shg AS (SELECT doc_id, list_distinct(${X.shinglesSql("tk", 3)}) AS sh FROM toks),
        hm AS (SELECT doc_id, sh, list_transform(sh, s -> ${X.hpSql("s")}) AS hm FROM shg)"""
 
-  /** All (a, b) pairs with a.doc_id < b.doc_id from a bucket's collected
-    * id array — in-row expansion after the band group-by, so candidate
+  /** All (a, b) pairs with a < b from a bucket's collected sorted id
+    * array — in-row expansion after the band group-by, so candidate
     * generation is a single aggregation, not a self-join that recomputes
-    * the signature pipeline on both sides. */
+    * the signature pipeline on both sides. Compiled kernel. */
   private def pairsOf(ids: Column): Column =
-    filter(
-      flatten(transform(ids, a => transform(ids, b => struct(a.as("a"), b.as("b"))))),
-      p => p.getField("a") < p.getField("b"))
+    graft.functions.HashFunctions.sortedIdPairs(ids)
 
   /** Exact Jaccard between two distinct shingle-set columns: intersection
     * and union counts are exact ints; one double division. */

@@ -84,6 +84,25 @@ object HashKernels {
     while (j < 60) { if (counts(j) > 0) out |= 1L << j; j += 1 }
     out
   }
+
+  /** All (ids[i], ids[j]) with i<j as struct rows; see SortedIdPairs. */
+  def sortedIdPairs(ids: ArrayData): ArrayData = {
+    val n = ids.numElements()
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val a = ids.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        out(k) = org.apache.spark.sql.catalyst.InternalRow(a, ids.getLong(j))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 object TextKernels {
@@ -202,6 +221,29 @@ case class SimHash60(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** array<bigint> of SORTED DISTINCT ids → array<struct<a,b>> of all
+  * index pairs i<j (hence a<b). The in-row pair expansion after a
+  * bucket group-by: bucket sizes are small but buckets are many, and
+  * the HOF formulation (nested transform + flatten + filter) allocates
+  * interpreted structs per candidate — measured >1M per run on the
+  * n-gram baseline. */
+case class SortedIdPairs(child: Expression) extends UnaryExpression {
+  private val structType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("a", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("b", LongType, nullable = false)))
+  override def dataType: DataType = ArrayType(structType, containsNull = false)
+  override def prettyName: String = "sorted_id_pairs"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.sortedIdPairs(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.sortedIdPairs($c)")
+
+  override protected def withNewChildInternal(c: Expression): SortedIdPairs =
+    copy(child = c)
+}
+
 object HashFunctions {
   def minhashSignature(shingles: Column, k: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shingles), k))
@@ -214,4 +256,7 @@ object HashFunctions {
 
   def shingles(tokens: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(tokens), n))
+
+  def sortedIdPairs(ids: Column): Column =
+    ColumnBridge.column(SortedIdPairs(ColumnBridge.expression(ids)))
 }

@@ -65,11 +65,11 @@ object NearDup {
 
   /** In-bucket pair expansion: all (a, b), a < b, from a collected and
     * sorted id array — runs inside a row after the bucket group-by, so
-    * candidate generation is one aggregation, never a self-join. */
+    * candidate generation is one aggregation, never a self-join.
+    * Compiled kernel (graft.functions.SortedIdPairs): the HOF nested-
+    * transform formulation allocated >1M interpreted structs per run. */
   private[graft] def pairsOf(ids: Column): Column =
-    filter(
-      flatten(transform(ids, a => transform(ids, b => struct(a.as("a"), b.as("b"))))),
-      p => p.getField("a") < p.getField("b"))
+    graft.functions.HashFunctions.sortedIdPairs(ids)
 
   /** MinHash+LSH near-duplicate pairs over a text column: tokenize →
     * distinct word n-gram shingles → k-wide MinHash signature (compiled

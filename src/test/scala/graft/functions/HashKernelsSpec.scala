@@ -44,6 +44,21 @@ class HashKernelsSpec extends SparkSpec {
     assert(short.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("SortedIdPairs == HOF nested-transform pair expansion") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Seq(1L, 3L, 9L, 12L), Seq(5L), Seq[Long](), Seq(2L, 4L))
+      .toDF("ids")
+    val hof = filter(
+      flatten(transform(col("ids"), a => transform(col("ids"), b =>
+        struct(a.as("a"), b.as("b"))))),
+      p => p.getField("a") < p.getField("b"))
+    val both = df
+      .withColumn("native", HashFunctions.sortedIdPairs(col("ids")))
+      .withColumn("hof", hof)
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
   test("MinHashSignature == HOF minhashSig over md5-mod-P hashes") {
     val both = shingles
       .withColumn("native", HashFunctions.minhashSignature(col("sh"), 12))
