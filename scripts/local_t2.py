@@ -31,16 +31,26 @@ def normalize(tbl: pa.Table):
     return cols, sorted(rows, key=repr)
 
 def norm_val(v):
+    # Type-strict, like the driver's hash compare: a DuckDB HUGEINT
+    # surfacing as Decimal(42) must NOT equal Spark's int 42 — the old
+    # float coercion green-lit exactly what the driver reds (r1 q34/q61/
+    # q70). Each value carries a type tag; only same-type equal values pass.
     import datetime, decimal
-    if isinstance(v, decimal.Decimal):
-        return float(v)
     if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat()
+        return ("ts", v.replace(tzinfo=None).isoformat())
     if isinstance(v, datetime.date):
-        return v.isoformat()
+        return ("date", v.isoformat())
+    if isinstance(v, bool):
+        return ("bool", v)
+    if isinstance(v, decimal.Decimal):
+        return ("decimal", str(v))
+    if isinstance(v, int):
+        return ("int", v)
+    if isinstance(v, float):
+        return ("float", v)
     if isinstance(v, list):
-        return tuple(norm_val(x) for x in v)
-    return v
+        return ("list", tuple(norm_val(x) for x in v))
+    return (type(v).__name__, v)
 
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]

@@ -17,7 +17,12 @@ object Bench {
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      // Checksum over every output column, not count(): a bare count lets
+      // Catalyst prune projections/sorts that don't affect cardinality, so
+      // map-only queries would be under-measured. xxhash64(struct(*))
+      // forces every column to be computed; one long leaves the executors.
+      // bit_xor (not sum): order-independent and can't hit ANSI overflow.
+      try { fn(spark, sfDir).selectExpr("bit_xor(xxhash64(struct(*)))").collect() } catch {
         case e: Throwable =>
           failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")

@@ -70,6 +70,13 @@ final class VersionedCatalog(
     df.write.mode(SaveMode.Overwrite).format(format).save(staging.toString)
     val target = versionDir(step, v)
     fs.mkdirs(target.getParent)
+    // Hadoop rename moves src INTO an existing destination directory and
+    // returns true, which would silently nest a racing writer's data under
+    // v=N. Single-writer-per-step is a hard precondition; this check turns
+    // the most likely race into the advertised error instead of corruption.
+    if (fs.exists(target))
+      throw new IllegalStateException(
+        s"catalog: $target already exists (concurrent writer for the same version?)")
     if (!fs.rename(staging, target))
       throw new IllegalStateException(
         s"catalog: failed to promote $staging -> $target " +

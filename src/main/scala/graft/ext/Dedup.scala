@@ -118,20 +118,22 @@ object Dedup extends QueryModule {
     QueryDef(
       "q42_dedup_simhash",
       (s, dir) => {
+        // Persisted: the capped bucket group-by scans the banded stream
+        // twice (size pass + membership pass); the fingerprint table is
+        // 2 longs/doc, so materializing it beats re-hashing every token.
         val base = T.documents(s, dir)
           .select(col("doc_id"), X.tokens(col("text")).as("tk"))
           .select(col("doc_id"),
             graft.functions.HashFunctions.simhash60(col("tk")).as("sim"))
+          .persist()
         val bands = base.select(
             struct(col("doc_id"), col("sim")).as("ds"),
             explode(expr(
               "transform(sequence(0, 3), b -> struct(b AS band, shiftright(sim, b*15) % 32768 AS bval))"))
               .as("bd"))
           .select(col("ds"), col("bd.band").as("band"), col("bd.bval").as("bval"))
-        bands
-          .groupBy(col("band"), col("bval"))
-          .agg(sort_array(collect_list(col("ds"))).as("ids"))
-          .filter(size(col("ids")) > 1)
+        graft.operators.NearDup.cappedBuckets(
+            bands, Seq("band", "bval"), "ds", 1024, "simhash_bucket_cap")
           .select(explode(expr(
             "filter(flatten(transform(ids, a -> transform(ids, b -> " +
               "struct(a.doc_id AS doc_a, b.doc_id AS doc_b, a.sim AS sa, b.sim AS sb)))), " +
@@ -171,10 +173,16 @@ object Dedup extends QueryModule {
         // Only |a| and |b| need a lookup, from a tiny broadcast side.
         val base = shingled(s, dir).select(col("doc_id"), col("sh")).persist()
         val sizes = base.select(col("doc_id"), size(col("sh")).as("sz"))
-        val inter = base.select(col("doc_id"), explode(col("sh")).as("s"))
-          .groupBy(col("s"))
-          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-          .filter(size(col("ids")) > 1)
+        // The bucket cap here IS the document-frequency cap: a shingle
+        // shared by df docs expands to df²/2 pairs, so candidate work is
+        // Σ df² and one stopword-ish shingle with df=10⁵ yields ~10¹⁰
+        // pairs. Capping df drops only near-zero-information shingles
+        // (|a∩b| loses at most the capped shingles; high-Jaccard pairs
+        // share many low-df shingles too). Fixture df max ≪ 1024, so
+        // small-scale results are unchanged — asserted by the oracle gate.
+        val inter = graft.operators.NearDup.cappedBuckets(
+            base.select(col("doc_id"), explode(col("sh")).as("s")),
+            Seq("s"), "doc_id", 1024, "ngram_df_cap")
           .select(explode(pairsOf(col("ids"))).as("p"))
           .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
           .groupBy(col("doc_a"), col("doc_b"))

@@ -123,8 +123,8 @@ object Multimodal extends QueryModule {
     * target partition count derived from total bytes. */
   def repartitionBySize(
       media: DataFrame, targetBytesPerPartition: Long = 128L << 20): DataFrame = {
-    val totalBytes = media
-      .agg(sum(octet_length(col("content")))).head().getLong(0)
+    val sizeRow = media.agg(sum(octet_length(col("content")))).head()
+    val totalBytes = if (sizeRow.isNullAt(0)) 0L else sizeRow.getLong(0)
     val parts = math.max(1, (totalBytes / targetBytesPerPartition).toInt)
     media.repartition(parts, col("media_id"))
   }
@@ -155,7 +155,7 @@ object Multimodal extends QueryModule {
           .orderBy(col("media_type"))
       },
       Some("""
-        SELECT media_type, COUNT(*) AS n, SUM(octet_length(content)) AS total_bytes,
+        SELECT media_type, COUNT(*) AS n, CAST(SUM(octet_length(content)) AS BIGINT) AS total_bytes,
                MAX(width) AS max_width, MIN(duration_ms) AS min_duration_ms
         FROM (SELECT doc_id AS media_id, encode(text) AS content,
                      ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,

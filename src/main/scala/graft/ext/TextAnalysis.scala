@@ -166,8 +166,8 @@ object TextAnalysis extends QueryModule {
                MIN(fp) AS min_fp
         FROM (SELECT doc_id, source,
                      CASE WHEN len(tk) < 1 THEN CAST(0 AS BIGINT) ELSE
-                       list_aggregate(list_transform(range(1, len(tk)+1),
-                         i -> (${X.hpSql("tk[i]")} * i) % ${X.P}), 'sum') % ${X.P}
+                       CAST(list_aggregate(list_transform(range(1, len(tk)+1),
+                         i -> (${X.hpSql("tk[i]")} * i) % ${X.P}), 'sum') % ${X.P} AS BIGINT)
                      END AS fp
               FROM (SELECT doc_id, source, ${X.tokensSql("text")} AS tk FROM documents))
         GROUP BY source ORDER BY source"""))

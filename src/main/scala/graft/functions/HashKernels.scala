@@ -88,7 +88,13 @@ object HashKernels {
   /** All (ids[i], ids[j]) with i<j as struct rows; see SortedIdPairs. */
   def sortedIdPairs(ids: ArrayData): ArrayData = {
     val n = ids.numElements()
-    val out = new Array[Any](n * (n - 1) / 2)
+    // Pair count in Long: n ≳ 65536 overflows Int n*(n-1)/2 to a negative
+    // array size. Callers cap bucket sizes upstream; this guard turns a
+    // mis-capped degenerate bucket into a diagnosable error, not a JVM one.
+    val pairs = n.toLong * (n - 1) / 2
+    require(pairs <= Int.MaxValue,
+      s"sortedIdPairs: bucket of $n ids expands to $pairs pairs; cap buckets upstream")
+    val out = new Array[Any](pairs.toInt)
     var k = 0
     var i = 0
     while (i < n) {

@@ -34,6 +34,51 @@ object Joins {
       .groupBy(groupCols: _*)
       .agg(max_by(payload, struct(ordering: _*)).as("asof"))
 
+  /** Scale-safe as-of join: for each left row, the latest right row with
+    * `rightTs <= leftTs` for the same key — expressed as union + running
+    * `last(_, ignoreNulls)` window instead of an equi+range join.
+    *
+    * Why this shape: [[asOf]]'s join materializes |left_k| × |earlier
+    * right_k| intermediate rows per key before the argmax reduces them —
+    * per-key quadratic, so a power user with 10⁴ events and 10³ orders
+    * costs 10⁷ rows. Here the cost is ONE sort shuffle of |left|+|right|
+    * rows and linear output, regardless of per-key density.
+    *
+    * Ordering contract: right rows sort before left rows at equal ts
+    * (inclusive <=); ties among right rows resolve by `rightOrder`
+    * ascending, so the carried value equals the lexicographic max of
+    * (rightTs, rightOrder…) — identical to asOf's max_by. Left rows with
+    * no preceding right row carry a null `asof`; filter it for inner-join
+    * semantics. Caller must align `leftTs`/`rightTs` to one type.
+    *
+    * Output columns: key, ts, left (the left payload struct), asof. */
+  def asOfLast(
+      left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column,
+      leftTs: Column, rightTs: Column,
+      leftPayload: Column, rightPayload: Column,
+      rightOrder: Seq[Column] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pType = right.select(rightPayload.as("_p")).schema.head.dataType
+    val lpType = left.select(leftPayload.as("_lp")).schema.head.dataType
+    val ordCol = if (rightOrder.nonEmpty) struct(rightOrder: _*) else lit(0)
+    val ordType = right.select(ordCol.as("_o")).schema.head.dataType
+    val r = right.select(rightKey.as("_k"), rightTs.as("_ts"),
+      lit(0).as("_side"), ordCol.as("_ord"),
+      lit(null).cast(lpType).as("_lp"), rightPayload.as("_p"))
+    val l = left.select(leftKey.as("_k"), leftTs.as("_ts"),
+      lit(1).as("_side"), lit(null).cast(ordType).as("_ord"),
+      leftPayload.as("_lp"), lit(null).cast(pType).as("_p"))
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_ts"), col("_side"), col("_ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionAll(l)
+      .withColumn("asof", last(col("_p"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(col("_k").as("key"), col("_ts").as("ts"),
+        col("_lp").as("left"), col("asof"))
+  }
+
   /** Skew-safe equi join: spread each (possibly hot) left key over
     * `salts` sub-keys — salt is a deterministic hash of the whole left
     * row, so retries re-derive it — and replicate the right side once
@@ -71,6 +116,35 @@ object NearDup {
   private[graft] def pairsOf(ids: Column): Column =
     graft.functions.HashFunctions.sortedIdPairs(ids)
 
+  /** Bucket-grouped sorted member arrays with a hard bucket-size cap.
+    *
+    * At real duplicate density one LSH bucket can hold 10⁶ ids: its
+    * collect_list row alone is MBs and its pair expansion is n²/2 —
+    * one degenerate bucket kills the job. This helper counts bucket
+    * sizes FIRST (partial-aggregable, only (keys, count) shuffles) and
+    * joins the membership stream back to the surviving keys, so an
+    * oversized bucket never materializes an array at all — not merely
+    * gets dropped after being built. The join and the following group-by
+    * share the bucket-key partitioning, so this costs one extra tiny
+    * exchange of bucket counts, not a second full shuffle.
+    *
+    * Oversized buckets are dropped (a bucket past the cap is a stopword-
+    * like degenerate signature carrying ~no pair information — the
+    * standard cap move in near-dup at scale); the dropped count is
+    * published as an `observe` metric `<metricName>.dropped_buckets`. */
+  private[graft] def cappedBuckets(
+      keyed: DataFrame, keyCols: Seq[String], member: String,
+      maxBucket: Int, metricName: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val sizes = keyed.groupBy(keys: _*).agg(count(lit(1)).as("_bn"))
+      .observe(metricName,
+        sum(when(col("_bn") > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"))
+    val kept = sizes.filter(col("_bn") > 1 && col("_bn") <= maxBucket).drop("_bn")
+    keyed.join(kept, keyCols)
+      .groupBy(keys: _*)
+      .agg(sort_array(collect_list(col(member))).as("ids"))
+  }
+
   /** MinHash+LSH near-duplicate pairs over a text column: tokenize →
     * distinct word n-gram shingles → k-wide MinHash signature (compiled
     * kernels) → `bands` LSH bands → bucket-grouped candidate pairs →
@@ -83,7 +157,7 @@ object NearDup {
   def minhashLsh(
       docs: DataFrame, id: Column, text: Column,
       numHashes: Int = 12, bands: Int = 3, shingleWidth: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = 1024): DataFrame = {
     val rows = bands match {
       case b if numHashes % b == 0 => numHashes / b
       case _ => throw new IllegalArgumentException(
@@ -103,10 +177,8 @@ object NearDup {
             concat_ws("-", slice(col("sig"), b * rows + 1, lit(rows))).as("bsig"))))
           .as("bd"))
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.bsig").as("bsig"))
-    val cand = banded
-      .groupBy(col("band"), col("bsig"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+    val cand = cappedBuckets(banded, Seq("band", "bsig"), "doc_id",
+        maxBucket, "minhash_lsh_bucket_cap")
       .select(explode(pairsOf(col("ids"))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
@@ -137,7 +209,7 @@ object SimilarityJoin {
   def ivfTopK(
       vecs: DataFrame, id: Column, vec: Column,
       queryPred: Column, nCells: Int = 16, nProbe: Int = 4,
-      k: Int = 3, seed: Long = 42L): DataFrame = {
+      k: Int = 3, seed: Long = 42L, fitSampleCap: Long = 100000L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.vector_to_array
     import org.apache.spark.sql.expressions.Window
@@ -148,10 +220,21 @@ object SimilarityJoin {
           vec.cast("array<double>")).as("features"),
         queryPred.as("is_query"))
       .withColumn("n2", X.norm2Int(col("v")))
+    // Index build fits on a bounded sample: centroid quality needs a
+    // representative sample, not the corpus — at 100 TB a full-corpus fit
+    // is nCells×iters full scans. Assignment still transforms every row.
+    // Corpora under the cap (and every test fixture) fit on all rows, so
+    // sampling never changes small-scale results.
+    val nRows = vecs.count() // row-count only: pure select, so |base| == |vecs|,
+                             // and a bare count answers from parquet metadata
+    val fitInput =
+      if (nRows <= fitSampleCap) base.select(col("features"))
+      else base.select(col("features"))
+        .sample(withReplacement = false, fitSampleCap.toDouble / nRows, seed)
     val model = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("features")
       .setMaxIter(8) // index build: cell quality plateaus early, recall
                      // comes from nProbe — don't pay 20 default iters
-      .fit(base.select(col("features")))
+      .fit(fitInput)
     val assigned = model.transform(base)
       .select(col("doc_id"), col("v"), col("n2"), col("is_query"),
         vector_to_array(col("features")).as("fd"),
@@ -201,7 +284,7 @@ object SimilarityJoin {
   def cosineLsh(
       vecs: DataFrame, id: Column, vec: Column,
       bands: Int = 4, bitsPerBand: Int = 4,
-      threshold: Double = 0.4): DataFrame = {
+      threshold: Double = 0.4, maxBucket: Int = 1024): DataFrame = {
     val base = vecs
       .select(id.as("doc_id"), X.scaledVec(vec).as("v"))
       .withColumn("n2", X.norm2Int(col("v")))
@@ -212,10 +295,8 @@ object SimilarityJoin {
           s"IF(element_at(v, b*$bitsPerBand + i) >= 0, shiftleft(1L, i-1), 0L)) AS bits))"))
         .as("bd"))
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.bits").as("bits"))
-    val cand = banded
-      .groupBy(col("band"), col("bits"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+    val cand = NearDup.cappedBuckets(banded, Seq("band", "bits"), "doc_id",
+        maxBucket, "cosine_lsh_bucket_cap")
       .select(explode(NearDup.pairsOf(col("ids"))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()

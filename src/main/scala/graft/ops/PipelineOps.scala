@@ -67,7 +67,7 @@ object PipelineOps extends QueryModule {
           .orderBy(col("o_orderstatus"))
       },
       Some("""
-        SELECT o_orderstatus, COUNT(*) AS n, SUM(o_orderkey) AS key_sum
+        SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
         FROM orders
         WHERE o_orderkey % 10 <= 3
         GROUP BY o_orderstatus ORDER BY o_orderstatus"""))

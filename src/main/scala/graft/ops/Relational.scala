@@ -555,26 +555,25 @@ object Relational extends QueryModule {
 
     // ------------------------------------------------------------------
     // q24: as-of join — for each event, the user's most recent order at
-    // event time. Composed as range join + per-event argmax window (the
-    // Spark-first way to express as-of without a custom SparkPlan).
+    // event time. Uses the union + running-last window formulation
+    // (Joins.asOfLast): one sort shuffle, output linear in events+orders.
+    // The equi+range-join variant (Joins.asOf) gives the same answer but
+    // materializes |events_u|×|earlier-orders_u| rows per user — per-key
+    // quadratic under skew; OperatorsSpec asserts the two agree.
     QueryDef(
       "q24_asof_last_order",
       (s, dir) => {
-        // argmax via max_by instead of a row_number window: the joined
-        // (event × earlier-orders) stream reduces map-side to one row
-        // per event (partial aggregation), so the intermediate never
-        // gets sort-shuffled. Struct compare is lexicographic, so
-        // max_by(_, struct(o_orderdate, o_orderkey)) = latest order,
-        // ties broken by highest key — identical to the window's
-        // ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1.
         val e = T.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
         val o = T.orders(s, dir)
-        graft.operators.Joins.asOf(e, o,
-            col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"),
-            groupCols = Seq(col("event_id"), col("user_id")),
-            ordering = Seq(col("o_orderdate"), col("o_orderkey")),
-            payload = struct(col("o_orderkey"), col("o_orderdate")))
-          .select(col("event_id"), col("user_id"),
+        graft.operators.Joins.asOfLast(e, o,
+            leftKey = col("user_id"), rightKey = col("o_custkey"),
+            leftTs = col("ts"), rightTs = col("o_orderdate").cast("timestamp"),
+            leftPayload = struct(col("event_id")),
+            rightPayload = struct(col("o_orderkey"), col("o_orderdate")),
+            rightOrder = Seq(col("o_orderkey")))
+          .filter(col("asof").isNotNull) // inner-join semantics, as the oracle
+          .select(col("left.event_id").as("event_id"),
+            col("key").as("user_id"),
             col("asof.o_orderkey").as("last_order_key"),
             col("asof.o_orderdate").cast("date").as("last_order_date"))
           .orderBy(col("event_id"))
@@ -590,23 +589,62 @@ object Relational extends QueryModule {
         WHERE rn = 1 ORDER BY event_id""")),
 
     // ------------------------------------------------------------------
-    // q25: HLL sketch aggregation — approx_count_distinct next to the
-    // exact count per segment. No oracle: sketch estimates are
-    // engine-specific (driver records a rows-only check); the exact
-    // column anchors plausibility and the relative-error contract is
-    // asserted in RelationalSpec.
+    // q25: HLL sketch aggregation — approx_count_distinct per segment.
+    // Sketch estimates are engine-specific, so the raw estimate can't be
+    // hash-compared; instead the query emits the CONTRACT: the estimate
+    // is within 5% of the exact count (rsd is configured at 2%). The
+    // oracle computes the exact side and asserts TRUE — a real check
+    // instead of a skipped one.
     QueryDef(
       "q25_approx_distinct",
       (s, dir) => {
         T.orders(s, dir)
           .groupBy(col("o_orderpriority"))
           .agg(
-            approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
+            approx_count_distinct(col("o_custkey"), 0.02).as("approx"),
             countDistinct(col("o_custkey")).as("exact_customers"),
             count(lit(1)).as("n_orders"))
+          .select(col("o_orderpriority"),
+            (abs(col("approx") - col("exact_customers")).cast("double")
+              <= col("exact_customers").cast("double") * 0.05).as("within_tol"),
+            col("exact_customers"), col("n_orders"))
           .orderBy(col("o_orderpriority"))
       },
-      None),
+      Some("""
+        SELECT o_orderpriority, TRUE AS within_tol,
+               COUNT(DISTINCT o_custkey) AS exact_customers,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ------------------------------------------------------------------
+    // q27: salted skew join — a deliberately skewed key (half the events
+    // are collapsed onto customer 1) joined to `customer` through
+    // Joins.saltedEquiJoin, which spreads the hot key over 8 sub-keys so
+    // no single task owns it. Salting is result-invariant — that IS the
+    // contract under test: the oracle is the plain unsalted join.
+    QueryDef(
+      "q27_salted_skew_join",
+      (s, dir) => {
+        val e = T.events(s, dir).select(
+          when(col("event_id") % 2 === 0, lit(1L)).otherwise(col("user_id"))
+            .as("user_id"),
+          col("value"))
+        val c = T.customer(s, dir)
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+        graft.operators.Joins.saltedEquiJoin(e, c, "user_id", salts = 8)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some(s"""
+        SELECT c_mktsegment, COUNT(*) AS n,
+               ${dsumSql("value")} AS total_value
+        FROM (SELECT CASE WHEN event_id % 2 = 0 THEN 1 ELSE user_id END AS user_id,
+                     value
+              FROM events) e
+        JOIN customer c ON c.c_custkey = e.user_id
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
     // ------------------------------------------------------------------
     // q26: exact percentiles — Spark's percentile() and DuckDB's

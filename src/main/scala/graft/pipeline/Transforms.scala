@@ -33,9 +33,11 @@ object Transforms {
   def retry[A](cfg: RetryConfig)(f: => A): A = {
     var attempt = 0
     while (true) {
+      // NonFatal only: retrying OutOfMemoryError is hopeless, and eating
+      // InterruptedException breaks task cancellation inside foreachPartition.
       try return f
       catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           attempt += 1
           if (attempt > cfg.maxRetries) throw e
           if (cfg.delayMillis > 0) Thread.sleep(cfg.delayMillis)

@@ -66,6 +66,55 @@ object StreamingOps extends QueryModule {
           FROM marked)
         SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
         FROM grp GROUP BY user_id, session_no
-        ORDER BY user_id, session_start"""))
+        ORDER BY user_id, session_start""")),
+
+    // ------------------------------------------------------------------
+    // q64: sliding windows — 10-minute windows every 5 minutes, the
+    // EventPipelines.slidingCounts shape batch-run. With length = 2 ×
+    // slide, every event lands in exactly two windows, so the oracle
+    // unnests the two epoch-aligned starts per event and aggregates.
+    QueryDef(
+      "q64_sliding_windows",
+      (s, dir) => {
+        T.events(s, dir)
+          .groupBy(window(col("ts"), "10 minutes", "5 minutes"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), Dsl.dsum(col("value")).as("total_value"))
+          .select(col("window.start").as("window_start"),
+            col("event_type"), col("n"), col("total_value"))
+          .orderBy(col("window_start"), col("event_type"))
+      },
+      Some(s"""
+        SELECT window_start, event_type, COUNT(*) AS n,
+               ${Dsl.dsumSql("value")} AS total_value
+        FROM (SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+                             time_bucket(INTERVAL '5 minutes', ts)
+                               - INTERVAL '5 minutes']) AS window_start,
+                     event_type, value
+              FROM events)
+        GROUP BY window_start, event_type
+        ORDER BY window_start, event_type""")),
+
+    // ------------------------------------------------------------------
+    // q65: stream-stream interval join, batch twin — the EXACT
+    // clickToPurchase code (watermarks are a no-op on a batch source:
+    // Spark's unified contract), producing purchases within an hour of
+    // each same-user click. Oracle is the interval self-join.
+    QueryDef(
+      "q65_interval_join",
+      (s, dir) => {
+        EventPipelines.clickToPurchase(T.events(s, dir))
+          .select(col("click_id"), col("purchase_id"),
+            col("c_user").as("user_id"), col("value"))
+          .orderBy(col("click_id"), col("purchase_id"))
+      },
+      Some("""
+        SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+               c.user_id, p.value
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON p.user_id = c.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '1 hour'
+        ORDER BY click_id, purchase_id"""))
   )
 }

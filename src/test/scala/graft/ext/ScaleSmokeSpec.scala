@@ -47,4 +47,31 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(sample.length == copies * (copies - 1) / 2)
     spark.catalog.clearCache()
   }
+
+  test("minhash LSH survives a planted 5k mega-cluster: cap drops the " +
+      "degenerate buckets, everything else is unchanged") {
+    // 5000 identical copies of one document: every band bucket holding it
+    // would collect 5001 ids and expand to 12.5M pairs per bucket — the
+    // real-duplicate-density shape that OOMs an uncapped LSH job. With the
+    // bucket cap those buckets are dropped before any array materializes;
+    // pairs NOT involving the mega doc must be exactly the baseline's.
+    val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
+    val planted = docs.filter(col("doc_id") === 7L)
+      .crossJoin(spark.range(5000).toDF("i"))
+      .select((col("i") + 2000000L).as("doc_id"), col("text"))
+    val pairs = NearDup.minhashLsh(docs.unionAll(planted),
+        col("doc_id"), col("text"), numHashes = 12, bands = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the mega-cluster contributed nothing (its buckets were dropped) …
+    assert(!pairs.exists(p => p._1 >= 2000000L || p._2 >= 2000000L))
+    assert(!pairs.exists(p => p._1 == 7L || p._2 == 7L))
+    spark.catalog.clearCache()
+    // … and every pair not involving doc 7 matches the un-planted baseline
+    val baseline = NearDup.minhashLsh(docs, col("doc_id"), col("text"),
+        numHashes = 12, bands = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filterNot(p => p._1 == 7L || p._2 == 7L)
+    assert(pairs.sorted.toSeq == baseline.sorted.toSeq)
+    spark.catalog.clearCache()
+  }
 }

@@ -39,6 +39,48 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 95L, "c"), (2L, 10L, "x")))
   }
 
+  test("asOfLast == asOf: same answer from the linear windowed plan") {
+    val s = spark
+    import s.implicits._
+    // includes: ties at the as-of instant (inclusive <=), multiple right
+    // rows at the same ts (tie-break by v), a left row with no match,
+    // and a key missing from the right side entirely
+    val events = Seq((1L, 100L, "e1"), (1L, 95L, "e2"), (2L, 50L, "e3"),
+      (2L, 5L, "e4"), (3L, 77L, "e5")).toDF("eid", "t", "tag")
+    val facts = Seq(
+      (1L, 90L, "a"), (1L, 95L, "b"), (1L, 95L, "c"), (1L, 101L, "late"),
+      (2L, 10L, "x")).toDF("fid", "ft", "v")
+    val viaJoin = Joins.asOf(events, facts,
+        col("eid") === col("fid") && col("ft") <= col("t"),
+        groupCols = Seq(col("eid"), col("t")),
+        ordering = Seq(col("ft"), col("v")),
+        payload = struct(col("ft"), col("v")))
+      .select(col("eid"), col("t"), col("asof.ft"), col("asof.v"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val viaWindow = Joins.asOfLast(events, facts,
+        leftKey = col("eid"), rightKey = col("fid"),
+        leftTs = col("t"), rightTs = col("ft"),
+        leftPayload = struct(col("tag")),
+        rightPayload = struct(col("ft"), col("v")),
+        rightOrder = Seq(col("v")))
+      .filter(col("asof").isNotNull) // asOf's join is inner
+      .select(col("key"), col("ts"), col("asof.ft"), col("asof.v"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(viaWindow.toSeq == viaJoin.toSeq)
+    assert(viaJoin.length == 3) // e4 (t=5 < first fact) and eid 3 drop out
+  }
+
+  test("asOfLast keeps unmatched left rows as null asof") {
+    val s = spark
+    import s.implicits._
+    val events = Seq((9L, 10L, "lonely")).toDF("eid", "t", "tag")
+    val facts = Seq((9L, 20L, "later")).toDF("fid", "ft", "v")
+    val out = Joins.asOfLast(events, facts,
+      col("eid"), col("fid"), col("t"), col("ft"),
+      struct(col("tag")), struct(col("v"))).collect()
+    assert(out.length == 1 && out.head.isNullAt(3))
+  }
+
   test("NearDup.exact keeps min-id survivor with copy counts") {
     val s = spark
     import s.implicits._
