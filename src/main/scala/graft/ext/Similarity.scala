@@ -124,10 +124,24 @@ object Similarity extends QueryModule {
     // the final int64/count division is identical IEEE on both engines.
     // (A decimal-sum-then-cast would NOT work here: Spark and DuckDB
     // round wide-decimal→double differently in the last bit.)
+    //
+    // Scale bound: the pair join is quadratic in label size. Labels past
+    // `maxPerLabel` members are deterministically hash-thinned to ~that
+    // many first — the average over a uniform member sample estimates the
+    // same statistic, and one 10⁷-member label stops costing 5×10¹³
+    // pairs. Inactive at fixture scale (labels ≪ cap), so the oracle
+    // compares the exact computation.
     QueryDef(
       "q52_intra_label_cosine",
       (s, dir) => {
-        val base = scaled(s, dir)
+        val maxPerLabel = 2000L
+        val all = scaled(s, dir)
+        val sizes = all.groupBy(col("label")).agg(count(lit(1)).as("_ln"))
+        val base = all.join(broadcast(sizes), "label") // labels: low cardinality
+          .filter(col("_ln") <= maxPerLabel ||
+            pmod(xxhash64(col("vec_id")),
+              ceil(col("_ln").cast("double") / maxPerLabel).cast("long")) === 0)
+          .drop("_ln")
         val a = base.select(col("label"), col("vec_id").as("ida"),
           col("v").as("va"), col("n2").as("n2a"))
         val b = base.select(col("label").as("lb"), col("vec_id").as("idb"),
