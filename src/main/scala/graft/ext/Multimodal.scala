@@ -184,6 +184,58 @@ object Multimodal extends QueryModule {
         FROM (SELECT ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
                      md5(text) AS fp -- blob md5 unsupported; same bytes as encode(text)
               FROM documents)
-        GROUP BY media_type ORDER BY media_type"""))
+        GROUP BY media_type ORDER BY media_type""")),
+
+    // q72: the 1→N frame-sampling generator, driver-visible — per video,
+    // 4 evenly-spaced frames; the stub slices payload bytes at exact
+    // integer boundaries, so frame timestamps and byte counts are
+    // oracle-expressible (integer division on both engines).
+    QueryDef(
+      "q72_frame_samples",
+      (s, dir) => {
+        import s.implicits._
+        sampleFrames(mediaFromDocs(s, dir), n = 4)
+          .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+            col("frame_ts_ms"),
+            octet_length(col("content")).cast("long").as("frame_bytes"))
+          .orderBy(col("media_id"), col("frame_idx"))
+      },
+      Some("""
+        SELECT media_id, CAST(i AS BIGINT) AS frame_idx,
+               i * greatest(1, duration_ms // 4) AS frame_ts_ms,
+               (len * (i+1) // 4) - (len * i // 4) AS frame_bytes
+        FROM (SELECT doc_id AS media_id,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS len,
+                     CAST(n_chars * 10 AS BIGINT) AS duration_ms
+              FROM documents WHERE doc_id % 3 = 2),
+             (SELECT unnest(range(0, 4)) AS i)
+        ORDER BY media_id, frame_idx""")),
+
+    // q73: the resize kernel, driver-visible — metadata rewrite + the
+    // stub's proportional byte truncation. The double `scale` applies
+    // identical IEEE ops on both engines; the byte count is its floor.
+    QueryDef(
+      "q73_media_resize",
+      (s, dir) => {
+        import s.implicits._
+        resize(mediaFromDocs(s, dir), w = 64, h = 64)
+          .select(col("media_id"),
+            octet_length(col("content")).cast("long").as("resized_bytes"),
+            col("meta.width").cast("long").as("width"),
+            col("meta.height").cast("long").as("height"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        SELECT media_id,
+               greatest(1, CAST(floor(len * least(1.0,
+                 (64.0 * 64.0) / greatest(1.0, CAST(w AS DOUBLE) * CAST(h AS DOUBLE))
+               )) AS BIGINT)) AS resized_bytes,
+               CAST(64 AS BIGINT) AS width, CAST(64 AS BIGINT) AS height
+        FROM (SELECT doc_id AS media_id,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS len,
+                     CAST(doc_id % 640 + 16 AS INT) AS w,
+                     CAST(doc_id % 480 + 16 AS INT) AS h
+              FROM documents)
+        ORDER BY media_id"""))
   )
 }
