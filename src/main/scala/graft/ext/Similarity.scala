@@ -178,6 +178,47 @@ object Similarity extends QueryModule {
             nCells = 16, nProbe = 4, k = 3)
           .orderBy(col("qid"), col("rank"))
       },
-      None)
+      None),
+
+    // ------------------------------------------------------------------
+    // q54: embedding quantization audit — int8-style compression via
+    // power-of-two fixed-point: code = v >> 17 on the exact ×1e7 int64
+    // representation (arithmetic shift floors identically on both
+    // engines, unlike integer division, which truncates in Spark and
+    // floors in DuckDB). Per-label reconstruction error is then exact
+    // integer arithmetic end to end; only the final avg divides. The
+    // whole pass is map-side + one partial-aggregable group-by — the
+    // shape of an index-compression audit over 100 TB of vectors.
+    QueryDef(
+      "q54_embedding_quantize",
+      (s, dir) => {
+        // reconstruction error of code = v >> 17 is v - ((v>>17)<<17),
+        // which in two's complement is exactly v & (2^17 - 1) — one AND,
+        // identical on both engines (DuckDB refuses << on negatives)
+        scaled(s, dir)
+          .select(col("label"),
+            expr("aggregate(transform(v, x -> x & 131071), 0L, (a, e) -> a + e)")
+              .as("vec_err"),
+            expr("array_max(transform(v, x -> x & 131071))").as("vec_max"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_vecs"),
+            max(col("vec_max")).as("max_err"),
+            sum(col("vec_err")).as("total_err"))
+          .select(col("label"), col("n_vecs"), col("max_err"), col("total_err"),
+            (col("total_err").cast("double")
+              / (col("n_vecs") * 64L).cast("double")).as("avg_err"))
+          .orderBy(col("label"))
+      },
+      Some(s"""
+        WITH $scaledSqlCte,
+        per AS (SELECT label,
+                  CAST(list_aggregate(list_transform(v, x -> x & 131071), 'sum') AS BIGINT) AS vec_err,
+                  CAST(list_aggregate(list_transform(v, x -> x & 131071), 'max') AS BIGINT) AS vec_max
+                FROM scn)
+        SELECT label, COUNT(*) AS n_vecs,
+               CAST(MAX(vec_max) AS BIGINT) AS max_err,
+               CAST(SUM(vec_err) AS BIGINT) AS total_err,
+               CAST(SUM(vec_err) AS DOUBLE) / CAST(COUNT(*) * 64 AS DOUBLE) AS avg_err
+        FROM per GROUP BY label ORDER BY label"""))
   )
 }

@@ -170,6 +170,28 @@ object TextAnalysis extends QueryModule {
                          i -> (${X.hpSql("tk[i]")} * i) % ${X.P}), 'sum') % ${X.P} AS BIGINT)
                      END AS fp
               FROM (SELECT doc_id, source, ${X.tokensSql("text")} AS tk FROM documents))
-        GROUP BY source ORDER BY source"""))
+        GROUP BY source ORDER BY source""")),
+
+    // ------------------------------------------------------------------
+    // q35: vocabulary heavy hitters — top-20 tokens by term frequency
+    // with document frequency. Scale shape: the exploded token stream
+    // partial-aggregates map-side before one shuffle ∝ distinct
+    // (token, doc) pairs, and the top-k is TakeOrderedAndProject (per-
+    // partition heaps, never a global sort of the vocabulary).
+    QueryDef(
+      "q35_vocab_topk",
+      (s, dir) => {
+        T.documents(s, dir)
+          .select(col("doc_id"), explode(X.tokens(col("text"))).as("token"))
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+          .orderBy(col("tf").desc, col("token"))
+          .limit(20)
+      },
+      Some(s"""
+        SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+        FROM (SELECT doc_id, unnest(tk) AS token
+              FROM (SELECT doc_id, ${X.tokensSql("text")} AS tk FROM documents))
+        GROUP BY token ORDER BY tf DESC, token LIMIT 20"""))
   )
 }
