@@ -45,6 +45,45 @@ class PlanAuditSpec extends SparkSpec {
       }
   }
 
+  test("filter pushdown and column pruning reach the parquet scan (q01)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+    val scans = collectAll(df.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, "no FileSourceScan in q01's plan")
+    val scan = scans.head
+    // the shipdate predicate must reach the parquet reader, not run post-scan
+    assert(scan.metadata("PushedFilters").contains("LessThanOrEqual(l_shipdate"),
+      s"filter not pushed: ${scan.metadata("PushedFilters")}")
+    // only the 7 referenced columns may be read — a scan of all 16
+    // lineitem columns for this query would be a pruning regression
+    assert(scan.requiredSchema.fieldNames.toSet == Set(
+      "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+      "l_discount", "l_tax", "l_shipdate"),
+      s"column pruning lost: ${scan.requiredSchema.fieldNames.mkString(",")}")
+  }
+
+  test("aggregates are partial (map-side combine) before the exchange (q01)") {
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan
+    // a partial HashAggregate must sit below the shuffle: the exchange
+    // then carries one row per (group × map task), not per input row
+    def hasPartialBelowShuffle(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      collectAll(p).exists {
+        case e: ShuffleExchangeExec =>
+          collectAll(e.child).exists {
+            case h: HashAggregateExec =>
+              h.aggregateExpressions.forall(_.mode.toString == "Partial")
+            case _ => false
+          }
+        case _ => false
+      }
+    assert(hasPartialBelowShuffle(plan),
+      s"no map-side partial aggregation:\n${plan.treeString.take(1500)}")
+  }
+
   test("whole-stage codegen is present in the relational plans") {
     Seq("q01_pricing_summary", "q03_region_revenue", "q05_top_urgent_revenue",
       "q13_top3_orders_per_priority", "q24_asof_last_order")
