@@ -52,5 +52,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_int64"),
       new ExpressionInfo(classOf[DotProductInt64].getName, "dot_int64"),
       (args: Seq[Expression]) => DotProductInt64(args.head, args(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("top_k"),
+      new ExpressionInfo(classOf[TopKOrdered].getName, "top_k"),
+      (args: Seq[Expression]) =>
+        TopKOrdered(args.head, intArg(args(1), "top_k", 2))))
   }
 }

@@ -192,6 +192,33 @@ object TextAnalysis extends QueryModule {
         SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
         FROM (SELECT doc_id, unnest(tk) AS token
               FROM (SELECT doc_id, ${X.tokensSql("text")} AS tk FROM documents))
-        GROUP BY token ORDER BY tf DESC, token LIMIT 20"""))
+        GROUP BY token ORDER BY tf DESC, token LIMIT 20""")),
+
+    // ------------------------------------------------------------------
+    // q36: top-3 documents per source by length — via the bounded-heap
+    // top_k aggregate (graft.functions.TopKOrdered), NOT a row_number
+    // window: the window sort-shuffles every document to its group; the
+    // heap aggregate partial-reduces each map task to ≤3 rows per group
+    // before the exchange. The oracle states the same semantics with the
+    // window (fine for DuckDB's single node).
+    QueryDef(
+      "q36_topk_docs_per_source",
+      (s, dir) => {
+        T.documents(s, dir)
+          .groupBy(col("source"))
+          .agg(graft.functions.AggFunctions.topK(
+            struct(col("n_chars"), col("doc_id")), 3).as("top"))
+          .select(col("source"), posexplode(col("top")))
+          .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+            col("col.doc_id").as("doc_id"), col("col.n_chars").as("n_chars"))
+          .orderBy(col("source"), col("rank"))
+      },
+      Some("""
+        SELECT source, rank, doc_id, n_chars FROM (
+          SELECT source, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id DESC) AS rank
+          FROM documents)
+        WHERE rank <= 3 ORDER BY source, rank"""))
   )
 }
