@@ -219,6 +219,33 @@ object TextAnalysis extends QueryModule {
                  row_number() OVER (PARTITION BY source
                    ORDER BY n_chars DESC, doc_id DESC) AS rank
           FROM documents)
-        WHERE rank <= 3 ORDER BY source, rank"""))
+        WHERE rank <= 3 ORDER BY source, rank""")),
+
+    // ------------------------------------------------------------------
+    // q37: deterministic stratified sampling — keep docs whose md5-based
+    // hash (the engine-independent TextDsl hash, not Spark's murmur3 /
+    // DuckDB's wyhash) lands in 1 of 10 residue classes. Hash-based
+    // sampling is how a training-data pipeline samples at 100 TB:
+    // map-side only, reproducible across reruns and engines, stable
+    // under retries/partial failures, and consistent per key (a doc is
+    // in or out everywhere it appears) — none of which rand() gives.
+    QueryDef(
+      "q37_stratified_sample",
+      (s, dir) => {
+        T.documents(s, dir)
+          .filter(X.hp(col("doc_id").cast("string")) % 10 === 0)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_sampled"),
+            sum(col("n_chars")).as("sampled_chars"),
+            min(col("doc_id")).as("first_doc"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        SELECT source, COUNT(*) AS n_sampled,
+               CAST(SUM(n_chars) AS BIGINT) AS sampled_chars,
+               MIN(doc_id) AS first_doc
+        FROM documents
+        WHERE ${X.hpSql("CAST(doc_id AS VARCHAR)")} % 10 = 0
+        GROUP BY source ORDER BY source"""))
   )
 }

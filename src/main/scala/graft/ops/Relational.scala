@@ -647,6 +647,32 @@ object Relational extends QueryModule {
         GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
     // ------------------------------------------------------------------
+    // q28: t-digest-style sketch percentile next to the exact percentile,
+    // emitted as the same within-tolerance contract as q25: sketch
+    // internals are engine-specific, the accuracy bound is the testable
+    // surface. approx_percentile is partial-aggregable (the sketch
+    // merges), which is the point at scale — exact percentile needs a
+    // full sort per group.
+    QueryDef(
+      "q28_approx_percentile",
+      (s, dir) => {
+        T.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(expr("approx_percentile(l_quantity, 0.5, 1000)").as("apx"),
+            expr("percentile(l_quantity, 0.5)").as("exact_median"),
+            count(lit(1)).as("n"))
+          .select(col("l_returnflag"),
+            (abs(col("apx") - col("exact_median"))
+              <= col("exact_median") * 0.05).as("within_tol"),
+            col("exact_median"), col("n"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""
+        SELECT l_returnflag, TRUE AS within_tol,
+               quantile_cont(l_quantity, 0.5) AS exact_median, COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ------------------------------------------------------------------
     // q26: exact percentiles — Spark's percentile() and DuckDB's
     // quantile_cont share the same definition (sort + linear
     // interpolation at rank (n-1)p), and l_quantity holds small exact
