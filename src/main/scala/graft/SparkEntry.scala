@@ -12,7 +12,7 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     ops.Relational, ops.PipelineOps, streaming.StreamingOps,
-    ext.TextAnalysis, ext.Dedup, ext.Similarity, ext.Multimodal)
+    ext.TextAnalysis, ext.Dedup, ext.Similarity, ext.Multimodal, ext.Curation)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

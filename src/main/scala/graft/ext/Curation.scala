@@ -1,0 +1,110 @@
+package graft.ext
+
+import graft.{QueryDef, QueryModule, Tables => T}
+import graft.ext.{TextDsl => X}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation — the composition the individual operators
+  * exist for: quality-score filter → language filter → exact dedup →
+  * MinHash-LSH near-dup removal → per-source document/token budget.
+  * This is the canonical training-data curation pass (the C4/RefinedWeb
+  * shape) expressed entirely with this library's operators.
+  *
+  * Scale shape, stage by stage: quality/lang scoring is map-side HOF
+  * compute (zero shuffle); exact dedup is one partial-aggregated shuffle
+  * on the normalized text; near-dup candidates are the bucketed LSH
+  * exchange (graft.operators.NearDup.minhashLsh — k ints per doc, capped
+  * buckets); the final report is one partial-aggregable group-by. No
+  * stage is quadratic; every intermediate is (doc_id, small payload).
+  *
+  * Near-dup resolution policy: drop every doc that appears as the larger
+  * id of a verified pair (keep-smallest greedy). One pass, deterministic,
+  * oracle-expressible; a full connected-components pass would also drop
+  * transitive dups the greedy keeps — acceptable for curation where
+  * near-dup edges are already rare after exact dedup, and iterative CC
+  * is a different cost class (multi-round shuffles).
+  */
+object Curation extends QueryModule {
+
+  override val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q45_curation_pipeline",
+      (s, dir) => {
+        val docs = T.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("text"))
+        val toks = docs
+          .select(col("doc_id"), col("source"), col("text"),
+            X.tokens(col("text")).as("tk"))
+        // quality: the q32 formula, verbatim; lang: the q31 heuristic
+        val scored = toks
+          .withColumn("n", size(col("tk")).cast("long"))
+          .withColumn("stop_hits",
+            size(filter(col("tk"), t => t.isin(X.stopwords: _*))).cast("long"))
+          .withColumn("short_hits",
+            size(filter(col("tk"), t => length(t) <= 2)).cast("long"))
+          .withColumn("quality",
+            least(col("n"), lit(200L)).cast("double") / 200.0 * 0.5
+              + col("stop_hits").cast("double") / col("n").cast("double") * 0.3
+              + (lit(1.0) - col("short_hits").cast("double") / col("n").cast("double")) * 0.2)
+          .withColumn("hits",
+            size(array_intersect(array_distinct(col("tk")), X.stopwordsArr)))
+        val kept = scored.filter(col("quality") >= 0.25 && col("hits") >= 2)
+        // exact dedup: keep the min-id doc per normalized text
+        val survivors = kept
+          .withColumn("norm", concat_ws(" ", col("tk")))
+          .groupBy(col("norm")).agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"))
+        val sdocs = kept.join(survivors, "doc_id")
+        // near-dup removal among survivors (q41 parameters)
+        val nearDupPairs = graft.operators.NearDup.minhashLsh(
+          sdocs.select(col("doc_id"), col("text")), col("doc_id"), col("text"),
+          numHashes = 12, bands = 3, shingleWidth = 3, threshold = 0.5)
+        val dropped = nearDupPairs.select(col("doc_b").as("doc_id")).distinct()
+        sdocs.join(dropped, Seq("doc_id"), "left_anti")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(col("tk")).cast("long")).as("total_tokens"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, source, ${X.tokensSql("text")} AS tk FROM documents),
+        scored AS (
+          SELECT doc_id, source, tk,
+                 CAST(least(len(tk), 200) AS DOUBLE) / 200.0 * 0.5
+                 + CAST(len(list_filter(tk, t -> list_contains(${X.stopwordsSql}, t))) AS DOUBLE)
+                   / CAST(len(tk) AS DOUBLE) * 0.3
+                 + (1.0 - CAST(len(list_filter(tk, t -> length(t) <= 2)) AS DOUBLE)
+                   / CAST(len(tk) AS DOUBLE)) * 0.2 AS quality,
+                 len(list_intersect(list_distinct(tk), ${X.stopwordsSql})) AS hits
+          FROM toks),
+        kept AS (SELECT * FROM scored WHERE quality >= 0.25 AND hits >= 2),
+        surv AS (SELECT MIN(doc_id) AS doc_id
+                 FROM (SELECT doc_id, array_to_string(tk, ' ') AS norm FROM kept)
+                 GROUP BY norm),
+        sdocs AS (SELECT k.* FROM kept k JOIN surv USING (doc_id)),
+        shg AS (SELECT doc_id,
+                  list_distinct(${X.shinglesSql("tk", 3)}) AS sh FROM sdocs),
+        hm AS (SELECT doc_id, sh, list_transform(sh, s -> ${X.hpSql("s")}) AS hm FROM shg),
+        sig AS (SELECT doc_id, sh, ${X.minhashSigSql("hm", 12)} AS sig
+                FROM hm WHERE len(sh) > 0),
+        bands AS (SELECT doc_id, bnd, array_to_string(sig[bnd*4+1:bnd*4+4], '-') AS bsig
+                  FROM sig, (SELECT unnest(range(0, 3)) AS bnd)),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bands a JOIN bands b
+                   ON a.bnd = b.bnd AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+        pairs AS (
+          SELECT doc_a, doc_b
+          FROM cand JOIN sig x ON x.doc_id = doc_a JOIN sig y ON y.doc_id = doc_b
+          WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                / CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                >= 0.5),
+        dropped AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+        final AS (SELECT * FROM sdocs
+                  WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(len(tk)) AS BIGINT) AS total_tokens
+        FROM final GROUP BY source ORDER BY source"""))
+  )
+}

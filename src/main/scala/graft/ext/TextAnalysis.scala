@@ -18,10 +18,9 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis extends QueryModule {
 
-  /** English stopwords present in the fixture vocabulary. */
-  private val stop = Seq("the", "a", "of", "to", "and", "in", "is")
-  private def stopArr = array(stop.map(lit): _*)
-  private def stopSql = stop.mkString("['", "','", "']")
+  private val stop = X.stopwords
+  private def stopArr = X.stopwordsArr
+  private def stopSql = X.stopwordsSql
 
   override val defs: Seq[QueryDef] = Seq(
 

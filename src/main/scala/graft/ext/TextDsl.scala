@@ -31,6 +31,13 @@ object TextDsl {
     * overflow rather than wrapping, so bounds are load-bearing). */
   val P = 2147483647L
 
+  /** English stopwords present in the fixture vocabulary — shared by the
+    * language-ID heuristic (q31), quality scoring (q32), and the
+    * curation pipeline (q45). */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is")
+  def stopwordsArr: Column = array(stopwords.map(lit): _*)
+  def stopwordsSql: String = stopwords.mkString("['", "','", "']")
+
   // -------------------------------------------------------------------
   // Tokenization: lowercase, strip non-alphanumerics, split, drop
   // empties. Engine side runs the compiled kernel (~100× the HOF chain:
