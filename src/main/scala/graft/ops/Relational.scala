@@ -324,12 +324,17 @@ object Relational extends QueryModule {
 
     // ------------------------------------------------------------------
     // q14: running-sum window with explicit ROWS frame, full tiebreak so
-    // the frame is deterministic.
+    // the frame is deterministic. The fixture is NOT keyed by (orderkey,
+    // linenumber) — duplicate rows exist (sf0.1 has ~2k of them), so
+    // l_quantity joins the ordering: rows tied on everything INCLUDING
+    // quantity are interchangeable (identical prefix sums either way),
+    // which makes the output multiset well-defined on both engines.
     QueryDef(
       "q14_running_supplier_qty",
       (s, dir) => {
         val w = Window.partitionBy(col("l_suppkey"))
-          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         T.lineitem(s, dir)
           .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
@@ -341,7 +346,7 @@ object Relational extends QueryModule {
         SELECT l_suppkey, l_orderkey, l_linenumber,
                CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) OVER (
                  PARTITION BY l_suppkey
-                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                  AS running_qty
         FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""")),
