@@ -171,6 +171,34 @@ object EventPipelines {
     q.awaitTermination()
   }
 
+  /** Streaming sink into the versioned catalog: every epoch commits as
+    * the next immutable version (version = batchId + 1, since epoch ids
+    * continue across restarts from the checkpoint). Exactly-once without
+    * transactions: if a failure lands between the catalog commit and the
+    * offset commit, the replayed epoch finds its version already present
+    * and skips — the idempotent-resume shape the reference gets from
+    * LastSuccessfullyProcessedIndex (tools.go:676-806), carried to
+    * versioned storage. Incremental ETL = this sink + time travel. */
+  def runCatalogSink(
+      out: DataFrame,
+      checkpoint: String,
+      cat: graft.catalog.VersionedCatalog,
+      step: String): Unit = {
+    val q = out.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val expected = id.toInt + 1
+        if (cat.nextVersion(step) == expected) {
+          val v = cat.writeNext(step, batch)
+          require(v == expected, s"catalog sink: committed v$v, expected v$expected")
+        } // else: replay of an already-committed epoch — skip, idempotent
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** foreachBatch with per-batch retry against a user sink — ST3's
     * retry at epoch granularity; pair with an idempotent sink keyed on
     * (batchId) for exactly-once effects. */

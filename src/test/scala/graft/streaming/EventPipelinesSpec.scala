@@ -184,6 +184,63 @@ class EventPipelinesSpec extends SparkSpec {
     }
   }
 
+  test("stream-static join: stream rows enriched against a static dim") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val ms = MemoryStream[Event]
+    val q = ms.toDF().join(dim, "user_id") // static side re-read per epoch
+      .select("event_id", "tier")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      ms.addData(ev(1, "00:01:00", uid = 1), ev(2, "00:02:00", uid = 2),
+        ev(3, "00:03:00", uid = 9)) // uid 9: no dim row, dropped (inner)
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted
+      assert(rows.toSeq == Seq((1L, "gold"), (2L, "basic")))
+    } finally q.stop()
+  }
+
+  test("catalog sink: each epoch commits as an immutable version; reruns don't duplicate") {
+    val s = spark
+    import s.implicits._
+    withTempDir { dir =>
+      val in = s"$dir/in"; val ckpt = s"$dir/ckpt"; val root = s"$dir/cat"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      def writeInput(name: String, ids: Seq[Long]): Unit =
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/$name"),
+          ids.map(i => s"""{"event_id":$i,"user_id":1}""").mkString("\n").getBytes)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, user_id BIGINT")
+      def stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(in) // one file = one epoch
+      val cat = new graft.catalog.VersionedCatalog(spark, root)
+
+      writeInput("a.json", Seq(1, 2))
+      writeInput("b.json", Seq(3))
+      EventPipelines.runCatalogSink(stream, ckpt, cat, "events")
+      assert(cat.versions("events") == Seq(1, 2))
+
+      // rerun with nothing new: no empty/duplicate versions appear
+      EventPipelines.runCatalogSink(stream, ckpt, cat, "events")
+      assert(cat.versions("events") == Seq(1, 2))
+
+      // new input resumes numbering; earlier versions stay immutable
+      writeInput("c.json", Seq(4, 5))
+      EventPipelines.runCatalogSink(stream, ckpt, cat, "events")
+      assert(cat.versions("events") == Seq(1, 2, 3))
+      val latest = cat.latest("events", Some(schema))
+        .collect().map(_.getLong(0)).sorted
+      assert(latest.toSeq == Seq(4L, 5L))
+      val all = (1 to 3).flatMap(v =>
+        cat.read("events", v, Some(schema)).collect().map(_.getLong(0)))
+      assert(all.sorted == Seq(1L, 2L, 3L, 4L, 5L))
+    }
+  }
+
   test("foreachBatch retry: transient sink failure retried within an epoch (ST3)") {
     val s = spark
     import s.implicits._
