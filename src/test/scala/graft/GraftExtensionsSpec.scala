@@ -26,6 +26,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |  simhash60(array('hello')) AS sim,
           |  dot_int64(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS dot
           |""".stripMargin).head()
+      // the aggregate registers too: top_k over a grouped SQL query
+      val top = s.sql(
+        """SELECT g, top_k(v, 2) AS top FROM VALUES
+          |  (1, 5L), (1, 9L), (1, 7L), (2, 1L) AS t(g, v)
+          |GROUP BY g ORDER BY g""".stripMargin).collect()
+      assert(top(0).getSeq[Long](1) == Seq(9L, 7L))
+      assert(top(1).getSeq[Long](1) == Seq(1L))
       assert(row.getSeq[String](0) == Seq("hello", "world", "42"))
       assert(row.getSeq[String](1) == Seq("a b c", "b c d"))
       assert(row.getInt(2) == 12)

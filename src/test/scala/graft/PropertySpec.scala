@@ -98,6 +98,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("compiled tokenizer ≡ declarative HOF formulation on arbitrary text") {
+    val s = spark
+    import s.implicits._
+    val textGen = Gen.listOfN(60, Gen.oneOf(
+      Gen.alphaNumChar, Gen.asciiPrintableChar, Gen.oneOf('é', '中', '\t', '\n')))
+      .map(_.mkString)
+    val texts = samples(textGen, 300)
+    val df = texts.toDF("text")
+    val both = df.select(
+        graft.ext.TextDsl.tokens(org.apache.spark.sql.functions.col("text")).as("k"),
+        graft.ext.TextDsl.tokensHof(org.apache.spark.sql.functions.col("text")).as("h"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+  }
+
+  test("top_k ≡ global sort + take(k) for arbitrary data and k") {
+    val s = spark
+    import s.implicits._
+    val cases = for {
+      k <- Gen.choose(1, 8)
+      vals <- Gen.listOf(Gen.choose(-50L, 50L))
+    } yield (k, vals)
+    samples(cases, 25).foreach { case (k, vals) =>
+      val df = vals.toDF("v").repartition(5)
+      val got = df.agg(graft.functions.AggFunctions.topK(
+          org.apache.spark.sql.functions.col("v"), k).as("top"))
+        .head().getSeq[Long](0)
+      assert(got == vals.sorted(Ordering[Long].reverse).take(k))
+    }
+  }
+
   test("minhash signature values are < P and permutation-count wide") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.unsafe.types.UTF8String
