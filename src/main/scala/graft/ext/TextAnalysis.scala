@@ -245,6 +245,37 @@ object TextAnalysis extends QueryModule {
                MIN(doc_id) AS first_doc
         FROM documents
         WHERE ${X.hpSql("CAST(doc_id AS VARCHAR)")} % 10 = 0
-        GROUP BY source ORDER BY source"""))
+        GROUP BY source ORDER BY source""")),
+
+    // ------------------------------------------------------------------
+    // q38: PII-style redaction — numbers and email-shaped tokens replaced
+    // with placeholder tags; a pure map-side regexp pass (the scrubbing
+    // stage of a training-data pipeline). Patterns stay in the common
+    // Java-regex/RE2 subset (no backrefs/lookarounds) so both engines
+    // rewrite identically; outputs are the redacted-text digest + counts
+    // so huge documents never land in the compared result.
+    QueryDef(
+      "q38_redact",
+      (s, dir) => {
+        val email = "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+"
+        T.documents(s, dir)
+          .select(col("doc_id"),
+            md5(regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
+              "[0-9]+", "<NUM>")).as("redacted_md5"),
+            size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+              .cast("long").as("n_numbers"),
+            size(regexp_extract_all(col("text"), lit(email), lit(0)))
+              .cast("long").as("n_emails"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id,
+               md5(regexp_replace(
+                 regexp_replace(text, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+', '<EMAIL>', 'g'),
+                 '[0-9]+', '<NUM>', 'g')) AS redacted_md5,
+               CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers,
+               CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+')) AS BIGINT)
+                 AS n_emails
+        FROM documents ORDER BY doc_id"""))
   )
 }

@@ -678,6 +678,99 @@ object Relational extends QueryModule {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ------------------------------------------------------------------
+    // q29: the bucketed-table path, driver-visible — both sides written
+    // bucketBy(8, custkey) + sortBy, then joined through the catalog:
+    // the join plans as a sort-merge with ZERO exchanges (BucketedSpec
+    // asserts the plan; this query asserts the results). Salting aside,
+    // this is THE repeated-fact-join answer at 100 TB: the shuffle is
+    // paid once at layout time. Oracle is the plain join.
+    QueryDef(
+      "q29_bucketed_join",
+      (s, dir) => {
+        val orders = T.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val cust = T.customer(s, dir)
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+        graft.sources.Bucketed.writeBucketed(orders, "graft_b_orders", "o_custkey", 8)
+        graft.sources.Bucketed.writeBucketed(cust, "graft_b_cust", "o_custkey", 8)
+        graft.sources.Bucketed.cobucketedJoin(
+            s, "graft_b_orders", "graft_b_cust", "o_custkey")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice"), 2).as("total_value"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some(s"""
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+               ${dsumSql("o_totalprice", 2)} AS total_value
+        FROM orders JOIN customer ON c_custkey = o_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ------------------------------------------------------------------
+    // q39: distributed statistics the deterministic way — mean, variance
+    // and correlation derived from EXACT decimal sums (Σx, Σy, Σxx, Σyy,
+    // Σxy), with the floating-point math applied once, on the final
+    // scalars. Built-in stddev/corr stream partition-local Welford
+    // updates whose float accumulation is partition-order-dependent —
+    // fine statistically, but not reproducible run to run at scale, and
+    // never bit-comparable across engines. This shape is: one partial-
+    // aggregable pass, exact merge, identical IEEE ops on both engines.
+    QueryDef(
+      "q39_exact_stats",
+      (s, dir) => {
+        val x = col("l_quantity").cast("decimal(30,4)")
+        val y = col("l_extendedprice").cast("decimal(30,4)")
+        T.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(x).as("sx"), sum(y).as("sy"),
+            sum(x * x).as("sxx"), sum(y * y).as("syy"),
+            sum(x * y).as("sxy"))
+          .select(col("l_returnflag"), col("n"),
+            (col("sx").cast("double") / col("n").cast("double")).as("mean_qty"),
+            ((col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double")
+                / col("n").cast("double")) / col("n").cast("double")).as("var_qty"),
+            ((col("n").cast("double") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double"))
+              / (sqrt(col("n").cast("double") * col("sxx").cast("double")
+                  - col("sx").cast("double") * col("sx").cast("double"))
+                * sqrt(col("n").cast("double") * col("syy").cast("double")
+                  - col("sy").cast("double") * col("sy").cast("double"))))
+              .as("corr_qty_price"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""
+        -- decimal→double goes through VARCHAR: DuckDB's direct cast
+        -- divides int128 by 10^scale in double space (off by 1 ulp for
+        -- wide values); the string parse is correctly rounded, matching
+        -- Spark's BigDecimal.doubleValue
+        SELECT l_returnflag, n,
+               CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
+               (CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                 - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                   / CAST(n AS DOUBLE))
+                 / CAST(n AS DOUBLE) AS var_qty,
+               (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                 - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                     - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+                   * sqrt(CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+                     - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE)))
+                 AS corr_qty_price
+        FROM (SELECT l_returnflag, COUNT(*) AS n,
+                     SUM(CAST(l_quantity AS DECIMAL(30,4))) AS sx,
+                     SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS sy,
+                     SUM(CAST(l_quantity AS DECIMAL(30,4))
+                       * CAST(l_quantity AS DECIMAL(30,4))) AS sxx,
+                     SUM(CAST(l_extendedprice AS DECIMAL(30,4))
+                       * CAST(l_extendedprice AS DECIMAL(30,4))) AS syy,
+                     SUM(CAST(l_quantity AS DECIMAL(30,4))
+                       * CAST(l_extendedprice AS DECIMAL(30,4))) AS sxy
+              FROM lineitem GROUP BY l_returnflag)
+        ORDER BY l_returnflag""")),
+
+    // ------------------------------------------------------------------
     // q26: exact percentiles — Spark's percentile() and DuckDB's
     // quantile_cont share the same definition (sort + linear
     // interpolation at rank (n-1)p), and l_quantity holds small exact

@@ -21,11 +21,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketed {
 
-  /** Write `df` as a bucketed, per-bucket-sorted parquet table. */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+  /** Write `df` as a bucketed, per-bucket-sorted parquet table.
+    * Idempotent across sessions: an in-memory catalog forgets tables
+    * between JVMs while their warehouse directories persist, so a stale
+    * location is removed before the (re)write — otherwise Spark refuses
+    * with LOCATION_ALREADY_EXISTS. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir")),
+      table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
+  }
 
   /** Join two tables bucketed on `key` with the same bucket count:
     * sort-merge join, zero exchanges — each task reads bucket i of both
