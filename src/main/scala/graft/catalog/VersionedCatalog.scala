@@ -99,6 +99,52 @@ final class VersionedCatalog(
     read(step, v, schema)
   }
 
+  /** CDC-style upsert: latest version full-outer-combined with `updates`
+    * on `keys` — an update row REPLACES the whole base row for its key
+    * (row-wise, so updates may legitimately null a column), unmatched
+    * update rows insert, unmatched base rows carry over. Commits as the
+    * next version; old versions stay readable (time travel = CDC audit).
+    * One co-partitioned shuffle join; both sides exchange on `keys`. */
+  def merge(
+      step: String, updates: org.apache.spark.sql.DataFrame,
+      keys: Seq[String], schema: Option[StructType] = None): Int = {
+    import org.apache.spark.sql.functions.{coalesce, col, struct}
+    val base = latest(step, schema)
+    val cols = base.columns.toSeq
+    require(updates.columns.toSeq == cols,
+      s"catalog merge: update schema ${updates.columns.toSeq} != table schema $cols")
+    val b = base.select(struct(cols.map(col): _*).as("_b") +: keys.map(col): _*)
+    val u = updates.select(struct(cols.map(col): _*).as("_u") +: keys.map(col): _*)
+    val merged = b.join(u, keys, "full_outer")
+      .select(coalesce(col("_u"), col("_b")).as("_r"))
+      .select("_r.*")
+    writeNext(step, merged)
+  }
+
+  /** Rewrite the latest version into ~`targetBytes`-sized files as a new
+    * version — the small-files compaction every incremental sink needs
+    * (a streaming epoch sink commits many small versions whose files are
+    * sized by epoch, not by read efficiency). */
+  def compact(
+      step: String, schema: Option[StructType] = None,
+      targetBytes: Long = 128L << 20): Int = {
+    val v = latestVersion(step).getOrElse(
+      throw new NoSuchElementException(s"catalog: step $step has no versions to compact"))
+    val total = fs.getContentSummary(versionDir(step, v)).getLength
+    val parts = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    writeNext(step, read(step, v, schema).repartition(parts))
+  }
+
+  /** Retention: delete all versions except the newest `keep`; returns the
+    * versions removed. Readers of dropped versions fail fast with the
+    * usual no-such-version error. */
+  def vacuum(step: String, keep: Int): Seq[Int] = {
+    require(keep >= 1, "catalog vacuum: must keep at least the latest version")
+    val drop = versions(step).dropRight(keep)
+    drop.foreach(v => fs.delete(versionDir(step, v), true))
+    drop
+  }
+
   private def reader(schema: Option[StructType]) = {
     // FAILFAST mirrors the reference's abort-on-malformed-line
     // (tools.go:540-542); production reads always carry an explicit

@@ -70,6 +70,42 @@ object PipelineOps extends QueryModule {
         SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
         FROM orders
         WHERE o_orderkey % 10 <= 3
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ------------------------------------------------------------------
+    // q66: CDC-style catalog merge — base snapshot (keys ≡ 0 mod 3)
+    // upserted with doubled-price updates (keys ≡ 0 mod 6) and inserts
+    // (keys ≡ 1 mod 3); the merged next version must equal the oracle's
+    // CASE reconstruction. Exercises row-wise replace semantics and the
+    // co-partitioned full-outer merge shuffle end-to-end through JSONL.
+    QueryDef(
+      "q66_catalog_merge",
+      (s, dir) => {
+        val work = Files.createTempDirectory("graft-q66-").toString
+        val cat = new VersionedCatalog(s, work)
+        val orders = T.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice").as("price"))
+        cat.writeNext("snap", orders.filter(col("o_orderkey") % 3 === 0))
+        val updates = orders.filter(col("o_orderkey") % 6 === 0)
+          .withColumn("price", col("price") * 2)
+          .unionAll(orders.filter(col("o_orderkey") % 3 === 1))
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "o_orderkey BIGINT, o_orderstatus STRING, price DOUBLE")
+        cat.merge("snap", updates, Seq("o_orderkey"), Some(schema))
+        cat.latest("snap", Some(schema))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), graft.Dsl.dsum(col("price"), 2).as("total_price"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some(s"""
+        SELECT o_orderstatus, COUNT(*) AS n,
+               ${graft.Dsl.dsumSql("price", 2)} AS total_price
+        FROM (SELECT o_orderstatus,
+                     CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice * 2
+                          ELSE o_totalprice END AS price
+              FROM orders
+              WHERE o_orderkey % 3 = 0 OR o_orderkey % 3 = 1)
         GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
   )
 }

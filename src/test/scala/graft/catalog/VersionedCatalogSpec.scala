@@ -74,4 +74,57 @@ class VersionedCatalogSpec extends SparkSpec {
       assert(cat.latest("step").collect().map(_.getInt(0)).sorted.toSeq == Seq(7, 8))
     }
   }
+
+  test("merge: update rows replace, new keys insert, others carry over") {
+    val s = spark
+    import s.implicits._
+    withTempDir { dir =>
+      val kv = StructType.fromDDL("k INT, v STRING")
+      val cat = new VersionedCatalog(spark, dir.toString)
+      cat.writeNext("t", Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"))
+      val v = cat.merge("t",
+        Seq((2, "B2"), (4, "d")).toDF("k", "v"), Seq("k"), Some(kv))
+      assert(v == 2)
+      val got = cat.latest("t", Some(kv)).collect()
+        .map(r => (r.getInt(0), r.getString(1))).sorted
+      assert(got.toSeq == Seq((1, "a"), (2, "B2"), (3, "c"), (4, "d")))
+      // time travel still sees the pre-merge state (CDC audit)
+      val before = cat.read("t", 1, Some(kv)).collect()
+        .map(r => (r.getInt(0), r.getString(1))).sorted
+      assert(before.toSeq == Seq((1, "a"), (2, "b"), (3, "c")))
+      // row-wise semantics: an update may null a column
+      cat.merge("t", Seq((1, null: String)).toDF("k", "v"), Seq("k"), Some(kv))
+      val nulled = cat.latest("t", Some(kv)).collect()
+        .find(_.getInt(0) == 1).get
+      assert(nulled.isNullAt(1))
+    }
+  }
+
+  test("compact rewrites the latest version into fewer files, content-equal") {
+    withTempDir { dir =>
+      val cat = new VersionedCatalog(spark, dir.toString, format = "parquet")
+      cat.writeNext("t", df(1 to 100: _*).repartition(8))
+      def files(v: Int) = new java.io.File(s"$dir/t/v=$v").listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+      assert(files(1) == 8)
+      val v = cat.compact("t", Some(schema))
+      assert(v == 2 && files(2) == 1) // 100 ints ≪ targetBytes → one file
+      val got = cat.latest("t", Some(schema)).collect().map(_.getInt(0)).sorted
+      assert(got.toSeq == (1 to 100))
+    }
+  }
+
+  test("vacuum keeps the newest k versions and deletes the rest") {
+    withTempDir { dir =>
+      val cat = new VersionedCatalog(spark, dir.toString)
+      (1 to 4).foreach(i => cat.writeNext("t", df(i)))
+      assert(cat.vacuum("t", keep = 2) == Seq(1, 2))
+      assert(cat.versions("t") == Seq(3, 4))
+      assert(cat.read("t", 3, Some(schema)).collect().map(_.getInt(0)).toSeq == Seq(3))
+      intercept[NoSuchElementException](cat.read("t", 1, Some(schema)))
+      intercept[IllegalArgumentException](cat.vacuum("t", keep = 0))
+      // numbering continues after vacuum — no version reuse
+      assert(cat.writeNext("t", df(9)) == 5)
+    }
+  }
 }
