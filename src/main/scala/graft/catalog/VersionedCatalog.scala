@@ -135,6 +135,21 @@ final class VersionedCatalog(
     writeNext(step, read(step, v, schema).repartition(parts))
   }
 
+  // Epoch markers for streaming sinks: `root/<step>/.epochs/e=N` records
+  // that stream epoch N's effects are committed. Written AFTER the data
+  // commit, so a failure in between replays the epoch — content-
+  // idempotent for merge (same rows replace themselves), at most one
+  // redundant version. The versions() listing ignores non-`v=` entries.
+  private def epochDir(step: String): Path = new Path(stepDir(step), ".epochs")
+
+  def epochCommitted(step: String, epoch: Long): Boolean =
+    fs.exists(new Path(epochDir(step), s"e=$epoch"))
+
+  def markEpochCommitted(step: String, epoch: Long): Unit = {
+    fs.mkdirs(epochDir(step))
+    fs.create(new Path(epochDir(step), s"e=$epoch"), true).close()
+  }
+
   /** Retention: delete all versions except the newest `keep`; returns the
     * versions removed. Readers of dropped versions fail fast with the
     * usual no-such-version error. */

@@ -199,6 +199,34 @@ object EventPipelines {
     q.awaitTermination()
   }
 
+  /** Streaming CDC upsert sink: every epoch MERGES into the catalog step
+    * (row-wise upsert on `keys`) instead of appending — an incrementally
+    * maintained materialized table. Epoch markers make replays skip;
+    * a failure between merge-commit and marker replays one epoch, which
+    * is content-idempotent (the same rows replace themselves) and costs
+    * at most one redundant version. First epoch bootstraps the table. */
+  def runCatalogMergeSink(
+      out: DataFrame,
+      checkpoint: String,
+      cat: graft.catalog.VersionedCatalog,
+      step: String,
+      keys: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val q = out.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!cat.epochCommitted(step, id)) {
+          if (cat.latestVersion(step).isEmpty) cat.writeNext(step, batch)
+          else cat.merge(step, batch, keys, Some(schema))
+          cat.markEpochCommitted(step, id)
+        }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** foreachBatch with per-batch retry against a user sink — ST3's
     * retry at epoch granularity; pair with an idempotent sink keyed on
     * (batchId) for exactly-once effects. */

@@ -127,4 +127,16 @@ class VersionedCatalogSpec extends SparkSpec {
       assert(cat.writeNext("t", df(9)) == 5)
     }
   }
+
+  test("schema evolution: an old version reads under a widened schema with nulls") {
+    val s = spark
+    import s.implicits._
+    withTempDir { dir =>
+      val cat = new VersionedCatalog(spark, dir.toString)
+      cat.writeNext("t", Seq((1, "a")).toDF("id", "name"))
+      val widened = StructType.fromDDL("id INT, name STRING, score DOUBLE")
+      val row = cat.read("t", 1, Some(widened)).collect().head
+      assert(row.getInt(0) == 1 && row.getString(1) == "a" && row.isNullAt(2))
+    }
+  }
 }

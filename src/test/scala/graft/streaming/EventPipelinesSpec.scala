@@ -241,6 +241,39 @@ class EventPipelinesSpec extends SparkSpec {
     }
   }
 
+  test("catalog merge sink: a streaming-maintained upsert materialized table") {
+    val s = spark
+    import s.implicits._
+    withTempDir { dir =>
+      val in = s"$dir/in"; val ckpt = s"$dir/ckpt"; val root = s"$dir/cat"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      def writeInput(name: String, rows: Seq[(Long, String)]): Unit =
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/$name"),
+          rows.map { case (k, v) => s"""{"k":$k,"v":"$v"}""" }
+            .mkString("\n").getBytes)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, v STRING")
+      def stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(in)
+      val cat = new graft.catalog.VersionedCatalog(spark, root)
+      def state(): Seq[(Long, String)] = cat.latest("dim", Some(schema))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+
+      writeInput("e0.json", Seq(1L -> "a", 2L -> "b"))
+      EventPipelines.runCatalogMergeSink(stream, ckpt, cat, "dim", Seq("k"), schema)
+      assert(state() == Seq(1L -> "a", 2L -> "b"))
+
+      writeInput("e1.json", Seq(2L -> "B2", 3L -> "c")) // update + insert
+      EventPipelines.runCatalogMergeSink(stream, ckpt, cat, "dim", Seq("k"), schema)
+      assert(state() == Seq(1L -> "a", 2L -> "B2", 3L -> "c"))
+      val versionsAfter = cat.versions("dim")
+
+      // idle rerun: epoch markers + offset log → nothing recommitted
+      EventPipelines.runCatalogMergeSink(stream, ckpt, cat, "dim", Seq("k"), schema)
+      assert(cat.versions("dim") == versionsAfter)
+      assert(state() == Seq(1L -> "a", 2L -> "B2", 3L -> "c"))
+    }
+  }
+
   test("foreachBatch retry: transient sink failure retried within an epoch (ST3)") {
     val s = spark
     import s.implicits._
