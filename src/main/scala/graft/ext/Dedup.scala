@@ -50,6 +50,21 @@ object Dedup extends QueryModule {
        shg AS (SELECT doc_id, list_distinct(${X.shinglesSql("tk", 3)}) AS sh FROM toks),
        hm AS (SELECT doc_id, sh, list_transform(sh, s -> ${X.hpSql("s")}) AS hm FROM shg)"""
 
+  /** Oracle CTE chain up to the verified MinHash-LSH pair set
+    * (q41 parameters: 12 hashes, 3 bands × 4 rows, Jaccard ≥ 0.5) —
+    * shared by q41 (pair listing) and q46 (transitive clusters). */
+  private def minhashPairsSqlCte(jacFilter: String = "0.5") =
+    s"""$shingledSqlCte,
+       sig AS (SELECT doc_id, sh, ${X.minhashSigSql("hm", 12)} AS sig FROM hm WHERE len(sh) > 0),
+       bands AS (SELECT doc_id, bnd, array_to_string(sig[bnd*4+1:bnd*4+4], '-') AS bsig
+                 FROM sig, (SELECT unnest(range(0, 3)) AS bnd)),
+       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b
+                  ON a.bnd = b.bnd AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+       mh_pairs AS (SELECT doc_a, doc_b, ${jaccardSql("x.sh", "y.sh")} AS jac
+                    FROM cand JOIN sig x ON x.doc_id = doc_a JOIN sig y ON y.doc_id = doc_b
+                    WHERE len(x.sh) > 0 AND ${jaccardSql("x.sh", "y.sh")} >= $jacFilter)"""
+
   /** All (a, b) pairs with a < b from a bucket's collected sorted id
     * array — in-row expansion after the band group-by, so candidate
     * generation is a single aggregation, not a self-join that recomputes
@@ -98,17 +113,39 @@ object Dedup extends QueryModule {
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some(s"""
-        WITH $shingledSqlCte,
-        sig AS (SELECT doc_id, sh, ${X.minhashSigSql("hm", 12)} AS sig FROM hm WHERE len(sh) > 0),
-        bands AS (SELECT doc_id, bnd, array_to_string(sig[bnd*4+1:bnd*4+4], '-') AS bsig
-                  FROM sig, (SELECT unnest(range(0, 3)) AS bnd)),
-        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                 FROM bands a JOIN bands b
-                   ON a.bnd = b.bnd AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
-        SELECT doc_a, doc_b, ${jaccardSql("x.sh", "y.sh")} AS jac
-        FROM cand JOIN sig x ON x.doc_id = doc_a JOIN sig y ON y.doc_id = doc_b
-        WHERE len(x.sh) > 0 AND ${jaccardSql("x.sh", "y.sh")} >= 0.5
+        WITH ${minhashPairsSqlCte()}
+        SELECT doc_a, doc_b, jac FROM mh_pairs
         ORDER BY doc_a, doc_b""")),
+
+    // ------------------------------------------------------------------
+    // q46: transitive dedup clusters — the q41 pair set closed into
+    // connected components (A~B~C collapses to one survivor even when A
+    // and C never shared a bucket), via Graph.connectedComponents'
+    // min-label propagation; the oracle closes the same edges with a
+    // recursive CTE. The pair-based greedy (drop every doc_b) that q45
+    // uses is one-pass; this is the exact-cluster upgrade.
+    QueryDef(
+      "q46_dedup_clusters",
+      (s, dir) => {
+        val pairs = graft.operators.NearDup.minhashLsh(T.documents(s, dir),
+            col("doc_id"), col("text"),
+            numHashes = 12, bands = 3, shingleWidth = 3, threshold = 0.5)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        graft.operators.Graph.connectedComponents(pairs)
+          .groupBy(col("label").as("survivor_id"))
+          .agg(count(lit(1)).as("cluster_size"))
+          .orderBy(col("survivor_id"))
+      },
+      Some(s"""
+        WITH RECURSIVE ${minhashPairsSqlCte()},
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+                  UNION SELECT doc_b, doc_a FROM mh_pairs),
+        reach(a, b) AS (SELECT a, b FROM edges
+                        UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        lbl AS (SELECT r.a AS doc, least(MIN(r.b), r.a) AS root
+                FROM reach r GROUP BY r.a)
+        SELECT root AS survivor_id, COUNT(*) AS cluster_size
+        FROM lbl GROUP BY root ORDER BY survivor_id""")),
 
     // ------------------------------------------------------------------
     // q42: SimHash near-dup: 60-bit row-local fingerprint from token

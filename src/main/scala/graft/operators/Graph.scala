@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph primitives over edge DataFrames.
+  *
+  * The one graph problem a dedup pipeline cannot avoid: near-dup PAIRS
+  * are edges, but the unit of removal is the connected COMPONENT (doc A
+  * ~ B ~ C must collapse to one survivor even if A and C never shared a
+  * bucket). The reference has no iteration construct at all
+  * (tools/tools.go is a linear step runner), so this is north-star
+  * surface built the Spark way: a driver-side loop over declarative
+  * per-round plans, state carried in DataFrames, lineage cut per round.
+  */
+object Graph {
+
+  /** Connected components by min-label propagation: every node starts
+    * labeled with itself; each round every node takes the min of its
+    * label and its neighbors' labels; converged when no label changes.
+    *
+    * Returns (node, label) where label = the component's minimum node id
+    * — exactly the "survivor" a dedup pass keeps.
+    *
+    * Scale shape: each round is one shuffle join (edges ⋈ labels on the
+    * neighbor key) + one partial-aggregable min. Rounds = graph diameter,
+    * and near-dup graphs are shallow (clusters are cliques-ish, diameter
+    * 1-3). `localCheckpoint` after each round cuts the lineage so the
+    * plan doesn't grow O(rounds); the convergence check is a count of
+    * changed labels (an action per round — the standard Pregel-style
+    * driver loop, nothing per-row on the driver). For web-scale graphs
+    * with long chains, the alternating large-star/small-star algorithm
+    * (Kiveris et al.) halves rounds; diameter-bounded dedup graphs don't
+    * need it.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // neighbor labels, min-combined into each node's current label
+      val neighborMin = sym.join(labels, sym("b") === labels("node"))
+        .groupBy(sym("a").as("n2"))
+        .agg(min(col("label")).as("nl"))
+      val next = labels.join(neighborMin, labels("node") === col("n2"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint()
+      val changed = next.as("n").join(labels.as("o"), "node")
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    require(converged, s"connectedComponents: no fixpoint after $maxIter rounds")
+    labels
+  }
+}

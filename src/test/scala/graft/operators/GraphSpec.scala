@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+class GraphSpec extends SparkSpec {
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    Graph.connectedComponents(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** Reference union-find for the property check. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    // min-id per component as the canonical label
+    val byRoot = nodes.groupBy(find)
+    nodes.map(n => n -> byRoot(find(n)).min).toMap
+  }
+
+  test("chain, pair, and triangle resolve to min-id components") {
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L))
+    val got = cc(edges)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("random graphs match union-find (property)") {
+    val edgesGen = Gen.listOf(for {
+      a <- Gen.choose(0L, 30L); b <- Gen.choose(0L, 30L) if a != b
+    } yield (a, b)).suchThat(_.nonEmpty)
+    (0 until 10).flatMap(i =>
+      edgesGen.apply(Gen.Parameters.default, Seed(1234L + i))).foreach { edges =>
+      assert(cc(edges) == unionFind(edges))
+    }
+  }
+}
