@@ -24,11 +24,14 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *
   * @param format any DataFrameWriter format; default "json" = JSONL,
   *               the reference's wire format (one JSON object per line).
+  * @param options reader AND writer options for the format (e.g.
+  *                `Map("header" -> "true")` for a CSV catalog).
   */
 final class VersionedCatalog(
     spark: SparkSession,
     root: String,
-    format: String = "json") {
+    format: String = "json",
+    options: Map[String, String] = Map.empty) {
 
   private val rootPath = new Path(root)
   private def fs: FileSystem =
@@ -67,7 +70,8 @@ final class VersionedCatalog(
     val staging = new Path(
       new Path(rootPath, ".staging"),
       s"$step-v$v-${java.util.UUID.randomUUID()}")
-    df.write.mode(SaveMode.Overwrite).format(format).save(staging.toString)
+    df.write.mode(SaveMode.Overwrite).format(format).options(options)
+      .save(staging.toString)
     val target = versionDir(step, v)
     fs.mkdirs(target.getParent)
     // Hadoop rename moves src INTO an existing destination directory and
@@ -164,7 +168,7 @@ final class VersionedCatalog(
     // FAILFAST mirrors the reference's abort-on-malformed-line
     // (tools.go:540-542); production reads always carry an explicit
     // schema, like the reference's always-supplied record template.
-    val r = spark.read.format(format).option("mode", "FAILFAST")
+    val r = spark.read.format(format).options(options).option("mode", "FAILFAST")
     schema.fold(r)(r.schema)
   }
 }

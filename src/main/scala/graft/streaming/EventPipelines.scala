@@ -132,6 +132,68 @@ object EventPipelines {
         TimeMode.None(), OutputMode.Update())
   }
 
+  final case class UserSession(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
+
+  /** Custom sessionization with EVENT-TIME TIMERS: each event extends
+    * the open session and re-arms a timer at lastEvent + gap; when the
+    * watermark passes the timer, the session is emitted and state
+    * cleared. This is what session_window() does internally, exposed as
+    * an extension point for session logic the built-in can't express
+    * (per-key dynamic gaps, emit-on-update, session enrichment). State
+    * per key is one small value + one timer — watermark-bounded. */
+  class SessionTimerProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserSession] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders, streaming}
+    @transient private var sess: ValueState[UserSession] = _
+
+    override def init(outputMode: streaming.OutputMode,
+        timeMode: streaming.TimeMode): Unit =
+      sess = getHandle.getValueState[UserSession](
+        "session", Encoders.product[UserSession], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[UserSession] = {
+      var cur = Option(sess.get())
+      rows.foreach { e =>
+        cur = cur match {
+          case Some(s0) => Some(s0.copy(
+            session_start = new Timestamp(math.min(s0.session_start.getTime, e.ts.getTime)),
+            session_end = new Timestamp(math.max(s0.session_end.getTime, e.ts.getTime)),
+            n_events = s0.n_events + 1))
+          case None => Some(UserSession(key, e.ts, e.ts, 1L))
+        }
+      }
+      cur.foreach { s0 =>
+        sess.update(s0)
+        // re-arm: exactly one live timer per key at session_end + gap
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(s0.session_end.getTime + gapMs)
+      }
+      Iterator.empty // emit only on session close (timer fire)
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[UserSession] = {
+      val out = Option(sess.get()).iterator
+      sess.clear()
+      out
+    }
+  }
+
+  /** Gap-based sessions via [[SessionTimerProcessor]] — requires a
+    * watermark on `ts` (event-time timers fire off the watermark). */
+  def sessionsByTimer(events: Dataset[Event], gapMs: Long = 5 * 60 * 1000L): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Stream-stream interval join: purchases matched to the same user's
     * clicks within the preceding hour. Both sides carry watermarks so
     * the join state is bounded: a click can be dropped once no

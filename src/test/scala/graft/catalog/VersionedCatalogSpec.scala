@@ -75,6 +75,19 @@ class VersionedCatalogSpec extends SparkSpec {
     }
   }
 
+  test("csv-format catalog with options round-trips typed rows") {
+    val s = spark
+    import s.implicits._
+    withTempDir { dir =>
+      val cat = new VersionedCatalog(spark, dir.toString, format = "csv",
+        options = Map("header" -> "true"))
+      cat.writeNext("step", Seq((1, "a,b"), (2, "c\"d")).toDF("id", "name"))
+      val got = cat.latest("step", Some(StructType.fromDDL("id INT, name STRING")))
+        .collect().map(r => (r.getInt(0), r.getString(1))).sorted
+      assert(got.toSeq == Seq((1, "a,b"), (2, "c\"d"))) // quoting survives
+    }
+  }
+
   test("merge: update rows replace, new keys insert, others carry over") {
     val s = spark
     import s.implicits._

@@ -184,6 +184,43 @@ class EventPipelinesSpec extends SparkSpec {
     }
   }
 
+  test("event-time timer sessionization: session emits when the watermark passes the gap") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Event]
+    val q = sessionsByTimer(ms.toDS(), gapMs = 5 * 60 * 1000L)
+      .writeStream.format("memory").queryName("timer_sessions")
+      .outputMode("append").start()
+    try {
+      // uid 1: two events 00:00-00:02 → session closes at 00:07 event time
+      ms.addData(ev(1, "00:00:00", uid = 1), ev(2, "00:02:00", uid = 1))
+      q.processAllAvailable()
+      // advance the watermark far past the timer (00:30 - 10m wm = 00:20)
+      ms.addData(ev(3, "00:30:00", uid = 2))
+      q.processAllAvailable()
+      ms.addData(ev(4, "00:31:00", uid = 2)) // one more batch so timers fire
+      q.processAllAvailable()
+      val rows = spark.table("timer_sessions")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      val s1 = rows.filter(_._1 == 1L)
+      assert(s1.length == 1)
+      assert(s1.head._2 == ts("00:00:00") && s1.head._3 == ts("00:02:00")
+        && s1.head._4 == 2L)
+      // uid 2's session is still open (watermark hasn't passed its gap)
+      assert(!rows.exists(_._1 == 2L))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-static join: stream rows enriched against a static dim") {
     val s = spark
     import s.implicits._
