@@ -54,6 +54,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => DotProductInt64(args.head, args(1))))
 
     ext.injectFunction((
+      FunctionIdentifier("positional_fingerprint"),
+      new ExpressionInfo(classOf[PositionalFingerprint].getName, "positional_fingerprint"),
+      (args: Seq[Expression]) => PositionalFingerprint(args.head)))
+
+    ext.injectFunction((
       FunctionIdentifier("top_k"),
       new ExpressionInfo(classOf[TopKOrdered].getName, "top_k"),
       (args: Seq[Expression]) =>

@@ -164,6 +164,21 @@ final class VersionedCatalog(
     drop
   }
 
+  /** Remove staging directories orphaned by crashed writes — a
+    * successful writeNext renames its staging dir into place, so
+    * anything still under `.staging` belongs to no committed version.
+    * Only run while no write is in flight (it cannot tell a crash's
+    * leftovers from a concurrent writer's work in progress). */
+  def vacuumStaging(): Int = {
+    val st = new Path(rootPath, ".staging")
+    if (!fs.exists(st)) 0
+    else {
+      val orphans = fs.listStatus(st)
+      orphans.foreach(o => fs.delete(o.getPath, true))
+      orphans.length
+    }
+  }
+
   private def reader(schema: Option[StructType]) = {
     // FAILFAST mirrors the reference's abort-on-malformed-line
     // (tools.go:540-542); production reads always carry an explicit

@@ -26,42 +26,53 @@ import org.apache.spark.sql.functions._
   */
 object Curation extends QueryModule {
 
+  /** The curation pass as a reusable operator: quality filter → language
+    * filter → exact dedup (min-id survivor) → near-dup removal
+    * (keep-smallest greedy over MinHash-LSH pairs). Input needs columns
+    * (doc_id, source, text); returns the surviving documents with their
+    * token arrays attached. */
+  def curate(
+      docs: org.apache.spark.sql.DataFrame,
+      minQuality: Double = 0.25,
+      minStopHits: Int = 2): org.apache.spark.sql.DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("source"), col("text"),
+        X.tokens(col("text")).as("tk"))
+    // quality: the q32 formula, verbatim; lang: the q31 heuristic
+    val scored = toks
+      .withColumn("n", size(col("tk")).cast("long"))
+      .withColumn("stop_hits",
+        size(filter(col("tk"), t => t.isin(X.stopwords: _*))).cast("long"))
+      .withColumn("short_hits",
+        size(filter(col("tk"), t => length(t) <= 2)).cast("long"))
+      .withColumn("quality",
+        least(col("n"), lit(200L)).cast("double") / 200.0 * 0.5
+          + col("stop_hits").cast("double") / col("n").cast("double") * 0.3
+          + (lit(1.0) - col("short_hits").cast("double") / col("n").cast("double")) * 0.2)
+      .withColumn("hits",
+        size(array_intersect(array_distinct(col("tk")), X.stopwordsArr)))
+    val kept = scored.filter(col("quality") >= minQuality && col("hits") >= minStopHits)
+    // exact dedup: keep the min-id doc per normalized text
+    val survivors = kept
+      .withColumn("norm", concat_ws(" ", col("tk")))
+      .groupBy(col("norm")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val sdocs = kept.join(survivors, "doc_id")
+    // near-dup removal among survivors (q41 parameters)
+    val nearDupPairs = graft.operators.NearDup.minhashLsh(
+      sdocs.select(col("doc_id"), col("text")), col("doc_id"), col("text"),
+      numHashes = 12, bands = 3, shingleWidth = 3, threshold = 0.5)
+    val dropped = nearDupPairs.select(col("doc_b").as("doc_id")).distinct()
+    sdocs.join(dropped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("text"), col("tk"))
+  }
+
   override val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
       "q45_curation_pipeline",
       (s, dir) => {
-        val docs = T.documents(s, dir)
-          .select(col("doc_id"), col("source"), col("text"))
-        val toks = docs
-          .select(col("doc_id"), col("source"), col("text"),
-            X.tokens(col("text")).as("tk"))
-        // quality: the q32 formula, verbatim; lang: the q31 heuristic
-        val scored = toks
-          .withColumn("n", size(col("tk")).cast("long"))
-          .withColumn("stop_hits",
-            size(filter(col("tk"), t => t.isin(X.stopwords: _*))).cast("long"))
-          .withColumn("short_hits",
-            size(filter(col("tk"), t => length(t) <= 2)).cast("long"))
-          .withColumn("quality",
-            least(col("n"), lit(200L)).cast("double") / 200.0 * 0.5
-              + col("stop_hits").cast("double") / col("n").cast("double") * 0.3
-              + (lit(1.0) - col("short_hits").cast("double") / col("n").cast("double")) * 0.2)
-          .withColumn("hits",
-            size(array_intersect(array_distinct(col("tk")), X.stopwordsArr)))
-        val kept = scored.filter(col("quality") >= 0.25 && col("hits") >= 2)
-        // exact dedup: keep the min-id doc per normalized text
-        val survivors = kept
-          .withColumn("norm", concat_ws(" ", col("tk")))
-          .groupBy(col("norm")).agg(min(col("doc_id")).as("doc_id"))
-          .select(col("doc_id"))
-        val sdocs = kept.join(survivors, "doc_id")
-        // near-dup removal among survivors (q41 parameters)
-        val nearDupPairs = graft.operators.NearDup.minhashLsh(
-          sdocs.select(col("doc_id"), col("text")), col("doc_id"), col("text"),
-          numHashes = 12, bands = 3, shingleWidth = 3, threshold = 0.5)
-        val dropped = nearDupPairs.select(col("doc_b").as("doc_id")).distinct()
-        sdocs.join(dropped, Seq("doc_id"), "left_anti")
+        curate(T.documents(s, dir).select(col("doc_id"), col("source"), col("text")))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),
             sum(size(col("tk")).cast("long")).as("total_tokens"))

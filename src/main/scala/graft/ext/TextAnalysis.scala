@@ -148,12 +148,14 @@ object TextAnalysis extends QueryModule {
     QueryDef(
       "q34_fingerprint",
       (s, dir) => {
+        // compiled kernel (was: an aggregate-over-sequence HOF whose
+        // lambda re-evaluated interpreted md5 per position); the oracle
+        // keeps the declarative formulation, the kernel matches it
+        // step for step (HashKernelsSpec asserts equality)
         T.documents(s, dir)
           .select(col("doc_id"), col("source"), X.tokens(col("text")).as("tk"))
           .withColumn("fp",
-            when(size(col("tk")) < 1, lit(0L)).otherwise(
-              aggregate(sequence(lit(1), size(col("tk"))), lit(0L),
-                (acc, i) => (acc + (X.hp(element_at(col("tk"), i)) * i)) % X.P)))
+            graft.functions.HashFunctions.positionalFingerprint(col("tk")))
           .groupBy(col("source"))
           .agg(countDistinct(col("fp")).as("n_fingerprints"),
             count(lit(1)).as("n_docs"),

@@ -85,6 +85,22 @@ object HashKernels {
     out
   }
 
+  /** Positional document fingerprint: Σ_i (md5h60(token_i) mod P)·i
+    * mod P over 1-based positions, 0 for empty — matches the HOF
+    * formulation in q34 (and its DuckDB oracle) step for step: the
+    * modulo is applied after every addition, exactly like the fold. */
+  def positionalFingerprint(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val h = md5h60(tokens.getUTF8String(i)) % P
+      acc = (acc + h * (i + 1)) % P // h < 2^31, i+1 ≤ n → product < 2^62
+      i += 1
+    }
+    acc
+  }
+
   /** All (ids[i], ids[j]) with i<j as struct rows; see SortedIdPairs. */
   def sortedIdPairs(ids: ArrayData): ArrayData = {
     val n = ids.numElements()
@@ -227,6 +243,23 @@ case class SimHash60(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** array<string> tokens → order-sensitive 60-bit-hash positional
+  * fingerprint mod P (bigint). */
+case class PositionalFingerprint(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "positional_fingerprint"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.positionalFingerprint(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.positionalFingerprint($c)")
+
+  override protected def withNewChildInternal(c: Expression): PositionalFingerprint =
+    copy(child = c)
+}
+
 /** array<bigint> of SORTED DISTINCT ids → array<struct<a,b>> of all
   * index pairs i<j (hence a<b). The in-row pair expansion after a
   * bucket group-by: bucket sizes are small but buckets are many, and
@@ -265,4 +298,7 @@ object HashFunctions {
 
   def sortedIdPairs(ids: Column): Column =
     ColumnBridge.column(SortedIdPairs(ColumnBridge.expression(ids)))
+
+  def positionalFingerprint(tokens: Column): Column =
+    ColumnBridge.column(PositionalFingerprint(ColumnBridge.expression(tokens)))
 }

@@ -141,6 +141,19 @@ class VersionedCatalogSpec extends SparkSpec {
     }
   }
 
+  test("vacuumStaging removes crash orphans, committed versions untouched") {
+    withTempDir { dir =>
+      val cat = new VersionedCatalog(spark, dir.toString)
+      cat.writeNext("t", df(1))
+      // simulate a crashed write: a staging dir that never got promoted
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$dir/.staging/t-v9-deadbeef"))
+      assert(cat.vacuumStaging() == 1)
+      assert(cat.vacuumStaging() == 0)
+      assert(cat.latest("t", Some(schema)).collect().map(_.getInt(0)).toSeq == Seq(1))
+    }
+  }
+
   test("schema evolution: an old version reads under a widened schema with nulls") {
     val s = spark
     import s.implicits._

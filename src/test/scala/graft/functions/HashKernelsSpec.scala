@@ -86,6 +86,27 @@ class HashKernelsSpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("PositionalFingerprint == HOF fold incl. empty token lists") {
+    val hofFp = when(size(col("tk")) < 1, lit(0L)).otherwise(
+      aggregate(sequence(lit(1), size(col("tk"))), lit(0L),
+        (acc, i) => (acc + (X.hp(element_at(col("tk"), i)) * i)) % X.P))
+    val both = shingles
+      .withColumn("native", HashFunctions.positionalFingerprint(col("tk")))
+      .withColumn("hof", hofFp)
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    val s = spark
+    import s.implicits._
+    val edge = Seq(Seq[String](), Seq("a"), Seq("b", "a"), Seq("a", "b"))
+      .toDF("tk")
+      .withColumn("native", HashFunctions.positionalFingerprint(col("tk")))
+      .withColumn("hof", hofFp)
+    assert(edge.filter(col("native") =!= col("hof")).count() == 0)
+    // order sensitivity: ["a","b"] and ["b","a"] fingerprint differently
+    val fps = edge.filter(size(col("tk")) === 2).select("native")
+      .collect().map(_.getLong(0))
+    assert(fps.distinct.length == 2)
+  }
+
   test("md5h60 matches conv(substring(md5,1,15),16,10) exactly") {
     val df = graft.Tables.documents(spark, dir)
       .select(X.tokens(col("text")).as("tk"))
