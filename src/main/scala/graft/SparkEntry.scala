@@ -11,7 +11,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
-    ops.Relational, ops.PipelineOps, streaming.StreamingOps,
+    ops.Relational, ops.PipelineOps, ops.Checks, streaming.StreamingOps,
     ext.TextAnalysis, ext.Dedup, ext.Similarity, ext.Multimodal, ext.Curation)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
