@@ -169,12 +169,13 @@ object Dedup extends QueryModule {
               "transform(sequence(0, 3), b -> struct(b AS band, shiftright(sim, b*15) % 32768 AS bval))"))
               .as("bd"))
           .select(col("ds"), col("bd.band").as("band"), col("bd.bval").as("bval"))
+        // compiled in-bucket expansion (ids sorted by doc_id, sim rides
+        // along) — was an interpreted nested-transform HOF allocating a
+        // struct per candidate
         graft.operators.NearDup.cappedBuckets(
             bands, Seq("band", "bval"), "ds", 1024, "simhash_bucket_cap")
-          .select(explode(expr(
-            "filter(flatten(transform(ids, a -> transform(ids, b -> " +
-              "struct(a.doc_id AS doc_a, b.doc_id AS doc_b, a.sim AS sa, b.sim AS sb)))), " +
-              "p -> p.doc_a < p.doc_b)")).as("p"))
+          .select(explode(
+            graft.functions.HashFunctions.sortedPayloadPairs(col("ids"))).as("p"))
           .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
             col("p.sa").as("sa"), col("p.sb").as("sb"))
           .distinct()

@@ -125,6 +125,39 @@ object HashKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Pair expansion carrying a payload: array<struct<id,v>> sorted by id
+    * → (id_i, id_j, v_i, v_j) for all i<j — the SimHash bucket shape,
+    * where v rides along so no verify join-back is needed. Same Long
+    * pair-count guard as [[sortedIdPairs]]. */
+  def sortedPayloadPairs(items: ArrayData): ArrayData = {
+    val n = items.numElements()
+    val pairs = n.toLong * (n - 1) / 2
+    require(pairs <= Int.MaxValue,
+      s"sortedPayloadPairs: bucket of $n items expands to $pairs pairs; cap buckets upstream")
+    val ids = new Array[Long](n)
+    val vs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val r = items.getStruct(i, 2)
+      ids(i) = r.getLong(0)
+      vs(i) = r.getLong(1)
+      i += 1
+    }
+    val out = new Array[Any](pairs.toInt)
+    var k = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        out(k) = org.apache.spark.sql.catalyst.InternalRow(ids(i), ids(j), vs(i), vs(j))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 object TextKernels {
@@ -283,6 +316,28 @@ case class SortedIdPairs(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** array<struct<id:bigint, v:bigint>> sorted by id → array<struct<
+  * doc_a, doc_b, sa, sb>> of all index pairs i<j with payloads. */
+case class SortedPayloadPairs(child: Expression) extends UnaryExpression {
+  private val structType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_a", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("doc_b", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("sa", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("sb", LongType, nullable = false)))
+  override def dataType: DataType = ArrayType(structType, containsNull = false)
+  override def prettyName: String = "sorted_payload_pairs"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.sortedPayloadPairs(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.sortedPayloadPairs($c)")
+
+  override protected def withNewChildInternal(c: Expression): SortedPayloadPairs =
+    copy(child = c)
+}
+
 object HashFunctions {
   def minhashSignature(shingles: Column, k: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shingles), k))
@@ -301,4 +356,7 @@ object HashFunctions {
 
   def positionalFingerprint(tokens: Column): Column =
     ColumnBridge.column(PositionalFingerprint(ColumnBridge.expression(tokens)))
+
+  def sortedPayloadPairs(items: Column): Column =
+    ColumnBridge.column(SortedPayloadPairs(ColumnBridge.expression(items)))
 }

@@ -74,4 +74,32 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(pairs.sorted.toSeq == baseline.sorted.toSeq)
     spark.catalog.clearCache()
   }
+
+  test("n-gram Jaccard df cap: a stopword-shingle shared by 3k docs is dropped, " +
+      "pair work stays bounded") {
+    val s = spark
+    import s.implicits._
+    // every planted doc shares the shingle "the common one" (df = 3000 →
+    // 4.5M pairs uncapped) but is otherwise unique; with the df cap the
+    // degenerate shingle contributes nothing and the job stays small
+    val planted = spark.range(3000)
+      .select((col("id") + 5000000L).as("doc_id"),
+        concat(lit("the common one unique tail "), col("id").cast("string"),
+          lit(" z"), col("id").cast("string"), lit(" w"), col("id").cast("string"))
+          .as("text"))
+    val base = planted.select(col("doc_id"), TextDsl.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), array_distinct(TextDsl.shingles(col("tk"), 3)).as("sh"))
+      .persist()
+    val pairs = graft.operators.NearDup.cappedBuckets(
+        base.select(col("doc_id"), explode(col("sh")).as("s")),
+        Seq("s"), "doc_id", maxBucket = 1024, "smoke_df_cap")
+      .select(explode(graft.functions.HashFunctions.sortedIdPairs(col("ids"))).as("p"))
+      .count()
+    // only the capped (df ≤ 1024) shingles expand; "the common one" (df
+    // 3000) is dropped, so no quadratic blowup — and since every other
+    // shingle is unique to its doc, NO pairs remain at all
+    assert(pairs == 0L)
+    base.unpersist()
+    spark.catalog.clearCache()
+  }
 }

@@ -59,6 +59,25 @@ class HashKernelsSpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("SortedPayloadPairs == HOF nested-transform with payloads") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+        Seq((1L, 10L), (3L, 30L), (9L, 90L)),
+        Seq((5L, 50L)),
+        Seq.empty[(Long, Long)])
+      .toDF("raw")
+      .withColumn("ids", expr("transform(raw, x -> struct(x._1 AS doc_id, x._2 AS sim))"))
+    val hof = expr(
+      "filter(flatten(transform(ids, a -> transform(ids, b -> " +
+        "struct(a.doc_id AS doc_a, b.doc_id AS doc_b, a.sim AS sa, b.sim AS sb)))), " +
+        "p -> p.doc_a < p.doc_b)")
+    val both = df
+      .withColumn("native", HashFunctions.sortedPayloadPairs(col("ids")))
+      .withColumn("hof", hof)
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
   test("MinHashSignature == HOF minhashSig over md5-mod-P hashes") {
     val both = shingles
       .withColumn("native", HashFunctions.minhashSignature(col("sh"), 12))
