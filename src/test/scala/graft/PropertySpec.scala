@@ -131,6 +131,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("asOfLast matches a brute-force as-of on random event/fact sets") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, struct}
+    val caseGen = for {
+      left <- Gen.listOf(for {
+        k <- Gen.choose(0L, 5L); t <- Gen.choose(0L, 40L)
+      } yield (k, t)).suchThat(_.nonEmpty)
+      right <- Gen.listOf(for {
+        k <- Gen.choose(0L, 5L); t <- Gen.choose(0L, 40L); v <- Gen.choose(0L, 9L)
+      } yield (k, t, v))
+    } yield (left.distinct, right.distinct)
+    samples(caseGen, 15).foreach { case (left, right) =>
+      val expect = left.map { case (k, t) =>
+        val m = right.filter(r => r._1 == k && r._2 <= t)
+        (k, t) -> (if (m.isEmpty) None else Some(m.map(r => (r._2, r._3)).max))
+      }.toMap
+      val got = graft.operators.Joins.asOfLast(
+          left.toDF("k", "t"), right.toDF("fk", "ft", "v"),
+          leftKey = col("k"), rightKey = col("fk"),
+          leftTs = col("t"), rightTs = col("ft"),
+          leftPayload = struct(col("t").as("lt")),
+          rightPayload = struct(col("ft"), col("v")),
+          rightOrder = Seq(col("v")))
+        .collect().map { r =>
+          (r.getLong(0), r.getLong(1)) ->
+            (if (r.isNullAt(3)) None
+             else Some((r.getStruct(3).getLong(0), r.getStruct(3).getLong(1))))
+        }.toMap
+      assert(got == expect, s"left=$left right=$right")
+    }
+  }
+
   test("minhash signature values are < P and permutation-count wide") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.unsafe.types.UTF8String
