@@ -117,6 +117,15 @@ final class VersionedCatalog(
     val cols = base.columns.toSeq
     require(updates.columns.toSeq == cols,
       s"catalog merge: update schema ${updates.columns.toSeq} != table schema $cols")
+    // One row per key or the full_outer join would fan out and persist
+    // duplicates into the new version. Which duplicate should win is
+    // caller knowledge (an ordering column), so fail fast instead of
+    // picking one nondeterministically. One cheap validation agg.
+    val dupKeys = updates.groupBy(keys.map(org.apache.spark.sql.functions.col): _*)
+      .count().filter(org.apache.spark.sql.functions.col("count") > 1).limit(1).count()
+    require(dupKeys == 0,
+      s"catalog merge: updates carry duplicate keys on ${keys.mkString(",")}; " +
+        "reduce to one row per key first (last-wins needs a caller-defined order)")
     val b = base.select(struct(cols.map(col): _*).as("_b") +: keys.map(col): _*)
     val u = updates.select(struct(cols.map(col): _*).as("_u") +: keys.map(col): _*)
     val merged = b.join(u, keys, "full_outer")

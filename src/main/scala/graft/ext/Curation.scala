@@ -51,13 +51,19 @@ object Curation extends QueryModule {
           + (lit(1.0) - col("short_hits").cast("double") / col("n").cast("double")) * 0.2)
       .withColumn("hits",
         size(array_intersect(array_distinct(col("tk")), X.stopwordsArr)))
+    // persisted: kept feeds both the exact-dedup group-by and the
+    // survivor join; sdocs feeds near-dup candidate generation AND the
+    // final anti-join — without these, the tokenize+scoring pipeline
+    // re-evaluates up to 4× (the same checkpoint convention as the
+    // signature tables in NearDup/Dedup)
     val kept = scored.filter(col("quality") >= minQuality && col("hits") >= minStopHits)
+      .persist()
     // exact dedup: keep the min-id doc per normalized text
     val survivors = kept
       .withColumn("norm", concat_ws(" ", col("tk")))
       .groupBy(col("norm")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val sdocs = kept.join(survivors, "doc_id")
+    val sdocs = kept.join(survivors, "doc_id").persist()
     // near-dup removal among survivors (q41 parameters)
     val nearDupPairs = graft.operators.NearDup.minhashLsh(
       sdocs.select(col("doc_id"), col("text")), col("doc_id"), col("text"),

@@ -227,9 +227,12 @@ object Multimodal extends QueryModule {
       },
       Some("""
         SELECT media_id,
-               greatest(1, CAST(floor(len * least(1.0,
-                 (64.0 * 64.0) / greatest(1.0, CAST(w AS DOUBLE) * CAST(h AS DOUBLE))
-               )) AS BIGINT)) AS resized_bytes,
+               -- empty payloads stay empty: take(max(1,0)) of zero bytes is
+               -- zero bytes, so the 1-byte floor only applies to len > 0
+               CASE WHEN len = 0 THEN 0 ELSE
+                 greatest(1, CAST(floor(len * least(1.0,
+                   (64.0 * 64.0) / greatest(1.0, CAST(w AS DOUBLE) * CAST(h AS DOUBLE))
+                 )) AS BIGINT)) END AS resized_bytes,
                CAST(64 AS BIGINT) AS width, CAST(64 AS BIGINT) AS height
         FROM (SELECT doc_id AS media_id,
                      CAST(octet_length(encode(text)) AS BIGINT) AS len,

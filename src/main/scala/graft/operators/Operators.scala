@@ -63,9 +63,14 @@ object Joins {
     val lpType = left.select(leftPayload.as("_lp")).schema.head.dataType
     val ordCol = if (rightOrder.nonEmpty) struct(rightOrder: _*) else lit(0)
     val ordType = right.select(ordCol.as("_o")).schema.head.dataType
+    // Null-keyed right rows can never match in join semantics (null ===
+    // null is false), but Window.partitionBy groups all nulls into one
+    // partition — drop them so a null-keyed left row gets a null asof,
+    // exactly like the join formulation, not a phantom match.
     val r = right.select(rightKey.as("_k"), rightTs.as("_ts"),
       lit(0).as("_side"), ordCol.as("_ord"),
       lit(null).cast(lpType).as("_lp"), rightPayload.as("_p"))
+      .filter(col("_k").isNotNull)
     val l = left.select(leftKey.as("_k"), leftTs.as("_ts"),
       lit(1).as("_side"), lit(null).cast(ordType).as("_ord"),
       leftPayload.as("_lp"), lit(null).cast(pType).as("_p"))

@@ -36,10 +36,11 @@ object Checks extends QueryModule {
       count(lit(1)) - count(col(c))).as("r"))
       .select("r.*")
 
-  /** Rows violating an arbitrary row predicate. */
+  /** Rows violating an arbitrary row predicate. coalesce: sum over an
+    * empty table is NULL, and an empty table violates nothing. */
   def satisfies(df: DataFrame, entity: String, name: String, pred: Column): DataFrame =
     df.agg(report(entity, name,
-      sum(when(pred, 0L).otherwise(1L))).as("r"))
+      coalesce(sum(when(pred, 0L).otherwise(1L)), lit(0L))).as("r"))
       .select("r.*")
 
   /** Orphaned child rows (childKey value absent from parentKey). */

@@ -251,10 +251,18 @@ object EventPipelines {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val expected = id.toInt + 1
-        if (cat.nextVersion(step) == expected) {
+        val next = cat.nextVersion(step)
+        if (next == expected) {
           val v = cat.writeNext(step, batch)
           require(v == expected, s"catalog sink: committed v$v, expected v$expected")
-        } // else: replay of an already-committed epoch — skip, idempotent
+        } else if (next < expected) {
+          // catalog is BEHIND the checkpoint (root wiped/moved, retention
+          // mishap): skipping would silently drop every future epoch —
+          // fail fast; the operator must reconcile checkpoint vs catalog
+          throw new IllegalStateException(
+            s"catalog sink: step $step is at v${next - 1} but epoch $id expects " +
+              s"v$expected — catalog/checkpoint desync, refusing to drop data")
+        } // else next > expected: replay of a committed epoch — skip, idempotent
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -266,7 +274,12 @@ object EventPipelines {
     * maintained materialized table. Epoch markers make replays skip;
     * a failure between merge-commit and marker replays one epoch, which
     * is content-idempotent (the same rows replace themselves) and costs
-    * at most one redundant version. First epoch bootstraps the table. */
+    * at most one redundant version. First epoch bootstraps the table.
+    *
+    * Contract: each epoch must carry at most ONE row per key — reduce
+    * upstream (e.g. max_by on an event-time column) if the source can
+    * emit several changes per key per epoch; merge() fails fast on
+    * duplicate keys rather than persisting a fan-out. */
   def runCatalogMergeSink(
       out: DataFrame,
       checkpoint: String,

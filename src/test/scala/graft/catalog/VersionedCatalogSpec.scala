@@ -110,6 +110,9 @@ class VersionedCatalogSpec extends SparkSpec {
       val nulled = cat.latest("t", Some(kv)).collect()
         .find(_.getInt(0) == 1).get
       assert(nulled.isNullAt(1))
+      // duplicate update keys would fan out through the join: fail fast
+      intercept[IllegalArgumentException](cat.merge("t",
+        Seq((5, "x"), (5, "y")).toDF("k", "v"), Seq("k"), Some(kv)))
     }
   }
 

@@ -81,6 +81,19 @@ class OperatorsSpec extends SparkSpec {
     assert(out.length == 1 && out.head.isNullAt(3))
   }
 
+  test("asOfLast: null keys never match (join semantics, not window-null grouping)") {
+    val s = spark
+    import s.implicits._
+    val events = Seq((Option.empty[Long], 10L, "nk")).toDF("eid", "t", "tag")
+    val facts = Seq((Option.empty[Long], 5L, "phantom")).toDF("fid", "ft", "v")
+    val out = Joins.asOfLast(events, facts,
+      col("eid"), col("fid"), col("t"), col("ft"),
+      struct(col("tag")), struct(col("v"))).collect()
+    // null === null is false in a join: the null-keyed left row must NOT
+    // pick up the null-keyed right row
+    assert(out.length == 1 && out.head.isNullAt(3))
+  }
+
   test("NearDup.exact keeps min-id survivor with copy counts") {
     val s = spark
     import s.implicits._

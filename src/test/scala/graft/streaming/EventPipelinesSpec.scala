@@ -275,6 +275,18 @@ class EventPipelinesSpec extends SparkSpec {
       val all = (1 to 3).flatMap(v =>
         cat.read("events", v, Some(schema)).collect().map(_.getLong(0)))
       assert(all.sorted == Seq(1L, 2L, 3L, 4L, 5L))
+
+      // catalog behind the checkpoint (root wiped): fail fast, never
+      // silently drop epochs
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/events"), true)
+      writeInput("d.json", Seq(6))
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        EventPipelines.runCatalogSink(stream, ckpt, cat, "events")
+      }
+      assert(err.getMessage.contains("desync") ||
+        Option(err.getCause).exists(_.getMessage.contains("desync")))
     }
   }
 
