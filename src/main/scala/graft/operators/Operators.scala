@@ -200,42 +200,24 @@ object NearDup {
 
 object SimilarityJoin {
 
-  /** IVF (inverted-file) ANN top-k: a KMeans index partitions the
-    * corpus into `nCells` cells; each query scores only the `nProbe`
-    * cells whose centroids are nearest, then exact integer-scaled
-    * cosine re-ranks the candidates. The scale path when LSH recall is
-    * poor (e.g. near-orthogonal embeddings): cell assignment is one
-    * MLlib fit + one transform, probing is a broadcast of nCells
-    * centroids, and the candidate join shuffles only cell ids.
-    *
-    * Not oracle-expressible (KMeans lives in Spark only) — semantics
-    * are covered by SimilarityIvfSpec: exact scores, per-query rank
-    * monotonicity, and recall vs the brute-force baseline. */
-  def ivfTopK(
-      vecs: DataFrame, id: Column, vec: Column,
-      queryPred: Column, nCells: Int = 16, nProbe: Int = 4,
-      k: Int = 3, seed: Long = 42L, fitSampleCap: Long = 100000L): DataFrame = {
+  /** Build the IVF index: sampled KMeans fit, returned as the index AS
+    * DATA — a tiny (cell, centroid) DataFrame. Persist it through the
+    * versioned catalog (`parquet` format) and the serving path never
+    * touches an ML library again: build once, probe many times, time-
+    * travel old indexes. Fit input is bounded by `fitSampleCap` —
+    * centroid quality needs a representative sample, not the corpus; at
+    * 100 TB a full-corpus fit is nCells×iters full scans. */
+  def ivfBuildIndex(
+      vecs: DataFrame, vec: Column, nCells: Int = 16,
+      seed: Long = 42L, fitSampleCap: Long = 100000L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.vector_to_array
-    import org.apache.spark.sql.expressions.Window
-
-    val base = vecs
-      .select(id.as("doc_id"), X.scaledVec(vec).as("v"),
-        org.apache.spark.ml.functions.array_to_vector(
-          vec.cast("array<double>")).as("features"),
-        queryPred.as("is_query"))
-      .withColumn("n2", X.norm2Int(col("v")))
-    // Index build fits on a bounded sample: centroid quality needs a
-    // representative sample, not the corpus — at 100 TB a full-corpus fit
-    // is nCells×iters full scans. Assignment still transforms every row.
-    // Corpora under the cap (and every test fixture) fit on all rows, so
-    // sampling never changes small-scale results.
-    val nRows = vecs.count() // row-count only: pure select, so |base| == |vecs|,
-                             // and a bare count answers from parquet metadata
+    val features = vecs.select(
+      org.apache.spark.ml.functions.array_to_vector(
+        vec.cast("array<double>")).as("features"))
+    val nRows = vecs.count() // bare count answers from parquet metadata
     val fitInput =
-      if (nRows <= fitSampleCap) base.select(col("features"))
-      else base.select(col("features"))
-        .sample(withReplacement = false, fitSampleCap.toDouble / nRows, seed)
+      if (nRows <= fitSampleCap) features
+      else features.sample(withReplacement = false, fitSampleCap.toDouble / nRows, seed)
     val model = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("features")
       .setMaxIter(8) // index build: cell quality plateaus early, recall
                      // comes from nProbe — don't pay 20 default iters
@@ -243,20 +225,67 @@ object SimilarityJoin {
                              // passes; on a representative sample random
                              // init converges to equivalent cell quality
       .fit(fitInput)
-    val assigned = model.transform(base)
-      .select(col("doc_id"), col("v"), col("n2"), col("is_query"),
-        vector_to_array(col("features")).as("fd"),
-        col("prediction").as("cell"))
-      .persist()
-
-    // nCells centroids → a literal probe table: for each query, the
-    // nProbe cells with the nearest centroid (squared L2 on doubles).
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.toSeq)
-    }.toSeq
     val spark = vecs.sparkSession
     import spark.implicits._
-    val centDf = centroids.toDF("cell_probe", "centroid")
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+  }
+
+  /** IVF (inverted-file) ANN top-k: the index partitions the corpus into
+    * cells; each query scores only the `nProbe` cells whose centroids
+    * are nearest, then exact integer-scaled cosine re-ranks candidates.
+    * The scale path when LSH recall is poor (near-orthogonal vectors).
+    *
+    * Serving is ML-library-free: cell assignment is a map-side argmin
+    * HOF over the centroid array (zero shuffle), probing broadcasts the
+    * same nCells rows, and the candidate join shuffles cell ids only.
+    *
+    * Not oracle-expressible (the KMeans fit) — semantics covered by
+    * SimilarityIvfSpec: exact scores, rank monotonicity, recall vs
+    * brute force, and index round-trip through the catalog. */
+  def ivfTopK(
+      vecs: DataFrame, id: Column, vec: Column,
+      queryPred: Column, nCells: Int = 16, nProbe: Int = 4,
+      k: Int = 3, seed: Long = 42L, fitSampleCap: Long = 100000L): DataFrame =
+    ivfTopKServing(vecs, id, vec, queryPred,
+      ivfBuildIndex(vecs, vec, nCells, seed, fitSampleCap), nProbe, k)
+
+  /** Serve ANN top-k from a persisted (cell, centroid) index table. */
+  def ivfTopKServing(
+      vecs: DataFrame, id: Column, vec: Column, queryPred: Column,
+      centroidsDf: DataFrame, nProbe: Int = 4, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    // nCells rows — the index is driver-small by construction; collect
+    // once to build the assignment expression (same data the probe side
+    // broadcasts).
+    val cents = centroidsDf.select(col("cell").cast("int"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val centArr = array(cents.map { case (i, c) =>
+      struct(lit(i).as("cell"), array(c.map(lit): _*).as("ctr")) }: _*)
+    // map-side argmin over the centroid array: fold carrying (best dist,
+    // best cell); strict < keeps the lowest cell index on ties
+    val assignExpr = aggregate(centArr,
+      struct(lit(Double.MaxValue).as("d"), lit(-1).as("cell")),
+      (acc, e) => {
+        val d = aggregate(zip_with(col("fd"), e.getField("ctr"),
+          (a, b) => (a - b) * (a - b)), lit(0.0d), (x, y) => x + y)
+        when(d < acc.getField("d"),
+          struct(d.as("d"), e.getField("cell").as("cell"))).otherwise(acc)
+      }).getField("cell")
+
+    val assigned = vecs
+      .select(id.as("doc_id"), X.scaledVec(vec).as("v"),
+        vec.cast("array<double>").as("fd"), queryPred.as("is_query"))
+      .withColumn("n2", X.norm2Int(col("v")))
+      .withColumn("cell", assignExpr)
+      .persist()
+
+    val centDf = centroidsDf.select(
+      col("cell").cast("int").as("cell_probe"), col("centroid"))
     val probeW = Window.partitionBy(col("doc_id")).orderBy(col("dist"), col("cell_probe"))
     val probes = assigned.filter(col("is_query"))
       .select(col("doc_id"), col("fd"))

@@ -39,6 +39,23 @@ class SimilarityIvfSpec extends SparkSpec {
     }
   }
 
+  test("index round-trips through the versioned catalog; serving is fit-free") {
+    val vecs = graft.Tables.embeddings(spark, dir)
+    val centroids = graft.operators.SimilarityJoin.ivfBuildIndex(
+      vecs, col("embedding"), nCells = 16)
+    val dirTmp = java.nio.file.Files.createTempDirectory("graft-ivf-").toString
+    val cat = new graft.catalog.VersionedCatalog(spark, dirTmp, format = "parquet")
+    cat.writeNext("ivf_index", centroids)
+    val reloaded = cat.latest("ivf_index")
+    val served = graft.operators.SimilarityJoin.ivfTopKServing(
+        vecs, col("vec_id"), col("embedding"),
+        queryPred = col("vec_id") < 50, reloaded, nProbe = 4, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(served.sortBy(r => (r._1, r._2)).toSeq ==
+      ivf.sortBy(r => (r._1, r._2)).toSeq) // identical to the build+serve path
+    spark.catalog.clearCache()
+  }
+
   test("recall@3 vs brute force is substantial even on near-orthogonal vectors") {
     val bruteTop = brute.toSeq.groupBy(_._1._1).map { case (q, entries) =>
       q -> entries.sortBy { case ((_, n), cos) => (-cos, n) }.take(3)
