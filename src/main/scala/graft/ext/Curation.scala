@@ -122,6 +122,71 @@ object Curation extends QueryModule {
                   WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
         SELECT source, COUNT(*) AS n_docs,
                CAST(SUM(len(tk)) AS BIGINT) AS total_tokens
-        FROM final GROUP BY source ORDER BY source"""))
+        FROM final GROUP BY source ORDER BY source""")),
+
+    // ------------------------------------------------------------------
+    // q47: sequence packing — the concat-and-chunk pass that turns a
+    // curated corpus into fixed-token-budget training sequences. Docs
+    // are packed per SHARD (source) in deterministic doc_id order via a
+    // running token cumsum; a doc's bin is where its first token lands.
+    // Scale shape: packing is windowed WITHIN each shard (shards are
+    // independent — the whole corpus never needs a global order), one
+    // sort shuffle on (source), then a partial-aggregable group-by.
+    QueryDef(
+      "q47_sequence_packing",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val budget = 512L
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        T.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            size(X.tokens(col("text"))).cast("long").as("n_tokens"))
+          .withColumn("cum", sum(col("n_tokens")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("bin", ((col("cum") - col("n_tokens")) / budget).cast("long"))
+          .groupBy(col("source"), col("bin"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+          .orderBy(col("source"), col("bin"))
+      },
+      Some(s"""
+        SELECT source, bin, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+        FROM (SELECT source,
+                     CAST((cum - n_tokens) // 512 AS BIGINT) AS bin, n_tokens
+              FROM (SELECT source, doc_id,
+                           CAST(len(${X.tokensSql("text")}) AS BIGINT) AS n_tokens,
+                           SUM(CAST(len(${X.tokensSql("text")}) AS BIGINT)) OVER (
+                             PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                    FROM documents))
+        GROUP BY source, bin ORDER BY source, bin""")),
+
+    // ------------------------------------------------------------------
+    // q48: deterministic train/val/test split — md5-residue assignment
+    // (engine-independent, reproducible, stable under retries and across
+    // engines; the 3-way extension of q37's sampling). 90/5/5 by hash
+    // residue mod 20; map-side only + one partial-aggregable group-by.
+    QueryDef(
+      "q48_train_val_test",
+      (s, dir) => {
+        val r = X.hp(col("doc_id").cast("string")) % 20
+        T.documents(s, dir)
+          .select(col("source"),
+            when(r <= 17, "train").when(r === 18, "val").otherwise("test")
+              .as("split"),
+            col("n_chars"))
+          .groupBy(col("source"), col("split"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("split_chars"))
+          .orderBy(col("source"), col("split"))
+      },
+      Some(s"""
+        SELECT source,
+               CASE WHEN r <= 17 THEN 'train' WHEN r = 18 THEN 'val'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS split_chars
+        FROM (SELECT source, n_chars,
+                     ${X.hpSql("CAST(doc_id AS VARCHAR)")} % 20 AS r
+              FROM documents)
+        GROUP BY source, split ORDER BY source, split"""))
   )
 }
