@@ -187,6 +187,43 @@ object Curation extends QueryModule {
         FROM (SELECT source, n_chars,
                      ${X.hpSql("CAST(doc_id AS VARCHAR)")} % 20 AS r
               FROM documents)
-        GROUP BY source, split ORDER BY source, split"""))
+        GROUP BY source, split ORDER BY source, split""")),
+
+    // ------------------------------------------------------------------
+    // q49: mixture rebalancing — sqrt-smoothed per-source sampling (the
+    // temperature/alpha-sampling move that keeps big sources from
+    // drowning small ones): rate_s ∝ sqrt(n_s)/n_s, realized as a
+    // deterministic md5-residue threshold so the SAMPLE itself (not
+    // just the rates) is reproducible. Two passes: a tiny per-source
+    // count aggregate (broadcast back), then one map-side filter —
+    // the thresholds are floor'd products of exact counts, so both
+    // engines compute identical integers.
+    QueryDef(
+      "q49_mixture_sample",
+      (s, dir) => {
+        val docs = T.documents(s, dir)
+        val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val mx = counts.agg(max(sqrt(col("n").cast("double"))).as("mx"))
+        val thresholds = counts.crossJoin(broadcast(mx))
+          .select(col("source"),
+            floor(lit(10000.0) * sqrt(col("n").cast("double")) / col("mx"))
+              .cast("long").as("thr"))
+        docs.join(broadcast(thresholds), "source")
+          .filter(X.hp(col("doc_id").cast("string")) % 10000 < col("thr"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+        m AS (SELECT MAX(sqrt(CAST(n AS DOUBLE))) AS mx FROM counts),
+        th AS (SELECT source,
+                      CAST(floor(10000.0 * sqrt(CAST(n AS DOUBLE)) / mx) AS BIGINT) AS thr
+               FROM counts, m)
+        SELECT d.source, COUNT(*) AS n_kept,
+               CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+        FROM documents d JOIN th ON th.source = d.source
+        WHERE ${X.hpSql("CAST(doc_id AS VARCHAR)")} % 10000 < thr
+        GROUP BY d.source ORDER BY d.source"""))
   )
 }
