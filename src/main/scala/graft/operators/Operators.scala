@@ -264,18 +264,13 @@ object SimilarityJoin {
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
       .sortBy(_._1)
-    val centArr = array(cents.map { case (i, c) =>
-      struct(lit(i).as("cell"), array(c.map(lit): _*).as("ctr")) }: _*)
-    // map-side argmin over the centroid array: fold carrying (best dist,
-    // best cell); strict < keeps the lowest cell index on ties
-    val assignExpr = aggregate(centArr,
-      struct(lit(Double.MaxValue).as("d"), lit(-1).as("cell")),
-      (acc, e) => {
-        val d = aggregate(zip_with(col("fd"), e.getField("ctr"),
-          (a, b) => (a - b) * (a - b)), lit(0.0d), (x, y) => x + y)
-        when(d < acc.getField("d"),
-          struct(d.as("d"), e.getField("cell").as("cell"))).otherwise(acc)
-      }).getField("cell")
+    require(cents.zipWithIndex.forall { case ((cell, _), i) => cell == i },
+      "ivf serving: centroid table must carry contiguous cell ids 0..n-1")
+    // map-side argmin as a compiled kernel (row index = cell id); ties
+    // resolve to the lowest cell index
+    val matrix = cents.map(_._2.toArray)
+    val assignExpr =
+      graft.functions.VectorIndexFunctions.nearestCentroid(col("fd"), matrix)
 
     val assigned = vecs
       .select(id.as("doc_id"), X.scaledVec(vec).as("v"),
