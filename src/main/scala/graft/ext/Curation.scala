@@ -224,6 +224,65 @@ object Curation extends QueryModule {
                CAST(SUM(n_chars) AS BIGINT) AS kept_chars
         FROM documents d JOIN th ON th.source = d.source
         WHERE ${X.hpSql("CAST(doc_id AS VARCHAR)")} % 10000 < thr
-        GROUP BY d.source ORDER BY d.source"""))
+        GROUP BY d.source ORDER BY d.source""")),
+
+    // ------------------------------------------------------------------
+    // q56: decontamination — flag test-split documents sharing any
+    // 5-gram with ANY train-split document (the q48 hash split). The
+    // overlap join runs on 60-bit shingle HASHES, not strings: the
+    // shuffle carries 8 bytes per shingle and both engines hash
+    // identically, so results stay bit-comparable (a hash collision
+    // would affect both sides the same way). Train shingles are
+    // distinct-reduced before the join — partial aggregation makes that
+    // exchange ∝ unique shingles; at 100 TB the train side would also
+    // get a df cap + bloom pre-filter, same machinery as q43.
+    QueryDef(
+      "q56_decontamination",
+      (s, dir) => {
+        val split = X.hp(col("doc_id").cast("string")) % 20
+        val sh = T.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            when(split <= 17, "train").when(split === 18, "val").otherwise("test")
+              .as("split"),
+            explode(array_distinct(
+              X.shingles(X.tokens(col("text")), 5))).as("s"))
+          .withColumn("h", X.h60(col("s")))
+        val trainSh = sh.filter(col("split") === "train")
+          .select(col("h")).distinct()
+        val contaminated = sh.filter(col("split") === "test")
+          .join(trainSh, "h")
+          .select(col("doc_id"), col("source")).distinct()
+        val testDocs = T.documents(s, dir)
+          .filter(split === 19)
+          .groupBy(col("source")).agg(count(lit(1)).as("n_test_docs"))
+        testDocs
+          .join(contaminated.groupBy(col("source"))
+            .agg(count(lit(1)).as("n_contaminated")), Seq("source"), "left")
+          .select(col("source"), col("n_test_docs"),
+            coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH toks AS (SELECT doc_id, source,
+                        CASE WHEN ${X.hpSql("CAST(doc_id AS VARCHAR)")} % 20 <= 17 THEN 'train'
+                             WHEN ${X.hpSql("CAST(doc_id AS VARCHAR)")} % 20 = 18 THEN 'val'
+                             ELSE 'test' END AS split,
+                        ${X.tokensSql("text")} AS tk
+                      FROM documents),
+        sh AS (SELECT doc_id, source, split, ${X.h60Sql("s")} AS h
+               FROM (SELECT doc_id, source, split,
+                            unnest(list_distinct(${X.shinglesSql("tk", 5)})) AS s
+                     FROM toks)),
+        train_h AS (SELECT DISTINCT h FROM sh WHERE split = 'train'),
+        cont AS (SELECT DISTINCT t.doc_id, t.source
+                 FROM sh t JOIN train_h ON t.h = train_h.h
+                 WHERE t.split = 'test')
+        SELECT td.source, td.n_test_docs,
+               COALESCE(c.n_contaminated, 0) AS n_contaminated
+        FROM (SELECT source, COUNT(*) AS n_test_docs FROM toks
+              WHERE split = 'test' GROUP BY source) td
+        LEFT JOIN (SELECT source, COUNT(*) AS n_contaminated
+                   FROM cont GROUP BY source) c USING (source)
+        ORDER BY td.source"""))
   )
 }
