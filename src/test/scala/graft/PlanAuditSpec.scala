@@ -23,6 +23,9 @@ class PlanAuditSpec extends SparkSpec {
   private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
     val here = p match {
       case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)
+      // materialized stages hide their subtree behind a childless wrapper
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        collectAll(q.plan)
       case _ => Seq(p)
     }
     here ++ p.children.flatMap(collectAll) ++
@@ -85,9 +88,20 @@ class PlanAuditSpec extends SparkSpec {
       s"no map-side partial aggregation:\n${plan.treeString.take(1500)}")
   }
 
+  test("dimension joins broadcast (q03): no shuffle on the small side") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val df = SparkEntry.queries("q03_region_revenue")(spark, "/root/testdata/sf0.001")
+    df.collect() // finalize AQE
+    val broadcasts = collectAll(df.queryExecution.executedPlan)
+      .collect { case b: BroadcastHashJoinExec => b }
+    assert(broadcasts.nonEmpty,
+      "q03's region/nation dims should join as BroadcastHashJoin")
+  }
+
   test("whole-stage codegen is present in the relational plans") {
     Seq("q01_pricing_summary", "q03_region_revenue", "q05_top_urgent_revenue",
-      "q13_top3_orders_per_priority", "q24_asof_last_order")
+      "q13_top3_orders_per_priority", "q24_asof_last_order",
+      "q36_topk_docs_per_source", "q39_exact_stats", "q47_sequence_packing")
       .foreach { name =>
         val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
         df.collect() // finalize AQE on THIS plan (count() builds another)

@@ -10,6 +10,8 @@ class BucketedSpec extends SparkSpec {
   private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
     val here = p match {
       case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        collectAll(q.plan) // a shuffle hidden in a stage must still fail
       case _ => Seq(p)
     }
     here ++ p.children.flatMap(collectAll)
