@@ -90,6 +90,36 @@ object Checks extends QueryModule {
                  CAST(SUM(CASE WHEN c_acctbal > -1000.0 THEN 0 ELSE 1 END) AS BIGINT),
                  SUM(CASE WHEN c_acctbal > -1000.0 THEN 0 ELSE 1 END) = 0
           FROM customer)
-        ORDER BY entity, chk"""))
+        ORDER BY entity, chk""")),
+
+    // q69: column profiling — non-null and distinct cardinality per
+    // column in ONE aggregation pass over the table (the stack() unpivot
+    // runs on the single aggregated row, so profiling n columns costs
+    // one scan, not n). The first step of any ingest review.
+    QueryDef(
+      "q69_column_profile",
+      (s, dir) => {
+        val cols = Seq("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        val aggs = cols.flatMap(c => Seq(
+          count(col(c)).as(s"${c}_nn"),
+          count_distinct(col(c)).as(s"${c}_nd")))
+        val stackExpr = s"stack(${cols.length}, " + cols.map(c =>
+          s"'$c', ${c}_nn, ${c}_nd").mkString(", ") +
+          ") AS (col_name, n_nonnull, n_distinct)"
+        T.customer(s, dir)
+          .agg(aggs.head, aggs.tail: _*)
+          .select(expr(stackExpr))
+          .orderBy(col("col_name"))
+      },
+      Some("""
+        SELECT 'c_custkey' AS col_name, COUNT(c_custkey) AS n_nonnull,
+               COUNT(DISTINCT c_custkey) AS n_distinct FROM customer
+        UNION ALL
+        SELECT 'c_name', COUNT(c_name), COUNT(DISTINCT c_name) FROM customer
+        UNION ALL
+        SELECT 'c_acctbal', COUNT(c_acctbal), COUNT(DISTINCT c_acctbal) FROM customer
+        UNION ALL
+        SELECT 'c_mktsegment', COUNT(c_mktsegment), COUNT(DISTINCT c_mktsegment) FROM customer
+        ORDER BY col_name"""))
   )
 }
