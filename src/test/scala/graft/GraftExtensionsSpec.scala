@@ -26,6 +26,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |  simhash60(array('hello')) AS sim,
           |  dot_int64(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS dot
           |""".stripMargin).head()
+      val fp = s.sql(
+        "SELECT positional_fingerprint(tokenize_ascii_lower('a b')) AS fp").head()
+      assert(fp.getLong(0) ==
+        graft.functions.HashKernels.positionalFingerprint(
+          graft.functions.TextKernels.tokenizeAsciiLower(
+            org.apache.spark.unsafe.types.UTF8String.fromString("a b"))))
       // the aggregate registers too: top_k over a grouped SQL query
       val top = s.sql(
         """SELECT g, top_k(v, 2) AS top FROM VALUES
