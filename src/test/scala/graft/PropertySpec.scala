@@ -164,6 +164,50 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("cappedBuckets == plain bucket group-by, minus exactly the oversized buckets") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, collect_list, size, sort_array}
+    val dataGen = Gen.listOf(for {
+      k <- Gen.choose(0L, 8L); m <- Gen.choose(0L, 40L)
+    } yield (k, m)).map(_.distinct).suchThat(_.nonEmpty)
+    samples(dataGen, 12).foreach { rows =>
+      val df = rows.toDF("k", "m")
+      val maxBucket = 4
+      val naive = df.groupBy(col("k"))
+        .agg(sort_array(collect_list(col("m"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val capped = graft.operators.NearDup.cappedBuckets(
+          df, Seq("k"), "m", maxBucket, s"prop_cap_${rows.hashCode.abs}")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(capped == naive.filter(_._2.length <= maxBucket),
+        s"rows=$rows")
+    }
+  }
+
+  test("catalog merge == reference map-merge for random base/update sets") {
+    val s = spark
+    import s.implicits._
+    val caseGen = for {
+      base <- Gen.listOf(Gen.zip(Gen.choose(0, 15), Gen.identifier))
+        .map(_.distinctBy(_._1)).suchThat(_.nonEmpty)
+      ups <- Gen.listOf(Gen.zip(Gen.choose(0, 15), Gen.identifier))
+        .map(_.distinctBy(_._1))
+    } yield (base, ups)
+    samples(caseGen, 6).foreach { case (base, ups) =>
+      withTempDir { dir =>
+        val kv = org.apache.spark.sql.types.StructType.fromDDL("k INT, v STRING")
+        val cat = new graft.catalog.VersionedCatalog(spark, dir.toString)
+        cat.writeNext("t", base.toDF("k", "v"))
+        cat.merge("t", ups.toDF("k", "v"), Seq("k"), Some(kv))
+        val got = cat.latest("t", Some(kv)).collect()
+          .map(r => r.getInt(0) -> r.getString(1)).toMap
+        assert(got == (base.toMap ++ ups.toMap), s"base=$base ups=$ups")
+      }
+    }
+  }
+
   test("minhash signature values are < P and permutation-count wide") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.unsafe.types.UTF8String
