@@ -771,6 +771,44 @@ object Relational extends QueryModule {
         ORDER BY l_returnflag""")),
 
     // ------------------------------------------------------------------
+    // q67: funnel conversion — per user: first view, first click AT OR
+    // AFTER that view, first purchase at or after that click; emitted as
+    // per-stage user counts. Each stage is one groupBy(user) min-agg +
+    // an equi-join on user_id (all three shuffles share the user_id key,
+    // so a user_id-bucketed events table runs the whole funnel exchange-
+    // free); no window over the full event stream is needed.
+    QueryDef(
+      "q67_funnel",
+      (s, dir) => {
+        val e = T.events(s, dir)
+        val viewed = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("ta"))
+        val clicked = e.filter(col("event_type") === "click")
+          .join(viewed, "user_id").filter(col("ts") >= col("ta"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("tb"))
+        val purchased = e.filter(col("event_type") === "purchase")
+          .join(clicked, "user_id").filter(col("ts") >= col("tb"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("tc"))
+        viewed.select(lit("1_view").as("stage"), col("user_id"))
+          .unionAll(clicked.select(lit("2_click").as("stage"), col("user_id")))
+          .unionAll(purchased.select(lit("3_purchase").as("stage"), col("user_id")))
+          .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+          .orderBy(col("stage"))
+      },
+      Some("""
+        WITH a AS (SELECT user_id, MIN(ts) AS ta FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+        b AS (SELECT e.user_id, MIN(ts) AS tb FROM events e JOIN a USING (user_id)
+              WHERE event_type = 'click' AND ts >= ta GROUP BY e.user_id),
+        c AS (SELECT e.user_id, MIN(ts) AS tc FROM events e JOIN b USING (user_id)
+              WHERE event_type = 'purchase' AND ts >= tb GROUP BY e.user_id)
+        SELECT stage, COUNT(*) AS n_users FROM (
+          SELECT '1_view' AS stage, user_id FROM a
+          UNION ALL SELECT '2_click', user_id FROM b
+          UNION ALL SELECT '3_purchase', user_id FROM c)
+        GROUP BY stage ORDER BY stage""")),
+
+    // ------------------------------------------------------------------
     // q26: exact percentiles — Spark's percentile() and DuckDB's
     // quantile_cont share the same definition (sort + linear
     // interpolation at rank (n-1)p), and l_quantity holds small exact
