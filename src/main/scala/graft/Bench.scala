@@ -30,11 +30,16 @@ object Bench {
       spark.catalog.clearCache() // drop per-query persisted intermediates
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver only retains the last ~2000 chars of stdout; a line with 69
+    // full query names and 9-decimal doubles overflows it and fails to parse
+    // (observed in BENCH_r02.json: "parsed": null). Keep the contract line
+    // compact: qNN key prefix, millisecond precision.
+    def f(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
