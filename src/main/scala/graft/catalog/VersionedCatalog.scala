@@ -120,8 +120,13 @@ final class VersionedCatalog(
     // One row per key or the full_outer join would fan out and persist
     // duplicates into the new version. Which duplicate should win is
     // caller knowledge (an ordering column), so fail fast instead of
-    // picking one nondeterministically. One cheap validation agg.
-    val dupKeys = updates.groupBy(keys.map(org.apache.spark.sql.functions.col): _*)
+    // picking one nondeterministically. Null-keyed rows are exempt: the
+    // join never matches them, so each inserts independently — grouping
+    // them together would reject legitimate inputs. Costs one extra
+    // validation pass over `updates` per merge (cheap next to the join).
+    val dupKeys = updates
+      .filter(keys.map(k => col(k).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(org.apache.spark.sql.functions.col): _*)
       .count().filter(org.apache.spark.sql.functions.col("count") > 1).limit(1).count()
     require(dupKeys == 0,
       s"catalog merge: updates carry duplicate keys on ${keys.mkString(",")}; " +

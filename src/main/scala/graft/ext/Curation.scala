@@ -34,7 +34,8 @@ object Curation extends QueryModule {
   def curate(
       docs: org.apache.spark.sql.DataFrame,
       minQuality: Double = 0.25,
-      minStopHits: Int = 2): org.apache.spark.sql.DataFrame = {
+      minStopHits: Int = 2,
+      scope: graft.CacheScope = new graft.CacheScope): org.apache.spark.sql.DataFrame = {
     val toks = docs
       .select(col("doc_id"), col("source"), col("text"),
         X.tokens(col("text")).as("tk"))
@@ -55,19 +56,21 @@ object Curation extends QueryModule {
     // survivor join; sdocs feeds near-dup candidate generation AND the
     // final anti-join — without these, the tokenize+scoring pipeline
     // re-evaluates up to 4× (the same checkpoint convention as the
-    // signature tables in NearDup/Dedup)
+    // signature tables in NearDup/Dedup). Cached through `scope` so a
+    // long-lived caller can release them after the final action.
     val kept = scored.filter(col("quality") >= minQuality && col("hits") >= minStopHits)
-      .persist()
+      .transform(scope.cache)
     // exact dedup: keep the min-id doc per normalized text
     val survivors = kept
       .withColumn("norm", concat_ws(" ", col("tk")))
       .groupBy(col("norm")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val sdocs = kept.join(survivors, "doc_id").persist()
+    val sdocs = kept.join(survivors, "doc_id").transform(scope.cache)
     // near-dup removal among survivors (q41 parameters)
     val nearDupPairs = graft.operators.NearDup.minhashLsh(
       sdocs.select(col("doc_id"), col("text")), col("doc_id"), col("text"),
-      numHashes = 12, bands = 3, shingleWidth = 3, threshold = 0.5)
+      numHashes = 12, bands = 3, shingleWidth = 3, threshold = 0.5,
+      scope = scope)
     val dropped = nearDupPairs.select(col("doc_b").as("doc_id")).distinct()
     sdocs.join(dropped, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"), col("text"), col("tk"))

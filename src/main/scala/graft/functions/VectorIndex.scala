@@ -17,16 +17,24 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
   */
 object VectorIndex {
   def nearestCell(fd: ArrayData, centroids: Array[Array[Double]]): Int = {
+    if (centroids.length == 0)
+      throw new IllegalArgumentException(
+        "nearest_centroid: empty centroid matrix — the IVF index has no cells")
     val dims = fd.numElements()
     var best = -1
     var bestD = Double.MaxValue
     var c = 0
     while (c < centroids.length) {
       val ctr = centroids(c)
+      // fail fast on dimension mismatch: silently truncating the loop
+      // would assign vectors to wrong cells (one length compare per
+      // centroid, negligible next to the dim loop)
+      if (ctr.length != dims)
+        throw new IllegalArgumentException(
+          s"nearest_centroid: vector has $dims dims but centroid $c has ${ctr.length}")
       var d = 0.0
       var i = 0
-      val n = math.min(dims, ctr.length)
-      while (i < n) {
+      while (i < dims) {
         val diff = fd.getDouble(i) - ctr(i)
         d += diff * diff
         i += 1

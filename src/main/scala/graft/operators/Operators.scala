@@ -162,7 +162,8 @@ object NearDup {
   def minhashLsh(
       docs: DataFrame, id: Column, text: Column,
       numHashes: Int = 12, bands: Int = 3, shingleWidth: Int = 3,
-      threshold: Double = 0.5, maxBucket: Int = 1024): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = 1024,
+      scope: graft.CacheScope = new graft.CacheScope): DataFrame = {
     val rows = bands match {
       case b if numHashes % b == 0 => numHashes / b
       case _ => throw new IllegalArgumentException(
@@ -175,7 +176,7 @@ object NearDup {
         array_distinct(X.shingles(col("tk"), shingleWidth)).as("sh"))
       .withColumn("sig", HashFunctions.minhashSignature(col("sh"), numHashes))
       .select(col("doc_id"), col("sh"), col("sig"))
-      .persist()
+      .transform(scope.cache)
     val banded = base.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(bands - 1)), b =>
           struct(b.as("band"),
@@ -254,7 +255,8 @@ object SimilarityJoin {
   /** Serve ANN top-k from a persisted (cell, centroid) index table. */
   def ivfTopKServing(
       vecs: DataFrame, id: Column, vec: Column, queryPred: Column,
-      centroidsDf: DataFrame, nProbe: Int = 4, k: Int = 3): DataFrame = {
+      centroidsDf: DataFrame, nProbe: Int = 4, k: Int = 3,
+      scope: graft.CacheScope = new graft.CacheScope): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
     // nCells rows — the index is driver-small by construction; collect
@@ -269,6 +271,8 @@ object SimilarityJoin {
     // map-side argmin as a compiled kernel (row index = cell id); ties
     // resolve to the lowest cell index
     val matrix = cents.map(_._2.toArray)
+    require(matrix.nonEmpty && matrix.forall(_.length == matrix.head.length),
+      "ivf serving: centroid table is empty or carries mixed dimensionalities")
     val assignExpr =
       graft.functions.VectorIndexFunctions.nearestCentroid(col("fd"), matrix)
 
@@ -277,7 +281,7 @@ object SimilarityJoin {
         vec.cast("array<double>").as("fd"), queryPred.as("is_query"))
       .withColumn("n2", X.norm2Int(col("v")))
       .withColumn("cell", assignExpr)
-      .persist()
+      .transform(scope.cache)
 
     val centDf = centroidsDf.select(
       col("cell").cast("int").as("cell_probe"), col("centroid"))
@@ -316,11 +320,12 @@ object SimilarityJoin {
   def cosineLsh(
       vecs: DataFrame, id: Column, vec: Column,
       bands: Int = 4, bitsPerBand: Int = 4,
-      threshold: Double = 0.4, maxBucket: Int = 1024): DataFrame = {
+      threshold: Double = 0.4, maxBucket: Int = 1024,
+      scope: graft.CacheScope = new graft.CacheScope): DataFrame = {
     val base = vecs
       .select(id.as("doc_id"), X.scaledVec(vec).as("v"))
       .withColumn("n2", X.norm2Int(col("v")))
-      .persist()
+      .transform(scope.cache)
     val banded = base.select(col("doc_id"), explode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> struct(b AS band, " +
           s"aggregate(sequence(1, $bitsPerBand), 0L, (acc, i) -> acc + " +

@@ -135,50 +135,65 @@ object EventPipelines {
   final case class UserSession(
       user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
 
-  /** Custom sessionization with EVENT-TIME TIMERS: each event extends
-    * the open session and re-arms a timer at lastEvent + gap; when the
-    * watermark passes the timer, the session is emitted and state
-    * cleared. This is what session_window() does internally, exposed as
-    * an extension point for session logic the built-in can't express
+  /** Custom sessionization with EVENT-TIME TIMERS, equivalent to
+    * session_window(): state per key is the LIST of not-yet-final
+    * sessions. Each event is a single-point interval; intervals whose
+    * gap is <= gapMs merge (so two bursts hours apart in ONE microbatch
+    * stay two sessions — results are batch-boundary independent, and a
+    * late-but-in-watermark event can still extend a buffered session).
+    * One timer per key at earliest(session_end) + gap; when the
+    * watermark passes it, sessions whose gap horizon is behind the
+    * watermark are emitted and dropped, the rest re-arm. Exposed as an
+    * extension point for session logic the built-in can't express
     * (per-key dynamic gaps, emit-on-update, session enrichment). State
-    * per key is one small value + one timer — watermark-bounded. */
+    * per key is O(open sessions), watermark-bounded. */
   class SessionTimerProcessor(gapMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserSession] {
-    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, TimerValues, TTLConfig}
     import org.apache.spark.sql.{Encoders, streaming}
-    @transient private var sess: ValueState[UserSession] = _
+    @transient private var sess: ListState[UserSession] = _
 
     override def init(outputMode: streaming.OutputMode,
         timeMode: streaming.TimeMode): Unit =
-      sess = getHandle.getValueState[UserSession](
-        "session", Encoders.product[UserSession], TTLConfig.NONE)
+      sess = getHandle.getListState[UserSession](
+        "sessions", Encoders.product[UserSession], TTLConfig.NONE)
+
+    // exactly one live timer per key: at the earliest possible close
+    private def rearm(open: Seq[UserSession]): Unit = {
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      if (open.nonEmpty)
+        getHandle.registerTimer(open.map(_.session_end.getTime).min + gapMs)
+    }
 
     override def handleInputRows(key: Long, rows: Iterator[Event],
         timerValues: TimerValues): Iterator[UserSession] = {
-      var cur = Option(sess.get())
-      rows.foreach { e =>
-        cur = cur match {
-          case Some(s0) => Some(s0.copy(
-            session_start = new Timestamp(math.min(s0.session_start.getTime, e.ts.getTime)),
-            session_end = new Timestamp(math.max(s0.session_end.getTime, e.ts.getTime)),
-            n_events = s0.n_events + 1))
-          case None => Some(UserSession(key, e.ts, e.ts, 1L))
+      val intervals =
+        (sess.get().toSeq ++ rows.map(e => UserSession(key, e.ts, e.ts, 1L)))
+          .sortBy(s => (s.session_start.getTime, s.session_end.getTime))
+      val merged = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+      intervals.foreach { s =>
+        merged.lastOption match {
+          case Some(p) if s.session_start.getTime <= p.session_end.getTime + gapMs =>
+            merged(merged.length - 1) = p.copy(
+              session_end = new Timestamp(
+                math.max(p.session_end.getTime, s.session_end.getTime)),
+              n_events = p.n_events + s.n_events)
+          case _ => merged += s
         }
       }
-      cur.foreach { s0 =>
-        sess.update(s0)
-        // re-arm: exactly one live timer per key at session_end + gap
-        getHandle.listTimers().foreach(getHandle.deleteTimer)
-        getHandle.registerTimer(s0.session_end.getTime + gapMs)
-      }
+      if (merged.nonEmpty) sess.put(merged.toArray) else sess.clear()
+      rearm(merged.toSeq)
       Iterator.empty // emit only on session close (timer fire)
     }
 
     override def handleExpiredTimer(key: Long, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[UserSession] = {
-      val out = Option(sess.get()).iterator
-      sess.clear()
-      out
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val (closed, open) =
+        sess.get().toSeq.partition(_.session_end.getTime + gapMs <= wm)
+      if (open.nonEmpty) sess.put(open.toArray) else sess.clear()
+      rearm(open)
+      closed.sortBy(_.session_start.getTime).iterator
     }
   }
 

@@ -113,6 +113,15 @@ class VersionedCatalogSpec extends SparkSpec {
       // duplicate update keys would fan out through the join: fail fast
       intercept[IllegalArgumentException](cat.merge("t",
         Seq((5, "x"), (5, "y")).toDF("k", "v"), Seq("k"), Some(kv)))
+      // null-keyed update rows never join-match, so two of them are NOT
+      // duplicates — each inserts independently
+      val kvn = StructType.fromDDL("k INT, v STRING")
+      cat.merge("t", Seq((null.asInstanceOf[Integer], "n1"),
+        (null.asInstanceOf[Integer], "n2"))
+        .toDF("k", "v"), Seq("k"), Some(kvn))
+      val nullRows = cat.latest("t", Some(kvn)).collect()
+        .filter(_.isNullAt(0)).map(_.getString(1)).sorted
+      assert(nullRows.toSeq == Seq("n1", "n2"))
     }
   }
 

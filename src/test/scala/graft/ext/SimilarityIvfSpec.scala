@@ -56,6 +56,35 @@ class SimilarityIvfSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("CacheScope.release drops serving-path intermediates; dimension guards fail fast") {
+    val vecs = graft.Tables.embeddings(spark, dir)
+    val centroids = graft.operators.SimilarityJoin.ivfBuildIndex(
+      vecs, col("embedding"), nCells = 4)
+    spark.catalog.clearCache()
+    val scope = new graft.CacheScope
+    graft.operators.SimilarityJoin.ivfTopKServing(
+        vecs, col("vec_id"), col("embedding"),
+        queryPred = col("vec_id") < 10, centroids, nProbe = 2, k = 2,
+        scope = scope)
+      .count() // final action: the scoped `assigned` frame is now cached
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    scope.release()
+    // unpersist is async; the catalog view clears synchronously
+    assert(spark.sharedState.cacheManager.isEmpty)
+
+    // dimension-mismatch and empty-matrix guards (was: silent truncation)
+    intercept[IllegalArgumentException] {
+      graft.functions.VectorIndex.nearestCell(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(1.0, 2.0)),
+        Array(Array(1.0, 2.0, 3.0)))
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.VectorIndex.nearestCell(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(1.0, 2.0)),
+        Array.empty[Array[Double]])
+    }
+  }
+
   test("recall@3 vs brute force is substantial even on near-orthogonal vectors") {
     val bruteTop = brute.toSeq.groupBy(_._1._1).map { case (q, entries) =>
       q -> entries.sortBy { case ((_, n), cos) => (-cos, n) }.take(3)

@@ -221,6 +221,44 @@ class EventPipelinesSpec extends SparkSpec {
     }
   }
 
+  test("timer sessionization: two bursts hours apart in ONE batch stay two sessions") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Event]
+    val q = sessionsByTimer(ms.toDS(), gapMs = 5 * 60 * 1000L)
+      .writeStream.format("memory").queryName("timer_sessions_split")
+      .outputMode("append").start()
+    try {
+      // uid 1: one microbatch carrying two bursts 3 hours apart (the
+      // AvailableNow-backlog shape) — out of order within the batch too
+      ms.addData(ev(2, "00:02:00", uid = 1), ev(1, "00:00:00", uid = 1),
+        ev(3, "03:00:00", uid = 1), ev(4, "03:01:00", uid = 1))
+      q.processAllAvailable()
+      // advance the watermark past both gap horizons, then one more
+      // batch so the re-armed timer fires for the second session
+      ms.addData(ev(5, "06:00:00", uid = 2))
+      q.processAllAvailable()
+      ms.addData(ev(6, "06:01:00", uid = 2))
+      q.processAllAvailable()
+      val rows = spark.table("timer_sessions_split").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+        .filter(_._1 == 1L).sortBy(_._2.getTime)
+      assert(rows.length == 2, s"expected 2 sessions, got: ${rows.toSeq}")
+      assert(rows(0) == ((1L, ts("00:00:00"), ts("00:02:00"), 2L)))
+      assert(rows(1) == ((1L, ts("03:00:00"), ts("03:01:00"), 2L)))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-static join: stream rows enriched against a static dim") {
     val s = spark
     import s.implicits._
