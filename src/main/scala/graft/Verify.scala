@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: <sfDir> <outDir> [queryName...] — names (if any) restrict the
+    // dump to a subset for fast iteration; the driver always passes two.
+    val (sfDir, outDir, only) = args.toList match {
+      case sf :: out :: rest => (sf, out, rest.toSet)
+      case _ => sys.error("usage: Verify <sfDir> <outDir> [queryName...]")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -15,7 +20,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(only).toMap
+    require(only.forall(selected.contains), {
+      val missing = only.diff(selected.keySet)
+      s"unknown queries: ${missing.mkString(", ")}"
+    })
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

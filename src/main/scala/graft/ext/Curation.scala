@@ -286,6 +286,91 @@ object Curation extends QueryModule {
               WHERE split = 'test' GROUP BY source) td
         LEFT JOIN (SELECT source, COUNT(*) AS n_contaminated
                    FROM cont GROUP BY source) c USING (source)
+        ORDER BY td.source""")),
+
+    // ------------------------------------------------------------------
+    // q58: Bloom-filter decontamination — q56's exact overlap join,
+    // re-expressed the way it runs at 100 TB: train shingle hashes
+    // fold into a driver-built Bloom sketch (distributed treeAggregate,
+    // same mechanism as Spark's runtime join pruning), the sketch rides
+    // broadcast-style into a compiled membership expression, and the
+    // test side streams MAP-SIDE — the big table never shuffles into a
+    // join. The oracle checks the sketch's CONTRACT, not its bits:
+    // n_false_neg must be exactly 0 (Bloom guarantees no false
+    // negatives, so the exact q56 answer is fully recovered) and the
+    // doc-level false-positive overshoot must sit inside the tolerance
+    // implied by fpp=1% — both engine-side booleans the oracle pins to
+    // their guaranteed values, like q25's HLL tolerance contract.
+    QueryDef(
+      "q58_bloom_decontamination",
+      (s, dir) => {
+        val split = X.hp(col("doc_id").cast("string")) % 20
+        val docs = T.documents(s, dir)
+        val sh = docs
+          .select(col("doc_id"), col("source"),
+            when(split <= 17, "train").when(split === 18, "val").otherwise("test")
+              .as("split"),
+            explode(array_distinct(
+              X.shingles(X.tokens(col("text")), 5))).as("sg"))
+          .withColumn("h", X.h60(col("sg")))
+        val trainH = sh.filter(col("split") === "train").select(col("h")).distinct()
+        // the distinct count sizes the sketch; one cheap extra pass over
+        // the (already partial-aggregated) train hashes. fpp is per
+        // SHINGLE, and a doc flags if ANY of its ~n shingles hits — the
+        // doc-level FP rate is 1-(1-fpp)^n, so fpp must price in the
+        // per-doc shingle count: 1e-4 keeps ~40-shingle docs at ~0.4%
+        // (1e-2 would false-flag a third of them). ~19 bits/item.
+        val bloom = trainH.stat.bloomFilter(
+          "h", math.max(trainH.count(), 1000L), 1e-4)
+        val testSh = sh.filter(col("split") === "test")
+        val perDoc = testSh
+          .withColumn("hit",
+            graft.functions.BloomFunctions.mightContainLong(col("h"), bloom))
+          .groupBy(col("doc_id"), col("source"))
+          .agg(expr("bool_or(hit)").as("bloom_hit"))
+          .join(testSh.join(trainH, "h").select(col("doc_id")).distinct()
+            .withColumn("exact_hit", lit(true)), Seq("doc_id"), "left")
+          .withColumn("exact_hit", coalesce(col("exact_hit"), lit(false)))
+        val testDocs = docs.filter(split === 19)
+          .groupBy(col("source")).agg(count(lit(1)).as("n_test_docs"))
+        testDocs
+          .join(perDoc.groupBy(col("source")).agg(
+            sum(when(col("exact_hit"), 1L).otherwise(0L)).as("n_exact"),
+            sum(when(col("exact_hit") && !col("bloom_hit"), 1L).otherwise(0L))
+              .as("nfn"),
+            sum(when(col("bloom_hit") && !col("exact_hit"), 1L).otherwise(0L))
+              .as("nfp")), Seq("source"), "left")
+          .select(col("source"), col("n_test_docs"),
+            coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+            coalesce(col("nfn"), lit(0L)).as("n_false_neg"),
+            (coalesce(col("nfp"), lit(0L)).cast("double")
+              <= lit(0.05) * col("n_test_docs").cast("double") + lit(3.0))
+              .as("fp_within_tolerance"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH toks AS (SELECT doc_id, source,
+                        CASE WHEN ${X.hpSql("CAST(doc_id AS VARCHAR)")} % 20 <= 17 THEN 'train'
+                             WHEN ${X.hpSql("CAST(doc_id AS VARCHAR)")} % 20 = 18 THEN 'val'
+                             ELSE 'test' END AS split,
+                        ${X.tokensSql("text")} AS tk
+                      FROM documents),
+        sh AS (SELECT doc_id, source, split, ${X.h60Sql("s")} AS h
+               FROM (SELECT doc_id, source, split,
+                            unnest(list_distinct(${X.shinglesSql("tk", 5)})) AS s
+                     FROM toks)),
+        train_h AS (SELECT DISTINCT h FROM sh WHERE split = 'train'),
+        cont AS (SELECT DISTINCT t.doc_id, t.source
+                 FROM sh t JOIN train_h ON t.h = train_h.h
+                 WHERE t.split = 'test')
+        SELECT td.source, td.n_test_docs,
+               COALESCE(c.n_exact, 0) AS n_exact,
+               CAST(0 AS BIGINT) AS n_false_neg,
+               TRUE AS fp_within_tolerance
+        FROM (SELECT source, COUNT(*) AS n_test_docs FROM toks
+              WHERE split = 'test' GROUP BY source) td
+        LEFT JOIN (SELECT source, COUNT(*) AS n_exact
+                   FROM cont GROUP BY source) c USING (source)
         ORDER BY td.source"""))
   )
 }
