@@ -64,13 +64,23 @@ final class VersionedCatalog(
 
   /** Write `df` as the next version of `step`; returns the committed
     * version number. Stages to `root/.staging/` then renames into place,
-    * so readers never observe a partially-written version. */
-  def writeNext(step: String, df: DataFrame): Int = {
+    * so readers never observe a partially-written version.
+    *
+    * `partitionBy` lays the version out as hive-style directories
+    * (`v=N/colA=x/...`): reads that filter on a partition column prune
+    * whole directories at PLANNING time — at 100 TB this is the
+    * difference between listing one source's files and scanning the
+    * catalog. Partition columns come back appended at the END of the
+    * schema on read, so `merge`/schema-checked callers should partition
+    * on trailing columns or re-select. */
+  def writeNext(step: String, df: DataFrame,
+      partitionBy: Seq[String] = Seq.empty): Int = {
     val v = nextVersion(step)
     val staging = new Path(
       new Path(rootPath, ".staging"),
       s"$step-v$v-${java.util.UUID.randomUUID()}")
-    df.write.mode(SaveMode.Overwrite).format(format).options(options)
+    val w = df.write.mode(SaveMode.Overwrite).format(format).options(options)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .save(staging.toString)
     val target = versionDir(step, v)
     fs.mkdirs(target.getParent)
@@ -86,6 +96,19 @@ final class VersionedCatalog(
         s"catalog: failed to promote $staging -> $target " +
           "(concurrent writer for the same version?)")
     v
+  }
+
+  /** Write the next version range-partitioned AND sorted by `cols` into
+    * `numFiles` files: each file holds a contiguous, disjoint key range,
+    * so parquet min/max stats let selective scans skip whole files and
+    * row groups (the sort-layout half of data clustering; pair with
+    * `partitionBy` for the directory half). One range-exchange + local
+    * sort at write time buys every later selective read. */
+  def writeNextSorted(step: String, df: DataFrame,
+      cols: Seq[String], numFiles: Int): Int = {
+    import org.apache.spark.sql.functions.col
+    writeNext(step, df.repartitionByRange(numFiles, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*))
   }
 
   /** Read a specific committed version (time travel; tools.go:593-604). */

@@ -125,6 +125,72 @@ class VersionedCatalogSpec extends SparkSpec {
     }
   }
 
+  test("partitioned write: partition-column filters prune directories at planning") {
+    val s = spark
+    import s.implicits._
+    withTempDir { dir =>
+      val cat = new VersionedCatalog(spark, dir.toString, format = "parquet")
+      val df = Seq((1L, "srcA", "x"), (2L, "srcA", "y"), (3L, "srcB", "z"))
+        .toDF("id", "source", "payload")
+      cat.writeNext("docs", df, partitionBy = Seq("source"))
+      // hive layout on disk
+      assert(new java.io.File(s"$dir/docs/v=1/source=srcA").isDirectory)
+      assert(new java.io.File(s"$dir/docs/v=1/source=srcB").isDirectory)
+      val filtered = cat.latest("docs")
+        .filter(org.apache.spark.sql.functions.col("source") === "srcA")
+      assert(filtered.count() == 2)
+      // planning-time pruning: the executed scan reads only srcA's
+      // partition (inputFiles can't show this — it lists the relation
+      // pre-pruning)
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      def descend(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        val here = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            descend(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            descend(q.plan)
+          case _ => Seq(p)
+        }
+        here ++ p.children.flatMap(descend)
+      }
+      val probe = cat.latest("docs")
+        .filter(org.apache.spark.sql.functions.col("source") === "srcA")
+      probe.collect()
+      val scan = descend(probe.queryExecution.executedPlan)
+        .collectFirst { case f: FileSourceScanExec => f }.get
+      assert(scan.metadata("PartitionFilters").contains("source"))
+      val totalFiles = cat.latest("docs").inputFiles.length
+      assert(scan.metrics("numFiles").value < totalFiles)
+      // full read recovers everything (partition col appended on read)
+      assert(cat.latest("docs").count() == 3)
+    }
+  }
+
+  test("sorted write: files hold contiguous disjoint key ranges for stat skipping") {
+    val s = spark
+    import s.implicits._
+    withTempDir { dir =>
+      val cat = new VersionedCatalog(spark, dir.toString, format = "parquet")
+      val df = (1 to 1000).map(i => ((i * 379) % 1000, s"p$i")).toDF("k", "p")
+      cat.writeNextSorted("t", df, Seq("k"), numFiles = 4)
+      val files = cat.latest("t").inputFiles
+      assert(files.length == 4)
+      val ranges = files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(org.apache.spark.sql.functions.min("k"),
+            org.apache.spark.sql.functions.max("k")).head()
+        (r.getInt(0), r.getInt(1))
+      }.sortBy(_._1)
+      // contiguous and disjoint: every file's min exceeds the previous max
+      ranges.sliding(2).foreach {
+        case Array((_, hi1), (lo2, _)) => assert(lo2 > hi1)
+        case _ =>
+      }
+      assert(cat.latest("t").count() == 1000)
+    }
+  }
+
   test("compact rewrites the latest version into fewer files, content-equal") {
     withTempDir { dir =>
       val cat = new VersionedCatalog(spark, dir.toString, format = "parquet")
