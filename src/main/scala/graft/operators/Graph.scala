@@ -61,4 +61,42 @@ object Graph {
     require(converged, s"connectedComponents: no fixpoint after $maxIter rounds")
     labels
   }
+
+  /** Fixed-iteration PageRank in exact int64 arithmetic: ranks live in
+    * `scale`-ths (millionths by default), each node contributes
+    * `rank div outdeg` to its out-neighbors, and the damped update is
+    * `0.15·scale + (85·Σcontrib) div 100` — every operation is integer,
+    * so any engine reproduces the ranks bit-for-bit (floating-point
+    * PageRank never survives a cross-engine hash compare). Dangling
+    * nodes keep receiving but stop redistributing — the standard
+    * simplified variant; add self-loops upstream if mass conservation
+    * matters.
+    *
+    * Scale shape: one equi-join + partial-aggregable sum per iteration
+    * (the classic Pregel round as declarative plans); `localCheckpoint`
+    * cuts lineage per round so the plan doesn't grow O(iters). Fixed
+    * iteration count, not convergence — rank ordering stabilizes in a
+    * handful of rounds and a deterministic round count keeps the result
+    * reproducible and oracle-expressible (each round = one SQL CTE).
+    */
+  def pageRank(edges: DataFrame, iters: Int = 3, scale: Long = 1000000L): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val base = (scale * 15L) / 100L
+    var ranks = nodes.withColumn("rank", lit(scale))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(ranks, e("src") === ranks("id"))
+        .join(outdeg, "src")
+        .select(col("dst").as("id"), expr("rank div deg").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("s"))
+      ranks = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100"))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
 }

@@ -830,6 +830,82 @@ object Relational extends QueryModule {
                quantile_cont(l_quantity, 0.5) AS median_qty,
                quantile_cont(l_quantity, 0.9) AS p90_qty,
                MAX(l_quantity) AS max_qty, COUNT(*) AS n
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ------------------------------------------------------------------
+    // q74: rank-family window completeness — dense_rank, percent_rank,
+    // cume_dist, ntile over one totally-ordered window (tiebreak on
+    // o_orderkey makes every rank deterministic). percent_rank and
+    // cume_dist are single divisions of exact ranks/counts, so the
+    // doubles are bit-equal across engines. One sort shuffle on the
+    // partition key; top-5 filter keeps the output small.
+    QueryDef(
+      "q74_window_ranks",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        T.orders(s, dir)
+          .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("drk", dense_rank().over(w).cast("long"))
+          .withColumn("pr", percent_rank().over(w))
+          .withColumn("cd", cume_dist().over(w))
+          .withColumn("quartile", ntile(4).over(w).cast("long"))
+          .filter(col("rn") <= 5)
+          .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
+            col("o_totalprice"), col("drk"), col("pr"), col("cd"), col("quartile"))
+          .orderBy(col("o_orderpriority"), col("rn"))
+      },
+      Some("""
+        SELECT o_orderpriority, rn, o_orderkey, o_totalprice, drk, pr, cd, quartile
+        FROM (
+          SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 CAST(row_number() OVER w AS BIGINT) AS rn,
+                 CAST(dense_rank() OVER w AS BIGINT) AS drk,
+                 percent_rank() OVER w AS pr,
+                 cume_dist() OVER w AS cd,
+                 CAST(ntile(4) OVER w AS BIGINT) AS quartile
+          FROM orders
+          WINDOW w AS (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey))
+        WHERE rn <= 5 ORDER BY o_orderpriority, rn""")),
+
+    // ------------------------------------------------------------------
+    // q75: integer-scaled PageRank (graft.operators.Graph.pageRank) on
+    // the supplier↔part co-occurrence graph from lineitem (parts
+    // namespaced +1e6 to keep node ids disjoint). Fixed 3 iterations,
+    // all-int64 arithmetic — the oracle unrolls each round as a CTE and
+    // matches bit-for-bit. Top-20 hubs by rank.
+    QueryDef(
+      "q75_pagerank",
+      (s, dir) => {
+        val li = T.lineitem(s, dir)
+          .select(col("l_suppkey").as("sk"), (col("l_partkey") + 1000000L).as("pk"))
+        val edges = li.select(col("sk").as("src"), col("pk").as("dst"))
+          .unionAll(li.select(col("pk").as("src"), col("sk").as("dst")))
+        graft.operators.Graph.pageRank(edges, iters = 3)
+          .orderBy(col("rank").desc, col("id"))
+          .limit(20)
+      },
+      Some {
+        def iterCte(k: Int): String = s"""
+        r$k AS (
+          SELECT n.id, CAST(150000 + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS rank
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS id, CAST(SUM(r.rank // o.deg) AS BIGINT) AS s
+            FROM edges e JOIN r${k - 1} r ON e.src = r.id
+                         JOIN outdeg o ON o.src = e.src
+            GROUP BY e.dst) s ON s.id = n.id)"""
+        s"""
+        WITH li AS (SELECT DISTINCT l_suppkey AS sk, l_partkey + 1000000 AS pk
+                    FROM lineitem),
+        edges AS (SELECT sk AS src, pk AS dst FROM li
+                  UNION SELECT pk, sk FROM li),
+        nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+        outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+        ${(1 to 3).map(iterCte).mkString(",")}
+        SELECT id, rank FROM r3 ORDER BY rank DESC, id LIMIT 20"""
+      })
   )
 }

@@ -47,4 +47,26 @@ class GraphSpec extends SparkSpec {
       assert(cc(edges) == unionFind(edges))
     }
   }
+
+  test("pageRank: hub dominates a star; symmetric nodes tie; matches scalar model") {
+    val s = spark
+    import s.implicits._
+    // undirected star: 1 is the hub, 2..5 are leaves
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val got = Graph.pageRank(star.toDF("src", "dst"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) > got(2L))
+    assert(Set(got(2L), got(3L), got(4L), got(5L)).size == 1) // leaves tie
+    // scalar replay of the same integer recurrence
+    var ranks = Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L,
+      4L -> 1000000L, 5L -> 1000000L)
+    val out = star.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    for (_ <- 1 to 3) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((u, vs) <- out; v <- vs) contrib(v) += ranks(u) / vs.size
+      ranks = ranks.keys.map(n => n -> (150000L + 85L * contrib(n) / 100L)).toMap
+    }
+    assert(got == ranks)
+  }
 }
