@@ -219,6 +219,45 @@ object Similarity extends QueryModule {
                CAST(MAX(vec_max) AS BIGINT) AS max_err,
                CAST(SUM(vec_err) AS BIGINT) AS total_err,
                CAST(SUM(vec_err) AS DOUBLE) / CAST(COUNT(*) * 64 AS DOUBLE) AS avg_err
-        FROM per GROUP BY label ORDER BY label"""))
+        FROM per GROUP BY label ORDER BY label""")),
+
+    // ------------------------------------------------------------------
+    // q76: deterministic ±1 random projection (JL sketch), 64 → 16 dims.
+    // The sign matrix derives from md5("rp i j") so both engines build
+    // the identical matrix and the projected int64 vectors compare
+    // bit-for-bit — no tolerance needed, unlike RNG-seeded projections.
+    // Engine side is one compiled kernel per row (map-side, zero
+    // shuffle); the oracle expands the 64×16 grid relationally. Output:
+    // the first 4 projected coords + the exact projected squared norm.
+    QueryDef(
+      "q76_random_projection",
+      (s, dir) => {
+        val signs = graft.functions.VectorFunctions.rpSigns(64, 16)
+        scaled(s, dir)
+          .withColumn("proj",
+            graft.functions.VectorFunctions.signedProject(col("v"), signs))
+          .select(col("vec_id"),
+            element_at(col("proj"), 1).as("p0"),
+            element_at(col("proj"), 2).as("p1"),
+            element_at(col("proj"), 3).as("p2"),
+            element_at(col("proj"), 4).as("p3"),
+            X.dotInt(col("proj"), col("proj")).as("proj_n2"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""
+        WITH sc AS (SELECT vec_id, ${X.scaledVecSql("embedding")} AS v FROM embeddings),
+        grid AS (SELECT gi.i AS i, gj.j AS j,
+                        1 - 2*(${X.h60Sql("'rp ' || CAST(gi.i AS VARCHAR) || ' ' || CAST(gj.j AS VARCHAR)")} % 2) AS sgn
+                 FROM (SELECT unnest(range(0, 64)) AS i) gi,
+                      (SELECT unnest(range(0, 16)) AS j) gj),
+        pr AS (SELECT vec_id, j, CAST(SUM(v[i+1] * sgn) AS BIGINT) AS p
+               FROM sc, grid GROUP BY vec_id, j)
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN j = 0 THEN p ELSE 0 END) AS BIGINT) AS p0,
+               CAST(SUM(CASE WHEN j = 1 THEN p ELSE 0 END) AS BIGINT) AS p1,
+               CAST(SUM(CASE WHEN j = 2 THEN p ELSE 0 END) AS BIGINT) AS p2,
+               CAST(SUM(CASE WHEN j = 3 THEN p ELSE 0 END) AS BIGINT) AS p3,
+               CAST(SUM(p * p) AS BIGINT) AS proj_n2
+        FROM pr GROUP BY vec_id ORDER BY vec_id"""))
   )
 }

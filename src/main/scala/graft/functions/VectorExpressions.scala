@@ -60,9 +60,74 @@ case class DotProductInt64(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Deterministic ±1 random projection (Johnson-Lindenstrauss sketch) of
+  * an exact-int64 scaled vector: out[j] = Σ_i v[i]·sign(i,j), where the
+  * sign matrix is derived from md5 (see [[VectorFunctions.rpSigns]]) so
+  * any engine reproduces the projection bit-for-bit — a seeded RNG
+  * would not. All arithmetic stays exact int64 (|v[i]| ≲ 1.6e8, 64
+  * terms → |out[j]| ≲ 1e10 ≪ 2^63).
+  *
+  * The scale role: projecting 64→16 dims shrinks every downstream
+  * shuffle and pairwise kernel 4× before LSH/IVF candidate generation —
+  * the standard sketch-first layout for ANN over 100 TB of embeddings.
+  * Compiled for the same reason as [[DotProductInt64]]: the HOF
+  * formulation (transform over j of aggregate over i) re-evaluates the
+  * child per output dim.
+  */
+case class SignedProject(child: Expression, signs: Array[Array[Long]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "signed_project"
+
+  override def nullSafeEval(input: Any): Any =
+    SignedProject.project(input.asInstanceOf[ArrayData], signs)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("signs", signs, "long[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SignedProject.project($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): SignedProject =
+    copy(child = c)
+}
+
+object SignedProject {
+  def project(v: ArrayData, signs: Array[Array[Long]]): ArrayData = {
+    val n = v.numElements()
+    if (n != signs.length)
+      throw new IllegalArgumentException(
+        s"signed_project: vector has $n dims but the sign matrix has ${signs.length} rows")
+    val k = if (signs.length == 0) 0 else signs(0).length
+    val out = new Array[Long](k)
+    var i = 0
+    while (i < n) {
+      val x = v.getLong(i)
+      val row = signs(i)
+      var j = 0
+      while (j < k) { out(j) += x * row(j); j += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object VectorFunctions {
   /** Exact int64 dot product (codegen'd). */
   def dotInt64(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductInt64(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** md5-derived ±1 sign matrix shared with the oracle SQL:
+    * sign(i,j) = 1 - 2·(md5h60("rp i j") mod 2). */
+  def rpSigns(inDims: Int, outDims: Int): Array[Array[Long]] =
+    Array.tabulate(inDims, outDims) { (i, j) =>
+      1L - 2L * (HashKernels.md5h60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"rp $i $j")) % 2L)
+    }
+
+  /** Deterministic ±1 random projection of a scaled int64 vector. */
+  def signedProject(v: Column, signs: Array[Array[Long]]): Column =
+    ColumnBridge.column(SignedProject(ColumnBridge.expression(v), signs))
 }

@@ -85,6 +85,35 @@ class SimilarityIvfSpec extends SparkSpec {
     }
   }
 
+  test("signed projection: exact kernel, deterministic signs, JL norm preservation") {
+    import graft.functions.{SignedProject, VectorFunctions}
+    // hand example: v=(1,2), signs rows per input dim
+    val out = SignedProject.project(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(1L, 2L)),
+      Array(Array(1L, -1L), Array(1L, 1L)))
+    assert(out.toLongArray().toSeq == Seq(3L, 1L))
+    // deterministic md5-derived signs, all ±1
+    val s1 = VectorFunctions.rpSigns(8, 4)
+    val s2 = VectorFunctions.rpSigns(8, 4)
+    assert(s1.map(_.toSeq).toSeq == s2.map(_.toSeq).toSeq)
+    assert(s1.flatten.forall(v => v == 1L || v == -1L))
+    // dimension mismatch fails fast
+    intercept[IllegalArgumentException] {
+      SignedProject.project(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(1L)),
+        Array(Array(1L), Array(1L)))
+    }
+    // JL expectation: E[||p||^2] = k·||v||^2 — corpus-average ratio near k
+    val signs = VectorFunctions.rpSigns(64, 16)
+    val ratio = graft.Tables.embeddings(spark, dir)
+      .select(X.scaledVec(col("embedding")).as("v"))
+      .withColumn("p", VectorFunctions.signedProject(col("v"), signs))
+      .select((X.dotInt(col("p"), col("p")).cast("double") /
+        X.dotInt(col("v"), col("v")).cast("double")).as("r"))
+      .agg(avg(col("r"))).head().getDouble(0)
+    assert(ratio > 16.0 * 0.7 && ratio < 16.0 * 1.3, s"avg ratio $ratio")
+  }
+
   test("recall@3 vs brute force is substantial even on near-orthogonal vectors") {
     val bruteTop = brute.toSeq.groupBy(_._1._1).map { case (q, entries) =>
       q -> entries.sortBy { case ((_, n), cos) => (-cos, n) }.take(3)
