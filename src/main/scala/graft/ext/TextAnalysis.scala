@@ -278,6 +278,44 @@ object TextAnalysis extends QueryModule {
                CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers,
                CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+')) AS BIGINT)
                  AS n_emails
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q77: fixed-SIZE deterministic per-group sampling — the reservoir-
+    // sample complement to q37's rate-based residue sampling: exactly k
+    // docs per source, chosen as the k smallest md5 priorities
+    // (A-Res with a deterministic priority, so the "random" sample is
+    // reproducible across engines, reruns, and retries). Runs on the
+    // bounded-heap top_k aggregate: each task ships ≤ k rows per group
+    // (partial-aggregable), where row_number would sort-shuffle every
+    // row — at 100 TB that is the difference between a k-row exchange
+    // and a corpus-wide sort. Oracle = the row_number formulation.
+    QueryDef(
+      "q77_reservoir_sample",
+      (s, dir) => {
+        T.documents(s, dir)
+          .select(col("source"), col("doc_id"), col("n_chars"),
+            X.hp(col("doc_id").cast("string")).as("pr"))
+          .groupBy(col("source"))
+          // top_k orders its struct DESC, so negate (priority, id) to get
+          // the k smallest priorities with ascending-id ties
+          .agg(graft.functions.AggFunctions.topK(
+            struct((-col("pr")).as("npr"), (-col("doc_id")).as("ndid"),
+              col("n_chars")), 5).as("top"))
+          .select(col("source"), posexplode(col("top")))
+          .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+            (-col("col.ndid")).as("doc_id"), (-col("col.npr")).as("priority"),
+            col("col.n_chars").as("n_chars"))
+          .orderBy(col("source"), col("rank"))
+      },
+      Some(s"""
+        SELECT source, rank, doc_id, priority, n_chars FROM (
+          SELECT source, doc_id, n_chars, pr AS priority,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY pr, doc_id) AS rank
+          FROM (SELECT source, doc_id, n_chars,
+                       ${X.hpSql("CAST(doc_id AS VARCHAR)")} AS pr
+                FROM documents))
+        WHERE rank <= 5 ORDER BY source, rank"""))
   )
 }
