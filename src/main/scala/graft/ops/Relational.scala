@@ -879,8 +879,12 @@ object Relational extends QueryModule {
     QueryDef(
       "q75_pagerank",
       (s, dir) => {
+        // distinct BEFORE mirroring: one partial-aggregated distinct over
+        // the raw pairs, then the cheap 2× union — mirroring first would
+        // double the rows entering the expensive distinct
         val li = T.lineitem(s, dir)
           .select(col("l_suppkey").as("sk"), (col("l_partkey") + 1000000L).as("pk"))
+          .distinct()
         val edges = li.select(col("sk").as("src"), col("pk").as("dst"))
           .unionAll(li.select(col("pk").as("src"), col("sk").as("dst")))
         graft.operators.Graph.pageRank(edges, iters = 3)
@@ -906,6 +910,57 @@ object Relational extends QueryModule {
         r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM nodes),
         ${(1 to 3).map(iterCte).mkString(",")}
         SELECT id, rank FROM r3 ORDER BY rank DESC, id LIMIT 20"""
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // q78: per-group least-squares trend (value over time) — the q39
+    // recipe applied to regression: ALL sums are exact decimals (x =
+    // whole seconds since 2024-01-01, a small exact int; value has
+    // fixed 2-decimal precision), and slope/intercept are a fixed
+    // sequence of IEEE ops on the final scalars. Spark's built-in
+    // regr_slope streams float partial sums — partition-order-
+    // dependent, never bit-reproducible; this is one partial-aggregable
+    // pass with a deterministic answer. Magnitudes: |x| ≤ 2.6e6,
+    // Σx² ≤ ~1.4e17 ≪ decimal(38) capacity.
+    QueryDef(
+      "q78_value_trend",
+      (s, dir) => {
+        val xd = (col("ts").cast("long") - lit(1704067200L)).cast("decimal(12,0)")
+        val y = col("value").cast("decimal(20,4)")
+        def d(c: org.apache.spark.sql.Column) = c.cast("double")
+        T.events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(xd).as("sx"), sum(y).as("sy"),
+            sum(xd * xd).as("sxx"), sum(xd * y).as("sxy"))
+          .withColumn("slope",
+            (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))
+              / (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))))
+          .select(col("event_type"), col("n"), col("slope"),
+            ((d(col("sy")) - col("slope") * d(col("sx"))) / d(col("n")))
+              .as("intercept"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        SELECT event_type, n, slope,
+               (sy_d - slope * sx_d) / n_d AS intercept
+        FROM (
+          SELECT event_type, n,
+                 (n_d * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                   - sx_d * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+                 / (n_d * CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - sx_d * sx_d)
+                   AS slope,
+                 sx_d, CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS sy_d, n_d
+          FROM (
+            SELECT event_type, COUNT(*) AS n, CAST(COUNT(*) AS DOUBLE) AS n_d,
+                   SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx, SUM(x * y) AS sxy,
+                   CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx_d
+            FROM (SELECT event_type,
+                         CAST(date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts)
+                           AS DECIMAL(12,0)) AS x,
+                         CAST(value AS DECIMAL(20,4)) AS y
+                  FROM events)
+            GROUP BY event_type))
+        ORDER BY event_type"""))
   )
 }
