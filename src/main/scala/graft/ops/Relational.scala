@@ -961,6 +961,28 @@ object Relational extends QueryModule {
                          CAST(value AS DECIMAL(20,4)) AS y
                   FROM events)
             GROUP BY event_type))
-        ORDER BY event_type"""))
+        ORDER BY event_type""")),
+
+    // ------------------------------------------------------------------
+    // q79: fixed-width value histogram per event type. bin =
+    // floor(value / 50.0) is one IEEE division + floor — identical on
+    // both engines; per-bin mass uses the exact-decimal dsum. Map-side
+    // bin assignment + one partial-aggregable group-by: the shape that
+    // histograms 100 TB in a single pass.
+    QueryDef(
+      "q79_value_histogram",
+      (s, dir) => {
+        T.events(s, dir)
+          .select(col("event_type"),
+            floor(col("value") / lit(50.0d)).as("bin"), col("value"))
+          .groupBy(col("event_type"), col("bin"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("bin_value"))
+          .orderBy(col("event_type"), col("bin"))
+      },
+      Some(s"""
+        SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin,
+               COUNT(*) AS n, ${dsumSql("value")} AS bin_value
+        FROM events GROUP BY event_type, bin
+        ORDER BY event_type, bin"""))
   )
 }

@@ -58,15 +58,34 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got(1L) > got(2L))
     assert(Set(got(2L), got(3L), got(4L), got(5L)).size == 1) // leaves tie
-    // scalar replay of the same integer recurrence
-    var ranks = Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L,
-      4L -> 1000000L, 5L -> 1000000L)
-    val out = star.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    for (_ <- 1 to 3) {
+    assert(got == scalarPageRank(star, 3))
+  }
+
+  /** Scalar replay of pageRank's exact integer recurrence. */
+  private def scalarPageRank(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val distinctEdges = edges.distinct
+    val nodes = distinctEdges.flatMap(e => Seq(e._1, e._2)).distinct
+    val out = distinctEdges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var ranks = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
       val contrib = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
       for ((u, vs) <- out; v <- vs) contrib(v) += ranks(u) / vs.size
-      ranks = ranks.keys.map(n => n -> (150000L + 85L * contrib(n) / 100L)).toMap
+      ranks = nodes.map(n => n -> (150000L + 85L * contrib(n) / 100L)).toMap
     }
-    assert(got == ranks)
+    ranks
+  }
+
+  test("pageRank: random digraphs match the scalar model (property)") {
+    val s = spark
+    import s.implicits._
+    val edgesGen = Gen.listOf(for {
+      a <- Gen.choose(0L, 20L); b <- Gen.choose(0L, 20L) if a != b
+    } yield (a, b)).suchThat(_.nonEmpty)
+    (0 until 5).flatMap(i =>
+      edgesGen.apply(Gen.Parameters.default, Seed(4321L + i))).foreach { edges =>
+      val got = Graph.pageRank(edges.toDF("src", "dst"), iters = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == scalarPageRank(edges, 2), s"edges: $edges")
+    }
   }
 }
