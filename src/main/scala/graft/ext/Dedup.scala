@@ -118,6 +118,28 @@ object Dedup extends QueryModule {
         ORDER BY doc_a, doc_b""")),
 
     // ------------------------------------------------------------------
+    // q80: incremental near-dup — the q41 pass restricted to pairs that
+    // involve the "new batch" (odd doc_ids stand in for today's
+    // arrivals; even ids are the already-deduped corpus). The operator
+    // joins only new band tuples against shared buckets, so the oracle
+    // is exactly q41's pair set filtered to ≥1 new member — the
+    // incremental contract: old-old pairs were resolved by the prior
+    // run and must not be recomputed or re-emitted.
+    QueryDef(
+      "q80_dedup_incremental",
+      (s, dir) => {
+        graft.operators.NearDup.minhashLshIncremental(T.documents(s, dir),
+            col("doc_id"), col("text"), col("doc_id") % 2 === 1,
+            numHashes = 12, bands = 3, shingleWidth = 3, threshold = 0.5)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""
+        WITH ${minhashPairsSqlCte()}
+        SELECT doc_a, doc_b, jac FROM mh_pairs
+        WHERE doc_a % 2 = 1 OR doc_b % 2 = 1
+        ORDER BY doc_a, doc_b""")),
+
+    // ------------------------------------------------------------------
     // q46: transitive dedup clusters — the q41 pair set closed into
     // connected components (A~B~C collapses to one survivor even when A
     // and C never shared a bucket), via Graph.connectedComponents'

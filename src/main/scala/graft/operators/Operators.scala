@@ -197,6 +197,73 @@ object NearDup {
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jac"))
   }
+
+  /** Incremental MinHash+LSH: the near-dup pairs that INVOLVE a new
+    * batch (`isNew`), checked against new ∪ existing. Returns exactly
+    * [[minhashLsh]]'s pairs restricted to those with ≥1 new member —
+    * the incremental-curation contract: pairs wholly inside the
+    * existing corpus were already resolved by the previous run.
+    *
+    * Scale shape: candidate generation joins only the NEW side's band
+    * tuples against shared buckets, so the work is
+    * Σ_buckets |new ∩ bucket| · |bucket| instead of Σ |bucket|² — the
+    * win when the daily batch is a sliver of the corpus. Buckets with
+    * no new member are pruned before any pair forms, and the existing
+    * side participates only through (band, bsig, id) tuples + its
+    * signature table; in production both come from the catalog
+    * (index-as-data, like the IVF centroids) and the old corpus is
+    * never re-tokenized. Oversized buckets drop + count
+    * (`minhash_lsh_inc_bucket_cap`), as in the full pass. */
+  def minhashLshIncremental(
+      docs: DataFrame, id: Column, text: Column, isNew: Column,
+      numHashes: Int = 12, bands: Int = 3, shingleWidth: Int = 3,
+      threshold: Double = 0.5, maxBucket: Int = 1024,
+      scope: graft.CacheScope = new graft.CacheScope): DataFrame = {
+    val rows = bands match {
+      case b if numHashes % b == 0 => numHashes / b
+      case _ => throw new IllegalArgumentException(
+        s"bands ($bands) must divide numHashes ($numHashes)")
+    }
+    val base = docs
+      .select(id.as("doc_id"), isNew.as("is_new"), X.tokens(text).as("tk"))
+      .filter(size(col("tk")) >= shingleWidth)
+      .select(col("doc_id"), col("is_new"),
+        array_distinct(X.shingles(col("tk"), shingleWidth)).as("sh"))
+      .withColumn("sig", HashFunctions.minhashSignature(col("sh"), numHashes))
+      .select(col("doc_id"), col("is_new"), col("sh"), col("sig"))
+      .transform(scope.cache)
+    val banded = base.select(col("doc_id"), col("is_new"),
+        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          struct(b.as("band"),
+            concat_ws("-", slice(col("sig"), b * rows + 1, lit(rows))).as("bsig"))))
+          .as("bd"))
+      .select(col("doc_id"), col("is_new"),
+        col("bd.band").as("band"), col("bd.bsig").as("bsig"))
+    val sizes = banded.groupBy(col("band"), col("bsig"))
+      .agg(count(lit(1)).as("_bn"), max(col("is_new")).as("_has_new"))
+      .observe("minhash_lsh_inc_bucket_cap",
+        sum(when(col("_bn") > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"))
+    val kept = sizes
+      .filter(col("_bn") > 1 && col("_bn") <= maxBucket && col("_has_new"))
+      .select(col("band"), col("bsig"))
+    val newB = banded.filter(col("is_new")).join(kept, Seq("band", "bsig"))
+      .select(col("band"), col("bsig"), col("doc_id").as("nid"))
+    val allB = banded.join(kept, Seq("band", "bsig"))
+      .select(col("band"), col("bsig"), col("doc_id").as("mid"))
+    val cand = newB.join(allB, Seq("band", "bsig"))
+      .filter(col("nid") =!= col("mid"))
+      .select(least(col("nid"), col("mid")).as("doc_a"),
+        greatest(col("nid"), col("mid")).as("doc_b"))
+      .distinct()
+    val inter = size(array_intersect(col("sha"), col("shb")))
+    cand
+      .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .withColumn("jac", inter.cast("double") /
+        (size(col("sha")) + size(col("shb")) - inter).cast("double"))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+  }
 }
 
 object SimilarityJoin {

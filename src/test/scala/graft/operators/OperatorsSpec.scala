@@ -102,4 +102,17 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
     assert(out.toSeq == Seq((1L, 3L), (9L, 1L)))
   }
+
+  test("minhashLshIncremental == full pass filtered to pairs with a new member") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = pairs(NearDup.minhashLsh(docs, col("doc_id"), col("text")))
+    val inc = pairs(NearDup.minhashLshIncremental(docs,
+      col("doc_id"), col("text"), col("doc_id") % 2 === 1))
+    assert(inc == full.filter { case (a, b, _) => a % 2 == 1 || b % 2 == 1 })
+    // sanity: the fixture actually exercises both kept and dropped pairs
+    assert(inc.nonEmpty && inc.size < full.size)
+    spark.catalog.clearCache()
+  }
 }
