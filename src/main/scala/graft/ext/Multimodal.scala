@@ -95,7 +95,8 @@ object Multimodal extends QueryModule {
     import media.sparkSession.implicits._
     media.map { m =>
       val scale = math.min(1.0,
-        (w.toLong * h) / math.max(1.0, m.meta.width.toLong * m.meta.height))
+        (w.toLong * h).toDouble
+          / math.max(1.0, (m.meta.width.toLong * m.meta.height).toDouble))
       m.copy(
         content = m.content.take(math.max(1, (m.content.length * scale).toInt)),
         meta = m.meta.copy(width = w, height = h))

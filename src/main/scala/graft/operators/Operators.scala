@@ -95,7 +95,7 @@ object Joins {
   def saltedEquiJoin(
       left: DataFrame, right: DataFrame, key: String, salts: Int): DataFrame = {
     val l = left.withColumn("_salt",
-      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(salts.toLong)))
+      pmod(xxhash64(struct(left.columns.toIndexedSeq.map(col): _*)), lit(salts.toLong)))
     val r = right.withColumn("_salt",
       explode(sequence(lit(0L), lit(salts - 1L))))
     l.join(r, Seq(key, "_salt")).drop("_salt")
