@@ -111,6 +111,23 @@ final class VersionedCatalog(
       .sortWithinPartitions(cols.map(col): _*))
   }
 
+  /** Write the next version Z-ORDER clustered on two non-negative int
+    * key columns: rows sort by the Morton-interleaved key, so each file
+    * covers a bounded rectangle of the (colA, colB) plane and parquet
+    * min/max stats prune selective reads on EITHER column —
+    * [[writeNextSorted]] can only serve its leading column. Same one
+    * range-exchange + local-sort write cost. */
+  def writeNextZOrdered(step: String, df: DataFrame,
+      colA: String, colB: String, numFiles: Int): Int = {
+    import org.apache.spark.sql.functions.col
+    val z = graft.functions.VectorFunctions.interleaveBits(
+      col(colA).cast("long"), col(colB).cast("long"))
+    writeNext(step, df.withColumn("_z", z)
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z"))
+  }
+
   /** Read a specific committed version (time travel; tools.go:593-604). */
   def read(step: String, version: Int, schema: Option[StructType] = None): DataFrame = {
     val dir = versionDir(step, version)

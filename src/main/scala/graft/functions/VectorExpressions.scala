@@ -113,10 +113,58 @@ object SignedProject {
   }
 }
 
+/** Morton/Z-order key: interleaves the low 31 bits of two non-negative
+  * int64 keys (result bit 2i = a's bit i, 2i+1 = b's bit i — 62 bits,
+  * always positive). Sorting by the interleaved key clusters rows into
+  * rectangles of the (a, b) plane, so files hold bounded ranges of BOTH
+  * columns and parquet min/max stats prune selective reads on either —
+  * the multi-column generalization of single-key sort clustering.
+  * Negative inputs fail fast (pre-rank or shift arbitrary keys first);
+  * bits ≥ 31 are ignored, which only coarsens locality, never breaks
+  * ordering correctness (the sort is still total via tiebreaks).
+  */
+case class InterleaveBits(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "interleave_bits"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    InterleaveBits.interleave(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.InterleaveBits.interleave($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): InterleaveBits =
+    copy(left = newLeft, right = newRight)
+}
+
+object InterleaveBits {
+  def interleave(a: Long, b: Long): Long = {
+    if (a < 0 || b < 0)
+      throw new IllegalArgumentException(
+        s"interleave_bits: keys must be non-negative, got ($a, $b)")
+    var out = 0L
+    var i = 0
+    while (i < 31) {
+      out |= ((a >>> i) & 1L) << (2 * i)
+      out |= ((b >>> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    out
+  }
+}
+
 object VectorFunctions {
   /** Exact int64 dot product (codegen'd). */
   def dotInt64(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductInt64(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Morton/Z-order interleave of two non-negative int64 keys. */
+  def interleaveBits(a: Column, b: Column): Column =
+    ColumnBridge.column(InterleaveBits(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** md5-derived ±1 sign matrix shared with the oracle SQL:

@@ -191,6 +191,37 @@ class VersionedCatalogSpec extends SparkSpec {
     }
   }
 
+  test("z-ordered write: every file covers a bounded rectangle of BOTH key columns") {
+    val s = spark
+    import s.implicits._
+    withTempDir { dir =>
+      val cat = new VersionedCatalog(spark, dir.toString, format = "parquet")
+      val grid = (for { x <- 0 until 64; y <- 0 until 64 } yield (x, y, s"$x-$y"))
+        .toDF("x", "y", "p")
+      cat.writeNextZOrdered("zt", grid, "x", "y", numFiles = 16)
+      def spans(step: String, c: String): Seq[Long] =
+        cat.latest(step).inputFiles.toSeq.map { f =>
+          val r = spark.read.parquet(f)
+            .agg(org.apache.spark.sql.functions.max(c).cast("long")
+              - org.apache.spark.sql.functions.min(c).cast("long")).head()
+          r.getLong(0)
+        }
+      assert(cat.latest("zt").inputFiles.length == 16)
+      val (xs, ys) = (spans("zt", "x"), spans("zt", "y"))
+      // 16 z-order files over a 64×64 grid ≈ 16×16-ish rectangles: both
+      // dimensions stay well under the global span of 63
+      assert(xs.sum.toDouble / xs.size < 32, s"x spans: $xs")
+      assert(ys.sum.toDouble / ys.size < 32, s"y spans: $ys")
+      // contrast: single-key sort clustering leaves the OTHER column
+      // unbounded — every file spans ~the full y range
+      cat.writeNextSorted("st", grid, Seq("x"), numFiles = 16)
+      val ysSorted = spans("st", "y")
+      assert(ysSorted.sum.toDouble / ysSorted.size > 55, s"y spans: $ysSorted")
+      // content round-trips
+      assert(cat.latest("zt").count() == 64L * 64L)
+    }
+  }
+
   test("compact rewrites the latest version into fewer files, content-equal") {
     withTempDir { dir =>
       val cat = new VersionedCatalog(spark, dir.toString, format = "parquet")
