@@ -258,6 +258,72 @@ object Similarity extends QueryModule {
                CAST(SUM(CASE WHEN j = 2 THEN p ELSE 0 END) AS BIGINT) AS p2,
                CAST(SUM(CASE WHEN j = 3 THEN p ELSE 0 END) AS BIGINT) AS p3,
                CAST(SUM(p * p) AS BIGINT) AS proj_n2
-        FROM pr GROUP BY vec_id ORDER BY vec_id"""))
+        FROM pr GROUP BY vec_id ORDER BY vec_id""")),
+
+    // ------------------------------------------------------------------
+    // q81: the IVF SERVING path under a full oracle. q53 is rows-only
+    // because KMeans isn't oracle-expressible — but serving (cell
+    // assignment → probe → exact re-rank), the part that runs at 100 TB,
+    // is: this query serves from a DETERMINISTIC centroid table derived
+    // from md5("ivf c d"), which both engines construct identically.
+    // Distances are left-fold sums of identical IEEE (x-c)² terms (the
+    // compiled NearestCentroid kernel and DuckDB's list_aggregate both
+    // fold ascending), so cell assignment, probe ranking, and the exact
+    // integer cosine re-rank all hash-match bit-for-bit.
+    QueryDef(
+      "q81_ann_ivf_served",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val cents = Seq.tabulate(16) { c =>
+          (c, Seq.tabulate(64) { d =>
+            ((graft.functions.HashKernels.md5h60(
+              org.apache.spark.unsafe.types.UTF8String.fromString(s"ivf $c $d"))
+              % 4001L) - 2000L) / 10000.0
+          })
+        }.toDF("cell", "centroid")
+        graft.operators.SimilarityJoin.ivfTopKServing(
+            T.embeddings(s, dir), col("vec_id"), col("embedding"),
+            queryPred = col("vec_id") < 50, cents, nProbe = 4, k = 3)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""
+        WITH cent AS (
+          SELECT gc.c AS cell,
+                 list_transform(range(0, 64), d ->
+                   (CAST(${X.h60Sql("'ivf ' || CAST(gc.c AS VARCHAR) || ' ' || CAST(d AS VARCHAR)")}
+                      % 4001 AS BIGINT) - 2000) / 10000.0) AS ctr
+          FROM (SELECT unnest(range(0, 16)) AS c) gc),
+        vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS fd,
+                        ${X.scaledVecSql("embedding")} AS v
+                 FROM embeddings),
+        vn AS (SELECT vec_id, fd, v, ${X.norm2IntSql("v")} AS n2 FROM vecs),
+        dist AS (SELECT vec_id, cell,
+                   list_aggregate(list_transform(range(0, 64),
+                     i -> (fd[i+1] - ctr[i+1]) * (fd[i+1] - ctr[i+1])), 'sum') AS d
+                 FROM vn, cent),
+        assigned AS (SELECT vec_id, cell FROM (
+                       SELECT vec_id, cell,
+                              row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d, cell) AS rn
+                       FROM dist) WHERE rn = 1),
+        probes AS (SELECT vec_id AS qid, cell FROM (
+                     SELECT vec_id, cell,
+                            row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d, cell) AS pr
+                     FROM dist WHERE vec_id < 50) WHERE pr <= 4),
+        cand AS (SELECT p.qid, a.vec_id AS nid
+                 FROM probes p JOIN assigned a ON a.cell = p.cell
+                 WHERE a.vec_id != p.qid),
+        scored AS (SELECT c.qid, c.nid,
+                     ${X.cosineFromIntsSql(X.dotIntSql("q.v", "n.v"), "q.n2", "n.n2")} AS cos
+                   FROM cand c JOIN vn q ON q.vec_id = c.qid
+                               JOIN vn n ON n.vec_id = c.nid)
+        SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos FROM (
+          SELECT qid, nid, cos,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, nid) AS rank
+          FROM scored) WHERE rank <= 3
+        ORDER BY qid, rank"""))
   )
 }
