@@ -75,6 +75,30 @@ class ScaleSmokeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("incremental LSH survives a planted 5k mega-cluster and skips old-old pairs") {
+    val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
+    val planted = docs.filter(col("doc_id") === 7L)
+      .crossJoin(spark.range(5000).toDF("i"))
+      .select((col("i") + 2000000L).as("doc_id"), col("text"))
+    // "new" = the planted replicas plus odd fixture ids
+    val isNew = col("doc_id") >= 2000000L || col("doc_id") % 2 === 1
+    val pairs = NearDup.minhashLshIncremental(docs.unionAll(planted),
+        col("doc_id"), col("text"), isNew, numHashes = 12, bands = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // mega buckets dropped before any pair materializes
+    assert(!pairs.exists(p => p._1 >= 2000000L || p._2 >= 2000000L))
+    spark.catalog.clearCache()
+    // remaining pairs = the full baseline restricted to ≥1 new member
+    val baseline = NearDup.minhashLsh(docs, col("doc_id"), col("text"),
+        numHashes = 12, bands = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filterNot(p => p._1 == 7L || p._2 == 7L)
+      .filter(p => p._1 % 2 == 1 || p._2 % 2 == 1)
+    assert(pairs.filterNot(p => p._1 == 7L || p._2 == 7L).sorted.toSeq
+      == baseline.sorted.toSeq)
+    spark.catalog.clearCache()
+  }
+
   test("n-gram Jaccard df cap: a stopword-shingle shared by 3k docs is dropped, " +
       "pair work stays bounded") {
     val s = spark
