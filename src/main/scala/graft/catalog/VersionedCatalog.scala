@@ -120,12 +120,16 @@ final class VersionedCatalog(
   def writeNextZOrdered(step: String, df: DataFrame,
       colA: String, colB: String, numFiles: Int): Int = {
     import org.apache.spark.sql.functions.col
+    // pick a temp sort-key name that cannot shadow (and then silently
+    // drop) a user column of the same name
+    val zcol = Iterator.from(0).map(i => s"_z$i")
+      .dropWhile(df.columns.contains).next()
     val z = graft.functions.VectorFunctions.interleaveBits(
       col(colA).cast("long"), col(colB).cast("long"))
-    writeNext(step, df.withColumn("_z", z)
-      .repartitionByRange(numFiles, col("_z"))
-      .sortWithinPartitions(col("_z"))
-      .drop("_z"))
+    writeNext(step, df.withColumn(zcol, z)
+      .repartitionByRange(numFiles, col(zcol))
+      .sortWithinPartitions(col(zcol))
+      .drop(zcol))
   }
 
   /** Read a specific committed version (time travel; tools.go:593-604). */

@@ -313,16 +313,22 @@ object Curation extends QueryModule {
             explode(array_distinct(
               X.shingles(X.tokens(col("text")), 5))).as("sg"))
           .withColumn("h", X.h60(col("sg")))
-        val trainH = sh.filter(col("split") === "train").select(col("h")).distinct()
+        // persisted: trainH feeds the sizing count, the bloom-build
+        // treeAggregate AND the exact-overlap join; testSh feeds both
+        // final branches — without these the tokenize+shingle+md5
+        // pipeline re-runs up to 4× (the q45/Dedup checkpoint
+        // convention; the verify/bench drivers clearCache per query)
+        val trainH = sh.filter(col("split") === "train").select(col("h"))
+          .distinct().persist()
+        val testSh = sh.filter(col("split") === "test").persist()
         // the distinct count sizes the sketch; one cheap extra pass over
-        // the (already partial-aggregated) train hashes. fpp is per
-        // SHINGLE, and a doc flags if ANY of its ~n shingles hits — the
-        // doc-level FP rate is 1-(1-fpp)^n, so fpp must price in the
-        // per-doc shingle count: 1e-4 keeps ~40-shingle docs at ~0.4%
-        // (1e-2 would false-flag a third of them). ~19 bits/item.
+        // the (already persisted) train hashes. fpp is per SHINGLE, and
+        // a doc flags if ANY of its ~n shingles hits — the doc-level FP
+        // rate is 1-(1-fpp)^n, so fpp must price in the per-doc shingle
+        // count: 1e-4 keeps ~40-shingle docs at ~0.4% (1e-2 would
+        // false-flag a third of them). ~19 bits/item.
         val bloom = trainH.stat.bloomFilter(
           "h", math.max(trainH.count(), 1000L), 1e-4)
-        val testSh = sh.filter(col("split") === "test")
         val perDoc = testSh
           .withColumn("hit",
             graft.functions.BloomFunctions.mightContainLong(col("h"), bloom))

@@ -159,30 +159,49 @@ object NearDup {
     * generation — k ints per doc, not shingles. The signature table is
     * persisted because banding and verification share it; at cluster
     * scale that materialization is the standard signature checkpoint. */
-  def minhashLsh(
-      docs: DataFrame, id: Column, text: Column,
-      numHashes: Int = 12, bands: Int = 3, shingleWidth: Int = 3,
-      threshold: Double = 0.5, maxBucket: Int = 1024,
-      scope: graft.CacheScope = new graft.CacheScope): DataFrame = {
+  /** Shared signature + banding prefix of the MinHash-LSH passes:
+    * tokenize → distinct shingles → k-wide signature → per-band
+    * signature strings. Returns (base, banded): base = (doc_id,
+    * extra..., sh, sig), cached through `scope` because banding and
+    * Jaccard verification share it; banded = (doc_id, extra..., band,
+    * bsig). ONE definition so the full and incremental passes can never
+    * drift apart on shingling or band-slice arithmetic. */
+  private def bandedSignatures(
+      docs: DataFrame, id: Column, text: Column, extra: Seq[(String, Column)],
+      numHashes: Int, bands: Int, shingleWidth: Int,
+      scope: graft.CacheScope): (DataFrame, DataFrame) = {
     val rows = bands match {
       case b if numHashes % b == 0 => numHashes / b
       case _ => throw new IllegalArgumentException(
         s"bands ($bands) must divide numHashes ($numHashes)")
     }
+    val extraNames = extra.map(_._1)
     val base = docs
-      .select(id.as("doc_id"), X.tokens(text).as("tk"))
+      .select(id.as("doc_id") +: extra.map { case (n, c) => c.as(n) } :+
+        X.tokens(text).as("tk"): _*)
       .filter(size(col("tk")) >= shingleWidth)
-      .select(col("doc_id"),
-        array_distinct(X.shingles(col("tk"), shingleWidth)).as("sh"))
+      .select(col("doc_id") +: extraNames.map(col) :+
+        array_distinct(X.shingles(col("tk"), shingleWidth)).as("sh"): _*)
       .withColumn("sig", HashFunctions.minhashSignature(col("sh"), numHashes))
-      .select(col("doc_id"), col("sh"), col("sig"))
       .transform(scope.cache)
-    val banded = base.select(col("doc_id"),
+    val banded = base
+      .select(col("doc_id") +: extraNames.map(col) :+
         explode(transform(sequence(lit(0), lit(bands - 1)), b =>
           struct(b.as("band"),
             concat_ws("-", slice(col("sig"), b * rows + 1, lit(rows))).as("bsig"))))
-          .as("bd"))
-      .select(col("doc_id"), col("bd.band").as("band"), col("bd.bsig").as("bsig"))
+          .as("bd"): _*)
+      .select(col("doc_id") +: extraNames.map(col) :+
+        col("bd.band").as("band") :+ col("bd.bsig").as("bsig"): _*)
+    (base, banded)
+  }
+
+  def minhashLsh(
+      docs: DataFrame, id: Column, text: Column,
+      numHashes: Int = 12, bands: Int = 3, shingleWidth: Int = 3,
+      threshold: Double = 0.5, maxBucket: Int = 1024,
+      scope: graft.CacheScope = new graft.CacheScope): DataFrame = {
+    val (base, banded) = bandedSignatures(docs, id, text, Nil,
+      numHashes, bands, shingleWidth, scope)
     val cand = cappedBuckets(banded, Seq("band", "bsig"), "doc_id",
         maxBucket, "minhash_lsh_bucket_cap")
       .select(explode(pairsOf(col("ids"))).as("p"))
@@ -219,26 +238,8 @@ object NearDup {
       numHashes: Int = 12, bands: Int = 3, shingleWidth: Int = 3,
       threshold: Double = 0.5, maxBucket: Int = 1024,
       scope: graft.CacheScope = new graft.CacheScope): DataFrame = {
-    val rows = bands match {
-      case b if numHashes % b == 0 => numHashes / b
-      case _ => throw new IllegalArgumentException(
-        s"bands ($bands) must divide numHashes ($numHashes)")
-    }
-    val base = docs
-      .select(id.as("doc_id"), isNew.as("is_new"), X.tokens(text).as("tk"))
-      .filter(size(col("tk")) >= shingleWidth)
-      .select(col("doc_id"), col("is_new"),
-        array_distinct(X.shingles(col("tk"), shingleWidth)).as("sh"))
-      .withColumn("sig", HashFunctions.minhashSignature(col("sh"), numHashes))
-      .select(col("doc_id"), col("is_new"), col("sh"), col("sig"))
-      .transform(scope.cache)
-    val banded = base.select(col("doc_id"), col("is_new"),
-        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-          struct(b.as("band"),
-            concat_ws("-", slice(col("sig"), b * rows + 1, lit(rows))).as("bsig"))))
-          .as("bd"))
-      .select(col("doc_id"), col("is_new"),
-        col("bd.band").as("band"), col("bd.bsig").as("bsig"))
+    val (base, banded) = bandedSignatures(docs, id, text,
+      Seq("is_new" -> isNew), numHashes, bands, shingleWidth, scope)
     val sizes = banded.groupBy(col("band"), col("bsig"))
       .agg(count(lit(1)).as("_bn"), max(col("is_new")).as("_has_new"))
       .observe("minhash_lsh_inc_bucket_cap",

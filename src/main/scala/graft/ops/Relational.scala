@@ -933,9 +933,15 @@ object Relational extends QueryModule {
           .agg(count(lit(1)).as("n"),
             sum(xd).as("sx"), sum(y).as("sy"),
             sum(xd * xd).as("sxx"), sum(xd * y).as("sxy"))
+          // a single-row or constant-x group has a zero denominator —
+          // Spark would emit NaN where DuckDB's double division yields
+          // NULL, so groups with no defined slope are excluded outright
+          .withColumn("den",
+            d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx")))
+          .filter(col("den") =!= 0.0d)
           .withColumn("slope",
             (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))
-              / (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))))
+              / col("den"))
           .select(col("event_type"), col("n"), col("slope"),
             ((d(col("sy")) - col("slope") * d(col("sx"))) / d(col("n")))
               .as("intercept"))
@@ -952,15 +958,19 @@ object Relational extends QueryModule {
                    AS slope,
                  sx_d, CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS sy_d, n_d
           FROM (
-            SELECT event_type, COUNT(*) AS n, CAST(COUNT(*) AS DOUBLE) AS n_d,
-                   SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx, SUM(x * y) AS sxy,
-                   CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx_d
-            FROM (SELECT event_type,
-                         CAST(date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts)
-                           AS DECIMAL(12,0)) AS x,
-                         CAST(value AS DECIMAL(20,4)) AS y
-                  FROM events)
-            GROUP BY event_type))
+            SELECT * FROM (
+              SELECT event_type, COUNT(*) AS n, CAST(COUNT(*) AS DOUBLE) AS n_d,
+                     SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx, SUM(x * y) AS sxy,
+                     CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx_d
+              FROM (SELECT event_type,
+                           CAST(date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts)
+                             AS DECIMAL(12,0)) AS x,
+                           CAST(value AS DECIMAL(20,4)) AS y
+                    FROM events)
+              GROUP BY event_type)
+            -- zero denominator (single-row or constant-x group): Spark
+            -- emits NaN, DuckDB NULL — exclude, matching the engine filter
+            WHERE n_d * CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - sx_d * sx_d != 0))
         ORDER BY event_type""")),
 
     // ------------------------------------------------------------------

@@ -173,7 +173,9 @@ object EventPipelines {
       val merged = scala.collection.mutable.ArrayBuffer.empty[UserSession]
       intervals.foreach { s =>
         merged.lastOption match {
-          case Some(p) if s.session_start.getTime <= p.session_end.getTime + gapMs =>
+          // STRICT <: session_window is half-open [start, end+gap) — an
+          // event exactly gap after the last one starts a NEW session
+          case Some(p) if s.session_start.getTime < p.session_end.getTime + gapMs =>
             merged(merged.length - 1) = p.copy(
               session_end = new Timestamp(
                 math.max(p.session_end.getTime, s.session_end.getTime)),

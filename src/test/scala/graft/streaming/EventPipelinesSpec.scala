@@ -234,9 +234,12 @@ class EventPipelinesSpec extends SparkSpec {
       .outputMode("append").start()
     try {
       // uid 1: one microbatch carrying two bursts 3 hours apart (the
-      // AvailableNow-backlog shape) — out of order within the batch too
+      // AvailableNow-backlog shape) — out of order within the batch too.
+      // uid 9: two events EXACTLY gap apart — session_window is
+      // half-open [start, end+gap), so these must stay two sessions.
       ms.addData(ev(2, "00:02:00", uid = 1), ev(1, "00:00:00", uid = 1),
-        ev(3, "03:00:00", uid = 1), ev(4, "03:01:00", uid = 1))
+        ev(3, "03:00:00", uid = 1), ev(4, "03:01:00", uid = 1),
+        ev(7, "00:00:00", uid = 9), ev(8, "00:05:00", uid = 9))
       q.processAllAvailable()
       // advance the watermark past both gap horizons, then one more
       // batch so the re-armed timer fires for the second session
@@ -244,12 +247,16 @@ class EventPipelinesSpec extends SparkSpec {
       q.processAllAvailable()
       ms.addData(ev(6, "06:01:00", uid = 2))
       q.processAllAvailable()
-      val rows = spark.table("timer_sessions_split").collect()
+      val all = spark.table("timer_sessions_split").collect()
         .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
-        .filter(_._1 == 1L).sortBy(_._2.getTime)
+      val rows = all.filter(_._1 == 1L).sortBy(_._2.getTime)
       assert(rows.length == 2, s"expected 2 sessions, got: ${rows.toSeq}")
       assert(rows(0) == ((1L, ts("00:00:00"), ts("00:02:00"), 2L)))
       assert(rows(1) == ((1L, ts("03:00:00"), ts("03:01:00"), 2L)))
+      // the exactly-gap-apart pair did NOT merge (strict half-open merge)
+      val u9 = all.filter(_._1 == 9L).sortBy(_._2.getTime)
+      assert(u9.length == 2, s"expected 2 boundary sessions, got: ${u9.toSeq}")
+      assert(u9.forall(_._4 == 1L))
     } finally {
       q.stop()
       prevProvider match {
