@@ -140,6 +140,29 @@ object Dedup extends QueryModule {
         ORDER BY doc_a, doc_b""")),
 
     // ------------------------------------------------------------------
+    // q82: the signature TABLE as a first-class, hash-checked artifact —
+    // what a production run persists to the catalog between incremental
+    // passes (q80 consumes it). Signatures leave the row as a joined
+    // key string so the compare needs no array support; n_shingles pins
+    // the shingle sets too.
+    QueryDef(
+      "q82_minhash_signatures",
+      (s, dir) => {
+        graft.operators.NearDup.minhashSignatures(T.documents(s, dir),
+            col("doc_id"), col("text"), numHashes = 12, shingleWidth = 3)
+          .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
+            concat_ws("-", col("sig")).as("sig_key"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH $shingledSqlCte,
+        sig AS (SELECT doc_id, sh, ${X.minhashSigSql("hm", 12)} AS sig
+                FROM hm WHERE len(sh) > 0)
+        SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+               array_to_string(sig, '-') AS sig_key
+        FROM sig ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
     // q46: transitive dedup clusters — the q41 pair set closed into
     // connected components (A~B~C collapses to one survivor even when A
     // and C never shared a bucket), via Graph.connectedComponents'

@@ -195,6 +195,17 @@ object NearDup {
     (base, banded)
   }
 
+  /** The (doc_id, sh, sig) MinHash signature table alone — the
+    * index-as-data unit [[minhashLshIncremental]] consumes: persist it
+    * through the versioned catalog after each run and the next
+    * incremental pass never re-tokenizes the existing corpus. */
+  def minhashSignatures(
+      docs: DataFrame, id: Column, text: Column,
+      numHashes: Int = 12, shingleWidth: Int = 3,
+      scope: graft.CacheScope = new graft.CacheScope): DataFrame =
+    bandedSignatures(docs, id, text, Nil, numHashes, bands = 1,
+      shingleWidth, scope)._1
+
   def minhashLsh(
       docs: DataFrame, id: Column, text: Column,
       numHashes: Int = 12, bands: Int = 3, shingleWidth: Int = 3,
