@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout straight through instead of routing it
+// via sbt's logger: the logger prefixes every line with "[info] ", which
+// breaks the driver's JSON parse of the Bench/Verify contract lines
+// (observed as "parsed": null in BENCH_r01..r03.json).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
