@@ -14,8 +14,8 @@ object Bench {
     // timed query measures itself, not JVM startup.
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // Checksum over every output column, not count(): a bare count lets
       // Catalyst prune projections/sorts that don't affect cardinality, so
@@ -28,13 +28,30 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
       spark.catalog.clearCache() // drop per-query persisted intermediates
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    // Two full passes, report the per-query MIN: host noise on this box
+    // swings identical queries up to 10× between runs (BENCH_NOTES.md), so
+    // a single sample is nearly signal-free round-to-round. The min of two
+    // independent samples estimates the noise floor — what the code costs —
+    // while a mean would average the noise back in. Whole-suite passes (not
+    // back-to-back per query) so the second sample isn't flattered by a
+    // still-warm page cache for exactly its own inputs.
+    val passes = (1 to 2).map { _ =>
+      SparkEntry.queries.map { case (name, fn) => name -> timeOne(name, fn) }
+    }
+    val results = passes.head.map { case (name, t1) =>
+      name -> math.min(t1, passes(1)(name))
     }
     // The driver only retains the last ~2000 chars of stdout; a line with 69
     // full query names and 9-decimal doubles overflows it and fails to parse
     // (observed in BENCH_r02.json: "parsed": null). Keep the contract line
     // compact: qNN key prefix, millisecond precision.
     def f(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // The qNN prefix is the contract key — a duplicated number would emit
+    // duplicate JSON keys and silently corrupt the driver's parse.
+    require(results.keys.map(_.takeWhile(_ != '_')).toSet.size == results.size,
+      "bench: duplicate qNN query-name prefixes would collide in the contract line")
     val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -327,13 +327,15 @@ object Curation extends QueryModule {
         // rate is 1-(1-fpp)^n, so fpp must price in the per-doc shingle
         // count: 1e-4 keeps ~40-shingle docs at ~0.4% (1e-2 would
         // false-flag a third of them). ~19 bits/item.
+        val fpp = 1e-4
         val bloom = trainH.stat.bloomFilter(
-          "h", math.max(trainH.count(), 1000L), 1e-4)
+          "h", math.max(trainH.count(), 1000L), fpp)
         val perDoc = testSh
           .withColumn("hit",
             graft.functions.BloomFunctions.mightContainLong(col("h"), bloom))
           .groupBy(col("doc_id"), col("source"))
-          .agg(expr("bool_or(hit)").as("bloom_hit"))
+          .agg(expr("bool_or(hit)").as("bloom_hit"),
+            count(lit(1)).as("n_sh")) // per-doc shingle fan-in, for the bound
           .join(testSh.join(trainH, "h").select(col("doc_id")).distinct()
             .withColumn("exact_hit", lit(true)), Seq("doc_id"), "left")
           .withColumn("exact_hit", coalesce(col("exact_hit"), lit(false)))
@@ -345,12 +347,22 @@ object Curation extends QueryModule {
             sum(when(col("exact_hit") && !col("bloom_hit"), 1L).otherwise(0L))
               .as("nfn"),
             sum(when(col("bloom_hit") && !col("exact_hit"), 1L).otherwise(0L))
-              .as("nfp")), Seq("source"), "left")
+              .as("nfp"),
+            sum(col("n_sh")).as("tot_sh")), Seq("source"), "left")
+          // Tolerance DERIVED from the data, not a fixed doc fraction:
+          // a doc false-flags with probability 1-(1-fpp)^n ≤ n·fpp, so
+          // E[false-positive docs per source] ≤ fpp · Σ n_i = fpp·tot_sh
+          // regardless of how shingles distribute across docs. 5× the
+          // expectation + 3 absolute slack is a generous concentration
+          // bound that scales with document length — a long-document
+          // source raises tot_sh and the bound with it, where the old
+          // 5%-of-docs constant silently tightened per shingle.
           .select(col("source"), col("n_test_docs"),
             coalesce(col("n_exact"), lit(0L)).as("n_exact"),
             coalesce(col("nfn"), lit(0L)).as("n_false_neg"),
             (coalesce(col("nfp"), lit(0L)).cast("double")
-              <= lit(0.05) * col("n_test_docs").cast("double") + lit(3.0))
+              <= lit(5.0 * fpp) * coalesce(col("tot_sh"), lit(0L)).cast("double")
+                + lit(3.0))
               .as("fp_within_tolerance"))
           .orderBy(col("source"))
       },

@@ -253,7 +253,10 @@ object Dedup extends QueryModule {
         // multiplicity in the exploded shingle → pair expansion, so the
         // Jaccard verification is a count aggregation — no distinct, no
         // join back to the full shingle arrays, no array_intersect.
-        // Only |a| and |b| need a lookup, from a tiny broadcast side.
+        // Only |a| and |b| need a lookup. NO broadcast hint on the size
+        // table: it grows with doc count, so a forced broadcast is a
+        // driver OOM at 10⁹ docs — left to AQE, which broadcasts it only
+        // while it actually fits and shuffle-joins beyond that.
         val base = shingled(s, dir).select(col("doc_id"), col("sh")).persist()
         val sizes = base.select(col("doc_id"), size(col("sh")).as("sz"))
         // The bucket cap here IS the document-frequency cap: a shingle
@@ -271,8 +274,8 @@ object Dedup extends QueryModule {
           .groupBy(col("doc_a"), col("doc_b"))
           .agg(count(lit(1)).as("inter"))
         inter
-          .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza"))), "doc_a")
-          .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb"))), "doc_b")
+          .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
           .withColumn("jac", col("inter").cast("double") /
             (col("sza") + col("szb") - col("inter")).cast("double"))
           .filter(col("jac") >= 0.5)

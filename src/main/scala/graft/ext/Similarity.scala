@@ -31,6 +31,41 @@ object Similarity extends QueryModule {
       .select(col("vec_id"), col("label"), X.scaledVec(col("embedding")).as("v"))
       .withColumn("n2", X.norm2Int(col("v")))
 
+  /** Average pairwise intra-label cosine with a label-size cap: labels
+    * past `maxPerLabel` members are deterministically hash-thinned to
+    * ~that many BEFORE the pair join, so one skewed label can never go
+    * quadratic (10⁷ members would otherwise cost 5×10¹³ pairs). The
+    * average over a uniform member sample estimates the same statistic.
+    * Thinning (not dropping, as cappedBuckets does for near-dup
+    * candidates): for an analytics aggregate the label must still
+    * appear in the output — a near-dup bucket past its cap carries ~no
+    * pair information, but a big label's average is exactly what the
+    * query asks for. Thinned-label count is published as observe
+    * metric `intra_label_cap.thinned_labels`.
+    * Input needs columns (vec_id, label, v, n2) — [[scaled]] shape. */
+  private[graft] def intraLabelCosine(
+      all: DataFrame, maxPerLabel: Long): DataFrame = {
+    val sizes = all.groupBy(col("label")).agg(count(lit(1)).as("_ln"))
+      .observe("intra_label_cap",
+        sum(when(col("_ln") > maxPerLabel, 1L).otherwise(0L)).as("thinned_labels"))
+    val base = all.join(broadcast(sizes), "label") // labels: low cardinality
+      .filter(col("_ln") <= maxPerLabel ||
+        pmod(xxhash64(col("vec_id")),
+          ceil(col("_ln").cast("double") / maxPerLabel).cast("long")) === 0)
+      .drop("_ln")
+    val a = base.select(col("label"), col("vec_id").as("ida"),
+      col("v").as("va"), col("n2").as("n2a"))
+    val b = base.select(col("label").as("lb"), col("vec_id").as("idb"),
+      col("v").as("vb"), col("n2").as("n2b"))
+    a.join(b, col("label") === col("lb") && col("ida") < col("idb"))
+      .withColumn("cos_e9", floor(X.cosineFromInts(
+        X.dotInt(col("va"), col("vb")), col("n2a"), col("n2b")) * 1e9).cast("long"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (sum(col("cos_e9")).cast("double")
+          / count(lit(1)).cast("double")).as("avg_intra_cos_e9"))
+  }
+
   private val scaledSqlCte =
     s"""sc AS (SELECT vec_id, label, ${X.scaledVecSql("embedding")} AS v FROM embeddings),
        scn AS (SELECT vec_id, label, v, ${X.norm2IntSql("v")} AS n2 FROM sc)"""
@@ -133,28 +168,9 @@ object Similarity extends QueryModule {
     // compares the exact computation.
     QueryDef(
       "q52_intra_label_cosine",
-      (s, dir) => {
-        val maxPerLabel = 2000L
-        val all = scaled(s, dir)
-        val sizes = all.groupBy(col("label")).agg(count(lit(1)).as("_ln"))
-        val base = all.join(broadcast(sizes), "label") // labels: low cardinality
-          .filter(col("_ln") <= maxPerLabel ||
-            pmod(xxhash64(col("vec_id")),
-              ceil(col("_ln").cast("double") / maxPerLabel).cast("long")) === 0)
-          .drop("_ln")
-        val a = base.select(col("label"), col("vec_id").as("ida"),
-          col("v").as("va"), col("n2").as("n2a"))
-        val b = base.select(col("label").as("lb"), col("vec_id").as("idb"),
-          col("v").as("vb"), col("n2").as("n2b"))
-        a.join(b, col("label") === col("lb") && col("ida") < col("idb"))
-          .withColumn("cos_e9", floor(X.cosineFromInts(
-            X.dotInt(col("va"), col("vb")), col("n2a"), col("n2b")) * 1e9).cast("long"))
-          .groupBy(col("label"))
-          .agg(count(lit(1)).as("n_pairs"),
-            (sum(col("cos_e9")).cast("double")
-              / count(lit(1)).cast("double")).as("avg_intra_cos_e9"))
-          .orderBy(col("label"))
-      },
+      (s, dir) =>
+        intraLabelCosine(scaled(s, dir), maxPerLabel = 2000L)
+          .orderBy(col("label")),
       Some(s"""
         WITH $scaledSqlCte,
         pairs AS (SELECT a.label,

@@ -64,8 +64,18 @@ case class DotProductInt64(left: Expression, right: Expression)
   * an exact-int64 scaled vector: out[j] = Σ_i v[i]·sign(i,j), where the
   * sign matrix is derived from md5 (see [[VectorFunctions.rpSigns]]) so
   * any engine reproduces the projection bit-for-bit — a seeded RNG
-  * would not. All arithmetic stays exact int64 (|v[i]| ≲ 1.6e8, 64
-  * terms → |out[j]| ≲ 1e10 ≪ 2^63).
+  * would not.
+  *
+  * Int64 envelope — sized for the SQUARED-NORM consumer, not just the
+  * coordinates: downstream code computes dot_int64(proj, proj) (q76),
+  * so the binding constraint is Σ_j out[j]² < 2^63, i.e. |out[j]| ≤
+  * √(2^63/k) ≈ 7.6e8 at k = 16 — NOT the ~1e10 per-coordinate bound
+  * coordinates alone would allow. With scaledVec's ×1e7 inputs that
+  * means |x| ≲ 1.1 per input float over 64 dims (unit-ish embeddings:
+  * |x| < 0.5 → |out[j]| ≤ 3.2e8, half the envelope). [[project]]
+  * enforces the bound and throws ArithmeticException on violation —
+  * Spark would otherwise WRAP the downstream square silently where
+  * DuckDB errors, a cross-engine divergence worse than a failure.
   *
   * The scale role: projecting 64→16 dims shrinks every downstream
   * shuffle and pairwise kernel 4× before LSH/IVF candidate generation —
@@ -108,6 +118,22 @@ object SignedProject {
       var j = 0
       while (j < k) { out(j) += x * row(j); j += 1 }
       i += 1
+    }
+    // Squared-norm envelope (see class doc): |out[j]| ≤ √(2^63/k) keeps
+    // dot_int64(out, out) inside int64. The -1 absorbs double→long
+    // rounding in the sqrt; the check is k compares per row, noise next
+    // to the n×k multiply loop above.
+    if (k > 0) {
+      val bound = (math.sqrt(Long.MaxValue.toDouble / k) - 1).toLong
+      var j = 0
+      while (j < k) {
+        if (out(j) > bound || out(j) < -bound)
+          throw new ArithmeticException(
+            s"signed_project: |out[$j]| = ${math.abs(out(j))} exceeds the " +
+              s"squared-norm-safe bound $bound for $k output dims — input " +
+              "magnitudes too large for an exact int64 projected norm")
+        j += 1
+      }
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }

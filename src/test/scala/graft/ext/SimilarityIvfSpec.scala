@@ -103,6 +103,21 @@ class SimilarityIvfSpec extends SparkSpec {
         org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(1L)),
         Array(Array(1L), Array(1L)))
     }
+    // squared-norm envelope: |out[j]| past √(2^63/k) would let the q76
+    // consumer dot_int64(proj, proj) wrap int64 — fail fast instead
+    val k16row = Array(Array.fill(16)(1L))
+    val bound16 = (math.sqrt(Long.MaxValue.toDouble / 16) - 1).toLong // ≈ 7.59e8
+    intercept[ArithmeticException] {
+      SignedProject.project(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(bound16 + 1L)),
+        k16row)
+    }
+    // at the bound it passes and the squared norm is exactly representable
+    val atBound = SignedProject.project(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(bound16)),
+      k16row).toLongArray()
+    assert(atBound.forall(_ == bound16))
+    assert(atBound.map(x => x * x).sum > 0) // 16·bound² < 2^63: no wrap
     // JL expectation: E[||p||^2] = k·||v||^2 — corpus-average ratio near k
     val signs = VectorFunctions.rpSigns(64, 16)
     val ratio = graft.Tables.embeddings(spark, dir)
