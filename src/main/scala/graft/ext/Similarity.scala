@@ -182,19 +182,61 @@ object Similarity extends QueryModule {
 
     // ------------------------------------------------------------------
     // q53: IVF ANN — KMeans cell index, probe 4 of 16 cells per query,
-    // exact cosine re-rank, top-3 for the first 50 vectors. KMeans is
-    // not expressible in the DuckDB oracle → rows-only check; exactness
-    // of the scoring path and recall are covered by SimilarityIvfSpec.
+    // exact cosine re-rank, top-3 for the first 50 vectors. The KMeans
+    // fit itself is not oracle-expressible, but its QUALITY is a
+    // checkable contract (the q25/q58 pattern): brute-force top-3 over
+    // the same embeddings is plain SQL, so the query emits per-query
+    // structure (exactly k results each) plus an aggregate
+    // recall-vs-brute boolean the oracle pins TRUE. Recall is aggregate,
+    // not per-query: probing 4/16 cells of near-orthogonal vectors
+    // leaves some individual queries at 0 hits while the fleet-wide
+    // recall is stable (measured 0.57–0.63 across sf0.001/0.01/0.1;
+    // deterministic for a given dataset — fixed seed, fit sample cap not
+    // reached — so 0.5 holds with margin, and SimilarityIvfSpec pins the
+    // serving-path exactness separately).
     QueryDef(
       "q53_ann_ivf",
       (s, dir) => {
-        graft.operators.SimilarityJoin.ivfTopK(
+        val k = 3
+        val ivf = graft.operators.SimilarityJoin.ivfTopK(
             T.embeddings(s, dir), col("vec_id"), col("embedding"),
             queryPred = col("vec_id") < 50,
-            nCells = 16, nProbe = 4, k = 3)
-          .orderBy(col("qid"), col("rank"))
+            nCells = 16, nProbe = 4, k = k)
+          .select(col("qid"), col("nid"))
+        val base = scaled(s, dir)
+        val q = base.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("qid"), col("v").as("va"), col("n2").as("n2a"))
+        val c = base.select(col("vec_id").as("nid"), col("v").as("vb"), col("n2").as("n2b"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+        // 50 × n pairs — the brute side is bounded by the query count,
+        // not the corpus squared, so the contract scales with the probe
+        // set. Same integer-exact cosine + id tiebreak as q50.
+        val brute = q.crossJoin(c).filter(col("qid") =!= col("nid"))
+          .withColumn("cos", X.cosineFromInts(
+            X.dotInt(col("va"), col("vb")), col("n2a"), col("n2b")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k)
+          .select(col("qid"), col("nid"), lit(true).as("in_brute"))
+        val per = ivf.join(brute, Seq("qid", "nid"), "left")
+          .groupBy(col("qid"))
+          .agg(count(lit(1)).as("n_ivf"),
+            sum(when(col("in_brute"), 1L).otherwise(0L)).as("hits"))
+        // unpartitioned window over 50 one-row-per-query aggregates —
+        // driver-small by construction, like the q58 tolerance fold
+        val all = Window.partitionBy()
+        per
+          .withColumn("tot_hits", sum(col("hits")).over(all))
+          .withColumn("tot_q", count(lit(1)).over(all))
+          .select(col("qid"), col("n_ivf"),
+            (col("tot_hits").cast("double")
+              >= lit(0.5) * col("tot_q").cast("double") * lit(k))
+              .as("recall_ge_half"))
+          .orderBy(col("qid"))
       },
-      None),
+      Some("""
+        SELECT vec_id AS qid, CAST(3 AS BIGINT) AS n_ivf,
+               TRUE AS recall_ge_half
+        FROM embeddings WHERE vec_id < 50 ORDER BY qid""")),
 
     // ------------------------------------------------------------------
     // q54: embedding quantization audit — int8-style compression via
@@ -277,10 +319,11 @@ object Similarity extends QueryModule {
         FROM pr GROUP BY vec_id ORDER BY vec_id""")),
 
     // ------------------------------------------------------------------
-    // q81: the IVF SERVING path under a full oracle. q53 is rows-only
-    // because KMeans isn't oracle-expressible — but serving (cell
-    // assignment → probe → exact re-rank), the part that runs at 100 TB,
-    // is: this query serves from a DETERMINISTIC centroid table derived
+    // q81: the IVF SERVING path under a full oracle. q53 checks the
+    // KMeans-built index via a recall contract (the fit isn't
+    // oracle-expressible) — but serving (cell assignment → probe →
+    // exact re-rank), the part that runs at 100 TB, is fully
+    // expressible: this query serves from a DETERMINISTIC centroid table derived
     // from md5("ivf c d"), which both engines construct identically.
     // Distances are left-fold sums of identical IEEE (x-c)² terms (the
     // compiled NearestCentroid kernel and DuckDB's list_aggregate both
