@@ -15,20 +15,26 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Returns (elapsed, succeeded): a failed sample's elapsed is a
+    // fast-failure artifact, so the min below only considers successful
+    // samples — otherwise a transient failure in one pass would
+    // under-report the query while it also sits in the errors array.
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
       // Checksum over every output column, not count(): a bare count lets
       // Catalyst prune projections/sorts that don't affect cardinality, so
       // map-only queries would be under-measured. xxhash64(struct(*))
       // forces every column to be computed; one long leaves the executors.
       // bit_xor (not sum): order-independent and can't hit ANSI overflow.
-      try { fn(spark, sfDir).selectExpr("bit_xor(xxhash64(struct(*)))").collect() } catch {
-        case e: Throwable =>
-          failed += name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-      }
+      val ok =
+        try { fn(spark, sfDir).selectExpr("bit_xor(xxhash64(struct(*)))").collect(); true } catch {
+          case e: Throwable =>
+            failed += name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+        }
       spark.catalog.clearCache() // drop per-query persisted intermediates
-      (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
     // Two full passes, report the per-query MIN: host noise on this box
     // swings identical queries up to 10× between runs (BENCH_NOTES.md), so
@@ -40,8 +46,20 @@ object Bench {
     val passes = (1 to 2).map { _ =>
       SparkEntry.queries.map { case (name, fn) => name -> timeOne(name, fn) }
     }
-    val results = passes.head.map { case (name, t1) =>
-      name -> math.min(t1, passes(1)(name))
+    // Log both pass totals so future rounds can read the noise spread off
+    // BENCH_r{N}'s stderr tail without re-deriving it.
+    passes.zipWithIndex.foreach { case (p, i) =>
+      System.err.println(f"[bench] pass ${i + 1} total: ${p.values.map(_._1).sum}%.3f s")
+    }
+    val results = passes.head.map { case (name, (t1, ok1)) =>
+      val (t2, ok2) = passes(1)(name)
+      // min over SUCCESSFUL samples; only when both fail does the
+      // (meaningless) failure time stand in, and the errors array flags it.
+      name -> ((ok1, ok2) match {
+        case (true, false) => t1
+        case (false, true) => t2
+        case _ => math.min(t1, t2)
+      })
     }
     // The driver only retains the last ~2000 chars of stdout; a line with 69
     // full query names and 9-decimal doubles overflows it and fails to parse

@@ -298,9 +298,10 @@ object Curation extends QueryModule {
     // join. The oracle checks the sketch's CONTRACT, not its bits:
     // n_false_neg must be exactly 0 (Bloom guarantees no false
     // negatives, so the exact q56 answer is fully recovered) and the
-    // doc-level false-positive overshoot must sit inside the tolerance
-    // implied by fpp=1% — both engine-side booleans the oracle pins to
-    // their guaranteed values, like q25's HLL tolerance contract.
+    // doc-level false-positive overshoot must sit inside the
+    // 5·fpp·tot_sh + 3 bound derived from the per-shingle fpp=1e-4 and
+    // the observed shingle fan-in — both engine-side booleans the
+    // oracle pins to their guaranteed values, like q25's HLL contract.
     QueryDef(
       "q58_bloom_decontamination",
       (s, dir) => {

@@ -123,6 +123,12 @@ object SignedProject {
     // dot_int64(out, out) inside int64. The -1 absorbs double→long
     // rounding in the sqrt; the check is k compares per row, noise next
     // to the n×k multiply loop above.
+    // Deliberately CONSERVATIVE: a vector whose actual Σ out[j]² still
+    // fits int64 (one huge coordinate, rest ~0) is rejected too, and the
+    // guard runs for every consumer, not only squared-norm ones (today
+    // q76 is the only consumer, so nothing is falsely rejected). If that
+    // ever bites, check the exact norm with Math.addExact/multiplyHigh
+    // or scope the guard to the norm-consuming call sites.
     if (k > 0) {
       val bound = (math.sqrt(Long.MaxValue.toDouble / k) - 1).toLong
       var j = 0

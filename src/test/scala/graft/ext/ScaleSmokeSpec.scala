@@ -99,6 +99,50 @@ class ScaleSmokeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("intra-label cosine thins a label past maxPerLabel: pair count is " +
+      "capped-quadratic, average finite, observe metric fires") {
+    // All 500 fixture vectors under ONE label, cap at 100: the thinning
+    // branch (inactive at fixture scale, where labels ≪ 2000) must keep
+    // ~1/5 of members BEFORE the pair join — C(~100,2) pairs, not
+    // C(500,2) — while a second label under the cap passes through exact.
+    val base = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), TextDsl.scaledVec(col("embedding")).as("v"))
+      .withColumn("n2", TextDsl.norm2Int(col("v")))
+    val mega = base.select(col("vec_id"), lit("mega").as("label"), col("v"), col("n2"))
+    val small = base.filter(col("vec_id") < 40)
+      .select((col("vec_id") + 1000L).as("vec_id"), lit("small").as("label"),
+        col("v"), col("n2"))
+    // capture the observe metric via a listener (async bus → poll below)
+    @volatile var thinned: Option[Long] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit =
+        qe.observedMetrics.get("intra_label_cap")
+          .foreach(r => thinned = Some(r.getLong(0)))
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val out = Similarity.intraLabelCosine(mega.unionAll(small), maxPerLabel = 100L)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      // small label: under the cap → exact all-pairs, untouched by thinning
+      assert(out("small")._1 == 40L * 39 / 2)
+      // mega label: ceil(500/100)=5 → ~1/5 of members survive the hash
+      // thin; pairs are capped-quadratic. Deterministic (xxhash64 on
+      // fixed ids) — bracket it well under full C(500,2)=124750 and
+      // well over degenerate.
+      val megaPairs = out("mega")._1
+      assert(megaPairs < 150L * 149 / 2, s"mega label not thinned: $megaPairs pairs")
+      assert(megaPairs > 60L * 59 / 2, s"mega label over-thinned: $megaPairs pairs")
+      assert(!out("mega")._2.isNaN && !out("mega")._2.isInfinite)
+      // the observe metric counted exactly the one oversized label
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (thinned.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(thinned.contains(1L), s"intra_label_cap.thinned_labels = $thinned")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("n-gram Jaccard df cap: a stopword-shingle shared by 3k docs is dropped, " +
       "pair work stays bounded") {
     val s = spark
