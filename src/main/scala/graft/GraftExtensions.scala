@@ -25,6 +25,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$fn: argument $pos must be an integer literal, got $other")
   }
 
+  // foldable (not just Literal): SQL wraps numeric literals in casts
+  // that only constant-fold later in analysis
+  private def numArg(e: Expression, fn: String, pos: Int): Long =
+    (if (e.foldable) e.eval() else null) match {
+      case v: java.lang.Integer => v.toLong
+      case v: java.lang.Long => v
+      case _ => throw new IllegalArgumentException(
+        s"$fn: argument $pos must be an integer literal, got $e")
+    }
+
+  private def dblArg(e: Expression, fn: String, pos: Int): Double =
+    (if (e.foldable) e.eval() else null) match {
+      case v: java.lang.Double => v
+      case v: org.apache.spark.sql.types.Decimal => v.toDouble
+      case v: java.lang.Float => v.toDouble
+      case _ => throw new IllegalArgumentException(
+        s"$fn: argument $pos must be a numeric literal, got $e")
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("tokenize_ascii_lower"),
@@ -63,5 +82,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKOrdered].getName, "top_k"),
       (args: Seq[Expression]) =>
         TopKOrdered(args.head, intArg(args(1), "top_k", 2))))
+
+    ext.injectFunction((
+      FunctionIdentifier("bloom_build"),
+      new ExpressionInfo(classOf[BloomBuildAgg].getName, "bloom_build"),
+      (args: Seq[Expression]) =>
+        BloomBuildAgg(args.head,
+          numArg(args(1), "bloom_build", 2),
+          dblArg(args(2), "bloom_build", 3)).toAggregateExpression()))
   }
 }

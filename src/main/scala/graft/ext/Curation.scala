@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.{QueryDef, QueryModule, Tables => T}
 import graft.ext.{TextDsl => X}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation — the composition the individual operators
@@ -75,6 +76,94 @@ object Curation extends QueryModule {
     sdocs.join(dropped, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"), col("text"), col("tk"))
   }
+
+  /** Shared q58/q83 prep: md5-residue split assignment (18/20 train,
+    * 1/20 val, 1/20 test) and the per-doc distinct 5-shingle hash
+    * stream. Returns (docs, split residue column, shingle hashes). */
+  private def contamPrep(s: SparkSession, dir: String)
+      : (DataFrame, Column, DataFrame) = {
+    val split = X.hp(col("doc_id").cast("string")) % 20
+    val docs = T.documents(s, dir)
+    val sh = docs
+      .select(col("doc_id"), col("source"),
+        when(split <= 17, "train").when(split === 18, "val").otherwise("test")
+          .as("split"),
+        explode(array_distinct(
+          X.shingles(X.tokens(col("text")), 5))).as("sg"))
+      .withColumn("h", X.h60(col("sg")))
+    (docs, split, sh)
+  }
+
+  /** Shared q58/q83 contract fold: per-doc bloom-vs-exact comparison,
+    * then the per-source tolerance booleans the oracle pins.
+    * `testHits` carries one row per test shingle with its sketch
+    * verdict (doc_id, source, h?, hit); `testSh`/`trainH` feed the
+    * exact-overlap branch the sketch is audited against. */
+  private def bloomContract(docs: DataFrame, split: Column,
+      testHits: DataFrame, testSh: DataFrame, trainH: DataFrame,
+      fpp: Double): DataFrame = {
+    val perDoc = testHits
+      .groupBy(col("doc_id"), col("source"))
+      .agg(expr("bool_or(hit)").as("bloom_hit"),
+        count(lit(1)).as("n_sh")) // per-doc shingle fan-in, for the bound
+      .join(testSh.join(trainH, "h").select(col("doc_id")).distinct()
+        .withColumn("exact_hit", lit(true)), Seq("doc_id"), "left")
+      .withColumn("exact_hit", coalesce(col("exact_hit"), lit(false)))
+    val testDocs = docs.filter(split === 19)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_test_docs"))
+    testDocs
+      .join(perDoc.groupBy(col("source")).agg(
+        sum(when(col("exact_hit"), 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("exact_hit") && !col("bloom_hit"), 1L).otherwise(0L))
+          .as("nfn"),
+        sum(when(col("bloom_hit") && !col("exact_hit"), 1L).otherwise(0L))
+          .as("nfp"),
+        sum(col("n_sh")).as("tot_sh")), Seq("source"), "left")
+      // Tolerance DERIVED from the data, not a fixed doc fraction:
+      // a doc false-flags with probability 1-(1-fpp)^n ≤ n·fpp, so
+      // E[false-positive docs per source] ≤ fpp · Σ n_i = fpp·tot_sh
+      // regardless of how shingles distribute across docs. 5× the
+      // expectation + 3 absolute slack is a generous concentration
+      // bound that scales with document length — a long-document
+      // source raises tot_sh and the bound with it, where a fixed
+      // doc-fraction constant silently tightens per shingle.
+      .select(col("source"), col("n_test_docs"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("nfn"), lit(0L)).as("n_false_neg"),
+        (coalesce(col("nfp"), lit(0L)).cast("double")
+          <= lit(5.0 * fpp) * coalesce(col("tot_sh"), lit(0L)).cast("double")
+            + lit(3.0))
+          .as("fp_within_tolerance"))
+      .orderBy(col("source"))
+  }
+
+  /** q58/q83 shared oracle: the contract (exact counts + pinned
+    * booleans) is sketch-implementation-independent, so both the
+    * broadcast and the sharded variant check against the same SQL. */
+  private val bloomOracleSql = s"""
+        WITH toks AS (SELECT doc_id, source,
+                        CASE WHEN ${X.hpSql("CAST(doc_id AS VARCHAR)")} % 20 <= 17 THEN 'train'
+                             WHEN ${X.hpSql("CAST(doc_id AS VARCHAR)")} % 20 = 18 THEN 'val'
+                             ELSE 'test' END AS split,
+                        ${X.tokensSql("text")} AS tk
+                      FROM documents),
+        sh AS (SELECT doc_id, source, split, ${X.h60Sql("s")} AS h
+               FROM (SELECT doc_id, source, split,
+                            unnest(list_distinct(${X.shinglesSql("tk", 5)})) AS s
+                     FROM toks)),
+        train_h AS (SELECT DISTINCT h FROM sh WHERE split = 'train'),
+        cont AS (SELECT DISTINCT t.doc_id, t.source
+                 FROM sh t JOIN train_h ON t.h = train_h.h
+                 WHERE t.split = 'test')
+        SELECT td.source, td.n_test_docs,
+               COALESCE(c.n_exact, 0) AS n_exact,
+               CAST(0 AS BIGINT) AS n_false_neg,
+               TRUE AS fp_within_tolerance
+        FROM (SELECT source, COUNT(*) AS n_test_docs FROM toks
+              WHERE split = 'test' GROUP BY source) td
+        LEFT JOIN (SELECT source, COUNT(*) AS n_exact
+                   FROM cont GROUP BY source) c USING (source)
+        ORDER BY td.source"""
 
   override val defs: Seq[QueryDef] = Seq(
 
@@ -305,15 +394,7 @@ object Curation extends QueryModule {
     QueryDef(
       "q58_bloom_decontamination",
       (s, dir) => {
-        val split = X.hp(col("doc_id").cast("string")) % 20
-        val docs = T.documents(s, dir)
-        val sh = docs
-          .select(col("doc_id"), col("source"),
-            when(split <= 17, "train").when(split === 18, "val").otherwise("test")
-              .as("split"),
-            explode(array_distinct(
-              X.shingles(X.tokens(col("text")), 5))).as("sg"))
-          .withColumn("h", X.h60(col("sg")))
+        val (docs, split, sh) = contamPrep(s, dir)
         // persisted: trainH feeds the sizing count, the bloom-build
         // treeAggregate AND the exact-overlap join; testSh feeds both
         // final branches — without these the tokenize+shingle+md5
@@ -327,69 +408,75 @@ object Curation extends QueryModule {
         // a doc flags if ANY of its ~n shingles hits — the doc-level FP
         // rate is 1-(1-fpp)^n, so fpp must price in the per-doc shingle
         // count: 1e-4 keeps ~40-shingle docs at ~0.4% (1e-2 would
-        // false-flag a third of them). ~19 bits/item.
+        // false-flag a third of them). ~19 bits/item. Driver memory
+        // grows with the TRAIN corpus (SCALE.md states the arithmetic);
+        // q83 is the sharded form with no such allocation.
         val fpp = 1e-4
         val bloom = trainH.stat.bloomFilter(
           "h", math.max(trainH.count(), 1000L), fpp)
-        val perDoc = testSh
-          .withColumn("hit",
-            graft.functions.BloomFunctions.mightContainLong(col("h"), bloom))
-          .groupBy(col("doc_id"), col("source"))
-          .agg(expr("bool_or(hit)").as("bloom_hit"),
-            count(lit(1)).as("n_sh")) // per-doc shingle fan-in, for the bound
-          .join(testSh.join(trainH, "h").select(col("doc_id")).distinct()
-            .withColumn("exact_hit", lit(true)), Seq("doc_id"), "left")
-          .withColumn("exact_hit", coalesce(col("exact_hit"), lit(false)))
-        val testDocs = docs.filter(split === 19)
-          .groupBy(col("source")).agg(count(lit(1)).as("n_test_docs"))
-        testDocs
-          .join(perDoc.groupBy(col("source")).agg(
-            sum(when(col("exact_hit"), 1L).otherwise(0L)).as("n_exact"),
-            sum(when(col("exact_hit") && !col("bloom_hit"), 1L).otherwise(0L))
-              .as("nfn"),
-            sum(when(col("bloom_hit") && !col("exact_hit"), 1L).otherwise(0L))
-              .as("nfp"),
-            sum(col("n_sh")).as("tot_sh")), Seq("source"), "left")
-          // Tolerance DERIVED from the data, not a fixed doc fraction:
-          // a doc false-flags with probability 1-(1-fpp)^n ≤ n·fpp, so
-          // E[false-positive docs per source] ≤ fpp · Σ n_i = fpp·tot_sh
-          // regardless of how shingles distribute across docs. 5× the
-          // expectation + 3 absolute slack is a generous concentration
-          // bound that scales with document length — a long-document
-          // source raises tot_sh and the bound with it, where the old
-          // 5%-of-docs constant silently tightened per shingle.
-          .select(col("source"), col("n_test_docs"),
-            coalesce(col("n_exact"), lit(0L)).as("n_exact"),
-            coalesce(col("nfn"), lit(0L)).as("n_false_neg"),
-            (coalesce(col("nfp"), lit(0L)).cast("double")
-              <= lit(5.0 * fpp) * coalesce(col("tot_sh"), lit(0L)).cast("double")
-                + lit(3.0))
-              .as("fp_within_tolerance"))
-          .orderBy(col("source"))
+        bloomContract(docs, split,
+          testSh.withColumn("hit",
+            graft.functions.BloomFunctions.mightContainLong(col("h"), bloom)),
+          testSh, trainH, fpp)
       },
-      Some(s"""
-        WITH toks AS (SELECT doc_id, source,
-                        CASE WHEN ${X.hpSql("CAST(doc_id AS VARCHAR)")} % 20 <= 17 THEN 'train'
-                             WHEN ${X.hpSql("CAST(doc_id AS VARCHAR)")} % 20 = 18 THEN 'val'
-                             ELSE 'test' END AS split,
-                        ${X.tokensSql("text")} AS tk
-                      FROM documents),
-        sh AS (SELECT doc_id, source, split, ${X.h60Sql("s")} AS h
-               FROM (SELECT doc_id, source, split,
-                            unnest(list_distinct(${X.shinglesSql("tk", 5)})) AS s
-                     FROM toks)),
-        train_h AS (SELECT DISTINCT h FROM sh WHERE split = 'train'),
-        cont AS (SELECT DISTINCT t.doc_id, t.source
-                 FROM sh t JOIN train_h ON t.h = train_h.h
-                 WHERE t.split = 'test')
-        SELECT td.source, td.n_test_docs,
-               COALESCE(c.n_exact, 0) AS n_exact,
-               CAST(0 AS BIGINT) AS n_false_neg,
-               TRUE AS fp_within_tolerance
-        FROM (SELECT source, COUNT(*) AS n_test_docs FROM toks
-              WHERE split = 'test' GROUP BY source) td
-        LEFT JOIN (SELECT source, COUNT(*) AS n_exact
-                   FROM cont GROUP BY source) c USING (source)
-        ORDER BY td.source"""))
+      Some(bloomOracleSql)),
+
+    // ------------------------------------------------------------------
+    // q83: q58's decontamination with a SHARDED sketch — the 100 TB
+    // form for when the TRAIN side is itself corpus-sized and a single
+    // driver-built Bloom (~19 bits × distinct shingles) stops fitting.
+    // Train hashes shard by pmod(h, P); each shard aggregates its own
+    // BloomFilter (BloomBuildAgg, repartitioned first so partial-agg
+    // buffers never multiply across tasks), yielding a (shard, sketch)
+    // TABLE that could be catalog-persisted like the q82 signature
+    // table. Membership is a cogroup on the shard id: each task
+    // deserializes only ITS shards' sketches once and streams its test
+    // shingles through them — the deliberate trade vs q58 is one
+    // test-side shuffle by shard in exchange for zero
+    // corpus-proportional driver/broadcast allocation. Same contract,
+    // same oracle: zero false negatives, fp inside the fpp-derived
+    // bound (per-shingle fp is still one sketch lookup at fpp).
+    QueryDef(
+      "q83_bloom_decontam_sharded",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val (docs, split, sh) = contamPrep(s, dir)
+        val trainH = sh.filter(col("split") === "train").select(col("h"))
+          .distinct().persist()
+        val testSh = sh.filter(col("split") === "test").persist()
+        val fpp = 1e-4
+        val nShards = 8 // at 10⁹⁺ train shingles: hundreds, sized so one
+                        // shard's sketch fits a task comfortably
+        val perShard = math.max(trainH.count() / nShards + 1, 1000L)
+        val sketches = trainH
+          .withColumn("shard", pmod(col("h"), lit(nShards.toLong)).cast("int"))
+          .repartition(nShards, col("shard"))
+          .groupBy(col("shard"))
+          .agg(graft.functions.BloomFunctions
+            .bloomBuild(col("h"), perShard, fpp).as("sketch"))
+          .as[(Int, Array[Byte])]
+        val testKeyed = testSh
+          .select(col("doc_id"), col("source"), col("h"),
+            pmod(col("h"), lit(nShards.toLong)).cast("int").as("shard"))
+          .as[(Long, String, Long, Int)]
+        val hits = testKeyed.groupByKey(_._4)
+          .cogroup(sketches.groupByKey(_._1)) { (_, tIt, sIt) =>
+            // ≤1 sketch row per shard; deserialize once, stream the
+            // test side through it. A shard with no train hashes has no
+            // sketch row → everything is a miss, which is exact.
+            val bloom =
+              if (sIt.hasNext) Some(org.apache.spark.util.sketch.BloomFilter
+                .readFrom(new java.io.ByteArrayInputStream(sIt.next()._2)))
+              else None
+            tIt.map { case (doc, src, h, _) =>
+              (doc, src, bloom.exists(_.mightContainLong(h)))
+            }
+          }
+          .toDF("doc_id", "source", "hit")
+        bloomContract(docs, split, hits, testSh, trainH, fpp)
+      },
+      Some(bloomOracleSql)),
   )
 }
+

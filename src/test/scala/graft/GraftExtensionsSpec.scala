@@ -39,6 +39,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |GROUP BY g ORDER BY g""".stripMargin).collect()
       assert(top(0).getSeq[Long](1) == Seq(9L, 7L))
       assert(top(1).getSeq[Long](1) == Seq(1L))
+      // bloom_build aggregate: sketch bytes round-trip and contain inputs
+      val sk = s.sql(
+        """SELECT bloom_build(v, 100, CAST(0.01 AS DOUBLE)) AS sk
+          |FROM VALUES (1L), (2L), (3L) AS t(v)""".stripMargin)
+        .head().getAs[Array[Byte]](0)
+      val bloom = org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(sk))
+      assert(Seq(1L, 2L, 3L).forall(bloom.mightContainLong))
+      assert(!bloom.mightContainLong(99L))
       assert(row.getSeq[String](0) == Seq("hello", "world", "42"))
       assert(row.getSeq[String](1) == Seq("a b c", "b c d"))
       assert(row.getInt(2) == 12)
