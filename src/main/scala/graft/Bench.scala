@@ -47,9 +47,14 @@ object Bench {
       SparkEntry.queries.map { case (name, fn) => name -> timeOne(name, fn) }
     }
     // Log both pass totals so future rounds can read the noise spread off
-    // BENCH_r{N}'s stderr tail without re-deriving it.
+    // BENCH_r{N}'s stderr tail without re-deriving it. Successful samples
+    // only — a fast-failing query would otherwise deflate its pass total
+    // and fabricate spread between the passes.
     passes.zipWithIndex.foreach { case (p, i) =>
-      System.err.println(f"[bench] pass ${i + 1} total: ${p.values.map(_._1).sum}%.3f s")
+      val ok = p.values.collect { case (t, true) => t }.sum
+      val nFail = p.values.count(!_._2)
+      System.err.println(f"[bench] pass ${i + 1} total: $ok%.3f s" +
+        (if (nFail > 0) s" ($nFail failed queries excluded)" else ""))
     }
     val results = passes.head.map { case (name, (t1, ok1)) =>
       val (t2, ok2) = passes(1)(name)

@@ -3,7 +3,7 @@ package graft
 import graft.functions._
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SQL surface for the compiled kernels: register with
   * `SparkSession.builder.withExtensions(new GraftExtensions)` or
@@ -19,12 +19,6 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def intArg(e: Expression, fn: String, pos: Int): Int = e match {
-    case Literal(v: Int, _) => v
-    case other => throw new IllegalArgumentException(
-      s"$fn: argument $pos must be an integer literal, got $other")
-  }
-
   // foldable (not just Literal): SQL wraps numeric literals in casts
   // that only constant-fold later in analysis
   private def numArg(e: Expression, fn: String, pos: Int): Long =
@@ -34,6 +28,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case _ => throw new IllegalArgumentException(
         s"$fn: argument $pos must be an integer literal, got $e")
     }
+
+  private def intArg(e: Expression, fn: String, pos: Int): Int = {
+    val v = numArg(e, fn, pos)
+    require(v >= Int.MinValue && v <= Int.MaxValue,
+      s"$fn: argument $pos out of int range: $v")
+    v.toInt
+  }
 
   private def dblArg(e: Expression, fn: String, pos: Int): Double =
     (if (e.foldable) e.eval() else null) match {

@@ -66,6 +66,16 @@ case class BloomBuildAgg(
   require(expectedItems > 0, s"bloom_build: expectedItems must be positive, got $expectedItems")
   require(fpp > 0.0 && fpp < 1.0, s"bloom_build: fpp must be in (0, 1), got $fpp")
 
+  // SQL-reachable (GraftExtensions): reject non-long hash columns at
+  // analysis time instead of a ClassCastException inside a running task
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bloom_build requires a BIGINT hash column, got ${child.dataType.sql}")
+
   override def createAggregationBuffer(): BloomFilter =
     BloomFilter.create(expectedItems, fpp)
 

@@ -291,13 +291,25 @@ object SimilarityJoin {
       vecs: DataFrame, vec: Column, nCells: Int = 16,
       seed: Long = 42L, fitSampleCap: Long = 100000L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
-    val features = vecs.select(
-      org.apache.spark.ml.functions.array_to_vector(
-        vec.cast("array<double>")).as("features"))
+    val arr = vecs.select(vec.cast("array<double>").as("fa"))
     val nRows = vecs.count() // bare count answers from parquet metadata
-    val fitInput =
-      if (nRows <= fitSampleCap) features
-      else features.sample(withReplacement = false, fitSampleCap.toDouble / nRows, seed)
+    val sampled =
+      if (nRows <= fitSampleCap) arr
+      else arr.sample(withReplacement = false, fitSampleCap.toDouble / nRows, seed)
+    // Pin the fit input to one content-sorted partition: random-init
+    // KMeans draws its initial centroids from the RDD's partition
+    // structure, so without this an environment change (core count,
+    // parquet split size) silently moves the centroids — and any
+    // downstream recall contract (q53) with them — with no code change.
+    // The sample is ≤ fitSampleCap rows; one sort + single partition is
+    // a fixed, build-time-only cost. (When nRows > fitSampleCap the
+    // Bernoulli sample itself is still layout-dependent — at that scale
+    // there is no pinned contract, only index quality.)
+    val fitInput = sampled
+      .withColumn("_ok", xxhash64(col("fa").cast("string")))
+      .repartition(1).sortWithinPartitions("_ok")
+      .select(org.apache.spark.ml.functions.array_to_vector(col("fa"))
+        .as("features"))
     val model = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("features")
       .setMaxIter(8) // index build: cell quality plateaus early, recall
                      // comes from nProbe — don't pay 20 default iters

@@ -48,6 +48,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .readFrom(new java.io.ByteArrayInputStream(sk))
       assert(Seq(1L, 2L, 3L).forall(bloom.mightContainLong))
       assert(!bloom.mightContainLong(99L))
+      // non-long hash column fails at analysis, not executor-side
+      intercept[org.apache.spark.sql.AnalysisException] {
+        s.sql("""SELECT bloom_build(v, 100, CAST(0.01 AS DOUBLE))
+                |FROM VALUES ('a'), ('b') AS t(v)""".stripMargin).collect()
+      }
       assert(row.getSeq[String](0) == Seq("hello", "world", "42"))
       assert(row.getSeq[String](1) == Seq("a b c", "b c d"))
       assert(row.getInt(2) == 12)
