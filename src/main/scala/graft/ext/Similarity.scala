@@ -70,6 +70,31 @@ object Similarity extends QueryModule {
     s"""sc AS (SELECT vec_id, label, ${X.scaledVecSql("embedding")} AS v FROM embeddings),
        scn AS (SELECT vec_id, label, v, ${X.norm2IntSql("v")} AS n2 FROM sc)"""
 
+  /** Deterministic md5-derived IVF centroids + per-vector cell
+    * assignment — the oracle-side mirror of the NearestCentroid kernel,
+    * shared verbatim by q81 (serving) and q84 (semantic dedup) so the
+    * two contracts can never drift on assignment semantics. */
+  private val ivfAssignSqlCtes = s"""
+        cent AS (
+          SELECT gc.c AS cell,
+                 list_transform(range(0, 64), d ->
+                   (CAST(${X.h60Sql("'ivf ' || CAST(gc.c AS VARCHAR) || ' ' || CAST(d AS VARCHAR)")}
+                      % 4001 AS BIGINT) - 2000) / 10000.0) AS ctr
+          FROM (SELECT unnest(range(0, 16)) AS c) gc),
+        vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS fd,
+                        ${X.scaledVecSql("embedding")} AS v
+                 FROM embeddings),
+        vn AS (SELECT vec_id, fd, v, ${X.norm2IntSql("v")} AS n2 FROM vecs),
+        dist AS (SELECT vec_id, cell,
+                   list_aggregate(list_transform(range(0, 64),
+                     i -> (fd[i+1] - ctr[i+1]) * (fd[i+1] - ctr[i+1])), 'sum') AS d
+                 FROM vn, cent),
+        assigned AS (SELECT vec_id, cell FROM (
+                       SELECT vec_id, cell,
+                              row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d, cell) AS rn
+                       FROM dist) WHERE rn = 1)"""
+
   override val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -347,25 +372,7 @@ object Similarity extends QueryModule {
           .orderBy(col("qid"), col("rank"))
       },
       Some(s"""
-        WITH cent AS (
-          SELECT gc.c AS cell,
-                 list_transform(range(0, 64), d ->
-                   (CAST(${X.h60Sql("'ivf ' || CAST(gc.c AS VARCHAR) || ' ' || CAST(d AS VARCHAR)")}
-                      % 4001 AS BIGINT) - 2000) / 10000.0) AS ctr
-          FROM (SELECT unnest(range(0, 16)) AS c) gc),
-        vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS fd,
-                        ${X.scaledVecSql("embedding")} AS v
-                 FROM embeddings),
-        vn AS (SELECT vec_id, fd, v, ${X.norm2IntSql("v")} AS n2 FROM vecs),
-        dist AS (SELECT vec_id, cell,
-                   list_aggregate(list_transform(range(0, 64),
-                     i -> (fd[i+1] - ctr[i+1]) * (fd[i+1] - ctr[i+1])), 'sum') AS d
-                 FROM vn, cent),
-        assigned AS (SELECT vec_id, cell FROM (
-                       SELECT vec_id, cell,
-                              row_number() OVER (PARTITION BY vec_id
-                                ORDER BY d, cell) AS rn
-                       FROM dist) WHERE rn = 1),
+        WITH $ivfAssignSqlCtes,
         probes AS (SELECT vec_id AS qid, cell FROM (
                      SELECT vec_id, cell,
                             row_number() OVER (PARTITION BY vec_id
@@ -383,6 +390,96 @@ object Similarity extends QueryModule {
                  row_number() OVER (PARTITION BY qid
                    ORDER BY cos DESC, nid) AS rank
           FROM scored) WHERE rank <= 3
-        ORDER BY qid, rank"""))
+        ORDER BY qid, rank""")),
+
+    // ------------------------------------------------------------------
+    // q84: SemDeDup-style semantic dedup — cluster by nearest centroid
+    // (the q81 deterministic centroid table, so the oracle can mirror
+    // the assignment), then within each cell mark every vector with a
+    // lower-id cosine-≥-τ neighbor as a semantic duplicate; report
+    // per-cell keep/drop totals. Cells bound the pair expansion the way
+    // LSH buckets do (cappedBuckets + observe metric); at 100 TB the
+    // centroid count grows with the corpus so Σ cell² stays bounded.
+    // Exact integer cosine throughout — both engines agree bit-for-bit.
+    QueryDef(
+      "q84_semantic_dedup",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val cents = Seq.tabulate(16) { c =>
+          (c, Seq.tabulate(64) { d =>
+            ((graft.functions.HashKernels.md5h60(
+              org.apache.spark.unsafe.types.UTF8String.fromString(s"ivf $c $d"))
+              % 4001L) - 2000L) / 10000.0
+          })
+        }.toDF("cell", "centroid")
+        graft.operators.SimilarityJoin.semanticDedup(
+            T.embeddings(s, dir), col("vec_id"), col("embedding"),
+            cents, threshold = 0.4)
+          .orderBy(col("cell"))
+      },
+      Some(s"""
+        WITH $ivfAssignSqlCtes,
+        av AS (SELECT a.vec_id, a.cell, n.v, n.n2
+               FROM assigned a JOIN vn n ON n.vec_id = a.vec_id),
+        dup AS (SELECT DISTINCT x.cell, y.vec_id AS idb
+                FROM av x JOIN av y
+                  ON x.cell = y.cell AND x.vec_id < y.vec_id
+                WHERE ${X.cosineFromIntsSql(X.dotIntSql("x.v", "y.v"), "x.n2", "y.n2")} >= 0.4),
+        pc AS (SELECT cell, COUNT(*) AS n_vecs FROM assigned GROUP BY cell),
+        dc AS (SELECT cell, COUNT(*) AS n_dups FROM dup GROUP BY cell)
+        SELECT CAST(pc.cell AS BIGINT) AS cell, pc.n_vecs,
+               COALESCE(dc.n_dups, 0) AS n_dups,
+               pc.n_vecs - COALESCE(dc.n_dups, 0) AS n_kept
+        FROM pc LEFT JOIN dc ON dc.cell = pc.cell
+        ORDER BY cell""")),
+
+    // ------------------------------------------------------------------
+    // q85: product-quantization codes (Jégou et al., TPAMI 2011) — the
+    // compression half of an IVF-PQ index: 8 subspaces × 8 dims, each
+    // assigned to its nearest of 16 md5-derived sub-centroids (the q81
+    // determinism trick, so the oracle rebuilds the identical codebook),
+    // packed into one int64 (32 bits vs 2048 for the raw floats — a 64×
+    // index shrink) plus the e9-floored reconstruction error as the
+    // codebook-quality audit. One compiled kernel per row, zero shuffle;
+    // per-subspace distances fold ascending like list_aggregate, and
+    // code/error cross-subspace sums are exact integers, so the whole
+    // row is bit-comparable. A production build would fit the books with
+    // sampled per-subspace KMeans (ivfBuildIndex) and catalog them.
+    QueryDef(
+      "q85_pq_codes",
+      (s, dir) => {
+        val books = graft.functions.VectorIndexFunctions.pqCodebooks(8, 16, 8)
+        T.embeddings(s, dir)
+          .select(col("vec_id"),
+            graft.functions.VectorIndexFunctions.pqEncode(
+              col("embedding").cast("array<double>"), books).as("ce"))
+          .select(col("vec_id"),
+            element_at(col("ce"), 1).as("pq_code"),
+            element_at(col("ce"), 2).as("err_e9"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""
+        WITH vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS fd
+                      FROM embeddings),
+        grid AS (SELECT gm.m AS m, gc.c AS c
+                 FROM (SELECT unnest(range(0, 8)) AS m) gm,
+                      (SELECT unnest(range(0, 16)) AS c) gc),
+        dist AS (SELECT vec_id, m, c,
+                   list_aggregate(list_transform(
+                     list_transform(range(0, 8), d ->
+                       fd[m*8 + d + 1] -
+                         (CAST(${X.h60Sql("'pq ' || CAST(m AS VARCHAR) || ' ' || CAST(c AS VARCHAR) || ' ' || CAST(d AS VARCHAR)")}
+                            % 4001 AS BIGINT) - 2000) / 10000.0),
+                     x -> x * x), 'sum') AS dst
+                 FROM vecs, grid),
+        best AS (SELECT vec_id, m, c, dst,
+                        row_number() OVER (PARTITION BY vec_id, m
+                          ORDER BY dst, c) AS rn
+                 FROM dist)
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN rn = 1 THEN (c << (4*m)) ELSE 0 END) AS BIGINT) AS pq_code,
+               CAST(SUM(CASE WHEN rn = 1 THEN CAST(floor(dst * 1e9) AS BIGINT) ELSE 0 END) AS BIGINT) AS err_e9
+        FROM best GROUP BY vec_id ORDER BY vec_id"""))
   )
 }

@@ -73,9 +73,11 @@ case class DotProductInt64(left: Expression, right: Expression)
   * coordinates alone would allow. With scaledVec's ×1e7 inputs that
   * means |x| ≲ 1.1 per input float over 64 dims (unit-ish embeddings:
   * |x| < 0.5 → |out[j]| ≤ 3.2e8, half the envelope). [[project]]
-  * enforces the bound and throws ArithmeticException on violation —
-  * Spark would otherwise WRAP the downstream square silently where
-  * DuckDB errors, a cross-engine divergence worse than a failure.
+  * enforces that the EXACT Σ out[j]² fits int64 (cheap envelope first,
+  * overflow-checked exact norm only when the envelope trips) and throws
+  * ArithmeticException on violation — Spark would otherwise WRAP the
+  * downstream square silently where DuckDB errors, a cross-engine
+  * divergence worse than a failure.
   *
   * The scale role: projecting 64→16 dims shrinks every downstream
   * shuffle and pairwise kernel 4× before LSH/IVF candidate generation —
@@ -119,26 +121,42 @@ object SignedProject {
       while (j < k) { out(j) += x * row(j); j += 1 }
       i += 1
     }
-    // Squared-norm envelope (see class doc): |out[j]| ≤ √(2^63/k) keeps
-    // dot_int64(out, out) inside int64. The -1 absorbs double→long
-    // rounding in the sqrt; the check is k compares per row, noise next
-    // to the n×k multiply loop above.
-    // Deliberately CONSERVATIVE: a vector whose actual Σ out[j]² still
-    // fits int64 (one huge coordinate, rest ~0) is rejected too, and the
-    // guard runs for every consumer, not only squared-norm ones (today
-    // q76 is the only consumer, so nothing is falsely rejected). If that
-    // ever bites, check the exact norm with Math.addExact/multiplyHigh
-    // or scope the guard to the norm-consuming call sites.
+    // Squared-norm guard (see class doc): dot_int64(out, out) must stay
+    // inside int64. Two stages: the fast path checks the conservative
+    // per-coordinate envelope |out[j]| ≤ √(2^63/k) — k compares per row,
+    // noise next to the n×k multiply loop above — and only when a
+    // coordinate exceeds it does the slow path compute the ACTUAL
+    // Σ out[j]² with overflow-checked arithmetic, so a vector whose true
+    // squared norm fits (one huge coordinate, rest ~0) is no longer
+    // falsely rejected. Accept ⟺ the exact norm is representable — the
+    // same predicate under which DuckDB's checked p*p/SUM arithmetic
+    // succeeds, so cross-engine parity (Spark would otherwise WRAP where
+    // DuckDB errors) is preserved exactly.
     if (k > 0) {
       val bound = (math.sqrt(Long.MaxValue.toDouble / k) - 1).toLong
+      var needExact = false
       var j = 0
-      while (j < k) {
-        if (out(j) > bound || out(j) < -bound)
-          throw new ArithmeticException(
-            s"signed_project: |out[$j]| = ${math.abs(out(j))} exceeds the " +
-              s"squared-norm-safe bound $bound for $k output dims — input " +
-              "magnitudes too large for an exact int64 projected norm")
+      while (j < k && !needExact) {
+        if (out(j) > bound || out(j) < -bound) needExact = true
         j += 1
+      }
+      if (needExact) {
+        // terms are non-negative, so every partial sum ≤ the total:
+        // addExact overflowing ⟺ the full squared norm doesn't fit
+        try {
+          var s = 0L
+          var i2 = 0
+          while (i2 < k) {
+            s = Math.addExact(s, Math.multiplyExact(out(i2), out(i2)))
+            i2 += 1
+          }
+        } catch {
+          case _: ArithmeticException =>
+            throw new ArithmeticException(
+              s"signed_project: Σ out[j]² overflows int64 for $k output " +
+                "dims — input magnitudes too large for an exact int64 " +
+                "projected norm")
+        }
       }
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)

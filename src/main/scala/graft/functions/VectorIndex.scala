@@ -66,7 +66,107 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
     copy(child = c)
 }
 
+/** Compiled product-quantization encoder: split an `array<double>`
+  * vector into M contiguous subspaces of `subDim` dims, assign each
+  * subspace to its nearest of K sub-centroids (argmin squared-L2, ties
+  * to the lowest code — same tie rule as [[NearestCentroid]]), and
+  * return `array<bigint>` [packed_code, err_e9] where
+  * packed_code = Σ_m code_m << (codeBits·m) and err_e9 = Σ_m
+  * floor(minDist_m · 1e9) — the per-subspace distances fold ascending
+  * over dims exactly like DuckDB's `list_aggregate(…, 'sum')`, and the
+  * e9 flooring makes the cross-subspace sum exact integer arithmetic,
+  * so both halves are bit-comparable across engines.
+  *
+  * This is the PQ compression step of an IVF-PQ index (Jégou et al.,
+  * "Product Quantization for Nearest Neighbor Search", TPAMI 2011): a
+  * 64-dim float vector becomes M·codeBits bits (8 subspaces × 16 codes
+  * = 32 bits here vs 2048 for the raw floats — a 64× index shrink),
+  * and err_e9 is the audit signal for codebook quality. One compiled
+  * pass per row, zero shuffle — the same whole-stage-codegen rationale
+  * as [[NearestCentroid]].
+  */
+object PqEncode {
+  def encode(fd: ArrayData, codebooks: Array[Array[Array[Double]]])
+      : ArrayData = {
+    val m = codebooks.length
+    if (m == 0 || m > 15)
+      throw new IllegalArgumentException(
+        s"pq_encode: need 1..15 subspaces to pack 4-bit codes into int64, got $m")
+    val subDim = codebooks(0)(0).length
+    if (fd.numElements() != m * subDim)
+      throw new IllegalArgumentException(
+        s"pq_encode: vector has ${fd.numElements()} dims but $m subspaces " +
+          s"of $subDim dims need ${m * subDim}")
+    var code = 0L
+    var errE9 = 0L
+    var s = 0
+    while (s < m) {
+      val book = codebooks(s)
+      if (book.length > 16)
+        throw new IllegalArgumentException(
+          s"pq_encode: subspace $s has ${book.length} codes; 4-bit packing caps at 16")
+      val off = s * subDim
+      var best = -1
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val ctr = book(c)
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val diff = fd.getDouble(off + i) - ctr(i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      code |= best.toLong << (4 * s)
+      errE9 += math.floor(bestD * 1e9).toLong
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(code, errE9))
+  }
+}
+
+/** array<double> vector → array<bigint> [packed PQ code, err_e9]. */
+case class PqEncodeExpr(child: Expression,
+    codebooks: Array[Array[Array[Double]]]) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override def nullSafeEval(input: Any): Any =
+    PqEncode.encode(input.asInstanceOf[ArrayData], codebooks)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PqEncode.encode($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqEncodeExpr =
+    copy(child = c)
+}
+
 object VectorIndexFunctions {
   def nearestCentroid(fd: Column, centroids: Array[Array[Double]]): Column =
     ColumnBridge.column(NearestCentroid(ColumnBridge.expression(fd), centroids))
+
+  def pqEncode(fd: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqEncodeExpr(ColumnBridge.expression(fd), codebooks))
+
+  /** md5-derived deterministic PQ codebook, shared with the oracle SQL:
+    * value(m, c, d) = ((md5h60("pq m c d") mod 4001) - 2000) / 1e4 —
+    * the same construction as q81's serving centroids, so any engine
+    * rebuilds the identical codebook from the three indices alone. A
+    * production build would fit per-subspace KMeans instead (sampled,
+    * like [[graft.operators.SimilarityJoin.ivfBuildIndex]]) and persist
+    * the books through the catalog; the encoding kernel is identical. */
+  def pqCodebooks(m: Int, k: Int, subDim: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(m, k, subDim) { (s, c, d) =>
+      ((HashKernels.md5h60(org.apache.spark.unsafe.types.UTF8String
+        .fromString(s"pq $s $c $d")) % 4001L) - 2000L) / 10000.0
+    }
 }

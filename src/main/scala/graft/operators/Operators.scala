@@ -343,6 +343,76 @@ object SimilarityJoin {
     ivfTopKServing(vecs, id, vec, queryPred,
       ivfBuildIndex(vecs, vec, nCells, seed, fitSampleCap), nProbe, k)
 
+  /** nCells rows — an index table is driver-small by construction;
+    * collect once to build the compiled assignment kernel (the same
+    * data the probe side broadcasts). */
+  private def centroidMatrix(centroidsDf: DataFrame): Array[Array[Double]] = {
+    val cents = centroidsDf.select(col("cell").cast("int"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    require(cents.zipWithIndex.forall { case ((cell, _), i) => cell == i },
+      "centroid table must carry contiguous cell ids 0..n-1")
+    val matrix = cents.map(_._2.toArray)
+    require(matrix.nonEmpty && matrix.forall(_.length == matrix.head.length),
+      "centroid table is empty or carries mixed dimensionalities")
+    matrix
+  }
+
+  /** SemDeDup-style semantic dedup summary (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", 2023): cluster embeddings by nearest centroid,
+    * call a vector a semantic duplicate when some LOWER-id vector in
+    * the SAME cell has cosine ≥ `threshold` (keep-lowest-id
+    * representative — deterministic, no RNG), and report per-cell
+    * (n_vecs, n_dups, n_kept).
+    *
+    * Scale shape: the cells play exactly the LSH-bucket role — cell
+    * assignment is one compiled map-side kernel (zero shuffle), pair
+    * expansion is within-cell only via [[NearDup.cappedBuckets]] (an
+    * oversized cell never materializes its array; drops surface as
+    * `semantic_dedup_cell_cap.dropped_buckets`), and the exact-cosine
+    * verify joins the k-int scaled vectors back by id. At 100 TB the
+    * centroid count grows ∝ corpus (the paper uses ~10⁵ clusters) so
+    * mean cell size — and with it Σ cell² — stays bounded; the
+    * centroid table itself stays driver-small and comes from a sampled
+    * KMeans fit persisted in the catalog ([[ivfBuildIndex]]). */
+  def semanticDedup(
+      vecs: DataFrame, id: Column, vec: Column,
+      centroidsDf: DataFrame, threshold: Double, maxCell: Int = 65536,
+      scope: graft.CacheScope = new graft.CacheScope): DataFrame = {
+    val matrix = centroidMatrix(centroidsDf)
+    val assigned = vecs
+      .select(id.as("vec_id"), X.scaledVec(vec).as("v"),
+        vec.cast("array<double>").as("fd"))
+      .withColumn("n2", X.norm2Int(col("v")))
+      .withColumn("cell",
+        graft.functions.VectorIndexFunctions.nearestCentroid(col("fd"), matrix))
+      .drop("fd")
+      .transform(scope.cache) // shared by counts + both pair-verify sides
+    val perCell = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val pairs = NearDup.cappedBuckets(
+        assigned.select(col("cell"), col("vec_id")), Seq("cell"), "vec_id",
+        maxCell, "semantic_dedup_cell_cap")
+      .select(col("cell"), explode(NearDup.pairsOf(col("ids"))).as("p"))
+      .select(col("cell"), col("p.a").as("ida"), col("p.b").as("idb"))
+    val dups = pairs
+      .join(assigned.select(col("vec_id").as("ida"), col("v").as("va"),
+        col("n2").as("n2a")), "ida")
+      .join(assigned.select(col("vec_id").as("idb"), col("v").as("vb"),
+        col("n2").as("n2b")), "idb")
+      .filter(X.cosineFromInts(X.dotInt(col("va"), col("vb")),
+        col("n2a"), col("n2b")) >= threshold)
+      // pairsOf emits a < b, so b is always the higher id: the dup
+      .select(col("cell"), col("idb")).distinct()
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_dups"))
+    perCell.join(dups, Seq("cell"), "left")
+      .select(col("cell").cast("long").as("cell"), col("n_vecs"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        (col("n_vecs") - coalesce(col("n_dups"), lit(0L))).as("n_kept"))
+  }
+
   /** Serve ANN top-k from a persisted (cell, centroid) index table. */
   def ivfTopKServing(
       vecs: DataFrame, id: Column, vec: Column, queryPred: Column,
@@ -350,20 +420,9 @@ object SimilarityJoin {
       scope: graft.CacheScope = new graft.CacheScope): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
-    // nCells rows — the index is driver-small by construction; collect
-    // once to build the assignment expression (same data the probe side
-    // broadcasts).
-    val cents = centroidsDf.select(col("cell").cast("int"), col("centroid"))
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1)))
-      .sortBy(_._1)
-    require(cents.zipWithIndex.forall { case ((cell, _), i) => cell == i },
-      "ivf serving: centroid table must carry contiguous cell ids 0..n-1")
+    val matrix = centroidMatrix(centroidsDf)
     // map-side argmin as a compiled kernel (row index = cell id); ties
     // resolve to the lowest cell index
-    val matrix = cents.map(_._2.toArray)
-    require(matrix.nonEmpty && matrix.forall(_.length == matrix.head.length),
-      "ivf serving: centroid table is empty or carries mixed dimensionalities")
     val assignExpr =
       graft.functions.VectorIndexFunctions.nearestCentroid(col("fd"), matrix)
 

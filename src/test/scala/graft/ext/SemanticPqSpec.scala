@@ -1,0 +1,124 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+
+/** Semantic dedup (q84) and product-quantization encoding (q85):
+  * kernel-level arithmetic plus operator semantics on hand-built
+  * fixtures where the expected answer is computable by inspection. */
+class SemanticPqSpec extends SparkSpec {
+
+  // ---------------------------------------------------------------- PQ
+
+  test("pq_encode: hand example — per-subspace argmin, packing, e9 error") {
+    // 2 subspaces × 2 dims, 2 codes each. Subspace 0: v=(1,0) vs codes
+    // (0,0) d=1 and (1,0) d=0 → code 1, err 0. Subspace 1: v=(3,4) vs
+    // (3,3) d=1 and (5,4) d=4 → code 0, err 1e9.
+    val books = Array(
+      Array(Array(0.0, 0.0), Array(1.0, 0.0)),
+      Array(Array(3.0, 3.0), Array(5.0, 4.0)))
+    val out = graft.functions.PqEncode.encode(
+      ArrayData.toArrayData(Array(1.0, 0.0, 3.0, 4.0)), books).toLongArray()
+    assert(out(0) == (1L | (0L << 4)), s"packed code ${out(0)}")
+    assert(out(1) == 1000000000L, s"err_e9 ${out(1)}")
+  }
+
+  test("pq_encode: ties take the lowest code; malformed inputs fail fast") {
+    // both codes at distance 2 → lowest code wins
+    val tie = graft.functions.PqEncode.encode(
+      ArrayData.toArrayData(Array(0.0, 0.0)),
+      Array(Array(Array(1.0, 1.0), Array(-1.0, -1.0)))).toLongArray()
+    assert(tie(0) == 0L)
+    intercept[IllegalArgumentException] { // dim mismatch
+      graft.functions.PqEncode.encode(
+        ArrayData.toArrayData(Array(1.0, 2.0, 3.0)),
+        Array(Array(Array(0.0, 0.0))))
+    }
+    intercept[IllegalArgumentException] { // >16 codes break 4-bit packing
+      graft.functions.PqEncode.encode(
+        ArrayData.toArrayData(Array(1.0)),
+        Array(Array.fill(17)(Array(0.0))))
+    }
+    intercept[IllegalArgumentException] { // >15 subspaces overflow int64
+      graft.functions.PqEncode.encode(
+        ArrayData.toArrayData(Array.fill(16)(0.0)),
+        Array.fill(16)(Array(Array(0.0))))
+    }
+  }
+
+  test("pq codebooks are deterministic and codes reconstruct near the input") {
+    val b1 = graft.functions.VectorIndexFunctions.pqCodebooks(8, 16, 8)
+    val b2 = graft.functions.VectorIndexFunctions.pqCodebooks(8, 16, 8)
+    assert(b1.flatten.flatten.toSeq == b2.flatten.flatten.toSeq)
+    assert(b1.flatten.flatten.forall(v => v >= -0.2 && v <= 0.2))
+    // on the fixture corpus: the packed code is decodable back to the
+    // per-subspace argmin and err_e9 equals the recomputed distance sum
+    val rows = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("fd"))
+      .limit(20).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    rows.foreach { case (_, fd) =>
+      val out = graft.functions.PqEncode.encode(
+        ArrayData.toArrayData(fd), b1).toLongArray()
+      var expectErr = 0L
+      (0 until 8).foreach { m =>
+        val sub = fd.slice(m * 8, m * 8 + 8)
+        val dists = b1(m).map(c =>
+          sub.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum)
+        val best = dists.zipWithIndex.minBy { case (d, i) => (d, i) }._2
+        assert(((out(0) >> (4 * m)) & 15L) == best.toLong, s"subspace $m code")
+        expectErr += math.floor(dists(best) * 1e9).toLong
+      }
+      assert(out(1) == expectErr)
+    }
+  }
+
+  // ------------------------------------------------------- semantic dedup
+
+  private def centsDf = {
+    val spark2 = spark
+    import spark2.implicits._
+    // 2 well-separated 4-dim centroids: cell 0 near +x, cell 1 near -x
+    Seq((0, Seq(1.0, 0.0, 0.0, 0.0)), (1, Seq(-1.0, 0.0, 0.0, 0.0)))
+      .toDF("cell", "centroid")
+  }
+
+  private def vecsDf(rows: Seq[(Long, Seq[Double])]) = {
+    val spark2 = spark
+    import spark2.implicits._
+    rows.toDF("vec_id", "emb")
+      .select(col("vec_id"), col("emb").cast("array<float>").as("emb"))
+  }
+
+  test("semanticDedup: planted near-dups collapse to the lowest id per cell") {
+    // cell 0: ids 1,2 nearly parallel (cos≈1 → 2 is a dup of 1), id 3
+    // orthogonal-ish in dims 2-4 but still nearest +x? no — keep it
+    // clearly in cell 0 with a distinct direction: (0.9, 0.4, 0, 0).
+    // cell 1: ids 10, 11 antiparallel to +x; 11 is a dup of 10.
+    val out = graft.operators.SimilarityJoin.semanticDedup(
+        vecsDf(Seq(
+          1L -> Seq(1.0, 0.01, 0.0, 0.0),
+          2L -> Seq(0.99, 0.012, 0.0, 0.0),
+          3L -> Seq(0.9, -0.9, 0.0, 0.0), // cell 0, cos vs 1/2 ≈ 0.7 < 0.95
+          10L -> Seq(-1.0, 0.0, 0.05, 0.0),
+          11L -> Seq(-0.98, 0.0, 0.049, 0.0))),
+        col("vec_id"), col("emb"), centsDf, threshold = 0.95)
+      .orderBy(col("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 3L, 1L, 2L), (1L, 2L, 1L, 1L)))
+  }
+
+  test("semanticDedup: oversized cells drop via the cap, dups stay exact elsewhere") {
+    // 5 vectors in cell 0 (maxCell = 4 → the whole cell's pairs drop,
+    // its n_dups reads 0) while cell 1's pair survives — the
+    // cappedBuckets contract: a degenerate cell never materializes.
+    val out = graft.operators.SimilarityJoin.semanticDedup(
+        vecsDf((1L to 5L).map(i => i -> Seq(1.0, i * 1e-6, 0.0, 0.0)) ++
+          Seq(10L -> Seq(-1.0, 0.0, 0.0, 0.0), 11L -> Seq(-1.0, 1e-6, 0.0, 0.0))),
+        col("vec_id"), col("emb"), centsDf, threshold = 0.95, maxCell = 4)
+      .orderBy(col("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 5L, 0L, 5L), (1L, 2L, 1L, 1L)))
+  }
+}

@@ -103,21 +103,39 @@ class SimilarityIvfSpec extends SparkSpec {
         org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(1L)),
         Array(Array(1L), Array(1L)))
     }
-    // squared-norm envelope: |out[j]| past √(2^63/k) would let the q76
-    // consumer dot_int64(proj, proj) wrap int64 — fail fast instead
+    // squared-norm guard: a projection whose Σ out[j]² overflows int64
+    // would let the q76 consumer dot_int64(proj, proj) wrap — fail fast
+    // instead. 16 coordinates at 1e9 → Σ = 1.6e19 > 2^63.
     val k16row = Array(Array.fill(16)(1L))
-    val bound16 = (math.sqrt(Long.MaxValue.toDouble / 16) - 1).toLong // ≈ 7.59e8
     intercept[ArithmeticException] {
       SignedProject.project(
-        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(bound16 + 1L)),
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(1000000000L)),
         k16row)
     }
-    // at the bound it passes and the squared norm is exactly representable
+    val bound16 = (math.sqrt(Long.MaxValue.toDouble / 16) - 1).toLong // ≈ 7.59e8
+    // at the envelope bound the fast path passes and the squared norm is
+    // exactly representable
     val atBound = SignedProject.project(
       org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(bound16)),
       k16row).toLongArray()
     assert(atBound.forall(_ == bound16))
     assert(atBound.map(x => x * x).sum > 0) // 16·bound² < 2^63: no wrap
+    // the guard is EXACT, not envelope-conservative: out = (2.5e9, 0)
+    // violates the per-coordinate envelope for k=2 (√(2^63/2) ≈ 2.1e9)
+    // but its true squared norm 6.25e18 fits int64 → accepted
+    val skew = SignedProject.project(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array(1250000000L, 1250000000L)),
+      Array(Array(1L, 1L), Array(1L, -1L))).toLongArray()
+    assert(skew.toSeq == Seq(2500000000L, 0L))
+    // and the same shape past the exact bound still throws:
+    // (3.1e9)² = 9.61e18 > 2^63
+    intercept[ArithmeticException] {
+      SignedProject.project(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          Array(1550000000L, 1550000000L)),
+        Array(Array(1L, 1L), Array(1L, -1L)))
+    }
     // JL expectation: E[||p||^2] = k·||v||^2 — corpus-average ratio near k
     val signs = VectorFunctions.rpSigns(64, 16)
     val ratio = graft.Tables.embeddings(spark, dir)
