@@ -95,6 +95,27 @@ object Similarity extends QueryModule {
                                 ORDER BY d, cell) AS rn
                        FROM dist) WHERE rn = 1)"""
 
+  /** md5-derived deterministic PQ codebook distances + per-subspace
+    * argmin — the oracle-side mirror of the PqEncode/PqLut kernels,
+    * shared verbatim by q85 (codes) and q86 (ADC serving). */
+  private val pqSqlCtes = s"""vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS fd
+                      FROM embeddings),
+        grid AS (SELECT gm.m AS m, gc.c AS c
+                 FROM (SELECT unnest(range(0, 8)) AS m) gm,
+                      (SELECT unnest(range(0, 16)) AS c) gc),
+        dist AS (SELECT vec_id, m, c,
+                   list_aggregate(list_transform(
+                     list_transform(range(0, 8), d ->
+                       fd[m*8 + d + 1] -
+                         (CAST(${X.h60Sql("'pq ' || CAST(m AS VARCHAR) || ' ' || CAST(c AS VARCHAR) || ' ' || CAST(d AS VARCHAR)")}
+                            % 4001 AS BIGINT) - 2000) / 10000.0),
+                     x -> x * x), 'sum') AS dst
+                 FROM vecs, grid),
+        best AS (SELECT vec_id, m, c, dst,
+                        row_number() OVER (PARTITION BY vec_id, m
+                          ORDER BY dst, c) AS rn
+                 FROM dist)"""
+
   override val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -460,26 +481,58 @@ object Similarity extends QueryModule {
           .orderBy(col("vec_id"))
       },
       Some(s"""
-        WITH vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS fd
-                      FROM embeddings),
-        grid AS (SELECT gm.m AS m, gc.c AS c
-                 FROM (SELECT unnest(range(0, 8)) AS m) gm,
-                      (SELECT unnest(range(0, 16)) AS c) gc),
-        dist AS (SELECT vec_id, m, c,
-                   list_aggregate(list_transform(
-                     list_transform(range(0, 8), d ->
-                       fd[m*8 + d + 1] -
-                         (CAST(${X.h60Sql("'pq ' || CAST(m AS VARCHAR) || ' ' || CAST(c AS VARCHAR) || ' ' || CAST(d AS VARCHAR)")}
-                            % 4001 AS BIGINT) - 2000) / 10000.0),
-                     x -> x * x), 'sum') AS dst
-                 FROM vecs, grid),
-        best AS (SELECT vec_id, m, c, dst,
-                        row_number() OVER (PARTITION BY vec_id, m
-                          ORDER BY dst, c) AS rn
-                 FROM dist)
+        WITH $pqSqlCtes
         SELECT vec_id,
                CAST(SUM(CASE WHEN rn = 1 THEN (c << (4*m)) ELSE 0 END) AS BIGINT) AS pq_code,
                CAST(SUM(CASE WHEN rn = 1 THEN CAST(floor(dst * 1e9) AS BIGINT) ELSE 0 END) AS BIGINT) AS err_e9
-        FROM best GROUP BY vec_id ORDER BY vec_id"""))
+        FROM best GROUP BY vec_id ORDER BY vec_id""")),
+
+    // ------------------------------------------------------------------
+    // q86: PQ-ADC top-k serving — search over the COMPRESSED codes,
+    // completing the q85 story: each query builds its M×K e9-integer
+    // lookup table once (compiled PqLut kernel, 1024 mults amortized
+    // over the whole scan), then every candidate costs 8 integer array
+    // reads + adds on its 32-bit code (PqAdc) — no float math per
+    // candidate, the Jégou et al. ADC trick. Everything after the LUT
+    // build is exact int64, so ranking and output hash-match the oracle
+    // bit-for-bit. The scan is flat-PQ (all codes); composing with
+    // q81's cell probe gives IVF-PQ — candidates there are the probed
+    // cells' codes instead of the full table. At 100 TB the code table
+    // is 64× smaller than the raw vectors (32 bits vs 2048) and the
+    // query side broadcasts: the corpus never shuffles.
+    QueryDef(
+      "q86_pq_adc_topk",
+      (s, dir) => {
+        val books = graft.functions.VectorIndexFunctions.pqCodebooks(8, 16, 8)
+        val fd = T.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("fd"))
+        val codes = fd.select(col("vec_id").as("nid"),
+          element_at(graft.functions.VectorIndexFunctions.pqEncode(
+            col("fd"), books), 1).as("code"))
+        val q = fd.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("qid"),
+            graft.functions.VectorIndexFunctions.pqLut(col("fd"), books).as("lut"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("dist_e9"), col("nid"))
+        codes.join(broadcast(q), col("qid") =!= col("nid"))
+          .withColumn("dist_e9", graft.functions.VectorIndexFunctions.pqAdc(
+            col("lut"), col("code"), 8, 16))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("qid"), col("rank"), col("nid"), col("dist_e9"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""
+        WITH $pqSqlCtes,
+        lut AS (SELECT vec_id AS qid, m, c, CAST(floor(dst * 1e9) AS BIGINT) AS de9
+                FROM dist WHERE vec_id < 50),
+        adc AS (SELECT l.qid, b.vec_id AS nid, CAST(SUM(l.de9) AS BIGINT) AS dist_e9
+                FROM best b JOIN lut l ON l.m = b.m AND l.c = b.c AND l.qid != b.vec_id
+                WHERE b.rn = 1
+                GROUP BY l.qid, b.vec_id)
+        SELECT qid, CAST(rank AS BIGINT) AS rank, nid, dist_e9 FROM (
+          SELECT qid, nid, dist_e9,
+                 row_number() OVER (PARTITION BY qid ORDER BY dist_e9, nid) AS rank
+          FROM adc) WHERE rank <= 3
+        ORDER BY qid, rank"""))
   )
 }

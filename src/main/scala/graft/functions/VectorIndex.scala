@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
 
 /** Compiled IVF cell assignment: argmin squared-L2 over a fixed centroid
   * matrix. The declarative formulation (a fold over an array literal of
@@ -130,6 +130,100 @@ object PqEncode {
   }
 }
 
+/** The query-side half of PQ asymmetric distance computation (ADC):
+  * precompute, once per query vector, the e9-floored squared-L2 from
+  * each of its M subvectors to every one of the K sub-centroids — an
+  * M·K int64 lookup table. Scoring a candidate's packed code is then
+  * M integer array reads + adds ([[PqAdc]]), no float math per
+  * candidate: the 1024-mult table build amortizes over every candidate
+  * the query scans (the Jégou et al. ADC trick). Distances fold
+  * ascending over dims like [[PqEncode]], so lut[m·K + c] ==
+  * floor(dist_m_c · 1e9) exactly as the oracle computes it.
+  */
+object PqLut {
+  def build(fd: ArrayData, codebooks: Array[Array[Array[Double]]])
+      : ArrayData = {
+    val m = codebooks.length
+    require(m > 0, "pq_lut: empty codebook")
+    val k = codebooks(0).length
+    val subDim = codebooks(0)(0).length
+    if (fd.numElements() != m * subDim)
+      throw new IllegalArgumentException(
+        s"pq_lut: vector has ${fd.numElements()} dims but $m subspaces " +
+          s"of $subDim dims need ${m * subDim}")
+    val out = new Array[Long](m * k)
+    var s = 0
+    while (s < m) {
+      val book = codebooks(s)
+      val off = s * subDim
+      var c = 0
+      while (c < k) {
+        val ctr = book(c)
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val diff = fd.getDouble(off + i) - ctr(i)
+          d += diff * diff
+          i += 1
+        }
+        out(s * k + c) = math.floor(d * 1e9).toLong
+        c += 1
+      }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Σ_m lut[m·K + code_m] — integer-only candidate scoring. */
+  def adc(lut: ArrayData, code: Long, m: Int, k: Int): Long = {
+    var tot = 0L
+    var s = 0
+    while (s < m) {
+      tot += lut.getLong(s * k + ((code >> (4 * s)) & 15L).toInt)
+      s += 1
+    }
+    tot
+  }
+}
+
+/** array<double> query vector → array<bigint> M·K ADC lookup table. */
+case class PqLutExpr(child: Expression,
+    codebooks: Array[Array[Array[Double]]]) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "pq_lut"
+
+  override def nullSafeEval(input: Any): Any =
+    PqLut.build(input.asInstanceOf[ArrayData], codebooks)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PqLut.build($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqLutExpr =
+    copy(child = c)
+}
+
+/** (lut array<bigint>, packed code bigint) → ADC distance_e9 bigint. */
+case class PqAdc(left: Expression, right: Expression, m: Int, k: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq_adc"
+
+  override def nullSafeEval(lut: Any, code: Any): Any =
+    PqLut.adc(lut.asInstanceOf[ArrayData], code.asInstanceOf[Long], m, k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, c) =>
+      s"graft.functions.PqLut.adc($l, $c, $m, $k)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
+}
+
 /** array<double> vector → array<bigint> [packed PQ code, err_e9]. */
 case class PqEncodeExpr(child: Expression,
     codebooks: Array[Array[Array[Double]]]) extends UnaryExpression {
@@ -156,6 +250,13 @@ object VectorIndexFunctions {
 
   def pqEncode(fd: Column, codebooks: Array[Array[Array[Double]]]): Column =
     ColumnBridge.column(PqEncodeExpr(ColumnBridge.expression(fd), codebooks))
+
+  def pqLut(fd: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqLutExpr(ColumnBridge.expression(fd), codebooks))
+
+  def pqAdc(lut: Column, code: Column, m: Int, k: Int): Column =
+    ColumnBridge.column(PqAdc(
+      ColumnBridge.expression(lut), ColumnBridge.expression(code), m, k))
 
   /** md5-derived deterministic PQ codebook, shared with the oracle SQL:
     * value(m, c, d) = ((md5h60("pq m c d") mod 4001) - 2000) / 1e4 —

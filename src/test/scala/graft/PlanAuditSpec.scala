@@ -20,7 +20,9 @@ class PlanAuditSpec extends SparkSpec {
     "q53_ann_ivf", // nCells-row centroid broadcast + 50-query × corpus
                    // brute cross join: the recall-contract baseline
     "q59_bm25_search", // 1-row corpus-stats broadcast to every doc
-    "q81_ann_ivf_served" // same centroid broadcast as q53, fixed index
+    "q81_ann_ivf_served", // same centroid broadcast as q53, fixed index
+    "q86_pq_adc_topk" // flat-PQ ADC scan: the 50-query LUT broadcast
+                      // against every 32-bit code IS the query shape
   )
 
   private def collectAll(p: SparkPlan): Seq[SparkPlan] = {

@@ -74,6 +74,48 @@ class SemanticPqSpec extends SparkSpec {
     }
   }
 
+  test("pq_lut/pq_adc: ADC distance equals encode-time error on the own code") {
+    val books = graft.functions.VectorIndexFunctions.pqCodebooks(8, 16, 8)
+    graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("embedding").cast("array<double>").as("fd"))
+      .limit(20).collect().map(_.getSeq[Double](0).toArray)
+      .foreach { fd =>
+        val enc = graft.functions.PqEncode.encode(
+          ArrayData.toArrayData(fd), books).toLongArray()
+        val lut = graft.functions.PqLut.build(
+          ArrayData.toArrayData(fd), books)
+        // the LUT row minimum IS the chosen code's entry, so scoring a
+        // vector against its OWN code reproduces the encode-time err_e9
+        assert(graft.functions.PqLut.adc(lut, enc(0), 8, 16) == enc(1))
+        // and every other code scores no lower per subspace
+        val l = lut.toLongArray()
+        (0 until 8).foreach { m =>
+          val chosen = ((enc(0) >> (4 * m)) & 15L).toInt
+          assert(l.slice(m * 16, m * 16 + 16).min == l(m * 16 + chosen))
+        }
+      }
+  }
+
+  test("pq_lut: dimension mismatch fails fast; hand ADC example") {
+    intercept[IllegalArgumentException] {
+      graft.functions.PqLut.build(ArrayData.toArrayData(Array(1.0)),
+        Array(Array(Array(0.0, 0.0))))
+    }
+    // 2 subspaces × 2 codes: lut = [e9-floored dists]; code 0b0001_0001
+    // would be invalid (2 codes) — use code with nibbles (1, 0)
+    val books = Array(
+      Array(Array(0.0), Array(1.0)),
+      Array(Array(2.0), Array(3.0)))
+    val lut = graft.functions.PqLut.build(
+      ArrayData.toArrayData(Array(0.5, 2.0)), books)
+    // subspace 0: (0.5-0)²=0.25, (0.5-1)²=0.25 → [25e7, 25e7]
+    // subspace 1: (2-2)²=0, (2-3)²=1 → [0, 1e9]
+    assert(lut.toLongArray().toSeq ==
+      Seq(250000000L, 250000000L, 0L, 1000000000L))
+    // code nibbles (m0=1, m1=1) → 0x11 = 17: 25e7 + 1e9
+    assert(graft.functions.PqLut.adc(lut, 17L, 2, 2) == 1250000000L)
+  }
+
   // ------------------------------------------------------- semantic dedup
 
   private def centsDf = {
