@@ -97,24 +97,27 @@ object Similarity extends QueryModule {
 
   /** md5-derived deterministic PQ codebook distances + per-subspace
     * argmin — the oracle-side mirror of the PqEncode/PqLut kernels,
-    * shared verbatim by q85 (codes) and q86 (ADC serving). */
-  private val pqSqlCtes = s"""vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS fd
+    * shared verbatim by q85 (codes), q86 (flat ADC serving) and q87
+    * (IVF-PQ, via a name prefix so these CTEs can coexist with the
+    * [[ivfAssignSqlCtes]] cell-assignment CTEs in one WITH). */
+  private def pqSqlCtes(p: String = ""): String =
+    s"""${p}vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS fd
                       FROM embeddings),
-        grid AS (SELECT gm.m AS m, gc.c AS c
+        ${p}grid AS (SELECT gm.m AS m, gc.c AS c
                  FROM (SELECT unnest(range(0, 8)) AS m) gm,
                       (SELECT unnest(range(0, 16)) AS c) gc),
-        dist AS (SELECT vec_id, m, c,
+        ${p}dist AS (SELECT vec_id, m, c,
                    list_aggregate(list_transform(
                      list_transform(range(0, 8), d ->
                        fd[m*8 + d + 1] -
                          (CAST(${X.h60Sql("'pq ' || CAST(m AS VARCHAR) || ' ' || CAST(c AS VARCHAR) || ' ' || CAST(d AS VARCHAR)")}
                             % 4001 AS BIGINT) - 2000) / 10000.0),
                      x -> x * x), 'sum') AS dst
-                 FROM vecs, grid),
-        best AS (SELECT vec_id, m, c, dst,
+                 FROM ${p}vecs, ${p}grid),
+        ${p}best AS (SELECT vec_id, m, c, dst,
                         row_number() OVER (PARTITION BY vec_id, m
                           ORDER BY dst, c) AS rn
-                 FROM dist)"""
+                 FROM ${p}dist)"""
 
   override val defs: Seq[QueryDef] = Seq(
 
@@ -481,7 +484,7 @@ object Similarity extends QueryModule {
           .orderBy(col("vec_id"))
       },
       Some(s"""
-        WITH $pqSqlCtes
+        WITH ${pqSqlCtes()}
         SELECT vec_id,
                CAST(SUM(CASE WHEN rn = 1 THEN (c << (4*m)) ELSE 0 END) AS BIGINT) AS pq_code,
                CAST(SUM(CASE WHEN rn = 1 THEN CAST(floor(dst * 1e9) AS BIGINT) ELSE 0 END) AS BIGINT) AS err_e9
@@ -522,13 +525,66 @@ object Similarity extends QueryModule {
           .orderBy(col("qid"), col("rank"))
       },
       Some(s"""
-        WITH $pqSqlCtes,
+        WITH ${pqSqlCtes()},
         lut AS (SELECT vec_id AS qid, m, c, CAST(floor(dst * 1e9) AS BIGINT) AS de9
                 FROM dist WHERE vec_id < 50),
         adc AS (SELECT l.qid, b.vec_id AS nid, CAST(SUM(l.de9) AS BIGINT) AS dist_e9
                 FROM best b JOIN lut l ON l.m = b.m AND l.c = b.c AND l.qid != b.vec_id
                 WHERE b.rn = 1
                 GROUP BY l.qid, b.vec_id)
+        SELECT qid, CAST(rank AS BIGINT) AS rank, nid, dist_e9 FROM (
+          SELECT qid, nid, dist_e9,
+                 row_number() OVER (PARTITION BY qid ORDER BY dist_e9, nid) AS rank
+          FROM adc) WHERE rank <= 3
+        ORDER BY qid, rank""")),
+
+    // ------------------------------------------------------------------
+    // q87: IVF-PQ serving end-to-end — the flagship compressed-index ANN
+    // path at 100 TB: probe the 4 nearest of 16 cells per query (q81's
+    // deterministic centroid table), then ADC-score ONLY the probed
+    // cells' candidates from their 32-bit PQ codes (q85's deterministic
+    // codebook + q86's integer LUT trick). The corpus participates as
+    // (cell, code) pairs — 64× smaller than the raw floats, prunable by
+    // cell — and everything after the two map-side kernel passes is
+    // exact int64, so the full pipeline (assign → probe → ADC rank)
+    // hash-matches the oracle bit-for-bit. Both index tables are
+    // catalog-persistable index-as-data.
+    QueryDef(
+      "q87_ivf_pq_topk",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val books = graft.functions.VectorIndexFunctions.pqCodebooks(8, 16, 8)
+        val cents = Seq.tabulate(16) { c =>
+          (c, Seq.tabulate(64) { d =>
+            ((graft.functions.HashKernels.md5h60(
+              org.apache.spark.unsafe.types.UTF8String.fromString(s"ivf $c $d"))
+              % 4001L) - 2000L) / 10000.0
+          })
+        }.toDF("cell", "centroid")
+        graft.operators.SimilarityJoin.ivfPqTopK(
+            T.embeddings(s, dir), col("vec_id"), col("embedding"),
+            queryPred = col("vec_id") < 50, cents, books, nProbe = 4, k = 3)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""
+        WITH $ivfAssignSqlCtes,
+        ${pqSqlCtes("pq_")},
+        probes AS (SELECT vec_id AS qid, cell FROM (
+                     SELECT vec_id, cell,
+                            row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d, cell) AS pr
+                     FROM dist WHERE vec_id < 50) WHERE pr <= 4),
+        lut AS (SELECT vec_id AS qid, m, c, CAST(floor(dst * 1e9) AS BIGINT) AS de9
+                FROM pq_dist WHERE vec_id < 50),
+        cand AS (SELECT p.qid, a.vec_id AS nid
+                 FROM probes p JOIN assigned a ON a.cell = p.cell
+                 WHERE a.vec_id != p.qid),
+        adc AS (SELECT cd.qid, cd.nid, CAST(SUM(l.de9) AS BIGINT) AS dist_e9
+                FROM cand cd
+                JOIN pq_best b ON b.vec_id = cd.nid AND b.rn = 1
+                JOIN lut l ON l.qid = cd.qid AND l.m = b.m AND l.c = b.c
+                GROUP BY cd.qid, cd.nid)
         SELECT qid, CAST(rank AS BIGINT) AS rank, nid, dist_e9 FROM (
           SELECT qid, nid, dist_e9,
                  row_number() OVER (PARTITION BY qid ORDER BY dist_e9, nid) AS rank

@@ -461,6 +461,65 @@ object SimilarityJoin {
       .select(col("qid"), col("rank"), col("nid"), col("cos"))
   }
 
+  /** IVF-PQ ANN top-k: the full compressed-index serving path — probe
+    * the `nProbe` nearest cells per query (nCells-row broadcast, as in
+    * [[ivfTopKServing]]), then score ONLY the probed cells' candidates
+    * by PQ asymmetric distance: each query precomputes its M×K
+    * e9-integer lookup table once (compiled PqLut) and every candidate
+    * costs M integer reads on its packed code (PqAdc) — no float math
+    * per candidate, and the corpus participates through (cell, 32-bit
+    * code) only: 64× smaller than the raw vectors, never shuffled as
+    * floats. Returns (qid, rank, nid, dist_e9), ADC-ranked; a
+    * production pipeline re-ranks the top-k' survivors with exact
+    * distance exactly as [[ivfTopKServing]] does — kept separate here
+    * so each stage stays independently oracle-checkable (q81 / q87).
+    * Both index tables (centroids, codes) are catalog-persistable
+    * index-as-data, like the q82 signature table. */
+  def ivfPqTopK(
+      vecs: DataFrame, id: Column, vec: Column, queryPred: Column,
+      centroidsDf: DataFrame, codebooks: Array[Array[Array[Double]]],
+      nProbe: Int = 4, k: Int = 3,
+      scope: graft.CacheScope = new graft.CacheScope): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val matrix = centroidMatrix(centroidsDf)
+    val m = codebooks.length
+    val kk = codebooks(0).length
+    val assigned = vecs
+      .select(id.as("nid"), vec.cast("array<double>").as("fd"),
+        queryPred.as("is_query"))
+      .withColumn("cell",
+        graft.functions.VectorIndexFunctions.nearestCentroid(col("fd"), matrix))
+      .withColumn("code", element_at(
+        graft.functions.VectorIndexFunctions.pqEncode(col("fd"), codebooks), 1))
+      .transform(scope.cache)
+    val centDf = centroidsDf.select(
+      col("cell").cast("int").as("cell_probe"), col("centroid"))
+    val probeW = Window.partitionBy(col("qid"))
+      .orderBy(col("dist"), col("cell_probe"))
+    val probes = assigned.filter(col("is_query"))
+      .select(col("nid").as("qid"), col("fd"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("dist", aggregate(
+        zip_with(col("fd"), col("centroid"), (a, b) => (a - b) * (a - b)),
+        lit(0.0d), (acc, d) => acc + d))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nProbe)
+      .select(col("qid"), col("cell_probe").as("cell"))
+    val luts = assigned.filter(col("is_query"))
+      .select(col("nid").as("qid"),
+        graft.functions.VectorIndexFunctions.pqLut(col("fd"), codebooks).as("lut"))
+    val rankW = Window.partitionBy(col("qid")).orderBy(col("dist_e9"), col("nid"))
+    probes
+      .join(assigned.select(col("nid"), col("code"), col("cell")), "cell")
+      .join(luts, "qid")
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("dist_e9",
+        graft.functions.VectorIndexFunctions.pqAdc(col("lut"), col("code"), m, kk))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("dist_e9"))
+  }
+
   /** LSH-bucketed cosine near-neighbor pairs over a float-vector
     * column: multi-band sign-bit hyperplane buckets → in-bucket pair
     * expansion → exact integer-scaled cosine ≥ `threshold`.

@@ -21,8 +21,10 @@ class PlanAuditSpec extends SparkSpec {
                    // brute cross join: the recall-contract baseline
     "q59_bm25_search", // 1-row corpus-stats broadcast to every doc
     "q81_ann_ivf_served", // same centroid broadcast as q53, fixed index
-    "q86_pq_adc_topk" // flat-PQ ADC scan: the 50-query LUT broadcast
-                      // against every 32-bit code IS the query shape
+    "q86_pq_adc_topk", // flat-PQ ADC scan: the 50-query LUT broadcast
+                       // against every 32-bit code IS the query shape
+    "q87_ivf_pq_topk" // same nCells-row centroid broadcast as q81/q53
+                      // for the probe stage; candidates join by cell
   )
 
   private def collectAll(p: SparkPlan): Seq[SparkPlan] = {

@@ -116,6 +116,45 @@ class SemanticPqSpec extends SparkSpec {
     assert(graft.functions.PqLut.adc(lut, 17L, 2, 2) == 1250000000L)
   }
 
+  test("ivfPqTopK: distances agree with a flat ADC scan; ranks are consistent") {
+    val spark2 = spark
+    import spark2.implicits._
+    val books = graft.functions.VectorIndexFunctions.pqCodebooks(8, 16, 8)
+    val cents = Seq.tabulate(16) { c =>
+      (c, Seq.tabulate(64) { d =>
+        ((graft.functions.HashKernels.md5h60(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"ivf $c $d"))
+          % 4001L) - 2000L) / 10000.0
+      })
+    }.toDF("cell", "centroid")
+    val res = graft.operators.SimilarityJoin.ivfPqTopK(
+        graft.Tables.embeddings(spark, "/root/testdata/sf0.001"),
+        col("vec_id"), col("embedding"),
+        queryPred = col("vec_id") < 50, cents, books, nProbe = 4, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(res.map(_._1).distinct.length == 50)
+    // recompute every returned ADC distance with the kernels directly
+    val all = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("fd"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val luts = all.view.filterKeys(_ < 50).mapValues(fd =>
+      graft.functions.PqLut.build(ArrayData.toArrayData(fd), books)).toMap
+    val codes = all.view.mapValues(fd =>
+      graft.functions.PqEncode.encode(
+        ArrayData.toArrayData(fd), books).toLongArray()(0)).toMap
+    res.foreach { case (qid, _, nid, dist) =>
+      assert(dist == graft.functions.PqLut.adc(luts(qid), codes(nid), 8, 16),
+        s"ADC mismatch for ($qid, $nid)")
+    }
+    // per query: ranks 1..3, distances ascending with nid tiebreak
+    res.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == Seq(1L, 2L, 3L))
+      assert(sorted.map(r => (r._4, r._3)).toSeq ==
+        sorted.map(r => (r._4, r._3)).sortBy(identity).toSeq)
+    }
+  }
+
   // ------------------------------------------------------- semantic dedup
 
   private def centsDf = {
