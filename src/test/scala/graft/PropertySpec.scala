@@ -223,4 +223,50 @@ class PropertySpec extends SparkSpec {
         assert(vals.forall(_ == graft.functions.HashKernels.P))
     }
   }
+
+  test("pq encode/lut/adc agree on random vectors: own-code ADC == err_e9, " +
+    "lut row min at the chosen code, any-code ADC >= own-code ADC") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val books = graft.functions.VectorIndexFunctions.pqCodebooks(4, 8, 4)
+    val vecGen = Gen.listOfN(16, Gen.choose(-2.0, 2.0))
+    val codeGen = Gen.listOfN(4, Gen.choose(0, 7))
+    samples(vecGen.flatMap(v => codeGen.map(c => (v, c))), 60)
+      .foreach { case (vec, nibbles) =>
+        val fd = ArrayData.toArrayData(vec.toArray)
+        val enc = graft.functions.PqEncode.encode(fd, books).toLongArray()
+        val lut = graft.functions.PqLut.build(fd, books)
+        assert(graft.functions.PqLut.adc(lut, enc(0), 4, 8) == enc(1))
+        val l = lut.toLongArray()
+        (0 until 4).foreach { m =>
+          val chosen = ((enc(0) >> (4 * m)) & 15L).toInt
+          assert(l.slice(m * 8, m * 8 + 8).min == l(m * 8 + chosen))
+        }
+        // an arbitrary (possibly non-optimal) code can never beat the
+        // encoder's own code — per-subspace minimality summed
+        val rndCode = nibbles.zipWithIndex
+          .map { case (c, m) => c.toLong << (4 * m) }.sum
+        assert(graft.functions.PqLut.adc(lut, rndCode, 4, 8) >= enc(1))
+      }
+  }
+
+  test("signed_project guard accepts exactly the int64-representable norms") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    // single input dim, k=2 outputs with signs (+1, -1): out = (x, -x),
+    // Σout² = 2x² — representable iff |x| ≤ √(2^63/2). Scan magnitudes
+    // around the boundary and check accept/reject matches the predicate.
+    val signs = Array(Array(1L, -1L))
+    val limit = math.sqrt(Long.MaxValue.toDouble / 2)
+    samples(Gen.choose(0.90, 1.10), 40).foreach { f =>
+      val x = (limit * f).toLong
+      val fits = // exact predicate, overflow-checked
+        try { Math.addExact(Math.multiplyExact(x, x), Math.multiplyExact(x, x)); true }
+        catch { case _: ArithmeticException => false }
+      val accepted =
+        try {
+          graft.functions.SignedProject.project(
+            ArrayData.toArrayData(Array(x)), signs); true
+        } catch { case _: ArithmeticException => false }
+      assert(accepted == fits, s"x=$x: accepted=$accepted, fits=$fits")
+    }
+  }
 }
