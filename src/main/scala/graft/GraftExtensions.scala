@@ -36,6 +36,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     v.toInt
   }
 
+  // a wrong argument count would otherwise surface as a raw
+  // IndexOutOfBoundsException during analysis with no mention of the
+  // function; every other validation here produces a named message
+  private def arity(args: Seq[Expression], fn: String, n: Int): Seq[Expression] = {
+    if (args.length != n)
+      throw new IllegalArgumentException(
+        s"$fn: expected $n argument(s), got ${args.length}")
+    args
+  }
+
   private def dblArg(e: Expression, fn: String, pos: Int): Double =
     (if (e.foldable) e.eval() else null) match {
       case v: java.lang.Double => v
@@ -49,47 +59,48 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("tokenize_ascii_lower"),
       new ExpressionInfo(classOf[TokenizeAsciiLower].getName, "tokenize_ascii_lower"),
-      (args: Seq[Expression]) => TokenizeAsciiLower(args.head)))
+      (args: Seq[Expression]) => TokenizeAsciiLower(arity(args, "tokenize_ascii_lower", 1).head)))
 
     ext.injectFunction((
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
-      (args: Seq[Expression]) =>
-        WordShingles(args.head, intArg(args(1), "word_shingles", 2))))
+      (args: Seq[Expression]) => { val a = arity(args, "word_shingles", 2)
+        WordShingles(a.head, intArg(a(1), "word_shingles", 2)) }))
 
     ext.injectFunction((
       FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
-      (args: Seq[Expression]) =>
-        MinHashSignature(args.head, intArg(args(1), "minhash_signature", 2))))
+      (args: Seq[Expression]) => { val a = arity(args, "minhash_signature", 2)
+        MinHashSignature(a.head, intArg(a(1), "minhash_signature", 2)) }))
 
     ext.injectFunction((
       FunctionIdentifier("simhash60"),
       new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
-      (args: Seq[Expression]) => SimHash60(args.head)))
+      (args: Seq[Expression]) => SimHash60(arity(args, "simhash60", 1).head)))
 
     ext.injectFunction((
       FunctionIdentifier("dot_int64"),
       new ExpressionInfo(classOf[DotProductInt64].getName, "dot_int64"),
-      (args: Seq[Expression]) => DotProductInt64(args.head, args(1))))
+      (args: Seq[Expression]) => { val a = arity(args, "dot_int64", 2)
+        DotProductInt64(a.head, a(1)) }))
 
     ext.injectFunction((
       FunctionIdentifier("positional_fingerprint"),
       new ExpressionInfo(classOf[PositionalFingerprint].getName, "positional_fingerprint"),
-      (args: Seq[Expression]) => PositionalFingerprint(args.head)))
+      (args: Seq[Expression]) => PositionalFingerprint(arity(args, "positional_fingerprint", 1).head)))
 
     ext.injectFunction((
       FunctionIdentifier("top_k"),
       new ExpressionInfo(classOf[TopKOrdered].getName, "top_k"),
-      (args: Seq[Expression]) =>
-        TopKOrdered(args.head, intArg(args(1), "top_k", 2))))
+      (args: Seq[Expression]) => { val a = arity(args, "top_k", 2)
+        TopKOrdered(a.head, intArg(a(1), "top_k", 2)) }))
 
     ext.injectFunction((
       FunctionIdentifier("bloom_build"),
       new ExpressionInfo(classOf[BloomBuildAgg].getName, "bloom_build"),
-      (args: Seq[Expression]) =>
-        BloomBuildAgg(args.head,
-          numArg(args(1), "bloom_build", 2),
-          dblArg(args(2), "bloom_build", 3)).toAggregateExpression()))
+      (args: Seq[Expression]) => { val a = arity(args, "bloom_build", 3)
+        BloomBuildAgg(a.head,
+          numArg(a(1), "bloom_build", 2),
+          dblArg(a(2), "bloom_build", 3)).toAggregateExpression() }))
   }
 }

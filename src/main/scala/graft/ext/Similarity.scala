@@ -381,15 +381,7 @@ object Similarity extends QueryModule {
     QueryDef(
       "q81_ann_ivf_served",
       (s, dir) => {
-        val spark = s
-        import spark.implicits._
-        val cents = Seq.tabulate(16) { c =>
-          (c, Seq.tabulate(64) { d =>
-            ((graft.functions.HashKernels.md5h60(
-              org.apache.spark.unsafe.types.UTF8String.fromString(s"ivf $c $d"))
-              % 4001L) - 2000L) / 10000.0
-          })
-        }.toDF("cell", "centroid")
+        val cents = graft.operators.SimilarityJoin.md5CentroidTable(s)
         graft.operators.SimilarityJoin.ivfTopKServing(
             T.embeddings(s, dir), col("vec_id"), col("embedding"),
             queryPred = col("vec_id") < 50, cents, nProbe = 4, k = 3)
@@ -425,18 +417,18 @@ object Similarity extends QueryModule {
     // LSH buckets do (cappedBuckets + observe metric); at 100 TB the
     // centroid count grows with the corpus so Σ cell² stays bounded.
     // Exact integer cosine throughout — both engines agree bit-for-bit.
+    // Cap-vs-oracle contract (the q52 pattern): the SQL computes exact
+    // all-pairs with NO cap, so the comparison relies on every cell
+    // staying under maxCell=65536 — true by orders of magnitude at all
+    // driver SFs (16 fixed cells × ≤2000 fixture vectors ⇒ ≤ a few
+    // hundred per cell). Past the cap the engine deliberately reports
+    // n_dups=0 for the degenerate cell (dropped, counted in the observe
+    // metric) — a scale guard, not an estimate, and the divergence is
+    // intentional.
     QueryDef(
       "q84_semantic_dedup",
       (s, dir) => {
-        val spark = s
-        import spark.implicits._
-        val cents = Seq.tabulate(16) { c =>
-          (c, Seq.tabulate(64) { d =>
-            ((graft.functions.HashKernels.md5h60(
-              org.apache.spark.unsafe.types.UTF8String.fromString(s"ivf $c $d"))
-              % 4001L) - 2000L) / 10000.0
-          })
-        }.toDF("cell", "centroid")
+        val cents = graft.operators.SimilarityJoin.md5CentroidTable(s)
         graft.operators.SimilarityJoin.semanticDedup(
             T.embeddings(s, dir), col("vec_id"), col("embedding"),
             cents, threshold = 0.4)
@@ -552,16 +544,8 @@ object Similarity extends QueryModule {
     QueryDef(
       "q87_ivf_pq_topk",
       (s, dir) => {
-        val spark = s
-        import spark.implicits._
         val books = graft.functions.VectorIndexFunctions.pqCodebooks(8, 16, 8)
-        val cents = Seq.tabulate(16) { c =>
-          (c, Seq.tabulate(64) { d =>
-            ((graft.functions.HashKernels.md5h60(
-              org.apache.spark.unsafe.types.UTF8String.fromString(s"ivf $c $d"))
-              % 4001L) - 2000L) / 10000.0
-          })
-        }.toDF("cell", "centroid")
+        val cents = graft.operators.SimilarityJoin.md5CentroidTable(s)
         graft.operators.SimilarityJoin.ivfPqTopK(
             T.embeddings(s, dir), col("vec_id"), col("embedding"),
             queryPred = col("vec_id") < 50, cents, books, nProbe = 4, k = 3)

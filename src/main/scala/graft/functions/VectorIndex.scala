@@ -111,6 +111,11 @@ object PqEncode {
       var c = 0
       while (c < book.length) {
         val ctr = book(c)
+        // ragged codebooks would silently truncate or AIOOBE mid-task;
+        // fail fast like NearestCentroid's per-centroid length check
+        if (ctr.length != subDim)
+          throw new IllegalArgumentException(
+            s"pq_encode: subspace $s centroid $c has ${ctr.length} dims, expected $subDim")
         var d = 0.0
         var i = 0
         while (i < subDim) {
@@ -121,6 +126,13 @@ object PqEncode {
         if (d < bestD) { bestD = d; best = c }
         c += 1
       }
+      // NaN/Infinity input makes every `d < bestD` compare false: best
+      // stays -1 and `-1L << …` would corrupt every higher nibble of
+      // the packed code SILENTLY — the worst failure mode for an index
+      if (best < 0)
+        throw new ArithmeticException(
+          s"pq_encode: no finite distance in subspace $s — vector " +
+            "contains NaN/Infinity or overflows double")
       code |= best.toLong << (4 * s)
       errE9 += math.floor(bestD * 1e9).toLong
       s += 1
@@ -144,8 +156,13 @@ object PqLut {
   def build(fd: ArrayData, codebooks: Array[Array[Array[Double]]])
       : ArrayData = {
     val m = codebooks.length
-    require(m > 0, "pq_lut: empty codebook")
+    if (m == 0 || m > 15)
+      throw new IllegalArgumentException(
+        s"pq_lut: need 1..15 subspaces (adc packs 4-bit codes), got $m")
     val k = codebooks(0).length
+    if (k > 16)
+      throw new IllegalArgumentException(
+        s"pq_lut: $k codes per subspace; adc's 4-bit nibble extraction caps at 16")
     val subDim = codebooks(0)(0).length
     if (fd.numElements() != m * subDim)
       throw new IllegalArgumentException(
@@ -155,10 +172,17 @@ object PqLut {
     var s = 0
     while (s < m) {
       val book = codebooks(s)
+      if (book.length != k)
+        throw new IllegalArgumentException(
+          s"pq_lut: subspace $s has ${book.length} codes, expected $k — " +
+            "ragged code counts would corrupt the m×k LUT layout")
       val off = s * subDim
       var c = 0
       while (c < k) {
         val ctr = book(c)
+        if (ctr.length != subDim)
+          throw new IllegalArgumentException(
+            s"pq_lut: subspace $s centroid $c has ${ctr.length} dims, expected $subDim")
         var d = 0.0
         var i = 0
         while (i < subDim) {
@@ -174,12 +198,20 @@ object PqLut {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
-  /** Σ_m lut[m·K + code_m] — integer-only candidate scoring. */
+  /** Σ_m lut[m·K + code_m] — integer-only candidate scoring. The code's
+    * nibbles are bounds-checked against k: a corrupted code would
+    * otherwise read ANOTHER subspace's LUT entry and return a wrong
+    * distance instead of an error (one compare per subspace, noise
+    * next to the array read). */
   def adc(lut: ArrayData, code: Long, m: Int, k: Int): Long = {
     var tot = 0L
     var s = 0
     while (s < m) {
-      tot += lut.getLong(s * k + ((code >> (4 * s)) & 15L).toInt)
+      val c = ((code >> (4 * s)) & 15L).toInt
+      if (c >= k)
+        throw new IllegalArgumentException(
+          s"pq_adc: code nibble $c in subspace $s out of range for $k codes")
+      tot += lut.getLong(s * k + c)
       s += 1
     }
     tot

@@ -343,6 +343,48 @@ object SimilarityJoin {
     ivfTopKServing(vecs, id, vec, queryPred,
       ivfBuildIndex(vecs, vec, nCells, seed, fitSampleCap), nProbe, k)
 
+  /** The deterministic md5-derived centroid table shared by q81 / q84 /
+    * q87 AND their DuckDB oracles: value(c, d) = ((md5h60("ivf c d")
+    * mod 4001) - 2000) / 1e4 — one definition so the engine queries,
+    * the spec fixtures, and `Similarity.ivfAssignSqlCtes` (the SQL
+    * mirror) can never drift on seed string or scaling constants. A
+    * production index would come from [[ivfBuildIndex]] instead; this
+    * one exists so serving-path results are oracle-expressible. */
+  def md5CentroidTable(
+      spark: org.apache.spark.sql.SparkSession,
+      nCells: Int = 16, dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    Seq.tabulate(nCells) { c =>
+      (c, Seq.tabulate(dim) { d =>
+        ((graft.functions.HashKernels.md5h60(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"ivf $c $d"))
+          % 4001L) - 2000L) / 10000.0
+      })
+    }.toDF("cell", "centroid")
+  }
+
+  /** The probe stage shared by [[ivfTopKServing]] and [[ivfPqTopK]]:
+    * (qid, fd) queries × broadcast centroid table → the `nProbe`
+    * nearest (qid, cell) pairs. One definition so the IEEE fold order
+    * of the probe distance (ascending zip_with/aggregate, mirrored by
+    * the oracle's list_aggregate) and the (dist, cell) tie rule can
+    * never drift between the two serving paths. */
+  private def probeCells(
+      queries: DataFrame, centroidsDf: DataFrame, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centDf = centroidsDf.select(
+      col("cell").cast("int").as("cell_probe"), col("centroid"))
+    val probeW = Window.partitionBy(col("qid"))
+      .orderBy(col("dist"), col("cell_probe"))
+    queries.crossJoin(broadcast(centDf))
+      .withColumn("dist", aggregate(
+        zip_with(col("fd"), col("centroid"), (a, b) => (a - b) * (a - b)),
+        lit(0.0d), (acc, d) => acc + d))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nProbe)
+      .select(col("qid"), col("cell_probe").as("cell"))
+  }
+
   /** nCells rows — an index table is driver-small by construction;
     * collect once to build the compiled assignment kernel (the same
     * data the probe side broadcasts). */
@@ -433,18 +475,9 @@ object SimilarityJoin {
       .withColumn("cell", assignExpr)
       .transform(scope.cache)
 
-    val centDf = centroidsDf.select(
-      col("cell").cast("int").as("cell_probe"), col("centroid"))
-    val probeW = Window.partitionBy(col("doc_id")).orderBy(col("dist"), col("cell_probe"))
-    val probes = assigned.filter(col("is_query"))
-      .select(col("doc_id"), col("fd"))
-      .crossJoin(broadcast(centDf))
-      .withColumn("dist", aggregate(
-        zip_with(col("fd"), col("centroid"), (a, b) => (a - b) * (a - b)),
-        lit(0.0d), (acc, d) => acc + d))
-      .withColumn("pr", row_number().over(probeW))
-      .filter(col("pr") <= nProbe)
-      .select(col("doc_id").as("qid"), col("cell_probe").as("cell"))
+    val probes = probeCells(
+      assigned.filter(col("is_query")).select(col("doc_id").as("qid"), col("fd")),
+      centroidsDf, nProbe)
 
     val queries = assigned.filter(col("is_query"))
       .select(col("doc_id").as("qid"), col("v").as("va"), col("n2").as("n2a"))
@@ -492,19 +525,9 @@ object SimilarityJoin {
       .withColumn("code", element_at(
         graft.functions.VectorIndexFunctions.pqEncode(col("fd"), codebooks), 1))
       .transform(scope.cache)
-    val centDf = centroidsDf.select(
-      col("cell").cast("int").as("cell_probe"), col("centroid"))
-    val probeW = Window.partitionBy(col("qid"))
-      .orderBy(col("dist"), col("cell_probe"))
-    val probes = assigned.filter(col("is_query"))
-      .select(col("nid").as("qid"), col("fd"))
-      .crossJoin(broadcast(centDf))
-      .withColumn("dist", aggregate(
-        zip_with(col("fd"), col("centroid"), (a, b) => (a - b) * (a - b)),
-        lit(0.0d), (acc, d) => acc + d))
-      .withColumn("pr", row_number().over(probeW))
-      .filter(col("pr") <= nProbe)
-      .select(col("qid"), col("cell_probe").as("cell"))
+    val probes = probeCells(
+      assigned.filter(col("is_query")).select(col("nid").as("qid"), col("fd")),
+      centroidsDf, nProbe)
     val luts = assigned.filter(col("is_query"))
       .select(col("nid").as("qid"),
         graft.functions.VectorIndexFunctions.pqLut(col("fd"), codebooks).as("lut"))

@@ -53,6 +53,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
         s.sql("""SELECT bloom_build(v, 100, CAST(0.01 AS DOUBLE))
                 |FROM VALUES ('a'), ('b') AS t(v)""".stripMargin).collect()
       }
+      // wrong arity names the function instead of an index error
+      val arityErr = intercept[Exception] {
+        s.sql("SELECT bloom_build(v, 100) FROM VALUES (1L) AS t(v)").collect()
+      }
+      assert(arityErr.getMessage.contains("bloom_build"),
+        s"arity error should name the function: ${arityErr.getMessage}")
       assert(row.getSeq[String](0) == Seq("hello", "world", "42"))
       assert(row.getSeq[String](1) == Seq("a b c", "b c d"))
       assert(row.getInt(2) == 12)

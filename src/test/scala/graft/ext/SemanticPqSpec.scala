@@ -45,6 +45,25 @@ class SemanticPqSpec extends SparkSpec {
         ArrayData.toArrayData(Array.fill(16)(0.0)),
         Array.fill(16)(Array(Array(0.0))))
     }
+    intercept[IllegalArgumentException] { // ragged centroid dims
+      graft.functions.PqEncode.encode(
+        ArrayData.toArrayData(Array(1.0, 2.0)),
+        Array(Array(Array(0.0, 0.0), Array(0.0))))
+    }
+    // NaN input: every distance compare is false — must fail fast, not
+    // pack a corrupted -1 code
+    intercept[ArithmeticException] {
+      graft.functions.PqEncode.encode(
+        ArrayData.toArrayData(Array(Double.NaN, 0.0)),
+        Array(Array(Array(0.0, 0.0), Array(1.0, 0.0))))
+    }
+    // adc: a code nibble past k reads another subspace's entries — throws
+    val lut2 = graft.functions.PqLut.build(
+      ArrayData.toArrayData(Array(0.0, 0.0)),
+      Array(Array(Array(0.0), Array(1.0)), Array(Array(0.0), Array(1.0))))
+    intercept[IllegalArgumentException] {
+      graft.functions.PqLut.adc(lut2, 0x31L, 2, 2) // nibble 3 >= k=2
+    }
   }
 
   test("pq codebooks are deterministic and codes reconstruct near the input") {
@@ -120,13 +139,7 @@ class SemanticPqSpec extends SparkSpec {
     val spark2 = spark
     import spark2.implicits._
     val books = graft.functions.VectorIndexFunctions.pqCodebooks(8, 16, 8)
-    val cents = Seq.tabulate(16) { c =>
-      (c, Seq.tabulate(64) { d =>
-        ((graft.functions.HashKernels.md5h60(
-          org.apache.spark.unsafe.types.UTF8String.fromString(s"ivf $c $d"))
-          % 4001L) - 2000L) / 10000.0
-      })
-    }.toDF("cell", "centroid")
+    val cents = graft.operators.SimilarityJoin.md5CentroidTable(spark)
     val res = graft.operators.SimilarityJoin.ivfPqTopK(
         graft.Tables.embeddings(spark, "/root/testdata/sf0.001"),
         col("vec_id"), col("embedding"),
