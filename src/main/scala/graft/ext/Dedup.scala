@@ -324,6 +324,54 @@ object Dedup extends QueryModule {
                ${X.cosineFromIntsSql(X.dotIntSql("x.v", "y.v"), "x.n2", "y.n2")} AS cos
         FROM cand JOIN scn x ON x.doc_id = doc_a JOIN scn y ON y.doc_id = doc_b
         WHERE ${X.cosineFromIntsSql(X.dotIntSql("x.v", "y.v"), "x.n2", "y.n2")} >= 0.4
-        ORDER BY doc_a, doc_b"""))
+        ORDER BY doc_a, doc_b""")),
+
+    // ------------------------------------------------------------------
+    // q88: fuzzy (edit-distance) dedup — the entity-resolution modality
+    // the token/shingle passes miss: single-character typo duplicates.
+    // Block on (trailing token, length) — for maxDist=1 an edit either
+    // preserves both (substitution) or changes length by one, so the
+    // composite key is selective AND a same-noun typo pair can only
+    // cross blocks via the length component, the standard
+    // sorted-neighborhood trade (recall for block size; a production
+    // pass adds the ±1-length neighbor block). Pairs expand in-block
+    // via cappedBuckets; Levenshtein is an integer DP both engines
+    // define identically, so the per-block summary hash-matches. Cap
+    // contract like q84: the oracle computes exact all-pairs, valid
+    // while every block is under maxBucket (fixture blocks ≤ ~300).
+    QueryDef(
+      "q88_dedup_edit_distance",
+      (s, dir) => {
+        val parts = T.part(s, dir)
+        val blk = concat(element_at(split(col("p_name"), " "), 2),
+          lit("#"), length(col("p_name")).cast("string"))
+        val pairs = graft.operators.NearDup.editDistancePairs(
+          parts, col("p_partkey"), col("p_name"), blk, maxDist = 1)
+        val perBlock = parts
+          .select(concat(element_at(split(col("p_name"), " "), 2),
+            lit("#"), length(col("p_name")).cast("string")).as("blk"))
+          .groupBy(col("blk")).agg(count(lit(1)).as("n_parts"))
+        val dups = pairs.select(col("blk"), col("doc_b")).distinct()
+          .groupBy(col("blk")).agg(count(lit(1)).as("n_dups"))
+        perBlock.join(dups, Seq("blk"), "left")
+          .select(col("blk").as("block"), col("n_parts"),
+            coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+            (col("n_parts") - coalesce(col("n_dups"), lit(0L))).as("n_kept"))
+          .orderBy(col("block"))
+      },
+      Some("""
+        WITH p AS (SELECT p_partkey, p_name,
+                     split_part(p_name, ' ', 2) || '#' || CAST(length(p_name) AS VARCHAR) AS blk
+                   FROM part),
+        dup AS (SELECT DISTINCT a.blk, b.p_partkey AS idb
+                FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+                WHERE levenshtein(a.p_name, b.p_name) <= 1),
+        pc AS (SELECT blk, COUNT(*) AS n_parts FROM p GROUP BY blk),
+        dc AS (SELECT blk, COUNT(*) AS n_dups FROM dup GROUP BY blk)
+        SELECT pc.blk AS block, pc.n_parts,
+               COALESCE(dc.n_dups, 0) AS n_dups,
+               pc.n_parts - COALESCE(dc.n_dups, 0) AS n_kept
+        FROM pc LEFT JOIN dc ON dc.blk = pc.blk
+        ORDER BY block"""))
   )
 }

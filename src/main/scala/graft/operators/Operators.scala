@@ -195,6 +195,38 @@ object NearDup {
     (base, banded)
   }
 
+  /** Fuzzy (edit-distance) near-duplicate pairs — the entity-resolution
+    * modality token/shingle dedup misses (single-character typos,
+    * OCR noise): candidates share a caller-chosen blocking key
+    * (sorted-neighborhood style), pairs expand in-bucket via
+    * [[cappedBuckets]] (work ∝ Σ block², an oversized block never
+    * materializes), and survivors verify with exact Levenshtein ≤
+    * `maxDist` — an integer DP both engines define identically, so
+    * results are bit-comparable. Blocking-key design carries the scale
+    * contract: the key must be selective enough that blocks stay under
+    * `maxBucket` (length alone is NOT — compose it with a token or a
+    * phonetic/prefix key), and a char-level edit within one block
+    * distance of the key's own derivation (e.g. same trailing token +
+    * same length for maxDist=1) is guaranteed not to cross blocks. */
+  def editDistancePairs(
+      docs: DataFrame, id: Column, text: Column, blockKey: Column,
+      maxDist: Int, maxBucket: Int = 65536,
+      scope: graft.CacheScope = new graft.CacheScope): DataFrame = {
+    val base = docs
+      .select(id.as("doc_id"), text.as("txt"), blockKey.as("blk"))
+      .transform(scope.cache)
+    val cand = cappedBuckets(base.select(col("blk"), col("doc_id")),
+        Seq("blk"), "doc_id", maxBucket, "edit_dedup_block_cap")
+      .select(col("blk"), explode(pairsOf(col("ids"))).as("p"))
+      .select(col("blk"), col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+    cand
+      .join(base.select(col("doc_id").as("doc_a"), col("txt").as("ta")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("txt").as("tb")), "doc_b")
+      .withColumn("dist", levenshtein(col("ta"), col("tb")))
+      .filter(col("dist") <= maxDist)
+      .select(col("blk"), col("doc_a"), col("doc_b"), col("dist"))
+  }
+
   /** The (doc_id, sh, sig) MinHash signature table alone — the
     * index-as-data unit [[minhashLshIncremental]] consumes: persist it
     * through the versioned catalog after each run and the next

@@ -103,6 +103,28 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 3L), (9L, 1L)))
   }
 
+  test("editDistancePairs: typo pairs found in-block, blocks never cross, caps drop") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "red bolt"), (2L, "rad bolt"),   // dist 1, same block
+      (3L, "red gear"),                     // other block
+      (4L, "redd bolt"),                    // dist 1 from "red bolt" but
+                                            // different length → other block
+      (5L, "blu bolt")                      // dist 2 from "red bolt": filtered
+    ).toDF("id", "name")
+    val blk = concat(element_at(split(col("name"), " "), 2),
+      lit("#"), length(col("name")).cast("string"))
+    val out = NearDup.editDistancePairs(df, col("id"), col("name"), blk, maxDist = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(out == Set((1L, 2L, 1)))
+    // cap: the bolt#8 block (ids 1, 2, 5) exceeds maxBucket=2 and is
+    // dropped whole — no pairs remain (the other blocks are singletons)
+    val capped = NearDup.editDistancePairs(df, col("id"), col("name"), blk,
+      maxDist = 1, maxBucket = 2)
+    assert(capped.count() == 0)
+  }
+
   test("minhashLshIncremental == full pass filtered to pairs with a new member") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     def pairs(df: org.apache.spark.sql.DataFrame) =
