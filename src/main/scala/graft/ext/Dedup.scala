@@ -329,49 +329,52 @@ object Dedup extends QueryModule {
     // ------------------------------------------------------------------
     // q88: fuzzy (edit-distance) dedup — the entity-resolution modality
     // the token/shingle passes miss: single-character typo duplicates.
-    // Block on (trailing token, length) — for maxDist=1 an edit either
-    // preserves both (substitution) or changes length by one, so the
-    // composite key is selective AND a same-noun typo pair can only
-    // cross blocks via the length component, the standard
-    // sorted-neighborhood trade (recall for block size; a production
-    // pass adds the ±1-length neighbor block). Pairs expand in-block
-    // via cappedBuckets; Levenshtein is an integer DP both engines
-    // define identically, so the per-block summary hash-matches. Cap
-    // contract like q84: the oracle computes exact all-pairs, valid
-    // while every block is under maxBucket (fixture blocks ≤ ~300).
+    // Semantics: a part is a duplicate iff some LOWER-key part's name is
+    // within one edit (incl. exact copies); summarized per name length.
+    //
+    // Scale shape (why this isn't an all-pairs query): exact-copy mass
+    // resolves in ONE hash aggregation (the q40 move) — no pair ever
+    // forms between same-name parts, which is where corpus-proportional
+    // quadratics live. The fuzzy pass then runs only over DISTINCT
+    // names (the entity vocabulary — 64 here, bounded at any corpus
+    // size) using deletion-neighborhood keys: FULL recall for dist ≤ 1
+    // by construction, intrinsically small buckets, so the oracle's
+    // exact all-pairs definition is matched with no cap caveat. A rep
+    // (min-key part of its name) is a dup iff some name within one edit
+    // has a smaller min key; every non-rep is a dup of its name's rep.
     QueryDef(
       "q88_dedup_edit_distance",
       (s, dir) => {
-        val parts = T.part(s, dir)
-        val blk = concat(element_at(split(col("p_name"), " "), 2),
-          lit("#"), length(col("p_name")).cast("string"))
+        val names = T.part(s, dir)
+          .groupBy(col("p_name"))
+          .agg(min(col("p_partkey")).as("rep"), count(lit(1)).as("copies"))
+          .persist() // feeds the variant join (2 sides) + the summary
         val pairs = graft.operators.NearDup.editDistancePairs(
-          parts, col("p_partkey"), col("p_name"), blk, maxDist = 1)
-        val perBlock = parts
-          .select(concat(element_at(split(col("p_name"), " "), 2),
-            lit("#"), length(col("p_name")).cast("string")).as("blk"))
-          .groupBy(col("blk")).agg(count(lit(1)).as("n_parts"))
-        val dups = pairs.select(col("blk"), col("doc_b")).distinct()
-          .groupBy(col("blk")).agg(count(lit(1)).as("n_dups"))
-        perBlock.join(dups, Seq("blk"), "left")
-          .select(col("blk").as("block"), col("n_parts"),
-            coalesce(col("n_dups"), lit(0L)).as("n_dups"),
-            (col("n_parts") - coalesce(col("n_dups"), lit(0L))).as("n_kept"))
-          .orderBy(col("block"))
+          names, col("rep"), col("p_name"),
+          graft.operators.NearDup.deletionVariants(col("p_name")), maxDist = 1)
+        // doc_a < doc_b always ⇒ doc_b's name has a smaller-rep neighbor
+        val repDups = pairs.select(col("doc_b").as("rep")).distinct()
+          .withColumn("rep_dup", lit(1L))
+        names.join(repDups, Seq("rep"), "left")
+          .groupBy(length(col("p_name")).cast("long").as("name_len"))
+          .agg(sum(col("copies")).as("n_parts"),
+            sum(col("copies") - 1L + coalesce(col("rep_dup"), lit(0L)))
+              .as("n_dups"))
+          .select(col("name_len"), col("n_parts"), col("n_dups"),
+            (col("n_parts") - col("n_dups")).as("n_kept"))
+          .orderBy(col("name_len"))
       },
       Some("""
-        WITH p AS (SELECT p_partkey, p_name,
-                     split_part(p_name, ' ', 2) || '#' || CAST(length(p_name) AS VARCHAR) AS blk
-                   FROM part),
-        dup AS (SELECT DISTINCT a.blk, b.p_partkey AS idb
-                FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
-                WHERE levenshtein(a.p_name, b.p_name) <= 1),
-        pc AS (SELECT blk, COUNT(*) AS n_parts FROM p GROUP BY blk),
-        dc AS (SELECT blk, COUNT(*) AS n_dups FROM dup GROUP BY blk)
-        SELECT pc.blk AS block, pc.n_parts,
-               COALESCE(dc.n_dups, 0) AS n_dups,
-               pc.n_parts - COALESCE(dc.n_dups, 0) AS n_kept
-        FROM pc LEFT JOIN dc ON dc.blk = pc.blk
-        ORDER BY block"""))
+        WITH p AS (SELECT p_partkey, p_name FROM part),
+        dup AS (SELECT DISTINCT b.p_partkey AS pk
+                FROM p a JOIN p b
+                  ON a.p_partkey < b.p_partkey
+                  AND abs(length(a.p_name) - length(b.p_name)) <= 1
+                WHERE levenshtein(a.p_name, b.p_name) <= 1)
+        SELECT length(p.p_name) AS name_len, COUNT(*) AS n_parts,
+               COUNT(d.pk) AS n_dups,
+               COUNT(*) - COUNT(d.pk) AS n_kept
+        FROM p LEFT JOIN dup d ON d.pk = p.p_partkey
+        GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -195,36 +195,54 @@ object NearDup {
     (base, banded)
   }
 
+  /** {s} ∪ all single-character deletions of s — the FastSS / deletion-
+    * neighborhood key set for edit distance ≤ 1: two distinct strings
+    * are within one edit iff they SHARE a key (substitution at i ⇒ both
+    * yield del_i; insertion/deletion ⇒ the shorter string IS a deletion
+    * variant of the longer). Blocking on these keys is therefore
+    * full-recall, not a heuristic, and a key of length L is shared by
+    * at most ~|alphabet|·(L+1) strings (everything one insertion away),
+    * so bucket sizes are intrinsically bounded — no selectivity bet. */
+  def deletionVariants(text: Column): Column =
+    array_union(array(text),
+      transform(sequence(lit(1), length(text)), i =>
+        concat(text.substr(lit(1), i - 1),
+          text.substr(i + lit(1), length(text)))))
+
   /** Fuzzy (edit-distance) near-duplicate pairs — the entity-resolution
-    * modality token/shingle dedup misses (single-character typos,
-    * OCR noise): candidates share a caller-chosen blocking key
-    * (sorted-neighborhood style), pairs expand in-bucket via
-    * [[cappedBuckets]] (work ∝ Σ block², an oversized block never
-    * materializes), and survivors verify with exact Levenshtein ≤
-    * `maxDist` — an integer DP both engines define identically, so
-    * results are bit-comparable. Blocking-key design carries the scale
-    * contract: the key must be selective enough that blocks stay under
-    * `maxBucket` (length alone is NOT — compose it with a token or a
-    * phonetic/prefix key), and a char-level edit within one block
-    * distance of the key's own derivation (e.g. same trailing token +
-    * same length for maxDist=1) is guaranteed not to cross blocks. */
+    * modality token/shingle dedup misses (single-character typos, OCR
+    * noise): each string explodes into caller-chosen blocking keys
+    * (pass [[deletionVariants]] for exact full recall at maxDist=1, or
+    * any sorted-neighborhood-style key array for heuristic recall at
+    * larger distances), candidates share a key, pairs expand in-bucket
+    * via [[cappedBuckets]] (work ∝ Σ bucket², an oversized bucket never
+    * materializes, drops surface as `edit_dedup_block_cap`), duplicates
+    * from multi-key collisions collapse before verification, and
+    * survivors verify with exact Levenshtein ≤ `maxDist` — an integer
+    * DP both engines define identically, so results are bit-comparable.
+    *
+    * Scale contract: run this on DISTINCT strings (resolve exact-copy
+    * mass with [[exact]] first — one hash agg, no pairs); the candidate
+    * stream then scales with the entity vocabulary, not the corpus. */
   def editDistancePairs(
-      docs: DataFrame, id: Column, text: Column, blockKey: Column,
+      docs: DataFrame, id: Column, text: Column, blockKeys: Column,
       maxDist: Int, maxBucket: Int = 65536,
       scope: graft.CacheScope = new graft.CacheScope): DataFrame = {
     val base = docs
-      .select(id.as("doc_id"), text.as("txt"), blockKey.as("blk"))
+      .select(id.as("doc_id"), text.as("txt"), blockKeys.as("bks"))
       .transform(scope.cache)
-    val cand = cappedBuckets(base.select(col("blk"), col("doc_id")),
+    val cand = cappedBuckets(
+        base.select(explode(col("bks")).as("blk"), col("doc_id")),
         Seq("blk"), "doc_id", maxBucket, "edit_dedup_block_cap")
-      .select(col("blk"), explode(pairsOf(col("ids"))).as("p"))
-      .select(col("blk"), col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
     cand
       .join(base.select(col("doc_id").as("doc_a"), col("txt").as("ta")), "doc_a")
       .join(base.select(col("doc_id").as("doc_b"), col("txt").as("tb")), "doc_b")
       .withColumn("dist", levenshtein(col("ta"), col("tb")))
       .filter(col("dist") <= maxDist)
-      .select(col("blk"), col("doc_a"), col("doc_b"), col("dist"))
+      .select(col("doc_a"), col("doc_b"), col("dist"))
   }
 
   /** The (doc_id, sh, sig) MinHash signature table alone — the

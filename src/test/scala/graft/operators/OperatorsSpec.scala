@@ -103,26 +103,70 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 3L), (9L, 1L)))
   }
 
-  test("editDistancePairs: typo pairs found in-block, blocks never cross, caps drop") {
+  test("editDistancePairs + deletionVariants: full dist-1 recall, exact verify, caps drop") {
     val s = spark
     import s.implicits._
     val df = Seq(
-      (1L, "red bolt"), (2L, "rad bolt"),   // dist 1, same block
-      (3L, "red gear"),                     // other block
-      (4L, "redd bolt"),                    // dist 1 from "red bolt" but
-                                            // different length → other block
-      (5L, "blu bolt")                      // dist 2 from "red bolt": filtered
+      (1L, "red bolt"),   // substitution pair with 2
+      (2L, "rad bolt"),
+      (3L, "red gear"),   // dist 3 from "red bolt": no pair
+      (4L, "redd bolt"),  // insertion pair with 1 (cross-length!)
+      (5L, "blu bolt")    // dist 2 from "red bolt": candidate via shared
+                          // variant? no — differs in 2 chars, no shared key
     ).toDF("id", "name")
-    val blk = concat(element_at(split(col("name"), " "), 2),
-      lit("#"), length(col("name")).cast("string"))
-    val out = NearDup.editDistancePairs(df, col("id"), col("name"), blk, maxDist = 1)
-      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).toSet
-    assert(out == Set((1L, 2L, 1)))
-    // cap: the bolt#8 block (ids 1, 2, 5) exceeds maxBucket=2 and is
-    // dropped whole — no pairs remain (the other blocks are singletons)
-    val capped = NearDup.editDistancePairs(df, col("id"), col("name"), blk,
-      maxDist = 1, maxBucket = 2)
+    val out = NearDup.editDistancePairs(df, col("id"), col("name"),
+        NearDup.deletionVariants(col("name")), maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // substitution (1,2) and cross-length insertion (1,4); nothing else
+    assert(out == Set((1L, 2L, 1), (1L, 4L, 1)))
+    // and the full set equals an all-pairs brute force
+    val names = df.collect().map(r => (r.getLong(0), r.getString(1)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val brute = (for {
+      (ia, na) <- names; (ib, nb) <- names
+      if ia < ib && lev(na, nb) <= 1
+    } yield (ia, ib, lev(na, nb))).toSet
+    assert(out == brute, s"engine $out vs brute $brute")
+    // cap: with maxBucket=1 every multi-member variant bucket drops
+    val capped = NearDup.editDistancePairs(df, col("id"), col("name"),
+      NearDup.deletionVariants(col("name")), maxDist = 1, maxBucket = 1)
     assert(capped.count() == 0)
+  }
+
+  test("deletionVariants: the key set is {s} ∪ single-deletions") {
+    val s = spark
+    import s.implicits._
+    val vs = Seq(Tuple1("abc")).toDF("t")
+      .select(NearDup.deletionVariants(col("t")).as("v"))
+      .head().getSeq[String](0).toSet
+    assert(vs == Set("abc", "bc", "ac", "ab"))
+    // property: any two strings at edit distance 1 share a key
+    val g = new scala.util.Random(7)
+    (0 until 50).foreach { _ =>
+      val base = (0 until (3 + g.nextInt(6))).map(_ => ('a' + g.nextInt(3)).toChar).mkString
+      val edited = g.nextInt(3) match {
+        case 0 => // substitution
+          val i = g.nextInt(base.length)
+          base.updated(i, ('a' + g.nextInt(3)).toChar)
+        case 1 => // deletion
+          val i = g.nextInt(base.length)
+          base.substring(0, i) + base.substring(i + 1)
+        case _ => // insertion
+          val i = g.nextInt(base.length + 1)
+          base.substring(0, i) + ('a' + g.nextInt(3)).toChar + base.substring(i)
+      }
+      def keys(x: String): Set[String] =
+        Set(x) ++ x.indices.map(i => x.substring(0, i) + x.substring(i + 1))
+      assert(keys(base).intersect(keys(edited)).nonEmpty,
+        s"no shared key for '$base' ~ '$edited'")
+    }
   }
 
   test("minhashLshIncremental == full pass filtered to pairs with a new member") {
