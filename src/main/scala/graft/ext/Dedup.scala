@@ -345,10 +345,13 @@ object Dedup extends QueryModule {
     QueryDef(
       "q88_dedup_edit_distance",
       (s, dir) => {
+        // no persist: editDistancePairs caches its own projection of
+        // this through its CacheScope, and the summary's second read is
+        // one cheap hash agg over part — recomputing beats holding two
+        // cached copies of the vocabulary table
         val names = T.part(s, dir)
           .groupBy(col("p_name"))
           .agg(min(col("p_partkey")).as("rep"), count(lit(1)).as("copies"))
-          .persist() // feeds the variant join (2 sides) + the summary
         val pairs = graft.operators.NearDup.editDistancePairs(
           names, col("rep"), col("p_name"),
           graft.operators.NearDup.deletionVariants(col("p_name")), maxDist = 1)

@@ -196,13 +196,17 @@ object NearDup {
   }
 
   /** {s} ∪ all single-character deletions of s — the FastSS / deletion-
-    * neighborhood key set for edit distance ≤ 1: two distinct strings
-    * are within one edit iff they SHARE a key (substitution at i ⇒ both
-    * yield del_i; insertion/deletion ⇒ the shorter string IS a deletion
-    * variant of the longer). Blocking on these keys is therefore
-    * full-recall, not a heuristic, and a key of length L is shared by
-    * at most ~|alphabet|·(L+1) strings (everything one insertion away),
-    * so bucket sizes are intrinsically bounded — no selectivity bet. */
+    * neighborhood key set for edit distance ≤ 1. Recall direction
+    * (what blocking needs): any two distinct strings within one edit
+    * SHARE a key — substitution at i ⇒ both yield del_i;
+    * insertion/deletion ⇒ the shorter string IS a deletion variant of
+    * the longer. The converse does NOT hold ("abc"/"bcd" share "bc"
+    * at distance 2), so candidates from shared keys MUST still pass
+    * the exact Levenshtein verify — [[editDistancePairs]] always does.
+    * Blocking on these keys is therefore full-recall, not a heuristic,
+    * and a key of length L is shared by at most ~|alphabet|·(L+1)
+    * strings (everything one insertion away), so bucket sizes are
+    * intrinsically bounded — no selectivity bet. */
   def deletionVariants(text: Column): Column =
     array_union(array(text),
       transform(sequence(lit(1), length(text)), i =>
@@ -565,6 +569,8 @@ object SimilarityJoin {
       scope: graft.CacheScope = new graft.CacheScope): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val matrix = centroidMatrix(centroidsDf)
+    require(codebooks.nonEmpty && codebooks(0).nonEmpty,
+      "ivfPqTopK: empty PQ codebook — the index has no subspaces/codes")
     val m = codebooks.length
     val kk = codebooks(0).length
     val assigned = vecs
