@@ -531,6 +531,41 @@ object Similarity extends QueryModule {
         ORDER BY qid, rank""")),
 
     // ------------------------------------------------------------------
+    // q89: INCREMENTAL semantic dedup — q84's contract for a daily
+    // batch (odd vec_ids stand in for today's arrivals, as in q80): a
+    // new vector is a dup iff some lower-id vector — old or new — in
+    // its cell has cosine ≥ τ; old∕old pairs were resolved by the
+    // previous run and never form. Only cells containing a new vector
+    // participate, so the old corpus joins through those cells alone —
+    // work ∝ Σ |new∩cell|·|cell|, the q80 shape at embedding level.
+    QueryDef(
+      "q89_semantic_dedup_incremental",
+      (s, dir) => {
+        val cents = graft.operators.SimilarityJoin.md5CentroidTable(s)
+        graft.operators.SimilarityJoin.semanticDedupIncremental(
+            T.embeddings(s, dir), col("vec_id"), col("embedding"),
+            isNew = col("vec_id") % 2 === 1, cents, threshold = 0.4)
+          .orderBy(col("cell"))
+      },
+      Some(s"""
+        WITH $ivfAssignSqlCtes,
+        av AS (SELECT a.vec_id, a.cell, n.v, n.n2
+               FROM assigned a JOIN vn n ON n.vec_id = a.vec_id),
+        dup AS (SELECT DISTINCT y.cell, y.vec_id AS idb
+                FROM av x JOIN av y
+                  ON x.cell = y.cell AND x.vec_id < y.vec_id
+                WHERE y.vec_id % 2 = 1
+                  AND ${X.cosineFromIntsSql(X.dotIntSql("x.v", "y.v"), "x.n2", "y.n2")} >= 0.4),
+        nc AS (SELECT cell, COUNT(*) AS n_new FROM assigned
+               WHERE vec_id % 2 = 1 GROUP BY cell),
+        dc AS (SELECT cell, COUNT(*) AS n_new_dups FROM dup GROUP BY cell)
+        SELECT CAST(nc.cell AS BIGINT) AS cell, nc.n_new,
+               COALESCE(dc.n_new_dups, 0) AS n_new_dups,
+               nc.n_new - COALESCE(dc.n_new_dups, 0) AS n_new_kept
+        FROM nc LEFT JOIN dc ON dc.cell = nc.cell
+        ORDER BY cell""")),
+
+    // ------------------------------------------------------------------
     // q87: IVF-PQ serving end-to-end — the flagship compressed-index ANN
     // path at 100 TB: probe the 4 nearest of 16 cells per query (q81's
     // deterministic centroid table), then ADC-score ONLY the probed

@@ -509,6 +509,55 @@ object SimilarityJoin {
         (col("n_vecs") - coalesce(col("n_dups"), lit(0L))).as("n_kept"))
   }
 
+  /** Incremental [[semanticDedup]]: per-cell dedup verdicts for a NEW
+    * batch (`isNew`) against new ∪ existing — the embedding-level twin
+    * of [[NearDup.minhashLshIncremental]]'s contract: a new vector is a
+    * duplicate iff SOME lower-id vector (old or new) in its cell has
+    * cosine ≥ `threshold`; old∕old pairs were resolved by the previous
+    * run and never form.
+    *
+    * Scale shape: cell assignment is the same map-side kernel for both
+    * sides; only cells CONTAINING a new vector participate (the old
+    * corpus joins through those cells alone), and pair generation is a
+    * join of the new members against their cells' pools — work ∝
+    * Σ_cells |new∩cell|·|cell|, not Σ cell². In production the old
+    * side's (vec_id, cell, v, n2) table persists in the catalog
+    * (index-as-data) and is never re-encoded. */
+  def semanticDedupIncremental(
+      vecs: DataFrame, id: Column, vec: Column, isNew: Column,
+      centroidsDf: DataFrame, threshold: Double,
+      scope: graft.CacheScope = new graft.CacheScope): DataFrame = {
+    val matrix = centroidMatrix(centroidsDf)
+    val assigned = vecs
+      .select(id.as("vec_id"), X.scaledVec(vec).as("v"),
+        vec.cast("array<double>").as("fd"), isNew.as("is_new"))
+      .withColumn("n2", X.norm2Int(col("v")))
+      .withColumn("cell",
+        graft.functions.VectorIndexFunctions.nearestCentroid(col("fd"), matrix))
+      .drop("fd")
+      .transform(scope.cache)
+    val newCells = assigned.filter(col("is_new"))
+      .select(col("cell")).distinct()
+    val pool = assigned.join(newCells, "cell")
+      .select(col("cell"), col("vec_id").as("ida"),
+        col("v").as("va"), col("n2").as("n2a"))
+    val fresh = assigned.filter(col("is_new"))
+      .select(col("cell").as("cb"), col("vec_id").as("idb"),
+        col("v").as("vb"), col("n2").as("n2b"))
+    val dups = pool
+      .join(fresh, col("cell") === col("cb") && col("ida") < col("idb"))
+      .filter(X.cosineFromInts(X.dotInt(col("va"), col("vb")),
+        col("n2a"), col("n2b")) >= threshold)
+      .select(col("cell"), col("idb")).distinct()
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_new_dups"))
+    assigned.filter(col("is_new"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_new"))
+      .join(dups, Seq("cell"), "left")
+      .select(col("cell").cast("long").as("cell"), col("n_new"),
+        coalesce(col("n_new_dups"), lit(0L)).as("n_new_dups"),
+        (col("n_new") - coalesce(col("n_new_dups"), lit(0L))).as("n_new_kept"))
+  }
+
   /** Serve ANN top-k from a persisted (cell, centroid) index table. */
   def ivfTopKServing(
       vecs: DataFrame, id: Column, vec: Column, queryPred: Column,

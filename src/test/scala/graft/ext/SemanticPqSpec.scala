@@ -168,6 +168,42 @@ class SemanticPqSpec extends SparkSpec {
     }
   }
 
+  test("semanticDedupIncremental matches a brute-force new-side verdict") {
+    val cents = graft.operators.SimilarityJoin.md5CentroidTable(spark)
+    val matrix = cents.orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val all = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("fd"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // mirror the engine's exact arithmetic: ×1e7-floored int64 vectors
+    val scaled = all.map { case (id, fd) =>
+      (id, fd.map(x => math.floor(x * 1e7).toLong))
+    }.toMap
+    def cos(a: Long, b: Long): Double = {
+      val (va, vb) = (scaled(a), scaled(b))
+      val dot = va.zip(vb).map { case (x, y) => x * y }.sum
+      dot.toDouble / (math.sqrt(va.map(x => x * x).sum.toDouble) *
+        math.sqrt(vb.map(x => x * x).sum.toDouble))
+    }
+    val cell = all.map { case (id, fd) =>
+      id -> graft.functions.VectorIndex.nearestCell(
+        ArrayData.toArrayData(fd), matrix)
+    }.toMap
+    val newIds = all.map(_._1).filter(_ % 2 == 1)
+    val dupIds = newIds.filter(b =>
+      all.map(_._1).exists(a => a < b && cell(a) == cell(b) && cos(a, b) >= 0.4))
+    val expected = newIds.groupBy(cell).map { case (c, ids) =>
+      c.toLong -> (ids.size.toLong, ids.count(dupIds.contains).toLong)
+    }
+    val got = graft.operators.SimilarityJoin.semanticDedupIncremental(
+        graft.Tables.embeddings(spark, "/root/testdata/sf0.001"),
+        col("vec_id"), col("embedding"), isNew = col("vec_id") % 2 === 1,
+        cents, threshold = 0.4)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+  }
+
   // ------------------------------------------------------- semantic dedup
 
   private def centsDf = {
