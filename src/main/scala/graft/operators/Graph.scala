@@ -74,19 +74,23 @@ object Graph {
     *
     * Scale shape: one equi-join + partial-aggregable sum per iteration
     * (the classic Pregel round as declarative plans); `localCheckpoint`
-    * cuts lineage per round so the plan doesn't grow O(iters). Fixed
-    * iteration count, not convergence — rank ordering stabilizes in a
-    * handful of rounds and a deterministic round count keeps the result
-    * reproducible and oracle-expressible (each round = one SQL CTE).
+    * every `ckptEvery` rounds cuts lineage so the plan doesn't grow
+    * O(iters), without paying an eager materialization barrier EVERY
+    * round — for short fixed runs (the default 3) the whole chain
+    * executes as one job. Fixed iteration count, not convergence —
+    * rank ordering stabilizes in a handful of rounds and a
+    * deterministic round count keeps the result reproducible and
+    * oracle-expressible (each round = one SQL CTE).
     */
-  def pageRank(edges: DataFrame, iters: Int = 3, scale: Long = 1000000L): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int = 3, scale: Long = 1000000L,
+      ckptEvery: Int = 4): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
     val nodes = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id"))).distinct().localCheckpoint()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val base = (scale * 15L) / 100L
     var ranks = nodes.withColumn("rank", lit(scale))
-    for (_ <- 1 to iters) {
+    for (round <- 1 to iters) {
       val contrib = e.join(ranks, e("src") === ranks("id"))
         .join(outdeg, "src")
         .select(col("dst").as("id"), expr("rank div deg").as("c"))
@@ -95,7 +99,7 @@ object Graph {
         .select(col("id"),
           (lit(base) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100"))
             .as("rank"))
-        .localCheckpoint()
+      if (round % ckptEvery == 0 && round < iters) ranks = ranks.localCheckpoint()
     }
     ranks
   }
