@@ -477,6 +477,64 @@ object Curation extends QueryModule {
         bloomContract(docs, split, hits, testSh, trainH, fpp)
       },
       Some(bloomOracleSql)),
+
+    // ------------------------------------------------------------------
+    // q90: training-shard MANIFEST — the artifact a curation pipeline
+    // actually hands to the trainer: quality gate (map-side) →
+    // sqrt-smoothed mixture sampling (the q49 move, rates derived from
+    // the SURVIVORS' source counts) → deterministic shard assignment →
+    // deterministic within-shard order. Every stage is md5-residue
+    // arithmetic, so the manifest — including the exact per-shard
+    // ordering, which is what makes a training run reproducible — is
+    // bit-identical across engines, reruns, and cluster sizes. Shard
+    // and order hashes use distinct prefixes ("shard "/"ord ") so
+    // sampling, sharding, and ordering draw independent residue
+    // streams. Scale shape: two tiny broadcast aggregates (per-source
+    // counts, max) + one map-side filter + one rank shuffle ∝ output.
+    QueryDef(
+      "q90_training_manifest",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val quality = T.documents(s, dir)
+          .filter(col("n_chars") >= 100 && size(X.tokens(col("text"))) >= 20)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val counts = quality.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val mx = counts.agg(max(sqrt(col("n").cast("double"))).as("mx"))
+        val thr = counts.crossJoin(broadcast(mx))
+          .select(col("source"),
+            floor(lit(10000.0) * sqrt(col("n").cast("double")) / col("mx"))
+              .cast("long").as("thr"))
+        val w = Window.partitionBy(col("shard")).orderBy(col("oh"), col("doc_id"))
+        quality.join(broadcast(thr), "source")
+          .filter(X.hp(col("doc_id").cast("string")) % 10000 < col("thr"))
+          .withColumn("shard",
+            X.hp(concat(lit("shard "), col("doc_id").cast("string"))) % 8)
+          .withColumn("oh",
+            X.h60(concat(lit("ord "), col("doc_id").cast("string"))))
+          .withColumn("pos", row_number().over(w).cast("long"))
+          .select(col("shard"), col("pos"), col("doc_id"),
+            col("source"), col("n_chars"))
+          .orderBy(col("shard"), col("pos"))
+      },
+      Some(s"""
+        WITH q AS (SELECT doc_id, source, n_chars FROM documents
+                   WHERE n_chars >= 100 AND len(${X.tokensSql("text")}) >= 20),
+        counts AS (SELECT source, COUNT(*) AS n FROM q GROUP BY source),
+        m AS (SELECT MAX(sqrt(CAST(n AS DOUBLE))) AS mx FROM counts),
+        th AS (SELECT source,
+                      CAST(floor(10000.0 * sqrt(CAST(n AS DOUBLE)) / mx) AS BIGINT) AS thr
+               FROM counts, m),
+        sm AS (SELECT q.doc_id, q.source, q.n_chars FROM q
+               JOIN th ON th.source = q.source
+               WHERE ${X.hpSql("CAST(q.doc_id AS VARCHAR)")} % 10000 < thr),
+        sh AS (SELECT doc_id, source, n_chars,
+                 ${X.hpSql("'shard ' || CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+                 ${X.h60Sql("'ord ' || CAST(doc_id AS VARCHAR)")} AS oh
+               FROM sm)
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST(row_number() OVER (PARTITION BY shard ORDER BY oh, doc_id) AS BIGINT) AS pos,
+               doc_id, source, n_chars
+        FROM sh ORDER BY shard, pos""")),
   )
 }
 

@@ -17,6 +17,7 @@ class PlanAuditSpec extends SparkSpec {
     "q50_nn_brute", // brute-force baseline: the cross join IS the query
     "q19_above_avg_parts", // scalar subquery = 1-row broadcast cross join
     "q49_mixture_sample", // 1-row max-sqrt scalar broadcast to the counts
+    "q90_training_manifest", // same 1-row max-sqrt scalar broadcast as q49
     "q53_ann_ivf", // nCells-row centroid broadcast + 50-query × corpus
                    // brute cross join: the recall-contract baseline
     "q59_bm25_search", // 1-row corpus-stats broadcast to every doc
