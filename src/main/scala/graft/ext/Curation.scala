@@ -165,6 +165,32 @@ object Curation extends QueryModule {
                    FROM cont GROUP BY source) c USING (source)
         ORDER BY td.source"""
 
+  /** sqrt-smoothed per-source sampling thresholds (the temperature /
+    * alpha-sampling move): rate_s ∝ sqrt(n_s)/n_s, realized as
+    * floor(10000·sqrt(n_s)/max_s sqrt(n_s)) — exact integers both
+    * engines compute identically. ONE definition shared by q49 and the
+    * q90 manifest (engine AND oracle sides) so the load-bearing
+    * determinism arithmetic can never drift between them. Returns
+    * (source, thr); sample membership is then
+    * `hp(doc_id) % 10000 < thr`. */
+  private def mixtureThresholds(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val mx = counts.agg(max(sqrt(col("n").cast("double"))).as("mx"))
+    counts.crossJoin(broadcast(mx))
+      .select(col("source"),
+        floor(lit(10000.0) * sqrt(col("n").cast("double")) / col("mx"))
+          .cast("long").as("thr"))
+  }
+
+  /** SQL mirror of [[mixtureThresholds]]: CTEs `counts`, `m`, `th`
+    * computing (source, thr) over `from` rows carrying a source col. */
+  private def mixtureThrSqlCtes(from: String): String =
+    s"""counts AS (SELECT source, COUNT(*) AS n FROM $from GROUP BY source),
+        m AS (SELECT MAX(sqrt(CAST(n AS DOUBLE))) AS mx FROM counts),
+        th AS (SELECT source,
+                      CAST(floor(10000.0 * sqrt(CAST(n AS DOUBLE)) / mx) AS BIGINT) AS thr
+               FROM counts, m)"""
+
   override val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -294,24 +320,14 @@ object Curation extends QueryModule {
       "q49_mixture_sample",
       (s, dir) => {
         val docs = T.documents(s, dir)
-        val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
-        val mx = counts.agg(max(sqrt(col("n").cast("double"))).as("mx"))
-        val thresholds = counts.crossJoin(broadcast(mx))
-          .select(col("source"),
-            floor(lit(10000.0) * sqrt(col("n").cast("double")) / col("mx"))
-              .cast("long").as("thr"))
-        docs.join(broadcast(thresholds), "source")
+        docs.join(broadcast(mixtureThresholds(docs)), "source")
           .filter(X.hp(col("doc_id").cast("string")) % 10000 < col("thr"))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
           .orderBy(col("source"))
       },
       Some(s"""
-        WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
-        m AS (SELECT MAX(sqrt(CAST(n AS DOUBLE))) AS mx FROM counts),
-        th AS (SELECT source,
-                      CAST(floor(10000.0 * sqrt(CAST(n AS DOUBLE)) / mx) AS BIGINT) AS thr
-               FROM counts, m)
+        WITH ${mixtureThrSqlCtes("documents")}
         SELECT d.source, COUNT(*) AS n_kept,
                CAST(SUM(n_chars) AS BIGINT) AS kept_chars
         FROM documents d JOIN th ON th.source = d.source
@@ -495,17 +511,16 @@ object Curation extends QueryModule {
       "q90_training_manifest",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
+        // persisted: the tokenize-gated frame feeds the threshold
+        // aggregate AND the final join — without it the tokenize kernel
+        // runs over the full table twice more (q58's persist convention;
+        // the verify/bench drivers clearCache per query)
         val quality = T.documents(s, dir)
           .filter(col("n_chars") >= 100 && size(X.tokens(col("text"))) >= 20)
           .select(col("doc_id"), col("source"), col("n_chars"))
-        val counts = quality.groupBy(col("source")).agg(count(lit(1)).as("n"))
-        val mx = counts.agg(max(sqrt(col("n").cast("double"))).as("mx"))
-        val thr = counts.crossJoin(broadcast(mx))
-          .select(col("source"),
-            floor(lit(10000.0) * sqrt(col("n").cast("double")) / col("mx"))
-              .cast("long").as("thr"))
+          .persist()
         val w = Window.partitionBy(col("shard")).orderBy(col("oh"), col("doc_id"))
-        quality.join(broadcast(thr), "source")
+        quality.join(broadcast(mixtureThresholds(quality)), "source")
           .filter(X.hp(col("doc_id").cast("string")) % 10000 < col("thr"))
           .withColumn("shard",
             X.hp(concat(lit("shard "), col("doc_id").cast("string"))) % 8)
@@ -519,11 +534,7 @@ object Curation extends QueryModule {
       Some(s"""
         WITH q AS (SELECT doc_id, source, n_chars FROM documents
                    WHERE n_chars >= 100 AND len(${X.tokensSql("text")}) >= 20),
-        counts AS (SELECT source, COUNT(*) AS n FROM q GROUP BY source),
-        m AS (SELECT MAX(sqrt(CAST(n AS DOUBLE))) AS mx FROM counts),
-        th AS (SELECT source,
-                      CAST(floor(10000.0 * sqrt(CAST(n AS DOUBLE)) / mx) AS BIGINT) AS thr
-               FROM counts, m),
+        ${mixtureThrSqlCtes("q")},
         sm AS (SELECT q.doc_id, q.source, q.n_chars FROM q
                JOIN th ON th.source = q.source
                WHERE ${X.hpSql("CAST(q.doc_id AS VARCHAR)")} % 10000 < thr),

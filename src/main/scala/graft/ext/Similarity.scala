@@ -95,6 +95,12 @@ object Similarity extends QueryModule {
                                 ORDER BY d, cell) AS rn
                        FROM dist) WHERE rn = 1)"""
 
+  /** `assigned` joined back to its scaled vectors — the pair-join input
+    * shared verbatim by the q84 and q89 oracles so the full and
+    * incremental dedup contracts read the same rows. */
+  private val ivfAvSqlCte = """av AS (SELECT a.vec_id, a.cell, n.v, n.n2
+               FROM assigned a JOIN vn n ON n.vec_id = a.vec_id)"""
+
   /** md5-derived deterministic PQ codebook distances + per-subspace
     * argmin — the oracle-side mirror of the PqEncode/PqLut kernels,
     * shared verbatim by q85 (codes), q86 (flat ADC serving) and q87
@@ -436,8 +442,7 @@ object Similarity extends QueryModule {
       },
       Some(s"""
         WITH $ivfAssignSqlCtes,
-        av AS (SELECT a.vec_id, a.cell, n.v, n.n2
-               FROM assigned a JOIN vn n ON n.vec_id = a.vec_id),
+        $ivfAvSqlCte,
         dup AS (SELECT DISTINCT x.cell, y.vec_id AS idb
                 FROM av x JOIN av y
                   ON x.cell = y.cell AND x.vec_id < y.vec_id
@@ -538,6 +543,9 @@ object Similarity extends QueryModule {
     // previous run and never form. Only cells containing a new vector
     // participate, so the old corpus joins through those cells alone —
     // work ∝ Σ |new∩cell|·|cell|, the q80 shape at embedding level.
+    // Cap contract like q84: cells past maxCell drop whole (observe
+    // metric `semantic_dedup_inc_cell_cap`); inactive at every driver
+    // SF, so the oracle compares the exact computation.
     QueryDef(
       "q89_semantic_dedup_incremental",
       (s, dir) => {
@@ -549,8 +557,7 @@ object Similarity extends QueryModule {
       },
       Some(s"""
         WITH $ivfAssignSqlCtes,
-        av AS (SELECT a.vec_id, a.cell, n.v, n.n2
-               FROM assigned a JOIN vn n ON n.vec_id = a.vec_id),
+        $ivfAvSqlCte,
         dup AS (SELECT DISTINCT y.cell, y.vec_id AS idb
                 FROM av x JOIN av y
                   ON x.cell = y.cell AND x.vec_id < y.vec_id

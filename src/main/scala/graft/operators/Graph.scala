@@ -84,6 +84,9 @@ object Graph {
     */
   def pageRank(edges: DataFrame, iters: Int = 3, scale: Long = 1000000L,
       ckptEvery: Int = 4): DataFrame = {
+    require(ckptEvery > 0,
+      s"pageRank: ckptEvery must be positive (got $ckptEvery) — 0 would " +
+        "divide by zero and a negative value would never cut lineage")
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
     val nodes = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id"))).distinct().localCheckpoint()

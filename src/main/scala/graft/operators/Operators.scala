@@ -473,19 +473,32 @@ object SimilarityJoin {
     * mean cell size — and with it Σ cell² — stays bounded; the
     * centroid table itself stays driver-small and comes from a sampled
     * KMeans fit persisted in the catalog ([[ivfBuildIndex]]). */
-  def semanticDedup(
+  /** The (vec_id, v, n2, cell[, extra…]) cell-assignment prologue shared
+    * by [[semanticDedup]] and [[semanticDedupIncremental]] — ONE
+    * definition of the scaling + assignment semantics that q81/q84/q89
+    * and their oracles must agree on byte-for-byte, so the full and
+    * incremental passes can never drift on cell membership. */
+  private def assignedVectors(
       vecs: DataFrame, id: Column, vec: Column,
-      centroidsDf: DataFrame, threshold: Double, maxCell: Int = 65536,
-      scope: graft.CacheScope = new graft.CacheScope): DataFrame = {
+      extra: Seq[(String, Column)], centroidsDf: DataFrame,
+      scope: graft.CacheScope): DataFrame = {
     val matrix = centroidMatrix(centroidsDf)
-    val assigned = vecs
-      .select(id.as("vec_id"), X.scaledVec(vec).as("v"),
-        vec.cast("array<double>").as("fd"))
+    vecs
+      .select(id.as("vec_id") +: X.scaledVec(vec).as("v") +:
+        vec.cast("array<double>").as("fd") +:
+        extra.map { case (n, c) => c.as(n) }: _*)
       .withColumn("n2", X.norm2Int(col("v")))
       .withColumn("cell",
         graft.functions.VectorIndexFunctions.nearestCentroid(col("fd"), matrix))
       .drop("fd")
       .transform(scope.cache) // shared by counts + both pair-verify sides
+  }
+
+  def semanticDedup(
+      vecs: DataFrame, id: Column, vec: Column,
+      centroidsDf: DataFrame, threshold: Double, maxCell: Int = 65536,
+      scope: graft.CacheScope = new graft.CacheScope): DataFrame = {
+    val assigned = assignedVectors(vecs, id, vec, Nil, centroidsDf, scope)
     val perCell = assigned.groupBy(col("cell"))
       .agg(count(lit(1)).as("n_vecs"))
     val pairs = NearDup.cappedBuckets(
@@ -520,25 +533,30 @@ object SimilarityJoin {
     * sides; only cells CONTAINING a new vector participate (the old
     * corpus joins through those cells alone), and pair generation is a
     * join of the new members against their cells' pools — work ∝
-    * Σ_cells |new∩cell|·|cell|, not Σ cell². In production the old
-    * side's (vec_id, cell, v, n2) table persists in the catalog
+    * Σ_cells |new∩cell|·|cell|, not Σ cell². Cells past `maxCell` total
+    * members are dropped whole (their new vectors report n_new_dups=0)
+    * with the dropped count published as
+    * `semantic_dedup_inc_cell_cap.dropped_buckets` — the same
+    * degenerate-density guard as the full pass, so the two can never
+    * silently disagree on whether the guard fired. In production the
+    * old side's (vec_id, cell, v, n2) table persists in the catalog
     * (index-as-data) and is never re-encoded. */
   def semanticDedupIncremental(
       vecs: DataFrame, id: Column, vec: Column, isNew: Column,
-      centroidsDf: DataFrame, threshold: Double,
+      centroidsDf: DataFrame, threshold: Double, maxCell: Int = 65536,
       scope: graft.CacheScope = new graft.CacheScope): DataFrame = {
-    val matrix = centroidMatrix(centroidsDf)
-    val assigned = vecs
-      .select(id.as("vec_id"), X.scaledVec(vec).as("v"),
-        vec.cast("array<double>").as("fd"), isNew.as("is_new"))
-      .withColumn("n2", X.norm2Int(col("v")))
-      .withColumn("cell",
-        graft.functions.VectorIndexFunctions.nearestCentroid(col("fd"), matrix))
-      .drop("fd")
-      .transform(scope.cache)
-    val newCells = assigned.filter(col("is_new"))
-      .select(col("cell")).distinct()
-    val pool = assigned.join(newCells, "cell")
+    val assigned = assignedVectors(vecs, id, vec,
+      Seq("is_new" -> isNew), centroidsDf, scope)
+    // size cells FIRST (tiny partial-agg exchange, the cappedBuckets /
+    // minhashLshIncremental move): a degenerate hot cell never feeds
+    // the quadratic pair join at all
+    val sizes = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("_cn"), max(col("is_new")).as("_has_new"))
+      .observe("semantic_dedup_inc_cell_cap",
+        sum(when(col("_cn") > maxCell, 1L).otherwise(0L)).as("dropped_buckets"))
+    val kept = sizes.filter(col("_cn") <= maxCell && col("_has_new"))
+      .select(col("cell"))
+    val pool = assigned.join(kept, "cell")
       .select(col("cell"), col("vec_id").as("ida"),
         col("v").as("va"), col("n2").as("n2a"))
     val fresh = assigned.filter(col("is_new"))

@@ -239,6 +239,20 @@ class SemanticPqSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 3L, 1L, 2L), (1L, 2L, 1L, 1L)))
   }
 
+  test("semanticDedupIncremental: oversized cells drop whole, like the full pass") {
+    // cell 0 holds 5 vectors (3 new: ids 1, 3, 5) — with maxCell = 4 its
+    // pairs never form and all new members report kept; cell 1's new
+    // member (11) still resolves against old 10 exactly
+    val out = graft.operators.SimilarityJoin.semanticDedupIncremental(
+        vecsDf((1L to 5L).map(i => i -> Seq(1.0, i * 1e-6, 0.0, 0.0)) ++
+          Seq(10L -> Seq(-1.0, 0.0, 0.0, 0.0), 11L -> Seq(-1.0, 1e-6, 0.0, 0.0))),
+        col("vec_id"), col("emb"), isNew = col("vec_id") % 2 === 1,
+        centsDf, threshold = 0.95, maxCell = 4)
+      .orderBy(col("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 3L, 0L, 3L), (1L, 1L, 1L, 0L)))
+  }
+
   test("semanticDedup: oversized cells drop via the cap, dups stay exact elsewhere") {
     // 5 vectors in cell 0 (maxCell = 4 → the whole cell's pairs drop,
     // its n_dups reads 0) while cell 1's pair survives — the

@@ -61,6 +61,25 @@ class GraphSpec extends SparkSpec {
     assert(got == scalarPageRank(star, 3))
   }
 
+  test("pageRank: checkpoint cadence is value-invariant and validated") {
+    val s = spark
+    import s.implicits._
+    val star = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    // iters=9 with ckptEvery=2 EXECUTES the mid-loop checkpoint branch
+    // (rounds 2,4,6,8); ckptEvery=100 never does — results must agree
+    // exactly (integer recurrence, checkpointing is pure materialization)
+    def run(ck: Int) = Graph.pageRank(star.toDF("src", "dst"),
+        iters = 9, ckptEvery = ck)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ckpted = run(2)
+    assert(ckpted == run(100))
+    assert(ckpted == scalarPageRank(star, 9))
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(star.toDF("src", "dst"), iters = 3, ckptEvery = 0)
+    }
+  }
+
   /** Scalar replay of pageRank's exact integer recurrence. */
   private def scalarPageRank(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
     val distinctEdges = edges.distinct
