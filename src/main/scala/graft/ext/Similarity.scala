@@ -42,6 +42,12 @@ object Similarity extends QueryModule {
     * pair information, but a big label's average is exactly what the
     * query asks for. Thinned-label count is published as observe
     * metric `intra_label_cap.thinned_labels`.
+    *
+    * The thin hash is the md5-residue helper ([[TextDsl.hp]]), NOT an
+    * engine hash like xxhash64: the oracle mirrors the thin predicate
+    * verbatim (`hpSql`), so engine and oracle agree even WHEN the cap
+    * fires — the contract is scale-independent, not an artifact of
+    * fixture labels sitting under the cap.
     * Input needs columns (vec_id, label, v, n2) — [[scaled]] shape. */
   private[graft] def intraLabelCosine(
       all: DataFrame, maxPerLabel: Long): DataFrame = {
@@ -50,8 +56,8 @@ object Similarity extends QueryModule {
         sum(when(col("_ln") > maxPerLabel, 1L).otherwise(0L)).as("thinned_labels"))
     val base = all.join(broadcast(sizes), "label") // labels: low cardinality
       .filter(col("_ln") <= maxPerLabel ||
-        pmod(xxhash64(col("vec_id")),
-          ceil(col("_ln").cast("double") / maxPerLabel).cast("long")) === 0)
+        X.hp(col("vec_id").cast("string")) %
+          ceil(col("_ln").cast("double") / maxPerLabel).cast("long") === 0)
       .drop("_ln")
     val a = base.select(col("label"), col("vec_id").as("ida"),
       col("v").as("va"), col("n2").as("n2a"))
@@ -219,8 +225,11 @@ object Similarity extends QueryModule {
     // `maxPerLabel` members are deterministically hash-thinned to ~that
     // many first — the average over a uniform member sample estimates the
     // same statistic, and one 10⁷-member label stops costing 5×10¹³
-    // pairs. Inactive at fixture scale (labels ≪ cap), so the oracle
-    // compares the exact computation.
+    // pairs. The oracle CTE mirrors the thin predicate (md5-residue
+    // hash, `hpSql` — the same text every sampled query shares), so the
+    // contract holds whether or not the cap fires: at fixture scale the
+    // `thin` CTE passes every row through (labels ≪ cap) and past the
+    // cap both engines thin the IDENTICAL member subset.
     QueryDef(
       "q52_intra_label_cosine",
       (s, dir) =>
@@ -228,9 +237,14 @@ object Similarity extends QueryModule {
           .orderBy(col("label")),
       Some(s"""
         WITH $scaledSqlCte,
+        ls AS (SELECT label, COUNT(*) AS ln FROM scn GROUP BY label),
+        thin AS (SELECT s.* FROM scn s JOIN ls USING (label)
+                 WHERE ln <= 2000
+                    OR ${X.hpSql("CAST(vec_id AS VARCHAR)")}
+                         % CAST(ceil(CAST(ln AS DOUBLE) / 2000) AS BIGINT) = 0),
         pairs AS (SELECT a.label,
                     CAST(floor(${X.cosineFromIntsSql(X.dotIntSql("a.v", "b.v"), "a.n2", "b.n2")} * 1e9) AS BIGINT) AS cos_e9
-                  FROM scn a JOIN scn b ON a.label = b.label AND a.vec_id < b.vec_id)
+                  FROM thin a JOIN thin b ON a.label = b.label AND a.vec_id < b.vec_id)
         SELECT label, COUNT(*) AS n_pairs,
                CAST(SUM(cos_e9) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_intra_cos_e9
         FROM pairs GROUP BY label ORDER BY label""")),
@@ -276,12 +290,13 @@ object Similarity extends QueryModule {
           .groupBy(col("qid"))
           .agg(count(lit(1)).as("n_ivf"),
             sum(when(col("in_brute"), 1L).otherwise(0L)).as("hits"))
-        // unpartitioned window over 50 one-row-per-query aggregates —
-        // driver-small by construction, like the q58 tolerance fold
-        val all = Window.partitionBy()
-        per
-          .withColumn("tot_hits", sum(col("hits")).over(all))
-          .withColumn("tot_q", count(lit(1)).over(all))
+        // fleet-wide recall folded via a broadcast 1-row aggregate, not
+        // an unpartitioned window: same result, no "moving all data to a
+        // single partition" WindowExec — and the pattern stays safe to
+        // copy onto a corpus-sized frame
+        val tot = per.agg(sum(col("hits")).as("tot_hits"),
+          count(lit(1)).as("tot_q"))
+        per.crossJoin(broadcast(tot))
           .select(col("qid"), col("n_ivf"),
             (col("tot_hits").cast("double")
               >= lit(0.5) * col("tot_q").cast("double") * lit(k))

@@ -92,6 +92,13 @@ object PqEncode {
     if (m == 0 || m > 15)
       throw new IllegalArgumentException(
         s"pq_encode: need 1..15 subspaces to pack 4-bit codes into int64, got $m")
+    val k = codebooks(0).length
+    if (k == 0)
+      throw new IllegalArgumentException(
+        "pq_encode: subspace 0 has no codes — empty sub-codebook")
+    if (k > 16)
+      throw new IllegalArgumentException(
+        s"pq_encode: $k codes per subspace; 4-bit packing caps at 16")
     val subDim = codebooks(0)(0).length
     if (fd.numElements() != m * subDim)
       throw new IllegalArgumentException(
@@ -102,9 +109,13 @@ object PqEncode {
     var s = 0
     while (s < m) {
       val book = codebooks(s)
-      if (book.length > 16)
+      // ragged per-subspace code counts would decode fine here but
+      // corrupt PqLut/PqAdc's uniform m×k layout at SERVING time —
+      // fail at encode, where the bad codebook enters the index
+      if (book.length != k)
         throw new IllegalArgumentException(
-          s"pq_encode: subspace $s has ${book.length} codes; 4-bit packing caps at 16")
+          s"pq_encode: subspace $s has ${book.length} codes, expected $k — " +
+            "ragged codebooks break the uniform ADC LUT layout")
       val off = s * subDim
       var best = -1
       var bestD = Double.MaxValue
@@ -160,6 +171,9 @@ object PqLut {
       throw new IllegalArgumentException(
         s"pq_lut: need 1..15 subspaces (adc packs 4-bit codes), got $m")
     val k = codebooks(0).length
+    if (k == 0)
+      throw new IllegalArgumentException(
+        "pq_lut: subspace 0 has no codes — empty sub-codebook")
     if (k > 16)
       throw new IllegalArgumentException(
         s"pq_lut: $k codes per subspace; adc's 4-bit nibble extraction caps at 16")

@@ -128,14 +128,31 @@ class ScaleSmokeSpec extends SparkSpec {
         .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
       // small label: under the cap → exact all-pairs, untouched by thinning
       assert(out("small")._1 == 40L * 39 / 2)
-      // mega label: ceil(500/100)=5 → ~1/5 of members survive the hash
-      // thin; pairs are capped-quadratic. Deterministic (xxhash64 on
-      // fixed ids) — bracket it well under full C(500,2)=124750 and
-      // well over degenerate.
-      val megaPairs = out("mega")._1
-      assert(megaPairs < 150L * 149 / 2, s"mega label not thinned: $megaPairs pairs")
-      assert(megaPairs > 60L * 59 / 2, s"mega label over-thinned: $megaPairs pairs")
-      assert(!out("mega")._2.isNaN && !out("mega")._2.isInfinite)
+      // mega label: ceil(500/100)=5 → survivors are EXACTLY the ids with
+      // hp(id) % 5 == 0 — the same md5-residue predicate the q52 oracle
+      // CTE mirrors. Recompute the thinned all-pairs average independently
+      // (same exact-int arithmetic) so the engine's thinning branch is
+      // pinned to the oracle formula, not just bracketed.
+      val vecs = base.collect().map(r => (r.getLong(0),
+        r.getSeq[Long](2).toArray, r.getLong(3)))
+      val survivors = vecs.filter { case (id, _, _) =>
+        val h = graft.functions.HashKernels.md5h60(
+          org.apache.spark.unsafe.types.UTF8String.fromString(id.toString))
+        h % TextDsl.P % 5L == 0L
+      }.sortBy(_._1)
+      val pairCos = for {
+        i <- survivors.indices; j <- (i + 1) until survivors.length
+      } yield {
+        val (_, va, n2a) = survivors(i); val (_, vb, n2b) = survivors(j)
+        val dot = va.zip(vb).map { case (x, y) => x * y }.sum
+        math.floor(dot.toDouble /
+          (math.sqrt(n2a.toDouble) * math.sqrt(n2b.toDouble)) * 1e9).toLong
+      }
+      assert(out("mega")._1 == pairCos.length.toLong,
+        s"mega pairs ${out("mega")._1} != expected ${pairCos.length}")
+      assert(out("mega")._2 == pairCos.sum.toDouble / pairCos.length.toDouble)
+      // sanity: the thin actually fired (≈1/5 of 500 members survive)
+      assert(survivors.length < 150 && survivors.length > 60)
       // the observe metric counted exactly the one oversized label
       val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
       while (thinned.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)

@@ -50,6 +50,22 @@ class SemanticPqSpec extends SparkSpec {
         ArrayData.toArrayData(Array(1.0, 2.0)),
         Array(Array(Array(0.0, 0.0), Array(0.0))))
     }
+    intercept[IllegalArgumentException] { // empty sub-codebook
+      graft.functions.PqEncode.encode(
+        ArrayData.toArrayData(Array(1.0)),
+        Array(Array.empty[Array[Double]]))
+    }
+    intercept[IllegalArgumentException] { // ragged CODE counts fail at
+      // encode time, not later at ADC serving via the nibble check
+      graft.functions.PqEncode.encode(
+        ArrayData.toArrayData(Array(1.0, 2.0)),
+        Array(Array(Array(0.0), Array(1.0)), Array(Array(0.0))))
+    }
+    intercept[IllegalArgumentException] { // empty sub-codebook in lut too
+      graft.functions.PqLut.build(
+        ArrayData.toArrayData(Array(1.0)),
+        Array(Array.empty[Array[Double]]))
+    }
     // NaN input: every distance compare is false — must fail fast, not
     // pack a corrupted -1 code
     intercept[ArithmeticException] {
