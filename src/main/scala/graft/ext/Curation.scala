@@ -137,6 +137,20 @@ object Curation extends QueryModule {
       .orderBy(col("source"))
   }
 
+  /** Shard count for the sharded Bloom build, DERIVED from the
+    * train-side distinct-shingle count, not hardcoded: one shard's
+    * sketch should fit a task comfortably, so target ~8M distinct
+    * shingles per shard (~19 MB at fpp=1e-4's ~19 bits/item), floor 8
+    * for build parallelism. At 10⁹⁺ train shingles this yields the
+    * hundreds of shards the design calls for; at fixture scale the
+    * floor keeps the plan shape identical. Correctness is shard-count-
+    * independent (membership is exact per shard), so the derivation
+    * only moves task sizing. */
+  private[graft] def bloomShardCount(nTrain: Long): Int = {
+    val targetPerShard = 8L * 1000 * 1000
+    math.max(8L, (nTrain + targetPerShard - 1) / targetPerShard).toInt
+  }
+
   /** q58/q83 shared oracle: the contract (exact counts + pinned
     * booleans) is sketch-implementation-independent, so both the
     * broadcast and the sharded variant check against the same SQL. */
@@ -462,9 +476,9 @@ object Curation extends QueryModule {
           .distinct().persist()
         val testSh = sh.filter(col("split") === "test").persist()
         val fpp = 1e-4
-        val nShards = 8 // at 10⁹⁺ train shingles: hundreds, sized so one
-                        // shard's sketch fits a task comfortably
-        val perShard = math.max(trainH.count() / nShards + 1, 1000L)
+        val nTrain = trainH.count()
+        val nShards = bloomShardCount(nTrain)
+        val perShard = math.max(nTrain / nShards + 1, 1000L)
         val sketches = trainH
           .withColumn("shard", pmod(col("h"), lit(nShards.toLong)).cast("int"))
           .repartition(nShards, col("shard"))

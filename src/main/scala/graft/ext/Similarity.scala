@@ -131,6 +131,29 @@ object Similarity extends QueryModule {
                           ORDER BY dst, c) AS rn
                  FROM ${p}dist)"""
 
+  /** The probe → candidates → ADC-score CTE chain shared VERBATIM by
+    * the q87 and q91 oracles (q91 = q87's ADC ranking + an exact
+    * re-rank stage on top), so the two contracts can never drift on
+    * probing or ADC arithmetic. Expects [[ivfAssignSqlCtes]] (for
+    * `dist`/`assigned`) and `pqSqlCtes("pq_")` (for `pq_dist`/
+    * `pq_best`) earlier in the WITH. */
+  private val ivfPqAdcSqlCtes = s"""
+        probes AS (SELECT vec_id AS qid, cell FROM (
+                     SELECT vec_id, cell,
+                            row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d, cell) AS pr
+                     FROM dist WHERE vec_id < 50) WHERE pr <= 4),
+        lut AS (SELECT vec_id AS qid, m, c, CAST(floor(dst * 1e9) AS BIGINT) AS de9
+                FROM pq_dist WHERE vec_id < 50),
+        cand AS (SELECT p.qid, a.vec_id AS nid
+                 FROM probes p JOIN assigned a ON a.cell = p.cell
+                 WHERE a.vec_id != p.qid),
+        adc AS (SELECT cd.qid, cd.nid, CAST(SUM(l.de9) AS BIGINT) AS dist_e9
+                FROM cand cd
+                JOIN pq_best b ON b.vec_id = cd.nid AND b.rn = 1
+                JOIN lut l ON l.qid = cd.qid AND l.m = b.m AND l.c = b.c
+                GROUP BY cd.qid, cd.nid)"""
+
   override val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -611,25 +634,53 @@ object Similarity extends QueryModule {
       Some(s"""
         WITH $ivfAssignSqlCtes,
         ${pqSqlCtes("pq_")},
-        probes AS (SELECT vec_id AS qid, cell FROM (
-                     SELECT vec_id, cell,
-                            row_number() OVER (PARTITION BY vec_id
-                              ORDER BY d, cell) AS pr
-                     FROM dist WHERE vec_id < 50) WHERE pr <= 4),
-        lut AS (SELECT vec_id AS qid, m, c, CAST(floor(dst * 1e9) AS BIGINT) AS de9
-                FROM pq_dist WHERE vec_id < 50),
-        cand AS (SELECT p.qid, a.vec_id AS nid
-                 FROM probes p JOIN assigned a ON a.cell = p.cell
-                 WHERE a.vec_id != p.qid),
-        adc AS (SELECT cd.qid, cd.nid, CAST(SUM(l.de9) AS BIGINT) AS dist_e9
-                FROM cand cd
-                JOIN pq_best b ON b.vec_id = cd.nid AND b.rn = 1
-                JOIN lut l ON l.qid = cd.qid AND l.m = b.m AND l.c = b.c
-                GROUP BY cd.qid, cd.nid)
+        $ivfPqAdcSqlCtes
         SELECT qid, CAST(rank AS BIGINT) AS rank, nid, dist_e9 FROM (
           SELECT qid, nid, dist_e9,
                  row_number() OVER (PARTITION BY qid ORDER BY dist_e9, nid) AS rank
           FROM adc) WHERE rank <= 3
+        ORDER BY qid, rank""")),
+
+    // ------------------------------------------------------------------
+    // q91: IVF-PQ + EXACT RE-RANK — the production serving composition
+    // (Jégou et al. §V): q87's compressed ADC pass ranks the probed
+    // cells' candidates down to a k′=10 shortlist per query, then ONLY
+    // those 10 survivors pay the exact integer-cosine re-rank (q81's
+    // arithmetic) and the top-3 ship. The corpus is scanned as 32-bit
+    // codes; exact float-width vectors join back BY ID for 10 rows per
+    // query — cost ≈ q87 + a k′-bounded exact stage, independent of
+    // corpus size. Every stage is deterministic (md5 centroids +
+    // codebooks, e9-integer ADC, exact-int cosine), so the composed
+    // pipeline hash-matches the oracle bit-for-bit.
+    QueryDef(
+      "q91_ivf_pq_rerank",
+      (s, dir) => {
+        val books = graft.functions.VectorIndexFunctions.pqCodebooks(8, 16, 8)
+        val cents = graft.operators.SimilarityJoin.md5CentroidTable(s)
+        graft.operators.SimilarityJoin.ivfPqRerankTopK(
+            T.embeddings(s, dir), col("vec_id"), col("embedding"),
+            queryPred = col("vec_id") < 50, cents, books,
+            nProbe = 4, shortlist = 10, k = 3)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""
+        WITH $ivfAssignSqlCtes,
+        ${pqSqlCtes("pq_")},
+        $ivfPqAdcSqlCtes,
+        sl AS (SELECT qid, nid FROM (
+                 SELECT qid, nid,
+                        row_number() OVER (PARTITION BY qid
+                          ORDER BY dist_e9, nid) AS srn
+                 FROM adc) WHERE srn <= 10),
+        scored AS (SELECT s.qid, s.nid,
+                     ${X.cosineFromIntsSql(X.dotIntSql("q.v", "n.v"), "q.n2", "n.n2")} AS cos
+                   FROM sl s JOIN vn q ON q.vec_id = s.qid
+                             JOIN vn n ON n.vec_id = s.nid)
+        SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos FROM (
+          SELECT qid, nid, cos,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, nid) AS rank
+          FROM scored) WHERE rank <= 3
         ORDER BY qid, rank"""))
   )
 }

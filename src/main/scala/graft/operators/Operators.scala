@@ -623,9 +623,9 @@ object SimilarityJoin {
     * costs M integer reads on its packed code (PqAdc) — no float math
     * per candidate, and the corpus participates through (cell, 32-bit
     * code) only: 64× smaller than the raw vectors, never shuffled as
-    * floats. Returns (qid, rank, nid, dist_e9), ADC-ranked; a
-    * production pipeline re-ranks the top-k' survivors with exact
-    * distance exactly as [[ivfTopKServing]] does — kept separate here
+    * floats. Returns (qid, rank, nid, dist_e9), ADC-ranked; the
+    * production composition that re-ranks the top-k′ survivors with
+    * exact distance is [[ivfPqRerankTopK]] (q91) — kept separate here
     * so each stage stays independently oracle-checkable (q81 / q87).
     * Both index tables (centroids, codes) are catalog-persistable
     * index-as-data, like the q82 signature table. */
@@ -664,6 +664,43 @@ object SimilarityJoin {
       .withColumn("rank", row_number().over(rankW).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("nid"), col("dist_e9"))
+  }
+
+  /** The production IVF-PQ serving composition: ADC-rank the probed
+    * cells' candidates on their 32-bit codes ([[ivfPqTopK]]) down to a
+    * `shortlist` of k′ > k per query, then re-rank ONLY those k′
+    * survivors with the exact integer-scaled cosine and keep the top
+    * `k` — the standard two-stage trade (Jégou et al. §V): the corpus
+    * is scanned compressed (no float math per candidate), and exact
+    * distances are paid for k′ rows per query, not per candidate. The
+    * exact stage joins the scaled vectors back BY ID for shortlist rows
+    * only, so its shuffle is ∝ queries·k′ regardless of corpus size.
+    * Returns (qid, rank, nid, cos) — the [[ivfTopKServing]] shape, so
+    * a caller can swap precision for cost without changing schema. */
+  def ivfPqRerankTopK(
+      vecs: DataFrame, id: Column, vec: Column, queryPred: Column,
+      centroidsDf: DataFrame, codebooks: Array[Array[Array[Double]]],
+      nProbe: Int = 4, shortlist: Int = 10, k: Int = 3,
+      scope: graft.CacheScope = new graft.CacheScope): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shortlist >= k,
+      s"ivfPqRerankTopK: shortlist $shortlist must be >= k $k")
+    val sl = ivfPqTopK(vecs, id, vec, queryPred, centroidsDf, codebooks,
+        nProbe, shortlist, scope)
+      .select(col("qid"), col("nid"))
+    val base = vecs
+      .select(id.as("_id"), X.scaledVec(vec).as("v"))
+      .withColumn("n2", X.norm2Int(col("v")))
+    val rankW = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    sl.join(base.select(col("_id").as("qid"), col("v").as("va"),
+        col("n2").as("n2a")), "qid")
+      .join(base.select(col("_id").as("nid"), col("v").as("vb"),
+        col("n2").as("n2b")), "nid")
+      .select(col("qid"), col("nid"), X.cosineFromInts(
+        X.dotInt(col("va"), col("vb")), col("n2a"), col("n2b")).as("cos"))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
   }
 
   /** LSH-bucketed cosine near-neighbor pairs over a float-vector

@@ -24,8 +24,10 @@ class PlanAuditSpec extends SparkSpec {
     "q81_ann_ivf_served", // same centroid broadcast as q53, fixed index
     "q86_pq_adc_topk", // flat-PQ ADC scan: the 50-query LUT broadcast
                        // against every 32-bit code IS the query shape
-    "q87_ivf_pq_topk" // same nCells-row centroid broadcast as q81/q53
-                      // for the probe stage; candidates join by cell
+    "q87_ivf_pq_topk", // same nCells-row centroid broadcast as q81/q53
+                       // for the probe stage; candidates join by cell
+    "q91_ivf_pq_rerank" // q87's probe-stage centroid broadcast; the
+                        // exact re-rank joins BY ID (equi), k′-bounded
   )
 
   private def collectAll(p: SparkPlan): Seq[SparkPlan] = {

@@ -38,6 +38,15 @@ class PartitionedBloomSpec extends SparkSpec {
     assert(crossHits < 500, s"shard sketches look merged: $crossHits cross-hits")
   }
 
+  test("bloom shard count follows the sizing rule: floor 8, hundreds at 1e9+") {
+    assert(Curation.bloomShardCount(0L) == 8)
+    assert(Curation.bloomShardCount(60000L) == 8) // fixture scale → floor
+    assert(Curation.bloomShardCount(64L * 1000 * 1000) == 8)
+    assert(Curation.bloomShardCount(100L * 1000 * 1000) == 13)
+    assert(Curation.bloomShardCount(1000L * 1000 * 1000) == 125) // 1e9 → hundreds
+    assert(Curation.bloomShardCount(10L * 1000 * 1000 * 1000) == 1250)
+  }
+
   test("q83 sharded contract rows equal q58 driver-bloom contract rows") {
     // Same oracle, same contract: exact counts are sketch-independent
     // and both fp booleans must pin true. Row-for-row equality at

@@ -184,6 +184,45 @@ class SemanticPqSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqRerankTopK: top-k is exactly the ADC shortlist re-ordered by exact cosine") {
+    val books = graft.functions.VectorIndexFunctions.pqCodebooks(8, 16, 8)
+    val cents = graft.operators.SimilarityJoin.md5CentroidTable(spark)
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val shortlist = graft.operators.SimilarityJoin.ivfPqTopK(
+        emb, col("vec_id"), col("embedding"),
+        queryPred = col("vec_id") < 50, cents, books, nProbe = 4, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    spark.catalog.clearCache()
+    val rr = graft.operators.SimilarityJoin.ivfPqRerankTopK(
+        emb, col("vec_id"), col("embedding"),
+        queryPred = col("vec_id") < 50, cents, books,
+        nProbe = 4, shortlist = 10, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    spark.catalog.clearCache()
+    // exact integer-scaled cosine, mirrored independently
+    val scaled = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Double](1).toArray.map(x => math.floor(x * 1e7).toLong)).toMap
+    def cos(a: Long, b: Long): Double = {
+      val (va, vb) = (scaled(a), scaled(b))
+      va.zip(vb).map { case (x, y) => x * y }.sum.toDouble /
+        (math.sqrt(va.map(x => x * x).sum.toDouble) *
+          math.sqrt(vb.map(x => x * x).sum.toDouble))
+    }
+    val byQ = shortlist.groupBy(_._1)
+    assert(rr.map(_._1).distinct.length == 50)
+    rr.groupBy(_._1).foreach { case (qid, rows) =>
+      // expected: the 10 ADC survivors re-ordered by exact cosine desc,
+      // nid-ascending tiebreak, top 3
+      val expect = byQ(qid).map(_._2)
+        .sortBy(nid => (-cos(qid, nid), nid)).take(3).toSeq
+      val got = rows.sortBy(_._2)
+      assert(got.map(_._3).toSeq == expect, s"qid $qid rerank mismatch")
+      assert(got.map(_._2).toSeq == Seq(1L, 2L, 3L))
+      got.foreach { case (q, _, n, c) => assert(c == cos(q, n)) }
+    }
+  }
+
   test("semanticDedupIncremental matches a brute-force new-side verdict") {
     val cents = graft.operators.SimilarityJoin.md5CentroidTable(spark)
     val matrix = cents.orderBy(col("cell")).collect()
