@@ -223,7 +223,18 @@ object NearDup {
     * materializes, drops surface as `edit_dedup_block_cap`), duplicates
     * from multi-key collisions collapse before verification, and
     * survivors verify with exact Levenshtein ≤ `maxDist` — an integer
-    * DP both engines define identically, so results are bit-comparable.
+    * DP, so results are bit-comparable.
+    *
+    * Unicode contract: the engine side is CODEPOINT-level throughout —
+    * Spark's `levenshtein` counts code-point edits (an astral emoji is
+    * one edit) and [[deletionVariants]] deletes one code point per key
+    * (`length`/`substr` are code-point-indexed), so the recall lemma
+    * holds for any input (OperatorsSpec pins this property, astral
+    * included). DuckDB's `levenshtein`, by contrast, counts UTF-8 BYTE
+    * edits ('café'→'cafe' is 2 there), so cross-engine bit parity —
+    * the q88 oracle — is an ASCII-input contract; on non-ASCII corpora
+    * the engine's codepoint definition is the linguistically meaningful
+    * one and stands on its own test-pinned semantics.
     *
     * Scale contract: run this on DISTINCT strings (resolve exact-copy
     * mass with [[exact]] first — one hash agg, no pairs); the candidate

@@ -140,6 +140,61 @@ class OperatorsSpec extends SparkSpec {
     assert(capped.count() == 0)
   }
 
+  test("editDistancePairs unicode: engine semantics are codepoint-level, incl. astral") {
+    // Pins the ENGINE-side definition q88's doc states: Spark's
+    // levenshtein and deletionVariants (length/substr) operate on
+    // Unicode CODE POINTS — an astral emoji counts once — so the
+    // deletion-key recall lemma holds for non-ASCII input too. (DuckDB's
+    // levenshtein counts UTF-8 BYTES — 'café'→'cafe' is 2 there — so the
+    // cross-engine q88 oracle is an ASCII-input contract; see the
+    // editDistancePairs doc.)
+    val s = spark
+    import s.implicits._
+    def levCp(a: String, b: String): Int = {
+      val x = a.codePoints().toArray; val y = b.codePoints().toArray
+      val d = Array.tabulate(x.length + 1, y.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+      d(x.length)(y.length)
+    }
+    val cps = "aé日😀β".codePoints().toArray // 1-, 2-, 3-, 4-byte UTF-8
+    val g = new scala.util.Random(11)
+    def rand(n: Int): String =
+      (0 until n).map(_ => new String(Character.toChars(cps(g.nextInt(cps.length))))).mkString
+    val pairs = (0 until 60).map(_ => (rand(1 + g.nextInt(5)), rand(1 + g.nextInt(5)))) ++
+      Seq(("café", "cafe"), ("日本語", "日本"), ("a😀b", "ab"), ("😀", "😁"))
+    val got = pairs.toDF("a", "b")
+      .select(levenshtein(col("a"), col("b"))).collect().map(_.getInt(0))
+    pairs.zip(got).foreach { case ((a, b), d) =>
+      assert(d == levCp(a, b), s"levenshtein('$a','$b'): engine $d != codepoint DP ${levCp(a, b)}")
+    }
+    // deletionVariants removes one CODE POINT per variant (astral intact)
+    val vs = Seq(Tuple1("a😀b")).toDF("t")
+      .select(NearDup.deletionVariants(col("t")).as("v"))
+      .head().getSeq[String](0).toSet
+    assert(vs == Set("a😀b", "😀b", "ab", "a😀"))
+    // recall lemma in codepoint space: any dist-≤1 pair shares a key
+    val bases = (0 until 30).map(_ => rand(2 + g.nextInt(4)))
+    val edited = bases.map { b =>
+      val arr = b.codePoints().toArray
+      val i = g.nextInt(arr.length)
+      g.nextInt(3) match {
+        case 0 => new String(arr.updated(i, cps(g.nextInt(cps.length))), 0, arr.length)
+        case 1 => new String(arr.patch(i, Nil, 1), 0, arr.length - 1)
+        case _ => new String(arr.patch(i, Seq(cps(g.nextInt(cps.length))), 0), 0, arr.length + 1)
+      }
+    }
+    val keyRows = (bases ++ edited).toDF("t")
+      .select(col("t"), NearDup.deletionVariants(col("t")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
+    bases.zip(edited).foreach { case (b, e) =>
+      if (b != e)
+        assert((keyRows(b) & keyRows(e)).nonEmpty, s"no shared key: '$b' vs '$e'")
+    }
+  }
+
   test("deletionVariants: the key set is {s} ∪ single-deletions") {
     val s = spark
     import s.implicits._
