@@ -47,6 +47,53 @@ class PartitionedBloomSpec extends SparkSpec {
     assert(Curation.bloomShardCount(10L * 1000 * 1000 * 1000) == 1250)
   }
 
+  test("(shard, sketch) table round-trips through the catalog; membership " +
+      "serves from the reloaded table") {
+    // The q83 claim made demonstrable: the sharded sketch table is
+    // index-as-data — persist it through the versioned catalog, reload,
+    // and serve membership from the RELOADED rows with no rebuild.
+    val s = spark
+    import s.implicits._
+    val split = TextDsl.hp(col("doc_id").cast("string")) % 20
+    val sh = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(split <= 17, "train").otherwise("other").as("split"),
+        explode(array_distinct(
+          TextDsl.shingles(TextDsl.tokens(col("text")), 5))).as("sg"))
+      .withColumn("h", TextDsl.h60(col("sg")))
+    val trainH = sh.filter(col("split") === "train").select(col("h"))
+      .distinct().persist()
+    val nShards = 8
+    val perShard = math.max(trainH.count() / nShards + 1, 1000L)
+    val sketches = trainH
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)).cast("int"))
+      .repartition(nShards, col("shard"))
+      .groupBy(col("shard"))
+      .agg(BloomFunctions.bloomBuild(col("h"), perShard, 1e-4).as("sketch"))
+    val built = sketches.as[(Int, Array[Byte])].collect().toMap
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bloom-").toString
+    val cat = new graft.catalog.VersionedCatalog(spark, tmp, format = "parquet")
+    cat.writeNext("bloom_shards", sketches)
+    val reloaded = cat.latest("bloom_shards")
+      .select(col("shard").cast("int"), col("sketch"))
+      .as[(Int, Array[Byte])].collect().toMap
+    // parquet binary round-trip is bit-exact: the reloaded sketch bytes
+    // ARE the built ones, so every membership verdict is identical
+    assert(reloaded.keySet == built.keySet)
+    reloaded.foreach { case (shard, bytes) =>
+      assert(java.util.Arrays.equals(bytes, built(shard)), s"shard $shard bytes drifted")
+    }
+    // and serving from the reloaded table keeps the Bloom guarantee:
+    // zero false negatives over every inserted train hash
+    val blooms = reloaded.view.mapValues(b =>
+      BloomFilter.readFrom(new java.io.ByteArrayInputStream(b))).toMap
+    val misses = trainH.collect().map(_.getLong(0))
+      .count(h => !blooms((h % nShards).toInt).mightContainLong(h))
+    assert(misses == 0, s"$misses false negatives after catalog round-trip")
+    trainH.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("q83 sharded contract rows equal q58 driver-bloom contract rows") {
     // Same oracle, same contract: exact counts are sketch-independent
     // and both fp booleans must pin true. Row-for-row equality at

@@ -223,6 +223,46 @@ class SemanticPqSpec extends SparkSpec {
     }
   }
 
+  test("PQ code table round-trips through the catalog; ADC serves from the reloaded table") {
+    // The q85/q86 claim made demonstrable: the (nid, cell, code) table
+    // is index-as-data — persist through the versioned catalog, reload,
+    // and the flat-ADC serving path over the RELOADED codes reproduces
+    // the q86 query's rows exactly (codes are int64: bit-exact storage).
+    import org.apache.spark.sql.expressions.Window
+    val books = graft.functions.VectorIndexFunctions.pqCodebooks(8, 16, 8)
+    val cents = graft.operators.SimilarityJoin.md5CentroidTable(spark)
+    val matrix = cents.orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val fd = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("nid"),
+        col("embedding").cast("array<double>").as("fd"))
+    val codes = fd.select(col("nid"),
+      graft.functions.VectorIndexFunctions.nearestCentroid(col("fd"), matrix).as("cell"),
+      element_at(graft.functions.VectorIndexFunctions.pqEncode(col("fd"), books), 1)
+        .as("code"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pq-").toString
+    val cat = new graft.catalog.VersionedCatalog(spark, tmp, format = "parquet")
+    cat.writeNext("pq_codes", codes)
+    val reloaded = cat.latest("pq_codes")
+    val q = fd.filter(col("nid") < 50)
+      .select(col("nid").as("qid"),
+        graft.functions.VectorIndexFunctions.pqLut(col("fd"), books).as("lut"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist_e9"), col("nid"))
+    val served = reloaded.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("dist_e9", graft.functions.VectorIndexFunctions.pqAdc(
+        col("lut"), col("code"), 8, 16))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("nid"), col("dist_e9"))
+      .collect().map(_.toSeq)
+    spark.catalog.clearCache()
+    val q86 = graft.SparkEntry.queries("q86_pq_adc_topk")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq)
+    assert(served.sortBy(_.toString).toSeq == q86.sortBy(_.toString).toSeq)
+    spark.catalog.clearCache()
+  }
+
   test("semanticDedupIncremental matches a brute-force new-side verdict") {
     val cents = graft.operators.SimilarityJoin.md5CentroidTable(spark)
     val matrix = cents.orderBy(col("cell")).collect()
