@@ -46,6 +46,182 @@ object VectorIndex {
   }
 }
 
+/** Two-level (coarse-quantized) cell assignment — the 10⁵-cell form of
+  * [[VectorIndex.nearestCell]]: the flat scan costs nCells × dim
+  * mult-adds per vector, which at SemDeDup's paper-scale ~10⁵ cells ×
+  * 64 dims is 6.4M FLOPs per vector — the wrong plan. Here cells are
+  * grouped under ~√nCells super-cells (driver-side deterministic Lloyd
+  * fit over the driver-small centroid table, [[fit]]); a vector probes
+  * the `wProbe` nearest super-cells, then scans ONLY their member
+  * cells: ~(√n + wProbe·√n)·dim evals ≈ 2√nCells·dim at wProbe=1 —
+  * ~160× fewer FLOPs at 10⁵ cells. The standard IVF coarse-quantizer
+  * trade: wProbe=1 may miss a nearest cell that sits just across a
+  * super-cell boundary (assignment stays a valid cell, SemDeDup
+  * semantics degrade gracefully — a borderline vector lands in a
+  * neighboring cluster); wProbe = nCoarse reproduces the flat scan
+  * EXACTLY, ties and all (SemanticPqSpec pins both properties).
+  * SCALE.md §Index builds states the cost arithmetic and the regime
+  * (≳10⁴ cells) where this kernel replaces the flat one. */
+object TwoLevelIndex {
+
+  private[functions] def nearestIdx(
+      v: Array[Double], mat: Array[Array[Double]]): Int = {
+    var best = -1
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < mat.length) {
+      val ctr = mat(c)
+      var d = 0.0
+      var i = 0
+      while (i < v.length) {
+        val diff = v(i) - ctr(i); d += diff * diff; i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Deterministic driver-side Lloyd fit of `nCoarse` super-centroids
+    * over the cell-centroid matrix (nCells rows — driver-small by the
+    * same argument as the assignment kernel's reference object). No
+    * RNG: seeds are evenly strided rows, ties resolve to the lowest
+    * index, fixed `iters` sweeps. Returns (coarse matrix, member cell
+    * ids per super-cell, ascending). Every cell appears in exactly one
+    * member list. */
+  def fit(cents: Array[Array[Double]], nCoarse: Int, iters: Int = 10)
+      : (Array[Array[Double]], Array[Array[Int]]) = {
+    require(cents.nonEmpty, "two_level_fit: empty centroid matrix")
+    val n = cents.length
+    val dim = cents(0).length
+    require(cents.forall(_.length == dim),
+      "two_level_fit: mixed centroid dimensionalities")
+    val k = math.max(1, math.min(nCoarse, n))
+    val coarse = Array.tabulate(k)(i => cents((i.toLong * n / k).toInt).clone())
+    val assign = new Array[Int](n)
+    var it = 0
+    while (it < iters) {
+      var i = 0
+      while (i < n) { assign(i) = nearestIdx(cents(i), coarse); i += 1 }
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val cnt = new Array[Int](k)
+      i = 0
+      while (i < n) {
+        val a = assign(i); cnt(a) += 1
+        var d = 0
+        while (d < dim) { sums(a)(d) += cents(i)(d); d += 1 }
+        i += 1
+      }
+      var c = 0
+      while (c < k) {
+        // an emptied super-cell keeps its previous centroid (standard
+        // Lloyd degenerate-cluster handling, deterministic)
+        if (cnt(c) > 0) {
+          var d = 0
+          while (d < dim) { coarse(c)(d) = sums(c)(d) / cnt(c); d += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    var i = 0
+    while (i < n) { assign(i) = nearestIdx(cents(i), coarse); i += 1 }
+    val members = Array.tabulate(k)(c =>
+      (0 until n).filter(assign(_) == c).toArray)
+    (coarse, members)
+  }
+
+  /** argmin cell over the `wProbe` nearest super-cells' members. Tie
+    * rules match the flat scan: coarse probes break distance ties on
+    * the lower super-cell id, and the final argmin breaks distance
+    * ties on the lower CELL id — so wProbe = nCoarse is bit-identical
+    * to [[VectorIndex.nearestCell]]. */
+  def nearestCellTwoLevel(fd: ArrayData,
+      coarse: Array[Array[Double]], members: Array[Array[Int]],
+      centroids: Array[Array[Double]], wProbe: Int): Int = {
+    val dims = fd.numElements()
+    val v = new Array[Double](dims)
+    var i = 0
+    while (i < dims) { v(i) = fd.getDouble(i); i += 1 }
+    val nc = coarse.length
+    val cd = new Array[Double](nc)
+    var c = 0
+    while (c < nc) {
+      val ctr = coarse(c)
+      if (ctr.length != dims)
+        throw new IllegalArgumentException(
+          s"two_level_assign: vector has $dims dims but super-centroid $c has ${ctr.length}")
+      var d = 0.0
+      i = 0
+      while (i < dims) { val diff = v(i) - ctr(i); d += diff * diff; i += 1 }
+      cd(c) = d
+      c += 1
+    }
+    val w = math.max(1, math.min(wProbe, nc))
+    val probed = new Array[Int](w)
+    val taken = new Array[Boolean](nc)
+    var p = 0
+    while (p < w) { // selection over ≤ √nCells entries, w passes — tiny
+      var best = -1
+      var bestD = Double.MaxValue
+      c = 0
+      while (c < nc) {
+        if (!taken(c) && cd(c) < bestD) { bestD = cd(c); best = c }
+        c += 1
+      }
+      probed(p) = best; taken(best) = true; p += 1
+    }
+    var bestCell = -1
+    var bestD = Double.MaxValue
+    p = 0
+    while (p < w) {
+      val mem = members(probed(p))
+      var m = 0
+      while (m < mem.length) {
+        val cell = mem(m)
+        val ctr = centroids(cell)
+        if (ctr.length != dims)
+          throw new IllegalArgumentException(
+            s"two_level_assign: vector has $dims dims but centroid $cell has ${ctr.length}")
+        var d = 0.0
+        i = 0
+        while (i < dims) { val diff = v(i) - ctr(i); d += diff * diff; i += 1 }
+        if (d < bestD || (d == bestD && cell < bestCell)) { bestD = d; bestCell = cell }
+        m += 1
+      }
+      p += 1
+    }
+    if (bestCell < 0)
+      throw new IllegalArgumentException(
+        "two_level_assign: probed super-cells have no member cells")
+    bestCell
+  }
+}
+
+/** array<double> vector → int cell id via the two-level coarse-quantized
+  * scan ([[TwoLevelIndex.nearestCellTwoLevel]]). */
+case class NearestCentroidTwoLevel(child: Expression,
+    coarse: Array[Array[Double]], members: Array[Array[Int]],
+    centroids: Array[Array[Double]], wProbe: Int) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "two_level_assign"
+
+  override def nullSafeEval(input: Any): Any =
+    TwoLevelIndex.nearestCellTwoLevel(
+      input.asInstanceOf[ArrayData], coarse, members, centroids, wProbe)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val coarseRef = ctx.addReferenceObj("coarse", coarse, "double[][]")
+    val memRef = ctx.addReferenceObj("members", members, "int[][]")
+    val centRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TwoLevelIndex.nearestCellTwoLevel($c, $coarseRef, $memRef, $centRef, $wProbe)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCentroidTwoLevel =
+    copy(child = c)
+}
+
 /** array<double> vector → int cell id (argmin L2 against `centroids`,
   * whose row index IS the cell id — callers pass rows sorted by cell). */
 case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
@@ -293,6 +469,16 @@ case class PqEncodeExpr(child: Expression,
 object VectorIndexFunctions {
   def nearestCentroid(fd: Column, centroids: Array[Array[Double]]): Column =
     ColumnBridge.column(NearestCentroid(ColumnBridge.expression(fd), centroids))
+
+  /** Two-level assignment column: fit the coarse level once
+    * ([[TwoLevelIndex.fit]], driver-side over the driver-small centroid
+    * matrix) and pass its parts here. Use at ≳10⁴ cells where the flat
+    * [[nearestCentroid]] scan's nCells×dim cost dominates (SCALE.md). */
+  def nearestCentroidTwoLevel(fd: Column,
+      coarse: Array[Array[Double]], members: Array[Array[Int]],
+      centroids: Array[Array[Double]], wProbe: Int): Column =
+    ColumnBridge.column(NearestCentroidTwoLevel(
+      ColumnBridge.expression(fd), coarse, members, centroids, wProbe))
 
   def pqEncode(fd: Column, codebooks: Array[Array[Array[Double]]]): Column =
     ColumnBridge.column(PqEncodeExpr(ColumnBridge.expression(fd), codebooks))

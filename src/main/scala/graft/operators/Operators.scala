@@ -483,7 +483,12 @@ object SimilarityJoin {
     * centroid count grows ∝ corpus (the paper uses ~10⁵ clusters) so
     * mean cell size — and with it Σ cell² — stays bounded; the
     * centroid table itself stays driver-small and comes from a sampled
-    * KMeans fit persisted in the catalog ([[ivfBuildIndex]]). */
+    * KMeans fit persisted in the catalog ([[ivfBuildIndex]]). Past
+    * ~10⁴ cells the flat per-vector argmin scan itself dominates
+    * (nCells×dim FLOPs/vector): swap the assignment column for the
+    * two-level kernel ([[graft.functions.VectorIndexFunctions
+    * .nearestCentroidTwoLevel]], ~2√nCells·dim) — SCALE.md states the
+    * arithmetic and crossover. */
   /** The (vec_id, v, n2, cell[, extra…]) cell-assignment prologue shared
     * by [[semanticDedup]] and [[semanticDedupIncremental]] — ONE
     * definition of the scaling + assignment semantics that q81/q84/q89

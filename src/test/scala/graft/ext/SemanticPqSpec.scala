@@ -299,6 +299,81 @@ class SemanticPqSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  // ---------------------------------------------- two-level assignment
+
+  test("two-level assignment: wProbe = nCoarse reproduces the flat scan exactly") {
+    // the ~2√nCells kernel must be EXACTLY the flat argmin (ties and
+    // all) when every super-cell is probed — on the real fixture corpus
+    // and through the codegen Column path, not just the static method
+    val cents = graft.operators.SimilarityJoin.md5CentroidTable(spark)
+    val matrix = cents.orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val (coarse, members) = graft.functions.TwoLevelIndex.fit(matrix, nCoarse = 4)
+    // fit structure: the member lists partition the cell ids
+    assert(members.flatten.sorted.toSeq == matrix.indices.toSeq)
+    assert(coarse.length == 4 && coarse.forall(_.length == 64))
+    val out = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("fd"))
+      .select(col("vec_id"),
+        graft.functions.VectorIndexFunctions.nearestCentroid(col("fd"), matrix)
+          .as("flat"),
+        graft.functions.VectorIndexFunctions.nearestCentroidTwoLevel(
+          col("fd"), coarse, members, matrix, wProbe = 4).as("two"),
+        graft.functions.VectorIndexFunctions.nearestCentroidTwoLevel(
+          col("fd"), coarse, members, matrix, wProbe = 1).as("one"),
+        graft.functions.VectorIndexFunctions.nearestCentroidTwoLevel(
+          col("fd"), coarse, members, matrix, wProbe = 2).as("two_probe"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(out.nonEmpty)
+    out.foreach { case (id, flat, full, one, two) =>
+      assert(full == flat, s"vec $id: full-probe two-level $full != flat $flat")
+      // partial probes return valid cells; more probes never pick a
+      // farther cell (candidate set grows monotonically)
+      assert(one >= 0 && one < matrix.length && two >= 0 && two < matrix.length)
+    }
+    // distance monotonicity in wProbe, per vector
+    val fdRows = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def d2(v: Array[Double], c: Array[Double]): Double =
+      v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+    out.foreach { case (id, flat, _, one, two) =>
+      val v = fdRows(id)
+      assert(d2(v, matrix(two)) <= d2(v, matrix(one)))
+      assert(d2(v, matrix(flat)) <= d2(v, matrix(two)))
+    }
+  }
+
+  test("two-level assignment: well-separated super-clusters are exact at wProbe = 1") {
+    // 4 super-clusters far apart in dim 0, 3 cells each jittered in dim
+    // 1: the coarse fit must recover the grouping and a vector near any
+    // cell must assign identically to the flat scan with ONE probe —
+    // the regime the kernel exists for (10⁵ cells clustered in space)
+    val matrix = (0 until 12).map { c =>
+      val sup = c / 3
+      Array.tabulate(4)(d =>
+        if (d == 0) sup * 100.0 else if (d == 1) (c % 3) * 1.0 else 0.0)
+    }.toArray
+    val (coarse, members) = graft.functions.TwoLevelIndex.fit(matrix, nCoarse = 4)
+    assert(members.flatten.sorted.toSeq == (0 until 12))
+    // each member group is one planted super-cluster
+    assert(members.map(_.map(_ / 3).distinct.length).forall(_ == 1))
+    val g = new scala.util.Random(3)
+    (0 until 200).foreach { _ =>
+      val near = g.nextInt(12)
+      val v = matrix(near).clone()
+      v(1) += g.nextDouble() * 0.4 - 0.2 // stay nearest to `near`'s cluster
+      v(2) += g.nextDouble() * 0.4 - 0.2
+      val ad = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v)
+      val flat = graft.functions.VectorIndex.nearestCell(ad, matrix)
+      val two = graft.functions.TwoLevelIndex.nearestCellTwoLevel(
+        ad, coarse, members, matrix, wProbe = 1)
+      assert(two == flat, s"wProbe=1 mismatch near cell $near: $two != $flat")
+    }
+  }
+
   // ------------------------------------------------------- semantic dedup
 
   private def centsDf = {
