@@ -78,15 +78,18 @@ object Similarity extends QueryModule {
 
   /** Deterministic md5-derived IVF centroids + per-vector cell
     * assignment — the oracle-side mirror of the NearestCentroid kernel,
-    * shared verbatim by q81 (serving) and q84 (semantic dedup) so the
-    * two contracts can never drift on assignment semantics. */
-  private val ivfAssignSqlCtes = s"""
+    * shared verbatim by q81 (serving), q84/q92 (semantic dedup), q87/
+    * q91 (IVF-PQ) so the contracts can never drift on assignment
+    * semantics. `nCells` parameterizes ONLY the centroid count (q92
+    * runs the 64-cell table); all other text is byte-identical across
+    * call sites. */
+  private def ivfAssignSqlCtes(nCells: Int = 16): String = s"""
         cent AS (
           SELECT gc.c AS cell,
                  list_transform(range(0, 64), d ->
                    (CAST(${X.h60Sql("'ivf ' || CAST(gc.c AS VARCHAR) || ' ' || CAST(d AS VARCHAR)")}
                       % 4001 AS BIGINT) - 2000) / 10000.0) AS ctr
-          FROM (SELECT unnest(range(0, 16)) AS c) gc),
+          FROM (SELECT unnest(range(0, $nCells)) AS c) gc),
         vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS fd,
                         ${X.scaledVecSql("embedding")} AS v
                  FROM embeddings),
@@ -102,10 +105,28 @@ object Similarity extends QueryModule {
                        FROM dist) WHERE rn = 1)"""
 
   /** `assigned` joined back to its scaled vectors — the pair-join input
-    * shared verbatim by the q84 and q89 oracles so the full and
-    * incremental dedup contracts read the same rows. */
+    * shared verbatim by the q84, q89 and q92 oracles so the full,
+    * incremental and two-level dedup contracts read the same rows. */
   private val ivfAvSqlCte = """av AS (SELECT a.vec_id, a.cell, n.v, n.n2
                FROM assigned a JOIN vn n ON n.vec_id = a.vec_id)"""
+
+  /** The exact-pairs dup flag + per-cell keep/drop summary shared
+    * VERBATIM by the q84 and q92 oracles — the two queries differ only
+    * in the cell count fed to [[ivfAssignSqlCtes]], so the dedup
+    * semantics text cannot drift between the flat and two-level
+    * variants. */
+  private val semanticDedupSqlTail = s"""
+        dup AS (SELECT DISTINCT x.cell, y.vec_id AS idb
+                FROM av x JOIN av y
+                  ON x.cell = y.cell AND x.vec_id < y.vec_id
+                WHERE ${X.cosineFromIntsSql(X.dotIntSql("x.v", "y.v"), "x.n2", "y.n2")} >= 0.4),
+        pc AS (SELECT cell, COUNT(*) AS n_vecs FROM assigned GROUP BY cell),
+        dc AS (SELECT cell, COUNT(*) AS n_dups FROM dup GROUP BY cell)
+        SELECT CAST(pc.cell AS BIGINT) AS cell, pc.n_vecs,
+               COALESCE(dc.n_dups, 0) AS n_dups,
+               pc.n_vecs - COALESCE(dc.n_dups, 0) AS n_kept
+        FROM pc LEFT JOIN dc ON dc.cell = pc.cell
+        ORDER BY cell"""
 
   /** md5-derived deterministic PQ codebook distances + per-subspace
     * argmin — the oracle-side mirror of the PqEncode/PqLut kernels,
@@ -432,7 +453,7 @@ object Similarity extends QueryModule {
           .orderBy(col("qid"), col("rank"))
       },
       Some(s"""
-        WITH $ivfAssignSqlCtes,
+        WITH ${ivfAssignSqlCtes()},
         probes AS (SELECT vec_id AS qid, cell FROM (
                      SELECT vec_id, cell,
                             row_number() OVER (PARTITION BY vec_id
@@ -479,19 +500,9 @@ object Similarity extends QueryModule {
           .orderBy(col("cell"))
       },
       Some(s"""
-        WITH $ivfAssignSqlCtes,
+        WITH ${ivfAssignSqlCtes()},
         $ivfAvSqlCte,
-        dup AS (SELECT DISTINCT x.cell, y.vec_id AS idb
-                FROM av x JOIN av y
-                  ON x.cell = y.cell AND x.vec_id < y.vec_id
-                WHERE ${X.cosineFromIntsSql(X.dotIntSql("x.v", "y.v"), "x.n2", "y.n2")} >= 0.4),
-        pc AS (SELECT cell, COUNT(*) AS n_vecs FROM assigned GROUP BY cell),
-        dc AS (SELECT cell, COUNT(*) AS n_dups FROM dup GROUP BY cell)
-        SELECT CAST(pc.cell AS BIGINT) AS cell, pc.n_vecs,
-               COALESCE(dc.n_dups, 0) AS n_dups,
-               pc.n_vecs - COALESCE(dc.n_dups, 0) AS n_kept
-        FROM pc LEFT JOIN dc ON dc.cell = pc.cell
-        ORDER BY cell""")),
+        $semanticDedupSqlTail""")),
 
     // ------------------------------------------------------------------
     // q85: product-quantization codes (Jégou et al., TPAMI 2011) — the
@@ -594,7 +605,7 @@ object Similarity extends QueryModule {
           .orderBy(col("cell"))
       },
       Some(s"""
-        WITH $ivfAssignSqlCtes,
+        WITH ${ivfAssignSqlCtes()},
         $ivfAvSqlCte,
         dup AS (SELECT DISTINCT y.cell, y.vec_id AS idb
                 FROM av x JOIN av y
@@ -632,7 +643,7 @@ object Similarity extends QueryModule {
           .orderBy(col("qid"), col("rank"))
       },
       Some(s"""
-        WITH $ivfAssignSqlCtes,
+        WITH ${ivfAssignSqlCtes()},
         ${pqSqlCtes("pq_")},
         $ivfPqAdcSqlCtes
         SELECT qid, CAST(rank AS BIGINT) AS rank, nid, dist_e9 FROM (
@@ -664,7 +675,7 @@ object Similarity extends QueryModule {
           .orderBy(col("qid"), col("rank"))
       },
       Some(s"""
-        WITH $ivfAssignSqlCtes,
+        WITH ${ivfAssignSqlCtes()},
         ${pqSqlCtes("pq_")},
         $ivfPqAdcSqlCtes,
         sl AS (SELECT qid, nid FROM (
@@ -681,6 +692,33 @@ object Similarity extends QueryModule {
                  row_number() OVER (PARTITION BY qid
                    ORDER BY cos DESC, nid) AS rank
           FROM scored) WHERE rank <= 3
-        ORDER BY qid, rank"""))
+        ORDER BY qid, rank""")),
+
+    // ------------------------------------------------------------------
+    // q92: semantic dedup through the TWO-LEVEL assignment kernel at 64
+    // cells — the high-cell-count form of q84 (at 10⁵ cells the flat
+    // argmin scan costs 6.4M FLOPs/vector; the coarse quantizer makes
+    // it ~2√nCells·dim — SCALE.md). Run at wProbe = nCoarse = 8, the
+    // oracle-checkable end of the probe dial: full probing is proven
+    // bit-identical to the flat scan (ties included, SemanticPqSpec),
+    // so the whole two-level path — driver-side coarse Lloyd fit,
+    // super-cell probe selection, member scan, codegen plumbing — is
+    // hash-checked against q84's exact oracle on the 64-cell table.
+    // Partial probing (the FLOP win at 10⁵ cells) keeps this plan and
+    // schema; only boundary-cell assignments can shift, a trade the
+    // kernel doc states and the spec pins on separated clusters.
+    QueryDef(
+      "q92_semantic_dedup_two_level",
+      (s, dir) => {
+        val cents = graft.operators.SimilarityJoin.md5CentroidTable(s, nCells = 64)
+        graft.operators.SimilarityJoin.semanticDedupTwoLevel(
+            T.embeddings(s, dir), col("vec_id"), col("embedding"),
+            cents, threshold = 0.4, nCoarse = 8, wProbe = 8)
+          .orderBy(col("cell"))
+      },
+      Some(s"""
+        WITH ${ivfAssignSqlCtes(64)},
+        $ivfAvSqlCte,
+        $semanticDedupSqlTail"""))
   )
 }

@@ -497,15 +497,17 @@ object SimilarityJoin {
   private def assignedVectors(
       vecs: DataFrame, id: Column, vec: Column,
       extra: Seq[(String, Column)], centroidsDf: DataFrame,
-      scope: graft.CacheScope): DataFrame = {
+      scope: graft.CacheScope,
+      assignCol: Array[Array[Double]] => Column =
+        m => graft.functions.VectorIndexFunctions.nearestCentroid(col("fd"), m))
+      : DataFrame = {
     val matrix = centroidMatrix(centroidsDf)
     vecs
       .select(id.as("vec_id") +: X.scaledVec(vec).as("v") +:
         vec.cast("array<double>").as("fd") +:
         extra.map { case (n, c) => c.as(n) }: _*)
       .withColumn("n2", X.norm2Int(col("v")))
-      .withColumn("cell",
-        graft.functions.VectorIndexFunctions.nearestCentroid(col("fd"), matrix))
+      .withColumn("cell", assignCol(matrix))
       .drop("fd")
       .transform(scope.cache) // shared by counts + both pair-verify sides
   }
@@ -513,8 +515,41 @@ object SimilarityJoin {
   def semanticDedup(
       vecs: DataFrame, id: Column, vec: Column,
       centroidsDf: DataFrame, threshold: Double, maxCell: Int = 65536,
-      scope: graft.CacheScope = new graft.CacheScope): DataFrame = {
-    val assigned = assignedVectors(vecs, id, vec, Nil, centroidsDf, scope)
+      scope: graft.CacheScope = new graft.CacheScope): DataFrame =
+    semanticDedupCore(
+      assignedVectors(vecs, id, vec, Nil, centroidsDf, scope),
+      threshold, maxCell)
+
+  /** [[semanticDedup]] with the two-level coarse-quantized assignment
+    * kernel — the ≳10⁴-cell form (SCALE.md states the crossover): the
+    * coarse level fits ONCE on the driver over the driver-small
+    * centroid matrix, and every vector probes `wProbe` of `nCoarse`
+    * super-cells instead of scanning all cells. At wProbe = nCoarse
+    * the assignment — and therefore the whole dedup output — is
+    * bit-identical to [[semanticDedup]] (q92 runs that end of the dial
+    * under the full oracle); partial probing keeps the same output
+    * SCHEMA and cap machinery while trading boundary-cell exactness
+    * for the ~2√nCells FLOP bound (kernel-level properties pinned in
+    * SemanticPqSpec). */
+  def semanticDedupTwoLevel(
+      vecs: DataFrame, id: Column, vec: Column,
+      centroidsDf: DataFrame, threshold: Double,
+      nCoarse: Int, wProbe: Int, maxCell: Int = 65536,
+      scope: graft.CacheScope = new graft.CacheScope): DataFrame =
+    semanticDedupCore(
+      assignedVectors(vecs, id, vec, Nil, centroidsDf, scope,
+        assignCol = { m =>
+          val (coarse, members) = graft.functions.TwoLevelIndex.fit(m, nCoarse)
+          graft.functions.VectorIndexFunctions.nearestCentroidTwoLevel(
+            col("fd"), coarse, members, m, wProbe)
+        }), threshold, maxCell)
+
+  /** The per-cell count / capped pair expansion / exact-cosine verify /
+    * keep-drop summary shared by [[semanticDedup]] and
+    * [[semanticDedupTwoLevel]] — ONE definition, so the flat and
+    * two-level variants can only differ in the assignment column. */
+  private def semanticDedupCore(
+      assigned: DataFrame, threshold: Double, maxCell: Int): DataFrame = {
     val perCell = assigned.groupBy(col("cell"))
       .agg(count(lit(1)).as("n_vecs"))
     val pairs = NearDup.cappedBuckets(
