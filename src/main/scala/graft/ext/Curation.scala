@@ -79,8 +79,10 @@ object Curation extends QueryModule {
 
   /** Shared q58/q83 prep: md5-residue split assignment (18/20 train,
     * 1/20 val, 1/20 test) and the per-doc distinct 5-shingle hash
-    * stream. Returns (docs, split residue column, shingle hashes). */
-  private def contamPrep(s: SparkSession, dir: String)
+    * stream. Returns (docs, split residue column, shingle hashes).
+    * `private[graft]` so PartitionedBloomSpec's round-trip test builds
+    * its sketch table from the PRODUCTION prep, not a copy. */
+  private[graft] def contamPrep(s: SparkSession, dir: String)
       : (DataFrame, Column, DataFrame) = {
     val split = X.hp(col("doc_id").cast("string")) % 20
     val docs = T.documents(s, dir)

@@ -42,6 +42,13 @@ object VectorIndex {
       if (d < bestD) { bestD = d; best = c }
       c += 1
     }
+    // NaN input makes every compare false: best stays -1 and the caller
+    // would group on a phantom cell id SILENTLY — fail fast like
+    // PqEncode's no-finite-distance guard
+    if (best < 0)
+      throw new ArithmeticException(
+        "nearest_centroid: no finite distance — vector contains NaN/Infinity " +
+          "or overflows double")
     best
   }
 }
@@ -79,6 +86,9 @@ object TwoLevelIndex {
       if (d < bestD) { bestD = d; best = c }
       c += 1
     }
+    if (best < 0) // NaN centroid table: cnt(-1) in fit would AIOOBE
+      throw new ArithmeticException(
+        "two_level_fit: no finite distance — centroid table contains NaN/Infinity")
     best
   }
 
@@ -160,21 +170,32 @@ object TwoLevelIndex {
     val w = math.max(1, math.min(wProbe, nc))
     val probed = new Array[Int](w)
     val taken = new Array[Boolean](nc)
+    var nProbed = 0
     var p = 0
     while (p < w) { // selection over ≤ √nCells entries, w passes — tiny
       var best = -1
       var bestD = Double.MaxValue
       c = 0
       while (c < nc) {
-        if (!taken(c) && cd(c) < bestD) { bestD = cd(c); best = c }
+        // a super-cell emptied by the Lloyd fit keeps a (stale)
+        // centroid — probing it would waste a wProbe slot, or throw
+        // when EVERY probe lands empty: never select memberless supers
+        if (!taken(c) && members(c).length > 0 && cd(c) < bestD) {
+          bestD = cd(c); best = c
+        }
         c += 1
       }
-      probed(p) = best; taken(best) = true; p += 1
+      if (best < 0) { p = w } // no selectable super-cell left (or NaN)
+      else { probed(nProbed) = best; taken(best) = true; nProbed += 1; p += 1 }
     }
+    if (nProbed == 0)
+      throw new ArithmeticException(
+        "two_level_assign: no probeable super-cell — vector contains " +
+          "NaN/Infinity or every super-cell is empty")
     var bestCell = -1
     var bestD = Double.MaxValue
     p = 0
-    while (p < w) {
+    while (p < nProbed) {
       val mem = members(probed(p))
       var m = 0
       while (m < mem.length) {
@@ -191,9 +212,13 @@ object TwoLevelIndex {
       }
       p += 1
     }
+    // probed supers are non-empty by selection, so a miss here means
+    // every member distance compared false — the NaN case, same
+    // fail-fast as the flat kernel
     if (bestCell < 0)
-      throw new IllegalArgumentException(
-        "two_level_assign: probed super-cells have no member cells")
+      throw new ArithmeticException(
+        "two_level_assign: no finite member distance — vector contains " +
+          "NaN/Infinity or overflows double")
     bestCell
   }
 }

@@ -52,19 +52,17 @@ class PartitionedBloomSpec extends SparkSpec {
     // The q83 claim made demonstrable: the sharded sketch table is
     // index-as-data — persist it through the versioned catalog, reload,
     // and serve membership from the RELOADED rows with no rebuild.
+    // Built from q83's OWN prep + shard derivation (contamPrep /
+    // bloomShardCount), so this stays a demonstration of the
+    // production table, not of a test-local copy.
     val s = spark
     import s.implicits._
-    val split = TextDsl.hp(col("doc_id").cast("string")) % 20
-    val sh = graft.Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        when(split <= 17, "train").otherwise("other").as("split"),
-        explode(array_distinct(
-          TextDsl.shingles(TextDsl.tokens(col("text")), 5))).as("sg"))
-      .withColumn("h", TextDsl.h60(col("sg")))
+    val (_, _, sh) = Curation.contamPrep(spark, dir)
     val trainH = sh.filter(col("split") === "train").select(col("h"))
       .distinct().persist()
-    val nShards = 8
-    val perShard = math.max(trainH.count() / nShards + 1, 1000L)
+    val nTrain = trainH.count()
+    val nShards = Curation.bloomShardCount(nTrain)
+    val perShard = math.max(nTrain / nShards + 1, 1000L)
     val sketches = trainH
       .withColumn("shard", pmod(col("h"), lit(nShards.toLong)).cast("int"))
       .repartition(nShards, col("shard"))

@@ -346,6 +346,32 @@ class SemanticPqSpec extends SparkSpec {
     }
   }
 
+  test("two-level assignment: empty super-cells are skipped, NaN fails fast") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    // super 0 lost all members in the fit (stale centroid remains):
+    // probing must SKIP it — with the naive selection, wProbe=1 would
+    // probe only the empty super and throw despite a valid nearest cell
+    val coarse = Array(Array(0.0), Array(100.0))
+    val members = Array(Array.empty[Int], Array(0, 1))
+    val cents = Array(Array(99.0), Array(101.0))
+    val got = graft.functions.TwoLevelIndex.nearestCellTwoLevel(
+      ArrayData.toArrayData(Array(0.0)), coarse, members, cents, wProbe = 1)
+    assert(got == 0) // nearest real cell, despite super 0 being closer
+    // NaN input: fail fast (the flat kernel's guard), not AIOOBE or a
+    // phantom cell id
+    intercept[ArithmeticException] {
+      graft.functions.TwoLevelIndex.nearestCellTwoLevel(
+        ArrayData.toArrayData(Array(Double.NaN)), coarse, members, cents, 1)
+    }
+    intercept[ArithmeticException] {
+      graft.functions.VectorIndex.nearestCell(
+        ArrayData.toArrayData(Array(Double.NaN)), Array(Array(0.0)))
+    }
+    intercept[ArithmeticException] { // NaN centroid table at fit time
+      graft.functions.TwoLevelIndex.fit(Array(Array(Double.NaN)), 1)
+    }
+  }
+
   test("two-level assignment: well-separated super-clusters are exact at wProbe = 1") {
     // 4 super-clusters far apart in dim 0, 3 cells each jittered in dim
     // 1: the coarse fit must recover the grouping and a vector near any
