@@ -110,6 +110,25 @@ object Similarity extends QueryModule {
   private val ivfAvSqlCte = """av AS (SELECT a.vec_id, a.cell, n.v, n.n2
                FROM assigned a JOIN vn n ON n.vec_id = a.vec_id)"""
 
+  /** The incremental (new-batch) dup flag + per-cell summary shared
+    * VERBATIM by the q89 and q93 oracles — same discipline as
+    * [[semanticDedupSqlTail]]: the queries differ only in the cell
+    * count fed to [[ivfAssignSqlCtes]]. */
+  private val semanticDedupIncSqlTail = s"""
+        dup AS (SELECT DISTINCT y.cell, y.vec_id AS idb
+                FROM av x JOIN av y
+                  ON x.cell = y.cell AND x.vec_id < y.vec_id
+                WHERE y.vec_id % 2 = 1
+                  AND ${X.cosineFromIntsSql(X.dotIntSql("x.v", "y.v"), "x.n2", "y.n2")} >= 0.4),
+        nc AS (SELECT cell, COUNT(*) AS n_new FROM assigned
+               WHERE vec_id % 2 = 1 GROUP BY cell),
+        dc AS (SELECT cell, COUNT(*) AS n_new_dups FROM dup GROUP BY cell)
+        SELECT CAST(nc.cell AS BIGINT) AS cell, nc.n_new,
+               COALESCE(dc.n_new_dups, 0) AS n_new_dups,
+               nc.n_new - COALESCE(dc.n_new_dups, 0) AS n_new_kept
+        FROM nc LEFT JOIN dc ON dc.cell = nc.cell
+        ORDER BY cell"""
+
   /** The exact-pairs dup flag + per-cell keep/drop summary shared
     * VERBATIM by the q84 and q92 oracles — the two queries differ only
     * in the cell count fed to [[ivfAssignSqlCtes]], so the dedup
@@ -607,19 +626,7 @@ object Similarity extends QueryModule {
       Some(s"""
         WITH ${ivfAssignSqlCtes()},
         $ivfAvSqlCte,
-        dup AS (SELECT DISTINCT y.cell, y.vec_id AS idb
-                FROM av x JOIN av y
-                  ON x.cell = y.cell AND x.vec_id < y.vec_id
-                WHERE y.vec_id % 2 = 1
-                  AND ${X.cosineFromIntsSql(X.dotIntSql("x.v", "y.v"), "x.n2", "y.n2")} >= 0.4),
-        nc AS (SELECT cell, COUNT(*) AS n_new FROM assigned
-               WHERE vec_id % 2 = 1 GROUP BY cell),
-        dc AS (SELECT cell, COUNT(*) AS n_new_dups FROM dup GROUP BY cell)
-        SELECT CAST(nc.cell AS BIGINT) AS cell, nc.n_new,
-               COALESCE(dc.n_new_dups, 0) AS n_new_dups,
-               nc.n_new - COALESCE(dc.n_new_dups, 0) AS n_new_kept
-        FROM nc LEFT JOIN dc ON dc.cell = nc.cell
-        ORDER BY cell""")),
+        $semanticDedupIncSqlTail""")),
 
     // ------------------------------------------------------------------
     // q87: IVF-PQ serving end-to-end — the flagship compressed-index ANN
@@ -719,6 +726,30 @@ object Similarity extends QueryModule {
       Some(s"""
         WITH ${ivfAssignSqlCtes(64)},
         $ivfAvSqlCte,
-        $semanticDedupSqlTail"""))
+        $semanticDedupSqlTail""")),
+
+    // ------------------------------------------------------------------
+    // q93: the INCREMENTAL twin of q92 — daily embedding batch (odd
+    // vec_ids, the q89 contract) deduped against new ∪ existing on the
+    // 64-cell table, with BOTH sides assigned through the two-level
+    // kernel at wProbe = nCoarse (the oracle-checkable end of the
+    // dial, bit-identical to the flat scan). Together q92/q93 close
+    // the high-cell-count story for the full AND incremental passes:
+    // same caps, same shared oracle text, only the assignment column
+    // differs from q84/q89.
+    QueryDef(
+      "q93_semantic_dedup_inc_two_level",
+      (s, dir) => {
+        val cents = graft.operators.SimilarityJoin.md5CentroidTable(s, nCells = 64)
+        graft.operators.SimilarityJoin.semanticDedupIncrementalTwoLevel(
+            T.embeddings(s, dir), col("vec_id"), col("embedding"),
+            isNew = col("vec_id") % 2 === 1, cents, threshold = 0.4,
+            nCoarse = 8, wProbe = 8)
+          .orderBy(col("cell"))
+      },
+      Some(s"""
+        WITH ${ivfAssignSqlCtes(64)},
+        $ivfAvSqlCte,
+        $semanticDedupIncSqlTail"""))
   )
 }

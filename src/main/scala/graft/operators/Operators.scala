@@ -595,9 +595,41 @@ object SimilarityJoin {
   def semanticDedupIncremental(
       vecs: DataFrame, id: Column, vec: Column, isNew: Column,
       centroidsDf: DataFrame, threshold: Double, maxCell: Int = 65536,
-      scope: graft.CacheScope = new graft.CacheScope): DataFrame = {
-    val assigned = assignedVectors(vecs, id, vec,
-      Seq("is_new" -> isNew), centroidsDf, scope)
+      scope: graft.CacheScope = new graft.CacheScope): DataFrame =
+    semanticDedupIncrementalCore(
+      assignedVectors(vecs, id, vec, Seq("is_new" -> isNew),
+        centroidsDf, scope),
+      threshold, maxCell)
+
+  /** [[semanticDedupIncremental]] with the two-level coarse-quantized
+    * assignment kernel — the incremental twin of
+    * [[semanticDedupTwoLevel]], same dial: wProbe = nCoarse is
+    * bit-identical to the flat pass (q93 runs that end under the full
+    * oracle); partial probing buys the ~2√nCells FLOP bound at ≳10⁴
+    * cells (SCALE.md). Old and new vectors assign through the SAME
+    * kernel, so cell membership cannot drift between the sides. */
+  def semanticDedupIncrementalTwoLevel(
+      vecs: DataFrame, id: Column, vec: Column, isNew: Column,
+      centroidsDf: DataFrame, threshold: Double,
+      nCoarse: Int, wProbe: Int, maxCell: Int = 65536,
+      scope: graft.CacheScope = new graft.CacheScope): DataFrame =
+    semanticDedupIncrementalCore(
+      assignedVectors(vecs, id, vec, Seq("is_new" -> isNew),
+        centroidsDf, scope,
+        assignCol = { m =>
+          val (coarse, members) = graft.functions.TwoLevelIndex.fit(m, nCoarse)
+          graft.functions.VectorIndexFunctions.nearestCentroidTwoLevel(
+            col("fd"), coarse, members, m, wProbe)
+        }),
+      threshold, maxCell)
+
+  /** The sized-cells / new-vs-pool pair join / exact-cosine verify /
+    * per-cell new-batch summary shared by [[semanticDedupIncremental]]
+    * and [[semanticDedupIncrementalTwoLevel]] — ONE definition, so the
+    * flat and two-level variants can only differ in the assignment
+    * column (the [[semanticDedupCore]] discipline). */
+  private def semanticDedupIncrementalCore(
+      assigned: DataFrame, threshold: Double, maxCell: Int): DataFrame = {
     // size cells FIRST (tiny partial-agg exchange, the cappedBuckets /
     // minhashLshIncremental move): a degenerate hot cell never feeds
     // the quadratic pair join at all

@@ -346,6 +346,23 @@ class SemanticPqSpec extends SparkSpec {
     }
   }
 
+  test("incremental two-level dedup at full probe equals the flat incremental pass") {
+    val cents = graft.operators.SimilarityJoin.md5CentroidTable(spark, nCells = 64)
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val flat = graft.operators.SimilarityJoin.semanticDedupIncremental(
+        emb, col("vec_id"), col("embedding"),
+        isNew = col("vec_id") % 2 === 1, cents, threshold = 0.4)
+      .orderBy(col("cell")).collect().map(_.toSeq)
+    spark.catalog.clearCache()
+    val two = graft.operators.SimilarityJoin.semanticDedupIncrementalTwoLevel(
+        emb, col("vec_id"), col("embedding"),
+        isNew = col("vec_id") % 2 === 1, cents, threshold = 0.4,
+        nCoarse = 8, wProbe = 8)
+      .orderBy(col("cell")).collect().map(_.toSeq)
+    spark.catalog.clearCache()
+    assert(flat.nonEmpty && flat.toSeq == two.toSeq)
+  }
+
   test("two-level assignment: empty super-cells are skipped, NaN fails fast") {
     import org.apache.spark.sql.catalyst.util.ArrayData
     // super 0 lost all members in the fit (stale centroid remains):
