@@ -538,11 +538,17 @@ object SimilarityJoin {
       scope: graft.CacheScope = new graft.CacheScope): DataFrame =
     semanticDedupCore(
       assignedVectors(vecs, id, vec, Nil, centroidsDf, scope,
-        assignCol = { m =>
-          val (coarse, members) = graft.functions.TwoLevelIndex.fit(m, nCoarse)
-          graft.functions.VectorIndexFunctions.nearestCentroidTwoLevel(
-            col("fd"), coarse, members, m, wProbe)
-        }), threshold, maxCell)
+        assignCol = twoLevelAssignCol(nCoarse, wProbe)), threshold, maxCell)
+
+  /** The fit-then-assign column both two-level dedup variants inject
+    * into [[assignedVectors]] — ONE definition so the full and
+    * incremental passes cannot drift on coarse-fit parameters. */
+  private def twoLevelAssignCol(nCoarse: Int, wProbe: Int)
+      : Array[Array[Double]] => Column = { m =>
+    val (coarse, members) = graft.functions.TwoLevelIndex.fit(m, nCoarse)
+    graft.functions.VectorIndexFunctions.nearestCentroidTwoLevel(
+      col("fd"), coarse, members, m, wProbe)
+  }
 
   /** The per-cell count / capped pair expansion / exact-cosine verify /
     * keep-drop summary shared by [[semanticDedup]] and
@@ -616,11 +622,7 @@ object SimilarityJoin {
     semanticDedupIncrementalCore(
       assignedVectors(vecs, id, vec, Seq("is_new" -> isNew),
         centroidsDf, scope,
-        assignCol = { m =>
-          val (coarse, members) = graft.functions.TwoLevelIndex.fit(m, nCoarse)
-          graft.functions.VectorIndexFunctions.nearestCentroidTwoLevel(
-            col("fd"), coarse, members, m, wProbe)
-        }),
+        assignCol = twoLevelAssignCol(nCoarse, wProbe)),
       threshold, maxCell)
 
   /** The sized-cells / new-vs-pool pair join / exact-cosine verify /
