@@ -105,16 +105,95 @@ object Similarity extends QueryModule {
                        FROM dist) WHERE rn = 1)"""
 
   /** `assigned` joined back to its scaled vectors — the pair-join input
-    * shared verbatim by the q84, q89 and q92 oracles so the full,
-    * incremental and two-level dedup contracts read the same rows. */
-  private val ivfAvSqlCte = """av AS (SELECT a.vec_id, a.cell, n.v, n.n2
-               FROM assigned a JOIN vn n ON n.vec_id = a.vec_id)"""
+    * shared verbatim by the q84, q89, q92 and q93 oracles so the full,
+    * incremental and two-level dedup contracts read the same rows.
+    * `asg` names the assignment CTE (q94 passes its partial-probe
+    * `assigned2`); all other text is byte-identical across call
+    * sites. */
+  private def ivfAvSqlCte(asg: String = "assigned") =
+    s"""av AS (SELECT a.vec_id, a.cell, n.v, n.n2
+               FROM $asg a JOIN vn n ON n.vec_id = a.vec_id)"""
+
+  /** The integer-exact Lloyd coarse fit + partial-probe two-level
+    * assignment, unrolled as oracle CTEs — the SQL mirror of
+    * [[graft.functions.TwoLevelIndex.fitExact]] +
+    * [[graft.functions.TwoLevelIndex.nearestCellTwoLevel]]. Mirrors
+    * hold because every fit step is either exact int64 arithmetic
+    * (centroid sums — ORDER-FREE, so SQL SUM reproduces them) or one
+    * deterministic IEEE op (the sumInt/(cnt·1e4) mean division; the
+    * ascending (x−m)² distance folds). Per-iteration CTEs are
+    * MATERIALIZED: each `coarse_i` is referenced twice, so default
+    * inlining would expand the chain exponentially. The probe join
+    * restricts to supers WITH members (`JOIN (SELECT DISTINCT j FROM
+    * asg_N)`), mirroring the kernel's memberless-super skip. Expects
+    * [[ivfAssignSqlCtes]]'s `cent`/`vecs`/`dist` earlier in the WITH;
+    * emits `assigned2 (vec_id, cell)`. */
+  private def twoLevelAssignSqlCtes(
+      nCells: Int, dim: Int, nCoarse: Int, iters: Int, wProbe: Int): String = {
+    val hexpr = X.h60Sql("'ivf ' || CAST(gc.c AS VARCHAR) || ' ' || CAST(d AS VARCHAR)")
+    def mv(i: Int) = s"""
+        mv_$i AS MATERIALIZED (
+          SELECT j, list_transform(sv, s -> CAST(s AS DOUBLE) / CAST(cnt * 10000 AS DOUBLE)) AS mv
+          FROM coarse_$i)"""
+    def asg(i: Int) = s"""
+        asg_$i AS MATERIALIZED (
+          SELECT cell, j FROM (
+            SELECT c.cell, m.j,
+                   row_number() OVER (PARTITION BY c.cell ORDER BY
+                     list_aggregate(list_transform(range(0, $dim),
+                       d -> (c.ctr[d+1] - m.mv[d+1]) * (c.ctr[d+1] - m.mv[d+1])), 'sum'),
+                     m.j) AS rn
+            FROM cent c, mv_$i m) WHERE rn = 1)"""
+    val iterations = (0 until iters).map { i =>
+      s"""${mv(i)},
+        ${asg(i)},
+        nsum_$i AS MATERIALIZED (
+          SELECT a.j, list(s ORDER BY d) AS sv, MAX(nc) AS cnt FROM (
+            SELECT a0.j, dm.d, CAST(SUM(ci.iv[dm.d+1]) AS BIGINT) AS s,
+                   COUNT(*) AS nc
+            FROM asg_$i a0 JOIN centi ci ON ci.cell = a0.cell,
+                 (SELECT unnest(range(0, $dim)) AS d) dm
+            GROUP BY a0.j, dm.d) a GROUP BY a.j),
+        coarse_${i + 1} AS MATERIALIZED (
+          SELECT p.j, COALESCE(n.sv, p.sv) AS sv, COALESCE(n.cnt, p.cnt) AS cnt
+          FROM coarse_$i p LEFT JOIN nsum_$i n ON n.j = p.j)"""
+    }.mkString(",\n")
+    s"""
+        centi AS MATERIALIZED (
+          SELECT gc.c AS cell,
+                 list_transform(range(0, $dim), d ->
+                   CAST($hexpr % 4001 AS BIGINT) - 2000) AS iv
+          FROM (SELECT unnest(range(0, $nCells)) AS c) gc),
+        coarse_0 AS MATERIALIZED (
+          SELECT sj.j AS j, ci.iv AS sv, CAST(1 AS BIGINT) AS cnt
+          FROM (SELECT unnest(range(0, $nCoarse)) AS j) sj
+          JOIN centi ci ON ci.cell = (sj.j * $nCells) // $nCoarse),
+        $iterations,
+        ${mv(iters)},
+        ${asg(iters)},
+        vprobe AS (
+          SELECT vec_id, j FROM (
+            SELECT v.vec_id, m.j,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                     list_aggregate(list_transform(range(0, $dim),
+                       d -> (v.fd[d+1] - m.mv[d+1]) * (v.fd[d+1] - m.mv[d+1])), 'sum'),
+                     m.j) AS pr
+            FROM vecs v, (SELECT m0.* FROM mv_$iters m0
+                          JOIN (SELECT DISTINCT j FROM asg_$iters) nz USING (j)) m)
+          WHERE pr <= $wProbe),
+        assigned2 AS (
+          SELECT vec_id, cell FROM (
+            SELECT p.vec_id, a.cell,
+                   row_number() OVER (PARTITION BY p.vec_id ORDER BY dd.d, a.cell) AS rn
+            FROM vprobe p JOIN asg_$iters a ON a.j = p.j
+            JOIN dist dd ON dd.vec_id = p.vec_id AND dd.cell = a.cell) WHERE rn = 1)"""
+  }
 
   /** The incremental (new-batch) dup flag + per-cell summary shared
     * VERBATIM by the q89 and q93 oracles — same discipline as
     * [[semanticDedupSqlTail]]: the queries differ only in the cell
     * count fed to [[ivfAssignSqlCtes]]. */
-  private val semanticDedupIncSqlTail = s"""
+  private val semanticDedupIncSqlTail: String = s"""
         dup AS (SELECT DISTINCT y.cell, y.vec_id AS idb
                 FROM av x JOIN av y
                   ON x.cell = y.cell AND x.vec_id < y.vec_id
@@ -130,16 +209,16 @@ object Similarity extends QueryModule {
         ORDER BY cell"""
 
   /** The exact-pairs dup flag + per-cell keep/drop summary shared
-    * VERBATIM by the q84 and q92 oracles — the two queries differ only
-    * in the cell count fed to [[ivfAssignSqlCtes]], so the dedup
-    * semantics text cannot drift between the flat and two-level
-    * variants. */
-  private val semanticDedupSqlTail = s"""
+    * VERBATIM by the q84, q92 and q94 oracles — the queries differ
+    * only in the cell count fed to [[ivfAssignSqlCtes]] and (q94) the
+    * assignment CTE name, so the dedup semantics text cannot drift
+    * between the flat, two-level and partial-probe variants. */
+  private def semanticDedupSqlTail(asg: String = "assigned"): String = s"""
         dup AS (SELECT DISTINCT x.cell, y.vec_id AS idb
                 FROM av x JOIN av y
                   ON x.cell = y.cell AND x.vec_id < y.vec_id
                 WHERE ${X.cosineFromIntsSql(X.dotIntSql("x.v", "y.v"), "x.n2", "y.n2")} >= 0.4),
-        pc AS (SELECT cell, COUNT(*) AS n_vecs FROM assigned GROUP BY cell),
+        pc AS (SELECT cell, COUNT(*) AS n_vecs FROM $asg GROUP BY cell),
         dc AS (SELECT cell, COUNT(*) AS n_dups FROM dup GROUP BY cell)
         SELECT CAST(pc.cell AS BIGINT) AS cell, pc.n_vecs,
                COALESCE(dc.n_dups, 0) AS n_dups,
@@ -520,8 +599,8 @@ object Similarity extends QueryModule {
       },
       Some(s"""
         WITH ${ivfAssignSqlCtes()},
-        $ivfAvSqlCte,
-        $semanticDedupSqlTail""")),
+        ${ivfAvSqlCte()},
+        ${semanticDedupSqlTail()}""")),
 
     // ------------------------------------------------------------------
     // q85: product-quantization codes (Jégou et al., TPAMI 2011) — the
@@ -625,7 +704,7 @@ object Similarity extends QueryModule {
       },
       Some(s"""
         WITH ${ivfAssignSqlCtes()},
-        $ivfAvSqlCte,
+        ${ivfAvSqlCte()},
         $semanticDedupIncSqlTail""")),
 
     // ------------------------------------------------------------------
@@ -725,8 +804,8 @@ object Similarity extends QueryModule {
       },
       Some(s"""
         WITH ${ivfAssignSqlCtes(64)},
-        $ivfAvSqlCte,
-        $semanticDedupSqlTail""")),
+        ${ivfAvSqlCte()},
+        ${semanticDedupSqlTail()}""")),
 
     // ------------------------------------------------------------------
     // q93: the INCREMENTAL twin of q92 — daily embedding batch (odd
@@ -749,7 +828,36 @@ object Similarity extends QueryModule {
       },
       Some(s"""
         WITH ${ivfAssignSqlCtes(64)},
-        $ivfAvSqlCte,
-        $semanticDedupIncSqlTail"""))
+        ${ivfAvSqlCte()},
+        $semanticDedupIncSqlTail""")),
+
+    // ------------------------------------------------------------------
+    // q94: the PARTIAL-probe two-level path under a full oracle — the
+    // configuration the coarse quantizer exists for (probe 2 of 8
+    // super-cells, scanning ~1/4 of the cells per vector; at sf0.01,
+    // 171 of 500 vectors assign differently from the flat scan, so
+    // this oracle checks the partial semantics, not a disguised full
+    // probe). Expressible because the coarse fit is the INTEGER-EXACT
+    // variant: centroid sums are order-free int64 (SQL SUM reproduces
+    // them), each mean is one division, and the 10 Lloyd sweeps unroll
+    // as materialized CTEs (the q75 PageRank pattern). Every stage —
+    // fit, probe selection with the memberless-super skip, member
+    // argmin, dedup summary — hash-matches DuckDB bit-for-bit.
+    QueryDef(
+      "q94_semantic_dedup_partial_probe",
+      (s, dir) => {
+        val cents = graft.operators.SimilarityJoin.md5CentroidTable(s, nCells = 64)
+        graft.operators.SimilarityJoin.semanticDedupTwoLevel(
+            T.embeddings(s, dir), col("vec_id"), col("embedding"),
+            cents, threshold = 0.4, nCoarse = 8, wProbe = 2,
+            sqlExactFit = true)
+          .orderBy(col("cell"))
+      },
+      Some(s"""
+        WITH ${ivfAssignSqlCtes(64)},
+        ${twoLevelAssignSqlCtes(nCells = 64, dim = 64, nCoarse = 8,
+          iters = 10, wProbe = 2)},
+        ${ivfAvSqlCte("assigned2")},
+        ${semanticDedupSqlTail("assigned2")}"""))
   )
 }

@@ -141,6 +141,84 @@ object TwoLevelIndex {
     (coarse, members)
   }
 
+  /** [[fit]] with ORACLE-EXPRESSIBLE arithmetic, for centroid tables
+    * whose values are exact 1e-4 multiples (the md5-derived tables):
+    * centroid sums accumulate as ×1e4 int64 — exact and ORDER-FREE, so
+    * a SQL `SUM` reproduces them regardless of aggregation order — and
+    * each mean materializes as the single division sumInt/(cnt·1e4),
+    * identical IEEE on any engine. [[fit]]'s double accumulation is
+    * order-dependent (fine for the engine, unmirrorable in SQL); this
+    * variant lets the PARTIAL-probe assignment be hash-checked (q94)
+    * by unrolling the `iters` Lloyd sweeps as oracle CTEs. Same seeds,
+    * same tie rules, same empty-super-cell carryover as [[fit]]. */
+  def fitExact(cents: Array[Array[Double]], nCoarse: Int, iters: Int = 10)
+      : (Array[Array[Double]], Array[Array[Int]]) = {
+    require(cents.nonEmpty, "two_level_fit_exact: empty centroid matrix")
+    val n = cents.length
+    val dim = cents(0).length
+    require(cents.forall(_.length == dim),
+      "two_level_fit_exact: mixed centroid dimensionalities")
+    val ci: Array[Array[Long]] = cents.map(_.map { v =>
+      val k = math.round(v * 1e4)
+      require(k / 1e4 == v,
+        "two_level_fit_exact: centroid values must be exact 1e-4 multiples " +
+          "(md5-derived tables are; KMeans output is not — use fit)")
+      k
+    })
+    val k = math.max(1, math.min(nCoarse, n))
+    // coarse state as (int sum per dim, member count): the mean NEVER
+    // exists as an accumulated double, only as one division on demand
+    var sums = Array.tabulate(k)(i => ci((i.toLong * n / k).toInt).clone())
+    var cnts = Array.fill(k)(1L)
+    def mean(c: Int, d: Int): Double =
+      sums(c)(d).toDouble / (cnts(c) * 10000L).toDouble
+    val assign = new Array[Int](n)
+    def assignAll(): Unit = {
+      var i = 0
+      while (i < n) {
+        var best = -1
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var dacc = 0.0
+          var d = 0
+          while (d < dim) {
+            val diff = cents(i)(d) - mean(c, d); dacc += diff * diff; d += 1
+          }
+          if (dacc < bestD) { bestD = dacc; best = c }
+          c += 1
+        }
+        if (best < 0) throw new ArithmeticException(
+          "two_level_fit_exact: no finite distance — NaN in centroid table")
+        assign(i) = best
+        i += 1
+      }
+    }
+    var it = 0
+    while (it < iters) {
+      assignAll()
+      val ns = Array.fill(k)(new Array[Long](dim))
+      val ncnt = Array.fill(k)(0L)
+      var i = 0
+      while (i < n) {
+        val a = assign(i); ncnt(a) += 1
+        var d = 0
+        while (d < dim) { ns(a)(d) += ci(i)(d); d += 1 }
+        i += 1
+      }
+      var c = 0
+      while (c < k) { // empty super keeps its previous (sum, cnt) state
+        if (ncnt(c) > 0) { sums(c) = ns(c); cnts(c) = ncnt(c) }
+        c += 1
+      }
+      it += 1
+    }
+    assignAll()
+    val coarse = Array.tabulate(k, dim)(mean)
+    val members = Array.tabulate(k)(c => (0 until n).filter(assign(_) == c).toArray)
+    (coarse, members)
+  }
+
   /** argmin cell over the `wProbe` nearest super-cells' members. Tie
     * rules match the flat scan: coarse probes break distance ties on
     * the lower super-cell id, and the final argmin breaks distance

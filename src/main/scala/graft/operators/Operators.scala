@@ -535,17 +535,28 @@ object SimilarityJoin {
       vecs: DataFrame, id: Column, vec: Column,
       centroidsDf: DataFrame, threshold: Double,
       nCoarse: Int, wProbe: Int, maxCell: Int = 65536,
-      scope: graft.CacheScope = new graft.CacheScope): DataFrame =
+      scope: graft.CacheScope = new graft.CacheScope,
+      sqlExactFit: Boolean = false): DataFrame =
     semanticDedupCore(
       assignedVectors(vecs, id, vec, Nil, centroidsDf, scope,
-        assignCol = twoLevelAssignCol(nCoarse, wProbe)), threshold, maxCell)
+        assignCol = twoLevelAssignCol(nCoarse, wProbe, sqlExactFit)),
+      threshold, maxCell)
 
   /** The fit-then-assign column both two-level dedup variants inject
     * into [[assignedVectors]] — ONE definition so the full and
-    * incremental passes cannot drift on coarse-fit parameters. */
-  private def twoLevelAssignCol(nCoarse: Int, wProbe: Int)
+    * incremental passes cannot drift on coarse-fit parameters.
+    * `sqlExactFit` selects [[graft.functions.TwoLevelIndex.fitExact]]
+    * (order-free int64 centroid sums, one division per mean) so the
+    * whole fit — and with it PARTIAL-probe assignment — is
+    * SQL-mirrorable (q94); the default [[graft.functions.TwoLevelIndex
+    * .fit]] accepts any centroid table (KMeans output included) at the
+    * cost of unmirrorable double accumulation. */
+  private def twoLevelAssignCol(
+      nCoarse: Int, wProbe: Int, sqlExactFit: Boolean = false)
       : Array[Array[Double]] => Column = { m =>
-    val (coarse, members) = graft.functions.TwoLevelIndex.fit(m, nCoarse)
+    val (coarse, members) =
+      if (sqlExactFit) graft.functions.TwoLevelIndex.fitExact(m, nCoarse)
+      else graft.functions.TwoLevelIndex.fit(m, nCoarse)
     graft.functions.VectorIndexFunctions.nearestCentroidTwoLevel(
       col("fd"), coarse, members, m, wProbe)
   }

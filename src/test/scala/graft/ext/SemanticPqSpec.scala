@@ -363,6 +363,30 @@ class SemanticPqSpec extends SparkSpec {
     assert(flat.nonEmpty && flat.toSeq == two.toSeq)
   }
 
+  test("fitExact: members partition, full probe equals flat, guards fire") {
+    val cents = graft.operators.SimilarityJoin.md5CentroidTable(spark, nCells = 64)
+    val matrix = cents.orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val (coarse, members) = graft.functions.TwoLevelIndex.fitExact(matrix, nCoarse = 8)
+    assert(members.flatten.sorted.toSeq == matrix.indices.toSeq)
+    assert(coarse.length == 8 && coarse.forall(_.length == 64))
+    // any partition + full probing == the flat scan, fitExact included
+    val out = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("embedding").cast("array<double>").as("fd"))
+      .select(
+        graft.functions.VectorIndexFunctions.nearestCentroid(col("fd"), matrix)
+          .as("flat"),
+        graft.functions.VectorIndexFunctions.nearestCentroidTwoLevel(
+          col("fd"), coarse, members, matrix, wProbe = 8).as("two"))
+      .collect()
+    assert(out.nonEmpty && out.forall(r => r.getInt(0) == r.getInt(1)))
+    // the exact-fit contract: values must be exact 1e-4 multiples
+    // (KMeans output is not — fit() is the variant for that)
+    intercept[IllegalArgumentException] {
+      graft.functions.TwoLevelIndex.fitExact(Array(Array(1.0 / 3.0)), 1)
+    }
+  }
+
   test("two-level assignment: empty super-cells are skipped, NaN fails fast") {
     import org.apache.spark.sql.catalyst.util.ArrayData
     // super 0 lost all members in the fit (stale centroid remains):
