@@ -190,16 +190,17 @@ object Similarity extends QueryModule {
   }
 
   /** The incremental (new-batch) dup flag + per-cell summary shared
-    * VERBATIM by the q89 and q93 oracles — same discipline as
+    * VERBATIM by the q89, q93 and q95 oracles — same discipline as
     * [[semanticDedupSqlTail]]: the queries differ only in the cell
-    * count fed to [[ivfAssignSqlCtes]]. */
-  private val semanticDedupIncSqlTail: String = s"""
+    * count fed to [[ivfAssignSqlCtes]] and (q95) the assignment CTE
+    * name. */
+  private def semanticDedupIncSqlTail(asg: String = "assigned"): String = s"""
         dup AS (SELECT DISTINCT y.cell, y.vec_id AS idb
                 FROM av x JOIN av y
                   ON x.cell = y.cell AND x.vec_id < y.vec_id
                 WHERE y.vec_id % 2 = 1
                   AND ${X.cosineFromIntsSql(X.dotIntSql("x.v", "y.v"), "x.n2", "y.n2")} >= 0.4),
-        nc AS (SELECT cell, COUNT(*) AS n_new FROM assigned
+        nc AS (SELECT cell, COUNT(*) AS n_new FROM $asg
                WHERE vec_id % 2 = 1 GROUP BY cell),
         dc AS (SELECT cell, COUNT(*) AS n_new_dups FROM dup GROUP BY cell)
         SELECT CAST(nc.cell AS BIGINT) AS cell, nc.n_new,
@@ -705,7 +706,7 @@ object Similarity extends QueryModule {
       Some(s"""
         WITH ${ivfAssignSqlCtes()},
         ${ivfAvSqlCte()},
-        $semanticDedupIncSqlTail""")),
+        ${semanticDedupIncSqlTail()}""")),
 
     // ------------------------------------------------------------------
     // q87: IVF-PQ serving end-to-end — the flagship compressed-index ANN
@@ -829,7 +830,7 @@ object Similarity extends QueryModule {
       Some(s"""
         WITH ${ivfAssignSqlCtes(64)},
         ${ivfAvSqlCte()},
-        $semanticDedupIncSqlTail""")),
+        ${semanticDedupIncSqlTail()}""")),
 
     // ------------------------------------------------------------------
     // q94: the PARTIAL-probe two-level path under a full oracle — the
@@ -858,6 +859,31 @@ object Similarity extends QueryModule {
         ${twoLevelAssignSqlCtes(nCells = 64, dim = 64, nCoarse = 8,
           iters = 10, wProbe = 2)},
         ${ivfAvSqlCte("assigned2")},
-        ${semanticDedupSqlTail("assigned2")}"""))
+        ${semanticDedupSqlTail("assigned2")}""")),
+
+    // ------------------------------------------------------------------
+    // q95: q94's partial-probe assignment driving the INCREMENTAL
+    // contract — completing the {full, incremental} × {flat,
+    // full-probe, partial-probe} matrix with every cell oracled: daily
+    // batch (odd vec_ids) vs corpus, both sides assigned by the
+    // exact-fit two-level kernel at wProbe=2 of 8. Identical CTE text
+    // to q94 up to the tail; identical tail text to q89/q93 up to the
+    // assignment CTE name.
+    QueryDef(
+      "q95_semantic_dedup_inc_partial",
+      (s, dir) => {
+        val cents = graft.operators.SimilarityJoin.md5CentroidTable(s, nCells = 64)
+        graft.operators.SimilarityJoin.semanticDedupIncrementalTwoLevel(
+            T.embeddings(s, dir), col("vec_id"), col("embedding"),
+            isNew = col("vec_id") % 2 === 1, cents, threshold = 0.4,
+            nCoarse = 8, wProbe = 2, sqlExactFit = true)
+          .orderBy(col("cell"))
+      },
+      Some(s"""
+        WITH ${ivfAssignSqlCtes(64)},
+        ${twoLevelAssignSqlCtes(nCells = 64, dim = 64, nCoarse = 8,
+          iters = 10, wProbe = 2)},
+        ${ivfAvSqlCte("assigned2")},
+        ${semanticDedupIncSqlTail("assigned2")}"""))
   )
 }

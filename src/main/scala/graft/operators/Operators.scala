@@ -629,11 +629,12 @@ object SimilarityJoin {
       vecs: DataFrame, id: Column, vec: Column, isNew: Column,
       centroidsDf: DataFrame, threshold: Double,
       nCoarse: Int, wProbe: Int, maxCell: Int = 65536,
-      scope: graft.CacheScope = new graft.CacheScope): DataFrame =
+      scope: graft.CacheScope = new graft.CacheScope,
+      sqlExactFit: Boolean = false): DataFrame =
     semanticDedupIncrementalCore(
       assignedVectors(vecs, id, vec, Seq("is_new" -> isNew),
         centroidsDf, scope,
-        assignCol = twoLevelAssignCol(nCoarse, wProbe)),
+        assignCol = twoLevelAssignCol(nCoarse, wProbe, sqlExactFit)),
       threshold, maxCell)
 
   /** The sized-cells / new-vs-pool pair join / exact-cosine verify /
