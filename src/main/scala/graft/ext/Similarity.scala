@@ -114,6 +114,11 @@ object Similarity extends QueryModule {
     s"""av AS (SELECT a.vec_id, a.cell, n.v, n.n2
                FROM $asg a JOIN vn n ON n.vec_id = a.vec_id)"""
 
+  /** Lloyd sweep count shared by the q94/q95 ENGINE calls (fitIters)
+    * and their oracle CTE chains — one definition, so the two sides
+    * cannot drift on iteration count. */
+  private val twoLevelOracleIters = 10
+
   /** The integer-exact Lloyd coarse fit + partial-probe two-level
     * assignment, unrolled as oracle CTEs — the SQL mirror of
     * [[graft.functions.TwoLevelIndex.fitExact]] +
@@ -130,7 +135,12 @@ object Similarity extends QueryModule {
     * emits `assigned2 (vec_id, cell)`. */
   private def twoLevelAssignSqlCtes(
       nCells: Int, dim: Int, nCoarse: Int, iters: Int, wProbe: Int): String = {
-    val hexpr = X.h60Sql("'ivf ' || CAST(gc.c AS VARCHAR) || ' ' || CAST(d AS VARCHAR)")
+    // the ENGINE kernel clamps wProbe/nCoarse; this SQL text does not —
+    // reject parameterizations where the two sides would silently
+    // diverge rather than emit an unmirrorable oracle
+    require(wProbe >= 1 && wProbe <= nCoarse && nCoarse <= nCells && iters >= 1,
+      s"twoLevelAssignSqlCtes: need 1 <= wProbe ($wProbe) <= nCoarse " +
+        s"($nCoarse) <= nCells ($nCells) and iters >= 1 ($iters) to mirror the kernel")
     def mv(i: Int) = s"""
         mv_$i AS MATERIALIZED (
           SELECT j, list_transform(sv, s -> CAST(s AS DOUBLE) / CAST(cnt * 10000 AS DOUBLE)) AS mv
@@ -160,10 +170,8 @@ object Similarity extends QueryModule {
     }.mkString(",\n")
     s"""
         centi AS MATERIALIZED (
-          SELECT gc.c AS cell,
-                 list_transform(range(0, $dim), d ->
-                   CAST($hexpr % 4001 AS BIGINT) - 2000) AS iv
-          FROM (SELECT unnest(range(0, $nCells)) AS c) gc),
+          SELECT cell, list_transform(ctr, x -> CAST(round(x * 10000) AS BIGINT)) AS iv
+          FROM cent),
         coarse_0 AS MATERIALIZED (
           SELECT sj.j AS j, ci.iv AS sv, CAST(1 AS BIGINT) AS cnt
           FROM (SELECT unnest(range(0, $nCoarse)) AS j) sj
@@ -851,13 +859,13 @@ object Similarity extends QueryModule {
         graft.operators.SimilarityJoin.semanticDedupTwoLevel(
             T.embeddings(s, dir), col("vec_id"), col("embedding"),
             cents, threshold = 0.4, nCoarse = 8, wProbe = 2,
-            sqlExactFit = true)
+            sqlExactFit = true, fitIters = twoLevelOracleIters)
           .orderBy(col("cell"))
       },
       Some(s"""
         WITH ${ivfAssignSqlCtes(64)},
         ${twoLevelAssignSqlCtes(nCells = 64, dim = 64, nCoarse = 8,
-          iters = 10, wProbe = 2)},
+          iters = twoLevelOracleIters, wProbe = 2)},
         ${ivfAvSqlCte("assigned2")},
         ${semanticDedupSqlTail("assigned2")}""")),
 
@@ -876,13 +884,14 @@ object Similarity extends QueryModule {
         graft.operators.SimilarityJoin.semanticDedupIncrementalTwoLevel(
             T.embeddings(s, dir), col("vec_id"), col("embedding"),
             isNew = col("vec_id") % 2 === 1, cents, threshold = 0.4,
-            nCoarse = 8, wProbe = 2, sqlExactFit = true)
+            nCoarse = 8, wProbe = 2, sqlExactFit = true,
+            fitIters = twoLevelOracleIters)
           .orderBy(col("cell"))
       },
       Some(s"""
         WITH ${ivfAssignSqlCtes(64)},
         ${twoLevelAssignSqlCtes(nCells = 64, dim = 64, nCoarse = 8,
-          iters = 10, wProbe = 2)},
+          iters = twoLevelOracleIters, wProbe = 2)},
         ${ivfAvSqlCte("assigned2")},
         ${semanticDedupIncSqlTail("assigned2")}"""))
   )

@@ -168,31 +168,18 @@ object TwoLevelIndex {
     val k = math.max(1, math.min(nCoarse, n))
     // coarse state as (int sum per dim, member count): the mean NEVER
     // exists as an accumulated double, only as one division on demand
-    var sums = Array.tabulate(k)(i => ci((i.toLong * n / k).toInt).clone())
-    var cnts = Array.fill(k)(1L)
+    val sums = Array.tabulate(k)(i => ci((i.toLong * n / k).toInt).clone())
+    val cnts = Array.fill(k)(1L)
     def mean(c: Int, d: Int): Double =
       sums(c)(d).toDouble / (cnts(c) * 10000L).toDouble
     val assign = new Array[Int](n)
+    // materialize the k×dim means once per sweep (the SQL mirror's mv_i
+    // does the same) and reuse nearestIdx — IEEE-identical to an inline
+    // recompute, without n×k×dim redundant divisions per sweep
     def assignAll(): Unit = {
+      val m = Array.tabulate(k, dim)(mean)
       var i = 0
-      while (i < n) {
-        var best = -1
-        var bestD = Double.MaxValue
-        var c = 0
-        while (c < k) {
-          var dacc = 0.0
-          var d = 0
-          while (d < dim) {
-            val diff = cents(i)(d) - mean(c, d); dacc += diff * diff; d += 1
-          }
-          if (dacc < bestD) { bestD = dacc; best = c }
-          c += 1
-        }
-        if (best < 0) throw new ArithmeticException(
-          "two_level_fit_exact: no finite distance — NaN in centroid table")
-        assign(i) = best
-        i += 1
-      }
+      while (i < n) { assign(i) = nearestIdx(cents(i), m); i += 1 }
     }
     var it = 0
     while (it < iters) {

@@ -536,10 +536,10 @@ object SimilarityJoin {
       centroidsDf: DataFrame, threshold: Double,
       nCoarse: Int, wProbe: Int, maxCell: Int = 65536,
       scope: graft.CacheScope = new graft.CacheScope,
-      sqlExactFit: Boolean = false): DataFrame =
+      sqlExactFit: Boolean = false, fitIters: Int = 10): DataFrame =
     semanticDedupCore(
       assignedVectors(vecs, id, vec, Nil, centroidsDf, scope,
-        assignCol = twoLevelAssignCol(nCoarse, wProbe, sqlExactFit)),
+        assignCol = twoLevelAssignCol(nCoarse, wProbe, sqlExactFit, fitIters)),
       threshold, maxCell)
 
   /** The fit-then-assign column both two-level dedup variants inject
@@ -552,11 +552,11 @@ object SimilarityJoin {
     * .fit]] accepts any centroid table (KMeans output included) at the
     * cost of unmirrorable double accumulation. */
   private def twoLevelAssignCol(
-      nCoarse: Int, wProbe: Int, sqlExactFit: Boolean = false)
-      : Array[Array[Double]] => Column = { m =>
+      nCoarse: Int, wProbe: Int, sqlExactFit: Boolean = false,
+      fitIters: Int = 10): Array[Array[Double]] => Column = { m =>
     val (coarse, members) =
-      if (sqlExactFit) graft.functions.TwoLevelIndex.fitExact(m, nCoarse)
-      else graft.functions.TwoLevelIndex.fit(m, nCoarse)
+      if (sqlExactFit) graft.functions.TwoLevelIndex.fitExact(m, nCoarse, fitIters)
+      else graft.functions.TwoLevelIndex.fit(m, nCoarse, fitIters)
     graft.functions.VectorIndexFunctions.nearestCentroidTwoLevel(
       col("fd"), coarse, members, m, wProbe)
   }
@@ -630,11 +630,11 @@ object SimilarityJoin {
       centroidsDf: DataFrame, threshold: Double,
       nCoarse: Int, wProbe: Int, maxCell: Int = 65536,
       scope: graft.CacheScope = new graft.CacheScope,
-      sqlExactFit: Boolean = false): DataFrame =
+      sqlExactFit: Boolean = false, fitIters: Int = 10): DataFrame =
     semanticDedupIncrementalCore(
       assignedVectors(vecs, id, vec, Seq("is_new" -> isNew),
         centroidsDf, scope,
-        assignCol = twoLevelAssignCol(nCoarse, wProbe, sqlExactFit)),
+        assignCol = twoLevelAssignCol(nCoarse, wProbe, sqlExactFit, fitIters)),
       threshold, maxCell)
 
   /** The sized-cells / new-vs-pool pair join / exact-cosine verify /
