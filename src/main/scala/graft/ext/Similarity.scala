@@ -133,14 +133,14 @@ object Similarity extends QueryModule {
     * asg_N)`), mirroring the kernel's memberless-super skip. Expects
     * [[ivfAssignSqlCtes]]'s `cent`/`vecs`/`dist` earlier in the WITH;
     * emits `assigned2 (vec_id, cell)`. */
-  private def twoLevelAssignSqlCtes(
-      nCells: Int, dim: Int, nCoarse: Int, iters: Int, wProbe: Int): String = {
-    // the ENGINE kernel clamps wProbe/nCoarse; this SQL text does not —
-    // reject parameterizations where the two sides would silently
-    // diverge rather than emit an unmirrorable oracle
-    require(wProbe >= 1 && wProbe <= nCoarse && nCoarse <= nCells && iters >= 1,
-      s"twoLevelAssignSqlCtes: need 1 <= wProbe ($wProbe) <= nCoarse " +
-        s"($nCoarse) <= nCells ($nCells) and iters >= 1 ($iters) to mirror the kernel")
+  /** The fit prefix of [[twoLevelAssignSqlCtes]] — centroid table
+    * quantized to int64 (`centi`), strided seeds (`coarse_0`), `iters`
+    * unrolled Lloyd sweeps, and the final means (`mv_iters`) + cell →
+    * super assignment (`asg_iters`). Shared by the dedup-assignment
+    * mirror (q94/q95) and the serving-probe mirror (q98) so the fit
+    * arithmetic is ONE piece of SQL text. */
+  private def twoLevelFitSqlCtes(
+      nCells: Int, dim: Int, nCoarse: Int, iters: Int): String = {
     def mv(i: Int) = s"""
         mv_$i AS MATERIALIZED (
           SELECT j, list_transform(sv, s -> CAST(s AS DOUBLE) / CAST(cnt * 10000 AS DOUBLE)) AS mv
@@ -178,7 +178,18 @@ object Similarity extends QueryModule {
           JOIN centi ci ON ci.cell = (sj.j * $nCells) // $nCoarse),
         $iterations,
         ${mv(iters)},
-        ${asg(iters)},
+        ${asg(iters)}"""
+  }
+
+  private def twoLevelAssignSqlCtes(
+      nCells: Int, dim: Int, nCoarse: Int, iters: Int, wProbe: Int): String = {
+    // the ENGINE kernel clamps wProbe/nCoarse; this SQL text does not —
+    // reject parameterizations where the two sides would silently
+    // diverge rather than emit an unmirrorable oracle
+    require(wProbe >= 1 && wProbe <= nCoarse && nCoarse <= nCells && iters >= 1,
+      s"twoLevelAssignSqlCtes: need 1 <= wProbe ($wProbe) <= nCoarse " +
+        s"($nCoarse) <= nCells ($nCells) and iters >= 1 ($iters) to mirror the kernel")
+    s"""${twoLevelFitSqlCtes(nCells, dim, nCoarse, iters)},
         vprobe AS (
           SELECT vec_id, j FROM (
             SELECT v.vec_id, m.j,
@@ -196,6 +207,37 @@ object Similarity extends QueryModule {
             FROM vprobe p JOIN asg_$iters a ON a.j = p.j
             JOIN dist dd ON dd.vec_id = p.vec_id AND dd.cell = a.cell) WHERE rn = 1)"""
   }
+
+  /** The two-level PARTIAL-probe stage for the SERVING paths, as
+    * oracle CTEs — the SQL mirror of
+    * [[graft.functions.TwoLevelIndex.topCellsTwoLevel]]: each query
+    * probes its `wProbe` nearest fitted supers (memberless supers
+    * skipped via the DISTINCT-j join, exactly like the kernel) and
+    * keeps the `nProbe` nearest member cells by (dist, cell). Expects
+    * [[ivfAssignSqlCtes]] (`cent`/`vecs`/`dist`) and
+    * [[twoLevelFitSqlCtes]] (`mv_iters`/`asg_iters`) earlier in the
+    * WITH; emits `probes (qid, cell)` — the same CTE name the q81
+    * serving tail consumes, so q98 differs from q81 ONLY in how
+    * `probes` is produced. */
+  private def twoLevelServeProbeSqlCtes(
+      dim: Int, iters: Int, wProbe: Int, nProbe: Int, queryPred: String): String = s"""
+        vprobe AS (
+          SELECT vec_id, j FROM (
+            SELECT v.vec_id, m.j,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                     list_aggregate(list_transform(range(0, $dim),
+                       d -> (v.fd[d+1] - m.mv[d+1]) * (v.fd[d+1] - m.mv[d+1])), 'sum'),
+                     m.j) AS pr
+            FROM (SELECT * FROM vecs WHERE $queryPred) v,
+                 (SELECT m0.* FROM mv_$iters m0
+                  JOIN (SELECT DISTINCT j FROM asg_$iters) nz USING (j)) m)
+          WHERE pr <= $wProbe),
+        probes AS (
+          SELECT vec_id AS qid, cell FROM (
+            SELECT p.vec_id, a.cell,
+                   row_number() OVER (PARTITION BY p.vec_id ORDER BY dd.d, a.cell) AS rn
+            FROM vprobe p JOIN asg_$iters a ON a.j = p.j
+            JOIN dist dd ON dd.vec_id = p.vec_id AND dd.cell = a.cell) WHERE rn <= $nProbe)"""
 
   /** The incremental (new-batch) dup flag + per-cell summary shared
     * VERBATIM by the q89, q93 and q95 oracles — same discipline as
@@ -258,6 +300,36 @@ object Similarity extends QueryModule {
                         row_number() OVER (PARTITION BY vec_id, m
                           ORDER BY dst, c) AS rn
                  FROM ${p}dist)"""
+
+  /** The flat probe stage of the q81/q97 oracles: per query, the 4
+    * nearest of ALL cells by (dist, cell) — mirror of
+    * [[graft.functions.VectorIndex.topCells]]. */
+  private val ivfFlatProbeSqlCte = s"""
+        probes AS (SELECT vec_id AS qid, cell FROM (
+                     SELECT vec_id, cell,
+                            row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d, cell) AS pr
+                     FROM dist WHERE vec_id < 50) WHERE pr <= 4)"""
+
+  /** The IVF serving tail shared VERBATIM by the q81, q97 and q98
+    * oracles: probed cells → candidates → exact integer-cosine scores
+    * → per-query top-3. The three queries differ ONLY in how the
+    * `probes` CTE is produced (flat scan / two-level full probe /
+    * two-level partial probe). */
+  private val ivfServeSqlTail = s"""
+        cand AS (SELECT p.qid, a.vec_id AS nid
+                 FROM probes p JOIN assigned a ON a.cell = p.cell
+                 WHERE a.vec_id != p.qid),
+        scored AS (SELECT c.qid, c.nid,
+                     ${X.cosineFromIntsSql(X.dotIntSql("q.v", "n.v"), "q.n2", "n.n2")} AS cos
+                   FROM cand c JOIN vn q ON q.vec_id = c.qid
+                               JOIN vn n ON n.vec_id = c.nid)
+        SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos FROM (
+          SELECT qid, nid, cos,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, nid) AS rank
+          FROM scored) WHERE rank <= 3
+        ORDER BY qid, rank"""
 
   /** The probe → candidates → ADC-score CTE chain shared VERBATIM by
     * the q87 and q91 oracles (q91 = q87's ADC ranking + an exact
@@ -561,24 +633,8 @@ object Similarity extends QueryModule {
       },
       Some(s"""
         WITH ${ivfAssignSqlCtes()},
-        probes AS (SELECT vec_id AS qid, cell FROM (
-                     SELECT vec_id, cell,
-                            row_number() OVER (PARTITION BY vec_id
-                              ORDER BY d, cell) AS pr
-                     FROM dist WHERE vec_id < 50) WHERE pr <= 4),
-        cand AS (SELECT p.qid, a.vec_id AS nid
-                 FROM probes p JOIN assigned a ON a.cell = p.cell
-                 WHERE a.vec_id != p.qid),
-        scored AS (SELECT c.qid, c.nid,
-                     ${X.cosineFromIntsSql(X.dotIntSql("q.v", "n.v"), "q.n2", "n.n2")} AS cos
-                   FROM cand c JOIN vn q ON q.vec_id = c.qid
-                               JOIN vn n ON n.vec_id = c.nid)
-        SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos FROM (
-          SELECT qid, nid, cos,
-                 row_number() OVER (PARTITION BY qid
-                   ORDER BY cos DESC, nid) AS rank
-          FROM scored) WHERE rank <= 3
-        ORDER BY qid, rank""")),
+        $ivfFlatProbeSqlCte,
+        $ivfServeSqlTail""")),
 
     // ------------------------------------------------------------------
     // q84: SemDeDup-style semantic dedup — cluster by nearest centroid
@@ -893,6 +949,62 @@ object Similarity extends QueryModule {
         ${twoLevelAssignSqlCtes(nCells = 64, dim = 64, nCoarse = 8,
           iters = twoLevelOracleIters, wProbe = 2)},
         ${ivfAvSqlCte("assigned2")},
-        ${semanticDedupIncSqlTail("assigned2")}"""))
+        ${semanticDedupIncSqlTail("assigned2")}""")),
+
+    // ------------------------------------------------------------------
+    // q97: IVF SERVING through the two-level probe kernel at 64 cells,
+    // full probe (wProbe = nCoarse = 8) — the serving twin of q92: the
+    // probe stage runs the coarse-quantized TopCellsTwoLevel kernel,
+    // which at full probe emits the bit-identical probe set (ties and
+    // all) to the flat scan, so the whole two-level serving path —
+    // driver coarse fit, memberless-super skip, compiled probe, explode
+    // plumbing — is hash-checked against q81's oracle text on the
+    // 64-cell table. Partial probing (q98) keeps this plan and schema.
+    QueryDef(
+      "q97_ann_ivf_two_level",
+      (s, dir) => {
+        val cents = graft.operators.SimilarityJoin.md5CentroidTable(s, nCells = 64)
+        graft.operators.SimilarityJoin.ivfTopKServing(
+            T.embeddings(s, dir), col("vec_id"), col("embedding"),
+            queryPred = col("vec_id") < 50, cents, nProbe = 4, k = 3,
+            probe = Some(graft.operators.SimilarityJoin.CoarseProbe(
+              nCoarse = 8, wProbe = 8)))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""
+        WITH ${ivfAssignSqlCtes(64)},
+        $ivfFlatProbeSqlCte,
+        $ivfServeSqlTail""")),
+
+    // ------------------------------------------------------------------
+    // q98: PARTIAL-probe two-level SERVING under a full oracle — the
+    // q94 construction applied to the path that serves queries: each
+    // query probes 2 of 8 fitted supers and scans only their member
+    // cells for its 4 probe cells (~1/4 of the centroid FLOPs; at the
+    // 10⁵-cell design point, ~2√nCells·dim). Expressible because the
+    // coarse fit is the integer-exact variant (order-free int64 sums,
+    // one division per mean, sweeps unrolled as MATERIALIZED CTEs), so
+    // probe selection — memberless-super skip included — mirrors in
+    // SQL. The serving tail is q81's text verbatim: the three serving
+    // queries differ only in how `probes` is produced.
+    QueryDef(
+      "q98_ann_ivf_partial_probe",
+      (s, dir) => {
+        val cents = graft.operators.SimilarityJoin.md5CentroidTable(s, nCells = 64)
+        graft.operators.SimilarityJoin.ivfTopKServing(
+            T.embeddings(s, dir), col("vec_id"), col("embedding"),
+            queryPred = col("vec_id") < 50, cents, nProbe = 4, k = 3,
+            probe = Some(graft.operators.SimilarityJoin.CoarseProbe(
+              nCoarse = 8, wProbe = 2, sqlExactFit = true,
+              fitIters = twoLevelOracleIters)))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""
+        WITH ${ivfAssignSqlCtes(64)},
+        ${twoLevelFitSqlCtes(nCells = 64, dim = 64, nCoarse = 8,
+          iters = twoLevelOracleIters)},
+        ${twoLevelServeProbeSqlCtes(dim = 64, iters = twoLevelOracleIters,
+          wProbe = 2, nProbe = 4, queryPred = "vec_id < 50")},
+        $ivfServeSqlTail"""))
   )
 }

@@ -51,6 +51,87 @@ object VectorIndex {
           "or overflows double")
     best
   }
+
+  /** The `nProbe` nearest cells by (distance, cell) ascending — the
+    * probe stage of IVF serving as ONE compiled kernel call per query
+    * row. The declarative shape this replaces (crossJoin against a
+    * broadcast centroid table + interpreted `zip_with`/`aggregate`
+    * fold + a `row_number` window) materializes queries × nCells rows
+    * through a per-query window — nothing at 16 cells, the scale-killer
+    * at the 10⁵-cell design point with a corpus-sized query batch.
+    * Here the queries × nCells intermediate never exists: distances
+    * stay in one on-stack array and only the nProbe winners leave the
+    * kernel. Distance folds ascending over dims ((x−c)² terms, same
+    * IEEE sequence as the oracle's list_aggregate) and ties resolve to
+    * the lower cell id, so the emitted set — in rank order — is
+    * bit-identical to the window formulation's. */
+  def topCells(fd: ArrayData, centroids: Array[Array[Double]], nProbe: Int)
+      : ArrayData = {
+    if (centroids.length == 0)
+      throw new IllegalArgumentException(
+        "top_cells: empty centroid matrix — the IVF index has no cells")
+    val dims = fd.numElements()
+    val n = centroids.length
+    val ds = new Array[Double](n)
+    var c = 0
+    while (c < n) {
+      val ctr = centroids(c)
+      if (ctr.length != dims)
+        throw new IllegalArgumentException(
+          s"top_cells: vector has $dims dims but centroid $c has ${ctr.length}")
+      var d = 0.0
+      var i = 0
+      while (i < dims) {
+        val diff = fd.getDouble(i) - ctr(i)
+        d += diff * diff
+        i += 1
+      }
+      ds(c) = d
+      c += 1
+    }
+    selectTopByDistance(ds, null, nProbe, "top_cells")
+  }
+
+  /** Selection of the `w` smallest (distance, id) entries, ids emitted
+    * in rank order — shared by the flat and two-level probe kernels so
+    * the (dist, cell)-ascending tie rule is ONE piece of code. `ids`
+    * maps candidate position → cell id (null = position IS the id).
+    * w passes over ≤ nCells entries — selection beats a heap at probe
+    * widths (w ≤ ~8) and keeps the loop branch-predictable. NaN
+    * distances compare false everywhere: a slot that cannot fill
+    * fails fast (the NearestCentroid guard), never emits a phantom
+    * cell. */
+  private[functions] def selectTopByDistance(
+      ds: Array[Double], ids: Array[Int], w0: Int, name: String): ArrayData = {
+    val n = ds.length
+    val w = math.max(1, math.min(w0, n))
+    val out = new Array[Int](w)
+    val taken = new Array[Boolean](n)
+    var p = 0
+    while (p < w) {
+      var best = -1
+      var bestId = Int.MaxValue
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < n) {
+        if (!taken(c)) {
+          val id = if (ids == null) c else ids(c)
+          if (ds(c) < bestD || (ds(c) == bestD && best >= 0 && id < bestId)) {
+            bestD = ds(c); best = c; bestId = id
+          }
+        }
+        c += 1
+      }
+      if (best < 0)
+        throw new ArithmeticException(
+          s"$name: no finite distance — vector contains NaN/Infinity " +
+            "or overflows double")
+      taken(best) = true
+      out(p) = bestId
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** Two-level (coarse-quantized) cell assignment — the 10⁵-cell form of
@@ -206,14 +287,16 @@ object TwoLevelIndex {
     (coarse, members)
   }
 
-  /** argmin cell over the `wProbe` nearest super-cells' members. Tie
-    * rules match the flat scan: coarse probes break distance ties on
-    * the lower super-cell id, and the final argmin breaks distance
-    * ties on the lower CELL id — so wProbe = nCoarse is bit-identical
-    * to [[VectorIndex.nearestCell]]. */
-  def nearestCellTwoLevel(fd: ArrayData,
+  /** The shared probe-selection prologue of [[nearestCellTwoLevel]]
+    * and [[topCellsTwoLevel]]: copy the input vector, score every
+    * super-centroid, and select the `wProbe` nearest NON-EMPTY
+    * super-cells (distance ties to the lower super id — mirrored by
+    * the oracle's `ORDER BY dist, j`). Returns (v, probed super ids,
+    * count). ONE definition so the assignment and serving kernels can
+    * never drift on the memberless-super skip or the tie rule. */
+  private def probeSupers(fd: ArrayData,
       coarse: Array[Array[Double]], members: Array[Array[Int]],
-      centroids: Array[Array[Double]], wProbe: Int): Int = {
+      wProbe: Int): (Array[Double], Array[Int], Int) = {
     val dims = fd.numElements()
     val v = new Array[Double](dims)
     var i = 0
@@ -257,9 +340,23 @@ object TwoLevelIndex {
       throw new ArithmeticException(
         "two_level_assign: no probeable super-cell — vector contains " +
           "NaN/Infinity or every super-cell is empty")
+    (v, probed, nProbed)
+  }
+
+  /** argmin cell over the `wProbe` nearest super-cells' members. Tie
+    * rules match the flat scan: coarse probes break distance ties on
+    * the lower super-cell id, and the final argmin breaks distance
+    * ties on the lower CELL id — so wProbe = nCoarse is bit-identical
+    * to [[VectorIndex.nearestCell]]. */
+  def nearestCellTwoLevel(fd: ArrayData,
+      coarse: Array[Array[Double]], members: Array[Array[Int]],
+      centroids: Array[Array[Double]], wProbe: Int): Int = {
+    val (v, probed, nProbed) = probeSupers(fd, coarse, members, wProbe)
+    val dims = v.length
+    var i = 0
     var bestCell = -1
     var bestD = Double.MaxValue
-    p = 0
+    var p = 0
     while (p < nProbed) {
       val mem = members(probed(p))
       var m = 0
@@ -286,15 +383,92 @@ object TwoLevelIndex {
           "NaN/Infinity or overflows double")
     bestCell
   }
+
+  /** The `nProbe` nearest cells AMONG the `wProbe` nearest super-cells'
+    * members — [[VectorIndex.topCells]]'s two-level form, for the
+    * serving probe stage at the ≳10⁴-cell design point: scoring all
+    * nCells centroids per query costs nCells×dim FLOPs; probing wProbe
+    * of ~√nCells supers scans only their members (~2√nCells·dim at
+    * wProbe=1). Tie rules match [[topCells]] exactly ((dist, cell)
+    * ascending, supers tie to the lower j), so wProbe = nCoarse emits
+    * the bit-identical probe set in the bit-identical order. May emit
+    * FEWER than nProbe cells when the probed supers hold fewer members
+    * — the candidate set the caller scans shrinks accordingly, the
+    * standard partial-probe recall trade. */
+  def topCellsTwoLevel(fd: ArrayData,
+      coarse: Array[Array[Double]], members: Array[Array[Int]],
+      centroids: Array[Array[Double]], wProbe: Int, nProbe: Int): ArrayData = {
+    val (v, probed, nProbed) = probeSupers(fd, coarse, members, wProbe)
+    val dims = v.length
+    var total = 0
+    var p = 0
+    while (p < nProbed) { total += members(probed(p)).length; p += 1 }
+    val ids = new Array[Int](total)
+    val ds = new Array[Double](total)
+    var k = 0
+    p = 0
+    while (p < nProbed) {
+      val mem = members(probed(p))
+      var m = 0
+      while (m < mem.length) {
+        val cell = mem(m)
+        val ctr = centroids(cell)
+        if (ctr.length != dims)
+          throw new IllegalArgumentException(
+            s"two_level_probe: vector has $dims dims but centroid $cell has ${ctr.length}")
+        var d = 0.0
+        var i = 0
+        while (i < dims) { val diff = v(i) - ctr(i); d += diff * diff; i += 1 }
+        ids(k) = cell
+        ds(k) = d
+        k += 1
+        m += 1
+      }
+      p += 1
+    }
+    VectorIndex.selectTopByDistance(ds, ids, nProbe, "two_level_probe")
+  }
+}
+
+/** Structural equality for expressions that hold Array parameters:
+  * case-class equality compares Array fields by REFERENCE, so two
+  * identically-constructed kernels never compare equal — defeating
+  * Catalyst common-subexpression elimination whenever the column is
+  * duplicated in a plan. Implementors list the array fields once;
+  * equality is (class, children, deep array contents). */
+private[functions] trait ArrayParamEquality { self: Expression =>
+  /** The Array-typed constructor params, in declaration order. */
+  protected def arrayParams: Seq[AnyRef]
+  /** The non-array, non-child constructor params. */
+  protected def scalarParams: Seq[Any]
+
+  override def equals(other: Any): Boolean = other match {
+    case that: ArrayParamEquality =>
+      getClass == that.getClass &&
+        children == that.asInstanceOf[Expression].children &&
+        scalarParams == that.scalarParams &&
+        arrayParams.length == that.arrayParams.length &&
+        arrayParams.zip(that.arrayParams).forall { case (a, b) =>
+          java.util.Arrays.deepEquals(Array[AnyRef](a), Array[AnyRef](b))
+        }
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    java.util.Objects.hash(getClass, children, scalarParams,
+      Integer.valueOf(java.util.Arrays.deepHashCode(arrayParams.toArray)))
 }
 
 /** array<double> vector → int cell id via the two-level coarse-quantized
   * scan ([[TwoLevelIndex.nearestCellTwoLevel]]). */
 case class NearestCentroidTwoLevel(child: Expression,
     coarse: Array[Array[Double]], members: Array[Array[Int]],
-    centroids: Array[Array[Double]], wProbe: Int) extends UnaryExpression {
+    centroids: Array[Array[Double]], wProbe: Int)
+    extends UnaryExpression with ArrayParamEquality {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "two_level_assign"
+  override protected def arrayParams: Seq[AnyRef] = Seq(coarse, members, centroids)
+  override protected def scalarParams: Seq[Any] = Seq(wProbe)
 
   override def nullSafeEval(input: Any): Any =
     TwoLevelIndex.nearestCellTwoLevel(
@@ -315,9 +489,11 @@ case class NearestCentroidTwoLevel(child: Expression,
 /** array<double> vector → int cell id (argmin L2 against `centroids`,
   * whose row index IS the cell id — callers pass rows sorted by cell). */
 case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
-    extends UnaryExpression {
+    extends UnaryExpression with ArrayParamEquality {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "nearest_centroid"
+  override protected def arrayParams: Seq[AnyRef] = Seq(centroids)
+  override protected def scalarParams: Seq[Any] = Nil
 
   override def nullSafeEval(input: Any): Any =
     VectorIndex.nearestCell(input.asInstanceOf[ArrayData], centroids)
@@ -329,6 +505,60 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
   }
 
   override protected def withNewChildInternal(c: Expression): NearestCentroid =
+    copy(child = c)
+}
+
+/** array<double> query vector → array<int> of the nProbe nearest cell
+  * ids in (dist, cell)-ascending rank order ([[VectorIndex.topCells]])
+  * — the compiled IVF probe stage. */
+case class TopCells(child: Expression, centroids: Array[Array[Double]],
+    nProbe: Int) extends UnaryExpression with ArrayParamEquality {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "top_cells"
+  override protected def arrayParams: Seq[AnyRef] = Seq(centroids)
+  override protected def scalarParams: Seq[Any] = Seq(nProbe)
+
+  override def nullSafeEval(input: Any): Any =
+    VectorIndex.topCells(input.asInstanceOf[ArrayData], centroids, nProbe)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorIndex.topCells($c, $centRef, $nProbe)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): TopCells =
+    copy(child = c)
+}
+
+/** array<double> query vector → array<int> of ≤ nProbe nearest cell ids
+  * among the wProbe nearest super-cells' members
+  * ([[TwoLevelIndex.topCellsTwoLevel]]) — the probe stage at the
+  * ≳10⁴-cell design point. */
+case class TopCellsTwoLevel(child: Expression,
+    coarse: Array[Array[Double]], members: Array[Array[Int]],
+    centroids: Array[Array[Double]], wProbe: Int, nProbe: Int)
+    extends UnaryExpression with ArrayParamEquality {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "two_level_probe"
+  override protected def arrayParams: Seq[AnyRef] = Seq(coarse, members, centroids)
+  override protected def scalarParams: Seq[Any] = Seq(wProbe, nProbe)
+
+  override def nullSafeEval(input: Any): Any =
+    TwoLevelIndex.topCellsTwoLevel(
+      input.asInstanceOf[ArrayData], coarse, members, centroids, wProbe, nProbe)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val coarseRef = ctx.addReferenceObj("coarse", coarse, "double[][]")
+    val memRef = ctx.addReferenceObj("members", members, "int[][]")
+    val centRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TwoLevelIndex.topCellsTwoLevel($c, $coarseRef, $memRef, $centRef, $wProbe, $nProbe)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): TopCellsTwoLevel =
     copy(child = c)
 }
 
@@ -500,10 +730,13 @@ object PqLut {
 
 /** array<double> query vector → array<bigint> M·K ADC lookup table. */
 case class PqLutExpr(child: Expression,
-    codebooks: Array[Array[Array[Double]]]) extends UnaryExpression {
+    codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression with ArrayParamEquality {
   override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
     org.apache.spark.sql.types.LongType, containsNull = false)
   override def prettyName: String = "pq_lut"
+  override protected def arrayParams: Seq[AnyRef] = Seq(codebooks)
+  override protected def scalarParams: Seq[Any] = Nil
 
   override def nullSafeEval(input: Any): Any =
     PqLut.build(input.asInstanceOf[ArrayData], codebooks)
@@ -538,10 +771,13 @@ case class PqAdc(left: Expression, right: Expression, m: Int, k: Int)
 
 /** array<double> vector → array<bigint> [packed PQ code, err_e9]. */
 case class PqEncodeExpr(child: Expression,
-    codebooks: Array[Array[Array[Double]]]) extends UnaryExpression {
+    codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression with ArrayParamEquality {
   override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
     org.apache.spark.sql.types.LongType, containsNull = false)
   override def prettyName: String = "pq_encode"
+  override protected def arrayParams: Seq[AnyRef] = Seq(codebooks)
+  override protected def scalarParams: Seq[Any] = Nil
 
   override def nullSafeEval(input: Any): Any =
     PqEncode.encode(input.asInstanceOf[ArrayData], codebooks)
@@ -569,6 +805,20 @@ object VectorIndexFunctions {
       centroids: Array[Array[Double]], wProbe: Int): Column =
     ColumnBridge.column(NearestCentroidTwoLevel(
       ColumnBridge.expression(fd), coarse, members, centroids, wProbe))
+
+  /** Compiled flat probe: the nProbe nearest cells per query row, in
+    * (dist, cell)-ascending rank order. */
+  def topCells(fd: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
+    ColumnBridge.column(TopCells(ColumnBridge.expression(fd), centroids, nProbe))
+
+  /** Compiled two-level probe — [[topCells]] restricted to the wProbe
+    * nearest super-cells' members; wProbe = nCoarse is bit-identical
+    * to the flat probe (use at ≳10⁴ cells, SCALE.md). */
+  def topCellsTwoLevel(fd: Column,
+      coarse: Array[Array[Double]], members: Array[Array[Int]],
+      centroids: Array[Array[Double]], wProbe: Int, nProbe: Int): Column =
+    ColumnBridge.column(TopCellsTwoLevel(
+      ColumnBridge.expression(fd), coarse, members, centroids, wProbe, nProbe))
 
   def pqEncode(fd: Column, codebooks: Array[Array[Array[Double]]]): Column =
     ColumnBridge.column(PqEncodeExpr(ColumnBridge.expression(fd), codebooks))

@@ -428,26 +428,50 @@ object SimilarityJoin {
     }.toDF("cell", "centroid")
   }
 
+  /** Two-level probe configuration for the serving paths: fit `nCoarse`
+    * super-cells over the centroid table ONCE (driver-side, over the
+    * driver-small centroid matrix — [[graft.functions.TwoLevelIndex]])
+    * and probe `wProbe` of them per query instead of scoring all
+    * nCells centroids. wProbe = nCoarse reproduces the flat probe
+    * bit-exactly (q97); `sqlExactFit` selects the order-free integer
+    * Lloyd fit so even PARTIAL probing is SQL-mirrorable on 1e-4-exact
+    * centroid tables (q98, the q94 construction). */
+  final case class CoarseProbe(nCoarse: Int, wProbe: Int,
+      sqlExactFit: Boolean = false, fitIters: Int = 10)
+
   /** The probe stage shared by [[ivfTopKServing]] and [[ivfPqTopK]]:
-    * (qid, fd) queries × broadcast centroid table → the `nProbe`
-    * nearest (qid, cell) pairs. One definition so the IEEE fold order
-    * of the probe distance (ascending zip_with/aggregate, mirrored by
-    * the oracle's list_aggregate) and the (dist, cell) tie rule can
-    * never drift between the two serving paths. */
+    * (qid, fd) queries → the `nProbe` nearest (qid, cell) pairs, as
+    * ONE compiled kernel call per query row
+    * ([[graft.functions.VectorIndex.topCells]]). The previous
+    * declarative shape — crossJoin against the broadcast centroid
+    * table + an interpreted `zip_with`/`aggregate` HOF fold + a
+    * per-query `row_number` window — materialized queries × nCells
+    * rows and paid boxed lambdas per centroid element: invisible at 16
+    * cells, the scale-killer at 10⁵ cells with a corpus-sized query
+    * batch (the same shape the dedup side eliminated with the
+    * assignment kernels). The kernel folds distances in the same
+    * ascending IEEE order the oracle's list_aggregate uses and breaks
+    * ties on the lower cell id, so the emitted probe set is
+    * bit-identical to the window formulation's. One definition so the
+    * serving paths can never drift on probe semantics; `coarse` opts
+    * into the two-level kernel at the ≳10⁴-cell design point
+    * (~2√nCells·dim FLOPs per query instead of nCells·dim). */
   private def probeCells(
-      queries: DataFrame, centroidsDf: DataFrame, nProbe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val centDf = centroidsDf.select(
-      col("cell").cast("int").as("cell_probe"), col("centroid"))
-    val probeW = Window.partitionBy(col("qid"))
-      .orderBy(col("dist"), col("cell_probe"))
-    queries.crossJoin(broadcast(centDf))
-      .withColumn("dist", aggregate(
-        zip_with(col("fd"), col("centroid"), (a, b) => (a - b) * (a - b)),
-        lit(0.0d), (acc, d) => acc + d))
-      .withColumn("pr", row_number().over(probeW))
-      .filter(col("pr") <= nProbe)
-      .select(col("qid"), col("cell_probe").as("cell"))
+      queries: DataFrame, centroidsDf: DataFrame, nProbe: Int,
+      coarse: Option[CoarseProbe] = None): DataFrame = {
+    val matrix = centroidMatrix(centroidsDf)
+    val cellsCol = coarse match {
+      case Some(cp) =>
+        val (cm, mem) =
+          if (cp.sqlExactFit)
+            graft.functions.TwoLevelIndex.fitExact(matrix, cp.nCoarse, cp.fitIters)
+          else graft.functions.TwoLevelIndex.fit(matrix, cp.nCoarse, cp.fitIters)
+        graft.functions.VectorIndexFunctions.topCellsTwoLevel(
+          col("fd"), cm, mem, matrix, cp.wProbe, nProbe)
+      case None =>
+        graft.functions.VectorIndexFunctions.topCells(col("fd"), matrix, nProbe)
+    }
+    queries.select(col("qid"), explode(cellsCol).as("cell"))
   }
 
   /** nCells rows — an index table is driver-small by construction;
@@ -673,11 +697,14 @@ object SimilarityJoin {
         (col("n_new") - coalesce(col("n_new_dups"), lit(0L))).as("n_new_kept"))
   }
 
-  /** Serve ANN top-k from a persisted (cell, centroid) index table. */
+  /** Serve ANN top-k from a persisted (cell, centroid) index table.
+    * `probe` opts the probe stage into the two-level coarse quantizer
+    * ([[CoarseProbe]]) for ≳10⁴-cell indexes. */
   def ivfTopKServing(
       vecs: DataFrame, id: Column, vec: Column, queryPred: Column,
       centroidsDf: DataFrame, nProbe: Int = 4, k: Int = 3,
-      scope: graft.CacheScope = new graft.CacheScope): DataFrame = {
+      scope: graft.CacheScope = new graft.CacheScope,
+      probe: Option[CoarseProbe] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
     val matrix = centroidMatrix(centroidsDf)
@@ -695,7 +722,7 @@ object SimilarityJoin {
 
     val probes = probeCells(
       assigned.filter(col("is_query")).select(col("doc_id").as("qid"), col("fd")),
-      centroidsDf, nProbe)
+      centroidsDf, nProbe, probe)
 
     val queries = assigned.filter(col("is_query"))
       .select(col("doc_id").as("qid"), col("v").as("va"), col("n2").as("n2a"))
@@ -730,7 +757,8 @@ object SimilarityJoin {
       vecs: DataFrame, id: Column, vec: Column, queryPred: Column,
       centroidsDf: DataFrame, codebooks: Array[Array[Array[Double]]],
       nProbe: Int = 4, k: Int = 3,
-      scope: graft.CacheScope = new graft.CacheScope): DataFrame = {
+      scope: graft.CacheScope = new graft.CacheScope,
+      probe: Option[CoarseProbe] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val matrix = centroidMatrix(centroidsDf)
     require(codebooks.nonEmpty && codebooks(0).nonEmpty,
@@ -747,7 +775,7 @@ object SimilarityJoin {
       .transform(scope.cache)
     val probes = probeCells(
       assigned.filter(col("is_query")).select(col("nid").as("qid"), col("fd")),
-      centroidsDf, nProbe)
+      centroidsDf, nProbe, probe)
     val luts = assigned.filter(col("is_query"))
       .select(col("nid").as("qid"),
         graft.functions.VectorIndexFunctions.pqLut(col("fd"), codebooks).as("lut"))
@@ -778,12 +806,13 @@ object SimilarityJoin {
       vecs: DataFrame, id: Column, vec: Column, queryPred: Column,
       centroidsDf: DataFrame, codebooks: Array[Array[Array[Double]]],
       nProbe: Int = 4, shortlist: Int = 10, k: Int = 3,
-      scope: graft.CacheScope = new graft.CacheScope): DataFrame = {
+      scope: graft.CacheScope = new graft.CacheScope,
+      probe: Option[CoarseProbe] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(shortlist >= k,
       s"ivfPqRerankTopK: shortlist $shortlist must be >= k $k")
     val sl = ivfPqTopK(vecs, id, vec, queryPred, centroidsDf, codebooks,
-        nProbe, shortlist, scope)
+        nProbe, shortlist, scope, probe)
       .select(col("qid"), col("nid"))
     val base = vecs
       .select(id.as("_id"), X.scaledVec(vec).as("v"))

@@ -21,13 +21,11 @@ class PlanAuditSpec extends SparkSpec {
     "q53_ann_ivf", // nCells-row centroid broadcast + 50-query × corpus
                    // brute cross join: the recall-contract baseline
     "q59_bm25_search", // 1-row corpus-stats broadcast to every doc
-    "q81_ann_ivf_served", // same centroid broadcast as q53, fixed index
-    "q86_pq_adc_topk", // flat-PQ ADC scan: the 50-query LUT broadcast
-                       // against every 32-bit code IS the query shape
-    "q87_ivf_pq_topk", // same nCells-row centroid broadcast as q81/q53
-                       // for the probe stage; candidates join by cell
-    "q91_ivf_pq_rerank" // q87's probe-stage centroid broadcast; the
-                        // exact re-rank joins BY ID (equi), k′-bounded
+    "q86_pq_adc_topk" // flat-PQ ADC scan: the 50-query LUT broadcast
+                      // against every 32-bit code IS the query shape
+    // q81/q87/q91/q97/q98 carried a probe-stage centroid crossJoin
+    // until round 8; the compiled top_cells kernel removed it — the
+    // serving paths are now all equi-joins and must STAY that way
   )
 
   private def collectAll(p: SparkPlan): Seq[SparkPlan] = {

@@ -441,6 +441,126 @@ class SemanticPqSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------- compiled probe stage
+
+  test("topCells matches the declarative crossJoin+window probe it replaced") {
+    // the round-8 serving probe: one compiled kernel call per query vs
+    // the old crossJoin(broadcast(centroids)) + zip_with/aggregate fold
+    // + row_number shape — same (dist, cell) ordering, same IEEE fold,
+    // so the probe SETS and their rank order must be identical
+    import org.apache.spark.sql.expressions.Window
+    val cents = graft.operators.SimilarityJoin.md5CentroidTable(spark, nCells = 64)
+    val matrix = cents.orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val queries = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("fd"))
+    val kernel = queries
+      .select(col("qid"), posexplode(
+        graft.functions.VectorIndexFunctions.topCells(col("fd"), matrix, 4)))
+      .select(col("qid"), col("pos"), col("col").as("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val probeW = Window.partitionBy(col("qid"))
+      .orderBy(col("dist"), col("cell_probe"))
+    val window = queries.crossJoin(
+        broadcast(cents.select(col("cell").cast("int").as("cell_probe"), col("centroid"))))
+      .withColumn("dist", aggregate(
+        zip_with(col("fd"), col("centroid"), (a, b) => (a - b) * (a - b)),
+        lit(0.0d), (acc, d) => acc + d))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= 4)
+      .select(col("qid"), (col("pr") - 1).cast("int").as("pos"), col("cell_probe"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(kernel.nonEmpty && kernel == window)
+  }
+
+  test("topCellsTwoLevel at full probe equals the flat probe, rank order included") {
+    val cents = graft.operators.SimilarityJoin.md5CentroidTable(spark, nCells = 64)
+    val matrix = cents.orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val (coarse, members) = graft.functions.TwoLevelIndex.fit(matrix, nCoarse = 8)
+    val out = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("embedding").cast("array<double>").as("fd"))
+      .select(
+        graft.functions.VectorIndexFunctions.topCells(col("fd"), matrix, 4)
+          .as("flat"),
+        graft.functions.VectorIndexFunctions.topCellsTwoLevel(
+          col("fd"), coarse, members, matrix, wProbe = 8, nProbe = 4).as("two"),
+        graft.functions.VectorIndexFunctions.topCellsTwoLevel(
+          col("fd"), coarse, members, matrix, wProbe = 2, nProbe = 4).as("part"))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val flat = r.getSeq[Int](0)
+      assert(flat == r.getSeq[Int](1), "full probe must equal the flat scan")
+      // partial probe: valid cells, no duplicates, first entry is the
+      // two-level ASSIGNMENT cell (nProbe=1 prefix property)
+      val part = r.getSeq[Int](2)
+      assert(part.length == 4 && part.distinct.length == 4)
+      assert(part.forall(c => c >= 0 && c < matrix.length))
+    }
+  }
+
+  test("topCells: tie rule, nProbe clamp, and fail-fast guards") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    // exact tie: cells 1 and 0 equidistant → lower cell id first
+    val m = Array(Array(1.0), Array(-1.0), Array(5.0))
+    assert(graft.functions.VectorIndex.topCells(
+      ArrayData.toArrayData(Array(0.0)), m, 2).toIntArray().toSeq == Seq(0, 1))
+    // nProbe past nCells clamps to all cells, rank-ordered
+    assert(graft.functions.VectorIndex.topCells(
+      ArrayData.toArrayData(Array(0.9)), m, 99).toIntArray().toSeq == Seq(0, 1, 2))
+    intercept[ArithmeticException] { // NaN never emits a phantom cell
+      graft.functions.VectorIndex.topCells(
+        ArrayData.toArrayData(Array(Double.NaN)), m, 2)
+    }
+    intercept[IllegalArgumentException] { // dim mismatch
+      graft.functions.VectorIndex.topCells(
+        ArrayData.toArrayData(Array(0.0, 1.0)), m, 2)
+    }
+    intercept[IllegalArgumentException] { // empty index
+      graft.functions.VectorIndex.topCells(
+        ArrayData.toArrayData(Array(0.0)), Array.empty[Array[Double]], 2)
+    }
+    // two-level: memberless supers are skipped; small probed supers
+    // emit FEWER than nProbe cells (the partial-probe recall trade)
+    val coarse = Array(Array(0.0), Array(100.0))
+    val members = Array(Array.empty[Int], Array(0, 1))
+    val cents = Array(Array(99.0), Array(101.0))
+    assert(graft.functions.TwoLevelIndex.topCellsTwoLevel(
+      ArrayData.toArrayData(Array(0.0)), coarse, members, cents,
+      wProbe = 1, nProbe = 4).toIntArray().toSeq == Seq(0, 1))
+    intercept[ArithmeticException] {
+      graft.functions.TwoLevelIndex.topCellsTwoLevel(
+        ArrayData.toArrayData(Array(Double.NaN)), coarse, members, cents, 1, 2)
+    }
+  }
+
+  test("array-holding kernel expressions compare structurally (CSE-friendly)") {
+    // case-class equality on Array fields is reference-based; the
+    // ArrayParamEquality override makes identically-constructed kernels
+    // equal so Catalyst common-subexpression elimination can dedup them
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val m1 = Array(Array(1.0, 2.0), Array(3.0, 4.0))
+    val m2 = Array(Array(1.0, 2.0), Array(3.0, 4.0))
+    val child = ColumnBridge.expression(col("fd"))
+    assert(graft.functions.NearestCentroid(child, m1) ==
+      graft.functions.NearestCentroid(child, m2))
+    assert(graft.functions.NearestCentroid(child, m1).hashCode ==
+      graft.functions.NearestCentroid(child, m2).hashCode)
+    assert(graft.functions.NearestCentroid(child, m1) !=
+      graft.functions.NearestCentroid(child, Array(Array(9.0, 2.0), Array(3.0, 4.0))))
+    assert(graft.functions.TopCells(child, m1, 2) ==
+      graft.functions.TopCells(child, m2, 2))
+    assert(graft.functions.TopCells(child, m1, 2) !=
+      graft.functions.TopCells(child, m2, 3)) // scalar params count
+    val mem1 = Array(Array(0), Array(1))
+    assert(graft.functions.NearestCentroidTwoLevel(child, m1, mem1, m1, 1) ==
+      graft.functions.NearestCentroidTwoLevel(child, m2, Array(Array(0), Array(1)), m2, 1))
+    assert(graft.functions.NearestCentroidTwoLevel(child, m1, mem1, m1, 1) !=
+      graft.functions.TopCells(child, m1, 1)) // class mismatch
+  }
+
   // ------------------------------------------------------- semantic dedup
 
   private def centsDf = {
