@@ -301,6 +301,61 @@ object Similarity extends QueryModule {
                           ORDER BY dst, c) AS rn
                  FROM ${p}dist)"""
 
+  /** The distributed integer-exact Lloyd IVF BUILD, unrolled as oracle
+    * CTEs — the SQL mirror of [[graft.operators.SimilarityJoin
+    * .ivfBuildIndexExact]] (q96), the [[twoLevelFitSqlCtes]]
+    * construction applied to the corpus itself: ×1e7 int64 vectors,
+    * min-id-per-residue seeds, per-sweep (assignment by ascending IEEE
+    * distance fold, ties to the lower cell) + order-free int64 centroid
+    * sums (SQL SUM ≡ the engine's distributed partial agg), one
+    * division per mean, emptied cells carrying their previous state.
+    * CTE names carry a `b` prefix so the chain could coexist with the
+    * serving/fit CTEs in one WITH. */
+  private def ivfBuildExactSqlCtes(nCells: Int, dim: Int, iters: Int): String = {
+    def sweep(i: Int) = s"""
+        bmv_$i AS MATERIALIZED (
+          SELECT cell, list_transform(sv, s -> CAST(s AS DOUBLE) / CAST(cnt * 10000000 AS DOUBLE)) AS mv
+          FROM bcoarse_$i),
+        basg_$i AS MATERIALIZED (
+          SELECT vec_id, cell FROM (
+            SELECT f.vec_id, m.cell,
+                   row_number() OVER (PARTITION BY f.vec_id ORDER BY
+                     list_aggregate(list_transform(range(0, $dim),
+                       d -> (f.fd[d+1] - m.mv[d+1]) * (f.fd[d+1] - m.mv[d+1])), 'sum'),
+                     m.cell) AS rn
+            FROM bfd f, bmv_$i m) WHERE rn = 1)"""
+    val iterations = (0 until iters).map { i =>
+      s"""${sweep(i)},
+        bnsum_$i AS MATERIALIZED (
+          SELECT a.cell, list(s ORDER BY d) AS sv, MAX(nc) AS cnt FROM (
+            SELECT a0.cell, dm.d, CAST(SUM(q.iv[dm.d+1]) AS BIGINT) AS s,
+                   COUNT(*) AS nc
+            FROM basg_$i a0 JOIN bqv q ON q.vec_id = a0.vec_id,
+                 (SELECT unnest(range(0, $dim)) AS d) dm
+            GROUP BY a0.cell, dm.d) a GROUP BY a.cell),
+        bcoarse_${i + 1} AS MATERIALIZED (
+          SELECT p.cell, COALESCE(n.sv, p.sv) AS sv, COALESCE(n.cnt, p.cnt) AS cnt
+          FROM bcoarse_$i p LEFT JOIN bnsum_$i n ON n.cell = p.cell)"""
+    }.mkString(",\n")
+    s"""
+        bqv AS (SELECT vec_id, ${X.scaledVecSql("embedding")} AS iv FROM embeddings),
+        bfd AS (SELECT vec_id, list_transform(iv, x -> CAST(x AS DOUBLE) / 10000000.0) AS fd FROM bqv),
+        bseed AS (SELECT vec_id % $nCells AS cell, MIN(vec_id) AS sid FROM bqv GROUP BY vec_id % $nCells),
+        bcoarse_0 AS MATERIALIZED (
+          SELECT s.cell, q.iv AS sv, CAST(1 AS BIGINT) AS cnt
+          FROM bseed s JOIN bqv q ON q.vec_id = s.sid),
+        $iterations,
+        ${sweep(iters)},
+        bmemb AS (SELECT cell, COUNT(*) AS n_members FROM basg_$iters GROUP BY cell)
+        SELECT CAST(c.cell AS BIGINT) AS cell, CAST(dm.d AS BIGINT) AS d,
+               CAST(c.sv[dm.d+1] AS BIGINT) AS sum_e7, c.cnt AS cnt,
+               CAST(c.sv[dm.d+1] AS DOUBLE) / CAST(c.cnt * 10000000 AS DOUBLE) AS mean,
+               COALESCE(m.n_members, 0) AS n_members
+        FROM bcoarse_$iters c CROSS JOIN (SELECT unnest(range(0, $dim)) AS d) dm
+        LEFT JOIN bmemb m ON m.cell = c.cell
+        ORDER BY cell, d"""
+  }
+
   /** The flat probe stage of the q81/q97 oracles: per query, the 4
     * nearest of ALL cells by (dist, cell) — mirror of
     * [[graft.functions.VectorIndex.topCells]]. */
@@ -950,6 +1005,31 @@ object Similarity extends QueryModule {
           iters = twoLevelOracleIters, wProbe = 2)},
         ${ivfAvSqlCte("assigned2")},
         ${semanticDedupIncSqlTail("assigned2")}""")),
+
+    // ------------------------------------------------------------------
+    // q96: ORACLE-EXACT distributed IVF BUILD — retiring the suite's
+    // last recall-only contract class: q53 checks the MLlib KMeans
+    // build by recall (its float fit is unmirrorable), this query
+    // hash-checks an actual Lloyd BUILD bit-for-bit. The q94 fitExact
+    // construction applied to the corpus: ×1e7 int64 vectors (the
+    // scaled-cosine representation), min-id-per-residue seeds (one
+    // partial-aggregable group-by — no global rank shuffle), each sweep
+    // = one compiled-kernel assignment pass + order-free int64 per-dim
+    // centroid sums (a distributed SUM and DuckDB's SUM cannot differ),
+    // means existing only as one division each. Output is the ENTIRE
+    // build state (cell × dim: sum, cnt, mean, final occupancy), so
+    // every word the serving path would load from the catalog is
+    // hash-checked. Production path at 100 TB: sample → this build →
+    // persist through the catalog (ivfBuildIndex's fitSampleCap note).
+    QueryDef(
+      "q96_ivf_build_exact",
+      (s, dir) =>
+        graft.operators.SimilarityJoin.ivfBuildIndexExact(
+            T.embeddings(s, dir), col("vec_id"), col("embedding"),
+            nCells = 16, iters = 5)
+          .orderBy(col("cell"), col("d")),
+      Some(s"""
+        WITH ${ivfBuildExactSqlCtes(nCells = 16, dim = 64, iters = 5)}""")),
 
     // ------------------------------------------------------------------
     // q97: IVF SERVING through the two-level probe kernel at 64 cells,

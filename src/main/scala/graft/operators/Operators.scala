@@ -408,6 +408,100 @@ object SimilarityJoin {
     ivfTopKServing(vecs, id, vec, queryPred,
       ivfBuildIndex(vecs, vec, nCells, seed, fitSampleCap), nProbe, k)
 
+  /** ORACLE-EXACT distributed IVF/KMeans build — the hash-checkable
+    * twin of [[ivfBuildIndex]] (whose MLlib KMeans fit is only
+    * recall-contract checkable, q53). The q94 `fitExact` construction
+    * applied to the corpus itself:
+    *
+    *  - vectors quantize to exact ×1e7 int64 ([[TextDsl.scaledVec]] —
+    *    the same representation every cosine query shares);
+    *  - seeds are the min-id row of each `vec_id % nCells` residue
+    *    class (deterministic, one partial-aggregable group-by — no
+    *    global sort/rank shuffle);
+    *  - each Lloyd sweep assigns through the compiled
+    *    [[graft.functions.NearestCentroid]] kernel (map-side, means
+    *    held as a reference object) and re-sums centroids as per-dim
+    *    int64 SUMs — exact and ORDER-FREE, so a SQL SUM reproduces
+    *    them regardless of aggregation order; each mean exists only as
+    *    the single division sumInt/(cnt·1e7), identical IEEE on any
+    *    engine. Emptied cells keep their previous (sum, cnt) state
+    *    (the [[graft.functions.TwoLevelIndex.fitExact]] rule).
+    *
+    * Scale shape: per sweep ONE compiled scan + one (cell, dim)-keyed
+    * partial aggregation whose output is nCells×dim rows — the k×dim
+    * driver state is index-as-data-small; the corpus never shuffles
+    * (aggregation reduces map-side). A production 100 TB build samples
+    * first ([[ivfBuildIndex]]'s fitSampleCap) — this operator is the
+    * bit-exact construction for auditable fixture-scale builds and for
+    * regression-pinning index builds in CI.
+    *
+    * Returns the built index exploded per dimension — (cell, d,
+    * sum_e7, cnt, mean, n_members) — so every word of driver state is
+    * hash-checked (q96), not just a summary. */
+  def ivfBuildIndexExact(
+      vecs: DataFrame, id: Column, vec: Column,
+      nCells: Int = 16, iters: Int = 5,
+      scope: graft.CacheScope = new graft.CacheScope): DataFrame = {
+    val base = vecs
+      .select(id.as("vec_id"), X.scaledVec(vec).as("iv"))
+      .withColumn("fd", transform(col("iv"), x => x.cast("double") / lit(1e7)))
+      .transform(scope.cache)
+    // seeds: min-id row per residue class — k tiny rows to the driver
+    val seedRows = base
+      .groupBy((col("vec_id") % nCells).as("cell"))
+      .agg(min_by(col("iv"), col("vec_id")).as("iv"))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    require(seedRows.length == nCells,
+      s"ivfBuildIndexExact: need every vec_id % $nCells residue class " +
+        s"non-empty for seeding, got ${seedRows.length} of $nCells")
+    val dim = seedRows.head._2.length
+    var sums: Array[Array[Long]] = seedRows.map(_._2.clone())
+    var cnts: Array[Long] = Array.fill(nCells)(1L)
+    def means: Array[Array[Double]] = Array.tabulate(nCells, dim) { (c, d) =>
+      sums(c)(d).toDouble / (cnts(c) * 10000000L).toDouble
+    }
+    def assigned = base.withColumn("cell",
+      graft.functions.VectorIndexFunctions.nearestCentroid(col("fd"), means))
+    var it = 0
+    while (it < iters) {
+      // one distributed pass: compiled assignment + per-(cell, dim)
+      // int64 partial aggregation; nCells×dim rows come back
+      val stats = assigned
+        .select(col("cell"), posexplode(col("iv")).as(Seq("d", "x")))
+        .groupBy(col("cell"), col("d"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("nc"))
+        .collect()
+      val ns = Array.fill(nCells)(new Array[Long](dim))
+      val ncnt = new Array[Long](nCells)
+      stats.foreach { r =>
+        val c = r.getInt(0)
+        ns(c)(r.getInt(1)) = r.getLong(2)
+        ncnt(c) = r.getLong(3)
+      }
+      var c = 0
+      while (c < nCells) { // empty cell keeps its previous (sum, cnt)
+        if (ncnt(c) > 0) { sums(c) = ns(c); cnts(c) = ncnt(c) }
+        c += 1
+      }
+      it += 1
+    }
+    // final assignment under the converged means: the cell occupancy
+    // the serving path will see (the fitExact assignAll step)
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val memb = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val m = means
+    (0 until nCells).flatMap { c =>
+      (0 until dim).map { d =>
+        (c.toLong, d.toLong, sums(c)(d), cnts(c), m(c)(d),
+          memb.getOrElse(c, 0L))
+      }
+    }.toDF("cell", "d", "sum_e7", "cnt", "mean", "n_members")
+  }
+
   /** The deterministic md5-derived centroid table shared by q81 / q84 /
     * q87 AND their DuckDB oracles: value(c, d) = ((md5h60("ivf c d")
     * mod 4001) - 2000) / 1e4 — one definition so the engine queries,

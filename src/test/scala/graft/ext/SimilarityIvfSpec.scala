@@ -56,6 +56,38 @@ class SimilarityIvfSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("ivfBuildIndexExact: deterministic, partitioning, exact integer state") {
+    val vecs = graft.Tables.embeddings(spark, dir)
+    val a = graft.operators.SimilarityJoin.ivfBuildIndexExact(
+        vecs, col("vec_id"), col("embedding"), nCells = 8, iters = 3)
+      .collect().map(_.toSeq)
+    spark.catalog.clearCache()
+    val b = graft.operators.SimilarityJoin.ivfBuildIndexExact(
+        vecs, col("vec_id"), col("embedding"), nCells = 8, iters = 3)
+      .collect().map(_.toSeq)
+    spark.catalog.clearCache()
+    // bit-exact rerun: distributed int64 sums are order-free
+    assert(a.nonEmpty && a.sortBy(_.toString).toSeq == b.sortBy(_.toString).toSeq)
+    val rows = a.map(s => (s(0).asInstanceOf[Long], s(1).asInstanceOf[Long],
+      s(2).asInstanceOf[Long], s(3).asInstanceOf[Long],
+      s(4).asInstanceOf[Double], s(5).asInstanceOf[Long]))
+    // full 8×64 state; mean is EXACTLY the one division of its ints
+    assert(rows.length == 8 * 64)
+    rows.foreach { case (_, _, sumE7, cnt, mean, _) =>
+      assert(cnt > 0 && mean == sumE7.toDouble / (cnt * 10000000L).toDouble)
+    }
+    // final occupancy covers the whole corpus exactly once
+    val n = vecs.count()
+    assert(rows.groupBy(_._1).values.map(_.head._6).sum == n)
+    // seeding needs every residue class inhabited
+    intercept[IllegalArgumentException] {
+      graft.operators.SimilarityJoin.ivfBuildIndexExact(
+        vecs.filter(col("vec_id") < 3), col("vec_id"), col("embedding"),
+        nCells = 8, iters = 1).collect()
+    }
+    spark.catalog.clearCache()
+  }
+
   test("CacheScope.release drops serving-path intermediates; dimension guards fail fast") {
     val vecs = graft.Tables.embeddings(spark, dir)
     val centroids = graft.operators.SimilarityJoin.ivfBuildIndex(
