@@ -50,12 +50,35 @@ object Multimodal extends QueryModule {
         (col("doc_id") % 480 + 16).cast("int").as("height"),
         (col("n_chars") * 10L).as("duration_ms")).as("meta"))
 
+  /** Wrap each document's bytes into a REAL P6 PPM container — a valid
+    * netpbm payload (magic, `#` comment, ASCII dims, maxval, exactly
+    * 3·w·h pixel bytes) built from stable columns, so the genuine
+    * byte-level parser ([[graft.functions.PpmCodec]], q99) has actual
+    * container bytes to decode and both engines can compute the
+    * expected header fields from the construction inputs. w =
+    * byte_len/3 pixels in one row; docs shorter than one pixel are
+    * filtered (a 0-width PPM is malformed by spec). */
+  def ppmWrap(docs: DataFrame): DataFrame = {
+    val bin = col("text").cast("binary")
+    val w = expr("CAST(octet_length(text) AS BIGINT) div 3")
+    docs
+      .filter(octet_length(col("text")) >= 3)
+      .select(col("doc_id").as("media_id"),
+        concat(
+          concat(lit("P6\n# doc "), col("doc_id").cast("string"), lit("\n"),
+            w.cast("string"), lit(" 1\n255\n")).cast("binary"),
+          bin.substr(lit(1), (w * 3L).cast("int"))).as("content"))
+  }
+
   // -------------------------------------------------------------------
-  // ??? DECODE STUB — the codec boundary.
-  // A real deployment replaces this one function with e.g. a JNI JPEG
-  // decode or an ffmpeg frame pull; signature and call sites stay.
-  // Deterministic: features are a fixed-length vector derived from the
-  // payload bytes with an FNV-1a rolling hash, so tests are exact.
+  // Codec seam. The CONTAINER half is real: graft.functions.PpmCodec
+  // parses actual P6 bytes (q99 hash-checks it end to end) and a real
+  // deployment adds JPEG/ffmpeg the same way — one codegen Expression
+  // per format. The FEATURE half below stays a deterministic stand-in:
+  // a learned featurizer (CLIP-style embedding) has no in-container
+  // implementation, so features derive from the payload bytes with an
+  // FNV-1a rolling hash — signature and call sites are what a real
+  // model swap would keep, and tests are exact.
   private[ext] def decodeStubFeatures(content: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var h = 2166136261L
@@ -240,6 +263,42 @@ object Multimodal extends QueryModule {
                      CAST(doc_id % 640 + 16 AS INT) AS w,
                      CAST(doc_id % 480 + 16 AS INT) AS h
               FROM documents)
+        ORDER BY media_id""")),
+
+    // q99: REAL byte-level container decode — wrap every document's
+    // bytes into a genuine P6 PPM payload (magic + comment + ASCII dims
+    // + exact pixel run) and parse it back with the compiled
+    // PpmCodec kernel: magic check, comment skip, integer fields,
+    // data-offset and pixel-byte accounting all happen on the actual
+    // container BYTES. The oracle computes the expected header words
+    // from the construction inputs (parse(wrap(x)) == expect(x)), so a
+    // parser that miscounts even one separator byte hash-fails on the
+    // data_offset column. Malformed-container fail-fast paths are
+    // pinned in MultimodalSpec.
+    QueryDef(
+      "q99_media_ppm_decode",
+      (s, dir) => {
+        val hdr = graft.functions.MediaCodecFunctions.ppmHeader(col("content"))
+        ppmWrap(T.documents(s, dir))
+          .select(col("media_id"), hdr.as("h"))
+          .select(col("media_id"),
+            element_at(col("h"), 1).as("width"),
+            element_at(col("h"), 2).as("height"),
+            element_at(col("h"), 3).as("maxval"),
+            element_at(col("h"), 4).as("data_offset"),
+            element_at(col("h"), 5).as("pixel_bytes"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        SELECT media_id, w AS width, CAST(1 AS BIGINT) AS height,
+               CAST(255 AS BIGINT) AS maxval,
+               -- 'P6\n# doc ' (9) + id + '\n' (1) + w + ' 1\n255\n' (7)
+               CAST(17 + length(CAST(media_id AS VARCHAR))
+                       + length(CAST(w AS VARCHAR)) AS BIGINT) AS data_offset,
+               3 * w AS pixel_bytes
+        FROM (SELECT doc_id AS media_id,
+                     octet_length(encode(text)) // 3 AS w
+              FROM documents WHERE octet_length(encode(text)) >= 3)
         ORDER BY media_id"""))
   )
 }

@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** A REAL byte-level media codec for the multimodal column family: the
+  * netpbm P6 (binary PPM) container header parse — magic check,
+  * whitespace/`#`-comment skipping, ASCII integer fields, and exact
+  * pixel-byte accounting against the declared dimensions. This is the
+  * genuine decode half of the [[graft.ext.Multimodal]] seam (the
+  * feature-extraction stub remains a documented stand-in for ML-model
+  * featurizers, which have no in-container implementation): it parses
+  * actual container bytes, not metadata carried alongside them, and
+  * fails fast on every malformation class a real ingest job meets
+  * (wrong magic, truncated header, junk dimensions, short pixel data).
+  *
+  * One compiled pass per row, zero shuffle — the payload never leaves
+  * its partition; only the few header words flow downstream (the
+  * 100 TB contract of every multimodal kernel here).
+  */
+object PpmCodec {
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\n' || b == '\r' || b == '\t'
+
+  /** Parse a P6 header; returns [width, height, maxval, data_offset,
+    * pixel_bytes] as int64. Grammar (netpbm spec): "P6", then three
+    * whitespace-separated ASCII integers (width, height, maxval) where
+    * any whitespace run may contain `#`-to-end-of-line comments, then
+    * EXACTLY ONE whitespace byte, then raw pixel data — 3·w·h samples
+    * of 1 byte (maxval ≤ 255) or 2 bytes (maxval ≤ 65535). A payload
+    * whose pixel run disagrees with its declared dims is corrupt and
+    * throws — silent tolerance here is how a truncated shard poisons a
+    * training set. */
+  def parseHeader(bytes: Array[Byte]): ArrayData = {
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6')
+      throw new IllegalArgumentException(
+        "ppm_header: bad magic — payload is not a P6 PPM container")
+    var pos = 2
+
+    def skipSeparators(): Unit = {
+      var again = true
+      while (again) {
+        while (pos < bytes.length && isWs(bytes(pos))) pos += 1
+        if (pos < bytes.length && bytes(pos) == '#') {
+          while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+        } else again = false
+      }
+    }
+
+    def readInt(field: String): Long = {
+      skipSeparators()
+      if (pos >= bytes.length || bytes(pos) < '0' || bytes(pos) > '9')
+        throw new IllegalArgumentException(
+          s"ppm_header: expected ASCII integer for $field at byte $pos")
+      var v = 0L
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+        v = v * 10L + (bytes(pos) - '0')
+        if (v > Int.MaxValue)
+          throw new IllegalArgumentException(
+            s"ppm_header: $field overflows int32 — corrupt header")
+        pos += 1
+      }
+      v
+    }
+
+    val w = readInt("width")
+    val h = readInt("height")
+    val maxv = readInt("maxval")
+    if (w < 1 || h < 1)
+      throw new IllegalArgumentException(
+        s"ppm_header: degenerate dimensions ${w}x$h")
+    if (maxv < 1 || maxv > 65535)
+      throw new IllegalArgumentException(
+        s"ppm_header: maxval $maxv outside [1, 65535]")
+    // the spec demands a SINGLE whitespace byte between maxval and the
+    // pixel run (a comment here would be pixel data in disguise)
+    if (pos >= bytes.length || !isWs(bytes(pos)))
+      throw new IllegalArgumentException(
+        "ppm_header: missing single whitespace after maxval")
+    pos += 1
+    val bytesPerSample = if (maxv > 255) 2L else 1L
+    val pixelBytes = bytes.length.toLong - pos
+    val expected = 3L * w * h * bytesPerSample
+    if (pixelBytes != expected)
+      throw new IllegalArgumentException(
+        s"ppm_header: payload carries $pixelBytes pixel bytes but " +
+          s"${w}x$h@$maxv promises $expected — truncated or padded container")
+    new GenericArrayData(Array(w, h, maxv, pos.toLong, pixelBytes))
+  }
+}
+
+/** binary P6 payload → array<bigint> [width, height, maxval,
+  * data_offset, pixel_bytes] ([[PpmCodec.parseHeader]]). */
+case class PpmHeader(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ppm_header"
+
+  override def nullSafeEval(input: Any): Any =
+    PpmCodec.parseHeader(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PpmCodec.parseHeader($c)")
+
+  override protected def withNewChildInternal(c: Expression): PpmHeader =
+    copy(child = c)
+}
+
+object MediaCodecFunctions {
+  def ppmHeader(payload: Column): Column =
+    ColumnBridge.column(PpmHeader(ColumnBridge.expression(payload)))
+}

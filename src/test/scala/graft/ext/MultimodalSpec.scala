@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.SparkSpec
 import graft.ext.Multimodal._
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BinaryType, StructType}
 
 class MultimodalSpec extends SparkSpec {
@@ -72,6 +73,59 @@ class MultimodalSpec extends SparkSpec {
       val origLen = media.filter(_.media_id == fs.head.media_id)
         .head().content.length
       assert(total == origLen)
+    }
+  }
+
+  test("PpmCodec: real container bytes parse; every malformation class fails fast") {
+    import graft.functions.PpmCodec
+    def ppm(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+    // hand-built 2x1 container with a comment in the header
+    val ok = PpmCodec.parseHeader(
+      ppm("P6\n# a comment\n2 1\n255\n") ++ Array.fill[Byte](6)(7))
+    assert(ok.toLongArray().toSeq == Seq(2L, 1L, 255L, 23L, 6L))
+    // 16-bit samples: maxval > 255 doubles the pixel run
+    val wide = PpmCodec.parseHeader(
+      ppm("P6\n1 1\n65535\n") ++ Array.fill[Byte](6)(1))
+    assert(wide.toLongArray().toSeq == Seq(1L, 1L, 65535L, 13L, 6L))
+    intercept[IllegalArgumentException] { // wrong magic
+      PpmCodec.parseHeader(ppm("P5\n1 1\n255\n") ++ Array.fill[Byte](3)(0))
+    }
+    intercept[IllegalArgumentException] { // truncated pixel run
+      PpmCodec.parseHeader(ppm("P6\n2 1\n255\n") ++ Array.fill[Byte](5)(0))
+    }
+    intercept[IllegalArgumentException] { // padded pixel run
+      PpmCodec.parseHeader(ppm("P6\n1 1\n255\n") ++ Array.fill[Byte](4)(0))
+    }
+    intercept[IllegalArgumentException] { // degenerate dims
+      PpmCodec.parseHeader(ppm("P6\n0 1\n255\n"))
+    }
+    intercept[IllegalArgumentException] { // non-digit dimension
+      PpmCodec.parseHeader(ppm("P6\nx 1\n255\n"))
+    }
+    intercept[IllegalArgumentException] { // maxval out of range
+      PpmCodec.parseHeader(ppm("P6\n1 1\n70000\n") ++ Array.fill[Byte](6)(0))
+    }
+    intercept[IllegalArgumentException] { // header cut mid-field
+      PpmCodec.parseHeader(ppm("P6\n2 "))
+    }
+    intercept[IllegalArgumentException] { // int32 overflow in width
+      PpmCodec.parseHeader(ppm("P6\n99999999999 1\n255\n"))
+    }
+  }
+
+  test("ppmWrap emits valid containers; the compiled parse round-trips construction") {
+    val wrapped = ppmWrap(graft.Tables.documents(spark, dir))
+    val rows = wrapped
+      .select(col("media_id"),
+        graft.functions.MediaCodecFunctions.ppmHeader(col("content")).as("h"),
+        octet_length(col("content")).cast("long").as("total"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getSeq[Long](1)
+      assert(h(1) == 1L && h(2) == 255L) // h=1, 8-bit
+      assert(h(3) + h(4) == r.getLong(2)) // offset + pixels == container
+      assert(h(4) == 3L * h(0)) // exactly 3 bytes per pixel
     }
   }
 
