@@ -84,6 +84,26 @@ object Dedup extends QueryModule {
     s"(CAST(len(list_intersect($a, $b)) AS DOUBLE) / " +
       s"CAST(len($a) + len($b) - len(list_intersect($a, $b)) AS DOUBLE))"
 
+  /** digit → unicode fragment map for q100's parity fixture — ONE
+    * definition feeding both engines, covering the classes where
+    * byte-, UTF-16- and codepoint-level implementations disagree:
+    * astral-plane chars (🙂 U+1F642, 𝛼 U+1D6FC: 4 UTF-8 bytes, 2
+    * UTF-16 units, ONE codepoint edit), a combining mark (e+U+0301 —
+    * TWO codepoints, canonically equal but NOT codepoint-equal to
+    * precomposed é U+00E9), and multi-codepoint expansions (λμ). */
+  private val uniMap = Seq(
+    "0" -> "α", "1" -> "β", "2" -> "𝛼", "3" -> "é", "4" -> "é",
+    "5" -> "ß", "6" -> "中", "7" -> "🙂", "8" -> "k", "9" -> "λμ")
+
+  /** The doc_id → unicode-string expression q100's engine and oracle
+    * share: digits of (doc_id·7919 mod 1e5) replaced through
+    * [[uniMap]]. `strType` is the only dialect difference (Spark casts
+    * to STRING, DuckDB to VARCHAR). */
+  private def uniStringSql(strType: String): String =
+    uniMap.foldLeft(s"CAST(doc_id * 7919 % 100000 AS $strType)") {
+      case (acc, (d, r)) => s"replace($acc, '$d', '$r')"
+    }
+
   override val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -378,6 +398,60 @@ object Dedup extends QueryModule {
                COUNT(d.pk) AS n_dups,
                COUNT(*) - COUNT(d.pk) AS n_kept
         FROM p LEFT JOIN dup d ON d.pk = p.p_partkey
-        GROUP BY 1 ORDER BY 1"""))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ------------------------------------------------------------------
+    // q100: NON-ASCII edit-distance parity — upgrading q88's unicode
+    // note from "documented contract" to "tested". DuckDB's builtin
+    // levenshtein counts UTF-8 BYTE edits, so the oracle implements the
+    // CODEPOINT-level DP itself: codepoints via regexp_extract_all
+    // (RE2's '.' matches one codepoint), DP rows unrolled through a
+    // recursive CTE whose per-row fold is a list_reduce with a
+    // list-typed accumulator. Inputs derive from doc_ids through a
+    // shared digit → unicode map that exercises every nasty class:
+    // astral plane (🙂, 𝛼 — 2 UTF-16 units, 4 UTF-8 bytes, ONE edit),
+    // combining marks (e+U+0301, TWO codepoints ≠ precomposed é), and
+    // multi-codepoint expansions (λμ). Spark's levenshtein + length
+    // must agree with the DP bit-for-bit — they do because both are
+    // codepoint-level (the engine property OperatorsSpec pins).
+    QueryDef(
+      "q100_edit_distance_unicode",
+      (s, dir) => {
+        val u = T.documents(s, dir).filter(col("doc_id") < 40)
+          .select(col("doc_id"), expr(uniStringSql("STRING")).as("s"))
+        val a = u.select(col("doc_id").as("pid"), col("s").as("sa"))
+        val b = u.select((col("doc_id") - 1).as("pid"), col("s").as("sb"))
+        a.join(b, "pid")
+          .select(col("pid"),
+            length(col("sa")).cast("long").as("cp_a"),
+            length(col("sb")).cast("long").as("cp_b"),
+            levenshtein(col("sa"), col("sb")).cast("long").as("dist"))
+          .orderBy(col("pid"))
+      },
+      Some(s"""
+        WITH RECURSIVE
+        u AS (SELECT doc_id, ${uniStringSql("VARCHAR")} AS s
+              FROM documents WHERE doc_id < 40),
+        up AS (SELECT a.doc_id AS pid, a.s AS sa, b.s AS sb
+               FROM u a JOIN u b ON b.doc_id = a.doc_id + 1),
+        cp AS (SELECT pid, regexp_extract_all(sa, '.') AS ca,
+                      regexp_extract_all(sb, '.') AS cb FROM up),
+        dp AS (
+          SELECT pid, 0 AS i, ca, cb,
+                 list_transform(range(0, len(cb)+1), j -> CAST(j AS BIGINT)) AS row
+          FROM cp
+          UNION ALL
+          SELECT pid, i+1, ca, cb,
+                 list_reduce(
+                   list_concat([[CAST(i+1 AS BIGINT)]],
+                               list_transform(range(1, len(cb)+1), j -> [CAST(j AS BIGINT)])),
+                   (acc, x) -> list_append(acc, least(
+                       row[x[1]+1] + 1,
+                       acc[len(acc)] + 1,
+                       row[x[1]] + CASE WHEN ca[i+1] = cb[x[1]] THEN 0 ELSE 1 END))) AS row
+          FROM dp WHERE i < len(ca))
+        SELECT pid, CAST(len(ca) AS BIGINT) AS cp_a, CAST(len(cb) AS BIGINT) AS cp_b,
+               CAST(row[len(cb)+1] AS BIGINT) AS dist
+        FROM dp WHERE i = len(ca) ORDER BY pid"""))
   )
 }

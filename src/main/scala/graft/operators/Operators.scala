@@ -230,11 +230,12 @@ object NearDup {
     * one edit) and [[deletionVariants]] deletes one code point per key
     * (`length`/`substr` are code-point-indexed), so the recall lemma
     * holds for any input (OperatorsSpec pins this property, astral
-    * included). DuckDB's `levenshtein`, by contrast, counts UTF-8 BYTE
-    * edits ('café'→'cafe' is 2 there), so cross-engine bit parity —
-    * the q88 oracle — is an ASCII-input contract; on non-ASCII corpora
-    * the engine's codepoint definition is the linguistically meaningful
-    * one and stands on its own test-pinned semantics.
+    * included). DuckDB's BUILTIN `levenshtein` counts UTF-8 BYTE edits
+    * ('café'→'cafe' is 2 there), so the q88 oracle uses it on ASCII
+    * input only; the cross-engine parity of the codepoint definition
+    * itself is hash-checked by q100, whose oracle implements the
+    * codepoint DP directly (recursive CTE over regexp_extract_all
+    * codepoints) on astral/combining/multi-codepoint fixtures.
     *
     * Scale contract: run this on DISTINCT strings (resolve exact-copy
     * mass with [[exact]] first — one hash agg, no pairs); the candidate
