@@ -234,12 +234,16 @@ object EventPipelines {
     * model): process everything available now, checkpoint offsets,
     * stop. Rerunning with the same checkpoint resumes exactly after
     * the last committed batch — ST1's resume semantics at epoch
-    * granularity (SURVEY.md §7.4). Returns once the run finishes. */
+    * granularity (SURVEY.md §7.4). Returns the TERMINATED query so
+    * callers can audit `recentProgress` — watermark drop accounting
+    * (`stateOperators.numRowsDroppedByWatermark`), per-epoch row
+    * counts — the observability half of a late-data contract. */
   def runAvailableNow(
       out: DataFrame,
       checkpoint: String,
       sinkPath: String,
-      outputMode: String = "append"): Unit = {
+      outputMode: String = "append")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val q = out.writeStream
       .outputMode(outputMode)
       .format("json")
@@ -248,6 +252,7 @@ object EventPipelines {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    q
   }
 
   /** Streaming sink into the versioned catalog: every epoch commits as

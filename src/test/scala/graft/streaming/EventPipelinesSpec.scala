@@ -286,6 +286,102 @@ class EventPipelinesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("AvailableNow + watermark: beyond-watermark events drop, with progress accounting") {
+    // the end-to-end late-data contract of the checkpointed pipeline:
+    // run 1 advances the event-time watermark (persisted in the commit
+    // log), run 2 injects an out-of-order event BEYOND it — the row
+    // must be dropped (never reaches the sink's aggregates) AND the
+    // drop must be visible in the query's progress accounting, not
+    // silent
+    withTempDir { dir =>
+      val in = s"$dir/in"; val ckpt = s"$dir/ckpt"; val out = s"$dir/out"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      def writeInput(name: String, rows: Seq[(Long, String)]): Unit =
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/$name"),
+          rows.map { case (i, t) =>
+            s"""{"event_id":$i,"ts":"2024-01-01T$t:00.000Z","event_type":"click","value":1.0}"""
+          }.mkString("\n").getBytes)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE")
+      def stream = EventPipelines.tumblingCounts(
+        spark.readStream.schema(schema).json(in))
+
+      // run 1: two events in the 00:00 window + one at 00:30 that
+      // moves the watermark to 00:25 when the run commits
+      writeInput("b1.json", Seq(1L -> "00:01", 2L -> "00:02", 3L -> "00:30"))
+      EventPipelines.runAvailableNow(stream, ckpt, out)
+
+      // run 2: event 99 at 00:05 is beyond the persisted watermark —
+      // dropped; event 4 at 00:40 is on time and advances the clock
+      writeInput("b2.json", Seq(99L -> "00:05", 4L -> "00:40"))
+      val q2 = EventPipelines.runAvailableNow(stream, ckpt, out)
+      val dropped = q2.recentProgress
+        .flatMap(p => p.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      assert(dropped == 1L, s"expected 1 watermark-dropped row, saw $dropped")
+
+      val sink = spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "window_start TIMESTAMP, event_type STRING, n BIGINT, total_value DOUBLE"))
+        .json(out).collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(2)))
+      // the 00:00 window closed with exactly its two ON-TIME events —
+      // the late event altered nothing, and no window emitted twice
+      assert(sink.count(_._1.startsWith("2024-01-01 00:00")) == 1)
+      assert(sink.find(_._1.startsWith("2024-01-01 00:00")).get._2 == 2L)
+    }
+  }
+
+  test("catalog sink: crash between catalog commit and offset commit doesn't duplicate") {
+    // simulate the exact failure window the sink's idempotence note
+    // promises to survive: the catalog version committed but the
+    // checkpoint's epoch commit marker was never written (crash between
+    // the two). On rerun the epoch REPLAYS; the sink must find its
+    // version already present and skip — same catalog state, no v2 of
+    // the same data
+    val s = spark
+    import s.implicits._
+    withTempDir { dir =>
+      val in = s"$dir/in"; val ckpt = s"$dir/ckpt"; val root = s"$dir/cat"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/a.json"),
+        Seq(1L, 2L).map(i => s"""{"event_id":$i,"user_id":1}""")
+          .mkString("\n").getBytes)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, user_id BIGINT")
+      def stream = spark.readStream.schema(schema).json(in)
+      val cat = new graft.catalog.VersionedCatalog(spark, root)
+
+      EventPipelines.runCatalogSink(stream, ckpt, cat, "events")
+      assert(cat.versions("events") == Seq(1))
+
+      // crash simulation: clone the checkpoint as a crashed process
+      // would have left it — offsets/0 written, commits/0 never
+      // written (the failure window sits between the catalog commit
+      // and the epoch commit marker). A fresh path sidesteps the
+      // same-JVM concurrent-use guard on the original checkpoint.
+      val ckpt2 = s"$dir/ckpt-crashed"
+      val src = java.nio.file.Paths.get(ckpt)
+      java.nio.file.Files.walk(src).forEach { p =>
+        val t = java.nio.file.Paths.get(ckpt2).resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t)
+      }
+      val commit0 = java.nio.file.Paths.get(s"$ckpt2/commits/0")
+      assert(java.nio.file.Files.exists(commit0), "test setup: no commit marker")
+      java.nio.file.Files.delete(commit0)
+      // drop the Hadoop CRC shadow too — an orphaned checksum makes the
+      // local FS reject the replayed marker write
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$ckpt2/commits/.0.crc"))
+
+      EventPipelines.runCatalogSink(stream, ckpt2, cat, "events")
+      assert(cat.versions("events") == Seq(1),
+        "replayed epoch must skip its already-committed version")
+      val rows = cat.latest("events", Some(schema))
+        .collect().map(_.getLong(0)).sorted
+      assert(rows.toSeq == Seq(1L, 2L)) // content intact, exactly once
+    }
+  }
+
   test("catalog sink: each epoch commits as an immutable version; reruns don't duplicate") {
     val s = spark
     import s.implicits._
