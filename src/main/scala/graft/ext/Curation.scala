@@ -150,7 +150,13 @@ object Curation extends QueryModule {
     * only moves task sizing. */
   private[graft] def bloomShardCount(nTrain: Long): Int = {
     val targetPerShard = 8L * 1000 * 1000
-    math.max(8L, (nTrain + targetPerShard - 1) / targetPerShard).toInt
+    // overflow-free ceil-div + clamp so the sizing rule is TOTAL: the
+    // +target-1 trick wraps negative near Long.MaxValue, and past
+    // ~2^31 shards the long→int cast would wrap too; 2^20 shards
+    // ≈ 8.8e12 shingles is already beyond any single build this rule
+    // should size
+    val ceil = nTrain / targetPerShard + (if (nTrain % targetPerShard > 0) 1L else 0L)
+    math.min(1L << 20, math.max(8L, ceil)).toInt
   }
 
   /** q58/q83 shared oracle: the contract (exact counts + pinned

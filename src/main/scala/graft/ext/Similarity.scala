@@ -243,15 +243,20 @@ object Similarity extends QueryModule {
     * VERBATIM by the q89, q93 and q95 oracles — same discipline as
     * [[semanticDedupSqlTail]]: the queries differ only in the cell
     * count fed to [[ivfAssignSqlCtes]] and (q95) the assignment CTE
-    * name. */
-  private def semanticDedupIncSqlTail(asg: String = "assigned"): String = s"""
+    * name. `newPred` must be the SQL mirror of the `isNew` Column the
+    * engine call passes (the current call sites all use the odd-id
+    * daily-batch convention, the default) — a query with a different
+    * batch predicate must parameterize BOTH sides together. */
+  private def semanticDedupIncSqlTail(
+      asg: String = "assigned",
+      newPred: String = "vec_id % 2 = 1"): String = s"""
         dup AS (SELECT DISTINCT y.cell, y.vec_id AS idb
                 FROM av x JOIN av y
                   ON x.cell = y.cell AND x.vec_id < y.vec_id
-                WHERE y.vec_id % 2 = 1
+                WHERE ${newPred.replace("vec_id", "y.vec_id")}
                   AND ${X.cosineFromIntsSql(X.dotIntSql("x.v", "y.v"), "x.n2", "y.n2")} >= 0.4),
         nc AS (SELECT cell, COUNT(*) AS n_new FROM $asg
-               WHERE vec_id % 2 = 1 GROUP BY cell),
+               WHERE $newPred GROUP BY cell),
         dc AS (SELECT cell, COUNT(*) AS n_new_dups FROM dup GROUP BY cell)
         SELECT CAST(nc.cell AS BIGINT) AS cell, nc.n_new,
                COALESCE(dc.n_new_dups, 0) AS n_new_dups,

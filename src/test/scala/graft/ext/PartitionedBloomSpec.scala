@@ -45,6 +45,9 @@ class PartitionedBloomSpec extends SparkSpec {
     assert(Curation.bloomShardCount(100L * 1000 * 1000) == 13)
     assert(Curation.bloomShardCount(1000L * 1000 * 1000) == 125) // 1e9 → hundreds
     assert(Curation.bloomShardCount(10L * 1000 * 1000 * 1000) == 1250)
+    // the rule is TOTAL: absurd inputs clamp instead of wrapping the
+    // long→int cast negative
+    assert(Curation.bloomShardCount(Long.MaxValue) == (1 << 20))
   }
 
   test("(shard, sketch) table round-trips through the catalog; membership " +
