@@ -46,15 +46,22 @@ object Bench {
     val passes = (1 to 2).map { _ =>
       SparkEntry.queries.map { case (name, fn) => name -> timeOne(name, fn) }
     }
-    // Log both pass totals so future rounds can read the noise spread off
-    // BENCH_r{N}'s stderr tail without re-deriving it. Successful samples
-    // only — a fast-failing query would otherwise deflate its pass total
-    // and fabricate spread between the passes.
+    def f(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // Log both pass totals AND per-query figures so future rounds can
+    // attribute the pass-1 vs pass-2 spread (JIT/codegen warmup — pass 1
+    // compiles every generated class; pass 2 reuses them, BENCH_NOTES.md
+    // §Warmup) without chasing phantom per-query regressions. stderr, not
+    // the stdout contract line: the driver retains only ~2000 stdout
+    // chars. Successful samples only — a fast-failing query would
+    // otherwise deflate its pass total and fabricate spread.
     passes.zipWithIndex.foreach { case (p, i) =>
       val ok = p.values.collect { case (t, true) => t }.sum
       val nFail = p.values.count(!_._2)
       System.err.println(f"[bench] pass ${i + 1} total: $ok%.3f s" +
         (if (nFail > 0) s" ($nFail failed queries excluded)" else ""))
+      System.err.println(s"[bench] pass ${i + 1} queries: " + p.map { case (k, (t, ok1)) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + (if (ok1) f(t) else "null")
+      }.mkString("{", ",", "}"))
     }
     val results = passes.head.map { case (name, (t1, ok1)) =>
       val (t2, ok2) = passes(1)(name)
@@ -70,7 +77,6 @@ object Bench {
     // full query names and 9-decimal doubles overflows it and fails to parse
     // (observed in BENCH_r02.json: "parsed": null). Keep the contract line
     // compact: qNN key prefix, millisecond precision.
-    def f(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     // The qNN prefix is the contract key — a duplicated number would emit
     // duplicate JSON keys and silently corrupt the driver's parse.
     require(results.keys.map(_.takeWhile(_ != '_')).toSet.size == results.size,
