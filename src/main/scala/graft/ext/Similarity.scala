@@ -391,18 +391,13 @@ object Similarity extends QueryModule {
           FROM scored) WHERE rank <= 3
         ORDER BY qid, rank"""
 
-  /** The probe → candidates → ADC-score CTE chain shared VERBATIM by
-    * the q87 and q91 oracles (q91 = q87's ADC ranking + an exact
-    * re-rank stage on top), so the two contracts can never drift on
-    * probing or ADC arithmetic. Expects [[ivfAssignSqlCtes]] (for
-    * `dist`/`assigned`) and `pqSqlCtes("pq_")` (for `pq_dist`/
+  /** The candidates → ADC-score half of the IVF-PQ oracle chain —
+    * everything downstream of the `probes` CTE, so the flat (q87/q91)
+    * and two-level (q101) probe variants share the scoring text
+    * verbatim. Expects `probes (qid, cell)`, [[ivfAssignSqlCtes]]
+    * (for `assigned`) and `pqSqlCtes("pq_")` (for `pq_dist`/
     * `pq_best`) earlier in the WITH. */
-  private val ivfPqAdcSqlCtes = s"""
-        probes AS (SELECT vec_id AS qid, cell FROM (
-                     SELECT vec_id, cell,
-                            row_number() OVER (PARTITION BY vec_id
-                              ORDER BY d, cell) AS pr
-                     FROM dist WHERE vec_id < 50) WHERE pr <= 4),
+  private val ivfPqAdcScoreSqlCtes = s"""
         lut AS (SELECT vec_id AS qid, m, c, CAST(floor(dst * 1e9) AS BIGINT) AS de9
                 FROM pq_dist WHERE vec_id < 50),
         cand AS (SELECT p.qid, a.vec_id AS nid
@@ -413,6 +408,35 @@ object Similarity extends QueryModule {
                 JOIN pq_best b ON b.vec_id = cd.nid AND b.rn = 1
                 JOIN lut l ON l.qid = cd.qid AND l.m = b.m AND l.c = b.c
                 GROUP BY cd.qid, cd.nid)"""
+
+  /** The probe → candidates → ADC-score CTE chain shared VERBATIM by
+    * the q87 and q91 oracles (q91 = q87's ADC ranking + an exact
+    * re-rank stage on top), so the two contracts can never drift on
+    * probing or ADC arithmetic: the flat probe ([[ivfFlatProbeSqlCte]],
+    * same text as q81's) feeding [[ivfPqAdcScoreSqlCtes]]. */
+  private val ivfPqAdcSqlCtes = s"""$ivfFlatProbeSqlCte,
+        $ivfPqAdcScoreSqlCtes"""
+
+  /** The ADC-shortlist → exact-cosine re-rank tail shared VERBATIM by
+    * the q91 and q101 oracles — the two queries differ only in how
+    * `probes` is produced (flat vs two-level partial). Expects `adc`
+    * and `vn` earlier in the WITH. */
+  private val ivfPqRerankSqlTail = s"""
+        sl AS (SELECT qid, nid FROM (
+                 SELECT qid, nid,
+                        row_number() OVER (PARTITION BY qid
+                          ORDER BY dist_e9, nid) AS srn
+                 FROM adc) WHERE srn <= 10),
+        scored AS (SELECT s.qid, s.nid,
+                     ${X.cosineFromIntsSql(X.dotIntSql("q.v", "n.v"), "q.n2", "n.n2")} AS cos
+                   FROM sl s JOIN vn q ON q.vec_id = s.qid
+                             JOIN vn n ON n.vec_id = s.nid)
+        SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos FROM (
+          SELECT qid, nid, cos,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, nid) AS rank
+          FROM scored) WHERE rank <= 3
+        ORDER BY qid, rank"""
 
   override val defs: Seq[QueryDef] = Seq(
 
@@ -889,21 +913,7 @@ object Similarity extends QueryModule {
         WITH ${ivfAssignSqlCtes()},
         ${pqSqlCtes("pq_")},
         $ivfPqAdcSqlCtes,
-        sl AS (SELECT qid, nid FROM (
-                 SELECT qid, nid,
-                        row_number() OVER (PARTITION BY qid
-                          ORDER BY dist_e9, nid) AS srn
-                 FROM adc) WHERE srn <= 10),
-        scored AS (SELECT s.qid, s.nid,
-                     ${X.cosineFromIntsSql(X.dotIntSql("q.v", "n.v"), "q.n2", "n.n2")} AS cos
-                   FROM sl s JOIN vn q ON q.vec_id = s.qid
-                             JOIN vn n ON n.vec_id = s.nid)
-        SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos FROM (
-          SELECT qid, nid, cos,
-                 row_number() OVER (PARTITION BY qid
-                   ORDER BY cos DESC, nid) AS rank
-          FROM scored) WHERE rank <= 3
-        ORDER BY qid, rank""")),
+        $ivfPqRerankSqlTail""")),
 
     // ------------------------------------------------------------------
     // q92: semantic dedup through the TWO-LEVEL assignment kernel at 64
@@ -1090,6 +1100,41 @@ object Similarity extends QueryModule {
           iters = twoLevelOracleIters)},
         ${twoLevelServeProbeSqlCtes(dim = 64, iters = twoLevelOracleIters,
           wProbe = 2, nProbe = 4, queryPred = "vec_id < 50")},
-        $ivfServeSqlTail"""))
+        $ivfServeSqlTail""")),
+
+    // ------------------------------------------------------------------
+    // q101: the COMPLETE production serving configuration in one
+    // oracled query — every scale lever engaged at once: two-level
+    // PARTIAL probe (2 of 8 fitted supers per query — the ~2√nCells
+    // probe cost, q98's machinery), candidates scanned as 32-bit PQ
+    // codes with integer ADC (q87's machinery), k′=10 shortlist
+    // re-ranked by exact integer cosine (q91's machinery). Each CTE
+    // block is shared verbatim with the query that introduced it, so
+    // q101 adds COMPOSITION, not new contract text — and the whole
+    // five-stage pipeline (fit → probe → ADC → shortlist → re-rank)
+    // still hash-matches DuckDB bit-for-bit.
+    QueryDef(
+      "q101_ivf_pq_rerank_two_level",
+      (s, dir) => {
+        val books = graft.functions.VectorIndexFunctions.pqCodebooks(8, 16, 8)
+        val cents = graft.operators.SimilarityJoin.md5CentroidTable(s, nCells = 64)
+        graft.operators.SimilarityJoin.ivfPqRerankTopK(
+            T.embeddings(s, dir), col("vec_id"), col("embedding"),
+            queryPred = col("vec_id") < 50, cents, books,
+            nProbe = 4, shortlist = 10, k = 3,
+            probe = Some(graft.operators.SimilarityJoin.CoarseProbe(
+              nCoarse = 8, wProbe = 2, sqlExactFit = true,
+              fitIters = twoLevelOracleIters)))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""
+        WITH ${ivfAssignSqlCtes(64)},
+        ${pqSqlCtes("pq_")},
+        ${twoLevelFitSqlCtes(nCells = 64, dim = 64, nCoarse = 8,
+          iters = twoLevelOracleIters)},
+        ${twoLevelServeProbeSqlCtes(dim = 64, iters = twoLevelOracleIters,
+          wProbe = 2, nProbe = 4, queryPred = "vec_id < 50")},
+        $ivfPqAdcScoreSqlCtes,
+        $ivfPqRerankSqlTail"""))
   )
 }

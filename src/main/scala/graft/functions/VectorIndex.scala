@@ -179,28 +179,47 @@ object TwoLevelIndex {
     * RNG: seeds are evenly strided rows, ties resolve to the lowest
     * index, fixed `iters` sweeps. Returns (coarse matrix, member cell
     * ids per super-cell, ascending). Every cell appears in exactly one
-    * member list. */
-  def fit(cents: Array[Array[Double]], nCoarse: Int, iters: Int = 10)
+    * member list.
+    *
+    * `fitSampleStride` is the driver-cost escape hatch (SCALE.md
+    * §Assignment cost): the fit itself is O(iters·nCells·nCoarse·dim)
+    * — ~2×10¹⁰ FLOPs at the 10⁵-cell design point, a tens-of-seconds
+    * one-time stall. Supers only need APPROXIMATE boundaries, so the
+    * Lloyd sweeps may run on every `stride`-th cell (cutting the fit
+    * `stride`×) while the FINAL assignment still scans every cell:
+    * membership stays a partition of ALL cells, every downstream
+    * guarantee that holds for any partition (full probe ≡ flat scan,
+    * ties included) is unaffected, and only wProbe<nCoarse boundary
+    * quality can shift. Stride 1 (default) is the exact fit. */
+  def fit(cents: Array[Array[Double]], nCoarse: Int, iters: Int = 10,
+      fitSampleStride: Int = 1)
       : (Array[Array[Double]], Array[Array[Int]]) = {
     require(cents.nonEmpty, "two_level_fit: empty centroid matrix")
+    require(fitSampleStride >= 1,
+      s"two_level_fit: fitSampleStride must be >= 1, got $fitSampleStride")
     val n = cents.length
     val dim = cents(0).length
     require(cents.forall(_.length == dim),
       "two_level_fit: mixed centroid dimensionalities")
-    val k = math.max(1, math.min(nCoarse, n))
-    val coarse = Array.tabulate(k)(i => cents((i.toLong * n / k).toInt).clone())
-    val assign = new Array[Int](n)
+    // the sweep set: every stride-th cell (all of them at stride 1)
+    val sample: Array[Array[Double]] =
+      if (fitSampleStride == 1) cents
+      else (0 until n by fitSampleStride).map(cents).toArray
+    val m = sample.length
+    val k = math.max(1, math.min(nCoarse, m))
+    val coarse = Array.tabulate(k)(i => sample((i.toLong * m / k).toInt).clone())
+    val sAssign = new Array[Int](m)
     var it = 0
     while (it < iters) {
       var i = 0
-      while (i < n) { assign(i) = nearestIdx(cents(i), coarse); i += 1 }
+      while (i < m) { sAssign(i) = nearestIdx(sample(i), coarse); i += 1 }
       val sums = Array.fill(k)(new Array[Double](dim))
       val cnt = new Array[Int](k)
       i = 0
-      while (i < n) {
-        val a = assign(i); cnt(a) += 1
+      while (i < m) {
+        val a = sAssign(i); cnt(a) += 1
         var d = 0
-        while (d < dim) { sums(a)(d) += cents(i)(d); d += 1 }
+        while (d < dim) { sums(a)(d) += sample(i)(d); d += 1 }
         i += 1
       }
       var c = 0
@@ -215,6 +234,9 @@ object TwoLevelIndex {
       }
       it += 1
     }
+    // final assignment covers EVERY cell, sampled fit or not — the
+    // member lists must partition the full cell table
+    val assign = new Array[Int](n)
     var i = 0
     while (i < n) { assign(i) = nearestIdx(cents(i), coarse); i += 1 }
     val members = Array.tabulate(k)(c =>

@@ -413,6 +413,46 @@ class SemanticPqSpec extends SparkSpec {
     }
   }
 
+  test("sampled coarse fit: full-cell membership, full probe still flat-exact") {
+    // the SCALE.md driver-cost escape hatch: Lloyd sweeps on every
+    // 4th cell, final assignment over ALL cells — membership must
+    // still partition the whole table and full probing must still be
+    // bit-identical to the flat scan (holds for ANY partition)
+    val cents = graft.operators.SimilarityJoin.md5CentroidTable(spark, nCells = 64)
+    val matrix = cents.orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val (coarse, members) = graft.functions.TwoLevelIndex.fit(
+      matrix, nCoarse = 8, fitSampleStride = 4)
+    assert(members.flatten.sorted.toSeq == matrix.indices.toSeq)
+    val out = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("embedding").cast("array<double>").as("fd"))
+      .select(
+        graft.functions.VectorIndexFunctions.nearestCentroid(col("fd"), matrix)
+          .as("flat"),
+        graft.functions.VectorIndexFunctions.nearestCentroidTwoLevel(
+          col("fd"), coarse, members, matrix, wProbe = 8).as("two"))
+      .collect()
+    assert(out.nonEmpty && out.forall(r => r.getInt(0) == r.getInt(1)))
+    // on the planted-cluster fixture, a stride that still samples every
+    // super-cluster keeps wProbe=1 exact
+    val planted = (0 until 12).map { c =>
+      Array.tabulate(4)(d =>
+        if (d == 0) (c / 3) * 100.0 else if (d == 1) (c % 3) * 1.0 else 0.0)
+    }.toArray
+    val (pc, pm) = graft.functions.TwoLevelIndex.fit(
+      planted, nCoarse = 4, fitSampleStride = 3)
+    assert(pm.flatten.sorted.toSeq == (0 until 12))
+    assert(pm.map(_.map(_ / 3).distinct.length).forall(_ == 1))
+    intercept[IllegalArgumentException] {
+      graft.functions.TwoLevelIndex.fit(planted, 4, fitSampleStride = 0)
+    }
+    // stride 1 is the exact fit: identical output to the default path
+    val (c1, m1) = graft.functions.TwoLevelIndex.fit(matrix, 8)
+    val (c2, m2) = graft.functions.TwoLevelIndex.fit(matrix, 8, fitSampleStride = 1)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    assert(m1.map(_.toSeq).toSeq == m2.map(_.toSeq).toSeq)
+  }
+
   test("two-level assignment: well-separated super-clusters are exact at wProbe = 1") {
     // 4 super-clusters far apart in dim 0, 3 cells each jittered in dim
     // 1: the coarse fit must recover the grouping and a vector near any
