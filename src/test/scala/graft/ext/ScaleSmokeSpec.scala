@@ -48,6 +48,39 @@ class ScaleSmokeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("IVF serving at 20x replication: probes route every query to its replicas; two-level ≡ flat") {
+    // replicated corpus = REAL duplicate density for the serving path:
+    // each query's true neighbors are its 19 exact copies, so the probe
+    // kernel must route the query into its own cell and the candidate
+    // join must surface copies first — and the two-level probe at full
+    // width must agree with the flat probe row for row at this scale
+    val copies = 20
+    val emb = graft.Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val rep = (0 until copies)
+      .map(i => emb.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+        col("embedding")))
+      .reduce(_ unionAll _)
+    val cents = graft.operators.SimilarityJoin.md5CentroidTable(spark, nCells = 64)
+    val flat = graft.operators.SimilarityJoin.ivfTopKServing(
+        rep, col("vec_id"), col("embedding"), col("vec_id") < 20,
+        cents, nProbe = 4, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    spark.catalog.clearCache()
+    val two = graft.operators.SimilarityJoin.ivfTopKServing(
+        rep, col("vec_id"), col("embedding"), col("vec_id") < 20,
+        cents, nProbe = 4, k = 3,
+        probe = Some(graft.operators.SimilarityJoin.CoarseProbe(nCoarse = 8, wProbe = 8)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    spark.catalog.clearCache()
+    assert(flat.sortBy(r => (r._1, r._2)).toSeq == two.sortBy(r => (r._1, r._2)).toSeq)
+    assert(flat.map(_._1).distinct.length == 20)
+    flat.foreach { case (qid, _, nid, cos) =>
+      // every returned neighbor is one of the query's exact replicas
+      assert(nid % 1000000L == qid, s"query $qid surfaced non-replica $nid")
+      assert(cos > 0.999999, s"replica cosine $cos")
+    }
+  }
+
   test("minhash LSH survives a planted 5k mega-cluster: cap drops the " +
       "degenerate buckets, everything else is unchanged") {
     // 5000 identical copies of one document: every band bucket holding it
