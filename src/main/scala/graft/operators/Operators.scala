@@ -503,6 +503,39 @@ object SimilarityJoin {
     }.toDF("cell", "d", "sum_e7", "cnt", "mean", "n_members")
   }
 
+  /** The fitted two-level structure as INDEX-AS-DATA: one row per
+    * super-cell (j, super_centroid, member_cells) — persist it through
+    * the versioned catalog next to the (cell, centroid) table and a
+    * serving job reloads BOTH with no re-fit (and can time-travel the
+    * pair together). The member lists ride along because they are part
+    * of the index contract: a reloaded structure must probe exactly
+    * the cells the fit assigned. */
+  def twoLevelToDf(spark: org.apache.spark.sql.SparkSession,
+      coarse: Array[Array[Double]], members: Array[Array[Int]]): DataFrame = {
+    import spark.implicits._
+    require(coarse.length == members.length,
+      "twoLevelToDf: coarse and members must be parallel arrays")
+    coarse.zip(members).zipWithIndex
+      .map { case ((c, m), j) => (j, c.toSeq, m.toSeq) }.toSeq
+      .toDF("j", "super_centroid", "member_cells")
+  }
+
+  /** Reload a [[twoLevelToDf]] table into kernel form. Super ids must
+    * be contiguous 0..n-1 (row index IS the super id, the
+    * [[centroidMatrix]] rule); doubles round-trip parquet bit-exactly,
+    * so a reloaded structure probes identically to the fitted one. */
+  def twoLevelFromDf(df: DataFrame): (Array[Array[Double]], Array[Array[Int]]) = {
+    val rows = df
+      .select(col("j").cast("int"), col("super_centroid"), col("member_cells"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getSeq[Int](2).toArray))
+      .sortBy(_._1)
+    require(rows.zipWithIndex.forall { case ((j, _, _), i) => j == i },
+      "two-level index table must carry contiguous super ids 0..n-1")
+    require(rows.nonEmpty, "two-level index table is empty")
+    (rows.map(_._2), rows.map(_._3))
+  }
+
   /** The deterministic md5-derived centroid table shared by q81 / q84 /
     * q87 AND their DuckDB oracles: value(c, d) = ((md5h60("ivf c d")
     * mod 4001) - 2000) / 1e4 — one definition so the engine queries,

@@ -453,6 +453,40 @@ class SemanticPqSpec extends SparkSpec {
     assert(m1.map(_.toSeq).toSeq == m2.map(_.toSeq).toSeq)
   }
 
+  test("two-level structure round-trips through the catalog; reloaded probe is identical") {
+    // index-as-data for the newest index kind: the fitted (coarse,
+    // members) pair persists as a (j, super_centroid, member_cells)
+    // table and a reloaded structure must assign EXACTLY like the
+    // fitted one (doubles round-trip parquet bit-exactly)
+    val cents = graft.operators.SimilarityJoin.md5CentroidTable(spark, nCells = 64)
+    val matrix = cents.orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val (coarse, members) = graft.functions.TwoLevelIndex.fit(matrix, nCoarse = 8)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-2l-").toString
+    val cat = new graft.catalog.VersionedCatalog(spark, tmp, format = "parquet")
+    cat.writeNext("two_level",
+      graft.operators.SimilarityJoin.twoLevelToDf(spark, coarse, members))
+    val (c2, m2) = graft.operators.SimilarityJoin.twoLevelFromDf(
+      cat.latest("two_level"))
+    assert(c2.map(_.toSeq).toSeq == coarse.map(_.toSeq).toSeq)
+    assert(m2.map(_.toSeq).toSeq == members.map(_.toSeq).toSeq)
+    val out = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("embedding").cast("array<double>").as("fd"))
+      .select(
+        graft.functions.VectorIndexFunctions.nearestCentroidTwoLevel(
+          col("fd"), coarse, members, matrix, wProbe = 2).as("orig"),
+        graft.functions.VectorIndexFunctions.nearestCentroidTwoLevel(
+          col("fd"), c2, m2, matrix, wProbe = 2).as("reloaded"))
+      .collect()
+    assert(out.nonEmpty && out.forall(r => r.getInt(0) == r.getInt(1)))
+    // contract guards: shuffled/gapped super ids refuse to load
+    intercept[IllegalArgumentException] {
+      graft.operators.SimilarityJoin.twoLevelFromDf(
+        cat.latest("two_level").withColumn("j", col("j") + 1))
+    }
+    spark.catalog.clearCache()
+  }
+
   test("two-level assignment: well-separated super-clusters are exact at wProbe = 1") {
     // 4 super-clusters far apart in dim 0, 3 cells each jittered in dim
     // 1: the coarse fit must recover the grouping and a vector near any

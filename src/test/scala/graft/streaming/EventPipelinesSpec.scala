@@ -461,6 +461,28 @@ class EventPipelinesSpec extends SparkSpec {
       EventPipelines.runCatalogMergeSink(stream, ckpt, cat, "dim", Seq("k"), schema)
       assert(cat.versions("dim") == versionsAfter)
       assert(state() == Seq(1L -> "a", 2L -> "B2", 3L -> "c"))
+
+      // crash between merge commit and epoch marker: replay the epoch.
+      // The documented contract is CONTENT idempotence at the cost of
+      // at most one redundant version — assert exactly that, no more
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/dim/.epochs/e=1"), false)
+      val ckpt2 = s"$dir/ckpt-crashed"
+      val src = java.nio.file.Paths.get(ckpt)
+      java.nio.file.Files.walk(src).forEach { p =>
+        val t = java.nio.file.Paths.get(ckpt2).resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t)
+      }
+      java.nio.file.Files.delete(java.nio.file.Paths.get(s"$ckpt2/commits/1"))
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$ckpt2/commits/.1.crc"))
+      EventPipelines.runCatalogMergeSink(stream, ckpt2, cat, "dim", Seq("k"), schema)
+      assert(state() == Seq(1L -> "a", 2L -> "B2", 3L -> "c"),
+        "replayed merge must be content-idempotent")
+      assert(cat.versions("dim") == versionsAfter :+ (versionsAfter.max + 1),
+        "replay costs exactly one redundant version")
     }
   }
 
