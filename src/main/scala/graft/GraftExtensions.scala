@@ -102,5 +102,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BloomBuildAgg(a.head,
           numArg(a(1), "bloom_build", 2),
           dblArg(a(2), "bloom_build", 3)).toAggregateExpression() }))
+
+    ext.injectFunction((
+      FunctionIdentifier("ppm_header"),
+      new ExpressionInfo(classOf[PpmHeader].getName, "ppm_header"),
+      (args: Seq[Expression]) => PpmHeader(arity(args, "ppm_header", 1).head)))
   }
 }

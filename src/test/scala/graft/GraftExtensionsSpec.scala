@@ -59,6 +59,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
       }
       assert(arityErr.getMessage.contains("bloom_build"),
         s"arity error should name the function: ${arityErr.getMessage}")
+      // the PPM container parse registers too: header words from SQL
+      val ppm = s.sql(
+        "SELECT ppm_header(CAST(concat('P6\n1 1\n255\n', 'abc') AS BINARY)) AS h")
+        .head().getSeq[Long](0)
+      assert(ppm == Seq(1L, 1L, 255L, 11L, 3L))
       assert(row.getSeq[String](0) == Seq("hello", "world", "42"))
       assert(row.getSeq[String](1) == Seq("a b c", "b c d"))
       assert(row.getInt(2) == 12)

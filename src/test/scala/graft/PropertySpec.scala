@@ -249,6 +249,43 @@ class PropertySpec extends SparkSpec {
       }
   }
 
+  test("probe kernels ≡ sort-based reference on random vectors and partitions") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val dim = 6
+    val caseGen = for {
+      nCells <- Gen.choose(2, 24)
+      cents <- Gen.listOfN(nCells, Gen.listOfN(dim, Gen.choose(-3.0, 3.0)))
+      v <- Gen.listOfN(dim, Gen.choose(-3.0, 3.0))
+      nProbe <- Gen.choose(1, 28) // may exceed nCells: clamp path
+      nCoarse <- Gen.choose(1, 6)
+    } yield (cents.map(_.toArray).toArray, v.toArray, nProbe, nCoarse)
+    samples(caseGen, 60).foreach { case (cents, v, nProbe, nCoarse) =>
+      val fd = ArrayData.toArrayData(v)
+      def d2(c: Array[Double]): Double =
+        v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+      // reference: full sort by (distance, cell), take nProbe
+      val ref = cents.indices.sortBy(c => (d2(cents(c)), c))
+        .take(math.min(nProbe, cents.length))
+      val got = graft.functions.VectorIndex.topCells(fd, cents, nProbe)
+        .toIntArray().toSeq
+      assert(got == ref, s"flat probe mismatch: $got vs $ref")
+      // rank-1 prefix IS the assignment kernel
+      assert(got.head == graft.functions.VectorIndex.nearestCell(fd, cents))
+      // two-level at full probe == flat, for an arbitrary deterministic
+      // partition of cells into nCoarse groups (round-robin)
+      val k = math.min(nCoarse, cents.length)
+      val members = Array.tabulate(k)(j =>
+        cents.indices.filter(_ % k == j).toArray)
+      val coarse = Array.tabulate(k)(j => cents(members(j).head))
+      val two = graft.functions.TwoLevelIndex.topCellsTwoLevel(
+        fd, coarse, members, cents, wProbe = k, nProbe = nProbe)
+        .toIntArray().toSeq
+      assert(two == ref, s"two-level full probe mismatch: $two vs $ref")
+      assert(graft.functions.TwoLevelIndex.nearestCellTwoLevel(
+        fd, coarse, members, cents, k) == ref.head)
+    }
+  }
+
   test("signed_project guard accepts exactly the int64-representable norms") {
     import org.apache.spark.sql.catalyst.util.ArrayData
     // single input dim, k=2 outputs with signs (+1, -1): out = (x, -x),
