@@ -181,6 +181,25 @@ object Similarity extends QueryModule {
         ${asg(iters)}"""
   }
 
+  /** The per-vector wProbe-super probe CTE — ONE definition of the
+    * probe-selection mirror (coarse distance fold, memberless-super
+    * skip via the DISTINCT-j join, (dist, j) tie rule) shared by the
+    * assignment (q94/q95) and serving (q98/q101) chains, so the two
+    * can never drift on probe semantics. `src` is the probed vector
+    * source ("vecs", or a filtered subquery for the query-side). */
+  private def vprobeSqlCte(
+      dim: Int, iters: Int, wProbe: Int, src: String = "vecs"): String = s"""
+        vprobe AS (
+          SELECT vec_id, j FROM (
+            SELECT v.vec_id, m.j,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                     list_aggregate(list_transform(range(0, $dim),
+                       d -> (v.fd[d+1] - m.mv[d+1]) * (v.fd[d+1] - m.mv[d+1])), 'sum'),
+                     m.j) AS pr
+            FROM $src v, (SELECT m0.* FROM mv_$iters m0
+                          JOIN (SELECT DISTINCT j FROM asg_$iters) nz USING (j)) m)
+          WHERE pr <= $wProbe)"""
+
   private def twoLevelAssignSqlCtes(
       nCells: Int, dim: Int, nCoarse: Int, iters: Int, wProbe: Int): String = {
     // the ENGINE kernel clamps wProbe/nCoarse; this SQL text does not —
@@ -190,16 +209,7 @@ object Similarity extends QueryModule {
       s"twoLevelAssignSqlCtes: need 1 <= wProbe ($wProbe) <= nCoarse " +
         s"($nCoarse) <= nCells ($nCells) and iters >= 1 ($iters) to mirror the kernel")
     s"""${twoLevelFitSqlCtes(nCells, dim, nCoarse, iters)},
-        vprobe AS (
-          SELECT vec_id, j FROM (
-            SELECT v.vec_id, m.j,
-                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
-                     list_aggregate(list_transform(range(0, $dim),
-                       d -> (v.fd[d+1] - m.mv[d+1]) * (v.fd[d+1] - m.mv[d+1])), 'sum'),
-                     m.j) AS pr
-            FROM vecs v, (SELECT m0.* FROM mv_$iters m0
-                          JOIN (SELECT DISTINCT j FROM asg_$iters) nz USING (j)) m)
-          WHERE pr <= $wProbe),
+        ${vprobeSqlCte(dim, iters, wProbe)},
         assigned2 AS (
           SELECT vec_id, cell FROM (
             SELECT p.vec_id, a.cell,
@@ -211,33 +221,32 @@ object Similarity extends QueryModule {
   /** The two-level PARTIAL-probe stage for the SERVING paths, as
     * oracle CTEs — the SQL mirror of
     * [[graft.functions.TwoLevelIndex.topCellsTwoLevel]]: each query
-    * probes its `wProbe` nearest fitted supers (memberless supers
-    * skipped via the DISTINCT-j join, exactly like the kernel) and
-    * keeps the `nProbe` nearest member cells by (dist, cell). Expects
+    * probes its `wProbe` nearest fitted supers ([[vprobeSqlCte]] — the
+    * same text the assignment mirror uses) and keeps the `nProbe`
+    * nearest member cells by (dist, cell). Expects
     * [[ivfAssignSqlCtes]] (`cent`/`vecs`/`dist`) and
     * [[twoLevelFitSqlCtes]] (`mv_iters`/`asg_iters`) earlier in the
     * WITH; emits `probes (qid, cell)` — the same CTE name the q81
     * serving tail consumes, so q98 differs from q81 ONLY in how
     * `probes` is produced. */
   private def twoLevelServeProbeSqlCtes(
-      dim: Int, iters: Int, wProbe: Int, nProbe: Int, queryPred: String): String = s"""
-        vprobe AS (
-          SELECT vec_id, j FROM (
-            SELECT v.vec_id, m.j,
-                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
-                     list_aggregate(list_transform(range(0, $dim),
-                       d -> (v.fd[d+1] - m.mv[d+1]) * (v.fd[d+1] - m.mv[d+1])), 'sum'),
-                     m.j) AS pr
-            FROM (SELECT * FROM vecs WHERE $queryPred) v,
-                 (SELECT m0.* FROM mv_$iters m0
-                  JOIN (SELECT DISTINCT j FROM asg_$iters) nz USING (j)) m)
-          WHERE pr <= $wProbe),
+      dim: Int, nCoarse: Int, iters: Int, wProbe: Int, nProbe: Int,
+      queryPred: String): String = {
+    // same silent-divergence guard as twoLevelAssignSqlCtes: the engine
+    // kernel clamps wProbe and selectTopByDistance rejects nProbe < 1;
+    // this text does neither, so refuse unmirrorable parameterizations
+    require(wProbe >= 1 && wProbe <= nCoarse && nProbe >= 1 && iters >= 1,
+      s"twoLevelServeProbeSqlCtes: need 1 <= wProbe ($wProbe) <= nCoarse " +
+        s"($nCoarse), nProbe >= 1 ($nProbe) and iters >= 1 ($iters) to mirror the kernel")
+    s"""${vprobeSqlCte(dim, iters, wProbe,
+          src = s"(SELECT * FROM vecs WHERE $queryPred)")},
         probes AS (
           SELECT vec_id AS qid, cell FROM (
             SELECT p.vec_id, a.cell,
                    row_number() OVER (PARTITION BY p.vec_id ORDER BY dd.d, a.cell) AS rn
             FROM vprobe p JOIN asg_$iters a ON a.j = p.j
             JOIN dist dd ON dd.vec_id = p.vec_id AND dd.cell = a.cell) WHERE rn <= $nProbe)"""
+  }
 
   /** The incremental (new-batch) dup flag + per-cell summary shared
     * VERBATIM by the q89, q93 and q95 oracles — same discipline as
@@ -246,17 +255,20 @@ object Similarity extends QueryModule {
     * name. `newPred` must be the SQL mirror of the `isNew` Column the
     * engine call passes (the current call sites all use the odd-id
     * daily-batch convention, the default) — a query with a different
-    * batch predicate must parameterize BOTH sides together. */
+    * batch predicate must parameterize BOTH sides together. The
+    * predicate is a FUNCTION of the row alias (not text to rewrite),
+    * so qualified or substring-colliding column names cannot corrupt
+    * one of its two uses. */
   private def semanticDedupIncSqlTail(
       asg: String = "assigned",
-      newPred: String = "vec_id % 2 = 1"): String = s"""
+      newPred: String => String = a => s"$a.vec_id % 2 = 1"): String = s"""
         dup AS (SELECT DISTINCT y.cell, y.vec_id AS idb
                 FROM av x JOIN av y
                   ON x.cell = y.cell AND x.vec_id < y.vec_id
-                WHERE ${newPred.replace("vec_id", "y.vec_id")}
+                WHERE ${newPred("y")}
                   AND ${X.cosineFromIntsSql(X.dotIntSql("x.v", "y.v"), "x.n2", "y.n2")} >= 0.4),
-        nc AS (SELECT cell, COUNT(*) AS n_new FROM $asg
-               WHERE $newPred GROUP BY cell),
+        nc AS (SELECT na.cell, COUNT(*) AS n_new FROM $asg na
+               WHERE ${newPred("na")} GROUP BY na.cell),
         dc AS (SELECT cell, COUNT(*) AS n_new_dups FROM dup GROUP BY cell)
         SELECT CAST(nc.cell AS BIGINT) AS cell, nc.n_new,
                COALESCE(dc.n_new_dups, 0) AS n_new_dups,
@@ -1098,7 +1110,7 @@ object Similarity extends QueryModule {
         WITH ${ivfAssignSqlCtes(64)},
         ${twoLevelFitSqlCtes(nCells = 64, dim = 64, nCoarse = 8,
           iters = twoLevelOracleIters)},
-        ${twoLevelServeProbeSqlCtes(dim = 64, iters = twoLevelOracleIters,
+        ${twoLevelServeProbeSqlCtes(dim = 64, nCoarse = 8, iters = twoLevelOracleIters,
           wProbe = 2, nProbe = 4, queryPred = "vec_id < 50")},
         $ivfServeSqlTail""")),
 
@@ -1132,7 +1144,7 @@ object Similarity extends QueryModule {
         ${pqSqlCtes("pq_")},
         ${twoLevelFitSqlCtes(nCells = 64, dim = 64, nCoarse = 8,
           iters = twoLevelOracleIters)},
-        ${twoLevelServeProbeSqlCtes(dim = 64, iters = twoLevelOracleIters,
+        ${twoLevelServeProbeSqlCtes(dim = 64, nCoarse = 8, iters = twoLevelOracleIters,
           wProbe = 2, nProbe = 4, queryPred = "vec_id < 50")},
         $ivfPqAdcScoreSqlCtes,
         $ivfPqRerankSqlTail"""))

@@ -40,6 +40,11 @@ object PpmCodec {
     if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6')
       throw new IllegalArgumentException(
         "ppm_header: bad magic — payload is not a P6 PPM container")
+    // the spec requires whitespace after the magic: without this check
+    // a fused token like "P6123" would silently parse width=123
+    if (bytes.length < 3 || !isWs(bytes(2)))
+      throw new IllegalArgumentException(
+        "ppm_header: missing whitespace after the P6 magic")
     var pos = 2
 
     def skipSeparators(): Unit = {

@@ -87,10 +87,13 @@ case class DotProductInt64(left: Expression, right: Expression)
   * child per output dim.
   */
 case class SignedProject(child: Expression, signs: Array[Array[Long]])
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ArrayParamEquality {
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
   override def prettyName: String = "signed_project"
+  override protected def arrayParams: Seq[AnyRef] = Seq(signs)
+  override protected def scalarParams: Seq[Any] = Nil
 
   override def nullSafeEval(input: Any): Any =
     SignedProject.project(input.asInstanceOf[ArrayData], signs)

@@ -100,11 +100,17 @@ object VectorIndex {
     * widths (w ≤ ~8) and keeps the loop branch-predictable. NaN
     * distances compare false everywhere: a slot that cannot fill
     * fails fast (the NearestCentroid guard), never emits a phantom
-    * cell. */
+    * cell. nProbe < 1 throws rather than silently clamping up: the
+    * removed declarative probe emitted ZERO rows for that degenerate
+    * config, so serving answers from one arbitrary cell would be a
+    * silent behavior change. */
   private[functions] def selectTopByDistance(
       ds: Array[Double], ids: Array[Int], w0: Int, name: String): ArrayData = {
+    if (w0 < 1)
+      throw new IllegalArgumentException(
+        s"$name: nProbe must be >= 1, got $w0")
     val n = ds.length
-    val w = math.max(1, math.min(w0, n))
+    val w = math.min(w0, n)
     val out = new Array[Int](w)
     val taken = new Array[Boolean](n)
     var p = 0

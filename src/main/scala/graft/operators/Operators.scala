@@ -585,9 +585,8 @@ object SimilarityJoin {
     * into the two-level kernel at the ≳10⁴-cell design point
     * (~2√nCells·dim FLOPs per query instead of nCells·dim). */
   private def probeCells(
-      queries: DataFrame, centroidsDf: DataFrame, nProbe: Int,
+      queries: DataFrame, matrix: Array[Array[Double]], nProbe: Int,
       coarse: Option[CoarseProbe] = None): DataFrame = {
-    val matrix = centroidMatrix(centroidsDf)
     val cellsCol = coarse match {
       case Some(cp) =>
         val (cm, mem) =
@@ -850,7 +849,7 @@ object SimilarityJoin {
 
     val probes = probeCells(
       assigned.filter(col("is_query")).select(col("doc_id").as("qid"), col("fd")),
-      centroidsDf, nProbe, probe)
+      matrix, nProbe, probe)
 
     val queries = assigned.filter(col("is_query"))
       .select(col("doc_id").as("qid"), col("v").as("va"), col("n2").as("n2a"))
@@ -903,7 +902,7 @@ object SimilarityJoin {
       .transform(scope.cache)
     val probes = probeCells(
       assigned.filter(col("is_query")).select(col("nid").as("qid"), col("fd")),
-      centroidsDf, nProbe, probe)
+      matrix, nProbe, probe)
     val luts = assigned.filter(col("is_query"))
       .select(col("nid").as("qid"),
         graft.functions.VectorIndexFunctions.pqLut(col("fd"), codebooks).as("lut"))

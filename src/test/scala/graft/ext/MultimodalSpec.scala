@@ -90,6 +90,10 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] { // wrong magic
       PpmCodec.parseHeader(ppm("P5\n1 1\n255\n") ++ Array.fill[Byte](3)(0))
     }
+    intercept[IllegalArgumentException] { // fused magic+width token:
+      // spec requires whitespace after 'P6' — must not parse width=123
+      PpmCodec.parseHeader(ppm("P6123 1\n255\n") ++ Array.fill[Byte](369)(0))
+    }
     intercept[IllegalArgumentException] { // truncated pixel run
       PpmCodec.parseHeader(ppm("P6\n2 1\n255\n") ++ Array.fill[Byte](5)(0))
     }

@@ -588,6 +588,12 @@ class SemanticPqSpec extends SparkSpec {
       graft.functions.VectorIndex.topCells(
         ArrayData.toArrayData(Array(Double.NaN)), m, 2)
     }
+    intercept[IllegalArgumentException] { // nProbe < 1 fails fast: the
+      // removed declarative probe emitted zero rows for this config —
+      // silently probing one cell instead would change behavior
+      graft.functions.VectorIndex.topCells(
+        ArrayData.toArrayData(Array(0.0)), m, 0)
+    }
     intercept[IllegalArgumentException] { // dim mismatch
       graft.functions.VectorIndex.topCells(
         ArrayData.toArrayData(Array(0.0, 1.0)), m, 2)

@@ -9,6 +9,29 @@ import java.sql.Timestamp
 class EventPipelinesSpec extends SparkSpec {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $s")
+
+  /** Clone a checkpoint to `dst` as a crashed process would have left
+    * it: everything copied, but epoch `batchId`'s commit marker (and
+    * its Hadoop CRC shadow — an orphaned checksum makes the local FS
+    * reject the replayed write) never written. A fresh path sidesteps
+    * Spark's same-JVM concurrent-checkpoint-use guard. */
+  private def cloneCheckpointWithoutCommit(
+      ckpt: String, dst: String, batchId: Long): Unit = {
+    val src = java.nio.file.Paths.get(ckpt)
+    val walk = java.nio.file.Files.walk(src)
+    try {
+      walk.forEach { p =>
+        val t = java.nio.file.Paths.get(dst).resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t)
+      }
+    } finally walk.close()
+    val commit = java.nio.file.Paths.get(s"$dst/commits/$batchId")
+    assert(java.nio.file.Files.exists(commit), "test setup: no commit marker")
+    java.nio.file.Files.delete(commit)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dst/commits/.$batchId.crc"))
+  }
   private def ev(id: Long, t: String, uid: Long = 1L, typ: String = "click",
       v: Double = 1.0): Event = Event(id, ts(t), uid, typ, v, "{}")
 
@@ -353,25 +376,11 @@ class EventPipelinesSpec extends SparkSpec {
       EventPipelines.runCatalogSink(stream, ckpt, cat, "events")
       assert(cat.versions("events") == Seq(1))
 
-      // crash simulation: clone the checkpoint as a crashed process
-      // would have left it — offsets/0 written, commits/0 never
-      // written (the failure window sits between the catalog commit
-      // and the epoch commit marker). A fresh path sidesteps the
-      // same-JVM concurrent-use guard on the original checkpoint.
+      // crash simulation: offsets/0 written, commits/0 never written —
+      // the failure window between the catalog commit and the epoch
+      // commit marker
       val ckpt2 = s"$dir/ckpt-crashed"
-      val src = java.nio.file.Paths.get(ckpt)
-      java.nio.file.Files.walk(src).forEach { p =>
-        val t = java.nio.file.Paths.get(ckpt2).resolve(src.relativize(p))
-        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
-        else java.nio.file.Files.copy(p, t)
-      }
-      val commit0 = java.nio.file.Paths.get(s"$ckpt2/commits/0")
-      assert(java.nio.file.Files.exists(commit0), "test setup: no commit marker")
-      java.nio.file.Files.delete(commit0)
-      // drop the Hadoop CRC shadow too — an orphaned checksum makes the
-      // local FS reject the replayed marker write
-      java.nio.file.Files.deleteIfExists(
-        java.nio.file.Paths.get(s"$ckpt2/commits/.0.crc"))
+      cloneCheckpointWithoutCommit(ckpt, ckpt2, 0L)
 
       EventPipelines.runCatalogSink(stream, ckpt2, cat, "events")
       assert(cat.versions("events") == Seq(1),
@@ -469,15 +478,7 @@ class EventPipelinesSpec extends SparkSpec {
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(s"$root/dim/.epochs/e=1"), false)
       val ckpt2 = s"$dir/ckpt-crashed"
-      val src = java.nio.file.Paths.get(ckpt)
-      java.nio.file.Files.walk(src).forEach { p =>
-        val t = java.nio.file.Paths.get(ckpt2).resolve(src.relativize(p))
-        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
-        else java.nio.file.Files.copy(p, t)
-      }
-      java.nio.file.Files.delete(java.nio.file.Paths.get(s"$ckpt2/commits/1"))
-      java.nio.file.Files.deleteIfExists(
-        java.nio.file.Paths.get(s"$ckpt2/commits/.1.crc"))
+      cloneCheckpointWithoutCommit(ckpt, ckpt2, 1L)
       EventPipelines.runCatalogMergeSink(stream, ckpt2, cat, "dim", Seq("k"), schema)
       assert(state() == Seq(1L -> "a", 2L -> "B2", 3L -> "c"),
         "replayed merge must be content-idempotent")
