@@ -42,8 +42,9 @@ object CountMin extends QueryModule {
   private def cellSql(d: String, token: String): String =
     s"(${X.h60Sql(s"'cms ' || CAST($d AS VARCHAR) || ' ' || $token")} % $W)"
 
-  /** (token, cnt) exact counts — the stream the sketch summarizes. */
-  private def tokenCounts(s: SparkSession, dir: String): DataFrame =
+  /** (token, cnt) exact counts — the stream the sketch summarizes.
+    * private[graft] so CountMinSpec exercises the PRODUCTION build. */
+  private[graft] def tokenCounts(s: SparkSession, dir: String): DataFrame =
     T.documents(s, dir)
       .select(explode(X.tokens(col("text"))).as("token"))
       .groupBy(col("token"))
@@ -56,7 +57,7 @@ object CountMin extends QueryModule {
                GROUP BY token)"""
 
   /** The D×W sketch as a DataFrame — one row per inhabited cell. */
-  private def sketchCells(tc: DataFrame): DataFrame =
+  private[graft] def sketchCells(tc: DataFrame): DataFrame =
     tc.select(explode(sequence(lit(0), lit(D - 1))).as("d"),
         col("token"), col("cnt"))
       .withColumn("w", cellCol(col("d"), col("token")))
