@@ -34,10 +34,15 @@ object CountMin extends QueryModule {
   private val W = 64 // columns per row
 
   /** Row-d column index of a token — md5-derived, shared with the
-    * oracle text so both engines place every token identically. */
-  private def cellCol(d: Column, token: Column): Column =
+    * oracle text so both engines place every token identically.
+    * private[graft]: the STREAMING build (EventPipelines.countMinCells)
+    * must place items through this exact definition, or its state
+    * would not be mergeable with batch-built sketches. */
+  private[graft] def cellCol(d: Column, token: Column): Column =
     pmod(X.h60(concat(lit("cms "), d.cast("string"), lit(" "), token)),
       lit(W.toLong))
+
+  private[graft] def dRows: Int = D
 
   private def cellSql(d: String, token: String): String =
     s"(${X.h60Sql(s"'cms ' || CAST($d AS VARCHAR) || ' ' || $token")} % $W)"

@@ -343,6 +343,27 @@ object EventPipelines {
     q.awaitTermination()
   }
 
+  /** Incrementally-maintained count-min sketch over an UNBOUNDED-
+    * cardinality item stream — the sketch answer to the state-size
+    * problem every streaming aggregation above solves with watermarks:
+    * a running per-item count over arbitrary items grows state with
+    * the key space, but the CMS keeps EXACTLY D×W cells regardless
+    * (here 4×64), each an additive count — so the state is fixed-size
+    * by construction, no watermark needed, and any item's running
+    * frequency estimate is min_d cell(d, h_d(item)) with the one-sided
+    * CMS guarantee. Items place through [[graft.ext.CountMin.cellCol]]
+    * — the SAME md5-derived definition the batch sketch (q102) uses —
+    * so a streamed sketch equals the batch sketch over the same rows
+    * (the unified-API property, spec-pinned) and merges with
+    * catalog-persisted batch sketches by cell-wise addition. */
+  def countMinCells(items: DataFrame, item: org.apache.spark.sql.Column): DataFrame =
+    items
+      .select(explode(sequence(lit(0), lit(graft.ext.CountMin.dRows - 1))).as("d"),
+        item.cast("string").as("t"))
+      .withColumn("w", graft.ext.CountMin.cellCol(col("d"), col("t")))
+      .groupBy(col("d"), col("w"))
+      .agg(count(lit(1)).as("cell_sum"))
+
   /** Batch views of the streaming transforms over the fixture table —
     * the unified-API property: identical code, batch source. */
   def eventsBatch(spark: SparkSession, dir: String): DataFrame =

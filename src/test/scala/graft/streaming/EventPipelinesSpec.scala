@@ -3,6 +3,7 @@ package graft.streaming
 import graft.SparkSpec
 import graft.streaming.EventPipelines._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, lit}
 
 import java.sql.Timestamp
 
@@ -306,6 +307,47 @@ class EventPipelinesSpec extends SparkSpec {
       val rows = spark.table("enriched").collect()
         .map(r => (r.getLong(0), r.getString(1))).sorted
       assert(rows.toSeq == Seq((1L, "gold"), (2L, "basic")))
+    } finally q.stop()
+  }
+
+  test("streaming count-min: fixed D x W state over unbounded items; equals the batch sketch") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = EventPipelines.countMinCells(ms.toDF(), col("event_type"))
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try {
+      // batch 1: a burst of clicks + views
+      ms.addData(ev(1, "00:01:00", typ = "click"), ev(2, "00:02:00", typ = "view"),
+        ev(3, "00:03:00", typ = "click"))
+      q.processAllAvailable()
+      // batch 2: new item kinds arrive — state stays D x W cells
+      ms.addData(ev(4, "00:04:00", typ = "purchase"), ev(5, "00:05:00", typ = "click"),
+        ev(6, "00:06:00", typ = "refund"))
+      q.processAllAvailable()
+      val streamed = spark.table("cms_stream").collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // fixed-size-state property: never more than D x W cells
+      assert(streamed.size <= 4 * 64)
+      // unified-API property: the streamed sketch IS the batch sketch
+      // over the same rows (same cell placement, same counts)
+      val batch = EventPipelines.countMinCells(
+          Seq("click", "view", "click", "purchase", "click", "refund")
+            .toDF("event_type"), col("event_type"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch)
+      // every item's estimate dominates its true stream count
+      val trueCnt = Map("click" -> 3L, "view" -> 1L, "purchase" -> 1L, "refund" -> 1L)
+      trueCnt.foreach { case (t, n) =>
+        val est = (0 until 4).map { d =>
+          val w = Seq(t).toDF("x").select(graft.ext.CountMin.cellCol(
+            lit(d), col("x")).as("w")).head().getLong(0)
+          streamed((d, w))
+        }.min
+        assert(est >= n, s"CMS stream underestimated $t")
+      }
     } finally q.stop()
   }
 
