@@ -249,6 +249,40 @@ class PropertySpec extends SparkSpec {
       }
   }
 
+  test("ppm wrap → parse round-trips construction for arbitrary doc bytes") {
+    val s = spark
+    import s.implicits._
+    val strGen = for {
+      n <- Gen.choose(1, 60)
+      cs <- Gen.listOfN(n, Gen.oneOf(
+        Gen.alphaNumChar.map(_.toString),
+        Gen.oneOf(" ", "#", "\n", "P", "6", "ü", "→", "🙂")))
+    } yield cs.mkString
+    val docs = samples(strGen, 80).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val rows = graft.ext.Multimodal.ppmWrap(docs)
+      .select(org.apache.spark.sql.functions.col("media_id"),
+        graft.functions.MediaCodecFunctions.ppmHeader(
+          org.apache.spark.sql.functions.col("content")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val byteLens = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8").length).toMap
+    // every doc with >= 3 payload bytes wraps into a VALID container
+    // whose parsed header matches the construction arithmetic — even
+    // when the text contains 'P6', '#', newlines or multibyte chars
+    val expected = byteLens.filter(_._2 >= 3)
+    assert(rows.keySet == expected.keySet)
+    expected.foreach { case (id, len) =>
+      val h = rows(id)
+      val w = len / 3
+      assert(h(0) == w && h(1) == 1L && h(2) == 255L && h(4) == 3L * w,
+        s"doc $id: header $h for byte length $len")
+      // data offset = 'P6\n# doc ' + id + '\n' + w + ' 1\n255\n'
+      assert(h(3) == 17 + id.toString.length + w.toString.length)
+    }
+  }
+
   test("probe kernels ≡ sort-based reference on random vectors and partitions") {
     import org.apache.spark.sql.catalyst.util.ArrayData
     val dim = 6
