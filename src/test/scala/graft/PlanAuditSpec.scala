@@ -106,6 +106,38 @@ class PlanAuditSpec extends SparkSpec {
       "q03's region/nation dims should join as BroadcastHashJoin")
   }
 
+  test("shuffle budgets hold: no query silently grows an exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // Every shuffle at 100 TB is a full-corpus network pass, so the
+    // exchange COUNT is part of each operator's design contract — a
+    // refactor that reintroduces (say) a crossJoin+window probe or
+    // drops a partial aggregation shows up here as an extra exchange
+    // long before it shows up as a benchmark regression. Budgets are
+    // the measured counts of the current plans (AQE-final, sf0.001).
+    val budgets = Map(
+      "q01_pricing_summary" -> 2, // partial+final agg, ordered output
+      "q03_region_revenue" -> 2, // dims broadcast: only agg + sort move
+      "q08_orders_per_customer" -> 2,
+      "q40_dedup_exact" -> 2, // ONE content shuffle + ordered output
+      "q41_dedup_minhash_lsh" -> 4, // bucket sizes, pairs, verify joins
+      "q81_ann_ivf_served" -> 2, // probe kernel: cell join + rank only
+      "q84_semantic_dedup" -> 4, // cells, caps, pair verify, summary
+      "q87_ivf_pq_topk" -> 2, // (cell, code) join + per-query rank
+      "q96_ivf_build_exact" -> 1, // per-sweep (cell, dim) partial agg
+      "q102_cms_sketch" -> 3, // token counts, cell agg, ordered output
+      "q103_cms_heavy_hitters" -> 3)
+    budgets.foreach { case (name, budget) =>
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      df.collect() // finalize AQE
+      val n = collectAll(df.queryExecution.executedPlan)
+        .count(_.isInstanceOf[ShuffleExchangeExec])
+      assert(n <= budget,
+        s"$name now plans $n shuffle exchanges (budget $budget) — " +
+          "a shuffle crept into the operator")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("whole-stage codegen is present in the relational plans") {
     Seq("q01_pricing_summary", "q03_region_revenue", "q05_top_urgent_revenue",
       "q13_top3_orders_per_priority", "q24_asof_last_order",
