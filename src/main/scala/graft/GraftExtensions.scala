@@ -107,5 +107,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("ppm_header"),
       new ExpressionInfo(classOf[PpmHeader].getName, "ppm_header"),
       (args: Seq[Expression]) => PpmHeader(arity(args, "ppm_header", 1).head)))
+
+    ext.injectFunction((
+      FunctionIdentifier("ppm_resize"),
+      new ExpressionInfo(classOf[PpmResize].getName, "ppm_resize"),
+      (args: Seq[Expression]) => { val a = arity(args, "ppm_resize", 3)
+        PpmResize(a.head, a(1), a(2)) }))
+
+    ext.injectFunction((
+      FunctionIdentifier("ppm_crop_cols"),
+      new ExpressionInfo(classOf[PpmCropCols].getName, "ppm_crop_cols"),
+      (args: Seq[Expression]) => { val a = arity(args, "ppm_crop_cols", 3)
+        PpmCropCols(a.head, a(1), a(2)) }))
   }
 }

@@ -69,6 +69,30 @@ object CountMin extends QueryModule {
       .groupBy(col("d"), col("w"))
       .agg(sum(col("cnt")).as("cell_sum"), count(lit(1)).as("n_tokens"))
 
+  /** Heavy-hitter serving: CMS estimate min_d cell(d, h_d(t)) for the
+    * `topK` highest-exact-count tokens, with the one-sided guarantee
+    * (est ≥ true) emitted as exact per-row arithmetic. The exact token
+    * counts feed both the sketch build and the top-k probe, so they are
+    * cached through `scope` — pass your own scope and release it after
+    * materializing, like the SimilarityJoin operators. */
+  def heavyHitters(
+      s: SparkSession, dir: String, topK: Int = 20,
+      scope: graft.CacheScope = new graft.CacheScope): DataFrame = {
+    val tc = tokenCounts(s, dir).transform(scope.cache)
+    val cells = sketchCells(tc).select(col("d"), col("w"), col("cell_sum"))
+    tc.orderBy(col("cnt").desc, col("token")).limit(topK)
+      .select(col("token"), col("cnt"),
+        explode(sequence(lit(0), lit(D - 1))).as("d"))
+      .withColumn("w", cellCol(col("d"), col("token")))
+      .join(cells, Seq("d", "w"))
+      .groupBy(col("token"), col("cnt"))
+      .agg(min(col("cell_sum")).as("cms_est"))
+      .select(col("token"), col("cnt").as("true_cnt"), col("cms_est"),
+        (col("cms_est") - col("cnt")).as("overcount"),
+        (col("cms_est") >= col("cnt")).as("est_ge_true"))
+      .orderBy(col("true_cnt").desc, col("token"))
+  }
+
   override val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -103,22 +127,7 @@ object CountMin extends QueryModule {
     // the D×W sketch, never the corpus.
     QueryDef(
       "q103_cms_heavy_hitters",
-      (s, dir) => {
-        val scope = new graft.CacheScope
-        val tc = tokenCounts(s, dir).transform(scope.cache)
-        val cells = sketchCells(tc).select(col("d"), col("w"), col("cell_sum"))
-        tc.orderBy(col("cnt").desc, col("token")).limit(20)
-          .select(col("token"), col("cnt"),
-            explode(sequence(lit(0), lit(D - 1))).as("d"))
-          .withColumn("w", cellCol(col("d"), col("token")))
-          .join(cells, Seq("d", "w"))
-          .groupBy(col("token"), col("cnt"))
-          .agg(min(col("cell_sum")).as("cms_est"))
-          .select(col("token"), col("cnt").as("true_cnt"), col("cms_est"),
-            (col("cms_est") - col("cnt")).as("overcount"),
-            (col("cms_est") >= col("cnt")).as("est_ge_true"))
-          .orderBy(col("true_cnt").desc, col("token"))
-      },
+      (s, dir) => heavyHitters(s, dir, topK = 20),
       Some(s"""
         WITH $tokenCountsSqlCte,
         cells AS (SELECT gd.d AS d, ${cellSql("gd.d", "token")} AS w,

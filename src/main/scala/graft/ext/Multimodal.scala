@@ -9,14 +9,18 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * with typed metadata, plus the decode / feature-extract / resize /
   * frame-sample plumbing a training-data pipeline needs.
   *
-  * The heavy codecs (JPEG/PNG/ffmpeg) are NOT in this container, so the
-  * decode kernel is a clearly-marked DETERMINISTIC STUB (seeded from the
-  * payload bytes). Everything around it is real and tested: the schema
-  * (BinaryType + metadata struct), the batched per-partition execution
-  * shape (the Scala analog of mapInPandas: mapPartitions over grouped
-  * batches, so a real decoder would amortize model/codec init per batch,
-  * not per row), the 1→N frame-sampling generator, and size-aware
-  * repartitioning so decode work balances across executors.
+  * The container codec AND the pixel kernels are REAL byte-level
+  * implementations over netpbm P6 containers: header parse
+  * ([[graft.functions.PpmCodec]], q99), nearest-neighbor resize
+  * ([[resizePpm]], q73) and per-frame pixel extraction
+  * ([[sampleFramesPpm]], q72) all operate on actual pixel bytes in
+  * compiled codegen Expressions. The ONLY remaining stand-in is the
+  * learned featurizer (a CLIP-style embedding model has no
+  * in-container implementation): [[decodeStubFeatures]] derives
+  * features deterministically from payload bytes, keeping the
+  * signature, batching shape (the Scala analog of mapInPandas:
+  * mapPartitions over grouped batches so a real model amortizes init
+  * per batch), and size-aware repartitioning a model swap would keep.
   *
   * Scale notes (100 TB): payloads never leave their partition — all
   * kernels are map-side; only extracted features/metadata (KBs per item,
@@ -32,8 +36,6 @@ object Multimodal extends QueryModule {
       media_id: Long, content: Array[Byte], meta: MediaMeta)
   final case class MediaFeatures(
       media_id: Long, media_type: String, n_bytes: Long, features: Array[Float])
-  final case class Frame(
-      media_id: Long, frame_idx: Int, frame_ts_ms: Long, content: Array[Byte])
 
   /** Deterministic fixture adapter: documents.text becomes the opaque
     * payload (UTF-8 bytes) with metadata synthesized from stable columns
@@ -111,34 +113,37 @@ object Multimodal extends QueryModule {
     }
   }
 
-  /** Resize: pure metadata transform + stubbed payload rewrite (a real
-    * impl re-encodes pixels; the stub truncates proportionally so byte
-    * counts behave like a downscale). */
-  def resize(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
-    import media.sparkSession.implicits._
-    media.map { m =>
-      val scale = math.min(1.0,
-        (w.toLong * h).toDouble
-          / math.max(1.0, (m.meta.width.toLong * m.meta.height).toDouble))
-      m.copy(
-        content = m.content.take(math.max(1, (m.content.length * scale).toInt)),
-        meta = m.meta.copy(width = w, height = h))
-    }
-  }
+  /** REAL pixel-level resize: nearest-neighbor resample of each P6
+    * container to `w`×`h` via the compiled [[graft.functions.PpmResize]]
+    * kernel — every output pixel's 3 sample bytes are copied from its
+    * floor-mapped source pixel and re-wrapped in a canonical P6 header.
+    * One codegen pass per row, zero shuffle; payloads never leave their
+    * partition. */
+  def resizePpm(media: DataFrame, w: Int, h: Int): DataFrame =
+    media.withColumn("content",
+      graft.functions.MediaCodecFunctions.ppmResize(
+        col("content"), lit(w), lit(h)))
 
-  /** Frame sampling: 1→N generator for video payloads — emits `n`
-    * evenly-spaced (frame_idx, ts) rows; the stub carves a byte slice
-    * per frame where a real impl would decode the frame at that ts. */
-  def sampleFrames(media: Dataset[MediaRecord], n: Int): Dataset[Frame] = {
-    import media.sparkSession.implicits._
-    media.filter(_.meta.media_type == "video").flatMap { m =>
-      val step = math.max(1L, m.meta.duration_ms / math.max(1, n))
-      (0 until n).iterator.map { i =>
-        val a = (m.content.length.toLong * i / n).toInt
-        val b = (m.content.length.toLong * (i + 1) / n).toInt
-        Frame(m.media_id, i, i * step, m.content.slice(a, b))
-      }
-    }
+  /** REAL pixel-level frame sampling: 1→N generator over P6 payloads —
+    * frame i of n is the vertical pixel strip of columns
+    * [⌊w·i/n⌋, ⌊w·(i+1)/n⌋), extracted with the compiled
+    * [[graft.functions.PpmCropCols]] kernel as its own valid P6
+    * container. Frames that would be zero-width (source narrower than
+    * n columns) are dropped — a 0-width PPM is malformed by spec.
+    * Emits (media_id, frame_idx, frame_w, content). */
+  def sampleFramesPpm(media: DataFrame, n: Int): DataFrame = {
+    val w = element_at(
+      graft.functions.MediaCodecFunctions.ppmHeader(col("content")), 1)
+    media
+      .select(col("media_id"), col("content"), w.as("src_w"),
+        explode(sequence(lit(0), lit(n - 1))).as("frame_idx"))
+      .withColumn("fa", expr(s"CAST((src_w * frame_idx) div $n AS INT)"))
+      .withColumn("fb", expr(s"CAST((src_w * (frame_idx + 1)) div $n AS INT)"))
+      .filter(col("fb") > col("fa"))
+      .select(col("media_id"), col("frame_idx"),
+        (col("fb") - col("fa")).cast("long").as("frame_w"),
+        graft.functions.MediaCodecFunctions.ppmCropCols(
+          col("content"), col("fa"), col("fb")).as("content"))
   }
 
   /** Size-aware repartition: spread items so each task sees a bounded
@@ -210,60 +215,94 @@ object Multimodal extends QueryModule {
               FROM documents)
         GROUP BY media_type ORDER BY media_type""")),
 
-    // q72: the 1→N frame-sampling generator, driver-visible — per video,
-    // 4 evenly-spaced frames; the stub slices payload bytes at exact
-    // integer boundaries, so frame timestamps and byte counts are
-    // oracle-expressible (integer division on both engines).
+    // q72: REAL pixel-level frame sampling, driver-visible — each video
+    // document's P6 container splits into 4 vertical pixel strips, each
+    // extracted by the compiled PpmCropCols kernel as its own valid P6
+    // container. The oracle rebuilds every frame's exact container
+    // bytes in hex space (header hex || the byte-slice of the pixel
+    // run) and both engines md5 the hex, so one wrong pixel byte in
+    // any frame hash-fails. Frame timestamps come from the metadata
+    // manifest (duration/n per step), as in a real frame-at-ts decode.
     QueryDef(
       "q72_frame_samples",
       (s, dir) => {
-        import s.implicits._
-        sampleFrames(mediaFromDocs(s, dir), n = 4)
-          .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
-            col("frame_ts_ms"),
-            octet_length(col("content")).cast("long").as("frame_bytes"))
+        val docs = T.documents(s, dir).filter(col("doc_id") % 3 === 2)
+        sampleFramesPpm(ppmWrap(docs), n = 4)
+          .join(docs.select(col("doc_id").as("media_id"),
+            (col("n_chars") * 10L).as("duration_ms")), "media_id")
+          .select(col("media_id"),
+            col("frame_idx").cast("long").as("frame_idx"),
+            (col("frame_idx") * greatest(lit(1L),
+              expr("duration_ms div 4"))).as("frame_ts_ms"),
+            col("frame_w"),
+            octet_length(col("content")).cast("long").as("frame_bytes"),
+            md5(hex(col("content")).cast("binary")).as("frame_md5"))
           .orderBy(col("media_id"), col("frame_idx"))
       },
       Some("""
-        SELECT media_id, CAST(i AS BIGINT) AS frame_idx,
-               i * greatest(1, duration_ms // 4) AS frame_ts_ms,
-               (len * (i+1) // 4) - (len * i // 4) AS frame_bytes
-        FROM (SELECT doc_id AS media_id,
-                     CAST(octet_length(encode(text)) AS BIGINT) AS len,
-                     CAST(n_chars * 10 AS BIGINT) AS duration_ms
-              FROM documents WHERE doc_id % 3 = 2),
-             (SELECT unnest(range(0, 4)) AS i)
+        WITH src AS (SELECT doc_id AS media_id,
+                            octet_length(encode(text)) // 3 AS w,
+                            hex(encode(text)) AS hx,
+                            CAST(n_chars * 10 AS BIGINT) AS duration_ms
+                     FROM documents
+                     WHERE doc_id % 3 = 2 AND octet_length(encode(text)) >= 3),
+        fr AS (SELECT media_id, CAST(i AS BIGINT) AS frame_idx, duration_ms,
+                      w * i // 4 AS fa, w * (i + 1) // 4 AS fb, hx
+               FROM src CROSS JOIN (SELECT unnest(range(0, 4)) AS i))
+        SELECT media_id, frame_idx,
+               frame_idx * greatest(1, duration_ms // 4) AS frame_ts_ms,
+               fb - fa AS frame_w,
+               -- canonical frame header 'P6\n{fw} 1\n255\n' + 3·fw pixels
+               CAST(octet_length(encode('P6' || chr(10) || CAST(fb - fa AS VARCHAR)
+                    || ' 1' || chr(10) || '255' || chr(10)))
+                    + 3 * (fb - fa) AS BIGINT) AS frame_bytes,
+               md5(hex('P6' || chr(10) || CAST(fb - fa AS VARCHAR) || ' 1'
+                       || chr(10) || '255' || chr(10))
+                   || substring(hx, CAST(6 * fa + 1 AS INT),
+                                CAST(6 * (fb - fa) AS INT))) AS frame_md5
+        FROM fr WHERE fb > fa
         ORDER BY media_id, frame_idx""")),
 
-    // q73: the resize kernel, driver-visible — metadata rewrite + the
-    // stub's proportional byte truncation. The double `scale` applies
-    // identical IEEE ops on both engines; the byte count is its floor.
+    // q73: REAL pixel-level nearest-neighbor resize, driver-visible —
+    // every P6 container resamples to 16×2 through the compiled
+    // PpmResize kernel (output pixel (x,y) copies source pixel
+    // (⌊x·w/16⌋, 0)); width/height are parsed BACK from the emitted
+    // container by ppm_header (kernel output must itself be a valid
+    // P6), and the oracle rebuilds the full resampled container in hex
+    // space — 16 floor-mapped pixel slices per row, two identical rows
+    // (srcH = 1) — so both engines md5 identical pixel-exact bytes.
     QueryDef(
       "q73_media_resize",
       (s, dir) => {
-        import s.implicits._
-        resize(mediaFromDocs(s, dir), w = 64, h = 64)
+        val hdr = graft.functions.MediaCodecFunctions.ppmHeader(col("content"))
+        resizePpm(ppmWrap(T.documents(s, dir)), w = 16, h = 2)
+          .select(col("media_id"), hdr.as("h"), col("content"))
           .select(col("media_id"),
-            octet_length(col("content")).cast("long").as("resized_bytes"),
-            col("meta.width").cast("long").as("width"),
-            col("meta.height").cast("long").as("height"))
+            element_at(col("h"), 1).as("width"),
+            element_at(col("h"), 2).as("height"),
+            octet_length(col("content")).cast("long").as("container_bytes"),
+            hex(expr("substring(content, 13, 3)")).as("first_px_hex"),
+            md5(hex(col("content")).cast("binary")).as("content_md5"))
           .orderBy(col("media_id"))
       },
       Some("""
+        WITH src AS (SELECT doc_id AS media_id,
+                            octet_length(encode(text)) // 3 AS w,
+                            hex(encode(text)) AS hx
+                     FROM documents WHERE octet_length(encode(text)) >= 3),
+        strips AS (SELECT media_id,
+                          list_aggregate(list_transform(range(0, 16),
+                            x -> substring(hx, CAST(6 * (x * w // 16) + 1 AS INT), 6)),
+                            'string_agg', '') AS strip
+                   FROM src)
         SELECT media_id,
-               -- empty payloads stay empty: take(max(1,0)) of zero bytes is
-               -- zero bytes, so the 1-byte floor only applies to len > 0
-               CASE WHEN len = 0 THEN 0 ELSE
-                 greatest(1, CAST(floor(len * least(1.0,
-                   (64.0 * 64.0) / greatest(1.0, CAST(w AS DOUBLE) * CAST(h AS DOUBLE))
-                 )) AS BIGINT)) END AS resized_bytes,
-               CAST(64 AS BIGINT) AS width, CAST(64 AS BIGINT) AS height
-        FROM (SELECT doc_id AS media_id,
-                     CAST(octet_length(encode(text)) AS BIGINT) AS len,
-                     CAST(doc_id % 640 + 16 AS INT) AS w,
-                     CAST(doc_id % 480 + 16 AS INT) AS h
-              FROM documents)
-        ORDER BY media_id""")),
+               CAST(16 AS BIGINT) AS width, CAST(2 AS BIGINT) AS height,
+               -- 'P6\n16 2\n255\n' (12) + 16·2 pixels · 3 bytes
+               CAST(108 AS BIGINT) AS container_bytes,
+               substring(strip, 1, 6) AS first_px_hex,
+               md5(hex('P6' || chr(10) || '16 2' || chr(10) || '255' || chr(10))
+                   || strip || strip) AS content_md5
+        FROM strips ORDER BY media_id""")),
 
     // q99: REAL byte-level container decode — wrap every document's
     // bytes into a genuine P6 PPM payload (magic + comment + ASCII dims

@@ -2,10 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, LongType}
 
 /** A REAL byte-level media codec for the multimodal column family: the
   * netpbm P6 (binary PPM) container header parse — magic check,
@@ -97,11 +98,89 @@ object PpmCodec {
           s"${w}x$h@$maxv promises $expected — truncated or padded container")
     new GenericArrayData(Array(w, h, maxv, pos.toLong, pixelBytes))
   }
+
+  /** Canonical minimal P6 header for an output container. Every kernel
+    * here emits this exact form so downstream parses (and the oracle's
+    * byte arithmetic) see one canonical layout: no comments, single
+    * '\n' separators. */
+  private def canonicalHeader(w: Int, h: Int, maxv: Long): Array[Byte] =
+    s"P6\n$w $h\n$maxv\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** REAL pixel-level nearest-neighbor resample: parse the source
+    * container, map every output pixel (x, y) to source pixel
+    * (⌊x·srcW/outW⌋, ⌊y·srcH/outH⌋), and emit a NEW canonical P6
+    * container with the resampled pixel bytes. Handles both 1- and
+    * 2-byte-per-sample containers (maxval ≤ 255 / ≤ 65535). One
+    * compiled pass per row; the payload never leaves its partition. */
+  def resize(bytes: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+    if (outW < 1 || outH < 1)
+      throw new IllegalArgumentException(
+        s"ppm_resize: degenerate target dimensions ${outW}x$outH")
+    val hdr = parseHeader(bytes)
+    val srcW = hdr.getLong(0).toInt
+    val srcH = hdr.getLong(1).toInt
+    val maxv = hdr.getLong(2)
+    val off = hdr.getLong(3).toInt
+    val px = if (maxv > 255) 6 else 3 // bytes per pixel (3 samples)
+    val head = canonicalHeader(outW, outH, maxv)
+    val out = new Array[Byte](head.length + outW.toLong.toInt * outH * px)
+    System.arraycopy(head, 0, out, 0, head.length)
+    var o = head.length
+    var y = 0
+    while (y < outH) {
+      val sy = (y.toLong * srcH / outH).toInt
+      val rowBase = off + sy.toLong * srcW * px
+      var x = 0
+      while (x < outW) {
+        val sx = (x.toLong * srcW / outW).toInt
+        System.arraycopy(bytes, (rowBase + sx.toLong * px).toInt, out, o, px)
+        o += px
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** REAL pixel-level column crop [x0, x1): copy the pixel bytes of
+    * columns x0..x1-1 from every source row into a NEW canonical P6
+    * container of width x1−x0. This is the frame-extraction primitive:
+    * frame i of n = columns [⌊w·i/n⌋, ⌊w·(i+1)/n⌋). */
+  def cropCols(bytes: Array[Byte], x0: Int, x1: Int): Array[Byte] = {
+    val hdr = parseHeader(bytes)
+    val srcW = hdr.getLong(0).toInt
+    val srcH = hdr.getLong(1).toInt
+    val maxv = hdr.getLong(2)
+    val off = hdr.getLong(3).toInt
+    if (x0 < 0 || x1 <= x0 || x1 > srcW)
+      throw new IllegalArgumentException(
+        s"ppm_crop_cols: column range [$x0, $x1) outside source width $srcW")
+    val px = if (maxv > 255) 6 else 3
+    val outW = x1 - x0
+    val head = canonicalHeader(outW, srcH, maxv)
+    val out = new Array[Byte](head.length + outW.toLong.toInt * srcH * px)
+    System.arraycopy(head, 0, out, 0, head.length)
+    var o = head.length
+    var y = 0
+    while (y < srcH) {
+      val src = off + (y.toLong * srcW + x0) * px
+      System.arraycopy(bytes, src.toInt, out, o, outW * px)
+      o += outW * px
+      y += 1
+    }
+    out
+  }
 }
 
 /** binary P6 payload → array<bigint> [width, height, maxval,
   * data_offset, pixel_bytes] ([[PpmCodec.parseHeader]]). */
 case class PpmHeader(child: Expression) extends UnaryExpression {
+  // analysis-time contract: reject non-binary inputs with a clean
+  // AnalysisException instead of a runtime ClassCastException
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"ppm_header requires a BINARY payload column, got ${child.dataType.sql}")
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
   override def prettyName: String = "ppm_header"
@@ -117,7 +196,69 @@ case class PpmHeader(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** (binary P6 payload, outW, outH) → binary: a NEW canonical P6
+  * container holding the nearest-neighbor resample
+  * ([[PpmCodec.resize]]). */
+case class PpmResize(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType == BinaryType && second.dataType == IntegerType
+        && third.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (BINARY, INT, INT), got " +
+        s"(${first.dataType.sql}, ${second.dataType.sql}, ${third.dataType.sql})")
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "ppm_resize"
+
+  override def nullSafeEval(payload: Any, w: Any, h: Any): Any =
+    PpmCodec.resize(payload.asInstanceOf[Array[Byte]],
+      w.asInstanceOf[Int], h.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, w, h) =>
+      s"graft.functions.PpmCodec.resize($b, $w, $h)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): PpmResize =
+    copy(first = f, second = s, third = t)
+}
+
+/** (binary P6 payload, x0, x1) → binary: a NEW canonical P6 container
+  * holding columns [x0, x1) of every source row
+  * ([[PpmCodec.cropCols]]). */
+case class PpmCropCols(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType == BinaryType && second.dataType == IntegerType
+        && third.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (BINARY, INT, INT), got " +
+        s"(${first.dataType.sql}, ${second.dataType.sql}, ${third.dataType.sql})")
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "ppm_crop_cols"
+
+  override def nullSafeEval(payload: Any, x0: Any, x1: Any): Any =
+    PpmCodec.cropCols(payload.asInstanceOf[Array[Byte]],
+      x0.asInstanceOf[Int], x1.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, a, z) =>
+      s"graft.functions.PpmCodec.cropCols($b, $a, $z)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): PpmCropCols =
+    copy(first = f, second = s, third = t)
+}
+
 object MediaCodecFunctions {
   def ppmHeader(payload: Column): Column =
     ColumnBridge.column(PpmHeader(ColumnBridge.expression(payload)))
+
+  def ppmResize(payload: Column, outW: Column, outH: Column): Column =
+    ColumnBridge.column(PpmResize(ColumnBridge.expression(payload),
+      ColumnBridge.expression(outW), ColumnBridge.expression(outH)))
+
+  def ppmCropCols(payload: Column, x0: Column, x1: Column): Column =
+    ColumnBridge.column(PpmCropCols(ColumnBridge.expression(payload),
+      ColumnBridge.expression(x0), ColumnBridge.expression(x1)))
 }

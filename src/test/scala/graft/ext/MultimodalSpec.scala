@@ -49,30 +49,94 @@ class MultimodalSpec extends SparkSpec {
       again.sortBy(_.media_id).map(_.features.toSeq).toSeq)
   }
 
-  test("resize rewrites metadata and shrinks payload monotonically") {
-    val media = mediaFromDocs(spark, dir)
-    val small = resize(media, 16, 16).collect()
-    val orig = media.collect().map(m => m.media_id -> m).toMap
-    small.foreach { m =>
-      assert(m.meta.width == 16 && m.meta.height == 16)
-      assert(m.content.length <= orig(m.media_id).content.length)
+  private def px(v: Int): Array[Byte] =
+    Array[Byte](v.toByte, (v + 1).toByte, (v + 2).toByte)
+  private def ascii(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+
+  test("PpmCodec.resize: hand-computed nearest-neighbor resample is pixel-exact") {
+    import graft.functions.PpmCodec
+    // 2x2 RGB source: pixels 10 20 / 30 40, each a distinct 3-byte run
+    val src = ascii("P6\n2 2\n255\n") ++ px(10) ++ px(20) ++ px(30) ++ px(40)
+    // 4x4 upscale: sx = ⌊x·2/4⌋, sy = ⌊y·2/4⌋ → each pixel duplicates 2×2
+    val up = PpmCodec.resize(src, 4, 4)
+    val upRowTop = px(10) ++ px(10) ++ px(20) ++ px(20)
+    val upRowBot = px(30) ++ px(30) ++ px(40) ++ px(40)
+    assert(up.toSeq == (ascii("P6\n4 4\n255\n") ++
+      upRowTop ++ upRowTop ++ upRowBot ++ upRowBot).toSeq)
+    // kernel output must itself parse as a valid container
+    assert(PpmCodec.parseHeader(up).toLongArray().toSeq ==
+      Seq(4L, 4L, 255L, 11L, 48L))
+    // 1x1 downscale picks source pixel (0,0)
+    assert(PpmCodec.resize(src, 1, 1).toSeq ==
+      (ascii("P6\n1 1\n255\n") ++ px(10)).toSeq)
+    // asymmetric: 2x2 → 1x2 keeps column 0 of each row
+    assert(PpmCodec.resize(src, 1, 2).toSeq ==
+      (ascii("P6\n1 2\n255\n") ++ px(10) ++ px(30)).toSeq)
+    // 16-bit container: 6-byte pixels copied whole
+    val wide = ascii("P6\n2 1\n65535\n") ++
+      Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)
+    assert(PpmCodec.resize(wide, 1, 1).toSeq ==
+      (ascii("P6\n1 1\n65535\n") ++ Array[Byte](1, 2, 3, 4, 5, 6)).toSeq)
+    intercept[IllegalArgumentException](PpmCodec.resize(src, 0, 1))
+    intercept[IllegalArgumentException](PpmCodec.resize(src, 1, -1))
+    intercept[IllegalArgumentException]( // malformed source still fails fast
+      PpmCodec.resize(ascii("P5\n1 1\n255\n") ++ px(0), 1, 1))
+  }
+
+  test("PpmCodec.cropCols: column strips are pixel-exact sub-containers") {
+    import graft.functions.PpmCodec
+    // 3x2 source; crop [1,2) picks the middle column of BOTH rows
+    val src = ascii("P6\n3 2\n255\n") ++
+      px(1) ++ px(2) ++ px(3) ++ px(4) ++ px(5) ++ px(6)
+    assert(PpmCodec.cropCols(src, 1, 2).toSeq ==
+      (ascii("P6\n1 2\n255\n") ++ px(2) ++ px(5)).toSeq)
+    // full-width crop is an identity on pixels (header canonicalized)
+    assert(PpmCodec.cropCols(src, 0, 3).toSeq == src.toSeq)
+    intercept[IllegalArgumentException](PpmCodec.cropCols(src, 2, 2))
+    intercept[IllegalArgumentException](PpmCodec.cropCols(src, -1, 1))
+    intercept[IllegalArgumentException](PpmCodec.cropCols(src, 1, 4))
+  }
+
+  test("sampleFramesPpm: frames partition the pixel columns; each parses as a valid container") {
+    val wrapped = ppmWrap(
+      graft.Tables.documents(spark, dir).filter(col("doc_id") % 3 === 2))
+    val srcW = wrapped.select(col("media_id"),
+      element_at(graft.functions.MediaCodecFunctions.ppmHeader(col("content")), 1)
+        .as("w")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = sampleFramesPpm(wrapped, 4)
+      .select(col("media_id"), col("frame_idx"), col("frame_w"),
+        graft.functions.MediaCodecFunctions.ppmHeader(col("content")).as("h"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getSeq[Long](3)
+      assert(h(0) == r.getLong(2)) // parsed width == declared frame_w
+      assert(h(1) == 1L && h(2) == 255L)
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (id, fs) =>
+      assert(fs.map(_.getLong(2)).sum == srcW(id)) // strips partition columns
     }
   }
 
-  test("sampleFrames: videos explode into n indexed frames covering the payload") {
-    val media = mediaFromDocs(spark, dir)
-    val nVideos = media.filter(_.meta.media_type == "video").count()
-    val frames = sampleFrames(media, 4)
-    val rows = frames.collect()
-    assert(rows.length == nVideos * 4)
-    val byId = rows.groupBy(_.media_id)
-    byId.foreach { case (_, fs) =>
-      assert(fs.map(_.frame_idx).sorted.toSeq == Seq(0, 1, 2, 3))
-      // frame slices partition the payload: total bytes preserved
-      val total = fs.map(_.content.length).sum
-      val origLen = media.filter(_.media_id == fs.head.media_id)
-        .head().content.length
-      assert(total == origLen)
+  test("resizePpm on wrapped docs: output containers re-parse at 16x2 with source pixel (0,0) first") {
+    val wrapped = ppmWrap(graft.Tables.documents(spark, dir)).limit(20)
+    val out = resizePpm(wrapped, 16, 2)
+      .select(col("media_id"),
+        graft.functions.MediaCodecFunctions.ppmHeader(col("content")).as("h"),
+        expr("substring(content, 13, 3)").as("p0"))
+      .join(wrapped.select(col("media_id"),
+        graft.functions.MediaCodecFunctions.ppmHeader(col("content")).as("sh"),
+        col("content").as("src"))
+        .select(col("media_id"),
+          expr("substring(src, CAST(element_at(sh, 4) + 1 AS INT), 3)").as("src_p0")),
+        "media_id")
+      .collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      assert(r.getSeq[Long](1).take(2) == Seq(16L, 2L))
+      // first output pixel == source pixel (0,0)
+      assert(r.getAs[Array[Byte]]("p0").toSeq == r.getAs[Array[Byte]]("src_p0").toSeq)
     }
   }
 
