@@ -43,9 +43,21 @@ object Bench {
     // while a mean would average the noise back in. Whole-suite passes (not
     // back-to-back per query) so the second sample isn't flattered by a
     // still-warm page cache for exactly its own inputs.
-    val passes = (1 to 2).map { _ =>
-      SparkEntry.queries.map { case (name, fn) => name -> timeOne(name, fn) }
+    def runPass() = SparkEntry.queries.map { case (name, fn) => name -> timeOne(name, fn) }
+    def passTotal(p: Map[String, (Double, Boolean)]) =
+      p.values.collect { case (t, true) => t }.sum
+    val twoPasses = (1 to 2).map(_ => runPass())
+    // When the two pass totals disagree by >1.3× the host was noisy during
+    // one of them; a third independent sample tightens the min-estimate
+    // (VERDICT r8 #2 — three queries swung 1.6–2.0× on unchanged code).
+    val spread = {
+      val ts = twoPasses.map(passTotal)
+      if (ts.min > 0) ts.max / ts.min else 1.0
     }
+    val passes = if (spread > 1.3) {
+      System.err.println(f"[bench] pass spread ${spread}%.2f > 1.3 — running a third pass")
+      twoPasses :+ runPass()
+    } else twoPasses
     def f(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     // Log both pass totals AND per-query figures so future rounds can
     // attribute the pass-1 vs pass-2 spread (JIT/codegen warmup — pass 1
@@ -55,7 +67,7 @@ object Bench {
     // chars. Successful samples only — a fast-failing query would
     // otherwise deflate its pass total and fabricate spread.
     passes.zipWithIndex.foreach { case (p, i) =>
-      val ok = p.values.collect { case (t, true) => t }.sum
+      val ok = passTotal(p)
       val nFail = p.values.count(!_._2)
       System.err.println(f"[bench] pass ${i + 1} total: $ok%.3f s" +
         (if (nFail > 0) s" ($nFail failed queries excluded)" else ""))
@@ -63,15 +75,33 @@ object Bench {
         "\"" + k.takeWhile(_ != '_') + "\":" + (if (ok1) f(t) else "null")
       }.mkString("{", ",", "}"))
     }
-    val results = passes.head.map { case (name, (t1, ok1)) =>
-      val (t2, ok2) = passes(1)(name)
-      // min over SUCCESSFUL samples; only when both fail does the
+    // Per-pass artifact: the stdout contract line only fits the per-query
+    // MIN (~2000-char driver budget), so pass-level attribution questions
+    // (warmup vs noise vs real regression, VERDICT r8 #1/#8) were
+    // unanswerable from BENCH_r{N}.json alone. Write every pass's full
+    // per-query timings to BENCH_PASSES.json in the working directory —
+    // the round driver runs bench from the repo root and its round-end
+    // commit sweeps uncommitted files, so the file rides along as an
+    // archived artifact.
+    try {
+      val passesJson = passes.zipWithIndex.map { case (p, i) =>
+        val qj = p.map { case (k, (t, ok1)) =>
+          "\"" + k + "\":" + (if (ok1) f(t) else "null")
+        }.mkString("{", ",", "}")
+        s"""{"pass":${i + 1},"total":${f(passTotal(p))},"queries":$qj}"""
+      }.mkString("[\n", ",\n", "\n]")
+      java.nio.file.Files.write(java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_PASSES_OUT", "BENCH_PASSES.json")),
+        s"""{"sf":"$sfDir","spread":${f(spread)},"passes":$passesJson}\n""".getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH_PASSES.json: ${e.getMessage}")
+    }
+    val results = passes.head.map { case (name, _) =>
+      val samples = passes.map(_(name))
+      val okTimes = samples.collect { case (t, true) => t }
+      // min over SUCCESSFUL samples; only when every pass fails does the
       // (meaningless) failure time stand in, and the errors array flags it.
-      name -> ((ok1, ok2) match {
-        case (true, false) => t1
-        case (false, true) => t2
-        case _ => math.min(t1, t2)
-      })
+      name -> (if (okTimes.nonEmpty) okTimes.min else samples.map(_._1).min)
     }
     // The driver only retains the last ~2000 chars of stdout; a line with 69
     // full query names and 9-decimal doubles overflows it and fails to parse

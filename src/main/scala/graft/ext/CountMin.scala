@@ -47,13 +47,18 @@ object CountMin extends QueryModule {
   private def cellSql(d: String, token: String): String =
     s"(${X.h60Sql(s"'cms ' || CAST($d AS VARCHAR) || ' ' || $token")} % $W)"
 
-  /** (token, cnt) exact counts — the stream the sketch summarizes.
-    * private[graft] so CountMinSpec exercises the PRODUCTION build. */
-  private[graft] def tokenCounts(s: SparkSession, dir: String): DataFrame =
-    T.documents(s, dir)
+  /** (token, cnt) exact counts over an arbitrary documents slice — the
+    * stream the sketch summarizes. */
+  private[graft] def tokenCountsOf(docs: DataFrame): DataFrame =
+    docs
       .select(explode(X.tokens(col("text"))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** (token, cnt) exact counts — the stream the sketch summarizes.
+    * private[graft] so CountMinSpec exercises the PRODUCTION build. */
+  private[graft] def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    tokenCountsOf(T.documents(s, dir))
 
   private val tokenCountsSqlCte =
     s"""tc AS (SELECT token, COUNT(*) AS cnt
@@ -68,6 +73,21 @@ object CountMin extends QueryModule {
       .withColumn("w", cellCol(col("d"), col("token")))
       .groupBy(col("d"), col("w"))
       .agg(sum(col("cnt")).as("cell_sum"), count(lit(1)).as("n_tokens"))
+
+  /** Cell-wise merge of two sketches — the mergeability claim as code:
+    * because every cell is an order-free SUM placed by the shared
+    * md5-derived [[cellCol]], sketch(A) ⊕ sketch(B) = sketch(A ∪ B)
+    * exactly (Cormode & Muthukrishnan §3: CMS is a linear sketch).
+    * Inputs need (d, w, cell_sum); uninhabited cells on either side
+    * count as 0. One full-outer join on the D×W cell table — never the
+    * corpus — so merging persisted epoch sketches costs O(D·W). */
+  def mergeSketches(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("d"), col("w"), col("cell_sum").as("sum_a"))
+      .join(b.select(col("d"), col("w"), col("cell_sum").as("sum_b")),
+        Seq("d", "w"), "full_outer")
+      .select(col("d"), col("w"),
+        (coalesce(col("sum_a"), lit(0L)) + coalesce(col("sum_b"), lit(0L)))
+          .as("cell_sum"))
 
   /** Heavy-hitter serving: CMS estimate min_d cell(d, h_d(t)) for the
     * `topK` highest-exact-count tokens, with the one-sided guarantee
@@ -143,6 +163,64 @@ object CountMin extends QueryModule {
         SELECT token, cnt AS true_cnt, cms_est,
                cms_est - cnt AS overcount,
                cms_est >= cnt AS est_ge_true
-        FROM probe ORDER BY true_cnt DESC, token"""))
+        FROM probe ORDER BY true_cnt DESC, token""")),
+
+    // ------------------------------------------------------------------
+    // q104: sketch MERGE as an oracled operator — the linearity claim
+    // (q102's doc) proven cell for cell: split the corpus in two
+    // (doc_id parity), build a sketch per half, merge them cell-wise,
+    // and hash-check merged(sketch(A), sketch(B)) ≡ sketch(A ∪ B) on
+    // every inhabited cell of EITHER side. This is the catalog-serving
+    // primitive: persisted epoch sketches (batch or streamed,
+    // EventPipelines.runCatalogSketchSink) combine by exactly this
+    // join, O(D×W) rows, never touching the corpus.
+    QueryDef(
+      "q104_cms_merge",
+      (s, dir) => {
+        val docs = T.documents(s, dir)
+        val skA = sketchCells(tokenCountsOf(docs.filter(col("doc_id") % 2 === 0)))
+        val skB = sketchCells(tokenCountsOf(docs.filter(col("doc_id") % 2 === 1)))
+        val full = sketchCells(tokenCountsOf(docs))
+          .select(col("d"), col("w"), col("cell_sum").as("full_sum"))
+        mergeSketches(skA, skB)
+          .join(full, Seq("d", "w"), "full_outer")
+          .select(col("d").cast("long").as("d"), col("w"),
+            coalesce(col("cell_sum"), lit(0L)).as("merged_sum"),
+            coalesce(col("full_sum"), lit(0L)).as("full_sum"),
+            (coalesce(col("cell_sum"), lit(0L))
+              === coalesce(col("full_sum"), lit(0L))).as("cells_equal"))
+          .orderBy(col("d"), col("w"))
+      },
+      Some(s"""
+        WITH toks AS (SELECT doc_id, unnest(tk) AS token
+                      FROM (SELECT doc_id, ${X.tokensSql("text")} AS tk
+                            FROM documents)),
+        tca AS (SELECT token, COUNT(*) AS cnt FROM toks
+                WHERE doc_id % 2 = 0 GROUP BY token),
+        tcb AS (SELECT token, COUNT(*) AS cnt FROM toks
+                WHERE doc_id % 2 = 1 GROUP BY token),
+        tcf AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+        ska AS (SELECT gd.d AS d, ${cellSql("gd.d", "token")} AS w,
+                       CAST(SUM(cnt) AS BIGINT) AS cell_sum
+                FROM tca CROSS JOIN (SELECT unnest(range(0, $D)) AS d) gd
+                GROUP BY 1, 2),
+        skb AS (SELECT gd.d AS d, ${cellSql("gd.d", "token")} AS w,
+                       CAST(SUM(cnt) AS BIGINT) AS cell_sum
+                FROM tcb CROSS JOIN (SELECT unnest(range(0, $D)) AS d) gd
+                GROUP BY 1, 2),
+        skf AS (SELECT gd.d AS d, ${cellSql("gd.d", "token")} AS w,
+                       CAST(SUM(cnt) AS BIGINT) AS full_sum
+                FROM tcf CROSS JOIN (SELECT unnest(range(0, $D)) AS d) gd
+                GROUP BY 1, 2),
+        merged AS (SELECT d, w,
+                          coalesce(a.cell_sum, 0) + coalesce(b.cell_sum, 0)
+                            AS merged_sum
+                   FROM ska a FULL JOIN skb b USING (d, w))
+        SELECT CAST(d AS BIGINT) AS d, w,
+               coalesce(merged_sum, 0) AS merged_sum,
+               coalesce(full_sum, 0) AS full_sum,
+               coalesce(merged_sum, 0) = coalesce(full_sum, 0) AS cells_equal
+        FROM merged FULL JOIN skf USING (d, w)
+        ORDER BY d, w"""))
   )
 }

@@ -364,6 +364,44 @@ object EventPipelines {
       .groupBy(col("d"), col("w"))
       .agg(count(lit(1)).as("cell_sum"))
 
+  /** Streaming sketch → catalog serving loop: each epoch reduces its
+    * raw items to a PARTIAL D×W sketch ([[countMinCells]] applied to
+    * the epoch's batch — same cell definition as q102) and folds it
+    * into the catalog-persisted running sketch by cell-wise addition
+    * ([[graft.ext.CountMin.mergeSketches]], the q104 operator). The
+    * CATALOG is the state: the stream itself keeps no aggregation
+    * state at all (no watermark needed, nothing grows with key
+    * cardinality), every version is a complete servable sketch
+    * (q103-style heavy-hitter probes read `latest`), and CMS linearity
+    * makes the fold exact — stream(A₁)⊕…⊕stream(Aₙ) ≡ batch(A₁∪…∪Aₙ).
+    * Epoch markers make replays skip, so a crash between write and
+    * marker costs at most one redundant version, never a double-add. */
+  def runCatalogSketchSink(
+      items: DataFrame,
+      item: org.apache.spark.sql.Column,
+      checkpoint: String,
+      cat: graft.catalog.VersionedCatalog,
+      step: String): Unit = {
+    val q = items.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!cat.epochCommitted(step, id)) {
+          val epochCells = countMinCells(batch, item)
+          val merged = cat.latestVersion(step) match {
+            case None => epochCells
+            case Some(_) =>
+              graft.ext.CountMin.mergeSketches(cat.latest(step), epochCells)
+          }
+          cat.writeNext(step, merged)
+          cat.markEpochCommitted(step, id)
+        }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Batch views of the streaming transforms over the fixture table —
     * the unified-API property: identical code, batch source. */
   def eventsBatch(spark: SparkSession, dir: String): DataFrame =

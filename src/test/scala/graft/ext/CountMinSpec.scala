@@ -52,4 +52,24 @@ class CountMinSpec extends SparkSpec {
       cells.collect().map(_.toSeq).sortBy(_.toString).toSeq)
     spark.catalog.clearCache()
   }
+
+  test("mergeSketches: two persisted sketch versions fold to the union sketch, cell for cell") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, dir)
+    val skA = CountMin.sketchCells(
+      CountMin.tokenCountsOf(docs.filter(col("doc_id") % 2 === 0)))
+    val skB = CountMin.sketchCells(
+      CountMin.tokenCountsOf(docs.filter(col("doc_id") % 2 === 1)))
+    // persist each half as its own catalog version (epoch sketches),
+    // reload, merge — the serving-side flow q104 oracles
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cms-merge-").toString
+    val cat = new graft.catalog.VersionedCatalog(spark, tmp, format = "parquet")
+    cat.writeNext("cms", skA)
+    cat.writeNext("cms", skB)
+    val merged = CountMin.mergeSketches(cat.read("cms", 1), cat.read("cms", 2))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val full = CountMin.sketchCells(CountMin.tokenCountsOf(docs))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == full)
+  }
 }

@@ -351,6 +351,62 @@ class EventPipelinesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sketch -> catalog serving loop: epochs fold to the batch sketch over the union") {
+    val s = spark
+    import s.implicits._
+    withTempDir { dir =>
+      val in = s"$dir/in"; val ckpt = s"$dir/ckpt"; val root = s"$dir/cat"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      def writeInput(name: String, toks: Seq[String]): Unit =
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/$name"),
+          toks.map(t => s"""{"token":"$t"}""").mkString("\n").getBytes)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL("token STRING")
+      def stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(in)
+      // parquet keeps the int32 d / int64 cell cells bit-exact across
+      // versions (the JSONL default would widen ints on reload)
+      val cat = new graft.catalog.VersionedCatalog(spark, root, format = "parquet")
+
+      val e1 = Seq("click", "view", "click")
+      val e2 = Seq("purchase", "click", "refund", "view")
+      writeInput("epoch1.json", e1)
+      EventPipelines.runCatalogSketchSink(stream, col("token"), ckpt, cat, "cms")
+      assert(cat.latestVersion("cms").contains(1))
+      writeInput("epoch2.json", e2)
+      EventPipelines.runCatalogSketchSink(stream, col("token"), ckpt, cat, "cms")
+      assert(cat.latestVersion("cms").contains(2))
+
+      def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+      // the catalog's latest version IS the batch sketch over the union
+      // — CMS linearity end to end through persisted epoch folds
+      val served = toMap(cat.latest("cms"))
+      val batch = toMap(EventPipelines.countMinCells(
+        (e1 ++ e2).toDF("token"), col("token")))
+      assert(served == batch)
+      // ... and v1 is the servable epoch-1 sketch on its own
+      assert(toMap(cat.read("cms", 1)) ==
+        toMap(EventPipelines.countMinCells(e1.toDF("token"), col("token"))))
+
+      // q103-style heavy-hitter serving from the merged streamed sketch
+      val trueCnt = (e1 ++ e2).groupBy(identity).view.mapValues(_.size.toLong)
+      trueCnt.foreach { case (t, n) =>
+        val est = (0 until graft.ext.CountMin.dRows).map { d =>
+          val w = Seq(t).toDF("x")
+            .select(graft.ext.CountMin.cellCol(lit(d), col("x")).as("w"))
+            .head().getLong(0)
+          served.getOrElse((d, w), 0L)
+        }.min
+        assert(est >= n, s"merged streamed sketch underestimated $t")
+      }
+
+      // replay safety: a rerun with no new input adds no version
+      EventPipelines.runCatalogSketchSink(stream, col("token"), ckpt, cat, "cms")
+      assert(cat.latestVersion("cms").contains(2))
+    }
+  }
+
   test("AvailableNow + watermark: beyond-watermark events drop, with progress accounting") {
     // the end-to-end late-data contract of the checkpointed pipeline:
     // run 1 advances the event-time watermark (persisted in the commit
