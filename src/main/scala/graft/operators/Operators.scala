@@ -536,6 +536,112 @@ object SimilarityJoin {
     (rows.map(_._2), rows.map(_._3))
   }
 
+  /** [[graft.functions.TwoLevelIndex.fitExact]] AS DISTRIBUTED SWEEPS —
+    * the coarse fit for the 10⁶-cell decade. The driver-side fits are
+    * O(iters·nCells·nCoarse·dim) single-threaded: ~2×10¹⁰ FLOPs at the
+    * 10⁵-cell design point (tens of seconds; `fitSampleStride` covers
+    * it) but ~6×10¹¹ at 10⁶ cells with √-scaled nCoarse — a driver
+    * stall no stride hides (SCALE.md §Index builds states the decade
+    * arithmetic). This variant reuses [[ivfBuildIndexExact]]'s
+    * distributed Lloyd shape on the CENTROID TABLE itself: per sweep,
+    * ONE compiled [[graft.functions.NearestCentroid]] assignment scan
+    * over the (cell, centroid) rows plus a per-(super, dim) int64
+    * partial aggregation returning nCoarse×dim rows to the driver —
+    * the centroid table never collects, executors do the FLOPs, and
+    * driver state stays nCoarse×dim (the index-as-data-small bound).
+    *
+    * Bit-identical to the driver-side `fitExact` BY CONSTRUCTION
+    * (SemanticPqSpec pins it on the shared fixture): same strided
+    * seeds, same ×1e4 int64 centroid sums — order-free, so the
+    * distributed SUM reproduces the sequential accumulation exactly —
+    * same single-division means, same empty-super (sum, cnt)
+    * carryover, and the compiled kernel's lowest-index tie rule is
+    * `nearestIdx`'s. Same input contract too: centroid values must be
+    * exact 1e-4 multiples (md5-derived and catalog-persisted exact
+    * tables qualify; float KMeans output is not — production fits at
+    * this decade run on the persisted exact table). Returns the
+    * (coarse matrix, member cell ids) structure [[CoarseProbe]]
+    * consumes via `prefit` and [[twoLevelToDf]] persists. */
+  def twoLevelFitExactDistributed(
+      centroidsDf: DataFrame, nCoarse: Int, iters: Int = 10,
+      scope: graft.CacheScope = new graft.CacheScope)
+      : (Array[Array[Double]], Array[Array[Int]]) = {
+    val base = centroidsDf
+      .select(col("cell").cast("long").as("cid"), col("centroid").as("fd"),
+        transform(col("centroid"),
+          x => round(x * lit(1e4)).cast("long")).as("ci"))
+      .transform(scope.cache) // iters+1 scans share one materialization
+    // one validation pass over the index table: contiguity of cell ids,
+    // uniform dimensionality, and the 1e-4 exactness contract
+    val chk = base.select(
+      count(lit(1)).as("n"),
+      countDistinct(col("cid")).as("nd"),
+      min(col("cid")).as("lo"), max(col("cid")).as("hi"),
+      countDistinct(size(col("fd"))).as("dims"),
+      sum(when(forall(zip_with(col("ci"), col("fd"),
+        (k, v) => k.cast("double") / lit(1e4) === v), b => b), lit(0))
+        .otherwise(lit(1))).as("inexact")).head()
+    val n = chk.getLong(0)
+    require(n > 0, "two_level_fit_distributed: empty centroid table")
+    require(chk.getLong(1) == n && chk.getLong(2) == 0L && chk.getLong(3) == n - 1,
+      "centroid table must carry contiguous cell ids 0..n-1")
+    require(chk.getLong(4) == 1L,
+      "two_level_fit_distributed: mixed centroid dimensionalities")
+    require(chk.getLong(5) == 0L,
+      "two_level_fit_distributed: centroid values must be exact 1e-4 " +
+        "multiples (md5-derived tables are; KMeans output is not — use fit)")
+    val k = math.max(1, math.min(nCoarse, n.toInt))
+    // the fitExact seed rule: every (i·n/k)-th cell row, (sum, cnt=1)
+    val seedIds = Array.tabulate(k)(i => (i.toLong * n / k))
+    val seedRows = base.filter(col("cid").isInCollection(seedIds.toSeq))
+      .select(col("cid"), col("ci")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val dim = seedRows.head._2.length
+    var sums: Array[Array[Long]] = seedIds.map(seedRows(_).clone())
+    var cnts: Array[Long] = Array.fill(k)(1L)
+    def means: Array[Array[Double]] = Array.tabulate(k, dim) { (c, d) =>
+      sums(c)(d).toDouble / (cnts(c) * 10000L).toDouble
+    }
+    def assigned(m: Array[Array[Double]]) = base.withColumn("sc",
+      graft.functions.VectorIndexFunctions.nearestCentroid(col("fd"), m))
+    var it = 0
+    while (it < iters) {
+      // one distributed pass: compiled assignment + (super, dim)-keyed
+      // int64 partial aggregation; k×dim rows come back
+      val stats = assigned(means)
+        .select(col("sc"), posexplode(col("ci")).as(Seq("d", "x")))
+        .groupBy(col("sc"), col("d"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("nc"))
+        .collect()
+      val ns = Array.fill(k)(new Array[Long](dim))
+      val ncnt = new Array[Long](k)
+      stats.foreach { r =>
+        val c = r.getInt(0)
+        ns(c)(r.getInt(1)) = r.getLong(2)
+        ncnt(c) = r.getLong(3)
+      }
+      var c = 0
+      while (c < k) { // empty super keeps its previous (sum, cnt) state
+        if (ncnt(c) > 0) { sums(c) = ns(c); cnts(c) = ncnt(c) }
+        c += 1
+      }
+      it += 1
+    }
+    // final assignment under the converged means — (cell, super) pairs
+    // only (no dim factor), so even a 10⁶-row member map collects in
+    // tens of MB; the structure must partition ALL cells
+    val finalMeans = means
+    val asg = assigned(finalMeans).select(col("cid"), col("sc")).collect()
+      .map(r => r.getLong(0).toInt -> r.getInt(1))
+    scope.release()
+    val members = {
+      val bySuper = Array.fill(k)(scala.collection.mutable.ArrayBuffer.empty[Int])
+      asg.sortBy(_._1).foreach { case (cid, sc) => bySuper(sc) += cid }
+      bySuper.map(_.toArray)
+    }
+    (finalMeans, members)
+  }
+
   /** The deterministic md5-derived centroid table shared by q81 / q84 /
     * q87 AND their DuckDB oracles: value(c, d) = ((md5h60("ivf c d")
     * mod 4001) - 2000) / 1e4 — one definition so the engine queries,
@@ -563,9 +669,16 @@ object SimilarityJoin {
     * nCells centroids. wProbe = nCoarse reproduces the flat probe
     * bit-exactly (q97); `sqlExactFit` selects the order-free integer
     * Lloyd fit so even PARTIAL probing is SQL-mirrorable on 1e-4-exact
-    * centroid tables (q98, the q94 construction). */
+    * centroid tables (q98, the q94 construction). `prefit` bypasses the
+    * driver-side fit entirely with an externally built structure — a
+    * [[twoLevelFromDf]] reload (index-as-data: fit once, serve many) or
+    * [[SimilarityJoin.twoLevelFitExactDistributed]]'s output, the
+    * 10⁶-cell path where even the sampled driver fit stalls; the
+    * structure must partition the same centroid table the serving op
+    * scans (the kernel requires member lists covering every cell). */
   final case class CoarseProbe(nCoarse: Int, wProbe: Int,
-      sqlExactFit: Boolean = false, fitIters: Int = 10)
+      sqlExactFit: Boolean = false, fitIters: Int = 10,
+      prefit: Option[(Array[Array[Double]], Array[Array[Int]])] = None)
 
   /** The probe stage shared by [[ivfTopKServing]] and [[ivfPqTopK]]:
     * (qid, fd) queries → the `nProbe` nearest (qid, cell) pairs, as
@@ -589,10 +702,11 @@ object SimilarityJoin {
       coarse: Option[CoarseProbe] = None): DataFrame = {
     val cellsCol = coarse match {
       case Some(cp) =>
-        val (cm, mem) =
+        val (cm, mem) = cp.prefit.getOrElse {
           if (cp.sqlExactFit)
             graft.functions.TwoLevelIndex.fitExact(matrix, cp.nCoarse, cp.fitIters)
           else graft.functions.TwoLevelIndex.fit(matrix, cp.nCoarse, cp.fitIters)
+        }
         graft.functions.VectorIndexFunctions.topCellsTwoLevel(
           col("fd"), cm, mem, matrix, cp.wProbe, nProbe)
       case None =>
@@ -687,10 +801,12 @@ object SimilarityJoin {
       centroidsDf: DataFrame, threshold: Double,
       nCoarse: Int, wProbe: Int, maxCell: Int = 65536,
       scope: graft.CacheScope = new graft.CacheScope,
-      sqlExactFit: Boolean = false, fitIters: Int = 10): DataFrame =
+      sqlExactFit: Boolean = false, fitIters: Int = 10,
+      prefit: Option[(Array[Array[Double]], Array[Array[Int]])] = None): DataFrame =
     semanticDedupCore(
       assignedVectors(vecs, id, vec, Nil, centroidsDf, scope,
-        assignCol = twoLevelAssignCol(nCoarse, wProbe, sqlExactFit, fitIters)),
+        assignCol = twoLevelAssignCol(nCoarse, wProbe, sqlExactFit, fitIters,
+          prefit)),
       threshold, maxCell)
 
   /** The fit-then-assign column both two-level dedup variants inject
@@ -704,10 +820,13 @@ object SimilarityJoin {
     * cost of unmirrorable double accumulation. */
   private def twoLevelAssignCol(
       nCoarse: Int, wProbe: Int, sqlExactFit: Boolean = false,
-      fitIters: Int = 10): Array[Array[Double]] => Column = { m =>
-    val (coarse, members) =
+      fitIters: Int = 10,
+      prefit: Option[(Array[Array[Double]], Array[Array[Int]])] = None)
+      : Array[Array[Double]] => Column = { m =>
+    val (coarse, members) = prefit.getOrElse {
       if (sqlExactFit) graft.functions.TwoLevelIndex.fitExact(m, nCoarse, fitIters)
       else graft.functions.TwoLevelIndex.fit(m, nCoarse, fitIters)
+    }
     graft.functions.VectorIndexFunctions.nearestCentroidTwoLevel(
       col("fd"), coarse, members, m, wProbe)
   }
@@ -781,11 +900,13 @@ object SimilarityJoin {
       centroidsDf: DataFrame, threshold: Double,
       nCoarse: Int, wProbe: Int, maxCell: Int = 65536,
       scope: graft.CacheScope = new graft.CacheScope,
-      sqlExactFit: Boolean = false, fitIters: Int = 10): DataFrame =
+      sqlExactFit: Boolean = false, fitIters: Int = 10,
+      prefit: Option[(Array[Array[Double]], Array[Array[Int]])] = None): DataFrame =
     semanticDedupIncrementalCore(
       assignedVectors(vecs, id, vec, Seq("is_new" -> isNew),
         centroidsDf, scope,
-        assignCol = twoLevelAssignCol(nCoarse, wProbe, sqlExactFit, fitIters)),
+        assignCol = twoLevelAssignCol(nCoarse, wProbe, sqlExactFit, fitIters,
+          prefit)),
       threshold, maxCell)
 
   /** The sized-cells / new-vs-pool pair join / exact-cosine verify /
@@ -827,13 +948,44 @@ object SimilarityJoin {
   /** Serve ANN top-k from a persisted (cell, centroid) index table.
     * `probe` opts the probe stage into the two-level coarse quantizer
     * ([[CoarseProbe]]) for ≳10⁴-cell indexes. */
+  /** Per-query exact top-`k` over a candidate stream with BOUNDED sort
+    * partitions — the hot-cell skew policy for the serving paths. The
+    * naive shape is one `row_number` window partitioned by qid: every
+    * candidate a query's probed cells contain lands in ONE sort
+    * partition, so a mega-cell (the semantic analog of the 5k LSH
+    * mega-cluster) makes that query's partition ∝ |cell| — unbounded at
+    * 100 TB. With `rankSalt` > 1 the rank runs in two exact stages:
+    * stage 1 partitions by (qid, hash(nid) % rankSalt) and keeps k per
+    * salt — each sort bounded by ~|candidates|/rankSalt — and stage 2
+    * ranks the ≤ k·rankSalt survivors per query. Top-k is associative
+    * under a TOTAL order (the `order` columns must tie-break to
+    * uniqueness, as all callers' (score, nid) do), so the result is
+    * bit-identical to the one-stage rank at any salt — ScaleSmokeSpec
+    * pins that on a planted 5k mega-cell. Salt 1 (default) keeps the
+    * single-window plan the fixture-scale oracles pin. */
+  private def topKPerQuery(
+      cand: DataFrame, k: Int, order: Seq[Column], rankSalt: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rankSalt >= 1, s"rankSalt must be >= 1, got $rankSalt")
+    val full = Window.partitionBy(col("qid")).orderBy(order: _*)
+    val pre =
+      if (rankSalt == 1) cand
+      else {
+        val sw = Window.partitionBy(col("qid"), col("_salt")).orderBy(order: _*)
+        cand.withColumn("_salt", pmod(xxhash64(col("nid")), lit(rankSalt.toLong)))
+          .withColumn("_r", row_number().over(sw))
+          .filter(col("_r") <= k)
+          .drop("_salt", "_r")
+      }
+    pre.withColumn("rank", row_number().over(full).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   def ivfTopKServing(
       vecs: DataFrame, id: Column, vec: Column, queryPred: Column,
       centroidsDf: DataFrame, nProbe: Int = 4, k: Int = 3,
       scope: graft.CacheScope = new graft.CacheScope,
-      probe: Option[CoarseProbe] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-
+      probe: Option[CoarseProbe] = None, rankSalt: Int = 1): DataFrame = {
     val matrix = centroidMatrix(centroidsDf)
     // map-side argmin as a compiled kernel (row index = cell id); ties
     // resolve to the lowest cell index
@@ -853,16 +1005,14 @@ object SimilarityJoin {
 
     val queries = assigned.filter(col("is_query"))
       .select(col("doc_id").as("qid"), col("v").as("va"), col("n2").as("n2a"))
-    val rankW = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    probes
+    val cand = probes
       .join(assigned.select(col("doc_id").as("nid"), col("v").as("vb"),
         col("n2").as("n2b"), col("cell")), "cell")
       .join(queries, "qid")
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), X.cosineFromInts(
         X.dotInt(col("va"), col("vb")), col("n2a"), col("n2b")).as("cos"))
-      .withColumn("rank", row_number().over(rankW).cast("long"))
-      .filter(col("rank") <= k)
+    topKPerQuery(cand, k, Seq(col("cos").desc, col("nid")), rankSalt)
       .select(col("qid"), col("rank"), col("nid"), col("cos"))
   }
 
@@ -885,8 +1035,7 @@ object SimilarityJoin {
       centroidsDf: DataFrame, codebooks: Array[Array[Array[Double]]],
       nProbe: Int = 4, k: Int = 3,
       scope: graft.CacheScope = new graft.CacheScope,
-      probe: Option[CoarseProbe] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      probe: Option[CoarseProbe] = None, rankSalt: Int = 1): DataFrame = {
     val matrix = centroidMatrix(centroidsDf)
     require(codebooks.nonEmpty && codebooks(0).nonEmpty,
       "ivfPqTopK: empty PQ codebook — the index has no subspaces/codes")
@@ -906,15 +1055,13 @@ object SimilarityJoin {
     val luts = assigned.filter(col("is_query"))
       .select(col("nid").as("qid"),
         graft.functions.VectorIndexFunctions.pqLut(col("fd"), codebooks).as("lut"))
-    val rankW = Window.partitionBy(col("qid")).orderBy(col("dist_e9"), col("nid"))
-    probes
+    val cand = probes
       .join(assigned.select(col("nid"), col("code"), col("cell")), "cell")
       .join(luts, "qid")
       .filter(col("qid") =!= col("nid"))
       .withColumn("dist_e9",
         graft.functions.VectorIndexFunctions.pqAdc(col("lut"), col("code"), m, kk))
-      .withColumn("rank", row_number().over(rankW).cast("long"))
-      .filter(col("rank") <= k)
+    topKPerQuery(cand, k, Seq(col("dist_e9"), col("nid")), rankSalt)
       .select(col("qid"), col("rank"), col("nid"), col("dist_e9"))
   }
 
@@ -934,25 +1081,25 @@ object SimilarityJoin {
       centroidsDf: DataFrame, codebooks: Array[Array[Array[Double]]],
       nProbe: Int = 4, shortlist: Int = 10, k: Int = 3,
       scope: graft.CacheScope = new graft.CacheScope,
-      probe: Option[CoarseProbe] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      probe: Option[CoarseProbe] = None, rankSalt: Int = 1): DataFrame = {
     require(shortlist >= k,
       s"ivfPqRerankTopK: shortlist $shortlist must be >= k $k")
+    // the salt matters in the ADC stage (whose candidate stream is
+    // probed-cell-sized); the exact stage below ranks ≤ shortlist rows
+    // per query, already bounded, so a one-stage window suffices there
     val sl = ivfPqTopK(vecs, id, vec, queryPred, centroidsDf, codebooks,
-        nProbe, shortlist, scope, probe)
+        nProbe, shortlist, scope, probe, rankSalt)
       .select(col("qid"), col("nid"))
     val base = vecs
       .select(id.as("_id"), X.scaledVec(vec).as("v"))
       .withColumn("n2", X.norm2Int(col("v")))
-    val rankW = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    sl.join(base.select(col("_id").as("qid"), col("v").as("va"),
+    val cand = sl.join(base.select(col("_id").as("qid"), col("v").as("va"),
         col("n2").as("n2a")), "qid")
       .join(base.select(col("_id").as("nid"), col("v").as("vb"),
         col("n2").as("n2b")), "nid")
       .select(col("qid"), col("nid"), X.cosineFromInts(
         X.dotInt(col("va"), col("vb")), col("n2a"), col("n2b")).as("cos"))
-      .withColumn("rank", row_number().over(rankW).cast("long"))
-      .filter(col("rank") <= k)
+    topKPerQuery(cand, k, Seq(col("cos").desc, col("nid")), rankSalt = 1)
       .select(col("qid"), col("rank"), col("nid"), col("cos"))
   }
 

@@ -81,6 +81,48 @@ class ScaleSmokeSpec extends SparkSpec {
     }
   }
 
+  test("IVF serving survives a planted 5k mega-CELL: salted rank is " +
+      "bit-identical and bounds the per-query sort partitions") {
+    // the semantic analog of the 5k LSH mega-cluster: 5000 copies of one
+    // embedding all land in ONE cell, so any query probing that cell
+    // feeds ~5k candidate rows into its per-qid rank window — the one
+    // serving-path partition that grows ∝ |cell| at 100 TB. rankSalt
+    // splits the rank into (qid, salt) sort partitions and must change
+    // NOTHING about the output (top-k under a total order is
+    // associative), while the candidate join itself stays broadcast on
+    // the probe side (no exchange keys on cell, so the mega-cell can't
+    // skew a shuffle).
+    val emb = graft.Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val mega = emb.filter(col("vec_id") === 7L)
+      .crossJoin(spark.range(5000).toDF("i"))
+      .select((col("i") + 2000000L).as("vec_id"), col("embedding"))
+    val corpus = emb.unionAll(mega)
+    val cents = graft.operators.SimilarityJoin.md5CentroidTable(spark, nCells = 64)
+    def serve(salt: Int) = {
+      val out = graft.operators.SimilarityJoin.ivfTopKServing(
+          corpus, col("vec_id"), col("embedding"), col("vec_id") < 20,
+          cents, nProbe = 4, k = 3, rankSalt = salt)
+      val rows = out.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(r => (r._1, r._2)).toSeq
+      spark.catalog.clearCache()
+      (rows, out)
+    }
+    val (flat, _) = serve(1)
+    val (salted, saltedDf) = serve(8)
+    assert(flat.nonEmpty && flat == salted)
+    // vec 7 IS a query (< 20): its top-3 must be its planted replicas
+    // at cosine 1 — the mega-cell's candidates genuinely flowed through
+    val q7 = flat.filter(_._1 == 7L)
+    assert(q7.length == 3 && q7.forall(r => r._3 >= 2000000L && r._4 > 0.999999))
+    // and the salted plan's stage-1 window genuinely partitions by the
+    // salt column (the partition-size bound exists in the plan, not
+    // just in intent)
+    val tree = saltedDf.queryExecution.executedPlan.treeString
+    assert(tree.contains("_salt"),
+      s"salted rank missing from plan:\n${tree.take(1200)}")
+  }
+
   test("minhash LSH survives a planted 5k mega-cluster: cap drops the " +
       "degenerate buckets, everything else is unchanged") {
     // 5000 identical copies of one document: every band bucket holding it

@@ -387,6 +387,55 @@ class SemanticPqSpec extends SparkSpec {
     }
   }
 
+  test("distributed coarse fit: bit-identical to the driver fitExact, serves through prefit") {
+    // the 10⁶-cell-decade fit (VERDICT r8 #3): Lloyd sweeps as compiled
+    // assignment + int64 partial aggregation over the centroid TABLE.
+    // Order-free integer sums ⇒ the distributed fit must equal the
+    // sequential driver fitExact bit for bit — coarse AND membership.
+    val cents = graft.operators.SimilarityJoin.md5CentroidTable(spark, nCells = 64)
+    val matrix = cents.orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val (dc, dm) = graft.functions.TwoLevelIndex.fitExact(matrix, nCoarse = 8)
+    val (cc, cm) = graft.operators.SimilarityJoin
+      .twoLevelFitExactDistributed(cents, nCoarse = 8)
+    assert(cc.length == dc.length)
+    cc.zip(dc).zipWithIndex.foreach { case ((a, b), j) =>
+      assert(a.sameElements(b),
+        s"super $j: distributed coarse centroid differs from driver fitExact") }
+    assert(cm.map(_.toSeq).toSeq == dm.map(_.toSeq).toSeq)
+    // the structure slots into CoarseProbe.prefit: q81's serving shape
+    // under a PARTIAL probe, identical to the in-op sqlExactFit fit
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val inOp = graft.operators.SimilarityJoin.ivfTopKServing(
+        emb, col("vec_id"), col("embedding"), col("vec_id") < 20,
+        cents, nProbe = 4, k = 3,
+        probe = Some(graft.operators.SimilarityJoin.CoarseProbe(
+          nCoarse = 8, wProbe = 2, sqlExactFit = true)))
+      .collect().map(_.toSeq)
+    spark.catalog.clearCache()
+    val viaPrefit = graft.operators.SimilarityJoin.ivfTopKServing(
+        emb, col("vec_id"), col("embedding"), col("vec_id") < 20,
+        cents, nProbe = 4, k = 3,
+        probe = Some(graft.operators.SimilarityJoin.CoarseProbe(
+          nCoarse = 8, wProbe = 2, prefit = Some((cc, cm)))))
+      .collect().map(_.toSeq)
+    spark.catalog.clearCache()
+    assert(inOp.nonEmpty &&
+      inOp.sortBy(_.toString).toSeq == viaPrefit.sortBy(_.toString).toSeq)
+    // contract guards fire distributedly: non-1e-4-exact values refuse
+    // (the fitExact rule), gapped cell ids refuse (the centroidMatrix rule)
+    val s = spark
+    import s.implicits._
+    intercept[IllegalArgumentException] {
+      graft.operators.SimilarityJoin.twoLevelFitExactDistributed(
+        Seq((0L, Seq(1.0 / 3.0))).toDF("cell", "centroid"), 1)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.SimilarityJoin.twoLevelFitExactDistributed(
+        Seq((0L, Seq(0.5)), (2L, Seq(0.25))).toDF("cell", "centroid"), 1)
+    }
+  }
+
   test("two-level assignment: empty super-cells are skipped, NaN fails fast") {
     import org.apache.spark.sql.catalyst.util.ArrayData
     // super 0 lost all members in the fit (stale centroid remains):
