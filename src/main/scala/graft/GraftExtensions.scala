@@ -119,5 +119,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PpmCropCols].getName, "ppm_crop_cols"),
       (args: Seq[Expression]) => { val a = arity(args, "ppm_crop_cols", 3)
         PpmCropCols(a.head, a(1), a(2)) }))
+
+    ext.injectFunction((
+      FunctionIdentifier("ppm_channel_stats"),
+      new ExpressionInfo(classOf[PpmChannelStats].getName, "ppm_channel_stats"),
+      (args: Seq[Expression]) =>
+        PpmChannelStats(arity(args, "ppm_channel_stats", 1).head)))
   }
 }

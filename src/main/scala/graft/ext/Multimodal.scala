@@ -304,6 +304,76 @@ object Multimodal extends QueryModule {
                    || strip || strip) AS content_md5
         FROM strips ORDER BY media_id""")),
 
+    // q106: REAL pixel-level channel statistics — the deterministic
+    // half of a media featurizer computed from ACTUAL pixels: one
+    // compiled pass per container decodes every sample value and
+    // reduces to per-channel (sum, min, max); means materialize as
+    // single integer divisions (×1e6, floored) so both engines agree
+    // bit-for-bit. These are the classic curation signals — channel
+    // means catch dark/blank images, dynamic range catches flat or
+    // clipped ones — and they flow downstream as a dozen int64s per
+    // item while the payload never leaves its partition. The oracle
+    // re-derives every sample value from the container's hex (two
+    // strpos digits per byte) and aggregates per channel, so one wrong
+    // decoded sample anywhere hash-fails. The LEARNED featurizer
+    // (CLIP-style embedding) remains the one documented stand-in; this
+    // query narrows the seam to exactly that model call.
+    QueryDef(
+      "q106_media_channel_stats",
+      (s, dir) => {
+        val st = graft.functions.MediaCodecFunctions.ppmChannelStats(col("content"))
+        ppmWrap(T.documents(s, dir))
+          .select(col("media_id"), st.as("st"))
+          .selectExpr("media_id",
+            "st[0] AS n_px",
+            "(st[1] * 1000000L) div st[0] AS r_mean_e6",
+            "(st[2] * 1000000L) div st[0] AS g_mean_e6",
+            "(st[3] * 1000000L) div st[0] AS b_mean_e6",
+            "st[4] AS r_min", "st[5] AS g_min", "st[6] AS b_min",
+            "st[7] AS r_max", "st[8] AS g_max", "st[9] AS b_max",
+            "greatest(st[7] - st[4], st[8] - st[5], st[9] - st[6]) AS dyn_range",
+            "((st[1] + st[2] + st[3]) * 1000000L) div (3 * st[0]) < 64000000L AS is_dark")
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        WITH src AS (SELECT doc_id AS media_id,
+                            octet_length(encode(text)) // 3 AS w,
+                            hex(encode(text)) AS hx
+                     FROM documents WHERE octet_length(encode(text)) >= 3),
+        -- byte i of the pixel run (3·w bytes), decoded from two hex
+        -- digits; channel = i mod 3 (row-major RGB, 1 byte per sample)
+        px AS (SELECT media_id, w,
+                      CAST(unnest(range(0, 3 * w)) AS BIGINT) AS i
+               FROM src),
+        v AS (SELECT media_id, w, CAST(i % 3 AS INT) AS ch,
+                     (strpos('0123456789ABCDEF',
+                        substring(hx, CAST(2 * i + 1 AS INT), 1)) - 1) * 16
+                     + strpos('0123456789ABCDEF',
+                        substring(hx, CAST(2 * i + 2 AS INT), 1)) - 1 AS val
+              FROM px JOIN src USING (media_id, w)),
+        st AS (SELECT media_id, MAX(w) AS n_px,
+                      SUM(CASE WHEN ch = 0 THEN val END) AS sr,
+                      SUM(CASE WHEN ch = 1 THEN val END) AS sg,
+                      SUM(CASE WHEN ch = 2 THEN val END) AS sb,
+                      MIN(CASE WHEN ch = 0 THEN val END) AS nr,
+                      MIN(CASE WHEN ch = 1 THEN val END) AS ng,
+                      MIN(CASE WHEN ch = 2 THEN val END) AS nb,
+                      MAX(CASE WHEN ch = 0 THEN val END) AS xr,
+                      MAX(CASE WHEN ch = 1 THEN val END) AS xg,
+                      MAX(CASE WHEN ch = 2 THEN val END) AS xb
+               FROM v GROUP BY media_id)
+        SELECT media_id, CAST(n_px AS BIGINT) AS n_px,
+               CAST(sr * 1000000 // n_px AS BIGINT) AS r_mean_e6,
+               CAST(sg * 1000000 // n_px AS BIGINT) AS g_mean_e6,
+               CAST(sb * 1000000 // n_px AS BIGINT) AS b_mean_e6,
+               CAST(nr AS BIGINT) AS r_min, CAST(ng AS BIGINT) AS g_min,
+               CAST(nb AS BIGINT) AS b_min,
+               CAST(xr AS BIGINT) AS r_max, CAST(xg AS BIGINT) AS g_max,
+               CAST(xb AS BIGINT) AS b_max,
+               CAST(greatest(xr - nr, xg - ng, xb - nb) AS BIGINT) AS dyn_range,
+               (sr + sg + sb) * 1000000 // (3 * n_px) < 64000000 AS is_dark
+        FROM st ORDER BY media_id""")),
+
     // q99: REAL byte-level container decode — wrap every document's
     // bytes into a genuine P6 PPM payload (magic + comment + ASCII dims
     // + exact pixel run) and parse it back with the compiled

@@ -1147,6 +1147,42 @@ object Similarity extends QueryModule {
         ${twoLevelServeProbeSqlCtes(dim = 64, nCoarse = 8, iters = twoLevelOracleIters,
           wProbe = 2, nProbe = 4, queryPred = "vec_id < 50")},
         $ivfPqAdcScoreSqlCtes,
-        $ivfPqRerankSqlTail"""))
+        $ivfPqRerankSqlTail""")),
+
+    // ------------------------------------------------------------------
+    // q105: q98's partial-probe serving with BOTH round-9 scale levers
+    // engaged, under q98's oracle text VERBATIM — the hash check proves
+    // each lever is invisible to results: (1) the coarse structure
+    // comes from `twoLevelFitExactDistributed` (Lloyd sweeps as
+    // compiled-kernel scans + order-free int64 partial aggregations on
+    // EXECUTORS — the 10⁶-cell-decade fit) passed through
+    // CoarseProbe.prefit, bit-identical to the driver fitExact the
+    // oracle CTEs unroll; (2) the per-query rank runs the two-stage
+    // salted top-k (rankSalt = 8 — the hot-cell partition bound),
+    // bit-identical to the one-stage window because top-k under the
+    // total (cos, nid) order is associative. Same fixture, same
+    // queries, same oracle — only the execution geometry changed.
+    QueryDef(
+      "q105_ann_serving_dist_fit",
+      (s, dir) => {
+        val cents = graft.operators.SimilarityJoin.md5CentroidTable(s, nCells = 64)
+        val structure = graft.operators.SimilarityJoin
+          .twoLevelFitExactDistributed(cents, nCoarse = 8,
+            iters = twoLevelOracleIters)
+        graft.operators.SimilarityJoin.ivfTopKServing(
+            T.embeddings(s, dir), col("vec_id"), col("embedding"),
+            queryPred = col("vec_id") < 50, cents, nProbe = 4, k = 3,
+            probe = Some(graft.operators.SimilarityJoin.CoarseProbe(
+              nCoarse = 8, wProbe = 2, prefit = Some(structure))),
+            rankSalt = 8)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""
+        WITH ${ivfAssignSqlCtes(64)},
+        ${twoLevelFitSqlCtes(nCells = 64, dim = 64, nCoarse = 8,
+          iters = twoLevelOracleIters)},
+        ${twoLevelServeProbeSqlCtes(dim = 64, nCoarse = 8, iters = twoLevelOracleIters,
+          wProbe = 2, nProbe = 4, queryPred = "vec_id < 50")},
+        $ivfServeSqlTail"""))
   )
 }

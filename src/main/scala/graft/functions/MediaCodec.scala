@@ -142,6 +142,46 @@ object PpmCodec {
     out
   }
 
+  /** REAL pixel-level channel statistics: one pass over the decoded
+    * sample values (1- or 2-byte big-endian per the parsed maxval)
+    * computing per-channel (sum, min, max) — the deterministic half of
+    * a media featurizer: channel means and dynamic range are the
+    * classic dark/blank/clipped-image curation signals, computed here
+    * from ACTUAL pixels, not payload-byte hashes. Returns
+    * [n_px, sumR, sumG, sumB, minR, minG, minB, maxR, maxG, maxB]
+    * as int64 — integer-exact, so both engines agree bit-for-bit and
+    * downstream means materialize as single divisions. */
+  def channelStats(bytes: Array[Byte]): ArrayData = {
+    val hdr = parseHeader(bytes)
+    val w = hdr.getLong(0).toInt
+    val h = hdr.getLong(1).toInt
+    val maxv = hdr.getLong(2)
+    val off = hdr.getLong(3).toInt
+    val two = maxv > 255
+    val n = w.toLong * h
+    val sums = new Array[Long](3)
+    val mins = Array.fill(3)(Long.MaxValue)
+    val maxs = Array.fill(3)(Long.MinValue)
+    var p = off
+    var i = 0L
+    while (i < n) {
+      var c = 0
+      while (c < 3) {
+        val v =
+          if (two) (((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)).toLong
+          else (bytes(p) & 0xff).toLong
+        sums(c) += v
+        if (v < mins(c)) mins(c) = v
+        if (v > maxs(c)) maxs(c) = v
+        p += (if (two) 2 else 1)
+        c += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(Array(n, sums(0), sums(1), sums(2),
+      mins(0), mins(1), mins(2), maxs(0), maxs(1), maxs(2)))
+  }
+
   /** REAL pixel-level column crop [x0, x1): copy the pixel bytes of
     * columns x0..x1-1 from every source row into a NEW canonical P6
     * container of width x1−x0. This is the frame-extraction primitive:
@@ -250,9 +290,34 @@ case class PpmCropCols(first: Expression, second: Expression, third: Expression)
     copy(first = f, second = s, third = t)
 }
 
+/** binary P6 payload → array<bigint> [n_px, sumR, sumG, sumB, minR,
+  * minG, minB, maxR, maxG, maxB] ([[PpmCodec.channelStats]]). */
+case class PpmChannelStats(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"ppm_channel_stats requires a BINARY payload column, got ${child.dataType.sql}")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ppm_channel_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    PpmCodec.channelStats(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PpmCodec.channelStats($c)")
+
+  override protected def withNewChildInternal(c: Expression): PpmChannelStats =
+    copy(child = c)
+}
+
 object MediaCodecFunctions {
   def ppmHeader(payload: Column): Column =
     ColumnBridge.column(PpmHeader(ColumnBridge.expression(payload)))
+
+  def ppmChannelStats(payload: Column): Column =
+    ColumnBridge.column(PpmChannelStats(ColumnBridge.expression(payload)))
 
   def ppmResize(payload: Column, outW: Column, outH: Column): Column =
     ColumnBridge.column(PpmResize(ColumnBridge.expression(payload),

@@ -561,16 +561,34 @@ object SimilarityJoin {
     * tables qualify; float KMeans output is not — production fits at
     * this decade run on the persisted exact table). Returns the
     * (coarse matrix, member cell ids) structure [[CoarseProbe]]
-    * consumes via `prefit` and [[twoLevelToDf]] persists. */
+    * consumes via `prefit` and [[twoLevelToDf]] persists.
+    *
+    * `fitSampleStride` composes the sampling hatch with the
+    * distributed sweeps (the 10⁷-cell decade): Lloyd iterates on every
+    * stride-th cell row while the final assignment still covers every
+    * cell — membership stays a partition of the full table, and every
+    * downstream guarantee that holds for any partition is unaffected.
+    * Stride 1 (default) is the bit-exact fitExact mirror. */
   def twoLevelFitExactDistributed(
       centroidsDf: DataFrame, nCoarse: Int, iters: Int = 10,
-      scope: graft.CacheScope = new graft.CacheScope)
+      scope: graft.CacheScope = new graft.CacheScope,
+      fitSampleStride: Int = 1)
       : (Array[Array[Double]], Array[Array[Int]]) = {
+    require(fitSampleStride >= 1,
+      s"two_level_fit_distributed: fitSampleStride must be >= 1, got $fitSampleStride")
     val base = centroidsDf
       .select(col("cell").cast("long").as("cid"), col("centroid").as("fd"),
         transform(col("centroid"),
           x => round(x * lit(1e4)).cast("long")).as("ci"))
       .transform(scope.cache) // iters+1 scans share one materialization
+    // the TwoLevelIndex.fit(fitSampleStride) hatch composed with the
+    // distributed sweeps — the 10⁷-cell decade: Lloyd iterates on every
+    // stride-th cell row (a filter, pushed into the cached scan) while
+    // the FINAL assignment below still covers every cell, so membership
+    // stays a partition of the full table
+    val sweepBase =
+      if (fitSampleStride == 1) base
+      else base.filter(col("cid") % fitSampleStride === 0)
     // one validation pass over the index table: contiguity of cell ids,
     // uniform dimensionality, and the 1e-4 exactness contract
     val chk = base.select(
@@ -590,9 +608,12 @@ object SimilarityJoin {
     require(chk.getLong(5) == 0L,
       "two_level_fit_distributed: centroid values must be exact 1e-4 " +
         "multiples (md5-derived tables are; KMeans output is not — use fit)")
-    val k = math.max(1, math.min(nCoarse, n.toInt))
-    // the fitExact seed rule: every (i·n/k)-th cell row, (sum, cnt=1)
-    val seedIds = Array.tabulate(k)(i => (i.toLong * n / k))
+    // m = |sweep set|: ceil(n/stride) by the contiguity just proven —
+    // no extra count pass. Seeds follow the fit(fitSampleStride) rule:
+    // the (i·m/k)-th SAMPLE row, i.e. cell id (i·m/k)·stride.
+    val m = (n + fitSampleStride - 1) / fitSampleStride
+    val k = math.max(1, math.min(nCoarse, m.toInt))
+    val seedIds = Array.tabulate(k)(i => (i.toLong * m / k) * fitSampleStride)
     val seedRows = base.filter(col("cid").isInCollection(seedIds.toSeq))
       .select(col("cid"), col("ci")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
@@ -604,11 +625,13 @@ object SimilarityJoin {
     }
     def assigned(m: Array[Array[Double]]) = base.withColumn("sc",
       graft.functions.VectorIndexFunctions.nearestCentroid(col("fd"), m))
+    def assignedSweep(mm: Array[Array[Double]]) = sweepBase.withColumn("sc",
+      graft.functions.VectorIndexFunctions.nearestCentroid(col("fd"), mm))
     var it = 0
     while (it < iters) {
       // one distributed pass: compiled assignment + (super, dim)-keyed
       // int64 partial aggregation; k×dim rows come back
-      val stats = assigned(means)
+      val stats = assignedSweep(means)
         .select(col("sc"), posexplode(col("ci")).as(Seq("d", "x")))
         .groupBy(col("sc"), col("d"))
         .agg(sum(col("x")).as("s"), count(lit(1)).as("nc"))

@@ -64,6 +64,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT ppm_header(CAST(concat('P6\n1 1\n255\n', 'abc') AS BINARY)) AS h")
         .head().getSeq[Long](0)
       assert(ppm == Seq(1L, 1L, 255L, 11L, 3L))
+      // pixel channel stats register too: 'abc' = one (97, 98, 99) pixel
+      val pcs = s.sql(
+        "SELECT ppm_channel_stats(CAST(concat('P6\n1 1\n255\n', 'abc') AS BINARY)) AS st")
+        .head().getSeq[Long](0)
+      assert(pcs == Seq(1L, 97L, 98L, 99L, 97L, 98L, 99L, 97L, 98L, 99L))
       assert(row.getSeq[String](0) == Seq("hello", "world", "42"))
       assert(row.getSeq[String](1) == Seq("a b c", "b c d"))
       assert(row.getInt(2) == 12)

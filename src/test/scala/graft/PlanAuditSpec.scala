@@ -54,7 +54,7 @@ class PlanAuditSpec extends SparkSpec {
       "q60_pipeline_example", "q65_interval_join", "q72_frame_samples",
       "q73_media_resize", "q76_random_projection", "q82_minhash_signatures",
       "q85_pq_codes", "q96_ivf_build_exact", "q99_media_ppm_decode",
-      "q100_edit_distance_unicode")
+      "q100_edit_distance_unicode", "q106_media_channel_stats")
     // 2 exchanges: the partial-agg + ordered-output pattern, or an
     // equi-join/rank + ordered-output pair — the workhorse shape
     val b2 = Seq("q01_pricing_summary", "q03_region_revenue",
@@ -105,6 +105,7 @@ class PlanAuditSpec extends SparkSpec {
       "q93_semantic_dedup_inc_two_level" -> 5, // incremental twin of q92 over new∩cell pools
       "q94_semantic_dedup_partial_probe" -> 4, // q92's shape under wProbe < nCoarse
       "q95_semantic_dedup_inc_partial" -> 5, // q93's shape under wProbe < nCoarse
+      "q105_ann_serving_dist_fit" -> 3, // q98's 2 + one extra window pass: the salted rank's stage-1 (qid, salt) sort — the partition bound IS the third exchange
       "q102_cms_sketch" -> 3, // token counts, cell agg, ordered output
       "q103_cms_heavy_hitters" -> 3, // token counts, cell agg, serve probe
       "q104_cms_merge" -> 8) // THREE independent sketch builds (2 aggs each) + 2 full-outer D×W merges

@@ -97,6 +97,37 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](PpmCodec.cropCols(src, 1, 4))
   }
 
+  test("PpmCodec.channelStats: hand-computed per-channel sums/extrema, 8- and 16-bit") {
+    import graft.functions.PpmCodec
+    // 2x2 RGB: pixels (10,11,12) (20,21,22) / (30,31,32) (0,255,5)
+    val src = ascii("P6\n2 2\n255\n") ++ Array[Byte](10, 11, 12, 20, 21, 22,
+      30, 31, 32, 0, -1 /* 255 */, 5)
+    // [n_px, sums RGB, mins RGB, maxs RGB]
+    assert(PpmCodec.channelStats(src).toLongArray().toSeq == Seq(
+      4L, 60L, 318L, 71L, 0L, 11L, 5L, 30L, 255L, 32L))
+    // 16-bit samples decode big-endian: (0x0102, 0x0304, 0x0506)
+    val wide = ascii("P6\n1 1\n65535\n") ++ Array[Byte](1, 2, 3, 4, 5, 6)
+    assert(PpmCodec.channelStats(wide).toLongArray().toSeq == Seq(
+      1L, 0x0102L, 0x0304L, 0x0506L, 0x0102L, 0x0304L, 0x0506L,
+      0x0102L, 0x0304L, 0x0506L))
+    // malformed containers still fail fast through the shared parse
+    intercept[IllegalArgumentException](
+      PpmCodec.channelStats(ascii("P5\n1 1\n255\n") ++ px(0)))
+    // Column surface through the codegen path + analysis-time rejection
+    val s = spark
+    import s.implicits._
+    val got = Seq(src).toDF("content")
+      .select(graft.functions.MediaCodecFunctions.ppmChannelStats(
+        org.apache.spark.sql.functions.col("content")).as("st"))
+      .head().getSeq[Long](0)
+    assert(got == Seq(4L, 60L, 318L, 71L, 0L, 11L, 5L, 30L, 255L, 32L))
+    val err = intercept[org.apache.spark.sql.AnalysisException](
+      Seq(1).toDF("x").select(
+        graft.functions.MediaCodecFunctions.ppmChannelStats(
+          org.apache.spark.sql.functions.col("x"))).collect())
+    assert(err.getMessage.contains("ppm_channel_stats"))
+  }
+
   test("sampleFramesPpm: frames partition the pixel columns; each parses as a valid container") {
     val wrapped = ppmWrap(
       graft.Tables.documents(spark, dir).filter(col("doc_id") % 3 === 2))

@@ -422,6 +422,12 @@ class SemanticPqSpec extends SparkSpec {
     spark.catalog.clearCache()
     assert(inOp.nonEmpty &&
       inOp.sortBy(_.toString).toSeq == viaPrefit.sortBy(_.toString).toSeq)
+    // the stride hatch composes: sweeps on every 4th cell, membership
+    // still partitions the FULL table (the sampled-fit contract,
+    // distributed)
+    val (_, sm) = graft.operators.SimilarityJoin
+      .twoLevelFitExactDistributed(cents, nCoarse = 8, fitSampleStride = 4)
+    assert(sm.flatten.sorted.toSeq == matrix.indices.toSeq)
     // contract guards fire distributedly: non-1e-4-exact values refuse
     // (the fitExact rule), gapped cell ids refuse (the centroidMatrix rule)
     val s = spark
