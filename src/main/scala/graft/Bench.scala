@@ -46,18 +46,27 @@ object Bench {
     def runPass() = SparkEntry.queries.map { case (name, fn) => name -> timeOne(name, fn) }
     def passTotal(p: Map[String, (Double, Boolean)]) =
       p.values.collect { case (t, true) => t }.sum
+    // Pass-total spread over queries that succeeded in EVERY pass:
+    // comparing ok-only totals of DIFFERENT query sets would let one
+    // transiently-failed heavy query fabricate (or mask) spread.
+    def totalSpread(ps: Seq[Map[String, (Double, Boolean)]]): Double = {
+      val okEverywhere = ps.map(_.collect { case (n, (_, true)) => n }.toSet)
+        .reduce(_ intersect _)
+      val ts = ps.map(_.view.filterKeys(okEverywhere).values.map(_._1).sum)
+      if (ts.nonEmpty && ts.min > 0) ts.max / ts.min else 1.0
+    }
     val twoPasses = (1 to 2).map(_ => runPass())
     // When the two pass totals disagree by >1.3× the host was noisy during
     // one of them; a third independent sample tightens the min-estimate
     // (VERDICT r8 #2 — three queries swung 1.6–2.0× on unchanged code).
-    val spread = {
-      val ts = twoPasses.map(passTotal)
-      if (ts.min > 0) ts.max / ts.min else 1.0
-    }
-    val passes = if (spread > 1.3) {
-      System.err.println(f"[bench] pass spread ${spread}%.2f > 1.3 — running a third pass")
+    val passes = if (totalSpread(twoPasses) > 1.3) {
+      System.err.println(
+        f"[bench] pass spread ${totalSpread(twoPasses)}%.2f > 1.3 — running a third pass")
       twoPasses :+ runPass()
     } else twoPasses
+    // the ARCHIVED spread describes the archived passes — recompute over
+    // the final list so a triggered third pass is included
+    val spread = totalSpread(passes)
     def f(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     // Log both pass totals AND per-query figures so future rounds can
     // attribute the pass-1 vs pass-2 spread (JIT/codegen warmup — pass 1

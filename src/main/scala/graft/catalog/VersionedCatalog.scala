@@ -74,7 +74,8 @@ final class VersionedCatalog(
     * schema on read, so `merge`/schema-checked callers should partition
     * on trailing columns or re-select. */
   def writeNext(step: String, df: DataFrame,
-      partitionBy: Seq[String] = Seq.empty): Int = {
+      partitionBy: Seq[String] = Seq.empty,
+      epochTag: Option[Long] = None): Int = {
     val v = nextVersion(step)
     val staging = new Path(
       new Path(rootPath, ".staging"),
@@ -82,6 +83,19 @@ final class VersionedCatalog(
     val w = df.write.mode(SaveMode.Overwrite).format(format).options(options)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .save(staging.toString)
+    // An epoch tag is written INTO the staged directory before the
+    // promote rename, so "version exists" and "epoch recorded" commit
+    // in ONE atomic filesystem operation — the property additive
+    // streaming folds need for exactly-once (a post-commit sidecar
+    // marker leaves a crash window where the epoch replays and
+    // double-adds; see runCatalogSketchSink). Underscore-prefixed AND
+    // '='-free: Spark's file index hides "_"-files EXCEPT names
+    // containing '=' (those parse as partition directories), so
+    // `_epoch=N` would be read as data — `_epoch_N` is invisible to
+    // every reader.
+    epochTag.foreach { e =>
+      fs.create(new Path(staging, s"_epoch_$e"), true).close()
+    }
     val target = versionDir(step, v)
     fs.mkdirs(target.getParent)
     // Hadoop rename moves src INTO an existing destination directory and
@@ -211,6 +225,20 @@ final class VersionedCatalog(
     fs.mkdirs(epochDir(step))
     fs.create(new Path(epochDir(step), s"e=$epoch"), true).close()
   }
+
+  /** The epoch tag a version was committed with ([[writeNext]]'s
+    * `epochTag`), if any — one directory listing, no data read. For a
+    * single-writer stream, epochs are monotone, so the LATEST version's
+    * tag answers "did epoch N already fold?" in O(1) listings. */
+  def versionEpochTag(step: String, v: Int): Option[Long] =
+    fs.listStatus(versionDir(step, v)).toSeq
+      .map(_.getPath.getName)
+      .collectFirst { case n if n.startsWith("_epoch_") =>
+        n.stripPrefix("_epoch_").toLong }
+
+  /** [[versionEpochTag]] of the latest version, if any version exists. */
+  def latestEpochTag(step: String): Option[Long] =
+    latestVersion(step).flatMap(versionEpochTag(step, _))
 
   /** Retention: delete all versions except the newest `keep`; returns the
     * versions removed. Readers of dropped versions fail fast with the

@@ -113,6 +113,37 @@ object CountMin extends QueryModule {
       .orderBy(col("true_cnt").desc, col("token"))
   }
 
+  /** q104's operator body: parity-split epoch sketches, their cell-wise
+    * [[mergeSketches]] fold, and the independently aggregated full
+    * sketch, compared cell for cell. ONE tokenization pass feeds all
+    * three builds: the corpus reduces once to cached per-(parity,
+    * token) counts, and each sketch is a different aggregation path
+    * over that table — the halves through cell placement then merge,
+    * the full side through token-level summation first. Pass your own
+    * `scope` and release after materializing (the q103 pattern). */
+  def mergeCheck(s: SparkSession, dir: String,
+      scope: graft.CacheScope = new graft.CacheScope): DataFrame = {
+    val byPar = T.documents(s, dir)
+      .select((col("doc_id") % 2 === 0).as("even"),
+        explode(X.tokens(col("text"))).as("token"))
+      .groupBy(col("even"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .transform(scope.cache)
+    val skA = sketchCells(byPar.filter(col("even")).select(col("token"), col("cnt")))
+    val skB = sketchCells(byPar.filter(!col("even")).select(col("token"), col("cnt")))
+    val full = sketchCells(
+        byPar.groupBy(col("token")).agg(sum(col("cnt")).as("cnt")))
+      .select(col("d"), col("w"), col("cell_sum").as("full_sum"))
+    mergeSketches(skA, skB)
+      .join(full, Seq("d", "w"), "full_outer")
+      .select(col("d").cast("long").as("d"), col("w"),
+        coalesce(col("cell_sum"), lit(0L)).as("merged_sum"),
+        coalesce(col("full_sum"), lit(0L)).as("full_sum"),
+        (coalesce(col("cell_sum"), lit(0L))
+          === coalesce(col("full_sum"), lit(0L))).as("cells_equal"))
+      .orderBy(col("d"), col("w"))
+  }
+
   override val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -176,21 +207,7 @@ object CountMin extends QueryModule {
     // join, O(D×W) rows, never touching the corpus.
     QueryDef(
       "q104_cms_merge",
-      (s, dir) => {
-        val docs = T.documents(s, dir)
-        val skA = sketchCells(tokenCountsOf(docs.filter(col("doc_id") % 2 === 0)))
-        val skB = sketchCells(tokenCountsOf(docs.filter(col("doc_id") % 2 === 1)))
-        val full = sketchCells(tokenCountsOf(docs))
-          .select(col("d"), col("w"), col("cell_sum").as("full_sum"))
-        mergeSketches(skA, skB)
-          .join(full, Seq("d", "w"), "full_outer")
-          .select(col("d").cast("long").as("d"), col("w"),
-            coalesce(col("cell_sum"), lit(0L)).as("merged_sum"),
-            coalesce(col("full_sum"), lit(0L)).as("full_sum"),
-            (coalesce(col("cell_sum"), lit(0L))
-              === coalesce(col("full_sum"), lit(0L))).as("cells_equal"))
-          .orderBy(col("d"), col("w"))
-      },
+      (s, dir) => mergeCheck(s, dir),
       Some(s"""
         WITH toks AS (SELECT doc_id, unnest(tk) AS token
                       FROM (SELECT doc_id, ${X.tokensSql("text")} AS tk

@@ -123,7 +123,16 @@ object PpmCodec {
     val off = hdr.getLong(3).toInt
     val px = if (maxv > 255) 6 else 3 // bytes per pixel (3 samples)
     val head = canonicalHeader(outW, outH, maxv)
-    val out = new Array[Byte](head.length + outW.toLong.toInt * outH * px)
+    // size the output in LONG space: the kernel is SQL-reachable, so
+    // absurd target dims must fail as the contract error, not wrap int
+    // arithmetic into a NegativeArraySizeException (or worse, a
+    // too-small allocation that AIOOBEs mid-copy)
+    val outBytes = head.length.toLong + outW.toLong * outH * px
+    if (outBytes > Int.MaxValue)
+      throw new IllegalArgumentException(
+        s"ppm_resize: target ${outW}x$outH needs $outBytes bytes — " +
+          "exceeds the 2 GiB single-container bound")
+    val out = new Array[Byte](outBytes.toInt)
     System.arraycopy(head, 0, out, 0, head.length)
     var o = head.length
     var y = 0
@@ -198,7 +207,15 @@ object PpmCodec {
     val px = if (maxv > 255) 6 else 3
     val outW = x1 - x0
     val head = canonicalHeader(outW, srcH, maxv)
-    val out = new Array[Byte](head.length + outW.toLong.toInt * srcH * px)
+    // [x0, x1) ⊆ [0, srcW) is already proven, so the output is never
+    // larger than the (valid, int-sized) source — long math here is
+    // belt-and-braces symmetry with resize
+    val outBytes = head.length.toLong + outW.toLong * srcH * px
+    if (outBytes > Int.MaxValue)
+      throw new IllegalArgumentException(
+        s"ppm_crop_cols: crop ${outW}x$srcH needs $outBytes bytes — " +
+          "exceeds the 2 GiB single-container bound")
+    val out = new Array[Byte](outBytes.toInt)
     System.arraycopy(head, 0, out, 0, head.length)
     var o = head.length
     var y = 0

@@ -589,6 +589,7 @@ object SimilarityJoin {
     val sweepBase =
       if (fitSampleStride == 1) base
       else base.filter(col("cid") % fitSampleStride === 0)
+    try {
     // one validation pass over the index table: contiguity of cell ids,
     // uniform dimensionality, and the 1e-4 exactness contract
     val chk = base.select(
@@ -656,13 +657,16 @@ object SimilarityJoin {
     val finalMeans = means
     val asg = assigned(finalMeans).select(col("cid"), col("sc")).collect()
       .map(r => r.getLong(0).toInt -> r.getInt(1))
-    scope.release()
     val members = {
       val bySuper = Array.fill(k)(scala.collection.mutable.ArrayBuffer.empty[Int])
       asg.sortBy(_._1).foreach { case (cid, sc) => bySuper(sc) += cid }
       bySuper.map(_.toArray)
     }
     (finalMeans, members)
+    // finally, not inline: the contract requires above throw on bad
+    // input, and a failed validation must not leave the projection
+    // pinned in the Spark cache for the rest of the session
+    } finally scope.release()
   }
 
   /** The deterministic md5-derived centroid table shared by q81 / q84 /

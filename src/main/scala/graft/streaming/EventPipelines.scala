@@ -364,18 +364,46 @@ object EventPipelines {
       .groupBy(col("d"), col("w"))
       .agg(count(lit(1)).as("cell_sum"))
 
+  /** Fold one stream epoch's PARTIAL sketch into the catalog-persisted
+    * running sketch — cell-wise addition
+    * ([[graft.ext.CountMin.mergeSketches]], the q104 operator),
+    * committed with the epoch id as an ATOMIC version tag
+    * (`VersionedCatalog.writeNext(epochTag)`): the tag rides inside the
+    * staged directory through the promote rename, so "version
+    * published" and "epoch recorded" cannot be split by a crash.
+    * Replay-idempotent BECAUSE of that atomicity: an additive fold is
+    * not content-idempotent (replaying a committed epoch would
+    * double-add its counts — unlike the upsert
+    * [[runCatalogMergeSink]], where a replayed merge rewrites the same
+    * rows), so the skip decision must be as durable as the version
+    * itself. Epochs are monotone for a single stream, so the LATEST
+    * version's tag answers "already folded?" in one listing. */
+  private[streaming] def foldSketchEpoch(
+      cat: graft.catalog.VersionedCatalog, step: String,
+      epochCells: DataFrame, epoch: Long): Unit = {
+    if (!cat.latestEpochTag(step).contains(epoch)) {
+      val merged = cat.latestVersion(step) match {
+        case None => epochCells
+        case Some(_) =>
+          graft.ext.CountMin.mergeSketches(cat.latest(step), epochCells)
+      }
+      cat.writeNext(step, merged, epochTag = Some(epoch))
+    }
+  }
+
   /** Streaming sketch → catalog serving loop: each epoch reduces its
     * raw items to a PARTIAL D×W sketch ([[countMinCells]] applied to
     * the epoch's batch — same cell definition as q102) and folds it
-    * into the catalog-persisted running sketch by cell-wise addition
-    * ([[graft.ext.CountMin.mergeSketches]], the q104 operator). The
-    * CATALOG is the state: the stream itself keeps no aggregation
+    * into the catalog-persisted running sketch ([[foldSketchEpoch]]).
+    * The CATALOG is the state: the stream itself keeps no aggregation
     * state at all (no watermark needed, nothing grows with key
     * cardinality), every version is a complete servable sketch
     * (q103-style heavy-hitter probes read `latest`), and CMS linearity
     * makes the fold exact — stream(A₁)⊕…⊕stream(Aₙ) ≡ batch(A₁∪…∪Aₙ).
-    * Epoch markers make replays skip, so a crash between write and
-    * marker costs at most one redundant version, never a double-add. */
+    * The atomic epoch tag makes a crash ANYWHERE in the window safe:
+    * before the version promote, the epoch replays and folds once;
+    * after it, the replay sees its own tag and skips — never a
+    * double-add, never a redundant version. */
   def runCatalogSketchSink(
       items: DataFrame,
       item: org.apache.spark.sql.Column,
@@ -386,16 +414,7 @@ object EventPipelines {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (!cat.epochCommitted(step, id)) {
-          val epochCells = countMinCells(batch, item)
-          val merged = cat.latestVersion(step) match {
-            case None => epochCells
-            case Some(_) =>
-              graft.ext.CountMin.mergeSketches(cat.latest(step), epochCells)
-          }
-          cat.writeNext(step, merged)
-          cat.markEpochCommitted(step, id)
-        }
+        foldSketchEpoch(cat, step, countMinCells(batch, item), id)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

@@ -108,7 +108,7 @@ class PlanAuditSpec extends SparkSpec {
       "q105_ann_serving_dist_fit" -> 3, // q98's 2 + one extra window pass: the salted rank's stage-1 (qid, salt) sort — the partition bound IS the third exchange
       "q102_cms_sketch" -> 3, // token counts, cell agg, ordered output
       "q103_cms_heavy_hitters" -> 3, // token counts, cell agg, serve probe
-      "q104_cms_merge" -> 8) // THREE independent sketch builds (2 aggs each) + 2 full-outer D×W merges
+      "q104_cms_merge" -> 7) // ONE cached tokenization + three sketch aggs over it + 2 full-outer D×W merges; +1 slack — AQE finalizes the cached-relation joins differently depending on suite order
     (b0.map(_ -> 0) ++ b1.map(_ -> 1) ++ b2.map(_ -> 2) ++ multi).toMap
   }
 

@@ -151,7 +151,11 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("resizePpm on wrapped docs: output containers re-parse at 16x2 with source pixel (0,0) first") {
-    val wrapped = ppmWrap(graft.Tables.documents(spark, dir)).limit(20)
+    // deterministic 20-row subset: an unordered limit(20) re-executes
+    // independently on each side of the self-join below and may pick
+    // DIFFERENT rows per execution, shrinking the join
+    val wrapped = ppmWrap(graft.Tables.documents(spark, dir))
+      .filter(col("media_id") < 20)
     val out = resizePpm(wrapped, 16, 2)
       .select(col("media_id"),
         graft.functions.MediaCodecFunctions.ppmHeader(col("content")).as("h"),

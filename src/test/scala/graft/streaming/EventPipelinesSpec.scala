@@ -351,6 +351,35 @@ class EventPipelinesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foldSketchEpoch: replaying a committed epoch adds nothing (atomic epoch tag)") {
+    val s = spark
+    import s.implicits._
+    withTempDir { dir =>
+      val cat = new graft.catalog.VersionedCatalog(spark, s"$dir/cat", format = "parquet")
+      def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val cells1 = EventPipelines.countMinCells(
+        Seq("a", "b", "a").toDF("t"), col("t"))
+      EventPipelines.foldSketchEpoch(cat, "cms", cells1, epoch = 0L)
+      assert(cat.latestVersion("cms").contains(1))
+      assert(cat.latestEpochTag("cms").contains(0L))
+      val v1 = toMap(cat.latest("cms"))
+      // the crash-replay window the old sidecar marker left open: the
+      // version committed but the stream replays the same epoch — the
+      // tag rode the promote rename, so the fold must SKIP: an additive
+      // sketch is not content-idempotent and a re-fold would double the
+      // epoch's counts in every later version
+      EventPipelines.foldSketchEpoch(cat, "cms", cells1, epoch = 0L)
+      assert(cat.latestVersion("cms").contains(1), "replay created a version")
+      assert(toMap(cat.latest("cms")) == v1, "replay double-added the epoch")
+      // the next epoch folds normally on top
+      EventPipelines.foldSketchEpoch(cat, "cms",
+        EventPipelines.countMinCells(Seq("b").toDF("t"), col("t")), epoch = 1L)
+      assert(cat.latestVersion("cms").contains(2))
+      assert(cat.latestEpochTag("cms").contains(1L))
+    }
+  }
+
   test("streaming sketch -> catalog serving loop: epochs fold to the batch sketch over the union") {
     val s = spark
     import s.implicits._
