@@ -21,8 +21,10 @@ class PlanAuditSpec extends SparkSpec {
     "q53_ann_ivf", // nCells-row centroid broadcast + 50-query × corpus
                    // brute cross join: the recall-contract baseline
     "q59_bm25_search", // 1-row corpus-stats broadcast to every doc
-    "q86_pq_adc_topk" // flat-PQ ADC scan: the 50-query LUT broadcast
-                      // against every 32-bit code IS the query shape
+    "q86_pq_adc_topk", // flat-PQ ADC scan: the 50-query LUT broadcast
+                       // against every 32-bit code IS the query shape
+    "q108_hll_estimate_merge" // 1-row distinct-count broadcast joined
+                              // to the 1-row sketch stats (q49's shape)
     // q81/q87/q91/q97/q98 carried a probe-stage centroid crossJoin
     // until round 8; the compiled top_cells kernel removed it — the
     // serving paths are now all equi-joins and must STAY that way
@@ -54,7 +56,8 @@ class PlanAuditSpec extends SparkSpec {
       "q60_pipeline_example", "q65_interval_join", "q72_frame_samples",
       "q73_media_resize", "q76_random_projection", "q82_minhash_signatures",
       "q85_pq_codes", "q96_ivf_build_exact", "q99_media_ppm_decode",
-      "q100_edit_distance_unicode", "q106_media_channel_stats")
+      "q100_edit_distance_unicode", "q106_media_channel_stats",
+      "q107_hll_sketch")
     // 2 exchanges: the partial-agg + ordered-output pattern, or an
     // equi-join/rank + ordered-output pair — the workhorse shape
     val b2 = Seq("q01_pricing_summary", "q03_region_revenue",
@@ -88,7 +91,7 @@ class PlanAuditSpec extends SparkSpec {
       "q45_curation_pipeline" -> 7, // multi-stage filter→dedup→stats pipeline, one agg per stage
       "q49_mixture_sample" -> 5, // per-source counts, max-sqrt broadcast, sample joins, summary
       "q52_intra_label_cosine" -> 4, // label sizes, thinning, pair verify join, per-label agg
-      "q53_ann_ivf" -> 7, // sampled KMeans build + serve join + in-query brute recall contract (MLlib build stages vary with session state)
+      "q53_ann_ivf" -> 10, // sampled KMeans build + serve join + in-query brute recall contract; the MLlib build contributes a session-state-dependent stage count (observed 5-9 across runs) — pinned loose to catch only gross regressions
       "q56_decontamination" -> 5, // train/eval n-gram sides, overlap join, per-doc agg, sort
       "q58_bloom_decontamination" -> 6, // bloom build agg + membership + per-side summaries
       "q67_funnel" -> 6, // per-stage event sequencing: one window/join per funnel step
@@ -108,7 +111,8 @@ class PlanAuditSpec extends SparkSpec {
       "q105_ann_serving_dist_fit" -> 3, // q98's 2 + one extra window pass: the salted rank's stage-1 (qid, salt) sort — the partition bound IS the third exchange
       "q102_cms_sketch" -> 3, // token counts, cell agg, ordered output
       "q103_cms_heavy_hitters" -> 3, // token counts, cell agg, serve probe
-      "q104_cms_merge" -> 7) // ONE cached tokenization + three sketch aggs over it + 2 full-outer D×W merges; +1 slack — AQE finalizes the cached-relation joins differently depending on suite order
+      "q104_cms_merge" -> 7, // ONE cached tokenization + three sketch aggs over it + 2 full-outer D×W merges; +1 slack — AQE finalizes the cached-relation joins differently depending on suite order
+      "q108_hll_estimate_merge" -> 7) // three register builds (MAX aggs) + m-row merge joins + 1-row stats/distinct broadcast; +1 AQE slack like q104
     (b0.map(_ -> 0) ++ b1.map(_ -> 1) ++ b2.map(_ -> 2) ++ multi).toMap
   }
 
