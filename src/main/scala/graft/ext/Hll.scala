@@ -62,15 +62,47 @@ object Hll extends QueryModule {
     * regime inputs (zero_regs, small_range) alongside, so a serving
     * layer can apply the small-range correction when it fires. */
   private def ranks(docs: DataFrame): DataFrame =
-    docs
-      .select(explode(X.shingles(X.tokens(col("text")), 3)).as("item"))
-      .select(X.h60(concat(lit("hll "), col("item"))).as("h"))
+    ranksOf(
+      docs.select(explode(X.shingles(X.tokens(col("text")), 3)).as("item")),
+      col("item"))
+
+  /** [[ranks]] over an ARBITRARY item column — the streaming epochs
+    * (EventPipelines.runCatalogRegisterSink) place items through this
+    * exact definition, so their register tables MAX-merge with
+    * document-built ones. */
+  private[graft] def ranksOf(items: DataFrame, item: org.apache.spark.sql.Column): DataFrame =
+    items
+      .select(X.h60(concat(lit("hll "), item.cast("string"))).as("h"))
       .selectExpr(s"h % $M AS j", s"h div $M AS v")
       .selectExpr("j",
         s"IF(v = 0, $RhoCap, least(bit_count((v & -v) - 1) + 1, $RhoCap)) AS rho")
 
-  /** The complete m-register table — every register present, 0 when no
-    * token hashed to it (the state a serving job persists). */
+  /** The complete m-register table over an arbitrary item column —
+    * every register present, 0 when nothing hashed to it (the state a
+    * serving job persists). */
+  def registerCells(items: DataFrame, item: org.apache.spark.sql.Column): DataFrame = {
+    val s = items.sparkSession
+    s.range(M).toDF("j")
+      .join(ranksOf(items, item).groupBy(col("j")).agg(max(col("rho")).as("mr")),
+        Seq("j"), "left")
+      .select(col("j"), coalesce(col("mr"), lit(0)).cast("long").as("register"))
+  }
+
+  /** Register-wise MAX merge: sketch(A) ⊔ sketch(B) = sketch(A ∪ B)
+    * exactly — MAX is the HLL union law the way SUM is CMS's
+    * ([[CountMin.mergeSketches]]). Uninhabited registers on either
+    * side count as 0; O(m) rows, never the corpus. Unlike the additive
+    * CMS fold, MAX-merge is content-IDEMPOTENT: re-merging a sketch
+    * already folded in changes nothing. */
+  def mergeRegisters(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("j"), col("register").as("ra"))
+      .join(b.select(col("j"), col("register").as("rb")), Seq("j"), "full_outer")
+      .select(col("j"),
+        greatest(coalesce(col("ra"), lit(0L)), coalesce(col("rb"), lit(0L)))
+          .as("register"))
+
+  /** The complete m-register table over the documents 3-shingle stream
+    * (the q107/q108 fixture instantiation of [[registerCells]]). */
   private[graft] def registerTable(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     s.range(M).toDF("j")

@@ -391,6 +391,48 @@ object EventPipelines {
     }
   }
 
+  /** The HLL twin of [[foldSketchEpoch]]: fold one epoch's register
+    * table into the catalog by register-wise MAX
+    * ([[graft.ext.Hll.mergeRegisters]]). MAX-merge is
+    * content-IDEMPOTENT (re-merging an already-folded sketch changes
+    * nothing), so unlike the additive CMS fold a replay could never
+    * corrupt counts — the atomic epoch tag here only prevents the
+    * redundant version. */
+  private[streaming] def foldRegisterEpoch(
+      cat: graft.catalog.VersionedCatalog, step: String,
+      epochRegs: DataFrame, epoch: Long): Unit = {
+    if (!cat.latestEpochTag(step).contains(epoch)) {
+      val merged = cat.latestVersion(step) match {
+        case None => epochRegs
+        case Some(_) => graft.ext.Hll.mergeRegisters(cat.latest(step), epochRegs)
+      }
+      cat.writeNext(step, merged, epochTag = Some(epoch))
+    }
+  }
+
+  /** Streaming HLL → catalog: each epoch reduces to a complete
+    * m-register table ([[graft.ext.Hll.registerCells]] — the exact
+    * q107 register definition, so streamed state merges with
+    * document-built sketches) and folds in by MAX. Fixed m-row state
+    * over unbounded item cardinality; every version is a complete
+    * servable distinct-count sketch. */
+  def runCatalogRegisterSink(
+      items: DataFrame,
+      item: org.apache.spark.sql.Column,
+      checkpoint: String,
+      cat: graft.catalog.VersionedCatalog,
+      step: String): Unit = {
+    val q = items.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        foldRegisterEpoch(cat, step, graft.ext.Hll.registerCells(batch, item), id)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming sketch → catalog serving loop: each epoch reduces its
     * raw items to a PARTIAL D×W sketch ([[countMinCells]] applied to
     * the epoch's batch — same cell definition as q102) and folds it

@@ -436,6 +436,42 @@ class EventPipelinesSpec extends SparkSpec {
     }
   }
 
+  test("streaming HLL -> catalog: epoch registers MAX-fold to the batch sketch over the union") {
+    val s = spark
+    import s.implicits._
+    withTempDir { dir =>
+      val in = s"$dir/in"; val ckpt = s"$dir/ckpt"; val root = s"$dir/cat"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      def writeInput(name: String, items: Seq[String]): Unit =
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/$name"),
+          items.map(t => s"""{"item":"$t"}""").mkString("\n").getBytes)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL("item STRING")
+      def stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(in)
+      val cat = new graft.catalog.VersionedCatalog(spark, root, format = "parquet")
+      def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      val e1 = (0 until 40).map(i => s"item-a-$i")
+      val e2 = (20 until 60).map(i => s"item-a-$i") ++ Seq("item-b-1")
+      writeInput("e1.json", e1)
+      EventPipelines.runCatalogRegisterSink(stream, col("item"), ckpt, cat, "hll")
+      assert(cat.latestVersion("hll").contains(1))
+      writeInput("e2.json", e2)
+      EventPipelines.runCatalogRegisterSink(stream, col("item"), ckpt, cat, "hll")
+      assert(cat.latestVersion("hll").contains(2))
+      // the catalog's latest = the batch register table over the UNION
+      // (overlapping epochs: MAX absorbs the 20 re-sent items exactly)
+      val served = toMap(cat.latest("hll"))
+      val batch = toMap(graft.ext.Hll.registerCells(
+        (e1 ++ e2).toDF("item"), col("item")))
+      assert(served == batch && served.size == 256)
+      // replay with no new input: no new version (epoch-tag skip)
+      EventPipelines.runCatalogRegisterSink(stream, col("item"), ckpt, cat, "hll")
+      assert(cat.latestVersion("hll").contains(2))
+    }
+  }
+
   test("AvailableNow + watermark: beyond-watermark events drop, with progress accounting") {
     // the end-to-end late-data contract of the checkpointed pipeline:
     // run 1 advances the event-time watermark (persisted in the commit
