@@ -374,6 +374,74 @@ object Multimodal extends QueryModule {
                (sr + sg + sb) * 1000000 // (3 * n_px) < 64000000 AS is_dark
         FROM st ORDER BY media_id""")),
 
+    // q109: the video-pipeline COMPOSITION — 1→N frame sampling (q72's
+    // PpmCropCols generator) followed by per-frame pixel featurization
+    // (q106's channelStats kernel), under ONE oracle: every frame's
+    // per-channel means and dynamic range computed from the actual
+    // frame pixel bytes. This is the shape a real curation job runs
+    // (sample frames, score each, filter dark/flat segments), and it
+    // composes the primitives verbatim — the oracle re-derives each
+    // frame's byte window [3·fa, 3·fb) from the construction and
+    // decodes every sample from hex, so a one-pixel drift in EITHER
+    // stage hash-fails. Channel alignment note: 3·fa is divisible by
+    // 3, so frame channel = source byte index mod 3 — the oracle leans
+    // on that invariant.
+    QueryDef(
+      "q109_frame_channel_stats",
+      (s, dir) => {
+        val docs = T.documents(s, dir).filter(col("doc_id") % 3 === 2)
+        val st = graft.functions.MediaCodecFunctions.ppmChannelStats(col("content"))
+        sampleFramesPpm(ppmWrap(docs), n = 4)
+          .select(col("media_id"), col("frame_idx"), st.as("st"))
+          .selectExpr("media_id", "CAST(frame_idx AS BIGINT) AS frame_idx",
+            "st[0] AS n_px",
+            "(st[1] * 1000000L) div st[0] AS r_mean_e6",
+            "(st[2] * 1000000L) div st[0] AS g_mean_e6",
+            "(st[3] * 1000000L) div st[0] AS b_mean_e6",
+            "greatest(st[7] - st[4], st[8] - st[5], st[9] - st[6]) AS dyn_range",
+            "((st[1] + st[2] + st[3]) * 1000000L) div (3 * st[0]) < 64000000L AS is_dark")
+          .orderBy(col("media_id"), col("frame_idx"))
+      },
+      Some("""
+        WITH src AS (SELECT doc_id AS media_id,
+                            octet_length(encode(text)) // 3 AS w,
+                            hex(encode(text)) AS hx
+                     FROM documents
+                     WHERE doc_id % 3 = 2 AND octet_length(encode(text)) >= 3),
+        fr AS (SELECT media_id, CAST(i AS BIGINT) AS frame_idx,
+                      w * i // 4 AS fa, w * (i + 1) // 4 AS fb
+               FROM src CROSS JOIN (SELECT unnest(range(0, 4)) AS i)
+               WHERE w * (i + 1) // 4 > w * i // 4),
+        -- byte i of the SOURCE pixel run for i in [3·fa, 3·fb);
+        -- channel = i mod 3 because 3·fa ≡ 0 (mod 3)
+        b AS (SELECT media_id, frame_idx, fb - fa AS n_px,
+                     CAST(unnest(range(3 * fa, 3 * fb)) AS BIGINT) AS i
+              FROM fr),
+        v AS (SELECT media_id, frame_idx, n_px, CAST(i % 3 AS INT) AS ch,
+                     (strpos('0123456789ABCDEF',
+                        substring(hx, CAST(2 * i + 1 AS INT), 1)) - 1) * 16
+                     + strpos('0123456789ABCDEF',
+                        substring(hx, CAST(2 * i + 2 AS INT), 1)) - 1 AS val
+              FROM b JOIN src USING (media_id)),
+        st AS (SELECT media_id, frame_idx, MAX(n_px) AS n_px,
+                      SUM(CASE WHEN ch = 0 THEN val END) AS sr,
+                      SUM(CASE WHEN ch = 1 THEN val END) AS sg,
+                      SUM(CASE WHEN ch = 2 THEN val END) AS sb,
+                      MIN(CASE WHEN ch = 0 THEN val END) AS nr,
+                      MIN(CASE WHEN ch = 1 THEN val END) AS ng,
+                      MIN(CASE WHEN ch = 2 THEN val END) AS nb,
+                      MAX(CASE WHEN ch = 0 THEN val END) AS xr,
+                      MAX(CASE WHEN ch = 1 THEN val END) AS xg,
+                      MAX(CASE WHEN ch = 2 THEN val END) AS xb
+               FROM v GROUP BY media_id, frame_idx)
+        SELECT media_id, frame_idx, CAST(n_px AS BIGINT) AS n_px,
+               CAST(sr * 1000000 // n_px AS BIGINT) AS r_mean_e6,
+               CAST(sg * 1000000 // n_px AS BIGINT) AS g_mean_e6,
+               CAST(sb * 1000000 // n_px AS BIGINT) AS b_mean_e6,
+               CAST(greatest(xr - nr, xg - ng, xb - nb) AS BIGINT) AS dyn_range,
+               (sr + sg + sb) * 1000000 // (3 * n_px) < 64000000 AS is_dark
+        FROM st ORDER BY media_id, frame_idx""")),
+
     // q99: REAL byte-level container decode — wrap every document's
     // bytes into a genuine P6 PPM payload (magic + comment + ASCII dims
     // + exact pixel run) and parse it back with the compiled

@@ -1161,14 +1161,18 @@ object Similarity extends QueryModule {
     // salted top-k (rankSalt = 8 — the hot-cell partition bound),
     // bit-identical to the one-stage window because top-k under the
     // total (cos, nid) order is associative. Same fixture, same
-    // queries, same oracle — only the execution geometry changed.
+    // queries, same oracle BUILDERS — only the execution geometry
+    // changed. Sweeps = 3, not q98's 10: each distributed sweep is a
+    // full Spark job, pure scheduling overhead on a 64-row fixture
+    // table (the real decade amortizes it over 10⁶ cells), and 3
+    // sweeps exercise the seed/carryover/final-assignment machinery
+    // identically — the oracle unrolls exactly 3 CTE sweeps to match.
     QueryDef(
       "q105_ann_serving_dist_fit",
       (s, dir) => {
         val cents = graft.operators.SimilarityJoin.md5CentroidTable(s, nCells = 64)
         val structure = graft.operators.SimilarityJoin
-          .twoLevelFitExactDistributed(cents, nCoarse = 8,
-            iters = twoLevelOracleIters)
+          .twoLevelFitExactDistributed(cents, nCoarse = 8, iters = 3)
         graft.operators.SimilarityJoin.ivfTopKServing(
             T.embeddings(s, dir), col("vec_id"), col("embedding"),
             queryPred = col("vec_id") < 50, cents, nProbe = 4, k = 3,
@@ -1180,8 +1184,8 @@ object Similarity extends QueryModule {
       Some(s"""
         WITH ${ivfAssignSqlCtes(64)},
         ${twoLevelFitSqlCtes(nCells = 64, dim = 64, nCoarse = 8,
-          iters = twoLevelOracleIters)},
-        ${twoLevelServeProbeSqlCtes(dim = 64, nCoarse = 8, iters = twoLevelOracleIters,
+          iters = 3)},
+        ${twoLevelServeProbeSqlCtes(dim = 64, nCoarse = 8, iters = 3,
           wProbe = 2, nProbe = 4, queryPred = "vec_id < 50")},
         $ivfServeSqlTail"""))
   )

@@ -57,7 +57,7 @@ class PlanAuditSpec extends SparkSpec {
       "q73_media_resize", "q76_random_projection", "q82_minhash_signatures",
       "q85_pq_codes", "q96_ivf_build_exact", "q99_media_ppm_decode",
       "q100_edit_distance_unicode", "q106_media_channel_stats",
-      "q107_hll_sketch")
+      "q107_hll_sketch", "q109_frame_channel_stats")
     // 2 exchanges: the partial-agg + ordered-output pattern, or an
     // equi-join/rank + ordered-output pair — the workhorse shape
     val b2 = Seq("q01_pricing_summary", "q03_region_revenue",
