@@ -23,9 +23,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the q102 discipline). q108 proves the merge law cell-for-cell on a
   * corpus split AND serves the cardinality estimate as exact integer
   * arithmetic: registers are clamped at [[RhoCap]] so the harmonic sum
-  * Σ 2^(RhoCap−M[j]) and the estimator numerator
-  * α_m·m²·2^RhoCap both stay inside exact int64 — every engine
-  * computes the identical estimate, no floats anywhere.
+  * Σ 2^(RhoCap−M[j]) (integer bit-shifts, both engines) and the
+  * estimator numerator α_m·m²·2^RhoCap both stay inside exact int64 —
+  * every engine computes the identical estimate, no floats anywhere.
   *
   * 100 TB shape: the token stream reduces map-side to m registers
   * regardless of corpus size; the register table is catalog-persistable
@@ -40,8 +40,8 @@ object Hll extends QueryModule {
 
   private val P = 8
   private val M = 1 << P // 256 registers
-  /** Register clamp: ranks ≥ RhoCap collapse (probability 2^-25 per
-    * token — invisible below ~10⁷ distinct); keeps Σ 2^(RhoCap−M[j])
+  /** Register clamp: ranks ≥ RhoCap collapse (probability 2^-24 per
+    * item — invisible below ~10⁷ distinct); keeps Σ 2^(RhoCap−M[j])
     * ≤ m·2^25 = 2^33 and the estimator numerator α_e6·m²·2^25 ≈
     * 1.6×10¹⁸ exactly representable in int64 on both engines. */
   private val RhoCap = 25
@@ -49,33 +49,18 @@ object Hll extends QueryModule {
     * cross-engine parity never depends on float evaluation. */
   private val AlphaE6 = 718272L
 
-  /** (j, rho) per item occurrence — j = h mod m, rho = clamped
-    * first-set-bit rank of the 52-bit hash suffix. Duplicate items
-    * cost nothing: MAX absorbs them, so no pre-distinct shuffle.
-    *
-    * The item stream is token 3-SHINGLES, not tokens: shingle-space
-    * cardinality is what LSH/n-gram dedup design actually needs, and
-    * the fixture's token vocabulary (31 words) sits in HLL's
-    * small-range bias regime where the honest estimator is linear
-    * counting over zero registers — shingles (~3×10⁴ distinct) put the
-    * raw HyperLogLog estimator in its design range. q108 emits the
-    * regime inputs (zero_regs, small_range) alongside, so a serving
-    * layer can apply the small-range correction when it fires. */
-  private def ranks(docs: DataFrame): DataFrame =
-    ranksOf(
-      docs.select(explode(X.shingles(X.tokens(col("text")), 3)).as("item")),
-      col("item"))
-
-  /** [[ranks]] over an ARBITRARY item column — the streaming epochs
+  /** (j, rho) ranks over an ARBITRARY item column — the streaming epochs
     * (EventPipelines.runCatalogRegisterSink) place items through this
     * exact definition, so their register tables MAX-merge with
-    * document-built ones. */
-  private[graft] def ranksOf(items: DataFrame, item: org.apache.spark.sql.Column): DataFrame =
+    * document-built ones. `carry` columns pass through untouched (q108
+    * tags each rank with its corpus half). */
+  private[graft] def ranksOf(items: DataFrame, item: org.apache.spark.sql.Column,
+      carry: Seq[String] = Nil): DataFrame =
     items
-      .select(X.h60(concat(lit("hll "), item.cast("string"))).as("h"))
-      .selectExpr(s"h % $M AS j", s"h div $M AS v")
-      .selectExpr("j",
-        s"IF(v = 0, $RhoCap, least(bit_count((v & -v) - 1) + 1, $RhoCap)) AS rho")
+      .select(carry.map(col) :+ X.h60(concat(lit("hll "), item.cast("string"))).as("h"): _*)
+      .selectExpr(carry ++ Seq(s"h % $M AS j", s"h div $M AS v"): _*)
+      .selectExpr(carry ++ Seq("j",
+        s"IF(v = 0, $RhoCap, least(bit_count((v & -v) - 1) + 1, $RhoCap)) AS rho"): _*)
 
   /** The complete m-register table over an arbitrary item column —
     * every register present, 0 when nothing hashed to it (the state a
@@ -102,14 +87,24 @@ object Hll extends QueryModule {
           .as("register"))
 
   /** The complete m-register table over the documents 3-shingle stream
-    * (the q107/q108 fixture instantiation of [[registerCells]]). */
-  private[graft] def registerTable(docs: DataFrame): DataFrame = {
-    val s = docs.sparkSession
-    s.range(M).toDF("j")
-      .join(ranks(docs).groupBy(col("j")).agg(max(col("rho")).as("mr")),
-        Seq("j"), "left")
-      .select(col("j"), coalesce(col("mr"), lit(0)).cast("long").as("register"))
-  }
+    * — the q107/q108 fixture instantiation of [[registerCells]], BY
+    * DELEGATION: the streamed/batch register-definition identity holds
+    * by construction, not by keeping two copies in sync.
+    *
+    * The item stream is token 3-SHINGLES, not tokens: shingle-space
+    * cardinality is what LSH/n-gram dedup design actually needs, and
+    * the fixture's token vocabulary (31 words) sits in HLL's
+    * small-range bias regime where the honest estimator is linear
+    * counting over zero registers — shingles (~3×10⁴ distinct) put the
+    * raw HyperLogLog estimator in its design range. q108 emits the
+    * regime inputs (zero_regs, small_range) alongside, so a serving
+    * layer can apply the small-range correction when it fires.
+    * Duplicate items cost nothing: MAX absorbs them, so no
+    * pre-distinct shuffle. */
+  private[graft] def registerTable(docs: DataFrame): DataFrame =
+    registerCells(
+      docs.select(explode(X.shingles(X.tokens(col("text")), 3)).as("item")),
+      col("item"))
 
   private def ranksSqlCtes(src: String): String =
     s"""items AS (SELECT unnest(${X.shinglesSql("tk", 3)}) AS item
@@ -126,6 +121,51 @@ object Hll extends QueryModule {
                  FROM (SELECT unnest(range(0, $M)) AS j) gj
                  LEFT JOIN rk USING (j)
                  GROUP BY gj.j)"""
+
+  /** q108's operator body: parity-split register tables, their
+    * register-wise MAX fold, the independently derived full table, and
+    * the served estimate — ONE corpus pass. The corpus reduces once to
+    * the cached DISTINCT (half, item) set (registers and the exact
+    * distinct count are both functions of the set, so nothing else is
+    * ever needed), and one conditional-MAX aggregation yields all
+    * three register tables — the same one-grouped-pass shape the
+    * DuckDB oracle uses, and the [[CountMin.mergeCheck]] caching
+    * pattern. Pass your own `scope` and release after materializing. */
+  def estimateMergeCheck(s: SparkSession, dir: String,
+      scope: graft.CacheScope = new graft.CacheScope): DataFrame = {
+    val di = T.documents(s, dir)
+      .select((col("doc_id") % 2 === 0).as("even"),
+        explode(X.shingles(X.tokens(col("text")), 3)).as("item"))
+      .distinct()
+      .transform(scope.cache)
+    val rk = ranksOf(di, col("item"), carry = Seq("even"))
+    val merged = s.range(M).toDF("j")
+      .join(rk.groupBy(col("j")).agg(
+          max(when(col("even"), col("rho"))).as("ma"),
+          max(when(!col("even"), col("rho"))).as("mb"),
+          max(col("rho")).as("mf")),
+        Seq("j"), "left")
+      .select(col("j"),
+        greatest(coalesce(col("ma"), lit(0)), coalesce(col("mb"), lit(0)))
+          .cast("long").as("merged_reg"),
+        coalesce(col("mf"), lit(0)).cast("long").as("full_reg"))
+    val stats = merged.agg(
+      count(lit(1)).as("m"),
+      sum(when(col("merged_reg") === col("full_reg"), 1L).otherwise(0L))
+        .as("regs_equal"),
+      sum(expr(s"shiftleft(1L, CAST($RhoCap - merged_reg AS INT))"))
+        .as("s_scaled"),
+      sum(when(col("merged_reg") === 0, 1L).otherwise(0L)).as("zero_regs"))
+    val nd = di.agg(countDistinct(col("item")).as("n_distinct"))
+    stats.crossJoin(broadcast(nd))
+      .selectExpr("m", "regs_equal", "s_scaled", "zero_regs",
+        s"(${AlphaE6}L * $M * $M * ${1L << RhoCap}L) div s_scaled div 1000000 AS est_e0",
+        "n_distinct")
+      .selectExpr("m", "regs_equal", "s_scaled", "zero_regs", "est_e0",
+        "n_distinct",
+        s"est_e0 * 2 < 5 * $M AS small_range",
+        "est_e0 >= n_distinct div 2 AND est_e0 <= n_distinct * 2 AS est_within_2x")
+  }
 
   override val defs: Seq[QueryDef] = Seq(
 
@@ -158,35 +198,7 @@ object Hll extends QueryModule {
     // headroom is conservative in the raw-estimator regime).
     QueryDef(
       "q108_hll_estimate_merge",
-      (s, dir) => {
-        val docs = T.documents(s, dir)
-        val ra = registerTable(docs.filter(col("doc_id") % 2 === 0))
-          .select(col("j"), col("register").as("reg_a"))
-        val rb = registerTable(docs.filter(col("doc_id") % 2 === 1))
-          .select(col("j"), col("register").as("reg_b"))
-        val full = registerTable(docs)
-          .select(col("j"), col("register").as("full_reg"))
-        val merged = ra.join(rb, "j").join(full, "j")
-          .selectExpr("j", "greatest(reg_a, reg_b) AS merged_reg", "full_reg")
-        val stats = merged.agg(
-          count(lit(1)).as("m"),
-          sum(when(col("merged_reg") === col("full_reg"), 1L).otherwise(0L))
-            .as("regs_equal"),
-          sum(expr(s"CAST(pow(2, $RhoCap - merged_reg) AS BIGINT)"))
-            .as("s_scaled"),
-          sum(when(col("merged_reg") === 0, 1L).otherwise(0L)).as("zero_regs"))
-        val nd = docs
-          .select(explode(X.shingles(X.tokens(col("text")), 3)).as("item"))
-          .agg(countDistinct(col("item")).as("n_distinct"))
-        stats.crossJoin(broadcast(nd))
-          .selectExpr("m", "regs_equal", "s_scaled", "zero_regs",
-            s"(${AlphaE6}L * $M * $M * ${1L << RhoCap}L) div s_scaled div 1000000 AS est_e0",
-            "n_distinct")
-          .selectExpr("m", "regs_equal", "s_scaled", "zero_regs", "est_e0",
-            "n_distinct",
-            s"est_e0 * 2 < 5 * $M AS small_range",
-            "est_e0 >= n_distinct div 2 AND est_e0 <= n_distinct * 2 AS est_within_2x")
-      },
+      (s, dir) => estimateMergeCheck(s, dir),
       Some(s"""
         WITH items AS (SELECT doc_id, unnest(${X.shinglesSql("tk", 3)}) AS item
                        FROM (SELECT doc_id, ${X.tokensSql("text")} AS tk
@@ -213,7 +225,7 @@ object Hll extends QueryModule {
         st AS (SELECT COUNT(*) AS m,
                       CAST(SUM(CASE WHEN merged_reg = full_reg THEN 1 ELSE 0 END)
                         AS BIGINT) AS regs_equal,
-                      CAST(SUM(CAST(pow(2, $RhoCap - merged_reg) AS BIGINT))
+                      CAST(SUM(CAST(1 AS BIGINT) << ($RhoCap - merged_reg))
                         AS BIGINT) AS s_scaled,
                       CAST(SUM(CASE WHEN merged_reg = 0 THEN 1 ELSE 0 END)
                         AS BIGINT) AS zero_regs

@@ -1151,8 +1151,9 @@ object Similarity extends QueryModule {
 
     // ------------------------------------------------------------------
     // q105: q98's partial-probe serving with BOTH round-9 scale levers
-    // engaged, under q98's oracle text VERBATIM — the hash check proves
-    // each lever is invisible to results: (1) the coarse structure
+    // engaged, under q98's oracle CTE BUILDERS (at iters = 3) — the
+    // hash check proves each lever is invisible to results within this
+    // configuration: (1) the coarse structure
     // comes from `twoLevelFitExactDistributed` (Lloyd sweeps as
     // compiled-kernel scans + order-free int64 partial aggregations on
     // EXECUTORS — the 10⁶-cell-decade fit) passed through

@@ -380,14 +380,25 @@ object EventPipelines {
     * version's tag answers "already folded?" in one listing. */
   private[streaming] def foldSketchEpoch(
       cat: graft.catalog.VersionedCatalog, step: String,
-      epochCells: DataFrame, epoch: Long): Unit = {
+      epochCells: DataFrame, epoch: Long): Unit =
+    foldEpoch(cat, step, epochCells, epoch,
+      graft.ext.CountMin.mergeSketches)
+
+  /** The shared epoch-fold guard both sketch sinks instantiate: skip
+    * iff the latest version carries this epoch's atomic tag, else
+    * merge-or-init and commit tagged. ONE copy of the skip/write
+    * logic, so the CMS and HLL sinks' crash semantics can never
+    * diverge — only the merge law differs. */
+  private def foldEpoch(
+      cat: graft.catalog.VersionedCatalog, step: String,
+      epochDf: DataFrame, epoch: Long,
+      merge: (DataFrame, DataFrame) => DataFrame): Unit = {
     if (!cat.latestEpochTag(step).contains(epoch)) {
-      val merged = cat.latestVersion(step) match {
-        case None => epochCells
-        case Some(_) =>
-          graft.ext.CountMin.mergeSketches(cat.latest(step), epochCells)
+      val next = cat.latestVersion(step) match {
+        case None => epochDf
+        case Some(_) => merge(cat.latest(step), epochDf)
       }
-      cat.writeNext(step, merged, epochTag = Some(epoch))
+      cat.writeNext(step, next, epochTag = Some(epoch))
     }
   }
 
@@ -400,15 +411,8 @@ object EventPipelines {
     * redundant version. */
   private[streaming] def foldRegisterEpoch(
       cat: graft.catalog.VersionedCatalog, step: String,
-      epochRegs: DataFrame, epoch: Long): Unit = {
-    if (!cat.latestEpochTag(step).contains(epoch)) {
-      val merged = cat.latestVersion(step) match {
-        case None => epochRegs
-        case Some(_) => graft.ext.Hll.mergeRegisters(cat.latest(step), epochRegs)
-      }
-      cat.writeNext(step, merged, epochTag = Some(epoch))
-    }
-  }
+      epochRegs: DataFrame, epoch: Long): Unit =
+    foldEpoch(cat, step, epochRegs, epoch, graft.ext.Hll.mergeRegisters)
 
   /** Streaming HLL → catalog: each epoch reduces to a complete
     * m-register table ([[graft.ext.Hll.registerCells]] — the exact

@@ -112,7 +112,7 @@ class PlanAuditSpec extends SparkSpec {
       "q102_cms_sketch" -> 3, // token counts, cell agg, ordered output
       "q103_cms_heavy_hitters" -> 3, // token counts, cell agg, serve probe
       "q104_cms_merge" -> 7, // ONE cached tokenization + three sketch aggs over it + 2 full-outer D×W merges; +1 slack — AQE finalizes the cached-relation joins differently depending on suite order
-      "q108_hll_estimate_merge" -> 7) // three register builds (MAX aggs) + m-row merge joins + 1-row stats/distinct broadcast; +1 AQE slack like q104
+      "q108_hll_estimate_merge" -> 5) // ONE cached distinct-item pass + conditional-MAX register agg + 1-row stats/distinct broadcast; +1 AQE slack like q104
     (b0.map(_ -> 0) ++ b1.map(_ -> 1) ++ b2.map(_ -> 2) ++ multi).toMap
   }
 

@@ -235,6 +235,33 @@ class ScaleSmokeSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("sketches at 20x replication: CMS cells scale by exactly 20, HLL registers are invariant") {
+    // the defining contrast of the two sketch families under duplicate
+    // density: a counting sketch is LINEAR in the stream (every cell
+    // multiplies by the replication factor, exactly — int64 SUMs), a
+    // cardinality sketch is a function of the SET (replicas add no new
+    // distinct items, so every register is bit-identical). Both
+    // reductions stay m-row regardless of the 20x corpus.
+    val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
+    val rep = replicated(20)
+    val cmsBase = graft.ext.CountMin.sketchCells(
+        graft.ext.CountMin.tokenCountsOf(docs))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val cmsRep = graft.ext.CountMin.sketchCells(
+        graft.ext.CountMin.tokenCountsOf(rep))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cmsBase.nonEmpty && cmsRep.keySet == cmsBase.keySet)
+    cmsBase.foreach { case (cell, v) =>
+      assert(cmsRep(cell) == 20L * v, s"CMS cell $cell: ${cmsRep(cell)} != 20*$v")
+    }
+    val hllBase = graft.ext.Hll.registerTable(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hllRep = graft.ext.Hll.registerTable(rep)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hllRep == hllBase, "HLL registers changed under pure replication")
+    spark.catalog.clearCache()
+  }
+
   test("n-gram Jaccard df cap: a stopword-shingle shared by 3k docs is dropped, " +
       "pair work stays bounded") {
     val s = spark
