@@ -200,7 +200,15 @@ final class VersionedCatalog(
   /** Rewrite the latest version into ~`targetBytes`-sized files as a new
     * version — the small-files compaction every incremental sink needs
     * (a streaming epoch sink commits many small versions whose files are
-    * sized by epoch, not by read efficiency). */
+    * sized by epoch, not by read efficiency).
+    *
+    * The source version's EPOCH TAG carries forward: a compaction that
+    * dropped it would reopen the sketch sinks' replay window (the fold
+    * guard reads the LATEST version's tag — an interleaved compaction
+    * between a fold and the stream's checkpoint commit would otherwise
+    * make a replayed additive epoch look unfolded and double-add). Any
+    * future operation that rewrites the latest version must do the
+    * same. */
   def compact(
       step: String, schema: Option[StructType] = None,
       targetBytes: Long = 128L << 20): Int = {
@@ -208,7 +216,8 @@ final class VersionedCatalog(
       throw new NoSuchElementException(s"catalog: step $step has no versions to compact"))
     val total = fs.getContentSummary(versionDir(step, v)).getLength
     val parts = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
-    writeNext(step, read(step, v, schema).repartition(parts))
+    writeNext(step, read(step, v, schema).repartition(parts),
+      epochTag = versionEpochTag(step, v))
   }
 
   // Epoch markers for streaming sinks: `root/<step>/.epochs/e=N` records

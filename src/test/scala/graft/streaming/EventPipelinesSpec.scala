@@ -377,6 +377,19 @@ class EventPipelinesSpec extends SparkSpec {
         EventPipelines.countMinCells(Seq("b").toDF("t"), col("t")), epoch = 1L)
       assert(cat.latestVersion("cms").contains(2))
       assert(cat.latestEpochTag("cms").contains(1L))
+      // compaction interleaved between a fold and the stream's
+      // checkpoint commit: the rewritten version CARRIES the epoch tag
+      // (VersionedCatalog.compact), so a replay of the just-folded
+      // epoch still skips — without the carry, the replay would see an
+      // untagged latest version and double-add
+      cat.compact("cms")
+      assert(cat.latestVersion("cms").contains(3))
+      assert(cat.latestEpochTag("cms").contains(1L), "compaction dropped the epoch tag")
+      val v3 = toMap(cat.latest("cms"))
+      EventPipelines.foldSketchEpoch(cat, "cms",
+        EventPipelines.countMinCells(Seq("b").toDF("t"), col("t")), epoch = 1L)
+      assert(cat.latestVersion("cms").contains(3), "replay after compaction created a version")
+      assert(toMap(cat.latest("cms")) == v3, "replay after compaction double-added")
     }
   }
 
