@@ -955,6 +955,34 @@ object Similarity extends QueryModule {
         ${semanticDedupSqlTail()}""")),
 
     // ------------------------------------------------------------------
+    // q110: q92's dedup with the coarse structure fitted DISTRIBUTEDLY
+    // and injected through `prefit` — the DEDUP-side twin of q105's
+    // serving-path check, under q92's oracle text VERBATIM. Valid
+    // because at wProbe = nCoarse the two-level assignment equals the
+    // flat scan for ANY partition of the cells (the q97 invariant), so
+    // the full-probe oracle is fit-agnostic: the hash check proves the
+    // distributed fit + prefit plumbing is invisible to dedup results,
+    // closing the one prefit consumer (semanticDedupTwoLevel) that had
+    // only spec coverage. 3 sweeps, as q105 (each sweep is a whole
+    // Spark job at fixture scale).
+    QueryDef(
+      "q110_semantic_dedup_dist_fit",
+      (s, dir) => {
+        val cents = graft.operators.SimilarityJoin.md5CentroidTable(s, nCells = 64)
+        val structure = graft.operators.SimilarityJoin
+          .twoLevelFitExactDistributed(cents, nCoarse = 8, iters = 3)
+        graft.operators.SimilarityJoin.semanticDedupTwoLevel(
+            T.embeddings(s, dir), col("vec_id"), col("embedding"),
+            cents, threshold = 0.4, nCoarse = 8, wProbe = 8,
+            prefit = Some(structure))
+          .orderBy(col("cell"))
+      },
+      Some(s"""
+        WITH ${ivfAssignSqlCtes(64)},
+        ${ivfAvSqlCte()},
+        ${semanticDedupSqlTail()}""")),
+
+    // ------------------------------------------------------------------
     // q93: the INCREMENTAL twin of q92 — daily embedding batch (odd
     // vec_ids, the q89 contract) deduped against new ∪ existing on the
     // 64-cell table, with BOTH sides assigned through the two-level

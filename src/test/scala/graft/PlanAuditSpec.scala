@@ -108,6 +108,7 @@ class PlanAuditSpec extends SparkSpec {
       "q93_semantic_dedup_inc_two_level" -> 5, // incremental twin of q92 over new∩cell pools
       "q94_semantic_dedup_partial_probe" -> 4, // q92's shape under wProbe < nCoarse
       "q95_semantic_dedup_inc_partial" -> 5, // q93's shape under wProbe < nCoarse
+      "q110_semantic_dedup_dist_fit" -> 4, // q92's shape (cells, caps, verify, summary) with the fit done distributedly BEFORE the query plan
       "q105_ann_serving_dist_fit" -> 3, // q98's 2 + one extra window pass: the salted rank's stage-1 (qid, salt) sort — the partition bound IS the third exchange
       "q102_cms_sketch" -> 3, // token counts, cell agg, ordered output
       "q103_cms_heavy_hitters" -> 3, // token counts, cell agg, serve probe
