@@ -238,16 +238,33 @@ final class VersionedCatalog(
   /** The epoch tag a version was committed with ([[writeNext]]'s
     * `epochTag`), if any — one directory listing, no data read. For a
     * single-writer stream, epochs are monotone, so the LATEST version's
-    * tag answers "did epoch N already fold?" in O(1) listings. */
+    * tag answers "did epoch N already fold?" in O(1) listings. Foreign
+    * files that merely share the `_epoch_` prefix (a stray marker, a
+    * tool's leftovers) are ignored rather than fatal: only an all-digit
+    * suffix that parses as int64 counts as a tag. */
   def versionEpochTag(step: String, v: Int): Option[Long] =
     fs.listStatus(versionDir(step, v)).toSeq
       .map(_.getPath.getName)
-      .collectFirst { case n if n.startsWith("_epoch_") =>
-        n.stripPrefix("_epoch_").toLong }
+      .flatMap { n =>
+        if (n.startsWith("_epoch_"))
+          scala.util.Try(n.stripPrefix("_epoch_").toLong).toOption
+        else None
+      }.maxOption
 
   /** [[versionEpochTag]] of the latest version, if any version exists. */
   def latestEpochTag(step: String): Option[Long] =
     latestVersion(step).flatMap(versionEpochTag(step, _))
+
+  /** The MAXIMUM epoch tag across ALL retained versions — the
+    * rewrite-robust form of [[latestEpochTag]]: an operation that
+    * rewrites the latest version WITHOUT carrying the tag forward (a
+    * manual republish, a future maintenance op — [[compact]] does carry
+    * it) hides the tag from the latest-version probe but not from this
+    * one, so a streaming fold guard keyed on it cannot be reopened by
+    * an untagged rewrite while the tagged version is retained. One
+    * listing per retained version; retention bounds the cost. */
+  def maxEpochTag(step: String): Option[Long] =
+    versions(step).flatMap(versionEpochTag(step, _)).maxOption
 
   /** Retention: delete all versions except the newest `keep`; returns the
     * versions removed. Readers of dropped versions fail fast with the

@@ -94,11 +94,20 @@ object CountMin extends QueryModule {
     * (est ≥ true) emitted as exact per-row arithmetic. The exact token
     * counts feed both the sketch build and the top-k probe, so they are
     * cached through `scope` — pass your own scope and release it after
-    * materializing, like the SimilarityJoin operators. */
+    * materializing, like the SimilarityJoin operators; when omitted
+    * (`null`, the QueryDef path) the internal scope self-releases after
+    * the next completed action
+    * ([[graft.CacheScope.releaseAfterNextAction]]), so the default path
+    * cannot pin the projection for the session. */
   def heavyHitters(
       s: SparkSession, dir: String, topK: Int = 20,
-      scope: graft.CacheScope = new graft.CacheScope): DataFrame = {
-    val tc = tokenCounts(s, dir).transform(scope.cache)
+      scope: graft.CacheScope = null): DataFrame = {
+    val sc = Option(scope).getOrElse {
+      val own = new graft.CacheScope
+      graft.CacheScope.releaseAfterNextAction(s, own)
+      own
+    }
+    val tc = tokenCounts(s, dir).transform(sc.cache)
     val cells = sketchCells(tc).select(col("d"), col("w"), col("cell_sum"))
     tc.orderBy(col("cnt").desc, col("token")).limit(topK)
       .select(col("token"), col("cnt"),
@@ -120,15 +129,22 @@ object CountMin extends QueryModule {
     * token) counts, and each sketch is a different aggregation path
     * over that table — the halves through cell placement then merge,
     * the full side through token-level summation first. Pass your own
-    * `scope` and release after materializing (the q103 pattern). */
+    * `scope` and release after materializing (the q103 pattern); when
+    * omitted the internal scope self-releases after the next completed
+    * action, as in [[heavyHitters]]. */
   def mergeCheck(s: SparkSession, dir: String,
-      scope: graft.CacheScope = new graft.CacheScope): DataFrame = {
+      scope: graft.CacheScope = null): DataFrame = {
+    val sc = Option(scope).getOrElse {
+      val own = new graft.CacheScope
+      graft.CacheScope.releaseAfterNextAction(s, own)
+      own
+    }
     val byPar = T.documents(s, dir)
       .select((col("doc_id") % 2 === 0).as("even"),
         explode(X.tokens(col("text"))).as("token"))
       .groupBy(col("even"), col("token"))
       .agg(count(lit(1)).as("cnt"))
-      .transform(scope.cache)
+      .transform(sc.cache)
     val skA = sketchCells(byPar.filter(col("even")).select(col("token"), col("cnt")))
     val skB = sketchCells(byPar.filter(!col("even")).select(col("token"), col("cnt")))
     val full = sketchCells(

@@ -146,6 +146,68 @@ object Multimodal extends QueryModule {
           col("content"), col("fa"), col("fb")).as("content"))
   }
 
+  /** REAL pixel-space embedding — the deterministic half of a media
+    * featurizer computed from ACTUAL pixel bytes, end to end: each P6
+    * payload splits into `nFrames` vertical patches ([[sampleFramesPpm]]'s
+    * bounds, inlined so no explode/shuffle happens), each patch reduces
+    * to its 3 per-channel integer means (×100, floored — the q106
+    * kernel), the 3·nFrames-dim feature vector CENTERS on its own
+    * integer mean (removing the shared brightness direction, so the
+    * embedding cloud spreads on CONTRAST — without this every vector
+    * sits within ~0.01 of the corpus mean and any centroid partition
+    * degenerates to one cell), and the centered integers JL-project to
+    * `outDims` dims through the md5-derived ±1 sign matrix
+    * ([[graft.functions.SignedProject]], q76). The projection rescales
+    * to unit-ish doubles (÷1e4) so it feeds the EXISTING semantic-dedup
+    * / ANN stack unchanged (q111 runs semanticDedup over these
+    * embeddings under one oracle).
+    *
+    * Exactness envelope: features are bounded 0..25500 by construction
+    * (means of byte samples ×100), so |proj| ≤ 3·nFrames·25500 — at the
+    * 4×16 default ≤ 3.1e5 — and the downstream ×1e7-scaled squared norm
+    * Σ(1000·p)² ≤ 16·9.4e10·1e6 ≈ 1.5e18 < 2^63: every stage stays in
+    * exact int64 on BOTH engines for any input, not just the fixture.
+    *
+    * Every stage is a compiled map-side kernel over the payload's own
+    * partition — featurization shuffles NOTHING; only the outDims-double
+    * embedding flows downstream. What remains a stand-in after this is
+    * exactly the LEARNED model call ([[decodeStubFeatures]]): a CLIP
+    * replacement would swap the patch-mean pooling for model inference
+    * and keep this signature, batching, and downstream plumbing.
+    *
+    * Input rows need (media_id, content) with ≥ nFrames pixels per
+    * payload (every patch must be non-empty — a 0-width PPM is
+    * malformed by spec); callers filter first, as q111 does. */
+  def pixelEmbedding(
+      media: DataFrame, nFrames: Int = 4, outDims: Int = 16): DataFrame = {
+    import graft.functions.MediaCodecFunctions._
+    val w = element_at(ppmHeader(col("content")), 1)
+    val withStats = (0 until nFrames).foldLeft(media.withColumn("_w", w)) {
+      (df, f) =>
+        df.withColumn(s"_st$f",
+          ppmChannelStats(ppmCropCols(col("content"),
+            expr(s"CAST((_w * $f) div $nFrames AS INT)"),
+            expr(s"CAST((_w * ${f + 1}) div $nFrames AS INT)"))))
+    }
+    // feature k = 3·f + c: patch f's channel-c mean ×100 (exact integer
+    // division — st[0] is the patch pixel count, st[1+c] the channel sum)
+    val featExpr = (0 until nFrames).flatMap { f =>
+      (0 until 3).map(c => s"(_st$f[${c + 1}] * 100L) div _st$f[0]")
+    }.mkString("array(", ", ", ")")
+    val dims = 3 * nFrames
+    val signs = graft.functions.VectorFunctions.rpSigns(dims, outDims)
+    withStats
+      .withColumn("_feat0", expr(featExpr))
+      // per-item integer mean over NON-NEGATIVE features: truncating and
+      // flooring division agree, so Spark `div` ≡ DuckDB `//` here
+      .withColumn("_mu", expr(s"aggregate(_feat0, 0L, (a, x) -> a + x) div ${dims}L"))
+      .withColumn("_feat", expr("transform(_feat0, x -> x - _mu)"))
+      .withColumn("emb", transform(
+        graft.functions.VectorFunctions.signedProject(col("_feat"), signs),
+        p => p.cast("double") / lit(1e4)))
+      .select(col("media_id"), col("emb"))
+  }
+
   /** Size-aware repartition: spread items so each task sees a bounded
     * payload volume. `range`-partitioning on a size-rank would be exact;
     * hashing on id is the cheap approximation used here, with the
@@ -441,6 +503,87 @@ object Multimodal extends QueryModule {
                CAST(greatest(xr - nr, xg - ng, xb - nb) AS BIGINT) AS dyn_range,
                (sr + sg + sb) * 1000000 // (3 * n_px) < 64000000 AS is_dark
         FROM st ORDER BY media_id, frame_idx""")),
+
+    // q114: the SECOND real container format behind the codec seam —
+    // RIFF/WAVE PCM-16. Each document's bytes wrap into a genuine
+    // 44-byte-header stereo WAV container (binary little-endian fields
+    // built byte by byte — WavCodec.wrapPcm16Stereo), and the compiled
+    // chunk-walking parser + per-channel PCM sample kernel decode it
+    // back: header fields (q99's parse(wrap(x)) == expect(x) pattern)
+    // AND per-channel (sum, min, max) over every decoded int16 LE
+    // sample (q106's pattern — the audio-curation signals: mean level,
+    // DC offset, clipping). The oracle re-derives every sample from the
+    // container hex — two bytes per sample, low byte first, two's
+    // complement sign fold — so one wrong decoded sample or a
+    // one-byte-off data offset anywhere hash-fails. Malformation
+    // classes (bad magic, truncated chunks, non-PCM, byte-rate
+    // mismatch, partial frames) are pinned in MultimodalSpec. Raw sums
+    // (not means) ship because sample sums can be negative and the two
+    // engines disagree on negative integer division (trunc vs floor) —
+    // the same reason the bin sketch clamps before dividing.
+    QueryDef(
+      "q114_wav_channel_stats",
+      (s, dir) => {
+        val hdr = graft.functions.WavCodecFunctions.wavHeader(col("content"))
+        val st = graft.functions.WavCodecFunctions.wavChannelStats(col("content"))
+        T.documents(s, dir)
+          .filter(octet_length(col("text")) >= 4) // ≥ 1 whole stereo frame
+          .select(col("doc_id").as("media_id"),
+            graft.functions.WavCodecFunctions.wavWrap(
+              col("text").cast("binary"), lit(8000)).as("content"))
+          .select(col("media_id"), hdr.as("h"), st.as("st"))
+          .selectExpr("media_id",
+            "h[0] AS n_channels", "h[1] AS sample_rate", "h[2] AS bits",
+            "h[3] AS n_frames", "h[4] AS data_offset", "h[5] AS data_bytes",
+            "st[2] AS l_sum", "st[3] AS l_min", "st[4] AS l_max",
+            "st[5] AS r_sum", "st[6] AS r_min", "st[7] AS r_max",
+            "st[4] >= 32767L OR st[3] <= -32768L OR st[7] >= 32767L " +
+              "OR st[6] <= -32768L AS clipped")
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        WITH src AS (SELECT doc_id AS media_id,
+                            octet_length(encode(text)) // 4 AS n,
+                            hex(encode(text)) AS hx
+                     FROM documents WHERE octet_length(encode(text)) >= 4),
+        -- sample i (frame i//2, channel i%2) sits at data byte 2i =
+        -- text byte 2i (the wrap copies text verbatim after the header);
+        -- int16 LE: low byte first, two's-complement sign fold
+        sm AS (SELECT media_id, CAST(i % 2 AS INT) AS ch,
+                      (strpos('0123456789ABCDEF',
+                         substring(hx, CAST(4 * i + 1 AS INT), 1)) - 1) * 16
+                      + strpos('0123456789ABCDEF',
+                         substring(hx, CAST(4 * i + 2 AS INT), 1)) - 1
+                      + 256 * ((strpos('0123456789ABCDEF',
+                                  substring(hx, CAST(4 * i + 3 AS INT), 1)) - 1) * 16
+                               + strpos('0123456789ABCDEF',
+                                  substring(hx, CAST(4 * i + 4 AS INT), 1)) - 1) AS uv
+               FROM (SELECT media_id, hx,
+                            CAST(unnest(range(0, 2 * n)) AS BIGINT) AS i
+                     FROM src)),
+        sv AS (SELECT media_id, ch,
+                      CASE WHEN uv >= 32768 THEN uv - 65536 ELSE uv END AS v
+               FROM sm),
+        st AS (SELECT media_id,
+                      CAST(SUM(CASE WHEN ch = 0 THEN v END) AS BIGINT) AS l_sum,
+                      CAST(MIN(CASE WHEN ch = 0 THEN v END) AS BIGINT) AS l_min,
+                      CAST(MAX(CASE WHEN ch = 0 THEN v END) AS BIGINT) AS l_max,
+                      CAST(SUM(CASE WHEN ch = 1 THEN v END) AS BIGINT) AS r_sum,
+                      CAST(MIN(CASE WHEN ch = 1 THEN v END) AS BIGINT) AS r_min,
+                      CAST(MAX(CASE WHEN ch = 1 THEN v END) AS BIGINT) AS r_max
+               FROM sv GROUP BY media_id)
+        SELECT media_id,
+               CAST(2 AS BIGINT) AS n_channels,
+               CAST(8000 AS BIGINT) AS sample_rate,
+               CAST(16 AS BIGINT) AS bits,
+               CAST(n AS BIGINT) AS n_frames,
+               CAST(44 AS BIGINT) AS data_offset,
+               CAST(4 * n AS BIGINT) AS data_bytes,
+               l_sum, l_min, l_max, r_sum, r_min, r_max,
+               l_max >= 32767 OR l_min <= -32768 OR r_max >= 32767
+                 OR r_min <= -32768 AS clipped
+        FROM st JOIN src USING (media_id)
+        ORDER BY media_id""")),
 
     // q99: REAL byte-level container decode — wrap every document's
     // bytes into a genuine P6 PPM payload (magic + comment + ASCII dims

@@ -280,12 +280,17 @@ object Similarity extends QueryModule {
     * VERBATIM by the q84, q92 and q94 oracles — the queries differ
     * only in the cell count fed to [[ivfAssignSqlCtes]] and (q94) the
     * assignment CTE name, so the dedup semantics text cannot drift
-    * between the flat, two-level and partial-probe variants. */
-  private def semanticDedupSqlTail(asg: String = "assigned"): String = s"""
+    * between the flat, two-level and partial-probe variants. The
+    * cosine threshold parameterizes alongside the engine calls'
+    * `threshold` argument (q111 runs 0.9 over its all-positive pixel
+    * embeddings; the embedding-fixture queries keep the 0.4 default) —
+    * a query must pass BOTH sides together. */
+  private def semanticDedupSqlTail(
+      asg: String = "assigned", threshold: String = "0.4"): String = s"""
         dup AS (SELECT DISTINCT x.cell, y.vec_id AS idb
                 FROM av x JOIN av y
                   ON x.cell = y.cell AND x.vec_id < y.vec_id
-                WHERE ${X.cosineFromIntsSql(X.dotIntSql("x.v", "y.v"), "x.n2", "y.n2")} >= 0.4),
+                WHERE ${X.cosineFromIntsSql(X.dotIntSql("x.v", "y.v"), "x.n2", "y.n2")} >= $threshold),
         pc AS (SELECT cell, COUNT(*) AS n_vecs FROM $asg GROUP BY cell),
         dc AS (SELECT cell, COUNT(*) AS n_dups FROM dup GROUP BY cell)
         SELECT CAST(pc.cell AS BIGINT) AS cell, pc.n_vecs,
@@ -981,6 +986,149 @@ object Similarity extends QueryModule {
         WITH ${ivfAssignSqlCtes(64)},
         ${ivfAvSqlCte()},
         ${semanticDedupSqlTail()}""")),
+
+    // ------------------------------------------------------------------
+    // q111: MULTIMODAL IN, DEDUP VERDICTS OUT — semantic dedup over
+    // embeddings derived from ACTUAL PIXEL BYTES end to end, closing the
+    // round-9 verdict's top item (retire the featurizer stand-in's
+    // deterministic half). Each document's P6 container splits into 4
+    // vertical patches (q72's crop kernel, inlined — no explode), each
+    // patch pools to its per-channel integer means (q106's channel-stats
+    // kernel), and the 12-dim integer feature vector JL-projects to 16
+    // dims through the md5-derived ±1 sign matrix (q76's SignedProject)
+    // — a classic random-pooled pixel embedding, every stage a compiled
+    // map-side kernel over real decoded samples. The embeddings then
+    // feed the UNCHANGED semantic-dedup path (q84's operator) on an
+    // 8-cell/16-dim md5 centroid table. The oracle re-derives every
+    // patch's channel sums from the container hex (q109's construction),
+    // mirrors the projection grid relationally (q76's construction), and
+    // reuses the dedup tail TEXT shared with q84/q92/q110 — one wrong
+    // pixel byte, sign bit, or scaled coordinate anywhere in the
+    // composition hash-fails. After this the multimodal stand-in surface
+    // is exactly "call a learned model here" (Multimodal.scala:
+    // decodeStubFeatures).
+    QueryDef(
+      "q111_pixel_semantic_dedup",
+      (s, dir) => {
+        // ≥ 12 payload bytes ⇒ w ≥ 4 pixels ⇒ all 4 patches non-empty
+        val docs = T.documents(s, dir).filter(octet_length(col("text")) >= 12)
+        val emb = graft.ext.Multimodal.pixelEmbedding(
+          graft.ext.Multimodal.ppmWrap(docs), nFrames = 4, outDims = 16)
+        val cents = graft.operators.SimilarityJoin.md5CentroidTable(
+          s, nCells = 8, dim = 16)
+        graft.operators.SimilarityJoin.semanticDedup(
+            emb, col("media_id"), col("emb"), cents, threshold = 0.9)
+          .orderBy(col("cell"))
+      },
+      Some(s"""
+        WITH src AS (SELECT doc_id AS media_id,
+                            octet_length(encode(text)) // 3 AS w,
+                            hex(encode(text)) AS hx
+                     FROM documents WHERE octet_length(encode(text)) >= 12),
+        fr AS (SELECT media_id, CAST(i AS BIGINT) AS f,
+                      w * i // 4 AS fa, w * (i + 1) // 4 AS fb
+               FROM src CROSS JOIN (SELECT unnest(range(0, 4)) AS i)),
+        -- byte i of the SOURCE pixel run for i in [3·fa, 3·fb);
+        -- channel = i mod 3 because 3·fa ≡ 0 (mod 3) (q109's invariant)
+        pb AS (SELECT media_id, f, fb - fa AS n_px,
+                      CAST(unnest(range(3 * fa, 3 * fb)) AS BIGINT) AS i
+               FROM fr),
+        pv AS (SELECT media_id, f, n_px, CAST(i % 3 AS INT) AS ch,
+                      (strpos('0123456789ABCDEF',
+                         substring(hx, CAST(2 * i + 1 AS INT), 1)) - 1) * 16
+                      + strpos('0123456789ABCDEF',
+                         substring(hx, CAST(2 * i + 2 AS INT), 1)) - 1 AS val
+               FROM pb JOIN src USING (media_id)),
+        st AS (SELECT media_id, f, ch, MAX(n_px) AS n_px, SUM(val) AS s
+               FROM pv GROUP BY media_id, f, ch),
+        -- feature k = 3·f + ch: patch channel mean ×100, floored
+        feat0 AS (SELECT media_id, CAST(f * 3 + ch AS BIGINT) AS k,
+                         CAST(s * 100 // n_px AS BIGINT) AS x
+                  FROM st),
+        -- per-item integer mean over non-negative features (floor ≡
+        -- truncate here, so // mirrors Spark's div); centering removes
+        -- the shared brightness direction so the cloud spreads on
+        -- contrast
+        fmean AS (SELECT media_id, CAST(SUM(x) // 12 AS BIGINT) AS mu
+                  FROM feat0 GROUP BY media_id),
+        feat AS (SELECT media_id, k, x - mu AS x
+                 FROM feat0 JOIN fmean USING (media_id)),
+        grid AS (SELECT gi.i AS i, gj.j AS j,
+                        1 - 2*(${X.h60Sql("'rp ' || CAST(gi.i AS VARCHAR) || ' ' || CAST(gj.j AS VARCHAR)")} % 2) AS sgn
+                 FROM (SELECT unnest(range(0, 12)) AS i) gi,
+                      (SELECT unnest(range(0, 16)) AS j) gj),
+        proj AS (SELECT media_id, j, CAST(SUM(x * sgn) AS BIGINT) AS p
+                 FROM feat JOIN grid ON grid.i = feat.k
+                 GROUP BY media_id, j),
+        embl AS (SELECT media_id AS vec_id, list(p ORDER BY j) AS pl
+                 FROM proj GROUP BY media_id),
+        cent AS (
+          SELECT gc.c AS cell,
+                 list_transform(range(0, 16), d ->
+                   (CAST(${X.h60Sql("'ivf ' || CAST(gc.c AS VARCHAR) || ' ' || CAST(d AS VARCHAR)")}
+                      % 4001 AS BIGINT) - 2000) / 10000.0) AS ctr
+          FROM (SELECT unnest(range(0, 8)) AS c) gc),
+        vecs AS (SELECT vec_id,
+                        list_transform(pl, p -> CAST(p AS DOUBLE) / 10000.0) AS fd,
+                        ${X.scaledVecSql(
+                          "list_transform(pl, p -> CAST(p AS DOUBLE) / 10000.0)")} AS v
+                 FROM embl),
+        vn AS (SELECT vec_id, fd, v, ${X.norm2IntSql("v")} AS n2 FROM vecs),
+        dist AS (SELECT vec_id, cell,
+                   list_aggregate(list_transform(range(0, 16),
+                     i -> (fd[i+1] - ctr[i+1]) * (fd[i+1] - ctr[i+1])), 'sum') AS d
+                 FROM vn, cent),
+        assigned AS (SELECT vec_id, cell FROM (
+                       SELECT vec_id, cell,
+                              row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d, cell) AS rn
+                       FROM dist) WHERE rn = 1),
+        ${ivfAvSqlCte()},
+        ${semanticDedupSqlTail(threshold = "0.9")}""")),
+
+    // ------------------------------------------------------------------
+    // q115: INDEX APPEND WITHOUT REFIT — the daily maintenance path of
+    // a serving index: the "fit-time" corpus (even vec_ids) is assigned
+    // and persisted; the new batch (odd vec_ids) assigns through the
+    // SAME compiled kernel against the SAME centroid table and appends
+    // — the old side is never re-scanned (SimilarityIvfSpec proves
+    // no-rescan by appending under a DIFFERENT centroid table; here the
+    // oracle proves RESULT equivalence: because the kernel is stateless
+    // in the vectors, append ≡ from-scratch assignment over the union,
+    // so the per-cell composition of the appended table hash-matches
+    // one full assignment pass). On top rides the occupancy/staleness
+    // report — the refit trigger: per cell, fit-time vs current counts,
+    // integer growth ratio ×100, and the needs_refit flag (growth ≥
+    // 1.5× or a cell the fit never saw). All counts and ratios are
+    // exact integers; assignment is the q92 64-cell construction.
+    QueryDef(
+      "q115_index_append_occupancy",
+      (s, dir) => {
+        val cents = graft.operators.SimilarityJoin.md5CentroidTable(s, nCells = 64)
+        val emb = T.embeddings(s, dir)
+        val fitSide = graft.operators.SimilarityJoin.ivfAssignTable(
+          emb.filter(col("vec_id") % 2 === 0), col("vec_id"), col("embedding"), cents)
+        val newSide = graft.operators.SimilarityJoin.ivfAssignTable(
+          emb.filter(col("vec_id") % 2 === 1), col("vec_id"), col("embedding"), cents)
+        graft.operators.SimilarityJoin.indexOccupancyReport(
+            fitSide.unionByName(newSide),
+            fitSide.groupBy(col("cell")).agg(count(lit(1)).as("n_fit")),
+            staleFactorE2 = 150L)
+          .orderBy(col("cell"))
+      },
+      Some(s"""
+        WITH ${ivfAssignSqlCtes(64)},
+        oc AS (SELECT cell,
+                      CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_fit,
+                      CAST(COUNT(*) AS BIGINT) AS n_total
+               FROM assigned GROUP BY cell)
+        SELECT CAST(cell AS BIGINT) AS cell, n_fit, n_total,
+               n_total - n_fit AS n_new,
+               n_total * 100 // greatest(n_fit, 1) AS growth_e2,
+               n_total * 100 // greatest(n_fit, 1) >= 150 OR n_fit = 0
+                 AS needs_refit
+        FROM oc ORDER BY cell""")),
 
     // ------------------------------------------------------------------
     // q93: the INCREMENTAL twin of q92 — daily embedding batch (odd

@@ -503,6 +503,87 @@ object SimilarityJoin {
     }.toDF("cell", "d", "sum_e7", "cnt", "mean", "n_members")
   }
 
+  /** The corpus-side ASSIGNMENT TABLE (vec_id, cell) — the persisted
+    * half of a serving index (index-as-data: the centroid table and
+    * this assignment table version together in the catalog). One
+    * compiled map-side kernel pass, zero shuffle; `coarse` opts into
+    * the two-level kernel at the ≳10⁴-cell design point. */
+  def ivfAssignTable(
+      vecs: DataFrame, id: Column, vec: Column, centroidsDf: DataFrame,
+      coarse: Option[CoarseProbe] = None): DataFrame = {
+    val matrix = centroidMatrix(centroidsDf)
+    val assignCol = coarse match {
+      case Some(cp) =>
+        val (cm, mem) = cp.prefit.getOrElse {
+          if (cp.sqlExactFit)
+            graft.functions.TwoLevelIndex.fitExact(matrix, cp.nCoarse, cp.fitIters)
+          else graft.functions.TwoLevelIndex.fit(matrix, cp.nCoarse, cp.fitIters)
+        }
+        graft.functions.VectorIndexFunctions.nearestCentroidTwoLevel(
+          col("fd"), cm, mem, matrix, cp.wProbe)
+      case None =>
+        graft.functions.VectorIndexFunctions.nearestCentroid(col("fd"), matrix)
+    }
+    vecs.select(id.as("vec_id"), vec.cast("array<double>").as("fd"))
+      .withColumn("cell", assignCol.cast("long"))
+      .select(col("vec_id"), col("cell"))
+  }
+
+  /** APPEND WITHOUT REFIT — the maintenance operation every serving
+    * index needs daily: assign ONLY the new batch through the compiled
+    * kernel against the PERSISTED centroid structure and commit
+    * old ∪ new as the next catalog version of the assignment table.
+    * The old corpus is never re-scanned and never re-assigned — its
+    * rows pass from the previous version verbatim (IvfAppendSpec
+    * proves it by appending under a DIFFERENT centroid table: v1
+    * assignments survive untouched) — so the cost is ∝ |new batch|,
+    * not ∝ corpus. Because the kernel is stateless in the vectors,
+    * serving from the appended version is bit-identical to a
+    * from-scratch assignment over the union under the same centroids —
+    * q115 proves exactly that equivalence under the full oracle.
+    * Returns (committed version, rows appended). Refit policy lives
+    * with the caller: [[indexOccupancyReport]] over the appended
+    * version is the trigger input. */
+  def ivfAppendAssign(
+      cat: graft.catalog.VersionedCatalog, step: String,
+      newVecs: DataFrame, id: Column, vec: Column,
+      centroidsDf: DataFrame,
+      coarse: Option[CoarseProbe] = None): (Int, Long) = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "vec_id BIGINT, cell BIGINT")
+    val base = cat.latest(step, Some(schema))
+    val fresh = ivfAssignTable(newVecs, id, vec, centroidsDf, coarse)
+      .select(col("vec_id").cast("long"), col("cell"))
+    // the count pays one extra pass over the NEW batch only (the daily
+    // increment, never the corpus) — the price of reporting append size
+    // without threading observe-metric listeners through the write
+    val appended = fresh.count()
+    val v = cat.writeNext(step, base.unionByName(fresh))
+    (v, appended)
+  }
+
+  /** Occupancy / staleness report — the REFIT TRIGGER input: per cell,
+    * the fit-time member count vs the current assignment-table count
+    * and the integer growth ratio (×100). A cell whose population
+    * outgrew its fit-time shape (growth ≥ `staleFactorE2`) or that the
+    * fit never saw (n_fit = 0) degrades probe quality — when enough
+    * mass sits in flagged cells, re-fit and re-assign. Joins two
+    * cell-count tables (index-small), never the corpus. */
+  def indexOccupancyReport(
+      asg: DataFrame, fitCounts: DataFrame,
+      staleFactorE2: Long = 150L): DataFrame =
+    asg.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_total"))
+      .join(fitCounts.select(col("cell"), col("n_fit")), Seq("cell"), "full_outer")
+      .select(col("cell").cast("long").as("cell"),
+        coalesce(col("n_fit"), lit(0L)).as("n_fit"),
+        coalesce(col("n_total"), lit(0L)).as("n_total"))
+      .withColumn("n_new", col("n_total") - col("n_fit"))
+      .withColumn("growth_e2",
+        expr("(n_total * 100L) div greatest(n_fit, 1L)"))
+      .withColumn("needs_refit",
+        col("growth_e2") >= staleFactorE2 || col("n_fit") === 0L)
+
   /** The fitted two-level structure as INDEX-AS-DATA: one row per
     * super-cell (j, super_centroid, member_cells) — persist it through
     * the versioned catalog next to the (cell, centroid) table and a

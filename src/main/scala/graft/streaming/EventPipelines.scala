@@ -385,15 +385,25 @@ object EventPipelines {
       graft.ext.CountMin.mergeSketches)
 
   /** The shared epoch-fold guard both sketch sinks instantiate: skip
-    * iff the latest version carries this epoch's atomic tag, else
+    * iff some RETAINED version already carries a tag ≥ this epoch, else
     * merge-or-init and commit tagged. ONE copy of the skip/write
     * logic, so the CMS and HLL sinks' crash semantics can never
-    * diverge — only the merge law differs. */
+    * diverge — only the merge law differs.
+    *
+    * The guard reads `maxEpochTag` (max across retained versions), not
+    * the latest version's tag: epochs are monotone for a single stream,
+    * so "max tag ≥ epoch" ⟺ "this epoch's fold already committed" —
+    * and unlike a latest-only probe it stays true even if a later
+    * operation rewrote the latest version WITHOUT carrying the tag
+    * forward (compact does; a manual republish might not). The replay
+    * window only reopens if the tagged version itself is vacuumed,
+    * and an epoch old enough to be vacuumed is old enough to be past
+    * the stream's checkpointed replay horizon. */
   private def foldEpoch(
       cat: graft.catalog.VersionedCatalog, step: String,
       epochDf: DataFrame, epoch: Long,
       merge: (DataFrame, DataFrame) => DataFrame): Unit = {
-    if (!cat.latestEpochTag(step).contains(epoch)) {
+    if (!cat.maxEpochTag(step).exists(_ >= epoch)) {
       val next = cat.latestVersion(step) match {
         case None => epochDf
         case Some(_) => merge(cat.latest(step), epochDf)
@@ -431,6 +441,42 @@ object EventPipelines {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         foldRegisterEpoch(cat, step, graft.ext.Hll.registerCells(batch, item), id)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The histogram twin of [[foldSketchEpoch]]: fold one epoch's
+    * complete bin table into the catalog by bin-wise ADDITION
+    * ([[graft.ext.HistSketch.mergeBins]]). Additive like CMS — NOT
+    * content-idempotent — so the atomic epoch tag carries the
+    * exactly-once burden here exactly as it does for the count
+    * sketch. */
+  private[streaming] def foldHistogramEpoch(
+      cat: graft.catalog.VersionedCatalog, step: String,
+      epochBins: DataFrame, epoch: Long): Unit =
+    foldEpoch(cat, step, epochBins, epoch, graft.ext.HistSketch.mergeBins)
+
+  /** Streaming histogram → catalog: each epoch reduces to a complete
+    * B-bin table ([[graft.ext.HistSketch.binCells]] — the exact q112
+    * bin definition, so streamed state merges with batch-built
+    * sketches) and folds in by bin-wise addition. Fixed B-row state
+    * over an unbounded value stream; every version is a complete
+    * servable quantile sketch (q113-style cumulative probes read
+    * `latest`). */
+  def runCatalogHistogramSink(
+      rows: DataFrame,
+      value: org.apache.spark.sql.Column,
+      checkpoint: String,
+      cat: graft.catalog.VersionedCatalog,
+      step: String): Unit = {
+    val q = rows.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        foldHistogramEpoch(cat, step,
+          graft.ext.HistSketch.binCells(batch, value), id)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

@@ -23,8 +23,11 @@ class PlanAuditSpec extends SparkSpec {
     "q59_bm25_search", // 1-row corpus-stats broadcast to every doc
     "q86_pq_adc_topk", // flat-PQ ADC scan: the 50-query LUT broadcast
                        // against every 32-bit code IS the query shape
-    "q108_hll_estimate_merge" // 1-row distinct-count broadcast joined
-                              // to the 1-row sketch stats (q49's shape)
+    "q108_hll_estimate_merge", // 1-row distinct-count broadcast joined
+                               // to the 1-row sketch stats (q49's shape)
+    "q113_hist_quantile_merge" // 1-row exact-order-stats broadcast joined
+                               // to the 1-row served-quantile stats (q108's
+                               // shape — both sides aggregate to one row)
     // q81/q87/q91/q97/q98 carried a probe-stage centroid crossJoin
     // until round 8; the compiled top_cells kernel removed it — the
     // serving paths are now all equi-joins and must STAY that way
@@ -57,7 +60,8 @@ class PlanAuditSpec extends SparkSpec {
       "q73_media_resize", "q76_random_projection", "q82_minhash_signatures",
       "q85_pq_codes", "q96_ivf_build_exact", "q99_media_ppm_decode",
       "q100_edit_distance_unicode", "q106_media_channel_stats",
-      "q107_hll_sketch", "q109_frame_channel_stats")
+      "q107_hll_sketch", "q109_frame_channel_stats", "q112_hist_sketch",
+      "q114_wav_channel_stats")
     // 2 exchanges: the partial-agg + ordered-output pattern, or an
     // equi-join/rank + ordered-output pair — the workhorse shape
     val b2 = Seq("q01_pricing_summary", "q03_region_revenue",
@@ -109,11 +113,14 @@ class PlanAuditSpec extends SparkSpec {
       "q94_semantic_dedup_partial_probe" -> 4, // q92's shape under wProbe < nCoarse
       "q95_semantic_dedup_inc_partial" -> 5, // q93's shape under wProbe < nCoarse
       "q110_semantic_dedup_dist_fit" -> 4, // q92's shape (cells, caps, verify, summary) with the fit done distributedly BEFORE the query plan
+      "q111_pixel_semantic_dedup" -> 4, // q84's dedup shape over pixel-derived embeddings — featurization (crop/stats/JL kernels) is entirely map-side and adds ZERO exchanges
       "q105_ann_serving_dist_fit" -> 3, // q98's 2 + one extra window pass: the salted rank's stage-1 (qid, salt) sort — the partition bound IS the third exchange
       "q102_cms_sketch" -> 3, // token counts, cell agg, ordered output
       "q103_cms_heavy_hitters" -> 3, // token counts, cell agg, serve probe
       "q104_cms_merge" -> 7, // ONE cached tokenization + three sketch aggs over it + 2 full-outer D×W merges; +1 slack — AQE finalizes the cached-relation joins differently depending on suite order
-      "q108_hll_estimate_merge" -> 5) // ONE cached distinct-item pass + conditional-MAX register agg + 1-row stats/distinct broadcast; +1 AQE slack like q104
+      "q108_hll_estimate_merge" -> 5, // ONE cached distinct-item pass + conditional-MAX register agg + 1-row stats/distinct broadcast; +1 AQE slack like q104
+      "q113_hist_quantile_merge" -> 5, // ONE cached scaled-value pass + parity bin agg + 256-row cum/serve windows + exact-order-stat window; +1 AQE slack on the cached-relation joins like q104/q108
+      "q115_index_append_occupancy" -> 4) // map-side kernel assignment (zero exchange) + two cell-count aggs + their join + ordered output; measured 3 at local[4], +1 AQE slack on the agg-agg join
     (b0.map(_ -> 0) ++ b1.map(_ -> 1) ++ b2.map(_ -> 2) ++ multi).toMap
   }
 

@@ -216,6 +216,82 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("WavCodec: real RIFF bytes parse + stat; every malformation class fails fast") {
+    import graft.functions.WavCodec
+    // wrap round-trip: 8 payload bytes → 2 stereo PCM-16 frames with
+    // hand-computable samples: L = (1, −1), R = (2, −32768)
+    val payload = Array[Byte](1, 0, 2, 0, -1, -1, 0, -128)
+    val wav = WavCodec.wrapPcm16Stereo(payload, 8000)
+    assert(wav.length == 52)
+    assert(WavCodec.parseHeader(wav).toLongArray().toSeq ==
+      Seq(2L, 8000L, 16L, 2L, 44L, 8L))
+    assert(WavCodec.channelStats(wav).toLongArray().toSeq ==
+      Seq(2L, 2L, 0L, -1L, 1L, -32766L, -32768L, 2L))
+    // partial trailing frame is truncated away by the wrap
+    assert(WavCodec.parseHeader(
+      WavCodec.wrapPcm16Stereo(Array[Byte](1, 0, 2, 0, 9), 8000))
+      .toLongArray()(3) == 1L)
+
+    // unknown chunks (LIST here) are skipped, as a real decoder must
+    def tagB(s: String) = s.getBytes("US-ASCII")
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val fmtChunk = tagB("fmt ") ++ le32(16) ++ le16(1) ++ le16(2) ++
+      le32(8000) ++ le32(32000) ++ le16(4) ++ le16(16)
+    val dataChunk = tagB("data") ++ le32(4) ++ Array[Byte](1, 0, 2, 0)
+    def riff(chunks: Array[Byte]): Array[Byte] =
+      tagB("RIFF") ++ le32(4 + chunks.length) ++ tagB("WAVE") ++ chunks
+    val withList = riff(fmtChunk ++ tagB("LIST") ++ le32(2) ++
+      Array[Byte]('a', 'b') ++ dataChunk)
+    assert(WavCodec.parseHeader(withList).toLongArray().toSeq ==
+      Seq(2L, 8000L, 16L, 1L, 54L, 4L))
+    // odd-sized unknown chunk carries a pad byte (RIFF word alignment)
+    val withOdd = riff(fmtChunk ++ tagB("note") ++ le32(1) ++
+      Array[Byte]('x', 0) ++ dataChunk)
+    assert(WavCodec.parseHeader(withOdd).toLongArray()(3) == 1L)
+
+    def patched(p: Int, b: Byte) = { val c = wav.clone(); c(p) = b; c }
+    intercept[IllegalArgumentException] { // wrong magic
+      WavCodec.parseHeader(patched(0, 'X'.toByte))
+    }
+    intercept[IllegalArgumentException] { // RIFF but not WAVE
+      WavCodec.parseHeader(patched(8, 'A'.toByte))
+    }
+    intercept[IllegalArgumentException] { // riff size disagrees (truncated)
+      WavCodec.parseHeader(wav.dropRight(1))
+    }
+    intercept[IllegalArgumentException] { // non-PCM audio format
+      WavCodec.parseHeader(patched(20, 2))
+    }
+    intercept[IllegalArgumentException] { // block_align ≠ ch·bits/8
+      WavCodec.parseHeader(patched(32, 6))
+    }
+    intercept[IllegalArgumentException] { // byte_rate ≠ rate·block_align
+      WavCodec.parseHeader(patched(28, 1))
+    }
+    intercept[IllegalArgumentException] { // data size not whole frames
+      WavCodec.parseHeader(patched(40, 7))
+    }
+    intercept[IllegalArgumentException] { // data chunk precedes fmt
+      WavCodec.parseHeader(riff(dataChunk ++ fmtChunk))
+    }
+    intercept[IllegalArgumentException] { // no data chunk at all
+      WavCodec.parseHeader(riff(fmtChunk))
+    }
+    intercept[IllegalArgumentException] { // chunk promises bytes past end
+      val bad = fmtChunk ++ tagB("data") ++ le32(400)
+      WavCodec.parseHeader(riff(bad))
+    }
+    // analysis-time type contract, like the Ppm kernels
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      graft.Tables.documents(spark, dir)
+        .select(graft.functions.WavCodecFunctions.wavHeader(col("text")))
+        .collect()
+    }
+    assert(err.getMessage.contains("BINARY"))
+  }
+
   test("ppmWrap emits valid containers; the compiled parse round-trips construction") {
     val wrapped = ppmWrap(graft.Tables.documents(spark, dir))
     val rows = wrapped

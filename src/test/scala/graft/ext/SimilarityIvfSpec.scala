@@ -56,6 +56,71 @@ class SimilarityIvfSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("append without refit: only new rows assign; old rows survive verbatim") {
+    val vecs = graft.Tables.embeddings(spark, dir)
+    val cents = graft.operators.SimilarityJoin.md5CentroidTable(spark, nCells = 64)
+    val dirTmp = java.nio.file.Files.createTempDirectory("graft-append-").toString
+    val cat = new graft.catalog.VersionedCatalog(spark, dirTmp, format = "parquet")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // fit-time corpus: even ids, assigned + persisted as v1
+    val fitSide = graft.operators.SimilarityJoin.ivfAssignTable(
+      vecs.filter(col("vec_id") % 2 === 0), col("vec_id"), col("embedding"), cents)
+    cat.writeNext("asg", fitSide.select(col("vec_id").cast("long"), col("cell")))
+    val v1 = toMap(cat.latest("asg"))
+
+    // append the odd batch — returns (version, rows appended)
+    val newBatch = vecs.filter(col("vec_id") % 2 === 1)
+    val (v, n) = graft.operators.SimilarityJoin.ivfAppendAssign(
+      cat, "asg", newBatch, col("vec_id"), col("embedding"), cents)
+    assert(v == 2 && n == newBatch.count())
+
+    // appended version ≡ from-scratch assignment over the union, and
+    // the old half of it is v1 verbatim
+    val v2 = toMap(cat.latest("asg"))
+    val scratch = toMap(graft.operators.SimilarityJoin.ivfAssignTable(
+      vecs, col("vec_id"), col("embedding"), cents))
+    assert(v2 == scratch)
+    assert(v1.forall { case (id, c) => v2(id) == c })
+
+    // NO-RESCAN proof: append a second batch under a DIFFERENT centroid
+    // table — if append re-assigned old rows, their cells would move to
+    // the new table's argmin; instead every v2 assignment survives
+    // byte-for-byte and only the appended ids follow the new centroids
+    val cents16 = graft.operators.SimilarityJoin.md5CentroidTable(spark, nCells = 16)
+    // re-use ids ≥ 10⁶ so the second batch is disjoint from the corpus
+    val batch2 = vecs.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val (v3, n2) = graft.operators.SimilarityJoin.ivfAppendAssign(
+      cat, "asg", batch2, col("vec_id"), col("embedding"), cents16)
+    assert(v3 == 3 && n2 == 20L)
+    val v3m = toMap(cat.latest("asg"))
+    assert(v2.forall { case (id, c) => v3m(id) == c },
+      "append re-assigned pre-existing rows")
+    val expect2 = toMap(graft.operators.SimilarityJoin.ivfAssignTable(
+      batch2, col("vec_id"), col("embedding"), cents16))
+    assert(expect2.forall { case (id, c) => v3m(id) == c })
+
+    // occupancy report: drift arithmetic + refit flags
+    val fitCounts = cat.read("asg", 1).groupBy(col("cell"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n_fit"))
+    val rep = graft.operators.SimilarityJoin.indexOccupancyReport(
+        cat.latest("asg"), fitCounts)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(rep.map(_._3).sum == v3m.size.toLong) // totals cover the table
+    rep.foreach { case (_, nFit, nTotal, nNew, growth, refit) =>
+      assert(nNew == nTotal - nFit)
+      assert(growth == nTotal * 100L / math.max(nFit, 1L))
+      assert(refit == (growth >= 150L || nFit == 0L))
+    }
+    // the fixture's parity split roughly doubles every cell: the flag
+    // fires somewhere (a planted guarantee that the trigger can fire)
+    assert(rep.exists(_._6))
+    spark.catalog.clearCache()
+  }
+
   test("ivfBuildIndexExact: deterministic, partitioning, exact integer state") {
     val vecs = graft.Tables.embeddings(spark, dir)
     val a = graft.operators.SimilarityJoin.ivfBuildIndexExact(

@@ -485,6 +485,51 @@ class EventPipelinesSpec extends SparkSpec {
     }
   }
 
+  test("streaming histogram -> catalog: epoch bins SUM-fold to the batch sketch over the union") {
+    val s = spark
+    import s.implicits._
+    withTempDir { dir =>
+      val in = s"$dir/in"; val ckpt = s"$dir/ckpt"; val root = s"$dir/cat"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      def writeInput(name: String, vals: Seq[Double]): Unit =
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/$name"),
+          vals.map(v => s"""{"value":$v}""").mkString("\n").getBytes)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL("value DOUBLE")
+      def stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(in)
+      val cat = new graft.catalog.VersionedCatalog(spark, root, format = "parquet")
+      def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      // epoch values straddle several bins, repeat across epochs (counts
+      // ADD, unlike HLL's MAX), and include an out-of-range clamp case
+      val e1 = Seq(1.0, 2.6, 2.6, 100.0)
+      val e2 = Seq(2.6, 650.0, -3.0, 100.0)
+      writeInput("e1.json", e1)
+      EventPipelines.runCatalogHistogramSink(stream, col("value"), ckpt, cat, "hist")
+      assert(cat.latestVersion("hist").contains(1))
+      writeInput("e2.json", e2)
+      EventPipelines.runCatalogHistogramSink(stream, col("value"), ckpt, cat, "hist")
+      assert(cat.latestVersion("hist").contains(2))
+      // the catalog's latest = the batch bin table over the union —
+      // histogram linearity end to end through persisted epoch folds
+      val served = toMap(cat.latest("hist"))
+      val batch = toMap(graft.ext.HistSketch.binCells(
+        (e1 ++ e2).toDF("value"), col("value")))
+      assert(served == batch && served.size == 256)
+      // the duplicated 2.6s summed across epochs (bin 1 = [2.5, 5.0))
+      assert(served(1L) == 3L)
+      // clamp bins absorbed the out-of-range values (650 → top, -3 → 0
+      // next to the 1.0); total mass preserved exactly
+      assert(served(255L) == 1L && served(0L) == 2L)
+      assert(served.values.sum == (e1 ++ e2).size.toLong)
+      // replay with no new input: no new version (epoch-tag skip — the
+      // additive fold's exactly-once depends on it)
+      EventPipelines.runCatalogHistogramSink(stream, col("value"), ckpt, cat, "hist")
+      assert(cat.latestVersion("hist").contains(2))
+    }
+  }
+
   test("AvailableNow + watermark: beyond-watermark events drop, with progress accounting") {
     // the end-to-end late-data contract of the checkpointed pipeline:
     // run 1 advances the event-time watermark (persisted in the commit
