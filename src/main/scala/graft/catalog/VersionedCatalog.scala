@@ -76,10 +76,10 @@ final class VersionedCatalog(
   def writeNext(step: String, df: DataFrame,
       partitionBy: Seq[String] = Seq.empty,
       epochTag: Option[Long] = None): Int = {
-    val v = nextVersion(step)
+    var v = nextVersion(step)
     val staging = new Path(
       new Path(rootPath, ".staging"),
-      s"$step-v$v-${java.util.UUID.randomUUID()}")
+      s"$step-${java.util.UUID.randomUUID()}")
     val w = df.write.mode(SaveMode.Overwrite).format(format).options(options)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .save(staging.toString)
@@ -96,21 +96,59 @@ final class VersionedCatalog(
     epochTag.foreach { e =>
       fs.create(new Path(staging, s"_epoch_$e"), true).close()
     }
-    val target = versionDir(step, v)
-    fs.mkdirs(target.getParent)
-    // Hadoop rename moves src INTO an existing destination directory and
-    // returns true, which would silently nest a racing writer's data under
-    // v=N. Single-writer-per-step is a hard precondition; this check turns
-    // the most likely race into the advertised error instead of corruption.
-    if (fs.exists(target))
-      throw new IllegalStateException(
-        s"catalog: $target already exists (concurrent writer for the same version?)")
-    if (!fs.rename(staging, target))
-      throw new IllegalStateException(
-        s"catalog: failed to promote $staging -> $target " +
-          "(concurrent writer for the same version?)")
-    v
+    // Promote under a CLAIM protocol rather than check-then-rename:
+    // Hadoop rename moves src INTO an existing destination directory on
+    // most filesystems, so two writers racing the same v=N would
+    // silently nest one writer's data under the other's version — and a
+    // bare exists-check before the rename leaves a TOCTOU window on a
+    // real DFS. Instead, the version number is ARBITRATED before the
+    // rename: only the writer that atomically creates `.claims/v=N`
+    // (create with overwrite=false — an atomic namenode operation on
+    // HDFS; object stores with conditional-put semantics match it; a
+    // JVM-wide lock additionally serializes same-process writers, where
+    // the local filesystem's create is check-then-act) may rename onto
+    // v=N, so no two writers ever target the same version directory. A
+    // loser — or a writer meeting a crash-orphaned claim — retries with
+    // the next number, which merely skips it: version sequences may
+    // carry gaps under concurrency, and every reader here resolves
+    // versions by listing, never by arithmetic.
+    var committed = -1
+    var attempts = 0
+    while (committed < 0) {
+      attempts += 1
+      if (attempts > 64)
+        throw new IllegalStateException(
+          s"catalog: could not claim a version for $step after 64 attempts " +
+            "(runaway claim contention or a claim-dir permission problem)")
+      val target = versionDir(step, v)
+      if (claimVersion(step, v) && !fs.exists(target)) {
+        fs.mkdirs(target.getParent)
+        if (!fs.rename(staging, target))
+          throw new IllegalStateException(
+            s"catalog: failed to promote $staging -> $target")
+        committed = v
+      } else v += 1
+    }
+    committed
   }
+
+  private def claimDir(step: String): Path = new Path(stepDir(step), ".claims")
+
+  /** Atomically claim version `v` of `step` for this writer; false if
+    * any writer (this process or another job) holds it. The claim file
+    * is the ONLY arbiter [[writeNext]] trusts before renaming onto
+    * `v=N`, so its creation must be atomic: `create(overwrite=false)`
+    * is a single namenode op on HDFS, and the process-wide lock covers
+    * same-JVM racers on filesystems whose create is check-then-act
+    * (the local FS). Claims are never deleted while their version is
+    * retained — [[vacuum]] drops them with the version. */
+  private def claimVersion(step: String, v: Int): Boolean =
+    VersionedCatalog.claimLock.synchronized {
+      try {
+        fs.create(new Path(claimDir(step), s"v=$v"), false).close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
 
   /** Write the next version range-partitioned AND sorted by `cols` into
     * `numFiles` files: each file holds a contiguous, disjoint key range,
@@ -272,7 +310,13 @@ final class VersionedCatalog(
   def vacuum(step: String, keep: Int): Seq[Int] = {
     require(keep >= 1, "catalog vacuum: must keep at least the latest version")
     val drop = versions(step).dropRight(keep)
-    drop.foreach(v => fs.delete(versionDir(step, v), true))
+    drop.foreach { v =>
+      fs.delete(versionDir(step, v), true)
+      // the claim travels with its version; claims for retained or
+      // crash-orphaned versions stay (an orphaned claim just keeps its
+      // number skipped, which is exactly the safe outcome)
+      fs.delete(new Path(claimDir(step), s"v=$v"), false)
+    }
     drop
   }
 
@@ -298,4 +342,12 @@ final class VersionedCatalog(
     val r = spark.read.format(format).options(options).option("mode", "FAILFAST")
     schema.fold(r)(r.schema)
   }
+}
+
+object VersionedCatalog {
+  /** Serializes same-process claim creation (see [[VersionedCatalog
+    * .claimVersion]]): cross-job arbitration is the filesystem's atomic
+    * create-no-overwrite; this lock closes the check-then-act window of
+    * local-filesystem create for writers sharing a JVM. */
+  private[catalog] val claimLock = new Object
 }

@@ -27,6 +27,45 @@ class VersionedCatalogSpec extends SparkSpec {
     }
   }
 
+  test("racing writers both commit, to distinct versions, with no nesting") {
+    withTempDir { dir =>
+      val cat = new VersionedCatalog(spark, dir.toString)
+      // each writer carries a distinct payload so a nested/clobbered
+      // version is detectable from its contents, not just its count
+      val writers = 6
+      val rounds = 4
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+      try {
+        val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val fs = (0 until writers).map { w =>
+          scala.concurrent.Future {
+            (0 until rounds).map { r =>
+              val payload = w * 100 + r
+              payload -> cat.writeNext("race", df(payload))
+            }
+          }(ec)
+        }
+        val commits = fs.flatMap(f => scala.concurrent.Await
+          .result(f, scala.concurrent.duration.Duration(300, "s")))
+        // every write committed, and no two writers share a version
+        assert(commits.size == writers * rounds)
+        assert(commits.map(_._2).distinct.size == commits.size,
+          "two racing writers were handed the same version")
+        // the committed version set is exactly what the catalog lists
+        assert(cat.versions("race").toSet == commits.map(_._2).toSet)
+        // no nesting or cross-contamination: each version holds exactly
+        // its writer's single payload row
+        commits.foreach { case (payload, v) =>
+          val rows = cat.read("race", v, Some(schema)).collect().map(_.getInt(0))
+          assert(rows.toSeq == Seq(payload),
+            s"version $v holds ${rows.mkString(",")}, expected $payload")
+        }
+        // nothing left behind in staging (every writer promoted)
+        assert(cat.vacuumStaging() == 0)
+      } finally pool.shutdown()
+    }
+  }
+
   test("latest resolves the highest version") {
     withTempDir { dir =>
       val cat = new VersionedCatalog(spark, dir.toString)

@@ -174,6 +174,68 @@ class ScaleSmokeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("semantic dedup survives a planted 5k mega-CELL: the cap drops its " +
+      "pair expansion before it materializes, every other cell is baseline-exact") {
+    // 5000 identical copies of one embedding all assign to one cell:
+    // uncapped, that cell's pair expansion is C(5000+,2) ≈ 12.5M pairs —
+    // the real-duplicate-density shape the cap exists for. The planted
+    // ids sit ABOVE every fixture id, so baseline members' dup verdicts
+    // cannot change (a member is a dup iff some LOWER-id neighbor
+    // matches), which makes the expected output exact in both runs.
+    val vecs = graft.Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val planted = vecs.filter(col("vec_id") === 7L)
+      .crossJoin(spark.range(5000).toDF("i"))
+      .select((col("i") + 2000000L).as("vec_id"), col("embedding"))
+    val cents = graft.operators.SimilarityJoin.md5CentroidTable(spark, nCells = 64)
+    val megaCell = graft.operators.SimilarityJoin.ivfAssignTable(
+        vecs.filter(col("vec_id") === 7L), col("vec_id"), col("embedding"), cents)
+      .collect().head.getLong(1)
+    def run(input: org.apache.spark.sql.DataFrame, maxCell: Int) =
+      graft.operators.SimilarityJoin.semanticDedupTwoLevel(
+          input, col("vec_id"), col("embedding"), cents, threshold = 0.4,
+          nCoarse = 8, wProbe = 8, maxCell = maxCell)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+    val baseline = run(vecs, 65536)
+    spark.catalog.clearCache()
+
+    // capture the cap's observe metric (async bus → poll, the q52 pattern)
+    @volatile var dropped: Option[Long] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit =
+        qe.observedMetrics.get("semantic_dedup_cell_cap")
+          .foreach(r => dropped = Some(r.getLong(0)))
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // CAPPED: the mega cell exceeds maxCell=4096 → its bucket is
+      // dropped before any member array builds; counts still exact
+      val capped = run(vecs.unionAll(planted), 4096)
+      val (bv, bd, _) = baseline(megaCell)
+      assert(capped(megaCell) == ((bv + 5000L, 0L, bv + 5000L)),
+        s"capped mega cell: ${capped(megaCell)}")
+      assert((capped - megaCell) == (baseline - megaCell),
+        "the cap leaked into an unplanted cell")
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (dropped.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(dropped.contains(1L), s"semantic_dedup_cell_cap.dropped_buckets = $dropped")
+      spark.catalog.clearCache()
+
+      // UNCAPPED (cap above the planted size): every planted copy is a
+      // dup of lower-id vec 7 — n_dups grows by EXACTLY 5000 and nothing
+      // else moves (the q52 oracle-formula discipline)
+      val uncapped = run(vecs.unionAll(planted), 8192)
+      assert(uncapped(megaCell) == ((bv + 5000L, bd + 5000L, bv - bd)),
+        s"uncapped mega cell: ${uncapped(megaCell)}")
+      assert((uncapped - megaCell) == (baseline - megaCell))
+    } finally spark.listenerManager.unregister(listener)
+    spark.catalog.clearCache()
+  }
+
   test("intra-label cosine thins a label past maxPerLabel: pair count is " +
       "capped-quadratic, average finite, observe metric fires") {
     // All 500 fixture vectors under ONE label, cap at 100: the thinning
