@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.SparkPlan
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 
@@ -122,6 +123,57 @@ class PlanAuditSpec extends SparkSpec {
       "q113_hist_quantile_merge" -> 5, // ONE cached scaled-value pass + parity bin agg + 256-row cum/serve windows + exact-order-stat window; +1 AQE slack on the cached-relation joins like q104/q108
       "q115_index_append_occupancy" -> 4) // map-side kernel assignment (zero exchange) + two cell-count aggs + their join + ordered output; measured 3 at local[4], +1 AQE slack on the agg-agg join
     (b0.map(_ -> 0) ++ b1.map(_ -> 1) ++ b2.map(_ -> 2) ++ multi).toMap
+  }
+
+  /** Queries whose budget carries ONE exchange of AQE slack above the
+    * measured matrix: AQE finalizes their cached-relation joins
+    * differently depending on suite order / session state, so the
+    * measured count at regeneration time can sit one below what a full
+    * suite run plans. Justifications live on the budget entries. */
+  private val aqeSlackJustified = Set(
+    "q104_cms_merge", "q108_hll_estimate_merge",
+    "q113_hist_quantile_merge", "q115_index_append_occupancy")
+
+  test("budgets equal the committed measured matrix plus at most one justified slack") {
+    // PLAN_BUDGETS.json is regenerated by graft.tools.ShuffleCounts and
+    // committed: this check pins every hand-maintained budget to the
+    // measured environment matrix, so a "+1 slack" comment can never
+    // hide a REAL extra exchange — absorbing one would require
+    // regenerating the artifact, which shows as a reviewable git diff.
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(
+      java.nio.file.Paths.get("PLAN_BUDGETS.json").toFile)
+    val measured = root.properties().iterator().asScala.map { e =>
+      val byEnv = e.getValue.properties().iterator().asScala
+        .map(c => c.getKey -> c.getValue.asInt()).toMap
+      e.getKey -> byEnv
+    }.toMap
+    assert(measured.keySet == SparkEntry.queries.keySet,
+      "PLAN_BUDGETS.json is stale — regenerate with graft.tools.ShuffleCounts: " +
+        s"missing ${SparkEntry.queries.keySet -- measured.keySet}, " +
+        s"extra ${measured.keySet -- SparkEntry.queries.keySet}")
+    measured.foreach { case (name, byEnv) =>
+      assert(byEnv.keySet == Set("local4", "local8"),
+        s"$name: incomplete environment matrix ${byEnv.keySet}")
+      val mx = byEnv.values.max
+      val slack = budgets(name) - mx
+      if (name == "q53_ann_ivf")
+        // the MLlib KMeans build contributes a session-state-dependent
+        // stage count (observed 5-9 across runs); the budget is pinned
+        // loose at 10 to catch only gross regressions
+        assert(slack >= 0 && budgets(name) == 10,
+          s"q53: measured $byEnv vs budget ${budgets(name)}")
+      else if (aqeSlackJustified(name))
+        assert(slack == 1,
+          s"$name: budget ${budgets(name)} vs measured max $mx — the justified " +
+            "slack must be exactly 1 (0 means drop it from aqeSlackJustified; " +
+            ">1 hides a regression)")
+      else
+        assert(slack == 0,
+          s"$name: budget ${budgets(name)} != measured max $mx — either a plan " +
+            "regression (fix the operator) or an intentional change " +
+            "(regenerate PLAN_BUDGETS.json and justify)")
+    }
   }
 
   test("plan audit over every query: no accidental cartesians, shuffle budgets hold") {
