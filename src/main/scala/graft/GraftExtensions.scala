@@ -125,5 +125,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PpmChannelStats].getName, "ppm_channel_stats"),
       (args: Seq[Expression]) =>
         PpmChannelStats(arity(args, "ppm_channel_stats", 1).head)))
+
+    ext.injectFunction((
+      FunctionIdentifier("wav_header"),
+      new ExpressionInfo(classOf[WavHeader].getName, "wav_header"),
+      (args: Seq[Expression]) => WavHeader(arity(args, "wav_header", 1).head)))
+
+    ext.injectFunction((
+      FunctionIdentifier("wav_channel_stats"),
+      new ExpressionInfo(classOf[WavChannelStats].getName, "wav_channel_stats"),
+      (args: Seq[Expression]) =>
+        WavChannelStats(arity(args, "wav_channel_stats", 1).head)))
+
+    ext.injectFunction((
+      FunctionIdentifier("wav_wrap"),
+      new ExpressionInfo(classOf[WavWrap].getName, "wav_wrap"),
+      (args: Seq[Expression]) => { val a = arity(args, "wav_wrap", 2)
+        WavWrap(a.head, a(1)) }))
+
+    ext.injectFunction((
+      FunctionIdentifier("wav_crop_frames"),
+      new ExpressionInfo(classOf[WavCropFrames].getName, "wav_crop_frames"),
+      (args: Seq[Expression]) => { val a = arity(args, "wav_crop_frames", 3)
+        WavCropFrames(a.head, a(1), a(2)) }))
   }
 }

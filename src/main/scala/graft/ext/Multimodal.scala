@@ -208,6 +208,55 @@ object Multimodal extends QueryModule {
       .select(col("media_id"), col("emb"))
   }
 
+  /** The AUDIO twin of [[pixelEmbedding]] — a pixel-space→sample-space
+    * transliteration proving the embedding seam is format-generic: each
+    * canonical stereo PCM-16 container splits into `nWindows` frame
+    * windows ([[graft.functions.WavCodec.cropFrames]], inlined — no
+    * explode/shuffle), each window reduces to its per-channel integer
+    * mean SHIFTED to non-negative (mean + 32768 ∈ [0, 65535] — sample
+    * sums can be negative and the engines disagree on negative integer
+    * division, so the shift keeps every `div` on non-negative operands
+    * where truncation ≡ floor; centering later erases the constant),
+    * the 2·nWindows feature vector centers on its own integer mean, and
+    * JL-projects through the same md5 ±1 grid. The projection rescales
+    * ÷1e6 (not q111's ÷1e4): features reach 65535, so |proj| ≤
+    * 2·nWindows·65535 ≈ 1.05e6 at the 8-window default, and the
+    * downstream ×1e7-scaled squared norm must stay in int64 —
+    * Σ(10·p)² ≤ 16·1.1e14 ≈ 1.8e15 ≪ 2^63, with the same margin
+    * q111's envelope note derives.
+    *
+    * Input rows need (media_id, content) with content a canonical
+    * stereo PCM-16 container of ≥ nWindows frames (every window
+    * non-empty); callers filter first, as q116 does. */
+  def audioEmbedding(
+      media: DataFrame, nWindows: Int = 8, outDims: Int = 16): DataFrame = {
+    import graft.functions.WavCodecFunctions._
+    val n = element_at(wavHeader(col("content")), 4) // n_frames
+    val withStats = (0 until nWindows).foldLeft(media.withColumn("_n", n)) {
+      (df, w) =>
+        df.withColumn(s"_st$w",
+          wavChannelStats(wavCropFrames(col("content"),
+            expr(s"(_n * $w) div $nWindows"),
+            expr(s"(_n * ${w + 1}) div $nWindows"))))
+    }
+    // feature k = 2·w + c: window w's channel-c mean, shifted into
+    // [0, 65535] — st[0] is the window frame count, st[2]/st[5] the
+    // channel sample sums
+    val featExpr = (0 until nWindows).flatMap { w =>
+      (0 until 2).map(c => s"(_st$w[${2 + 3 * c}] + 32768L * _st$w[0]) div _st$w[0]")
+    }.mkString("array(", ", ", ")")
+    val dims = 2 * nWindows
+    val signs = graft.functions.VectorFunctions.rpSigns(dims, outDims)
+    withStats
+      .withColumn("_feat0", expr(featExpr))
+      .withColumn("_mu", expr(s"aggregate(_feat0, 0L, (a, x) -> a + x) div ${dims}L"))
+      .withColumn("_feat", expr("transform(_feat0, x -> x - _mu)"))
+      .withColumn("emb", transform(
+        graft.functions.VectorFunctions.signedProject(col("_feat"), signs),
+        p => p.cast("double") / lit(1e6)))
+      .select(col("media_id"), col("emb"))
+  }
+
   /** Size-aware repartition: spread items so each task sees a bounded
     * payload volume. `range`-partitioning on a size-rank would be exact;
     * hashing on id is the cheap approximation used here, with the

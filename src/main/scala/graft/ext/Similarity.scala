@@ -1087,6 +1087,103 @@ object Similarity extends QueryModule {
         ${semanticDedupSqlTail(threshold = "0.9")}""")),
 
     // ------------------------------------------------------------------
+    // q116: the AUDIO twin of q111 — semantic dedup over embeddings
+    // derived from ACTUAL PCM SAMPLES end to end, proving the
+    // multimodal→embedding→dedup seam is format-generic: q111's
+    // patch/pool/center/JL-project pipeline transliterated from pixel
+    // space (P6 crop + channel stats) to sample space (q116's
+    // wav_crop_frames + wav_channel_stats over the q114 codec), feeding
+    // the SAME dedup operator under the SAME shared oracle tail. Window
+    // means shift to non-negative before the integer division (sample
+    // sums can be negative; truncate-vs-floor would split the engines)
+    // and the constant vanishes under per-item centering. One wrong
+    // decoded sample, window boundary, or sign bit hash-fails.
+    QueryDef(
+      "q116_audio_semantic_dedup",
+      (s, dir) => {
+        // ≥ 32 payload bytes ⇒ ≥ 8 stereo frames ⇒ all 8 windows non-empty
+        val docs = T.documents(s, dir).filter(octet_length(col("text")) >= 32)
+        val media = docs.select(col("doc_id").as("media_id"),
+          graft.functions.WavCodecFunctions.wavWrap(
+            col("text").cast("binary"), lit(8000)).as("content"))
+        val emb = graft.ext.Multimodal.audioEmbedding(
+          media, nWindows = 8, outDims = 16)
+        val cents = graft.operators.SimilarityJoin.md5CentroidTable(
+          s, nCells = 8, dim = 16)
+        graft.operators.SimilarityJoin.semanticDedup(
+            emb, col("media_id"), col("emb"), cents, threshold = 0.9)
+          .orderBy(col("cell"))
+      },
+      Some(s"""
+        WITH src AS (SELECT doc_id AS media_id,
+                            octet_length(encode(text)) // 4 AS n,
+                            hex(encode(text)) AS hx
+                     FROM documents WHERE octet_length(encode(text)) >= 32),
+        win AS (SELECT media_id, CAST(i AS BIGINT) AS w,
+                       n * i // 8 AS wa, n * (i + 1) // 8 AS wb
+                FROM src CROSS JOIN (SELECT unnest(range(0, 8)) AS i)),
+        -- sample i (frame i//2, channel i%2) sits at text bytes [2i, 2i+2):
+        -- int16 LE, low byte first, two's-complement fold (q114's
+        -- construction); window w covers samples [2*wa, 2*wb)
+        sm AS (SELECT media_id, w, wb - wa AS n_px,
+                      CAST(i % 2 AS INT) AS ch,
+                      (strpos('0123456789ABCDEF',
+                         substring(hx, CAST(4 * i + 1 AS INT), 1)) - 1) * 16
+                      + strpos('0123456789ABCDEF',
+                         substring(hx, CAST(4 * i + 2 AS INT), 1)) - 1
+                      + 256 * ((strpos('0123456789ABCDEF',
+                                  substring(hx, CAST(4 * i + 3 AS INT), 1)) - 1) * 16
+                               + strpos('0123456789ABCDEF',
+                                  substring(hx, CAST(4 * i + 4 AS INT), 1)) - 1) AS uv
+               FROM (SELECT media_id, w, wa, wb,
+                            CAST(unnest(range(2 * wa, 2 * wb)) AS BIGINT) AS i
+                     FROM win) q JOIN src USING (media_id)),
+        st AS (SELECT media_id, w, ch, MAX(n_px) AS n_px,
+                      SUM(CASE WHEN uv >= 32768 THEN uv - 65536 ELSE uv END) AS s
+               FROM sm GROUP BY media_id, w, ch),
+        -- feature k = 2·w + ch: window channel mean SHIFTED to [0, 65535]
+        -- (numerator non-negative, so // mirrors Spark's div)
+        feat0 AS (SELECT media_id, CAST(w * 2 + ch AS BIGINT) AS k,
+                         CAST((s + 32768 * n_px) // n_px AS BIGINT) AS x
+                  FROM st),
+        fmean AS (SELECT media_id, CAST(SUM(x) // 16 AS BIGINT) AS mu
+                  FROM feat0 GROUP BY media_id),
+        feat AS (SELECT media_id, k, x - mu AS x
+                 FROM feat0 JOIN fmean USING (media_id)),
+        grid AS (SELECT gi.i AS i, gj.j AS j,
+                        1 - 2*(${X.h60Sql("'rp ' || CAST(gi.i AS VARCHAR) || ' ' || CAST(gj.j AS VARCHAR)")} % 2) AS sgn
+                 FROM (SELECT unnest(range(0, 16)) AS i) gi,
+                      (SELECT unnest(range(0, 16)) AS j) gj),
+        proj AS (SELECT media_id, j, CAST(SUM(x * sgn) AS BIGINT) AS p
+                 FROM feat JOIN grid ON grid.i = feat.k
+                 GROUP BY media_id, j),
+        embl AS (SELECT media_id AS vec_id, list(p ORDER BY j) AS pl
+                 FROM proj GROUP BY media_id),
+        cent AS (
+          SELECT gc.c AS cell,
+                 list_transform(range(0, 16), d ->
+                   (CAST(${X.h60Sql("'ivf ' || CAST(gc.c AS VARCHAR) || ' ' || CAST(d AS VARCHAR)")}
+                      % 4001 AS BIGINT) - 2000) / 10000.0) AS ctr
+          FROM (SELECT unnest(range(0, 8)) AS c) gc),
+        vecs AS (SELECT vec_id,
+                        list_transform(pl, p -> CAST(p AS DOUBLE) / 1000000.0) AS fd,
+                        ${X.scaledVecSql(
+                          "list_transform(pl, p -> CAST(p AS DOUBLE) / 1000000.0)")} AS v
+                 FROM embl),
+        vn AS (SELECT vec_id, fd, v, ${X.norm2IntSql("v")} AS n2 FROM vecs),
+        dist AS (SELECT vec_id, cell,
+                   list_aggregate(list_transform(range(0, 16),
+                     i -> (fd[i+1] - ctr[i+1]) * (fd[i+1] - ctr[i+1])), 'sum') AS d
+                 FROM vn, cent),
+        assigned AS (SELECT vec_id, cell FROM (
+                       SELECT vec_id, cell,
+                              row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d, cell) AS rn
+                       FROM dist) WHERE rn = 1),
+        ${ivfAvSqlCte()},
+        ${semanticDedupSqlTail(threshold = "0.9")}""")),
+
+    // ------------------------------------------------------------------
     // q115: INDEX APPEND WITHOUT REFIT — the daily maintenance path of
     // a serving index: the "fit-time" corpus (even vec_ids) is assigned
     // and persisted; the new batch (odd vec_ids) assigns through the

@@ -176,8 +176,16 @@ object WavCodec {
       throw new IllegalArgumentException(
         s"wav_wrap: sample rate $rate must be positive")
     val nFrames = bytes.length / 4
-    val dataBytes = nFrames * 4
-    val out = new Array[Byte](44 + dataBytes)
+    buildCanonical(2, rate.toLong, 16, bytes, 0, nFrames * 4)
+  }
+
+  /** A canonical 44-byte-header PCM container over `data[off, off+len)`
+    * — the one builder behind [[wrapPcm16Stereo]] and [[cropFrames]],
+    * so a wrapped fixture and a cropped window can never disagree on
+    * header layout. */
+  private def buildCanonical(channels: Int, rate: Long, bits: Int,
+      data: Array[Byte], off: Int, len: Int): Array[Byte] = {
+    val out = new Array[Byte](44 + len)
     def putTag(p: Int, s: String): Unit = {
       var i = 0
       while (i < 4) { out(p + i) = s.charAt(i).toByte; i += 1 }
@@ -191,13 +199,35 @@ object WavCodec {
       out(p + 2) = ((v >> 16) & 0xff).toByte
       out(p + 3) = ((v >> 24) & 0xff).toByte
     }
-    putTag(0, "RIFF"); put32(4, 36L + dataBytes); putTag(8, "WAVE")
+    val blockAlign = channels * bits / 8
+    putTag(0, "RIFF"); put32(4, 36L + len); putTag(8, "WAVE")
     putTag(12, "fmt "); put32(16, 16L)
-    put16(20, 1); put16(22, 2); put32(24, rate.toLong)
-    put32(28, rate.toLong * 4L); put16(32, 4); put16(34, 16)
-    putTag(36, "data"); put32(40, dataBytes.toLong)
-    System.arraycopy(bytes, 0, out, 44, dataBytes)
+    put16(20, 1); put16(22, channels); put32(24, rate)
+    put32(28, rate * blockAlign); put16(32, blockAlign); put16(34, bits)
+    putTag(36, "data"); put32(40, len.toLong)
+    System.arraycopy(data, off, out, 44, len)
     out
+  }
+
+  /** Frames [a, b) of a parsed container, re-wrapped as a canonical
+    * PCM container with the SAME fmt fields — the audio twin of
+    * [[PpmCodec.cropCols]]: window-local analysis composes this with
+    * [[channelStats]] without the payload ever leaving its partition.
+    * Bounds are fail-fast (0 ≤ a ≤ b ≤ n_frames) — a silent clamp
+    * would make a miscomputed window read as quiet audio instead of an
+    * error. */
+  def cropFrames(bytes: Array[Byte], a: Long, b: Long): Array[Byte] = {
+    val hdr = parseHeader(bytes)
+    val nFrames = hdr.getLong(3)
+    if (a < 0 || b < a || b > nFrames)
+      throw new IllegalArgumentException(
+        s"wav_crop_frames: window [$a, $b) out of bounds for $nFrames frames")
+    val channels = hdr.getLong(0).toInt
+    val bits = hdr.getLong(2).toInt
+    val blockAlign = channels * bits / 8
+    val off = hdr.getLong(4)
+    buildCanonical(channels, hdr.getLong(1), bits, bytes,
+      (off + a * blockAlign).toInt, ((b - a) * blockAlign).toInt)
   }
 }
 
@@ -271,6 +301,33 @@ case class WavWrap(left: Expression, right: Expression)
       l: Expression, r: Expression): WavWrap = copy(left = l, right = r)
 }
 
+/** (binary WAV payload, a BIGINT, b BIGINT) → binary: frames [a, b)
+  * re-wrapped canonically ([[WavCodec.cropFrames]]) — the audio twin
+  * of [[PpmCropCols]]. */
+case class WavCropFrames(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType == BinaryType && second.dataType == LongType
+        && third.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (BINARY, BIGINT, BIGINT), got " +
+        s"(${first.dataType.sql}, ${second.dataType.sql}, ${third.dataType.sql})")
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "wav_crop_frames"
+
+  override def nullSafeEval(payload: Any, a: Any, b: Any): Any =
+    WavCodec.cropFrames(payload.asInstanceOf[Array[Byte]],
+      a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (p, a, b) =>
+      s"graft.functions.WavCodec.cropFrames($p, $a, $b)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): WavCropFrames =
+    copy(first = f, second = s, third = t)
+}
+
 object WavCodecFunctions {
   def wavHeader(payload: Column): Column =
     ColumnBridge.column(WavHeader(ColumnBridge.expression(payload)))
@@ -281,4 +338,8 @@ object WavCodecFunctions {
   def wavWrap(payload: Column, rate: Column): Column =
     ColumnBridge.column(WavWrap(ColumnBridge.expression(payload),
       ColumnBridge.expression(rate)))
+
+  def wavCropFrames(payload: Column, a: Column, b: Column): Column =
+    ColumnBridge.column(WavCropFrames(ColumnBridge.expression(payload),
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -115,6 +115,7 @@ class PlanAuditSpec extends SparkSpec {
       "q95_semantic_dedup_inc_partial" -> 5, // q93's shape under wProbe < nCoarse
       "q110_semantic_dedup_dist_fit" -> 4, // q92's shape (cells, caps, verify, summary) with the fit done distributedly BEFORE the query plan
       "q111_pixel_semantic_dedup" -> 4, // q84's dedup shape over pixel-derived embeddings — featurization (crop/stats/JL kernels) is entirely map-side and adds ZERO exchanges
+      "q116_audio_semantic_dedup" -> 4, // q111's shape with sample-space featurization (wav crop/stats kernels) — same all-map-side featurization argument
       "q105_ann_serving_dist_fit" -> 3, // q98's 2 + one extra window pass: the salted rank's stage-1 (qid, salt) sort — the partition bound IS the third exchange
       "q102_cms_sketch" -> 3, // token counts, cell agg, ordered output
       "q103_cms_heavy_hitters" -> 3, // token counts, cell agg, serve probe

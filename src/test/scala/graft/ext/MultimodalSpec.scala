@@ -292,6 +292,34 @@ class MultimodalSpec extends SparkSpec {
     assert(err.getMessage.contains("BINARY"))
   }
 
+  test("WavCodec.cropFrames: window slices re-wrap canonically; bounds fail fast") {
+    import graft.functions.WavCodec
+    // 3 stereo frames with distinct hand-computable samples per frame:
+    // f0 = (1, 2), f1 = (-1, -32768), f2 = (300, -300)
+    val payload = Array[Byte](1, 0, 2, 0, -1, -1, 0, -128, 44, 1, -44, -2)
+    val wav = WavCodec.wrapPcm16Stereo(payload, 8000)
+    // full-range crop round-trips to an identical container
+    assert(WavCodec.cropFrames(wav, 0L, 3L).toSeq == wav.toSeq)
+    // single-frame windows carry exactly that frame's samples
+    assert(WavCodec.channelStats(WavCodec.cropFrames(wav, 0L, 1L))
+      .toLongArray().toSeq == Seq(1L, 2L, 1L, 1L, 1L, 2L, 2L, 2L))
+    assert(WavCodec.channelStats(WavCodec.cropFrames(wav, 1L, 2L))
+      .toLongArray().toSeq ==
+        Seq(1L, 2L, -1L, -1L, -1L, -32768L, -32768L, -32768L))
+    assert(WavCodec.channelStats(WavCodec.cropFrames(wav, 2L, 3L))
+      .toLongArray().toSeq == Seq(1L, 2L, 300L, 300L, 300L, -300L, -300L, -300L))
+    // a crop parses as a first-class container (header fields re-derived)
+    assert(WavCodec.parseHeader(WavCodec.cropFrames(wav, 1L, 3L))
+      .toLongArray().toSeq == Seq(2L, 8000L, 16L, 2L, 44L, 8L))
+    // empty window is valid (a == b); zero frames, empty stats
+    assert(WavCodec.channelStats(WavCodec.cropFrames(wav, 2L, 2L))
+      .toLongArray().toSeq == Seq(0L, 2L, 0L, 0L, 0L, 0L, 0L, 0L))
+    // out-of-bounds windows fail fast, never clamp
+    intercept[IllegalArgumentException](WavCodec.cropFrames(wav, -1L, 2L))
+    intercept[IllegalArgumentException](WavCodec.cropFrames(wav, 2L, 1L))
+    intercept[IllegalArgumentException](WavCodec.cropFrames(wav, 0L, 4L))
+  }
+
   test("ppmWrap emits valid containers; the compiled parse round-trips construction") {
     val wrapped = ppmWrap(graft.Tables.documents(spark, dir))
     val rows = wrapped
