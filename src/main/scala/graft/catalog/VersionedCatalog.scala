@@ -235,6 +235,37 @@ final class VersionedCatalog(
     writeNext(step, merged)
   }
 
+  /** CDC read between two committed versions — the query-side
+    * complement of [[merge]]: per key, how vFrom became vTo. Returns
+    * the key columns plus `change` ('insert' | 'delete' | 'update')
+    * and the full `old`/`new` rows as structs; unchanged keys do not
+    * flow (CDC semantics — at 100 TB the diff of daily versions is
+    * small even when both versions are not). One co-partitioned
+    * full-outer join on `keys`, the same shuffle shape as merge;
+    * row-wise struct equality, so a change in ANY column (nulls
+    * included) classifies as an update. Both versions must carry the
+    * same schema — time travel never rewrites old versions, so a
+    * schema-evolved step diffs only across same-schema spans. */
+  def diff(step: String, vFrom: Int, vTo: Int, keys: Seq[String],
+      schema: Option[StructType] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, struct, when}
+    val a = read(step, vFrom, schema)
+    val b = read(step, vTo, schema)
+    val cols = a.columns.toSeq
+    require(b.columns.toSeq == cols,
+      s"catalog diff: v$vTo schema ${b.columns.toSeq} != v$vFrom schema $cols")
+    val l = a.select(struct(cols.map(col): _*).as("old") +: keys.map(col): _*)
+    val r = b.select(struct(cols.map(col): _*).as("new") +: keys.map(col): _*)
+    l.join(r, keys, "full_outer")
+      .withColumn("change",
+        when(col("old").isNull, lit("insert"))
+          .when(col("new").isNull, lit("delete"))
+          .when(col("old") === col("new"), lit("same"))
+          .otherwise(lit("update")))
+      .filter(col("change") =!= "same")
+      .select(keys.map(col) :+ col("change") :+ col("old") :+ col("new"): _*)
+  }
+
   /** Rewrite the latest version into ~`targetBytes`-sized files as a new
     * version — the small-files compaction every incremental sink needs
     * (a streaming epoch sink commits many small versions whose files are

@@ -562,6 +562,43 @@ object SimilarityJoin {
     (v, appended)
   }
 
+  /** The occupancy report's CONSUMER — closes the index maintenance
+    * loop (build → serve → append → monitor → REFIT): when the share
+    * of assignment rows sitting in `needs_refit` cells reaches
+    * `staleShareE2` (×100), refit centroids via the caller's `fit`
+    * over the corpus and commit a fresh full assignment as the next
+    * catalog version; otherwise leave the index alone. Returns
+    * (refit fired, flagged share ×100, committed version if any). The
+    * decision reads one tiny aggregate over the cell-level report
+    * (index-small rows); the corpus is scanned ONLY when refit fires —
+    * a daily maintenance job that usually decides "no" costs two
+    * cell-count aggregations, not a corpus pass. */
+  def ivfRefitIfStale(
+      cat: graft.catalog.VersionedCatalog, step: String,
+      vecs: DataFrame, id: Column, vec: Column,
+      fitCounts: DataFrame,
+      fit: DataFrame => DataFrame,
+      staleShareE2: Long = 20L,
+      staleFactorE2: Long = 150L): (Boolean, Long, Option[Int]) = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "vec_id BIGINT, cell BIGINT")
+    val rep = indexOccupancyReport(
+      cat.latest(step, Some(schema)), fitCounts, staleFactorE2)
+    val head = rep.agg(
+      sum(when(col("needs_refit"), col("n_total")).otherwise(0L)).as("flagged"),
+      sum(col("n_total")).as("total")).head()
+    val flagged = head.getLong(0)
+    val total = head.getLong(1)
+    val shareE2 = flagged * 100L / math.max(total, 1L)
+    if (shareE2 >= staleShareE2) {
+      val cents = fit(vecs)
+      val v = cat.writeNext(step,
+        ivfAssignTable(vecs, id, vec, cents)
+          .select(col("vec_id").cast("long"), col("cell")))
+      (true, shareE2, Some(v))
+    } else (false, shareE2, None)
+  }
+
   /** Occupancy / staleness report — the REFIT TRIGGER input: per cell,
     * the fit-time member count vs the current assignment-table count
     * and the integer growth ratio (×100). A cell whose population

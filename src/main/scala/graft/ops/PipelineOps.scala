@@ -73,6 +73,58 @@ object PipelineOps extends QueryModule {
         GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
     // ------------------------------------------------------------------
+    // q117: CDC diff between committed versions — the read-side
+    // complement of q66's merge and q61's time travel: v1 holds keys
+    // ≡ 0..3 (mod 10), v2 holds keys ≡ 2..5 with doubled prices on
+    // ≡ 3 — so the diff classifies ≡ 0,1 as deletes, ≡ 4,5 as
+    // inserts, ≡ 3 as updates, and ≡ 2 (identical both sides) must
+    // NOT flow. Aggregated per change class with old/new price sums so
+    // a row-compare bug (a 'same' leaking, an update missed) shifts a
+    // hashed number. One co-partitioned full-outer join on the key —
+    // the merge shuffle shape; unchanged keys drop before anything
+    // else happens.
+    QueryDef(
+      "q117_catalog_version_diff",
+      (s, dir) => {
+        val work = Files.createTempDirectory("graft-q117-").toString
+        val cat = new VersionedCatalog(s, work)
+        val orders = T.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice").as("price"))
+        cat.writeNext("snap", orders.filter(col("o_orderkey") % 10 <= 3))
+        cat.writeNext("snap",
+          orders.filter(col("o_orderkey") % 10 >= 2 && col("o_orderkey") % 10 <= 5)
+            .withColumn("price",
+              when(col("o_orderkey") % 10 === 3, col("price") * 2)
+                .otherwise(col("price"))))
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "o_orderkey BIGINT, o_orderstatus STRING, price DOUBLE")
+        cat.diff("snap", 1, 2, Seq("o_orderkey"), Some(schema))
+          .groupBy(col("change"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey")).as("key_sum"),
+            graft.Dsl.dsum(col("old.price"), 2).as("old_price_sum"),
+            graft.Dsl.dsum(col("new.price"), 2).as("new_price_sum"))
+          .orderBy(col("change"))
+      },
+      Some(s"""
+        SELECT change, COUNT(*) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               ${graft.Dsl.dsumSql("old_price", 2)} AS old_price_sum,
+               ${graft.Dsl.dsumSql("new_price", 2)} AS new_price_sum
+        FROM (SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 10 IN (0, 1) THEN 'delete'
+                          WHEN o_orderkey % 10 IN (4, 5) THEN 'insert'
+                          WHEN o_orderkey % 10 = 3 THEN 'update' END AS change,
+                     CASE WHEN o_orderkey % 10 <= 3 THEN o_totalprice END AS old_price,
+                     CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice * 2
+                          WHEN o_orderkey % 10 IN (4, 5) THEN o_totalprice
+                     END AS new_price
+              FROM orders WHERE o_orderkey % 10 <= 5)
+        WHERE change IS NOT NULL
+        GROUP BY change ORDER BY change""")),
+
+    // ------------------------------------------------------------------
     // q66: CDC-style catalog merge — base snapshot (keys ≡ 0 mod 3)
     // upserted with doubled-price updates (keys ≡ 0 mod 6) and inserts
     // (keys ≡ 1 mod 3); the merged next version must equal the oracle's

@@ -116,6 +116,7 @@ class PlanAuditSpec extends SparkSpec {
       "q110_semantic_dedup_dist_fit" -> 4, // q92's shape (cells, caps, verify, summary) with the fit done distributedly BEFORE the query plan
       "q111_pixel_semantic_dedup" -> 4, // q84's dedup shape over pixel-derived embeddings — featurization (crop/stats/JL kernels) is entirely map-side and adds ZERO exchanges
       "q116_audio_semantic_dedup" -> 4, // q111's shape with sample-space featurization (wav crop/stats kernels) — same all-map-side featurization argument
+      "q117_catalog_version_diff" -> 4, // CDC diff: full-outer join on the key (2 exchanges) + change-class agg + ordered output — the q66 merge shuffle shape read-side
       "q105_ann_serving_dist_fit" -> 3, // q98's 2 + one extra window pass: the salted rank's stage-1 (qid, salt) sort — the partition bound IS the third exchange
       "q102_cms_sketch" -> 3, // token counts, cell agg, ordered output
       "q103_cms_heavy_hitters" -> 3, // token counts, cell agg, serve probe
@@ -126,14 +127,22 @@ class PlanAuditSpec extends SparkSpec {
     (b0.map(_ -> 0) ++ b1.map(_ -> 1) ++ b2.map(_ -> 2) ++ multi).toMap
   }
 
-  /** Queries whose budget carries ONE exchange of AQE slack above the
-    * measured matrix: AQE finalizes their cached-relation joins
-    * differently depending on suite order / session state, so the
-    * measured count at regeneration time can sit one below what a full
-    * suite run plans. Justifications live on the budget entries. */
-  private val aqeSlackJustified = Set(
-    "q104_cms_merge", "q108_hll_estimate_merge",
-    "q113_hist_quantile_merge", "q115_index_append_occupancy")
+  /** Queries whose AQE-final exchange count is SESSION-STATE-DEPENDENT
+    * (cached-relation join finalization differs with suite order and
+    * warm state, observed ±1 across regeneration runs on identical
+    * code — the r9 q44/q45/q92/q94 finding, confirmed for this set by
+    * diffing successive PLAN_BUDGETS.json regenerations). For these
+    * the budget may sit 0 OR 1 above the matrix (the matrix catches
+    * whichever state the regeneration run hit); everywhere else the
+    * budget must EQUAL the measured max, so a real extra exchange on a
+    * deterministic plan can never hide behind slack. */
+  private val aqeWobble = Set(
+    "q41_dedup_minhash_lsh", "q44_dedup_embedding_cosine",
+    "q45_curation_pipeline", "q92_semantic_dedup_two_level",
+    "q94_semantic_dedup_partial_probe", "q104_cms_merge",
+    "q108_hll_estimate_merge", "q110_semantic_dedup_dist_fit",
+    "q111_pixel_semantic_dedup", "q113_hist_quantile_merge",
+    "q115_index_append_occupancy", "q116_audio_semantic_dedup")
 
   test("budgets equal the committed measured matrix plus at most one justified slack") {
     // PLAN_BUDGETS.json is regenerated by graft.tools.ShuffleCounts and
@@ -164,11 +173,11 @@ class PlanAuditSpec extends SparkSpec {
         // loose at 10 to catch only gross regressions
         assert(slack >= 0 && budgets(name) == 10,
           s"q53: measured $byEnv vs budget ${budgets(name)}")
-      else if (aqeSlackJustified(name))
-        assert(slack == 1,
-          s"$name: budget ${budgets(name)} vs measured max $mx — the justified " +
-            "slack must be exactly 1 (0 means drop it from aqeSlackJustified; " +
-            ">1 hides a regression)")
+      else if (aqeWobble(name))
+        assert(slack == 0 || slack == 1,
+          s"$name: budget ${budgets(name)} vs measured max $mx — outside the " +
+            "documented ±1 AQE wobble; a real plan change needs a budget update " +
+            "WITH a regenerated artifact")
       else
         assert(slack == 0,
           s"$name: budget ${budgets(name)} != measured max $mx — either a plan " +

@@ -66,6 +66,35 @@ class VersionedCatalogSpec extends SparkSpec {
     }
   }
 
+  test("diff classifies inserts/deletes/updates row-wise; unchanged keys do not flow") {
+    val s = spark
+    import s.implicits._
+    withTempDir { dir =>
+      val cat = new VersionedCatalog(spark, dir.toString)
+      val sch = StructType.fromDDL("id INT, v STRING")
+      cat.writeNext("t", Seq((1, "a"), (2, "b"), (3, "c"),
+        (4, null: String)).toDF("id", "v"))
+      cat.writeNext("t", Seq((2, "b"), (3, "C"), (4, "d"),
+        (5, "e")).toDF("id", "v"))
+      val rows = cat.diff("t", 1, 2, Seq("id"), Some(sch)).collect()
+      val d = rows.map(r => r.getInt(0) -> r.getString(1)).toMap
+      // null → value classifies as update (row-wise compare, not key-only);
+      // id 2 is identical both sides and must be absent
+      assert(d == Map(1 -> "delete", 3 -> "update", 4 -> "update", 5 -> "insert"))
+      // old/new structs carry the full rows for downstream consumers
+      val upd3 = rows.find(_.getInt(0) == 3).get
+      assert(upd3.getStruct(2).getString(1) == "c" &&
+        upd3.getStruct(3).getString(1) == "C")
+      // delete rows have no new side; insert rows no old side
+      assert(rows.find(_.getInt(0) == 1).get.isNullAt(3))
+      assert(rows.find(_.getInt(0) == 5).get.isNullAt(2))
+      // schema drift between the compared versions fails fast
+      cat.writeNext("u", Seq((1, "a")).toDF("id", "v"))
+      cat.writeNext("u", Seq((1, "a", 2.0)).toDF("id", "v", "w"))
+      intercept[IllegalArgumentException](cat.diff("u", 1, 2, Seq("id")))
+    }
+  }
+
   test("latest resolves the highest version") {
     withTempDir { dir =>
       val cat = new VersionedCatalog(spark, dir.toString)

@@ -121,6 +121,49 @@ class SimilarityIvfSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("refit-if-stale: fresh index declines cheaply, doubled index refits to the new fit") {
+    val vecs = graft.Tables.embeddings(spark, dir)
+    val cents = graft.operators.SimilarityJoin.md5CentroidTable(spark, nCells = 64)
+    val dirTmp = java.nio.file.Files.createTempDirectory("graft-refit-").toString
+    val cat = new graft.catalog.VersionedCatalog(spark, dirTmp, format = "parquet")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val fitSide = graft.operators.SimilarityJoin.ivfAssignTable(
+      vecs.filter(col("vec_id") % 2 === 0), col("vec_id"), col("embedding"), cents)
+    cat.writeNext("asg", fitSide.select(col("vec_id").cast("long"), col("cell")))
+    val fitCounts = cat.latest("asg").groupBy(col("cell"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n_fit"))
+      .cache()
+    fitCounts.count()
+
+    // fresh index: nothing flagged, no refit, no corpus fit ran
+    var fitRan = false
+    val (fired0, share0, v0) = graft.operators.SimilarityJoin.ivfRefitIfStale(
+      cat, "asg", vecs, col("vec_id"), col("embedding"), fitCounts,
+      fit = { df => fitRan = true; cents })
+    assert(!fired0 && share0 == 0L && v0.isEmpty && !fitRan)
+    assert(cat.latestVersion("asg").contains(1))
+
+    // append the odd half: every cell roughly doubles past the 1.5x
+    // factor, the flagged share crosses the threshold, refit fires —
+    // under a DIFFERENT centroid table so the recommit is observable
+    graft.operators.SimilarityJoin.ivfAppendAssign(
+      cat, "asg", vecs.filter(col("vec_id") % 2 === 1),
+      col("vec_id"), col("embedding"), cents)
+    val cents16 = graft.operators.SimilarityJoin.md5CentroidTable(spark, nCells = 16)
+    val (fired1, share1, v1) = graft.operators.SimilarityJoin.ivfRefitIfStale(
+      cat, "asg", vecs, col("vec_id"), col("embedding"), fitCounts,
+      fit = _ => cents16)
+    assert(fired1 && share1 >= 20L && v1.contains(3))
+    // the committed refit IS the from-scratch assignment under the new fit
+    assert(toMap(cat.latest("asg")) == toMap(
+      graft.operators.SimilarityJoin.ivfAssignTable(
+        vecs, col("vec_id"), col("embedding"), cents16)))
+    fitCounts.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("ivfBuildIndexExact: deterministic, partitioning, exact integer state") {
     val vecs = graft.Tables.embeddings(spark, dir)
     val a = graft.operators.SimilarityJoin.ivfBuildIndexExact(
