@@ -513,6 +513,61 @@ object EventPipelines {
     q.awaitTermination()
   }
 
+  /** STREAMING index maintenance — the streaming twin of
+    * [[graft.operators.SimilarityJoin.ivfAppendAssign]]: each epoch's
+    * new vectors assign through the PERSISTED centroid structure (the
+    * same compiled map-side kernel; the corpus is never re-scanned)
+    * and append to the catalog assignment table by unionByName. Append
+    * is NOT content-idempotent — a replayed epoch would duplicate its
+    * rows — so the fold rides the shared atomic-epoch-tag guard
+    * exactly like the additive CMS/histogram folds: the epoch's rows
+    * and its tag commit in one rename, and a replay skips. Serving and
+    * occupancy reads ([[graft.operators.SimilarityJoin
+    * .indexOccupancyReport]]) take `latest` at any time; every version
+    * is a complete, servable assignment table. */
+  def runCatalogIndexAppendSink(
+      newVecs: DataFrame,
+      id: org.apache.spark.sql.Column,
+      vec: org.apache.spark.sql.Column,
+      centroidsDf: DataFrame,
+      checkpoint: String,
+      cat: graft.catalog.VersionedCatalog,
+      step: String): Unit = {
+    val q = newVecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val asg = graft.operators.SimilarityJoin
+          .ivfAssignTable(batch, id, vec, centroidsDf)
+          .select(col("vec_id").cast("long"), col("cell"))
+        foldEpoch(cat, step, asg, epoch, (base, fresh) => base.unionByName(fresh))
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Streaming EXACT DEDUP at ingest — the streaming member of the
+    * dedup family (batch = q40, incremental-vs-corpus = q80/q89; this
+    * one runs ON the ingest stream): emit each key's FIRST arrival,
+    * drop later duplicates, with state bounded by the event-time
+    * watermark (`dropDuplicatesWithinWatermark` — a key's state is
+    * freed once the watermark passes its event time, so unbounded key
+    * cardinality cannot accumulate unbounded state; a duplicate
+    * arriving later than `delay` after its original is out of
+    * contract, the standard at-scale trade). Key and event-time are
+    * caller expressions so document streams dedup on content hashes
+    * the same way event streams dedup on ids. */
+  def streamingExactDedup(
+      rows: DataFrame,
+      key: org.apache.spark.sql.Column,
+      eventTime: String,
+      delay: String): DataFrame =
+    rows.withColumn("_dedup_key", key)
+      .withWatermark(eventTime, delay)
+      .dropDuplicatesWithinWatermark("_dedup_key")
+      .drop("_dedup_key")
+
   /** Batch views of the streaming transforms over the fixture table —
     * the unified-API property: identical code, batch source. */
   def eventsBatch(spark: SparkSession, dir: String): DataFrame =

@@ -530,6 +530,104 @@ class EventPipelinesSpec extends SparkSpec {
     }
   }
 
+  test("streaming index append: epochs assign through persisted centroids, replay-safe") {
+    val s = spark
+    import s.implicits._
+    withTempDir { dir =>
+      val in = s"$dir/in"; val ckpt = s"$dir/ckpt"; val root = s"$dir/cat"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      def writeInput(name: String, vecs: Seq[(Long, Seq[Double])]): Unit =
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/$name"),
+          vecs.map { case (id, v) =>
+            s"""{"vec_id":$id,"embedding":[${v.mkString(",")}]}"""
+          }.mkString("\n").getBytes)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+      def stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(in)
+      val cat = new graft.catalog.VersionedCatalog(spark, root, format = "parquet")
+      val cents = graft.operators.SimilarityJoin.md5CentroidTable(
+        spark, nCells = 4, dim = 4)
+      def mkVec(id: Long) = Seq.tabulate(4)(d => ((id * 7 + d * 3) % 11) / 10.0 - 0.5)
+      val e1 = (0L until 4L).map(i => i -> mkVec(i))
+      val e2 = (4L until 8L).map(i => i -> mkVec(i))
+      def run(): Unit = EventPipelines.runCatalogIndexAppendSink(
+        stream, col("vec_id"), col("embedding"), cents, ckpt, cat, "asg")
+      def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      writeInput("e1.json", e1); run()
+      assert(cat.latestVersion("asg").contains(1))
+      writeInput("e2.json", e2); run()
+      assert(cat.latestVersion("asg").contains(2))
+      // the streamed index ≡ one batch assignment over the union —
+      // and v1 alone is exactly epoch 1's assignment (time travel over
+      // index history)
+      val batchAll = toMap(graft.operators.SimilarityJoin.ivfAssignTable(
+        (e1 ++ e2).toDF("vec_id", "embedding"),
+        col("vec_id"), col("embedding"), cents))
+      assert(toMap(cat.latest("asg")) == batchAll && batchAll.size == 8)
+      assert(toMap(cat.read("asg", 1)) ==
+        toMap(graft.operators.SimilarityJoin.ivfAssignTable(
+          e1.toDF("vec_id", "embedding"), col("vec_id"), col("embedding"), cents)))
+      // replay with no new input: the epoch-tag guard blocks the
+      // non-idempotent append — no new version, no duplicated rows
+      run()
+      assert(cat.latestVersion("asg").contains(2))
+      assert(cat.latest("asg").count() == 8L)
+    }
+  }
+
+  test("streaming exact dedup: first arrival survives, later duplicates drop, state watermark-bounded") {
+    val s = spark
+    import s.implicits._
+    withTempDir { dir =>
+      val in = s"$dir/in"; val ckpt = s"$dir/ckpt"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      def writeInput(name: String, rows: Seq[(String, String, Int)]): Unit =
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/$name"),
+          rows.map { case (ts, k, v) =>
+            s"""{"ts":"$ts","k":"$k","v":$v}"""
+          }.mkString("\n").getBytes)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "ts TIMESTAMP, k STRING, v INT")
+      // collected through foreachBatch (the memory sink cannot recover
+      // from a checkpoint, and run-2's dedup state MUST come from the
+      // checkpoint for the cross-run drop to mean anything)
+      val got = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+      def run(): Unit = {
+        val deduped = EventPipelines.streamingExactDedup(
+          spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(in),
+          key = col("k"), eventTime = "ts", delay = "10 minutes")
+        val q = deduped.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            got ++= batch.collect().map(r => r.getString(1) -> r.getInt(2))
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // run 1: an in-batch duplicate of a (single file, single
+      // partition — first line reaches the state store first)
+      writeInput("e1.json", Seq(
+        ("2024-01-01T10:00:00Z", "a", 1),
+        ("2024-01-01T10:00:10Z", "a", 2),
+        ("2024-01-01T10:00:05Z", "b", 3)))
+      run()
+      assert(got.toMap == Map("a" -> 1, "b" -> 3) && got.size == 2)
+      // run 2: a replays within the watermark delay — dropped against
+      // CHECKPOINTED state; the new key passes
+      writeInput("e2.json", Seq(
+        ("2024-01-01T10:01:00Z", "a", 4),
+        ("2024-01-01T10:02:00Z", "c", 5)))
+      run()
+      assert(got.toMap == Map("a" -> 1, "b" -> 3, "c" -> 5) && got.size == 3)
+    }
+  }
+
   test("AvailableNow + watermark: beyond-watermark events drop, with progress accounting") {
     // the end-to-end late-data contract of the checkpointed pipeline:
     // run 1 advances the event-time watermark (persisted in the commit
