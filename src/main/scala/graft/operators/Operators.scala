@@ -585,8 +585,9 @@ object SimilarityJoin {
     val rep = indexOccupancyReport(
       cat.latest(step, Some(schema)), fitCounts, staleFactorE2)
     val head = rep.agg(
-      sum(when(col("needs_refit"), col("n_total")).otherwise(0L)).as("flagged"),
-      sum(col("n_total")).as("total")).head()
+      coalesce(sum(when(col("needs_refit"), col("n_total")).otherwise(0L)),
+        lit(0L)).as("flagged"),
+      coalesce(sum(col("n_total")), lit(0L)).as("total")).head()
     val flagged = head.getLong(0)
     val total = head.getLong(1)
     val shareE2 = flagged * 100L / math.max(total, 1L)
