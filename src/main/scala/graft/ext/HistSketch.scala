@@ -95,6 +95,31 @@ object HistSketch extends QueryModule {
       .select(col("bin"),
         (coalesce(col("ca"), lit(0L)) + coalesce(col("cb"), lit(0L))).as("cnt"))
 
+  /** One percentile served from a cumulative bin table — the t-th
+    * order statistic's bin plus one exact integer interpolation
+    * (t − cum_before ∈ [1, cnt], so the division never sees
+    * negatives). Shared text between the merge-check and the
+    * catalog-serving query so the serving arithmetic cannot fork. */
+  private def servedExprOf(p: Int, cnt: String): String = {
+    val t = s"(ntot * $p + 99) div 100"
+    s"""min(CASE WHEN cum >= $t AND cum - $cnt < $t
+                 THEN bin * $W + ((($t) - (cum - $cnt)) * $W) div $cnt
+            END) AS p${p}_est_e4"""
+  }
+
+  /** Serve (n_total, p50/p95/p99 estimates) from a persisted B-bin
+    * table — the read side of sketch-as-data: B rows in, one row out,
+    * the corpus never touched. The single-partition windows sort B =
+    * 256 rows, not data. */
+  def serveQuantiles(bins: DataFrame): DataFrame =
+    bins
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("ntot", sum(col("cnt")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .selectExpr("max(ntot) AS n_total",
+        servedExprOf(50, "cnt"), servedExprOf(95, "cnt"), servedExprOf(99, "cnt"))
+
   /** Served quantiles + merge-law check in ONE pass over cached
     * per-(parity, bin) counts (the [[CountMin.mergeCheck]] shape):
     * parity-split bin tables, their bin-wise additive fold, the
@@ -153,14 +178,7 @@ object HistSketch extends QueryModule {
           .as("p95_exact_e4"),
         min(when(col("rn") === expr("(ntot * 99 + 99) div 100"), col("v")))
           .as("p99_exact_e4"))
-    def servedExpr(p: Int): String = {
-      val t = s"(ntot * $p + 99) div 100"
-      // the unique bin with cum ≥ t > cum − cnt contains the t-th value;
-      // (t − cum_before) ∈ [1, cnt] so the division never sees negatives
-      s"""min(CASE WHEN cum >= $t AND cum - merged_cnt < $t
-                   THEN bin * $W + ((($t) - (cum - merged_cnt)) * $W) div merged_cnt
-              END) AS p${p}_est_e4"""
-    }
+    def servedExpr(p: Int): String = servedExprOf(p, "merged_cnt")
     val stats = cum.selectExpr("bin", "merged_cnt", "full_cnt", "cum", "ntot")
       .selectExpr(
         s"count(*) AS m",
@@ -272,6 +290,91 @@ object HistSketch extends QueryModule {
                abs(p95_est_e4 - p95_exact_e4) <= $W AS p95_within_bin,
                p99_est_e4, p99_exact_e4,
                abs(p99_est_e4 - p99_exact_e4) <= $W AS p99_within_bin
-        FROM st CROSS JOIN ex"""))
+        FROM st CROSS JOIN ex""")),
+
+    // ------------------------------------------------------------------
+    // q118: SERVING FROM THE PERSISTED SKETCH — sketch-as-data closed
+    // end to end through the catalog: epoch A's bin table commits as
+    // v1, epoch B folds in additively as v2 (the runCatalogHistogramSink
+    // fold, run relationally in-query), and p50/p95/p99 serve from EACH
+    // version by reading its 256 rows — version isolation for sketch
+    // state (v1 answers "the distribution as of epoch A" forever) and
+    // the quantile probe never touching the corpus, both as one hashed
+    // result. The serving arithmetic is shared text with q113
+    // (servedExprOf), so the probe cannot fork from the checked bound.
+    QueryDef(
+      "q118_hist_catalog_serving",
+      (s, dir) => {
+        val work = java.nio.file.Files.createTempDirectory("graft-q118-").toString
+        val cat = new graft.catalog.VersionedCatalog(s, work, format = "parquet")
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "bin BIGINT, cnt BIGINT")
+        val ev = graft.Tables.events(s, dir)
+        cat.writeNext("hist",
+          binCells(ev.filter(col("event_id") % 2 === 0), col("value")))
+        cat.writeNext("hist", mergeBins(
+          cat.read("hist", 1, Some(schema)),
+          binCells(ev.filter(col("event_id") % 2 === 1), col("value"))))
+        (1 to 2).map { v =>
+          serveQuantiles(cat.read("hist", v, Some(schema)))
+            .select(lit(v.toLong).as("version"), col("n_total"),
+              col("p50_est_e4"), col("p95_est_e4"), col("p99_est_e4"))
+        }.reduce(_ unionByName _).orderBy(col("version"))
+      },
+      Some(s"""
+        WITH ve AS (SELECT event_id % 2 AS par,
+                           CAST(floor(value * 10000) AS BIGINT) AS v
+                    FROM events),
+        pc AS (SELECT par, least(greatest(v // $W, 0), ${B - 1}) AS bin,
+                      COUNT(*) AS cnt
+               FROM ve GROUP BY par, bin),
+        -- v1 = epoch A (even ids) alone; v2 = the additive fold of both
+        ga AS (SELECT gj.j AS bin,
+                      CAST(coalesce(SUM(CASE WHEN par = 0 THEN cnt END), 0)
+                        AS BIGINT) AS c1,
+                      CAST(coalesce(SUM(cnt), 0) AS BIGINT) AS c2
+               FROM (SELECT unnest(range(0, $B)) AS j) gj
+               LEFT JOIN pc ON pc.bin = gj.j
+               GROUP BY gj.j),
+        cum AS (SELECT bin, c1, c2,
+                       CAST(SUM(c1) OVER (ORDER BY bin) AS BIGINT) AS cum1,
+                       CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+                       CAST(SUM(c2) OVER (ORDER BY bin) AS BIGINT) AS cum2,
+                       CAST(SUM(c2) OVER () AS BIGINT) AS n2
+                FROM ga),
+        s1 AS (SELECT MAX(n1) AS n_total,
+                      MIN(CASE WHEN cum1 >= (n1 * 50 + 99) // 100
+                                AND cum1 - c1 < (n1 * 50 + 99) // 100
+                               THEN bin * $W + (((n1 * 50 + 99) // 100)
+                                    - (cum1 - c1)) * $W // c1 END) AS p50_est_e4,
+                      MIN(CASE WHEN cum1 >= (n1 * 95 + 99) // 100
+                                AND cum1 - c1 < (n1 * 95 + 99) // 100
+                               THEN bin * $W + (((n1 * 95 + 99) // 100)
+                                    - (cum1 - c1)) * $W // c1 END) AS p95_est_e4,
+                      MIN(CASE WHEN cum1 >= (n1 * 99 + 99) // 100
+                                AND cum1 - c1 < (n1 * 99 + 99) // 100
+                               THEN bin * $W + (((n1 * 99 + 99) // 100)
+                                    - (cum1 - c1)) * $W // c1 END) AS p99_est_e4
+               FROM cum),
+        s2 AS (SELECT MAX(n2) AS n_total,
+                      MIN(CASE WHEN cum2 >= (n2 * 50 + 99) // 100
+                                AND cum2 - c2 < (n2 * 50 + 99) // 100
+                               THEN bin * $W + (((n2 * 50 + 99) // 100)
+                                    - (cum2 - c2)) * $W // c2 END) AS p50_est_e4,
+                      MIN(CASE WHEN cum2 >= (n2 * 95 + 99) // 100
+                                AND cum2 - c2 < (n2 * 95 + 99) // 100
+                               THEN bin * $W + (((n2 * 95 + 99) // 100)
+                                    - (cum2 - c2)) * $W // c2 END) AS p95_est_e4,
+                      MIN(CASE WHEN cum2 >= (n2 * 99 + 99) // 100
+                                AND cum2 - c2 < (n2 * 99 + 99) // 100
+                               THEN bin * $W + (((n2 * 99 + 99) // 100)
+                                    - (cum2 - c2)) * $W // c2 END) AS p99_est_e4
+               FROM cum)
+        SELECT CAST(1 AS BIGINT) AS version, n_total,
+               p50_est_e4, p95_est_e4, p99_est_e4 FROM s1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT) AS version, n_total,
+               p50_est_e4, p95_est_e4, p99_est_e4 FROM s2
+        ORDER BY version"""))
   )
 }

@@ -83,7 +83,8 @@ class PlanAuditSpec extends SparkSpec {
       "q74_window_ranks", "q77_reservoir_sample", "q78_value_trend",
       "q79_value_histogram", "q81_ann_ivf_served", "q86_pq_adc_topk",
       "q87_ivf_pq_topk", "q91_ivf_pq_rerank", "q97_ann_ivf_two_level",
-      "q98_ann_ivf_partial_probe", "q101_ivf_pq_rerank_two_level")
+      "q98_ann_ivf_partial_probe", "q101_ivf_pq_rerank_two_level",
+      "q118_hist_catalog_serving")
     // ≥3 exchanges: each count is a named design decision
     val multi = Seq(
       "q10_distinct_parts_per_flag" -> 3, // count-distinct expand + final agg + ordered output
