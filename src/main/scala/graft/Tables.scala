@@ -24,15 +24,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as raw nanos (legacy conf) and convert to a
-    * microsecond TimestampType column. Integer `div` keeps the int64 exact
-    * (a double division would lose precision above 2^53 ns).
+  /** `events.ts` is parquet TIMESTAMP(NANOS). How Spark surfaces that column
+    * depends on the runtime: Spark 4.1+ reads it natively as TIMESTAMP_NTZ
+    * (nanos truncated to micros by the reader); older runtimes reject it
+    * unless `spark.sql.legacy.parquet.nanosAsLong` maps it to raw int64
+    * nanos. Branch on the type actually read so the same code runs on both,
+    * always normalizing to a session-UTC TimestampType `ts` column. For the
+    * long path, integer `div` keeps the int64 exact (a double division would
+    * lose precision above 2^53 ns). All sessions here pin
+    * `spark.sql.session.timeZone=UTC`, so the NTZ→TZ cast is wall-clock
+    * identical to the oracle's naive timestamp.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case org.apache.spark.sql.types.TimestampType =>
+        raw
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts read as unexpected type $other; expected LONG (legacy nanos), TIMESTAMP_NTZ, or TIMESTAMP")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

@@ -86,6 +86,24 @@ object Hll extends QueryModule {
         greatest(coalesce(col("ra"), lit(0L)), coalesce(col("rb"), lit(0L)))
           .as("register"))
 
+  /** Serve the cardinality estimate from a persisted m-register table
+    * (the [[estimateMergeCheck]] arithmetic, factored so catalog
+    * serving cannot fork from the checked bound): S = Σ 2^(RhoCap−M[j])
+    * exact in int64, est = α·m²·2^RhoCap / S as two integer divisions,
+    * plus the small-range-regime flag (est < 2.5m ⇔ linear counting
+    * applies) and its zero-register input. O(m) rows in, 1 row out —
+    * never the corpus. */
+  def serveEstimate(regs: DataFrame): DataFrame =
+    regs.agg(
+        sum(expr(s"shiftleft(1L, CAST($RhoCap - register AS INT))"))
+          .as("s_scaled"),
+        sum(when(col("register") === 0, 1L).otherwise(0L)).as("zero_regs"))
+      .selectExpr("s_scaled", "zero_regs",
+        s"(${AlphaE6}L * $M * $M * ${1L << RhoCap}L) div s_scaled div 1000000"
+          + " AS est_e0")
+      .selectExpr("s_scaled", "zero_regs", "est_e0",
+        s"est_e0 * 2 < 5 * $M AS small_range")
+
   /** The complete m-register table over the documents 3-shingle stream
     * — the q107/q108 fixture instantiation of [[registerCells]], BY
     * DELEGATION: the streamed/batch register-definition identity holds
@@ -242,5 +260,72 @@ object Hll extends QueryModule {
                est_e0 >= n_distinct // 2 AND est_e0 <= n_distinct * 2
                  AS est_within_2x
         FROM est CROSS JOIN nd""")),
+
+    // ------------------------------------------------------------------
+    // q119: SERVING FROM THE PERSISTED HLL — the q118 discipline for
+    // cardinality: epoch A's register table commits as v1, epoch B
+    // folds in by register-wise MAX as v2 (the
+    // runCatalogRegisterSink fold, run relationally in-query; the
+    // sink itself delegates to the same registerCells/mergeRegisters,
+    // so streamed state is this state by construction), and the
+    // distinct-count estimate serves from EACH version's 256 rows —
+    // version isolation for sketch state (v1 answers "cardinality as
+    // of epoch A" forever) with the probe never touching the event
+    // stream. All exact int64 arithmetic ([[serveEstimate]]), so the
+    // served numbers hash-match any engine.
+    QueryDef(
+      "q119_hll_catalog_serving",
+      (s, dir) => {
+        val work = java.nio.file.Files.createTempDirectory("graft-q119-").toString
+        val cat = new graft.catalog.VersionedCatalog(s, work, format = "parquet")
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "j BIGINT, register BIGINT")
+        val ev = T.events(s, dir)
+        cat.writeNext("hll",
+          registerCells(ev.filter(col("event_id") % 2 === 0), col("event_id")))
+        cat.writeNext("hll", mergeRegisters(
+          cat.read("hll", 1, Some(schema)),
+          registerCells(ev.filter(col("event_id") % 2 === 1), col("event_id"))))
+        (1 to 2).map { v =>
+          serveEstimate(cat.read("hll", v, Some(schema)))
+            .select(lit(v.toLong).as("version"), col("s_scaled"),
+              col("zero_regs"), col("est_e0"), col("small_range"))
+        }.reduce(_ unionByName _).orderBy(col("version"))
+      },
+      Some(s"""
+        WITH hv AS (SELECT event_id % 2 AS par,
+                           ${X.h60Sql("'hll ' || CAST(event_id AS VARCHAR)")} AS h
+                    FROM events),
+        rk AS (SELECT par, h % $M AS j,
+                      CASE WHEN h // $M = 0 THEN $RhoCap
+                           ELSE least(bit_count(((h // $M) & -(h // $M)) - 1) + 1,
+                                      $RhoCap) END AS rho
+               FROM hv),
+        -- v1 = epoch A (even ids) alone; v2 = MAX-merge of both epochs,
+        -- which IS the full-stream table (max(max A, max B) = max(A∪B))
+        ra AS (SELECT gj.j AS j,
+                      coalesce(MAX(CASE WHEN par = 0 THEN rho END), 0) AS reg1,
+                      coalesce(MAX(rho), 0) AS reg2
+               FROM (SELECT unnest(range(0, $M)) AS j) gj
+               LEFT JOIN rk USING (j)
+               GROUP BY gj.j),
+        st AS (SELECT
+                 CAST(SUM(CAST(1 AS BIGINT) << ($RhoCap - reg1)) AS BIGINT) AS s1,
+                 CAST(SUM(CASE WHEN reg1 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS z1,
+                 CAST(SUM(CAST(1 AS BIGINT) << ($RhoCap - reg2)) AS BIGINT) AS s2,
+                 CAST(SUM(CASE WHEN reg2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS z2
+               FROM ra),
+        sv AS (SELECT CAST(1 AS BIGINT) AS version, s1 AS s_scaled, z1 AS zero_regs,
+                      CAST(CAST($AlphaE6 AS BIGINT) * $M * $M
+                           * ${1L << RhoCap} // s1 // 1000000 AS BIGINT) AS est_e0
+               FROM st
+               UNION ALL
+               SELECT CAST(2 AS BIGINT), s2, z2,
+                      CAST(CAST($AlphaE6 AS BIGINT) * $M * $M
+                           * ${1L << RhoCap} // s2 // 1000000 AS BIGINT)
+               FROM st)
+        SELECT version, s_scaled, zero_regs, est_e0,
+               est_e0 * 2 < 5 * $M AS small_range
+        FROM sv ORDER BY version""")),
   )
 }

@@ -304,6 +304,43 @@ class VersionedCatalogSpec extends SparkSpec {
     }
   }
 
+  test("compact carries the source version's epoch tag forward") {
+    withTempDir { dir =>
+      val cat = new VersionedCatalog(spark, dir.toString, format = "parquet")
+      cat.writeNext("t", df(1, 2), epochTag = Some(7L))
+      assert(cat.versionEpochTag("t", 1) == Some(7L))
+      val v = cat.compact("t", Some(schema))
+      // the tag must ride the rewrite: dropping it would reopen the
+      // streaming sketch sinks' replay window (EventPipelines.foldEpoch)
+      assert(cat.versionEpochTag("t", v) == Some(7L))
+      assert(cat.latestEpochTag("t") == Some(7L))
+    }
+  }
+
+  test("maxEpochTag survives an untagged rewrite of the latest version") {
+    withTempDir { dir =>
+      val cat = new VersionedCatalog(spark, dir.toString)
+      cat.writeNext("t", df(1), epochTag = Some(3L))
+      cat.writeNext("t", df(2)) // untagged republish hides the latest-only probe
+      assert(cat.latestEpochTag("t").isEmpty)
+      assert(cat.maxEpochTag("t") == Some(3L))
+    }
+  }
+
+  test("stray non-numeric _epoch_ files are ignored, not fatal") {
+    withTempDir { dir =>
+      val cat = new VersionedCatalog(spark, dir.toString)
+      cat.writeNext("t", df(1), epochTag = Some(5L))
+      // a foreign marker sharing the prefix must not crash the parse
+      java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(s"$dir/t/v=1/_epoch_notanumber"))
+      java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(s"$dir/t/v=1/_epoch_"))
+      assert(cat.versionEpochTag("t", 1) == Some(5L))
+      assert(cat.maxEpochTag("t") == Some(5L))
+    }
+  }
+
   test("vacuum keeps the newest k versions and deletes the rest") {
     withTempDir { dir =>
       val cat = new VersionedCatalog(spark, dir.toString)
