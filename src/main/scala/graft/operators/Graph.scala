@@ -90,12 +90,16 @@ object Graph {
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
     val nodes = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id"))).distinct().localCheckpoint()
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // deg is static across rounds — attach it to the edge table ONCE so
+    // each round is a single equi-join + partial agg, not edges⋈ranks⋈deg
+    // (one window-free shuffle join per round fewer, at every scale)
+    val eDeg = e.join(
+        e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+      .localCheckpoint()
     val base = (scale * 15L) / 100L
     var ranks = nodes.withColumn("rank", lit(scale))
     for (round <- 1 to iters) {
-      val contrib = e.join(ranks, e("src") === ranks("id"))
-        .join(outdeg, "src")
+      val contrib = eDeg.join(ranks, eDeg("src") === ranks("id"))
         .select(col("dst").as("id"), expr("rank div deg").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("s"))
       ranks = nodes.join(contrib, Seq("id"), "left")

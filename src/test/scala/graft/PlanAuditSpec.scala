@@ -84,7 +84,7 @@ class PlanAuditSpec extends SparkSpec {
       "q79_value_histogram", "q81_ann_ivf_served", "q86_pq_adc_topk",
       "q87_ivf_pq_topk", "q91_ivf_pq_rerank", "q97_ann_ivf_two_level",
       "q98_ann_ivf_partial_probe", "q101_ivf_pq_rerank_two_level",
-      "q118_hist_catalog_serving")
+      "q118_hist_catalog_serving", "q119_hll_catalog_serving")
     // ≥3 exchanges: each count is a named design decision
     val multi = Seq(
       "q10_distinct_parts_per_flag" -> 3, // count-distinct expand + final agg + ordered output
@@ -103,7 +103,7 @@ class PlanAuditSpec extends SparkSpec {
       "q67_funnel" -> 6, // per-stage event sequencing: one window/join per funnel step
       "q68_data_quality_report" -> 5, // per-column profile aggregates unioned into one report
       "q71_media_fingerprints" -> 3, // per-media hash, duplicate groups, ordered output
-      "q75_pagerank" -> 6, // one equi-join + partial-agg sum per round, checkpoint cadence 4
+      "q75_pagerank" -> 5, // one equi-join (deg pre-attached to edges) + partial-agg sum per round, checkpoint cadence 4
       "q80_dedup_incremental" -> 6, // new-side bands, bucket join vs corpus, verify, summaries
       "q83_bloom_decontam_sharded" -> 8, // per-shard bloom build + sharded membership + union summary
       "q84_semantic_dedup" -> 4, // cells, caps, pair verify, summary
