@@ -13,7 +13,8 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     ops.Relational, ops.PipelineOps, ops.Checks, streaming.StreamingOps,
     ext.TextAnalysis, ext.Dedup, ext.Similarity, ext.Multimodal, ext.Curation,
-    ext.Chunking, ext.Retrieval, ext.CountMin, ext.Hll, ext.HistSketch)
+    ext.Chunking, ext.Retrieval, ext.CountMin, ext.Hll, ext.HistSketch,
+    ext.LmScore)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

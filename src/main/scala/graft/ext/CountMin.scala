@@ -254,6 +254,88 @@ object CountMin extends QueryModule {
                coalesce(full_sum, 0) AS full_sum,
                coalesce(merged_sum, 0) = coalesce(full_sum, 0) AS cells_equal
         FROM merged FULL JOIN skf USING (d, w)
-        ORDER BY d, w"""))
+        ORDER BY d, w""")),
+
+    // ------------------------------------------------------------------
+    // q120: SERVING FROM THE PERSISTED CMS — the third leg of the
+    // catalog-serving trio (q118 histogram, q119 HLL): epoch A's D×W
+    // cell table commits as v1, epoch B folds in additively as v2 (the
+    // runCatalogSketchSink fold, run relationally in-query), and
+    // heavy-hitter estimates serve from EACH version's ≤D×W rows. The
+    // one-sided guarantee is checked per VERSION against the exact
+    // count of the epoch range that version summarizes — version
+    // isolation means v1 answers "counts as of epoch A" forever, and
+    // est ≥ true holds within every version, not just the latest. The
+    // probe joins D cells per token; the corpus is touched only to
+    // derive the probe set and the exact counts it is checked against.
+    QueryDef(
+      "q120_cms_catalog_serving",
+      (s, dir) => {
+        val work = java.nio.file.Files.createTempDirectory("graft-q120-").toString
+        val cat = new graft.catalog.VersionedCatalog(s, work, format = "parquet")
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "d BIGINT, w BIGINT, cell_sum BIGINT")
+        val docs = T.documents(s, dir)
+        def cells(even: Boolean) = sketchCells(tokenCountsOf(
+            docs.filter((col("doc_id") % 2 === 0) === lit(even))))
+          .select(col("d").cast("long").as("d"), col("w"), col("cell_sum"))
+        cat.writeNext("cms", cells(even = true))
+        cat.writeNext("cms", mergeSketches(
+          cat.read("cms", 1, Some(schema)), cells(even = false)))
+        val tc = docs
+          .select((col("doc_id") % 2 === 0).as("even"),
+            explode(X.tokens(col("text"))).as("token"))
+          .groupBy(col("token"))
+          .agg(sum(when(col("even"), 1L).otherwise(0L)).as("cnt_a"),
+            count(lit(1)).as("cnt_full"))
+        val top = tc.orderBy(col("cnt_full").desc, col("token")).limit(10)
+        (1 to 2).map { v =>
+          top
+            .select(col("token"),
+              (if (v == 1) col("cnt_a") else col("cnt_full")).as("epoch_cnt"),
+              explode(sequence(lit(0), lit(D - 1))).as("d"))
+            .withColumn("w", cellCol(col("d"), col("token")))
+            // left: a probe cell absent from this version's table is an
+            // uninhabited cell = 0 mass (the CMS empty-cell semantics)
+            .join(cat.read("cms", v, Some(schema)), Seq("d", "w"), "left")
+            .groupBy(col("token"), col("epoch_cnt"))
+            .agg(min(coalesce(col("cell_sum"), lit(0L))).as("cms_est"))
+            .select(lit(v.toLong).as("version"), col("token"),
+              col("epoch_cnt"), col("cms_est"),
+              (col("cms_est") >= col("epoch_cnt")).as("est_ge_true"))
+        }.reduce(_ unionByName _).orderBy(col("version"), col("token"))
+      },
+      Some(s"""
+        WITH toks AS (SELECT doc_id % 2 = 0 AS even, unnest(tk) AS token
+                      FROM (SELECT doc_id, ${X.tokensSql("text")} AS tk
+                            FROM documents)),
+        tc AS (SELECT token,
+                      CAST(coalesce(SUM(CASE WHEN even THEN 1 END), 0)
+                        AS BIGINT) AS cnt_a,
+                      COUNT(*) AS cnt_full
+               FROM toks GROUP BY token),
+        top AS (SELECT token, cnt_a, cnt_full FROM tc
+                ORDER BY cnt_full DESC, token LIMIT 10),
+        -- v1 = epoch A (even doc_ids) alone; v2 = the additive fold of
+        -- both epochs, which IS the full-corpus sketch (CMS linearity)
+        cells AS (SELECT gd.d AS d, ${cellSql("gd.d", "token")} AS w,
+                         CAST(coalesce(SUM(CASE WHEN even THEN 1 END), 0)
+                           AS BIGINT) AS sum_a,
+                         CAST(COUNT(*) AS BIGINT) AS sum_full
+                  FROM toks CROSS JOIN (SELECT unnest(range(0, $D)) AS d) gd
+                  GROUP BY 1, 2),
+        probe AS (SELECT t.token, t.cnt_a, t.cnt_full,
+                         MIN(c.sum_a) AS est_a, MIN(c.sum_full) AS est_full
+                  FROM top t CROSS JOIN (SELECT unnest(range(0, $D)) AS d) gd
+                  JOIN cells c ON c.d = gd.d
+                             AND c.w = ${cellSql("gd.d", "t.token")}
+                  GROUP BY t.token, t.cnt_a, t.cnt_full),
+        sv AS (SELECT CAST(1 AS BIGINT) AS version, token,
+                      cnt_a AS epoch_cnt, est_a AS cms_est FROM probe
+               UNION ALL
+               SELECT CAST(2 AS BIGINT), token, cnt_full, est_full FROM probe)
+        SELECT version, token, epoch_cnt, cms_est,
+               cms_est >= epoch_cnt AS est_ge_true
+        FROM sv ORDER BY version, token"""))
   )
 }

@@ -1,0 +1,241 @@
+package graft.ext
+
+import graft.{QueryDef, QueryModule, Tables => T}
+import graft.ext.{TextDsl => X}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Language-model quality scoring with EXACT integer arithmetic — the
+  * perplexity filter of large-corpus curation (CCNet's KenLM pass,
+  * Gopher's quality rules: Wenzek et al., "CCNet: Extracting High
+  * Quality Monolingual Datasets from Web Crawl Data", LREC 2020; Rae
+  * et al., "Scaling Language Models: ... Gopher", 2021 §A.1.1)
+  * re-expressed so two engines can hash-compare the scores bit for bit.
+  *
+  * The model is an add-one-smoothed word-bigram LM fit on the corpus
+  * itself: P(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V), with c(w1 ·) the
+  * bigram-prefix mass of w1 and V the corpus vocabulary size. A
+  * document's score is its total Shannon information under the model
+  * in WHOLE BITS, floor-quantized per bigram:
+  *
+  *   bits(bg) = floor(log2((c(w1 ·) + V) / (c(bg) + 1)))
+  *
+  * — and floor-log2 of a rational n/d (n ≥ d ≥ 1) is pure integer
+  * arithmetic: k = bitlen(n) − bitlen(d), minus one iff (d << k) > n.
+  * No IEEE log anywhere, so the scores are bit-identical on any engine
+  * — the same trick as the HLL estimator's integer harmonic sum
+  * ([[Hll]]). Rare/unseen continuations cost many bits, boilerplate
+  * costs few; `centibits_per_bigram` is the length-normalized quality
+  * signal a curation threshold would cut on (high = surprising =
+  * likely noise; low = repetitive boilerplate — both tails are the
+  * filter's business, exactly as with KenLM perplexity).
+  *
+  * 100 TB shape: the LM is a bigram count table — corpus-reduced,
+  * partial-aggregable, catalog-persistable index-as-data like the
+  * sketch families. Scoring is ONE doc-side shuffle join (documents'
+  * bigrams against the LM keyed by bigram; the prefix mass rides the
+  * LM row, attached LM-side) + one per-doc aggregation. V is a 1-row
+  * broadcast. Nothing driver-sided, nothing quadratic; fitting on a
+  * REFERENCE slice and scoring a different corpus is the same plan
+  * with a different left side.
+  */
+object LmScore extends QueryModule {
+
+  /** bitlen(x) for positive int64, as a codegen'd column: length of the
+    * binary text form — both engines agree exactly. */
+  private def bitlen(c: Column): Column = length(bin(c))
+
+  /** floor(log2(n / d)) for 1 <= d <= n, exact: no floats involved.
+    * (functions.shiftleft only takes a literal shift, so the
+    * column-by-column shift goes through call_function.) */
+  private def floorLog2Ratio(n: Column, d: Column): Column = {
+    val k = (bitlen(n) - bitlen(d)).cast("int")
+    when(call_function("shiftleft", d, k) > n, k - 1).otherwise(k).cast("long")
+  }
+
+  private def bigrams(docs: DataFrame): DataFrame = docs.select(col("doc_id"),
+    explode(X.shingles(X.tokens(col("text")), 2)).as("bg"))
+
+  /** The persistable LM state: (bg, cb) exact bigram counts — a count
+    * table, so it is a LINEAR sketch in the CMS sense: epoch tables
+    * fold by [[mergeBigramCounts]] and the fold is the union corpus's
+    * LM exactly. */
+  def bigramCounts(docs: DataFrame): DataFrame =
+    bigrams(docs).groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+
+  /** The LM's other persistable half: the distinct token vocabulary
+    * (one row per token). Folds by union-distinct — NOT by adding
+    * sizes, which is why the vocabulary persists as a table, not a
+    * count. */
+  def vocabTokens(docs: DataFrame): DataFrame =
+    docs.select(explode(X.tokens(col("text"))).as("t")).distinct()
+
+  /** Additive merge: lm(A) ⊕ lm(B) = lm(A ∪ B) exactly — bigram counts
+    * are linear like CMS cells ([[CountMin.mergeSketches]]), so epoch
+    * LMs fold through the catalog with the same
+    * atomic-epoch-tag discipline as the sketch sinks. */
+  def mergeBigramCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("bg"), col("cb").as("ca"))
+      .join(b.select(col("bg"), col("cb").as("cbb")), Seq("bg"), "full_outer")
+      .select(col("bg"),
+        (coalesce(col("ca"), lit(0L)) + coalesce(col("cbb"), lit(0L)))
+          .as("cb"))
+
+  /** Score `score` documents against a persisted LM state — the bigram
+    * count joins by bigram and the prefix mass joins by FIRST WORD
+    * independently (a bigram unseen in the LM can still carry a seen
+    * prefix, and its c(w1 ·) must be that prefix's full mass, not 0);
+    * both are LM-derived tables, V is a 1-row broadcast. A fully
+    * unseen bigram gets c(bg) = 0 and an unseen prefix c(w1 ·) = 0 —
+    * add-one keeps both defined. */
+  def scoreAgainstLm(lmB: DataFrame, vocab: DataFrame,
+      score: DataFrame): DataFrame = {
+    val prefixMass = lmB
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .groupBy(col("w1")).agg(sum(col("cb")).as("cp"))
+    val v1 = vocab.agg(count(lit(1)).as("v"))
+    bigrams(score)
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .join(lmB, Seq("bg"), "left")
+      .join(prefixMass, Seq("w1"), "left")
+      .crossJoin(broadcast(v1))
+      .select(col("doc_id"),
+        floorLog2Ratio(coalesce(col("cp"), lit(0L)) + col("v"),
+          coalesce(col("cb"), lit(0L)) + lit(1L)).as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("total_bits"))
+      .select(col("doc_id"), col("n_bigrams"), col("total_bits"),
+        expr("(total_bits * 100) div n_bigrams").as("centibits_per_bigram"))
+  }
+
+  /** Per-document integer surprise under an add-one bigram LM fit on
+    * `fit`, scored over `score` (self-scoring when they coincide —
+    * the q121 instantiation). Columns: doc_id, n_bigrams, total_bits,
+    * centibits_per_bigram. Documents with fewer than 2 tokens have no
+    * bigrams and do not flow. */
+  def surpriseScores(fit: DataFrame, score: DataFrame): DataFrame =
+    scoreAgainstLm(bigramCounts(fit), vocabTokens(fit), score)
+
+  override val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // q121: the self-scored corpus — fit the bigram LM on documents and
+    // score every document against it, all exact int64. The full score
+    // table is hash-checked (every doc, every column), not an estimate
+    // contract: the floor-log2 identity makes "perplexity" a
+    // deterministic integer.
+    QueryDef(
+      "q121_lm_surprise_score",
+      (s, dir) => {
+        val docs = T.documents(s, dir)
+        surpriseScores(docs, docs).orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH tk AS (SELECT doc_id, ${X.tokensSql("text")} AS tk FROM documents),
+        bg AS (SELECT doc_id, unnest(${X.shinglesSql("tk", 2)}) AS bg FROM tk),
+        lmb AS (SELECT bg, COUNT(*) AS cb FROM bg GROUP BY bg),
+        lmp AS (SELECT split_part(bg, ' ', 1) AS w1,
+                       CAST(SUM(cb) AS BIGINT) AS cp
+                FROM lmb GROUP BY 1),
+        vc AS (SELECT COUNT(DISTINCT t) AS v
+               FROM (SELECT unnest(tk) AS t FROM tk)),
+        sc AS (SELECT b.doc_id, l.cb + 1 AS den, p.cp + vc.v AS num
+               FROM bg b
+               JOIN lmb l USING (bg)
+               JOIN lmp p ON p.w1 = split_part(b.bg, ' ', 1)
+               CROSS JOIN vc),
+        bits AS (SELECT doc_id,
+                        CASE WHEN (den << k) > num THEN k - 1 ELSE k END AS bits
+                 FROM (SELECT doc_id, den, num,
+                              length(printf('%b', num))
+                                - length(printf('%b', den)) AS k
+                       FROM sc))
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               CAST(SUM(bits) AS BIGINT) AS total_bits,
+               CAST(SUM(bits) * 100 // COUNT(*) AS BIGINT)
+                 AS centibits_per_bigram
+        FROM bits GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q122: the LM THROUGH THE CATALOG — fourth member of the
+    // catalog-serving family (q118 histogram, q119 HLL, q120 CMS):
+    // epoch A's bigram-count table and vocabulary commit as v1, epoch
+    // B folds in (counts additively — the LM is a linear sketch;
+    // vocabulary by union-distinct) as v2, and a probe batch (every
+    // 5th document, spanning both epochs) scores against EACH version.
+    // Version isolation is the point: v1 scores the probes under "the
+    // LM as of epoch A" forever — unseen-in-A bigrams cost the full
+    // add-one surprise — while v2 is bit-identical to a from-scratch
+    // fit on the union corpus. Scoring never touches the fit corpus,
+    // only the ≤|bigram-vocab|-row LM state.
+    QueryDef(
+      "q122_lm_catalog_serving",
+      (s, dir) => {
+        val work = java.nio.file.Files.createTempDirectory("graft-q122-").toString
+        val cat = new graft.catalog.VersionedCatalog(s, work, format = "parquet")
+        val bgSchema = org.apache.spark.sql.types.StructType.fromDDL(
+          "bg STRING, cb BIGINT")
+        val vSchema = org.apache.spark.sql.types.StructType.fromDDL("t STRING")
+        val docs = T.documents(s, dir)
+        val even = docs.filter(col("doc_id") % 2 === 0)
+        val odd = docs.filter(col("doc_id") % 2 === 1)
+        cat.writeNext("lm_bg", bigramCounts(even))
+        cat.writeNext("lm_vocab", vocabTokens(even))
+        cat.writeNext("lm_bg", mergeBigramCounts(
+          cat.read("lm_bg", 1, Some(bgSchema)), bigramCounts(odd)))
+        cat.writeNext("lm_vocab",
+          cat.read("lm_vocab", 1, Some(vSchema))
+            .unionByName(vocabTokens(odd)).distinct())
+        val probe = docs.filter(col("doc_id") % 5 === 0)
+        (1 to 2).map { v =>
+          scoreAgainstLm(cat.read("lm_bg", v, Some(bgSchema)),
+              cat.read("lm_vocab", v, Some(vSchema)), probe)
+            .select(lit(v.toLong).as("version"), col("doc_id"),
+              col("n_bigrams"), col("total_bits"),
+              col("centibits_per_bigram"))
+        }.reduce(_ unionByName _).orderBy(col("version"), col("doc_id"))
+      },
+      Some(s"""
+        WITH tk AS (SELECT doc_id, ${X.tokensSql("text")} AS tk FROM documents),
+        bg AS (SELECT doc_id, doc_id % 2 = 0 AS even,
+                      unnest(${X.shinglesSql("tk", 2)}) AS bg
+               FROM tk),
+        -- v1 = epoch A (even doc_ids) alone; v2 = additive fold of both,
+        -- which IS the union-corpus LM (count linearity)
+        lmb AS (SELECT bg,
+                       CAST(coalesce(SUM(CASE WHEN even THEN 1 END), 0)
+                         AS BIGINT) AS cb_a,
+                       CAST(COUNT(*) AS BIGINT) AS cb_f
+                FROM bg GROUP BY bg),
+        lmp AS (SELECT split_part(bg, ' ', 1) AS w1,
+                       CAST(SUM(cb_a) AS BIGINT) AS cp_a,
+                       CAST(SUM(cb_f) AS BIGINT) AS cp_f
+                FROM lmb GROUP BY 1),
+        va AS (SELECT COUNT(DISTINCT t) AS v_a
+               FROM (SELECT unnest(tk) AS t FROM tk WHERE doc_id % 2 = 0)),
+        vf AS (SELECT COUNT(DISTINCT t) AS v_f
+               FROM (SELECT unnest(tk) AS t FROM tk)),
+        sc AS (SELECT b.doc_id, l.cb_a, l.cb_f, p.cp_a, p.cp_f, va.v_a, vf.v_f
+               FROM bg b
+               JOIN lmb l USING (bg)
+               JOIN lmp p ON p.w1 = split_part(b.bg, ' ', 1)
+               CROSS JOIN va CROSS JOIN vf
+               WHERE b.doc_id % 5 = 0),
+        sv AS (SELECT 1 AS version, doc_id, cp_a + v_a AS num, cb_a + 1 AS den
+               FROM sc
+               UNION ALL
+               SELECT 2, doc_id, cp_f + v_f, cb_f + 1 FROM sc),
+        bits AS (SELECT version, doc_id,
+                        CASE WHEN (den << k) > num THEN k - 1 ELSE k END AS bits
+                 FROM (SELECT version, doc_id, den, num,
+                              length(printf('%b', num))
+                                - length(printf('%b', den)) AS k
+                       FROM sv))
+        SELECT CAST(version AS BIGINT) AS version, doc_id,
+               COUNT(*) AS n_bigrams,
+               CAST(SUM(bits) AS BIGINT) AS total_bits,
+               CAST(SUM(bits) * 100 // COUNT(*) AS BIGINT)
+                 AS centibits_per_bigram
+        FROM bits GROUP BY version, doc_id ORDER BY version, doc_id"""))
+  )
+}

@@ -568,6 +568,41 @@ object EventPipelines {
       .dropDuplicatesWithinWatermark("_dedup_key")
       .drop("_dedup_key")
 
+  /** Streaming LM → catalog: the fourth member of the sketch-sink
+    * family (CMS [[runCatalogSketchSink]], HLL
+    * [[runCatalogRegisterSink]], histogram
+    * [[runCatalogHistogramSink]]). Each epoch's documents reduce to a
+    * bigram-count table ([[graft.ext.LmScore.bigramCounts]] — the
+    * exact q121 definition, so streamed state merges with batch-fit
+    * LMs) and a vocabulary table, folding into TWO catalog steps:
+    * `<step>_bg` additively (bigram counts are linear like CMS cells —
+    * NOT content-idempotent, the atomic epoch tag carries
+    * exactly-once) and `<step>_vocab` by union-distinct (idempotent —
+    * the tag only prevents a redundant version). Serving reads both
+    * steps at any version pair via
+    * [[graft.ext.LmScore.scoreAgainstLm]] (the q122 path). State is
+    * LM-sized (bigram vocabulary), never corpus-sized. */
+  def runCatalogLmSink(
+      docs: DataFrame,
+      checkpoint: String,
+      cat: graft.catalog.VersionedCatalog,
+      step: String): Unit = {
+    val q = docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        foldEpoch(cat, s"${step}_bg",
+          graft.ext.LmScore.bigramCounts(batch), epoch,
+          graft.ext.LmScore.mergeBigramCounts)
+        foldEpoch(cat, s"${step}_vocab",
+          graft.ext.LmScore.vocabTokens(batch), epoch,
+          (base, fresh) => base.unionByName(fresh).distinct())
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Batch views of the streaming transforms over the fixture table —
     * the unified-API property: identical code, batch source. */
   def eventsBatch(spark: SparkSession, dir: String): DataFrame =

@@ -26,9 +26,13 @@ class PlanAuditSpec extends SparkSpec {
                        // against every 32-bit code IS the query shape
     "q108_hll_estimate_merge", // 1-row distinct-count broadcast joined
                                // to the 1-row sketch stats (q49's shape)
-    "q113_hist_quantile_merge" // 1-row exact-order-stats broadcast joined
+    "q113_hist_quantile_merge", // 1-row exact-order-stats broadcast joined
                                // to the 1-row served-quantile stats (q108's
                                // shape — both sides aggregate to one row)
+    "q121_lm_surprise_score", // 1-row vocabulary-size broadcast to the
+                             // scored bigrams (q59's corpus-stats shape)
+    "q122_lm_catalog_serving" // the same 1-row vocabulary broadcast,
+                              // once per served LM version
     // q81/q87/q91/q97/q98 carried a probe-stage centroid crossJoin
     // until round 8; the compiled top_cells kernel removed it — the
     // serving paths are now all equi-joins and must STAY that way
@@ -84,7 +88,8 @@ class PlanAuditSpec extends SparkSpec {
       "q79_value_histogram", "q81_ann_ivf_served", "q86_pq_adc_topk",
       "q87_ivf_pq_topk", "q91_ivf_pq_rerank", "q97_ann_ivf_two_level",
       "q98_ann_ivf_partial_probe", "q101_ivf_pq_rerank_two_level",
-      "q118_hist_catalog_serving", "q119_hll_catalog_serving")
+      "q118_hist_catalog_serving", "q119_hll_catalog_serving",
+      "q120_cms_catalog_serving")
     // ≥3 exchanges: each count is a named design decision
     val multi = Seq(
       "q10_distinct_parts_per_flag" -> 3, // count-distinct expand + final agg + ordered output
@@ -124,7 +129,9 @@ class PlanAuditSpec extends SparkSpec {
       "q104_cms_merge" -> 7, // ONE cached tokenization + three sketch aggs over it + 2 full-outer D×W merges; +1 slack — AQE finalizes the cached-relation joins differently depending on suite order
       "q108_hll_estimate_merge" -> 5, // ONE cached distinct-item pass + conditional-MAX register agg + 1-row stats/distinct broadcast; +1 AQE slack like q104
       "q113_hist_quantile_merge" -> 5, // ONE cached scaled-value pass + parity bin agg + 256-row cum/serve windows + exact-order-stat window; +1 AQE slack on the cached-relation joins like q104/q108
-      "q115_index_append_occupancy" -> 4) // map-side kernel assignment (zero exchange) + two cell-count aggs + their join + ordered output; measured 3 at local[4], +1 AQE slack on the agg-agg join
+      "q115_index_append_occupancy" -> 4, // map-side kernel assignment (zero exchange) + two cell-count aggs + their join + ordered output; measured 3 at local[4], +1 AQE slack on the agg-agg join
+      "q121_lm_surprise_score" -> 7, // LM fit (bigram agg + prefix agg + vocab distinct) + bigram-keyed and prefix-keyed doc-side joins + per-doc agg + ordered output — the LM joins broadcast at fixture scale and degrade to shuffle joins declaratively
+      "q122_lm_catalog_serving" -> 7) // q121's scoring shape reading persisted LM versions: per version the bigram + prefix joins and per-doc agg; the fit/fold happened before the served plan
     (b0.map(_ -> 0) ++ b1.map(_ -> 1) ++ b2.map(_ -> 2) ++ multi).toMap
   }
 
@@ -139,6 +146,7 @@ class PlanAuditSpec extends SparkSpec {
     * deterministic plan can never hide behind slack. */
   private val aqeWobble = Set(
     "q41_dedup_minhash_lsh", "q44_dedup_embedding_cosine",
+    "q80_dedup_incremental", // observed 5/6 → 6/6 → 5/5 across r10/r11 regenerations
     "q45_curation_pipeline", "q92_semantic_dedup_two_level",
     "q94_semantic_dedup_partial_probe", "q104_cms_merge",
     "q108_hll_estimate_merge", "q110_semantic_dedup_dist_fit",

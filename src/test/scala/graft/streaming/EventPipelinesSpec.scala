@@ -530,6 +530,64 @@ class EventPipelinesSpec extends SparkSpec {
     }
   }
 
+  test("streaming LM -> catalog: epoch bigram counts SUM-fold, vocab union-folds, scoring serves per version") {
+    val s = spark
+    import s.implicits._
+    withTempDir { dir =>
+      val in = s"$dir/in"; val ckpt = s"$dir/ckpt"; val root = s"$dir/cat"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      def writeInput(name: String, docs: Seq[(Long, String)]): Unit =
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/$name"),
+          docs.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+            .mkString("\n").getBytes)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING")
+      def stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(in)
+      val cat = new graft.catalog.VersionedCatalog(spark, root, format = "parquet")
+      val bgSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "bg STRING, cb BIGINT")
+      val vSchema = org.apache.spark.sql.types.StructType.fromDDL("t STRING")
+
+      val e1 = Seq((1L, "a b a b"), (2L, "b c"))
+      val e2 = Seq((3L, "a b d"), (4L, "c a b"))
+      writeInput("e1.json", e1)
+      EventPipelines.runCatalogLmSink(stream, ckpt, cat, "lm")
+      assert(cat.latestVersion("lm_bg").contains(1))
+      assert(cat.latestVersion("lm_vocab").contains(1))
+      writeInput("e2.json", e2)
+      EventPipelines.runCatalogLmSink(stream, ckpt, cat, "lm")
+      assert(cat.latestVersion("lm_bg").contains(2))
+
+      def cnts(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // latest = the batch LM over the union (count linearity)
+      val both = (e1 ++ e2).toDF("doc_id", "text")
+      assert(cnts(cat.latest("lm_bg", Some(bgSchema))) ==
+        cnts(graft.ext.LmScore.bigramCounts(both)))
+      // v1 = epoch 1's LM forever (LM time travel)
+      assert(cnts(cat.read("lm_bg", 1, Some(bgSchema))) ==
+        cnts(graft.ext.LmScore.bigramCounts(e1.toDF("doc_id", "text"))))
+      // vocab union-folded
+      assert(cat.latest("lm_vocab", Some(vSchema)).collect().map(_.getString(0))
+        .toSet == Set("a", "b", "c", "d"))
+      // serving through the persisted state == a fresh fit (the q122 law)
+      val probe = Seq((9L, "a b c")).toDF("doc_id", "text")
+      val viaCat = graft.ext.LmScore.scoreAgainstLm(
+          cat.latest("lm_bg", Some(bgSchema)),
+          cat.latest("lm_vocab", Some(vSchema)), probe)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+      val viaFit = graft.ext.LmScore.surpriseScores(both, probe)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+      assert(viaCat == viaFit)
+      // replay with no new input: no new version on either step (the
+      // additive bigram fold's exactly-once rides the epoch tag)
+      EventPipelines.runCatalogLmSink(stream, ckpt, cat, "lm")
+      assert(cat.latestVersion("lm_bg").contains(2))
+      assert(cat.latestVersion("lm_vocab").contains(2))
+    }
+  }
+
   test("streaming index append: epochs assign through persisted centroids, replay-safe") {
     val s = spark
     import s.implicits._
