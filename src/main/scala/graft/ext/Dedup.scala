@@ -452,6 +452,100 @@ object Dedup extends QueryModule {
           FROM dp WHERE i < len(ca))
         SELECT pid, CAST(len(ca) AS BIGINT) AS cp_a, CAST(len(cb) AS BIGINT) AS cp_b,
                CAST(row[len(cb)+1] AS BIGINT) AS dist
-        FROM dp WHERE i = len(ca) ORDER BY pid"""))
+        FROM dp WHERE i = len(ca) ORDER BY pid""")),
+
+    // ------------------------------------------------------------------
+    // q123: repeated-span coverage per document (ExactSubstr dedup
+    // signal, Lee et al. ACL 2022 — see [[repeatedSpanCoverage]]). The
+    // whole table is hash-checked: occurrence counting, the hash
+    // keying, AND the interval-union sweep must all agree exactly.
+    QueryDef(
+      "q123_repeated_span_coverage",
+      (s, dir) => repeatedSpanCoverage(T.documents(s, dir))
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH toks AS (SELECT doc_id, ${X.tokensSql("text")} AS tk FROM documents),
+        sl AS (SELECT doc_id, len(tk) AS n_tokens,
+                      ${X.shinglesSql("tk", 10)} AS sh
+               FROM toks),
+        pos AS (SELECT doc_id, sh, unnest(range(1, len(sh)+1)) AS i FROM sl),
+        keyed AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                         ${X.h60Sql("sh[i]")} AS k
+                  FROM pos),
+        rep AS (SELECT k FROM keyed GROUP BY k HAVING COUNT(*) >= 2),
+        sw AS (SELECT doc_id, pos,
+                      max(pos + 10) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS prev_end
+               FROM keyed JOIN rep USING (k)),
+        cov AS (SELECT doc_id, COUNT(*) AS n_rep_spans,
+                       CAST(SUM(greatest(0, pos + 10
+                         - greatest(pos, coalesce(prev_end, -1)))) AS BIGINT)
+                         AS covered_tokens
+                FROM sw GROUP BY doc_id)
+        SELECT d.doc_id, CAST(d.n_tokens AS BIGINT) AS n_tokens,
+               coalesce(c.n_rep_spans, 0) AS n_rep_spans,
+               coalesce(c.covered_tokens, 0) AS covered_tokens,
+               CASE WHEN d.n_tokens = 0 THEN 0
+                    ELSE coalesce(c.covered_tokens, 0) * 100 // d.n_tokens
+               END AS coverage_pct
+        FROM (SELECT doc_id, n_tokens FROM sl) d
+        LEFT JOIN cov c USING (doc_id)
+        ORDER BY d.doc_id"""))
   )
+
+  /** Span length (in tokens) for [[repeatedSpanCoverage]] / q123. */
+  private val SpanL = 10
+
+  /** Per-document REPEATED-SPAN coverage — the ExactSubstr dedup
+    * signal (Lee, Ippolito, Nystrom, Zhang, Eck, Callison-Burch &
+    * Carlini, "Deduplicating Training Data Makes Language Models
+    * Better", ACL 2022): a position is "repeated" if it lies inside
+    * some L-token span occurring more than once corpus-wide (other
+    * docs or elsewhere in the same doc). Their suffix array is a
+    * single-node structure; the distributed re-expression is
+    * positional L-shingles → corpus-wide occurrence counts → per-doc
+    * INTERVAL UNION of the repeated spans, swept relationally with one
+    * running-max window (gaps-and-islands: contribution =
+    * pos+L − max(pos, max prior end), clamped at 0). Spans key on the
+    * md5-derived 60-bit shingle hash, NOT the shingle text — the
+    * shuffle rows stay narrow at 100 TB and both engines hash
+    * identically, so a collision (≈2⁻⁶⁰ per pair) affects both sides
+    * the same way and the compare stays exact.
+    *
+    * 100 TB shape: one partial-aggregable count over positional
+    * shingle hashes (rows ∝ corpus tokens, width ~3 ints), one
+    * equi-join of positions against the repeated keys (count ≥ 2 —
+    * at web scale this side is the small one: most shingles are
+    * unique), one per-doc window. No pairs are ever materialized —
+    * unlike the pairwise dedup family, coverage needs only the
+    * repeated-key SET, so work is linear in corpus tokens. */
+  def repeatedSpanCoverage(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), X.tokens(col("text")).as("tk"))
+    val base = toks.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
+    val keyed = toks
+      .select(col("doc_id"), posexplode(X.shingles(col("tk"), SpanL)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        X.h60(col("col")).as("k"))
+    val repeated = keyed.groupBy(col("k")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("k"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cov = keyed.join(repeated, "k")
+      .withColumn("prev_end", max(col("pos") + SpanL).over(w))
+      .select(col("doc_id"),
+        greatest(lit(0L), col("pos") + SpanL
+          - greatest(col("pos"), coalesce(col("prev_end"), lit(-1L))))
+          .as("contrib"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_rep_spans"), sum(col("contrib")).as("covered_tokens"))
+    base.join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_rep_spans"), lit(0L)).as("n_rep_spans"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+      .withColumn("coverage_pct",
+        when(col("n_tokens") === 0L, lit(0L))
+          .otherwise(expr("(covered_tokens * 100) div n_tokens")))
+  }
 }

@@ -1,0 +1,67 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** Contract tests for [[Dedup.repeatedSpanCoverage]] (q123): the
+  * interval-union sweep, same-document repetition, and the
+  * short/empty-document edges. Span length L = 10 tokens. */
+class RepeatedSpanSpec extends SparkSpec {
+
+  private def run(docs: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    Dedup.repeatedSpanCoverage(docs.toDF("doc_id", "text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+  }
+
+  private def words(n: Int, tag: String) = (0 until n).map(i => s"$tag$i").mkString(" ")
+
+  test("two identical 10-token docs are fully covered; a unique doc is untouched") {
+    val a = words(10, "x")
+    val got = run(Seq((1L, a), (2L, a), (3L, words(10, "u"))))
+    assert(got.toSeq == Seq(
+      (1L, 10L, 1L, 10L, 100L),
+      (2L, 10L, 1L, 10L, 100L),
+      (3L, 10L, 0L, 0L, 0L)))
+  }
+
+  test("overlapping repeated spans union, not sum") {
+    // doc 1 and 2 share an identical 12-token prefix -> spans at pos 0,1,2
+    // overlap; covered = 12 (the union), not 30
+    val shared = words(12, "s")
+    val got = run(Seq(
+      (1L, shared + " " + words(8, "a")), // 20 tokens
+      (2L, shared + " " + words(8, "b"))))
+    assert(got.toSeq == Seq(
+      (1L, 20L, 3L, 12L, 60L),
+      (2L, 20L, 3L, 12L, 60L)))
+  }
+
+  test("repetition WITHIN one document counts (same-doc spans repeat)") {
+    // one doc, the same 10 tokens twice: shingle at pos 0 == shingle at
+    // pos 10; the in-between bridging shingles are unique
+    val t = words(10, "r")
+    val got = run(Seq((1L, t + " " + t)))
+    val (_, nTok, nSpans, covered, pct) = got.head
+    assert(nTok == 20L && nSpans == 2L && covered == 20L && pct == 100L)
+  }
+
+  test("documents shorter than L tokens and empty documents emit zero coverage") {
+    val got = run(Seq((1L, "just a few tokens"), (2L, ""), (3L, words(10, "z"))))
+    assert(got.toSeq == Seq(
+      (1L, 4L, 0L, 0L, 0L),
+      (2L, 0L, 0L, 0L, 0L),
+      (3L, 10L, 0L, 0L, 0L)))
+  }
+
+  test("partial overlap: a doc embedding another doc's text is covered only there") {
+    val shared = words(10, "p")
+    val got = run(Seq(
+      (1L, shared),
+      (2L, words(30, "q") + " " + shared))) // 40 tokens, last 10 covered
+    assert(got.toSeq == Seq(
+      (1L, 10L, 1L, 10L, 100L),
+      (2L, 40L, 1L, 10L, 25L)))
+  }
+}
