@@ -491,6 +491,48 @@ object Dedup extends QueryModule {
                END AS coverage_pct
         FROM (SELECT doc_id, n_tokens FROM sl) d
         LEFT JOIN cov c USING (doc_id)
+        ORDER BY d.doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q124: repeated-span REMOVAL — the apply step of the ExactSubstr
+    // pair (q123 measures, this cuts; see [[removeRepeatedSpans]]).
+    // The cleaned text itself is hash-compared, so span explosion, the
+    // anti-join, and the ordered token reassembly must all agree
+    // byte-for-byte on every document.
+    QueryDef(
+      "q124_repeated_span_removal",
+      (s, dir) => removeRepeatedSpans(T.documents(s, dir))
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH toks AS (SELECT doc_id, ${X.tokensSql("text")} AS tk FROM documents),
+        sl AS (SELECT doc_id, len(tk) AS n_tokens,
+                      ${X.shinglesSql("tk", 10)} AS sh
+               FROM toks),
+        pos AS (SELECT doc_id, sh, unnest(range(1, len(sh)+1)) AS i FROM sl),
+        keyed AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                         ${X.h60Sql("sh[i]")} AS k
+                  FROM pos),
+        rep AS (SELECT k FROM keyed GROUP BY k HAVING COUNT(*) >= 2),
+        spans AS (SELECT doc_id, pos FROM keyed JOIN rep USING (k)),
+        covered AS (SELECT DISTINCT doc_id, tpos
+                    FROM (SELECT doc_id, unnest(range(pos, pos + 10)) AS tpos
+                          FROM spans)),
+        ptok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS tpos, tk[i] AS tok
+                 FROM (SELECT doc_id, tk, unnest(range(1, len(tk)+1)) AS i
+                       FROM toks)),
+        kept AS (SELECT p.doc_id, p.tpos, p.tok
+                 FROM ptok p ANTI JOIN covered c
+                   ON p.doc_id = c.doc_id AND p.tpos = c.tpos),
+        cleaned AS (SELECT doc_id, COUNT(*) AS kept_tokens,
+                           string_agg(tok, ' ' ORDER BY tpos) AS cleaned_text
+                    FROM kept GROUP BY doc_id)
+        SELECT d.doc_id, CAST(d.n_tokens AS BIGINT) AS n_tokens,
+               coalesce(c.kept_tokens, 0) AS kept_tokens,
+               CAST(d.n_tokens - coalesce(c.kept_tokens, 0) AS BIGINT)
+                 AS removed_tokens,
+               coalesce(c.cleaned_text, '') AS cleaned_text
+        FROM (SELECT doc_id, n_tokens FROM sl) d
+        LEFT JOIN cleaned c USING (doc_id)
         ORDER BY d.doc_id"""))
   )
 
@@ -520,19 +562,27 @@ object Dedup extends QueryModule {
     * unique), one per-doc window. No pairs are ever materialized —
     * unlike the pairwise dedup family, coverage needs only the
     * repeated-key SET, so work is linear in corpus tokens. */
-  def repeatedSpanCoverage(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), X.tokens(col("text")).as("tk"))
-    val base = toks.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
+  /** (doc_id, pos) of every L-token span whose 60-bit shingle hash
+    * occurs ≥ 2 times corpus-wide — the shared discovery stage of the
+    * ExactSubstr pair ([[repeatedSpanCoverage]] measures,
+    * [[removeRepeatedSpans]] cuts). */
+  private def repeatedSpans(toks: DataFrame): DataFrame = {
     val keyed = toks
       .select(col("doc_id"), posexplode(X.shingles(col("tk"), SpanL)))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         X.h60(col("col")).as("k"))
     val repeated = keyed.groupBy(col("k")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select(col("k"))
+    keyed.join(repeated, "k").select(col("doc_id"), col("pos"))
+  }
+
+  def repeatedSpanCoverage(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), X.tokens(col("text")).as("tk"))
+    val base = toks.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val cov = keyed.join(repeated, "k")
+    val cov = repeatedSpans(toks)
       .withColumn("prev_end", max(col("pos") + SpanL).over(w))
       .select(col("doc_id"),
         greatest(lit(0L), col("pos") + SpanL
@@ -547,5 +597,42 @@ object Dedup extends QueryModule {
       .withColumn("coverage_pct",
         when(col("n_tokens") === 0L, lit(0L))
           .otherwise(expr("(covered_tokens * 100) div n_tokens")))
+  }
+
+  /** The APPLY step of ExactSubstr dedup — Lee et al. remove the
+    * repeated substrings rather than whole documents: every token
+    * inside some corpus-repeated L-span is cut and the survivors
+    * rejoin IN ORDER (token space: whitespace is normalized, exactly
+    * like every hash/shingle path here). Span rows explode to at most
+    * L covered positions each — the multiplier rides the REPEATED side
+    * only, which at web scale is the small one — then one anti-join
+    * against the positional token stream and one ordered per-doc
+    * reassembly (array_sort on (pos, token) structs, so the rebuild is
+    * deterministic under any partitioning). Fully-covered documents
+    * come back as empty text: the caller's filter threshold, not a
+    * dropped row. */
+  def removeRepeatedSpans(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), X.tokens(col("text")).as("tk"))
+    val ptok = toks
+      .select(col("doc_id"), posexplode(col("tk")))
+      .select(col("doc_id"), col("pos").cast("long").as("tpos"),
+        col("col").as("tok"))
+    val covered = repeatedSpans(toks)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (SpanL - 1))).as("tpos"))
+      .distinct()
+    val cleaned = ptok.join(covered, Seq("doc_id", "tpos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_tokens"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("tpos"), col("tok")))),
+            x => x.getField("tok"))).as("cleaned_text"))
+    toks.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L)))
+          .as("removed_tokens"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
   }
 }

@@ -132,7 +132,8 @@ class PlanAuditSpec extends SparkSpec {
       "q115_index_append_occupancy" -> 4, // map-side kernel assignment (zero exchange) + two cell-count aggs + their join + ordered output; measured 3 at local[4], +1 AQE slack on the agg-agg join
       "q121_lm_surprise_score" -> 7, // LM fit (bigram agg + prefix agg + vocab distinct) + bigram-keyed and prefix-keyed doc-side joins + per-doc agg + ordered output — the LM joins broadcast at fixture scale and degrade to shuffle joins declaratively
       "q122_lm_catalog_serving" -> 7, // q121's scoring shape reading persisted LM versions: per version the bigram + prefix joins and per-doc agg; the fit/fold happened before the served plan
-      "q123_repeated_span_coverage" -> 3) // positional-shingle-hash count + repeated-key join + per-doc window/agg — linear in corpus tokens, no pair materialization (ExactSubstr signal)
+      "q123_repeated_span_coverage" -> 3, // positional-shingle-hash count + repeated-key join + per-doc window/agg — linear in corpus tokens, no pair materialization (ExactSubstr signal)
+      "q124_repeated_span_removal" -> 4) // q123's discovery + covered-position distinct + anti-join + ordered per-doc reassembly — the span explosion multiplies only the repeated side
     (b0.map(_ -> 0) ++ b1.map(_ -> 1) ++ b2.map(_ -> 2) ++ multi).toMap
   }
 

@@ -55,6 +55,33 @@ class RepeatedSpanSpec extends SparkSpec {
       (3L, 10L, 0L, 0L, 0L)))
   }
 
+  private def runRemoval(docs: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    Dedup.removeRepeatedSpans(docs.toDF("doc_id", "text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+  }
+
+  test("removal cuts exactly the covered tokens and rejoins the rest in order") {
+    val shared = words(10, "p")
+    val head = words(5, "h"); val tail = words(5, "t")
+    val got = runRemoval(Seq(
+      (1L, shared),
+      (2L, head + " " + shared + " " + tail)))
+    // doc 1 fully covered -> empty text, not a dropped row
+    assert(got(0) == ((1L, 10L, 0L, 10L, "")))
+    // doc 2: the embedded copy cut, head/tail survive in order
+    assert(got(1) == ((2L, 20L, 10L, 10L, head + " " + tail)))
+  }
+
+  test("removal leaves a repeat-free corpus byte-identical (token-normalized)") {
+    val got = runRemoval(Seq((1L, "alpha beta gamma"), (2L, words(10, "u"))))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 3L, 0L, "alpha beta gamma"),
+      (2L, 10L, 10L, 0L, words(10, "u"))))
+  }
+
   test("partial overlap: a doc embedding another doc's text is covered only there") {
     val shared = words(10, "p")
     val got = run(Seq(
