@@ -568,6 +568,68 @@ object Curation extends QueryModule {
                CAST(row_number() OVER (PARTITION BY shard ORDER BY oh, doc_id) AS BIGINT) AS pos,
                doc_id, source, n_chars
         FROM sh ORDER BY shard, pos""")),
+
+    // ------------------------------------------------------------------
+    // q125: cross-source CONTAMINATION MATRIX — the audit the
+    // decontamination family (q56/q58/q83) presupposes: which source
+    // PAIRS overlap, and by how much? Exact distinct-3-shingle overlap
+    // per source pair: |A ∩ B|, Jaccard, and containment of the
+    // smaller side, all integer arithmetic. The pair expansion rides
+    // the SHINGLE side (self-join of the distinct (shingle-hash,
+    // source) table on the hash: work ∝ Σ per-shingle
+    // sources-containing², bounded by #sources² per shingle — never
+    // doc pairs, never the corpus²). The matrix frame is a
+    // #sources×#sources cross of the per-source size table, so every
+    // pair appears even at zero overlap. 60-bit keys as in q123: both
+    // engines collide identically, shuffle rows stay narrow.
+    QueryDef(
+      "q125_source_overlap_matrix",
+      (s, dir) => {
+        val ss = T.documents(s, dir)
+          .select(col("source"),
+            explode(X.shingles(X.tokens(col("text")), 3)).as("sh"))
+          .select(col("source"), X.h60(col("sh")).as("k"))
+          .distinct()
+        val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val common = ss.as("a")
+          .join(ss.as("b"),
+            col("a.k") === col("b.k") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+          .agg(count(lit(1)).as("n_common"))
+        sizes.as("x")
+          .join(sizes.as("y"), col("x.source") < col("y.source"))
+          .select(col("x.source").as("s1"), col("y.source").as("s2"),
+            col("x.n").as("n_sh_1"), col("y.n").as("n_sh_2"))
+          .join(common, Seq("s1", "s2"), "left")
+          .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+          .select(col("s1"), col("s2"), col("n_sh_1"), col("n_sh_2"),
+            col("n_common"),
+            expr("(n_common * 100) div (n_sh_1 + n_sh_2 - n_common)")
+              .as("jaccard_pct"),
+            expr("(n_common * 100) div least(n_sh_1, n_sh_2)")
+              .as("containment_pct"))
+          .orderBy(col("s1"), col("s2"))
+      },
+      Some(s"""
+        WITH ss AS (SELECT DISTINCT source, ${X.h60Sql("sh")} AS k
+                    FROM (SELECT source, unnest(${X.shinglesSql("tk", 3)}) AS sh
+                          FROM (SELECT source, ${X.tokensSql("text")} AS tk
+                                FROM documents))),
+        sizes AS (SELECT source, COUNT(*) AS n FROM ss GROUP BY source),
+        common AS (SELECT a.source AS s1, b.source AS s2, COUNT(*) AS n_common
+                   FROM ss a JOIN ss b
+                     ON a.k = b.k AND a.source < b.source
+                   GROUP BY 1, 2)
+        SELECT x.source AS s1, y.source AS s2,
+               x.n AS n_sh_1, y.n AS n_sh_2,
+               coalesce(c.n_common, 0) AS n_common,
+               coalesce(c.n_common, 0) * 100
+                 // (x.n + y.n - coalesce(c.n_common, 0)) AS jaccard_pct,
+               coalesce(c.n_common, 0) * 100
+                 // least(x.n, y.n) AS containment_pct
+        FROM sizes x JOIN sizes y ON x.source < y.source
+        LEFT JOIN common c ON c.s1 = x.source AND c.s2 = y.source
+        ORDER BY s1, s2""")),
   )
 }
 

@@ -31,8 +31,13 @@ class PlanAuditSpec extends SparkSpec {
                                // shape — both sides aggregate to one row)
     "q121_lm_surprise_score", // 1-row vocabulary-size broadcast to the
                              // scored bigrams (q59's corpus-stats shape)
-    "q122_lm_catalog_serving" // the same 1-row vocabulary broadcast,
+    "q122_lm_catalog_serving", // the same 1-row vocabulary broadcast,
                               // once per served LM version
+    "q125_source_overlap_matrix" // the matrix FRAME is a #sources ×
+                                 // #sources cross of the per-source
+                                 // size aggregate (≤ tens of rows per
+                                 // side); the overlap itself equi-joins
+                                 // on the shingle hash
     // q81/q87/q91/q97/q98 carried a probe-stage centroid crossJoin
     // until round 8; the compiled top_cells kernel removed it — the
     // serving paths are now all equi-joins and must STAY that way
@@ -133,7 +138,8 @@ class PlanAuditSpec extends SparkSpec {
       "q121_lm_surprise_score" -> 7, // LM fit (bigram agg + prefix agg + vocab distinct) + bigram-keyed and prefix-keyed doc-side joins + per-doc agg + ordered output — the LM joins broadcast at fixture scale and degrade to shuffle joins declaratively
       "q122_lm_catalog_serving" -> 7, // q121's scoring shape reading persisted LM versions: per version the bigram + prefix joins and per-doc agg; the fit/fold happened before the served plan
       "q123_repeated_span_coverage" -> 3, // positional-shingle-hash count + repeated-key join + per-doc window/agg — linear in corpus tokens, no pair materialization (ExactSubstr signal)
-      "q124_repeated_span_removal" -> 4) // q123's discovery + covered-position distinct + anti-join + ordered per-doc reassembly — the span explosion multiplies only the repeated side
+      "q124_repeated_span_removal" -> 4, // q123's discovery + covered-position distinct + anti-join + ordered per-doc reassembly — the span explosion multiplies only the repeated side
+      "q125_source_overlap_matrix" -> 6) // distinct (shingle-hash, source) + per-source sizes + hash self-join + pair agg + matrix frame + ordered output — work ∝ Σ per-shingle source-count², never doc pairs
     (b0.map(_ -> 0) ++ b1.map(_ -> 1) ++ b2.map(_ -> 2) ++ multi).toMap
   }
 
