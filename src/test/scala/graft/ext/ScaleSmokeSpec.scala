@@ -351,4 +351,39 @@ class ScaleSmokeSpec extends SparkSpec {
     base.unpersist()
     spark.catalog.clearCache()
   }
+
+  test("repeated-span ops under 5k-doc planted boilerplate: work stays linear " +
+      "in occurrences, coverage and removal are exact") {
+    val s = spark
+    import s.implicits._
+    // 5000 docs share an identical 10-token boilerplate header (the
+    // web-corpus reality ExactSubstr exists for) + a unique 10-token
+    // body. The repeated-key join output is LINEAR in occurrences (one
+    // row per span occurrence, never occurrence pairs — the contrast
+    // with the pairwise dedup family, where 5000 shared keys would be
+    // 12.5M pairs); coverage must flag exactly the header on every doc.
+    val header = (0 until 10).map(i => s"boiler$i").mkString(" ")
+    val planted = spark.range(5000)
+      .select((col("id") + 7000000L).as("doc_id"),
+        concat(lit(header + " "),
+          concat_ws(" ", (0 until 10).map(j =>
+            concat(lit(s"u$j"), col("id").cast("string"))): _*)).as("text"))
+    val cov = Dedup.repeatedSpanCoverage(planted)
+    // exactly one repeated span per doc (the header; bridging spans mix
+    // in the unique body so they never repeat), covering 10 of 20 tokens
+    val agg = cov.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("n_rep_spans") === 1L && col("covered_tokens") === 10L
+          && col("coverage_pct") === 50L, 1L).otherwise(0L)).as("ok"))
+      .head()
+    assert(agg.getLong(0) == 5000L && agg.getLong(1) == 5000L)
+    // removal cuts the header everywhere and keeps each unique body
+    val rem = Dedup.removeRepeatedSpans(planted)
+    val rok = rem.agg(
+        sum(when(col("removed_tokens") === 10L && col("kept_tokens") === 10L
+          && !col("cleaned_text").contains("boiler"), 1L).otherwise(0L)).as("ok"))
+      .head().getLong(0)
+    assert(rok == 5000L)
+    spark.catalog.clearCache()
+  }
 }
