@@ -630,6 +630,154 @@ object Curation extends QueryModule {
         FROM sizes x JOIN sizes y ON x.source < y.source
         LEFT JOIN common c ON c.s1 = x.source AND c.s2 = y.source
         ORDER BY s1, s2""")),
+
+    // ------------------------------------------------------------------
+    // q126: per-source QUALITY REPORT — the dashboard a curation run
+    // cuts on, composing four independent signals into one row per
+    // source, every number an exact integer so the whole report
+    // hash-matches across engines:
+    //   dup_doc_pct            exact-duplicate rate (md5(text) count ≥ 2)
+    //   span_coverage_pct      corpus-repeated 10-token-span coverage (q123)
+    //   lm_centibits_per_bigram  mean add-one-bigram-LM surprise (q121)
+    //   lang_entropy_centibits   language-mix diversity as floor-quantized
+    //                            Shannon entropy: Σ cnt·⌊log2(total/cnt)⌋·100
+    //                            div total — the q121 floor-log2 kernel
+    //                            applied to distribution shape (an exact
+    //                            LOWER bound on true entropy; 0 ⟺
+    //                            monolingual, deterministic on any engine)
+    // Every branch is per-source partial-aggregable; the report joins
+    // #sources-row frames — at 10⁴ sources this is still driver-trivial.
+    QueryDef(
+      "q126_source_quality_report",
+      (s, dir) => {
+        val docs = T.documents(s, dir)
+        val src = docs.select(col("doc_id"), col("source"))
+        val lm = LmScore.surpriseScores(docs, docs)
+          .join(src, "doc_id")
+          .groupBy(col("source"))
+          .agg(sum(col("total_bits")).as("sb"), sum(col("n_bigrams")).as("nb"))
+          .select(col("source"),
+            when(col("nb") === 0L, lit(0L))
+              .otherwise(expr("(sb * 100) div nb"))
+              .as("lm_centibits_per_bigram"))
+        val sp = Dedup.repeatedSpanCoverage(docs)
+          .join(src, "doc_id")
+          .groupBy(col("source"))
+          .agg(sum(col("n_tokens")).as("nt"),
+            sum(col("covered_tokens")).as("cov"))
+          .select(col("source"), col("nt").as("n_tokens"),
+            when(col("nt") === 0L, lit(0L))
+              .otherwise(expr("(cov * 100) div nt"))
+              .as("span_coverage_pct"))
+        val withH = docs.select(col("source"), md5(col("text")).as("h"))
+        val dupKeys = withH.groupBy(col("h")).agg(count(lit(1)).as("c"))
+        val dup = withH.join(dupKeys, "h")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("c") >= 2L, 1L).otherwise(0L)).as("dd"))
+          .select(col("source"), col("n_docs"),
+            expr("(dd * 100) div n_docs").as("dup_doc_pct"))
+        val lc = docs.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("cnt"))
+        val ent = lc
+          .join(lc.groupBy(col("source")).agg(sum(col("cnt")).as("total")), "source")
+          .select(col("source"), col("total"),
+            (col("cnt") * LmScore.floorLog2Ratio(col("total"), col("cnt")) * 100)
+              .as("term"))
+          .groupBy(col("source"))
+          .agg(expr("sum(term) div max(total)").as("lang_entropy_centibits"))
+        dup.join(sp, "source").join(lm, "source").join(ent, "source")
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("dup_doc_pct"), col("span_coverage_pct"),
+            col("lm_centibits_per_bigram"), col("lang_entropy_centibits"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH tk AS (SELECT doc_id, source, ${X.tokensSql("text")} AS tk
+                    FROM documents),
+        -- LM branch (q121's construction, per-doc bits -> per-source mean)
+        bg AS (SELECT doc_id, unnest(${X.shinglesSql("tk", 2)}) AS bg FROM tk),
+        lmb AS (SELECT bg, COUNT(*) AS cb FROM bg GROUP BY bg),
+        lmp AS (SELECT split_part(bg, ' ', 1) AS w1,
+                       CAST(SUM(cb) AS BIGINT) AS cp
+                FROM lmb GROUP BY 1),
+        vc AS (SELECT COUNT(DISTINCT t) AS v
+               FROM (SELECT unnest(tk) AS t FROM tk)),
+        scr AS (SELECT b.doc_id, l.cb + 1 AS den, p.cp + vc.v AS num
+                FROM bg b
+                JOIN lmb l USING (bg)
+                JOIN lmp p ON p.w1 = split_part(b.bg, ' ', 1)
+                CROSS JOIN vc),
+        dbits AS (SELECT doc_id,
+                         CAST(SUM(CASE WHEN (den << k) > num THEN k - 1 ELSE k END)
+                           AS BIGINT) AS bits,
+                         COUNT(*) AS nb
+                  FROM (SELECT doc_id, den, num,
+                               length(printf('%b', num))
+                                 - length(printf('%b', den)) AS k
+                        FROM scr)
+                  GROUP BY doc_id),
+        lmsrc AS (SELECT t.source,
+                         CASE WHEN SUM(d.nb) = 0 THEN 0
+                              ELSE CAST(SUM(d.bits) * 100 // SUM(d.nb) AS BIGINT)
+                         END AS lm_centibits_per_bigram
+                  FROM dbits d JOIN documents t USING (doc_id)
+                  GROUP BY t.source),
+        -- span branch (q123's construction, per-doc covered -> per-source)
+        sl AS (SELECT doc_id, source, len(tk) AS n_tokens,
+                      ${X.shinglesSql("tk", 10)} AS sh
+               FROM tk),
+        pos AS (SELECT doc_id, sh, unnest(range(1, len(sh)+1)) AS i FROM sl),
+        keyed AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                         ${X.h60Sql("sh[i]")} AS k
+                  FROM pos),
+        rep AS (SELECT k FROM keyed GROUP BY k HAVING COUNT(*) >= 2),
+        sw AS (SELECT doc_id, pos,
+                      max(pos + 10) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS prev_end
+               FROM keyed JOIN rep USING (k)),
+        cov AS (SELECT doc_id,
+                       CAST(SUM(greatest(0, pos + 10
+                         - greatest(pos, coalesce(prev_end, -1)))) AS BIGINT)
+                         AS covered_tokens
+                FROM sw GROUP BY doc_id),
+        spansrc AS (SELECT s.source,
+                           CAST(SUM(s.n_tokens) AS BIGINT) AS n_tokens,
+                           CASE WHEN SUM(s.n_tokens) = 0 THEN 0
+                                ELSE CAST(coalesce(SUM(c.covered_tokens), 0) * 100
+                                     // SUM(s.n_tokens) AS BIGINT)
+                           END AS span_coverage_pct
+                    FROM sl s LEFT JOIN cov c USING (doc_id)
+                    GROUP BY s.source),
+        -- exact-duplicate branch
+        dh AS (SELECT source, md5(text) AS h FROM documents),
+        hc AS (SELECT h, COUNT(*) AS c FROM dh GROUP BY h),
+        dupsrc AS (SELECT source, COUNT(*) AS n_docs,
+                          CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) * 100
+                            // COUNT(*) AS BIGINT) AS dup_doc_pct
+                   FROM dh JOIN hc USING (h) GROUP BY source),
+        -- language-entropy branch (integer floor-log2 terms)
+        lcnt AS (SELECT source, lang, COUNT(*) AS cnt FROM documents
+                 GROUP BY 1, 2),
+        lterm AS (SELECT l.source, l.cnt, t.total,
+                         length(printf('%b', t.total))
+                           - length(printf('%b', l.cnt)) AS k
+                  FROM lcnt l
+                  JOIN (SELECT source, CAST(SUM(cnt) AS BIGINT) AS total
+                        FROM lcnt GROUP BY source) t USING (source)),
+        ent AS (SELECT source,
+                       CAST(SUM(cnt * (CASE WHEN (cnt << k) > total THEN k - 1
+                                            ELSE k END) * 100)
+                         // MAX(total) AS BIGINT) AS lang_entropy_centibits
+                FROM lterm GROUP BY source)
+        SELECT d.source, d.n_docs, s.n_tokens, d.dup_doc_pct,
+               s.span_coverage_pct, l.lm_centibits_per_bigram,
+               e.lang_entropy_centibits
+        FROM dupsrc d
+        JOIN spansrc s USING (source)
+        JOIN lmsrc l USING (source)
+        JOIN ent e USING (source)
+        ORDER BY d.source""")),
   )
 }
 

@@ -47,8 +47,9 @@ object LmScore extends QueryModule {
 
   /** floor(log2(n / d)) for 1 <= d <= n, exact: no floats involved.
     * (functions.shiftleft only takes a literal shift, so the
-    * column-by-column shift goes through call_function.) */
-  private def floorLog2Ratio(n: Column, d: Column): Column = {
+    * column-by-column shift goes through call_function.) private[ext]:
+    * the integer-entropy term in [[Curation]]'s q126 report reuses it. */
+  private[ext] def floorLog2Ratio(n: Column, d: Column): Column = {
     val k = (bitlen(n) - bitlen(d)).cast("int")
     when(call_function("shiftleft", d, k) > n, k - 1).otherwise(k).cast("long")
   }
