@@ -117,6 +117,37 @@ object LmScore extends QueryModule {
   def surpriseScores(fit: DataFrame, score: DataFrame): DataFrame =
     scoreAgainstLm(bigramCounts(fit), vocabTokens(fit), score)
 
+  /** DSIR selection (q127 — see the QueryDef note): every `docs` row
+    * scored under the source LM (fit on `docs`) and the target LM (fit
+    * on `target`), per-bigram deficit centibits clamped at 0, whole-bit
+    * deficit capped at 13, and deterministic md5-residue acceptance
+    * with probability 2^−deficit_log2. */
+  def dsirSampling(docs: DataFrame, target: DataFrame): DataFrame = {
+    val src = surpriseScores(docs, docs)
+      .select(col("doc_id"), col("n_bigrams"),
+        col("total_bits").as("bits_src"))
+    val tgt = surpriseScores(target, docs)
+      .select(col("doc_id"), col("total_bits").as("bits_tgt"))
+    src.join(tgt, "doc_id")
+      // clamp the bit difference at 0 BEFORE dividing: Spark's div
+      // truncates toward zero, DuckDB's // floors — they disagree
+      // on negative numerators, so the compared value must never
+      // see one (≤ 0 means "at least as target-like as source",
+      // deficit 0 either way)
+      .withColumn("deficit_centibits",
+        expr("(greatest(0L, bits_tgt - bits_src) * 100) div n_bigrams"))
+      .withColumn("deficit_log2",
+        least(lit(13L), expr("deficit_centibits div 100")))
+      .withColumn("thr_e4",
+        expr("10000 div shiftleft(1L, CAST(deficit_log2 AS INT))"))
+      .withColumn("accepted",
+        X.h60(concat(lit("dsir "), col("doc_id").cast("string")))
+          % 10000L < col("thr_e4"))
+      .select(col("doc_id"), col("n_bigrams"), col("bits_src"),
+        col("bits_tgt"), col("deficit_centibits"), col("deficit_log2"),
+        col("thr_e4"), col("accepted"))
+  }
+
   override val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -156,6 +187,91 @@ object LmScore extends QueryModule {
                CAST(SUM(bits) * 100 // COUNT(*) AS BIGINT)
                  AS centibits_per_bigram
         FROM bits GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q127: DATA SELECTION VIA IMPORTANCE RESAMPLING — DSIR (Xie,
+    // Santurkar, Ma & Liang, "Data Selection for Language Models via
+    // Importance Resampling", NeurIPS 2023) with the floating-point
+    // importance weight replaced by the integer-bits machinery: the
+    // log2 importance ratio log2(p_tgt(x)/p_src(x)) IS
+    // bits_src(x) − bits_tgt(x) in this engine's floor-quantized
+    // Shannon bits, so per-bigram "deficit centibits" (how much more
+    // surprising the doc is to the TARGET LM than to the source LM,
+    // length-normalized) needs no logs, no floats, no normalization
+    // constant. Acceptance is deterministic md5-residue thresholding
+    // (the q37 sampling discipline): accept iff
+    // h(doc) % 10⁴ < 10⁴ / 2^clamp(deficit_log2, 0, 13) — docs the
+    // target LM likes keep probability 1, docs it dislikes are
+    // exponentially down-weighted, capped like DSIR's clipped weights.
+    // Target here = the English slice, source = the full corpus; both
+    // LMs fit and both scorings run in one declarative plan. On the
+    // fixture the deficits land at 0-60 centibits — below the 1-bit
+    // floor, so every doc accepts: the fixture's language labels share
+    // one synthetic text distribution (q126's near-uniform lang
+    // entropy corroborates), and the oracle still hash-checks the full
+    // deficit/threshold arithmetic on all 500/5000 rows. Real
+    // selection (deficit ≥ 1 bit → exponential down-sampling) is
+    // exercised by LmScoreSpec's disjoint-vocabulary corpora.
+    QueryDef(
+      "q127_dsir_sampling",
+      (s, dir) => {
+        val docs = T.documents(s, dir)
+        dsirSampling(docs, docs.filter(col("lang") === "en"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        // one parameterized LM-scoring CTE block per corpus: fit on
+        // `fitWhere`, score EVERY document — shared text, two
+        // instantiations, exactly like the engine side's two
+        // surpriseScores calls
+        def lmCtes(tag: String, fitWhere: String): String = s"""
+        bg_$tag AS (SELECT doc_id, unnest(${X.shinglesSql("tk", 2)}) AS bg
+                    FROM tk $fitWhere),
+        lmb_$tag AS (SELECT bg, COUNT(*) AS cb FROM bg_$tag GROUP BY bg),
+        lmp_$tag AS (SELECT split_part(bg, ' ', 1) AS w1,
+                            CAST(SUM(cb) AS BIGINT) AS cp
+                     FROM lmb_$tag GROUP BY 1),
+        vc_$tag AS (SELECT COUNT(DISTINCT t) AS v
+                    FROM (SELECT unnest(tk) AS t FROM tk $fitWhere)),
+        sc_$tag AS (SELECT b.doc_id,
+                           coalesce(l.cb, 0) + 1 AS den,
+                           coalesce(p.cp, 0) + vc.v AS num
+                    FROM bgall b
+                    LEFT JOIN lmb_$tag l USING (bg)
+                    LEFT JOIN lmp_$tag p
+                      ON p.w1 = split_part(b.bg, ' ', 1)
+                    CROSS JOIN vc_$tag vc),
+        bits_$tag AS (SELECT doc_id, COUNT(*) AS nb,
+                             CAST(SUM(CASE WHEN (den << k) > num THEN k - 1
+                                           ELSE k END) AS BIGINT) AS bits
+                      FROM (SELECT doc_id, den, num,
+                                   length(printf('%b', num))
+                                     - length(printf('%b', den)) AS k
+                            FROM sc_$tag)
+                      GROUP BY doc_id)"""
+        s"""
+        WITH tk AS (SELECT doc_id, lang, ${X.tokensSql("text")} AS tk
+                    FROM documents),
+        bgall AS (SELECT doc_id, unnest(${X.shinglesSql("tk", 2)}) AS bg
+                  FROM tk),
+        ${lmCtes("s", "")},
+        ${lmCtes("t", "WHERE lang = 'en'")}
+        SELECT doc_id, n_bigrams, bits_src, bits_tgt, deficit_centibits,
+               deficit_log2, thr_e4,
+               ${X.h60Sql("'dsir ' || CAST(doc_id AS VARCHAR)")} % 10000
+                 < thr_e4 AS accepted
+        FROM (SELECT doc_id, n_bigrams, bits_src, bits_tgt,
+                     deficit_centibits,
+                     least(13, deficit_centibits // 100) AS deficit_log2,
+                     CAST(10000 // (CAST(1 AS BIGINT) <<
+                       least(13, deficit_centibits // 100)) AS BIGINT) AS thr_e4
+              FROM (SELECT s.doc_id, s.nb AS n_bigrams,
+                           s.bits AS bits_src, t.bits AS bits_tgt,
+                           greatest(0, t.bits - s.bits) * 100 // s.nb
+                             AS deficit_centibits
+                    FROM bits_s s JOIN bits_t t USING (doc_id)))
+        ORDER BY doc_id"""
+      }),
 
     // ------------------------------------------------------------------
     // q122: the LM THROUGH THE CATALOG — fourth member of the

@@ -38,8 +38,10 @@ class PlanAuditSpec extends SparkSpec {
                                  // size aggregate (≤ tens of rows per
                                  // side); the overlap itself equi-joins
                                  // on the shingle hash
-    "q126_source_quality_report" // embeds q121's 1-row vocabulary
+    "q126_source_quality_report", // embeds q121's 1-row vocabulary
                                  // broadcast (the LM branch)
+    "q127_dsir_sampling" // q121's 1-row vocabulary broadcast, once per
+                         // LM (source and target)
     // q81/q87/q91/q97/q98 carried a probe-stage centroid crossJoin
     // until round 8; the compiled top_cells kernel removed it — the
     // serving paths are now all equi-joins and must STAY that way
@@ -142,7 +144,8 @@ class PlanAuditSpec extends SparkSpec {
       "q123_repeated_span_coverage" -> 3, // positional-shingle-hash count + repeated-key join + per-doc window/agg — linear in corpus tokens, no pair materialization (ExactSubstr signal)
       "q124_repeated_span_removal" -> 4, // q123's discovery + covered-position distinct + anti-join + ordered per-doc reassembly — the span explosion multiplies only the repeated side
       "q125_source_overlap_matrix" -> 6, // distinct (shingle-hash, source) + per-source sizes + hash self-join + pair agg + matrix frame + ordered output — work ∝ Σ per-shingle source-count², never doc pairs
-      "q126_source_quality_report" -> 16) // COMPOSITION query: four independent corpus passes (LM surprise 7, span coverage 3, exact-dup 3, lang entropy 2) reduced per-source + the #sources-row report joins — the count is the sum of its proven parts, each budget-pinned standalone
+      "q126_source_quality_report" -> 16, // COMPOSITION query: four independent corpus passes (LM surprise 7, span coverage 3, exact-dup 3, lang entropy 2) reduced per-source + the #sources-row report joins — the count is the sum of its proven parts, each budget-pinned standalone
+      "q127_dsir_sampling" -> 13) // TWO full LM fit+score passes (source and target, ~6 each: q121's pinned shape) + the per-doc bits join — DSIR is definitionally a two-model query
     (b0.map(_ -> 0) ++ b1.map(_ -> 1) ++ b2.map(_ -> 2) ++ multi).toMap
   }
 

@@ -101,6 +101,47 @@ class LmScoreSpec extends SparkSpec {
     assert(viaMerged == viaFresh)
   }
 
+  test("dsirSampling: off-target docs are exponentially down-sampled, on-target kept") {
+    val s = spark
+    import s.implicits._
+    // target vocabulary {t*}, off-target vocabulary {z*} — disjoint, so
+    // an off-target doc's bigrams are all unseen by the target LM and
+    // its deficit is many whole bits; on-target docs match both LMs
+    // (deficit ≤ 0 after clamping: the source LM also contains them)
+    val onTarget = (1L to 40L).map(i => (i, (0 until 12).map(j => s"t${(i + j) % 7}").mkString(" ")))
+    val offTarget = (101L to 140L).map(i => (i, (0 until 12).map(j => s"z${(i * 3 + j) % 23}").mkString(" ")))
+    val docs = (onTarget ++ offTarget).toDF("doc_id", "text")
+    val target = onTarget.toDF("doc_id", "text")
+    val got = LmScore.dsirSampling(docs, target).collect()
+      .map(r => r.getLong(0) -> (r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7)))
+      .toMap
+    // independent md5-residue reimplementation (JVM MessageDigest, not
+    // the engine's expression) — the acceptance bit must match it
+    def residue(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"dsir $id".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 10000L
+    }
+    val (on, off) = (onTarget.map(_._1), offTarget.map(_._1))
+    on.foreach { id =>
+      val (defc, defl, thr, acc) = got(id)
+      assert(defc == 0L && defl == 0L && thr == 10000L && acc,
+        s"on-target doc $id must accept with zero deficit, got $defc/$defl/$thr/$acc")
+    }
+    off.foreach { id =>
+      val (defc, defl, thr, acc) = got(id)
+      assert(defl >= 1L, s"off-target doc $id deficit_log2=$defl — expected >= 1 bit")
+      assert(thr == 10000L >> defl.toInt)
+      assert(acc == (residue(id) < thr),
+        s"doc $id: engine acceptance disagrees with independent md5 residue")
+    }
+    // and the down-sampling is real: strictly fewer off-target survivors
+    val offAccepted = off.count(id => got(id)._4)
+    assert(offAccepted < off.size,
+      s"expected some off-target rejections, all ${off.size} accepted")
+  }
+
   test("documents with fewer than 2 tokens do not flow") {
     val s = spark
     import s.implicits._
