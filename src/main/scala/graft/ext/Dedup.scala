@@ -533,7 +533,54 @@ object Dedup extends QueryModule {
                coalesce(c.cleaned_text, '') AS cleaned_text
         FROM (SELECT doc_id, n_tokens FROM sl) d
         LEFT JOIN cleaned c USING (doc_id)
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q128: span-level decontamination ([[spanContamination]]) — eval
+    // slice = source 'src0', train = every other source. Per eval doc:
+    // how many of its 10-token spans occur anywhere in train, and what
+    // fraction of its tokens they cover.
+    QueryDef(
+      "q128_span_decontam",
+      (s, dir) => {
+        val docs = T.documents(s, dir)
+        spanContamination(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH tk AS (SELECT doc_id, source, ${X.tokensSql("text")} AS tk
+                    FROM documents),
+        trainkeys AS (SELECT DISTINCT ${X.h60Sql("sh")} AS k
+                      FROM (SELECT unnest(${X.shinglesSql("tk", 10)}) AS sh
+                            FROM tk WHERE source <> 'src0')),
+        esl AS (SELECT doc_id, len(tk) AS n_tokens,
+                       ${X.shinglesSql("tk", 10)} AS sh
+                FROM tk WHERE source = 'src0'),
+        epos AS (SELECT doc_id, sh, unnest(range(1, len(sh)+1)) AS i FROM esl),
+        ekeyed AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                          ${X.h60Sql("sh[i]")} AS k
+                   FROM epos),
+        sw AS (SELECT doc_id, pos,
+                      max(pos + 10) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS prev_end
+               FROM ekeyed JOIN trainkeys USING (k)),
+        cov AS (SELECT doc_id, COUNT(*) AS n_hit_spans,
+                       CAST(SUM(greatest(0, pos + 10
+                         - greatest(pos, coalesce(prev_end, -1)))) AS BIGINT)
+                         AS covered_tokens
+                FROM sw GROUP BY doc_id)
+        SELECT e.doc_id, CAST(e.n_tokens AS BIGINT) AS n_tokens,
+               coalesce(c.n_hit_spans, 0) AS n_hit_spans,
+               coalesce(c.covered_tokens, 0) AS covered_tokens,
+               CASE WHEN e.n_tokens = 0 THEN 0
+                    ELSE coalesce(c.covered_tokens, 0) * 100 // e.n_tokens
+               END AS contamination_pct
+        FROM (SELECT doc_id, n_tokens FROM esl) e
+        LEFT JOIN cov c USING (doc_id)
+        ORDER BY e.doc_id"""))
   )
 
   /** Span length (in tokens) for [[repeatedSpanCoverage]] / q123. */
@@ -595,6 +642,48 @@ object Dedup extends QueryModule {
         coalesce(col("n_rep_spans"), lit(0L)).as("n_rep_spans"),
         coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
       .withColumn("coverage_pct",
+        when(col("n_tokens") === 0L, lit(0L))
+          .otherwise(expr("(covered_tokens * 100) div n_tokens")))
+  }
+
+  /** Span-level DECONTAMINATION — the cross-corpus member of the
+    * ExactSubstr family: for every `eval` document, how much of it is
+    * covered by L-token spans that ALSO occur anywhere in `train`?
+    * Doc-level decontamination (q56/q58/q83) answers "is this eval doc
+    * tainted"; this answers "which parts, exactly" — the granularity
+    * benchmark-leakage audits actually need (an eval doc quoting one
+    * training paragraph is partially compromised, not binary). Same
+    * linear shape as [[repeatedSpanCoverage]] with the repeated-key
+    * set replaced by the TRAIN span-hash set (distinct, so the train
+    * side reduces before the join; the eval side is the small one in
+    * the usual direction, making the join's big side a semi-join
+    * against a reduced key set). */
+  def spanContamination(train: DataFrame, eval: DataFrame): DataFrame = {
+    val evalToks = eval.select(col("doc_id"), X.tokens(col("text")).as("tk"))
+    val trainKeys = train
+      .select(explode(X.shingles(X.tokens(col("text")), SpanL)).as("sh"))
+      .select(X.h60(col("sh")).as("k")).distinct()
+    val evalKeyed = evalToks
+      .select(col("doc_id"), posexplode(X.shingles(col("tk"), SpanL)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        X.h60(col("col")).as("k"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cov = evalKeyed.join(trainKeys, "k")
+      .withColumn("prev_end", max(col("pos") + SpanL).over(w))
+      .select(col("doc_id"),
+        greatest(lit(0L), col("pos") + SpanL
+          - greatest(col("pos"), coalesce(col("prev_end"), lit(-1L))))
+          .as("contrib"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_spans"), sum(col("contrib")).as("covered_tokens"))
+    evalToks.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_hit_spans"), lit(0L)).as("n_hit_spans"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+      .withColumn("contamination_pct",
         when(col("n_tokens") === 0L, lit(0L))
           .otherwise(expr("(covered_tokens * 100) div n_tokens")))
   }

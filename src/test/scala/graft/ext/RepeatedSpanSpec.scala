@@ -82,6 +82,26 @@ class RepeatedSpanSpec extends SparkSpec {
       (2L, 10L, 10L, 0L, words(10, "u"))))
   }
 
+  test("spanContamination: only train-present spans count — eval-internal repeats do not") {
+    val s = spark
+    import s.implicits._
+    val trainPara = words(10, "tr")
+    val train = Seq((1L, trainPara + " " + words(10, "x"))).toDF("doc_id", "text")
+    val evalSelfRep = words(10, "e") // appears TWICE in eval doc 11, never in train
+    val eval = Seq(
+      (10L, words(5, "h") + " " + trainPara + " " + words(5, "t")), // quotes train
+      (11L, evalSelfRep + " " + evalSelfRep), // eval-internal duplicate only
+      (12L, words(20, "c")) // clean
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanContamination(train, eval)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (10L, 20L, 1L, 10L, 50L), // the quoted paragraph, nothing else
+      (11L, 20L, 0L, 0L, 0L),   // self-repetition is q123's business, not contamination
+      (12L, 20L, 0L, 0L, 0L)))
+  }
+
   test("partial overlap: a doc embedding another doc's text is covered only there") {
     val shared = words(10, "p")
     val got = run(Seq(
