@@ -102,6 +102,39 @@ class RepeatedSpanSpec extends SparkSpec {
       (12L, 20L, 0L, 0L, 0L)))
   }
 
+  test("property: coverage equals the brute-force position-set union on random corpora") {
+    val s = spark
+    import s.implicits._
+    // random docs over a tiny vocabulary force heavy accidental span
+    // repetition; the relational sweep must equal a brute-force scalar
+    // model (hash every 10-shingle, count corpus-wide, union covered
+    // position sets per doc) on every document
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c")
+    val docs = (1L to 60L).map { id =>
+      val n = 5 + rnd.nextInt(30)
+      (id, Vector.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // scalar model
+    val toks = docs.map { case (id, t) => id -> t.split(" ").toVector }.toMap
+    val shingleOf = (tk: Vector[String], i: Int) => tk.slice(i, i + 10).mkString(" ")
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    for ((_, tk) <- toks; i <- 0 to tk.size - 10) counts(shingleOf(tk, i)) =
+      counts.getOrElse(shingleOf(tk, i), 0) + 1
+    val expected = toks.map { case (id, tk) =>
+      val spans = (0 to tk.size - 10).filter(i => counts(shingleOf(tk, i)) >= 2)
+      val covered = spans.flatMap(i => i until i + 10).toSet
+      id -> (tk.size.toLong, spans.size.toLong, covered.size.toLong)
+    }
+    val got = Dedup.repeatedSpanCoverage(docs.toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    expected.foreach { case (id, e) =>
+      assert(got(id) == e, s"doc $id: engine ${got(id)} != scalar model $e")
+    }
+  }
+
   test("partial overlap: a doc embedding another doc's text is covered only there") {
     val shared = words(10, "p")
     val got = run(Seq(
