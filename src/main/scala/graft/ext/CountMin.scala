@@ -279,9 +279,10 @@ object CountMin extends QueryModule {
         def cells(even: Boolean) = sketchCells(tokenCountsOf(
             docs.filter((col("doc_id") % 2 === 0) === lit(even))))
           .select(col("d").cast("long").as("d"), col("w"), col("cell_sum"))
-        cat.writeNext("cms", cells(even = true))
+        // bounded state (D x W = 256 cells): one file per version
+        cat.writeNext("cms", cells(even = true).coalesce(1))
         cat.writeNext("cms", mergeSketches(
-          cat.read("cms", 1, Some(schema)), cells(even = false)))
+          cat.read("cms", 1, Some(schema)), cells(even = false)).coalesce(1))
         val tc = docs
           .select((col("doc_id") % 2 === 0).as("even"),
             explode(X.tokens(col("text"))).as("token"))

@@ -310,11 +310,15 @@ object HistSketch extends QueryModule {
         val schema = org.apache.spark.sql.types.StructType.fromDDL(
           "bin BIGINT, cnt BIGINT")
         val ev = graft.Tables.events(s, dir)
+        // bounded state (256 bins): one file per version, not one per
+        // shuffle partition
         cat.writeNext("hist",
-          binCells(ev.filter(col("event_id") % 2 === 0), col("value")))
+          binCells(ev.filter(col("event_id") % 2 === 0), col("value"))
+            .coalesce(1))
         cat.writeNext("hist", mergeBins(
           cat.read("hist", 1, Some(schema)),
-          binCells(ev.filter(col("event_id") % 2 === 1), col("value"))))
+          binCells(ev.filter(col("event_id") % 2 === 1), col("value")))
+          .coalesce(1))
         (1 to 2).map { v =>
           serveQuantiles(cat.read("hist", v, Some(schema)))
             .select(lit(v.toLong).as("version"), col("n_total"),

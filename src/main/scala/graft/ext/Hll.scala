@@ -281,11 +281,14 @@ object Hll extends QueryModule {
         val schema = org.apache.spark.sql.types.StructType.fromDDL(
           "j BIGINT, register BIGINT")
         val ev = T.events(s, dir)
+        // bounded state (256 registers): one file per version
         cat.writeNext("hll",
-          registerCells(ev.filter(col("event_id") % 2 === 0), col("event_id")))
+          registerCells(ev.filter(col("event_id") % 2 === 0), col("event_id"))
+            .coalesce(1))
         cat.writeNext("hll", mergeRegisters(
           cat.read("hll", 1, Some(schema)),
-          registerCells(ev.filter(col("event_id") % 2 === 1), col("event_id"))))
+          registerCells(ev.filter(col("event_id") % 2 === 1), col("event_id")))
+          .coalesce(1))
         (1 to 2).map { v =>
           serveEstimate(cat.read("hll", v, Some(schema)))
             .select(lit(v.toLong).as("version"), col("s_scaled"),

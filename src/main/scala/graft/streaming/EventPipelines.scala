@@ -382,7 +382,7 @@ object EventPipelines {
       cat: graft.catalog.VersionedCatalog, step: String,
       epochCells: DataFrame, epoch: Long): Unit =
     foldEpoch(cat, step, epochCells, epoch,
-      graft.ext.CountMin.mergeSketches)
+      graft.ext.CountMin.mergeSketches, boundedState = true)
 
   /** The shared epoch-fold guard both sketch sinks instantiate: skip
     * iff some RETAINED version already carries a tag ≥ this epoch, else
@@ -402,13 +402,20 @@ object EventPipelines {
   private def foldEpoch(
       cat: graft.catalog.VersionedCatalog, step: String,
       epochDf: DataFrame, epoch: Long,
-      merge: (DataFrame, DataFrame) => DataFrame): Unit = {
+      merge: (DataFrame, DataFrame) => DataFrame,
+      boundedState: Boolean = false): Unit = {
     if (!cat.maxEpochTag(step).exists(_ >= epoch)) {
       val next = cat.latestVersion(step) match {
         case None => epochDf
         case Some(_) => merge(cat.latest(step), epochDf)
       }
-      cat.writeNext(step, next, epochTag = Some(epoch))
+      // a BOUNDED state table (≤ m sketch rows by construction) must
+      // commit as ONE file — the merge's shuffle would otherwise
+      // scatter 256 rows over `shuffle.partitions` near-empty files,
+      // and every fold/serve pays the listing. State that grows with
+      // data (LM bigrams, index assignments) keeps its partitioning.
+      val out = if (boundedState) next.coalesce(1) else next
+      cat.writeNext(step, out, epochTag = Some(epoch))
     }
   }
 
@@ -422,7 +429,8 @@ object EventPipelines {
   private[streaming] def foldRegisterEpoch(
       cat: graft.catalog.VersionedCatalog, step: String,
       epochRegs: DataFrame, epoch: Long): Unit =
-    foldEpoch(cat, step, epochRegs, epoch, graft.ext.Hll.mergeRegisters)
+    foldEpoch(cat, step, epochRegs, epoch, graft.ext.Hll.mergeRegisters,
+      boundedState = true)
 
   /** Streaming HLL → catalog: each epoch reduces to a complete
     * m-register table ([[graft.ext.Hll.registerCells]] — the exact
@@ -456,7 +464,8 @@ object EventPipelines {
   private[streaming] def foldHistogramEpoch(
       cat: graft.catalog.VersionedCatalog, step: String,
       epochBins: DataFrame, epoch: Long): Unit =
-    foldEpoch(cat, step, epochBins, epoch, graft.ext.HistSketch.mergeBins)
+    foldEpoch(cat, step, epochBins, epoch, graft.ext.HistSketch.mergeBins,
+      boundedState = true)
 
   /** Streaming histogram → catalog: each epoch reduces to a complete
     * B-bin table ([[graft.ext.HistSketch.binCells]] — the exact q112
