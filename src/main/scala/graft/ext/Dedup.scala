@@ -213,6 +213,59 @@ object Dedup extends QueryModule {
         FROM lbl GROUP BY root ORDER BY survivor_id""")),
 
     // ------------------------------------------------------------------
+    // q129: QUALITY-AWARE survivor selection — q46 keeps each cluster's
+    // min-id doc (an arbitrary identity); real dedup keeps the BEST
+    // member (Lee et al. ACL 2022 keep the longest). Per connected
+    // near-dup cluster: survivor = argmax token count, ties to the
+    // smaller doc_id — the argmax as ONE max(struct(n_tokens,
+    // -doc_id)) partial-aggregable MAX, no per-cluster window sort.
+    // The cluster label stays in the output so the selection is
+    // auditable against q46's identity.
+    QueryDef(
+      "q129_dedup_survivor_quality",
+      (s, dir) => {
+        val docs = T.documents(s, dir)
+        val pairs = graft.operators.NearDup.minhashLsh(docs,
+            col("doc_id"), col("text"),
+            numHashes = 12, bands = 3, shingleWidth = 3, threshold = 0.5)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        val ntok = docs.select(col("doc_id"),
+          size(X.tokens(col("text"))).cast("long").as("n_tokens"))
+        graft.operators.Graph.connectedComponents(pairs)
+          .join(ntok, col("node") === col("doc_id"))
+          .groupBy(col("label").as("cluster_root"))
+          .agg(count(lit(1)).as("cluster_size"),
+            max(struct(col("n_tokens"), (-col("doc_id")).as("neg"))).as("s"))
+          .select(col("cluster_root"), col("cluster_size"),
+            col("s.neg").cast("long").as("neg"),
+            col("s.n_tokens").as("survivor_tokens"))
+          .select(col("cluster_root"), col("cluster_size"),
+            (-col("neg")).as("survivor_id"), col("survivor_tokens"),
+            (col("cluster_size") - 1).as("n_dropped"))
+          .orderBy(col("cluster_root"))
+      },
+      Some(s"""
+        WITH RECURSIVE ${minhashPairsSqlCte()},
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+                  UNION SELECT doc_b, doc_a FROM mh_pairs),
+        reach(a, b) AS (SELECT a, b FROM edges
+                        UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        lbl AS (SELECT r.a AS doc, least(MIN(r.b), r.a) AS root
+                FROM reach r GROUP BY r.a),
+        nt AS (SELECT doc_id, CAST(len(${X.tokensSql("text")}) AS BIGINT)
+                        AS n_tokens
+               FROM documents),
+        ranked AS (SELECT l.root, l.doc, n.n_tokens,
+                          row_number() OVER (PARTITION BY l.root
+                            ORDER BY n.n_tokens DESC, l.doc) AS rn,
+                          COUNT(*) OVER (PARTITION BY l.root) AS sz
+                   FROM lbl l JOIN nt n ON n.doc_id = l.doc)
+        SELECT root AS cluster_root, CAST(sz AS BIGINT) AS cluster_size,
+               doc AS survivor_id, n_tokens AS survivor_tokens,
+               CAST(sz - 1 AS BIGINT) AS n_dropped
+        FROM ranked WHERE rn = 1 ORDER BY cluster_root""")),
+
+    // ------------------------------------------------------------------
     // q42: SimHash near-dup: 60-bit row-local fingerprint from token
     // hashes, 4×15-bit LSH bands, hamming-distance verify (≤ 12 bits).
     // The fingerprint rides through the band group-by inside the

@@ -90,6 +90,7 @@ class PlanAuditSpec extends SparkSpec {
       "q35_vocab_topk", "q36_topk_docs_per_source", "q37_stratified_sample",
       "q39_exact_stats", "q40_dedup_exact", "q46_dedup_clusters",
       "q47_sequence_packing", "q48_train_val_test", "q50_nn_brute",
+      "q129_dedup_survivor_quality",
       "q51_ann_lsh", "q54_embedding_quantize", "q61_catalog_timetravel",
       "q62_tumbling_windows", "q63_session_windows", "q64_sliding_windows",
       "q66_catalog_merge", "q69_column_profile", "q70_media_inventory",
