@@ -271,7 +271,7 @@ object CountMin extends QueryModule {
     QueryDef(
       "q120_cms_catalog_serving",
       (s, dir) => {
-        val work = java.nio.file.Files.createTempDirectory("graft-q120-").toString
+        val work = graft.Scratch.dir("q120")
         val cat = new graft.catalog.VersionedCatalog(s, work, format = "parquet")
         val schema = org.apache.spark.sql.types.StructType.fromDDL(
           "d BIGINT, w BIGINT, cell_sum BIGINT")

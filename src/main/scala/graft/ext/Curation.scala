@@ -652,7 +652,16 @@ object Curation extends QueryModule {
       (s, dir) => {
         val docs = T.documents(s, dir)
         val src = docs.select(col("doc_id"), col("source"))
-        val lm = LmScore.surpriseScores(docs, docs)
+        // ONE tokenization pass feeds the LM branch (which reads it three
+        // times: bigram counts, vocabulary, scoring) AND the span branch —
+        // cached for exactly one downstream action (the q103 discipline;
+        // verify/bench drivers clearCache per query). Was 4 full tokenize
+        // kernels over the corpus; now 1 + three cache reads.
+        val scope = new graft.CacheScope
+        graft.CacheScope.releaseAfterNextAction(s, scope)
+        val tk = scope.cache(
+          docs.select(col("doc_id"), X.tokens(col("text")).as("tk")))
+        val lm = LmScore.surpriseScoresTk(tk, tk)
           .join(src, "doc_id")
           .groupBy(col("source"))
           .agg(sum(col("total_bits")).as("sb"), sum(col("n_bigrams")).as("nb"))
@@ -660,7 +669,7 @@ object Curation extends QueryModule {
             when(col("nb") === 0L, lit(0L))
               .otherwise(expr("(sb * 100) div nb"))
               .as("lm_centibits_per_bigram"))
-        val sp = Dedup.repeatedSpanCoverage(docs)
+        val sp = Dedup.repeatedSpanCoverageTk(tk)
           .join(src, "doc_id")
           .groupBy(col("source"))
           .agg(sum(col("n_tokens")).as("nt"),
@@ -685,10 +694,18 @@ object Curation extends QueryModule {
               .as("term"))
           .groupBy(col("source"))
           .agg(expr("sum(term) div max(total)").as("lang_entropy_centibits"))
-        dup.join(sp, "source").join(lm, "source").join(ent, "source")
+        // lm joins LEFT: a source whose documents all have < 2 tokens
+        // produces no bigram rows, and an inner join would silently drop
+        // it from the report — every other branch covers all sources by
+        // construction (dup/ent scan documents, sp left-joins its
+        // coverage). coalesce(0) mirrors the oracle.
+        dup.join(sp, "source").join(lm, Seq("source"), "left")
+          .join(ent, "source")
           .select(col("source"), col("n_docs"), col("n_tokens"),
             col("dup_doc_pct"), col("span_coverage_pct"),
-            col("lm_centibits_per_bigram"), col("lang_entropy_centibits"))
+            coalesce(col("lm_centibits_per_bigram"), lit(0L))
+              .as("lm_centibits_per_bigram"),
+            col("lang_entropy_centibits"))
           .orderBy(col("source"))
       },
       Some(s"""
@@ -708,8 +725,8 @@ object Curation extends QueryModule {
                 JOIN lmp p ON p.w1 = split_part(b.bg, ' ', 1)
                 CROSS JOIN vc),
         dbits AS (SELECT doc_id,
-                         CAST(SUM(CASE WHEN (den << k) > num THEN k - 1 ELSE k END)
-                           AS BIGINT) AS bits,
+                         CAST(SUM(greatest(0, CASE WHEN (den << k) > num
+                           THEN k - 1 ELSE k END)) AS BIGINT) AS bits,
                          COUNT(*) AS nb
                   FROM (SELECT doc_id, den, num,
                                length(printf('%b', num))
@@ -771,11 +788,13 @@ object Curation extends QueryModule {
                          // MAX(total) AS BIGINT) AS lang_entropy_centibits
                 FROM lterm GROUP BY source)
         SELECT d.source, d.n_docs, s.n_tokens, d.dup_doc_pct,
-               s.span_coverage_pct, l.lm_centibits_per_bigram,
+               s.span_coverage_pct,
+               coalesce(l.lm_centibits_per_bigram, 0)
+                 AS lm_centibits_per_bigram,
                e.lang_entropy_centibits
         FROM dupsrc d
         JOIN spansrc s USING (source)
-        JOIN lmsrc l USING (source)
+        LEFT JOIN lmsrc l USING (source)
         JOIN ent e USING (source)
         ORDER BY d.source""")),
   )

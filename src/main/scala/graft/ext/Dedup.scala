@@ -676,8 +676,14 @@ object Dedup extends QueryModule {
     keyed.join(repeated, "k").select(col("doc_id"), col("pos"))
   }
 
-  def repeatedSpanCoverage(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), X.tokens(col("text")).as("tk"))
+  def repeatedSpanCoverage(docs: DataFrame): DataFrame =
+    repeatedSpanCoverageTk(
+      docs.select(col("doc_id"), X.tokens(col("text")).as("tk")))
+
+  /** [[repeatedSpanCoverage]] over a PRE-TOKENIZED (doc_id, tk) frame —
+    * the seam that lets a multi-branch report (q126) tokenize the corpus
+    * once, cache it, and feed this branch alongside the LM branch. */
+  def repeatedSpanCoverageTk(toks: DataFrame): DataFrame = {
     val base = toks.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))

@@ -305,7 +305,7 @@ object HistSketch extends QueryModule {
     QueryDef(
       "q118_hist_catalog_serving",
       (s, dir) => {
-        val work = java.nio.file.Files.createTempDirectory("graft-q118-").toString
+        val work = graft.Scratch.dir("q118")
         val cat = new graft.catalog.VersionedCatalog(s, work, format = "parquet")
         val schema = org.apache.spark.sql.types.StructType.fromDDL(
           "bin BIGINT, cnt BIGINT")

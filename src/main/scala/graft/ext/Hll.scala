@@ -276,7 +276,7 @@ object Hll extends QueryModule {
     QueryDef(
       "q119_hll_catalog_serving",
       (s, dir) => {
-        val work = java.nio.file.Files.createTempDirectory("graft-q119-").toString
+        val work = graft.Scratch.dir("q119")
         val cat = new graft.catalog.VersionedCatalog(s, work, format = "parquet")
         val schema = org.apache.spark.sql.types.StructType.fromDDL(
           "j BIGINT, register BIGINT")

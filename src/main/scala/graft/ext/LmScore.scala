@@ -54,22 +54,35 @@ object LmScore extends QueryModule {
     when(call_function("shiftleft", d, k) > n, k - 1).otherwise(k).cast("long")
   }
 
-  private def bigrams(docs: DataFrame): DataFrame = docs.select(col("doc_id"),
-    explode(X.shingles(X.tokens(col("text")), 2)).as("bg"))
+  private def tokenized(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), X.tokens(col("text")).as("tk"))
+
+  private def bigramsTk(toks: DataFrame): DataFrame = toks.select(
+    col("doc_id"), explode(X.shingles(col("tk"), 2)).as("bg"))
 
   /** The persistable LM state: (bg, cb) exact bigram counts — a count
     * table, so it is a LINEAR sketch in the CMS sense: epoch tables
     * fold by [[mergeBigramCounts]] and the fold is the union corpus's
     * LM exactly. */
   def bigramCounts(docs: DataFrame): DataFrame =
-    bigrams(docs).groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    bigramCountsTk(tokenized(docs))
+
+  /** [[bigramCounts]] over a PRE-TOKENIZED (doc_id, tk) frame — the
+    * seam that lets a caller tokenize once, cache, and feed every LM
+    * stage (q126's one-pass report). */
+  def bigramCountsTk(toks: DataFrame): DataFrame =
+    bigramsTk(toks).groupBy(col("bg")).agg(count(lit(1)).as("cb"))
 
   /** The LM's other persistable half: the distinct token vocabulary
     * (one row per token). Folds by union-distinct — NOT by adding
     * sizes, which is why the vocabulary persists as a table, not a
     * count. */
   def vocabTokens(docs: DataFrame): DataFrame =
-    docs.select(explode(X.tokens(col("text"))).as("t")).distinct()
+    vocabTokensTk(tokenized(docs))
+
+  /** [[vocabTokens]] over a pre-tokenized (doc_id, tk) frame. */
+  def vocabTokensTk(toks: DataFrame): DataFrame =
+    toks.select(explode(col("tk")).as("t")).distinct()
 
   /** Additive merge: lm(A) ⊕ lm(B) = lm(A ∪ B) exactly — bigram counts
     * are linear like CMS cells ([[CountMin.mergeSketches]]), so epoch
@@ -90,19 +103,32 @@ object LmScore extends QueryModule {
     * unseen bigram gets c(bg) = 0 and an unseen prefix c(w1 ·) = 0 —
     * add-one keeps both defined. */
   def scoreAgainstLm(lmB: DataFrame, vocab: DataFrame,
-      score: DataFrame): DataFrame = {
+      score: DataFrame): DataFrame =
+    scoreAgainstLmTk(lmB, vocab, tokenized(score))
+
+  /** [[scoreAgainstLm]] with a pre-tokenized (doc_id, tk) score frame. */
+  def scoreAgainstLmTk(lmB: DataFrame, vocab: DataFrame,
+      scoreTk: DataFrame): DataFrame = {
     val prefixMass = lmB
       .withColumn("w1", split(col("bg"), " ").getItem(0))
       .groupBy(col("w1")).agg(sum(col("cb")).as("cp"))
     val v1 = vocab.agg(count(lit(1)).as("v"))
-    bigrams(score)
+    bigramsTk(scoreTk)
       .withColumn("w1", split(col("bg"), " ").getItem(0))
       .join(lmB, Seq("bg"), "left")
       .join(prefixMass, Seq("w1"), "left")
       .crossJoin(broadcast(v1))
+      // clamp at 0: with a sane LM state num ≥ den always holds (the
+      // prefix mass dominates any continuation count and v ≥ 1), but a
+      // DEGENERATE fit corpus (v = 0) would make floorLog2Ratio return
+      // −1 per unseen bigram, total_bits could go negative, and the
+      // centibits division would hit the Spark-div-truncates vs
+      // DuckDB-//-floors divergence — greatest(0, ·) closes that edge
+      // identically on both engines (oracles mirror it)
       .select(col("doc_id"),
-        floorLog2Ratio(coalesce(col("cp"), lit(0L)) + col("v"),
-          coalesce(col("cb"), lit(0L)) + lit(1L)).as("bits"))
+        greatest(lit(0L),
+          floorLog2Ratio(coalesce(col("cp"), lit(0L)) + col("v"),
+            coalesce(col("cb"), lit(0L)) + lit(1L))).as("bits"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("total_bits"))
       .select(col("doc_id"), col("n_bigrams"), col("total_bits"),
@@ -116,6 +142,10 @@ object LmScore extends QueryModule {
     * bigrams and do not flow. */
   def surpriseScores(fit: DataFrame, score: DataFrame): DataFrame =
     scoreAgainstLm(bigramCounts(fit), vocabTokens(fit), score)
+
+  /** [[surpriseScores]] over pre-tokenized (doc_id, tk) frames. */
+  def surpriseScoresTk(fitTk: DataFrame, scoreTk: DataFrame): DataFrame =
+    scoreAgainstLmTk(bigramCountsTk(fitTk), vocabTokensTk(fitTk), scoreTk)
 
   /** DSIR selection (q127 — see the QueryDef note): every `docs` row
     * scored under the source LM (fit on `docs`) and the target LM (fit
@@ -177,7 +207,7 @@ object LmScore extends QueryModule {
                JOIN lmp p ON p.w1 = split_part(b.bg, ' ', 1)
                CROSS JOIN vc),
         bits AS (SELECT doc_id,
-                        CASE WHEN (den << k) > num THEN k - 1 ELSE k END AS bits
+                        greatest(0, CASE WHEN (den << k) > num THEN k - 1 ELSE k END) AS bits
                  FROM (SELECT doc_id, den, num,
                               length(printf('%b', num))
                                 - length(printf('%b', den)) AS k
@@ -242,8 +272,8 @@ object LmScore extends QueryModule {
                       ON p.w1 = split_part(b.bg, ' ', 1)
                     CROSS JOIN vc_$tag vc),
         bits_$tag AS (SELECT doc_id, COUNT(*) AS nb,
-                             CAST(SUM(CASE WHEN (den << k) > num THEN k - 1
-                                           ELSE k END) AS BIGINT) AS bits
+                             CAST(SUM(greatest(0, CASE WHEN (den << k) > num
+                                           THEN k - 1 ELSE k END)) AS BIGINT) AS bits
                       FROM (SELECT doc_id, den, num,
                                    length(printf('%b', num))
                                      - length(printf('%b', den)) AS k
@@ -288,7 +318,7 @@ object LmScore extends QueryModule {
     QueryDef(
       "q122_lm_catalog_serving",
       (s, dir) => {
-        val work = java.nio.file.Files.createTempDirectory("graft-q122-").toString
+        val work = graft.Scratch.dir("q122")
         val cat = new graft.catalog.VersionedCatalog(s, work, format = "parquet")
         val bgSchema = org.apache.spark.sql.types.StructType.fromDDL(
           "bg STRING, cb BIGINT")
@@ -343,7 +373,7 @@ object LmScore extends QueryModule {
                UNION ALL
                SELECT 2, doc_id, cp_f + v_f, cb_f + 1 FROM sc),
         bits AS (SELECT version, doc_id,
-                        CASE WHEN (den << k) > num THEN k - 1 ELSE k END AS bits
+                        greatest(0, CASE WHEN (den << k) > num THEN k - 1 ELSE k END) AS bits
                  FROM (SELECT version, doc_id, den, num,
                               length(printf('%b', num))
                                 - length(printf('%b', den)) AS k

@@ -5,7 +5,6 @@ import graft.pipeline.ExamplePipeline
 import graft.{QueryDef, QueryModule, Tables => T}
 import org.apache.spark.sql.functions._
 
-import java.nio.file.Files
 
 /** Driver-visible queries exercising the reference-parity layer — the
   * versioned catalog and the 3-step example pipeline — through the
@@ -24,7 +23,7 @@ object PipelineOps extends QueryModule {
     QueryDef(
       "q60_pipeline_example",
       (s, _) => {
-        val work = Files.createTempDirectory("graft-q60-").toString
+        val work = graft.Scratch.dir("q60")
         ExamplePipeline.run(s, s"$work/output", s"$work/temp",
           ts = "2024-01-01T00:00:00Z")
         new VersionedCatalog(s, s"$work/output")
@@ -52,7 +51,7 @@ object PipelineOps extends QueryModule {
     QueryDef(
       "q61_catalog_timetravel",
       (s, dir) => {
-        val work = Files.createTempDirectory("graft-q61-").toString
+        val work = graft.Scratch.dir("q61")
         val cat = new VersionedCatalog(s, work)
         val orders = T.orders(s, dir)
           .select(col("o_orderkey"), col("o_orderstatus"))
@@ -86,7 +85,7 @@ object PipelineOps extends QueryModule {
     QueryDef(
       "q117_catalog_version_diff",
       (s, dir) => {
-        val work = Files.createTempDirectory("graft-q117-").toString
+        val work = graft.Scratch.dir("q117")
         val cat = new VersionedCatalog(s, work)
         val orders = T.orders(s, dir)
           .select(col("o_orderkey"), col("o_orderstatus"),
@@ -133,7 +132,7 @@ object PipelineOps extends QueryModule {
     QueryDef(
       "q66_catalog_merge",
       (s, dir) => {
-        val work = Files.createTempDirectory("graft-q66-").toString
+        val work = graft.Scratch.dir("q66")
         val cat = new VersionedCatalog(s, work)
         val orders = T.orders(s, dir)
           .select(col("o_orderkey"), col("o_orderstatus"),
