@@ -1,0 +1,303 @@
+package graft.ext
+
+import graft.{QueryDef, QueryModule, Tables => T}
+import graft.ext.{TextDsl => X}
+import graft.functions.BpeFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Subword tokenization — BPE apply AND train (Sennrich, Haddow &
+  * Birch, ACL 2016), the unit every real training-data budget is
+  * denominated in (the whitespace token counts of q30-q57 are the
+  * coarse proxy; q132/q133 re-point the budget arithmetic at these
+  * counts).
+  *
+  * APPLY ([[graft.functions.BpeTable]] — see its class doc for the
+  * exact cross-engine semantics): merges apply in rank order, one
+  * greedy left-to-right pass each. The same sequence is expressible in
+  * SQL as a single fold over the merges list with the segmentation
+  * held as a `||`-delimited string: applying one merge is one
+  * `replace('|L||R|' → '|LR|')` — the double delimiter makes adjacent
+  * matches share no characters, so SQL replace's continue-after-match
+  * scan IS the greedy pass, and symbols (alphanumeric by construction
+  * of the tokenizer) can never false-match across a boundary. The
+  * oracle segments the DISTINCT vocabulary (31 words on the fixtures;
+  * the engine kernel caches per task for the same reason) and joins
+  * back to the token stream.
+  *
+  * TRAIN: classic BPE — R rounds of "count all adjacent symbol pairs
+  * over the word-frequency table, merge the argmax". Deterministic
+  * tie-break (count DESC, left ASC, right ASC — ASCII symbols, so
+  * Spark's UTF8 binary order and DuckDB's default collation agree).
+  * The engine runs each round as ONE vocabulary-sized aggregate + a
+  * 1-row collect (control plane, the distributed-Lloyd discipline of
+  * q96/q110); segmentation is re-derived from the persisted word-count
+  * base each round by applying the merges-so-far kernel — R²·|vocab|
+  * map-side kernel work total, which keeps the plan lineage flat
+  * instead of stacking R cached frames. The oracle unrolls the same R
+  * rounds as MATERIALIZED CTEs (each round's segmentation feeds two
+  * consumers; without materialization the inlined tree doubles per
+  * round).
+  *
+  * 100 TB shape: the word-frequency table is the corpus REDUCED to its
+  * vocabulary (~10⁷ rows for web-scale corpora — comfortably
+  * distributed, never driver-sided); each round shuffles pair counts
+  * (∝ distinct pairs, < vocabulary × mean word length) and moves ONE
+  * row to the driver. Apply-side, the merges table is KBs riding the
+  * codegen references like a broadcast dim, and per-task word caches
+  * collapse Zipf-distributed token streams to hash lookups.
+  */
+object Bpe extends QueryModule {
+
+  /** The FIXED merges fixture for the apply/budget queries (q130,
+    * q132, q133) — hand-picked over the fixture vocabulary to exercise
+    * chained merges (scan/order/the/line/agg/join/key each collapse
+    * through 2-4 dependent ranks); both engines embed the same
+    * literals, the trained table (q131) is data. Well-formed: every
+    * side is a single character or the product of an earlier rank. */
+  val fixedMerges: Seq[(String, String)] = Seq(
+    ("s", "c"), ("sc", "a"), ("sca", "n"),
+    ("o", "r"), ("or", "d"), ("ord", "e"), ("orde", "r"),
+    ("t", "h"), ("th", "e"),
+    ("i", "n"), ("l", "in"), ("lin", "e"),
+    ("a", "g"), ("ag", "g"),
+    ("j", "o"), ("jo", "in"),
+    ("k", "e"), ("ke", "y"))
+
+  // -------------------------------------------------------------------
+  // DuckDB mirrors.
+
+  /** Merges as a DuckDB list literal of "left right" pair strings. */
+  def mergesSqlArr(merges: Seq[(String, String)]): String =
+    merges.map { case (l, r) => s"$l $r" }.mkString("['", "','", "']")
+
+  /** Segment one word column/expression under `merges`: the
+    * ||-delimited replace fold described in the class doc. */
+  def segmentSql(tok: String, merges: Seq[(String, String)]): String =
+    s"list_filter(string_split(list_reduce(list_prepend(" +
+      s"'||' || array_to_string(string_split_regex($tok, ''), '||') || '||', " +
+      s"${mergesSqlArr(merges)}), " +
+      s"(acc, m) -> replace(acc, '|' || split_part(m,' ',1) || '||' || split_part(m,' ',2) || '|', " +
+      s"'|' || split_part(m,' ',1) || split_part(m,' ',2) || '|')), '||'), x -> x != '')"
+
+  /** CTEs `tk` (doc tokens), `vocab`, `sl` (per-distinct-word symbol
+    * count under the FIXED merges) and `bpe` (doc_id, source, n_chars,
+    * n_bpe) — the shared preamble of every fixed-table BPE oracle
+    * (q130/q132/q133): segment the vocabulary once, join the count
+    * back to the token stream (left, so zero-token docs keep n_bpe=0). */
+  def bpeCountCtes: String = s"""
+        tk AS (SELECT doc_id, source, n_chars, ${X.tokensSql("text")} AS tk
+               FROM documents),
+        wrd AS (SELECT doc_id, unnest(tk) AS w FROM tk),
+        vocab AS (SELECT DISTINCT w FROM wrd),
+        sl AS (SELECT w, CAST(len(${segmentSql("w", fixedMerges)}) AS BIGINT) AS ns
+               FROM vocab),
+        bpe AS (SELECT t.doc_id, t.source, t.n_chars,
+                       coalesce(x.nb, 0) AS n_bpe
+                FROM tk t
+                LEFT JOIN (SELECT doc_id, CAST(SUM(ns) AS BIGINT) AS nb
+                           FROM wrd JOIN sl USING (w) GROUP BY doc_id) x
+                  USING (doc_id))"""
+
+  // -------------------------------------------------------------------
+  // Train.
+
+  /** R rounds of pair-count/argmax/merge over the corpus word-frequency
+    * table (see class doc). Eager: runs R tiny jobs; returns the merges
+    * with their winning pair counts. */
+  def trainMerges(docs: DataFrame, rounds: Int): Seq[(Int, String, String, Long)] = {
+    val words = docs.select(explode(X.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c")).persist()
+    try {
+      val acc = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      var merges = Seq.empty[(String, String)]
+      for (r <- 1 to rounds) {
+        val seg = words.select(col("c"),
+          BpeFunctions.segmentWord(col("w"), merges).as("syms"))
+        val best = seg.filter(size(col("syms")) >= 2)
+          .select(col("c"), explode(expr(
+            "transform(sequence(1, size(syms)-1), i -> struct(syms[i-1] AS l, syms[i] AS r))"))
+            .as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("c")).as("cnt"))
+          .orderBy(col("cnt").desc, col("l"), col("r"))
+          .limit(1).collect()
+        require(best.nonEmpty,
+          s"bpe train: vocabulary fully merged before round $r — lower `rounds`")
+        val row = best(0)
+        acc += ((r, row.getString(0), row.getString(1), row.getLong(2)))
+        merges = merges :+ ((row.getString(0), row.getString(1)))
+      }
+      acc.toSeq
+    } finally { words.unpersist(); () }
+  }
+
+  /** One training round of the oracle unroll — MATERIALIZED is
+    * load-bearing: seg{r} feeds both pc{r+1} and seg{r+1}, and plain
+    * CTE inlining doubles the tree per round (2^R blowup). */
+  private def trainRoundSqlCtes(r: Int): String = {
+    val prev = s"seg${r - 1}"
+    s"""
+        pc$r AS MATERIALIZED (
+          SELECT syms[i] AS l, syms[i+1] AS r, CAST(SUM(c) AS BIGINT) AS cnt
+          FROM (SELECT c, syms, unnest(range(1, len(syms))) AS i
+                FROM (SELECT c, list_filter(string_split(seg, '||'),
+                               x -> x != '') AS syms
+                      FROM $prev)
+                WHERE len(syms) >= 2)
+          GROUP BY 1, 2),
+        best$r AS MATERIALIZED (
+          SELECT l, r, cnt FROM pc$r ORDER BY cnt DESC, l, r LIMIT 1),
+        seg$r AS MATERIALIZED (
+          SELECT w, c, replace(seg, '|' || b.l || '||' || b.r || '|',
+                               '|' || b.l || b.r || '|') AS seg
+          FROM $prev, best$r b)"""
+  }
+
+  /** Rounds the train query runs — enough to reach multi-level merges
+    * on the fixture vocabulary, far under its Σ(len−1) exhaustion. */
+  val TrainRounds = 12
+
+  override val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // q130: BPE APPLY — encode every document under the fixed merges
+    // table. Hash-checked per doc: word count, subword count, AND the
+    // positional fingerprint of the full symbol STREAM (q34's kernel
+    // over the flat subword sequence) — one wrong symbol, boundary, or
+    // merge order anywhere in any document hash-fails. Plan shape:
+    // strictly map-side kernels (tokenize → bpe-encode → fingerprint),
+    // zero exchanges before the output sort.
+    QueryDef(
+      "q130_bpe_encode",
+      (s, dir) => {
+        val tk = X.tokens(col("text"))
+        T.documents(s, dir)
+          .select(col("doc_id"), tk.as("tk"))
+          .select(col("doc_id"),
+            size(col("tk")).cast("long").as("n_words"),
+            BpeFunctions.encodeTokens(col("tk"), fixedMerges).as("syms"))
+          .select(col("doc_id"), col("n_words"),
+            size(col("syms")).cast("long").as("n_bpe"),
+            graft.functions.HashFunctions.positionalFingerprint(col("syms"))
+              .as("bpe_fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH tk AS (SELECT doc_id, ${X.tokensSql("text")} AS tk FROM documents),
+        wpos AS (SELECT doc_id, tk[i] AS w, CAST(i AS BIGINT) AS wi
+                 FROM (SELECT doc_id, tk, unnest(range(1, len(tk)+1)) AS i
+                       FROM tk)),
+        vocab AS (SELECT DISTINCT w FROM wpos),
+        seg AS (SELECT w, ${segmentSql("w", fixedMerges)} AS syms FROM vocab),
+        sl AS (SELECT w, syms, CAST(len(syms) AS BIGINT) AS ns FROM seg),
+        dw AS (SELECT doc_id, wi, syms, ns,
+                      coalesce(SUM(ns) OVER (PARTITION BY doc_id ORDER BY wi
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS off
+               FROM wpos JOIN sl USING (w)),
+        -- positional fingerprint over the FLAT symbol stream: symbol k
+        -- (1-based) of the word at offset `off` sits at global position
+        -- off+k; summing h·pos then one final mod equals the kernel's
+        -- mod-per-step fold because every partial sum stays < 2^63
+        -- (h < 2^31, positions ≤ doc symbol count)
+        contrib AS (SELECT doc_id,
+                           (${X.h60Sql("syms[k]")} % ${X.P}) * (off + k) AS term
+                    FROM (SELECT doc_id, syms, off,
+                                 unnest(range(1, len(syms)+1)) AS k
+                          FROM dw)),
+        fp AS (SELECT doc_id, CAST(SUM(term) % ${X.P} AS BIGINT) AS bpe_fp
+               FROM contrib GROUP BY doc_id)
+        SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_words,
+               coalesce(x.nb, 0) AS n_bpe, coalesce(f.bpe_fp, 0) AS bpe_fp
+        FROM tk t
+        LEFT JOIN (SELECT doc_id, CAST(SUM(ns) AS BIGINT) AS nb
+                   FROM dw GROUP BY doc_id) x USING (doc_id)
+        LEFT JOIN fp f USING (doc_id)
+        ORDER BY t.doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q131: BPE TRAIN — the merges table ITSELF is the result
+    // (sketch-as-data, the q96 centroid discipline): 12 rounds of
+    // corpus-weighted pair counting with deterministic tie-break,
+    // hash-checked rank by rank including each round's winning pair
+    // count — a drift in ANY round's counting or ordering corrupts all
+    // later rounds and fails loudly.
+    QueryDef(
+      "q131_bpe_train",
+      (s, dir) => {
+        import s.implicits._
+        trainMerges(T.documents(s, dir), TrainRounds)
+          .map { case (r, l, rt, c) => (r.toLong, l, rt, c) }
+          .toDF("merge_rank", "merge_left", "merge_right", "pair_count")
+          .orderBy(col("merge_rank"))
+      },
+      Some {
+        val rounds = (1 to TrainRounds).map(trainRoundSqlCtes).mkString(",")
+        val sel = (1 to TrainRounds).map { r =>
+          s"SELECT CAST($r AS BIGINT) AS merge_rank, l AS merge_left, " +
+            s"r AS merge_right, cnt AS pair_count FROM best$r"
+        }.mkString(" UNION ALL ")
+        s"""
+        WITH wc AS (SELECT w, COUNT(*) AS c
+                    FROM (SELECT unnest(${X.tokensSql("text")}) AS w
+                          FROM documents)
+                    GROUP BY w),
+        seg0 AS (SELECT w, c,
+                        '||' || array_to_string(string_split_regex(w, ''),
+                          '||') || '||' AS seg
+                 FROM wc),
+        $rounds
+        SELECT * FROM ($sel) ORDER BY merge_rank"""
+      }),
+
+    // ------------------------------------------------------------------
+    // q132: sequence packing in SUBWORD units — q47's packing arithmetic
+    // (the SAME [[Curation.packByBudget]] code and the SAME
+    // [[Curation.packTailSql]] oracle text) with n_tokens re-pointed
+    // from whitespace words to BPE symbol counts under the fixed merges
+    // table, budget scaled 512→2048 (fixture subword streams run ~3-4×
+    // the word count). The count kernel never materializes the symbols.
+    QueryDef(
+      "q132_bpe_sequence_packing",
+      (s, dir) => Curation.packByBudget(
+        T.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            BpeFunctions.countTokens(X.tokens(col("text")), fixedMerges)
+              .as("n_tokens")),
+        budget = 2048L),
+      Some(s"""
+        WITH $bpeCountCtes,
+        nt AS (SELECT doc_id, source, n_bpe AS n_tokens FROM bpe)
+        ${Curation.packTailSql(2048L)}""")),
+
+    // ------------------------------------------------------------------
+    // q133: training-shard manifest with SUBWORD budgets — q90's
+    // pipeline (the same [[Curation.shardManifest]] code and
+    // [[Curation.manifestTailSql]] oracle text) with the quality gate
+    // and the carried per-doc budget both in BPE units: keep docs with
+    // ≥ 100 chars AND ≥ 60 subwords, and hand the trainer each doc's
+    // exact subword count instead of its byte length. Same md5-residue
+    // determinism end to end — the manifest is bit-identical across
+    // engines, reruns, and cluster sizes.
+    QueryDef(
+      "q133_bpe_training_manifest",
+      (s, dir) => {
+        // persisted: feeds the threshold aggregate AND the final join
+        // (the q90/q58 convention; drivers clearCache per query)
+        val quality = T.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            BpeFunctions.countTokens(X.tokens(col("text")), fixedMerges)
+              .as("n_bpe"))
+          .filter(col("n_chars") >= 100 && col("n_bpe") >= 60)
+          .select(col("doc_id"), col("source"), col("n_bpe"))
+          .persist()
+        Curation.shardManifest(quality, carry = "n_bpe")
+      },
+      Some(s"""
+        WITH $bpeCountCtes,
+        q AS (SELECT doc_id, source, n_bpe FROM bpe
+              WHERE n_chars >= 100 AND n_bpe >= 60),
+        ${Curation.manifestTailSql("n_bpe")}"""))
+  )
+}

@@ -204,6 +204,81 @@ object Curation extends QueryModule {
           .cast("long").as("thr"))
   }
 
+  /** Sequence-packing tail shared by q47 (whitespace token counts) and
+    * q132 (BPE subword counts — the SAME arithmetic, different token
+    * unit): docs pack per shard (source) in deterministic doc_id order
+    * via a running token cumsum; a doc's bin is where its first token
+    * lands. Input needs (doc_id, source, n_tokens). One sort shuffle
+    * on (source) + a partial-aggregable group-by; shards stay
+    * independent, so no global order ever materializes. */
+  private[ext] def packByBudget(counted: DataFrame, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    counted
+      .withColumn("cum", sum(col("n_tokens")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("bin", ((col("cum") - col("n_tokens")) / budget).cast("long"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+      .orderBy(col("source"), col("bin"))
+  }
+
+  /** SQL mirror of [[packByBudget]] over a CTE named `nt` with columns
+    * (doc_id, source, n_tokens) — ONE text shared by the q47 and q132
+    * oracles so the packing arithmetic cannot drift between units. */
+  private[ext] def packTailSql(budget: Long): String = s"""
+        SELECT source, bin, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+        FROM (SELECT source,
+                     CAST((cum - n_tokens) // $budget AS BIGINT) AS bin,
+                     n_tokens
+              FROM (SELECT source, doc_id, n_tokens,
+                           SUM(n_tokens) OVER (
+                             PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                             AS cum
+                    FROM nt))
+        GROUP BY source, bin ORDER BY source, bin"""
+
+  /** Shard-manifest tail shared by q90 (n_chars payload, whitespace
+    * gate) and q133 (BPE token payload): sqrt-smoothed mixture sampling
+    * over the SURVIVORS' source counts, deterministic md5-residue shard
+    * assignment and within-shard order. Input `quality` needs (doc_id,
+    * source, `carry`); persists nothing itself — callers persist their
+    * gated frame (it feeds both the threshold aggregate and the join).
+    * Two tiny broadcast aggregates + one map-side filter + one rank
+    * shuffle ∝ output. */
+  private[ext] def shardManifest(quality: DataFrame, carry: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("oh"), col("doc_id"))
+    quality.join(broadcast(mixtureThresholds(quality)), "source")
+      .filter(X.hp(col("doc_id").cast("string")) % 10000 < col("thr"))
+      .withColumn("shard",
+        X.hp(concat(lit("shard "), col("doc_id").cast("string"))) % 8)
+      .withColumn("oh",
+        X.h60(concat(lit("ord "), col("doc_id").cast("string"))))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("shard"), col("pos"), col("doc_id"),
+        col("source"), col(carry))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  /** SQL mirror of [[shardManifest]] over a CTE named `q` with columns
+    * (doc_id, source, `carry`) — shared by the q90 and q133 oracles. */
+  private[ext] def manifestTailSql(carry: String): String = s"""
+        ${mixtureThrSqlCtes("q")},
+        sm AS (SELECT q.doc_id, q.source, q.$carry FROM q
+               JOIN th ON th.source = q.source
+               WHERE ${X.hpSql("CAST(q.doc_id AS VARCHAR)")} % 10000 < thr),
+        sh AS (SELECT doc_id, source, $carry,
+                 ${X.hpSql("'shard ' || CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+                 ${X.h60Sql("'ord ' || CAST(doc_id AS VARCHAR)")} AS oh
+               FROM sm)
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST(row_number() OVER (PARTITION BY shard ORDER BY oh, doc_id) AS BIGINT) AS pos,
+               doc_id, source, $carry
+        FROM sh ORDER BY shard, pos"""
+
   /** SQL mirror of [[mixtureThresholds]]: CTEs `counts`, `m`, `th`
     * computing (source, thr) over `from` rows carrying a source col. */
   private def mixtureThrSqlCtes(from: String): String =
@@ -274,32 +349,17 @@ object Curation extends QueryModule {
     // sort shuffle on (source), then a partial-aggregable group-by.
     QueryDef(
       "q47_sequence_packing",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val budget = 512L
-        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      (s, dir) => packByBudget(
         T.documents(s, dir)
           .select(col("doc_id"), col("source"),
-            size(X.tokens(col("text"))).cast("long").as("n_tokens"))
-          .withColumn("cum", sum(col("n_tokens")).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .withColumn("bin", ((col("cum") - col("n_tokens")) / budget).cast("long"))
-          .groupBy(col("source"), col("bin"))
-          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
-          .orderBy(col("source"), col("bin"))
-      },
+            size(X.tokens(col("text"))).cast("long").as("n_tokens")),
+        budget = 512L),
       Some(s"""
-        SELECT source, bin, COUNT(*) AS n_docs,
-               CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
-        FROM (SELECT source,
-                     CAST((cum - n_tokens) // 512 AS BIGINT) AS bin, n_tokens
-              FROM (SELECT source, doc_id,
-                           CAST(len(${X.tokensSql("text")}) AS BIGINT) AS n_tokens,
-                           SUM(CAST(len(${X.tokensSql("text")}) AS BIGINT)) OVER (
-                             PARTITION BY source ORDER BY doc_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-                    FROM documents))
-        GROUP BY source, bin ORDER BY source, bin""")),
+        WITH nt AS (SELECT doc_id, source,
+                           CAST(len(${X.tokensSql("text")}) AS BIGINT)
+                             AS n_tokens
+                    FROM documents)
+        ${packTailSql(512L)}""")),
 
     // ------------------------------------------------------------------
     // q48: deterministic train/val/test split — md5-residue assignment
@@ -532,7 +592,6 @@ object Curation extends QueryModule {
     QueryDef(
       "q90_training_manifest",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         // persisted: the tokenize-gated frame feeds the threshold
         // aggregate AND the final join — without it the tokenize kernel
         // runs over the full table twice more (q58's persist convention;
@@ -541,33 +600,12 @@ object Curation extends QueryModule {
           .filter(col("n_chars") >= 100 && size(X.tokens(col("text"))) >= 20)
           .select(col("doc_id"), col("source"), col("n_chars"))
           .persist()
-        val w = Window.partitionBy(col("shard")).orderBy(col("oh"), col("doc_id"))
-        quality.join(broadcast(mixtureThresholds(quality)), "source")
-          .filter(X.hp(col("doc_id").cast("string")) % 10000 < col("thr"))
-          .withColumn("shard",
-            X.hp(concat(lit("shard "), col("doc_id").cast("string"))) % 8)
-          .withColumn("oh",
-            X.h60(concat(lit("ord "), col("doc_id").cast("string"))))
-          .withColumn("pos", row_number().over(w).cast("long"))
-          .select(col("shard"), col("pos"), col("doc_id"),
-            col("source"), col("n_chars"))
-          .orderBy(col("shard"), col("pos"))
+        shardManifest(quality, carry = "n_chars")
       },
       Some(s"""
         WITH q AS (SELECT doc_id, source, n_chars FROM documents
                    WHERE n_chars >= 100 AND len(${X.tokensSql("text")}) >= 20),
-        ${mixtureThrSqlCtes("q")},
-        sm AS (SELECT q.doc_id, q.source, q.n_chars FROM q
-               JOIN th ON th.source = q.source
-               WHERE ${X.hpSql("CAST(q.doc_id AS VARCHAR)")} % 10000 < thr),
-        sh AS (SELECT doc_id, source, n_chars,
-                 ${X.hpSql("'shard ' || CAST(doc_id AS VARCHAR)")} % 8 AS shard,
-                 ${X.h60Sql("'ord ' || CAST(doc_id AS VARCHAR)")} AS oh
-               FROM sm)
-        SELECT CAST(shard AS BIGINT) AS shard,
-               CAST(row_number() OVER (PARTITION BY shard ORDER BY oh, doc_id) AS BIGINT) AS pos,
-               doc_id, source, n_chars
-        FROM sh ORDER BY shard, pos""")),
+        ${manifestTailSql("n_chars")}""")),
 
     // ------------------------------------------------------------------
     // q125: cross-source CONTAMINATION MATRIX — the audit the

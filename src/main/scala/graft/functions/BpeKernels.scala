@@ -1,0 +1,236 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-pair-encoding segmentation kernels (Sennrich, Haddow & Birch,
+  * "Neural Machine Translation of Rare Words with Subword Units", ACL
+  * 2016) — the subword tokenizer a training-data pipeline actually
+  * counts budgets in, as compiled per-row kernels over the word stream.
+  *
+  * SEMANTICS (the exact cross-engine contract, mirrored by the DuckDB
+  * oracle in [[graft.ext.Bpe]]): a word splits into single code points;
+  * merges then apply IN RANK ORDER, each as ONE greedy left-to-right
+  * non-overlapping pass (scan the symbol list; at the first/every
+  * occurrence of (left, right) emit left+right and skip both; a merged
+  * symbol never re-pairs with its own right neighbor within the pass —
+  * merging (L,R) can only create pairs (prev,LR)/(LR,next), and LR is
+  * strictly longer than both L and R, so the pass IS exhaustive for its
+  * own pair). For a WELL-FORMED merges table — each side is a single
+  * code point or the product of a strictly earlier merge, which is what
+  * BPE training produces by construction — this sequential application
+  * is equivalent to the classic lowest-rank-first loop: a later merge
+  * can never create an occurrence of an earlier pair, because the
+  * earlier pair's sides already existed when that earlier rank was
+  * chosen. Rank order is therefore the ONLY order the kernel needs, and
+  * it is the order a single string-`replace` fold can mirror in SQL —
+  * which is exactly how the oracle stays bit-identical.
+  *
+  * 100 TB shape: segmentation is strictly map-side — the merges table
+  * (vocabulary-sized, KBs) rides the closure/codegen references like a
+  * broadcast dim, and each task caches word→segmentation (Zipf: a few
+  * thousand distinct words cover almost every token instance), so the
+  * per-token cost degenerates to one hash lookup. Nothing shuffles
+  * until whatever aggregation consumes the counts.
+  */
+final class BpeTable(val lefts: Array[String], val rights: Array[String])
+    extends Serializable {
+  require(lefts.length == rights.length,
+    s"bpe: ${lefts.length} lefts vs ${rights.length} rights")
+
+  /** Per-task (post-deserialization) word→segmentation cache. Bounded:
+    * beyond the cap new words are segmented but not cached. */
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[String]](1024)
+  private final val CacheCap = 1 << 16
+
+  def size: Int = lefts.length
+
+  /** Greedy rank-order segmentation of one word (see class doc). */
+  def segmentString(word: String): Array[String] = {
+    val hit = cache.get(word)
+    if (hit != null) return hit
+    var syms = codePoints(word)
+    var m = 0
+    while (m < lefts.length) {
+      val l = lefts(m)
+      val r = rights(m)
+      // cheap presence scan before allocating the output pass
+      var i = 0
+      var found = false
+      while (i < syms.length - 1 && !found) {
+        if (syms(i) == l && syms(i + 1) == r) found = true else i += 1
+      }
+      if (found) {
+        val out = new Array[String](syms.length)
+        var n = 0
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+            out(n) = l + r; n += 1; j += 2
+          } else {
+            out(n) = syms(j); n += 1; j += 1
+          }
+        }
+        syms = java.util.Arrays.copyOf(out, n)
+      }
+      m += 1
+    }
+    if (cache.size < CacheCap) cache.put(word, syms)
+    syms
+  }
+
+  private def codePoints(word: String): Array[String] = {
+    val out = new Array[String](word.codePointCount(0, word.length))
+    var i = 0
+    var n = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      val w = Character.charCount(cp)
+      out(n) = word.substring(i, i + w)
+      n += 1
+      i += w
+    }
+    out
+  }
+
+  /** string word → array<string> BPE symbols. */
+  def segmentWord(w: UTF8String): ArrayData = {
+    val syms = segmentString(w.toString)
+    val out = new Array[AnyRef](syms.length)
+    var i = 0
+    while (i < syms.length) { out(i) = UTF8String.fromString(syms(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** array<string> word tokens → flat array<string> of all BPE symbols
+    * in document order (words never merge across boundaries). */
+  def encodeTokens(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    val parts = new Array[Array[String]](n)
+    var total = 0
+    var i = 0
+    while (i < n) {
+      parts(i) = segmentString(tokens.getUTF8String(i).toString)
+      total += parts(i).length
+      i += 1
+    }
+    val out = new Array[AnyRef](total)
+    var k = 0
+    i = 0
+    while (i < n) {
+      val p = parts(i)
+      var j = 0
+      while (j < p.length) { out(k) = UTF8String.fromString(p(j)); k += 1; j += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** array<string> word tokens → total BPE symbol count, without
+    * materializing the symbols (the budget-arithmetic fast path). */
+  def countTokens(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      total += segmentString(tokens.getUTF8String(i).toString).length
+      i += 1
+    }
+    total
+  }
+}
+
+/** string word → array<string> BPE symbols under the given merges. */
+case class BpeSegmentWord(child: Expression,
+    lefts: Array[String], rights: Array[String])
+    extends UnaryExpression with ArrayParamEquality {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_segment_word"
+  override protected def arrayParams: Seq[AnyRef] = Seq(lefts, rights)
+  override protected def scalarParams: Seq[Any] = Nil
+
+  @transient private lazy val table = new BpeTable(lefts, rights)
+
+  override def nullSafeEval(input: Any): Any =
+    table.segmentWord(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpe", table, classOf[BpeTable].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.segmentWord($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BpeSegmentWord =
+    copy(child = c)
+}
+
+/** array<string> word tokens → flat array<string> BPE symbol stream. */
+case class BpeEncodeTokens(child: Expression,
+    lefts: Array[String], rights: Array[String])
+    extends UnaryExpression with ArrayParamEquality {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode_tokens"
+  override protected def arrayParams: Seq[AnyRef] = Seq(lefts, rights)
+  override protected def scalarParams: Seq[Any] = Nil
+
+  @transient private lazy val table = new BpeTable(lefts, rights)
+
+  override def nullSafeEval(input: Any): Any =
+    table.encodeTokens(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpe", table, classOf[BpeTable].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.encodeTokens($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BpeEncodeTokens =
+    copy(child = c)
+}
+
+/** array<string> word tokens → bigint total BPE symbol count. */
+case class BpeCountTokens(child: Expression,
+    lefts: Array[String], rights: Array[String])
+    extends UnaryExpression with ArrayParamEquality {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bpe_count_tokens"
+  override protected def arrayParams: Seq[AnyRef] = Seq(lefts, rights)
+  override protected def scalarParams: Seq[Any] = Nil
+
+  @transient private lazy val table = new BpeTable(lefts, rights)
+
+  override def nullSafeEval(input: Any): Any =
+    table.countTokens(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpe", table, classOf[BpeTable].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.countTokens($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BpeCountTokens =
+    copy(child = c)
+}
+
+object BpeFunctions {
+  private def split(merges: Seq[(String, String)]) =
+    (merges.map(_._1).toArray, merges.map(_._2).toArray)
+
+  def segmentWord(word: Column, merges: Seq[(String, String)]): Column = {
+    val (l, r) = split(merges)
+    ColumnBridge.column(BpeSegmentWord(ColumnBridge.expression(word), l, r))
+  }
+
+  def encodeTokens(tokens: Column, merges: Seq[(String, String)]): Column = {
+    val (l, r) = split(merges)
+    ColumnBridge.column(BpeEncodeTokens(ColumnBridge.expression(tokens), l, r))
+  }
+
+  def countTokens(tokens: Column, merges: Seq[(String, String)]): Column = {
+    val (l, r) = split(merges)
+    ColumnBridge.column(BpeCountTokens(ColumnBridge.expression(tokens), l, r))
+  }
+}

@@ -19,6 +19,8 @@ class PlanAuditSpec extends SparkSpec {
     "q19_above_avg_parts", // scalar subquery = 1-row broadcast cross join
     "q49_mixture_sample", // 1-row max-sqrt scalar broadcast to the counts
     "q90_training_manifest", // same 1-row max-sqrt scalar broadcast as q49
+    "q133_bpe_training_manifest", // q90's manifest tail (shared code) =
+                                  // the same 1-row max-sqrt broadcast
     "q53_ann_ivf", // nCells-row centroid broadcast + 50-query × corpus
                    // brute cross join: the recall-contract baseline
     "q59_bm25_search", // 1-row corpus-stats broadcast to every doc
@@ -75,7 +77,12 @@ class PlanAuditSpec extends SparkSpec {
       "q85_pq_codes", "q96_ivf_build_exact", "q99_media_ppm_decode",
       "q100_edit_distance_unicode", "q106_media_channel_stats",
       "q107_hll_sketch", "q109_frame_channel_stats", "q112_hist_sketch",
-      "q114_wav_channel_stats")
+      "q114_wav_channel_stats",
+      "q130_bpe_encode", // map-side tokenize→bpe→fingerprint kernels + output sort
+      "q131_bpe_train") // the RETURNED merges table is a 12-row local
+                        // relation + sort; the R training rounds run
+                        // eagerly before this plan (each its own
+                        // vocab-sized job, the distributed-Lloyd shape)
     // 2 exchanges: the partial-agg + ordered-output pattern, or an
     // equi-join/rank + ordered-output pair — the workhorse shape
     val b2 = Seq("q01_pricing_summary", "q03_region_revenue",
@@ -89,7 +96,8 @@ class PlanAuditSpec extends SparkSpec {
       "q29_bucketed_join", "q31_lang_id", "q33_token_counts",
       "q35_vocab_topk", "q36_topk_docs_per_source", "q37_stratified_sample",
       "q39_exact_stats", "q40_dedup_exact", "q46_dedup_clusters",
-      "q47_sequence_packing", "q48_train_val_test", "q50_nn_brute",
+      "q47_sequence_packing", "q132_bpe_sequence_packing",
+      "q48_train_val_test", "q50_nn_brute",
       "q129_dedup_survivor_quality",
       "q51_ann_lsh", "q54_embedding_quantize", "q61_catalog_timetravel",
       "q62_tumbling_windows", "q63_session_windows", "q64_sliding_windows",
@@ -125,6 +133,7 @@ class PlanAuditSpec extends SparkSpec {
       "q88_dedup_edit_distance" -> 7, // exact-copy mass + FastSS deletion-variant neighborhoods + DP verify + summary
       "q89_semantic_dedup_incremental" -> 5, // cells, new∩cell restriction, pool join, verify, summary
       "q90_training_manifest" -> 5, // mixture weights broadcast + per-source sampling + manifest stats
+      "q133_bpe_training_manifest" -> 5, // q90's shared manifest tail with the BPE-count gate — the count kernel is map-side, so the shape is identical
       "q92_semantic_dedup_two_level" -> 4, // kernel assignment (no probe shuffle), caps, verify, summary
       "q93_semantic_dedup_inc_two_level" -> 5, // incremental twin of q92 over new∩cell pools
       "q94_semantic_dedup_partial_probe" -> 4, // q92's shape under wProbe < nCoarse

@@ -1,0 +1,164 @@
+package graft.ext
+
+import graft.SparkSpec
+import graft.functions.{BpeFunctions, BpeTable}
+import org.apache.spark.sql.functions._
+
+/** Contract tests for the BPE kernels and trainer.
+  *
+  * The load-bearing claims, each pinned here:
+  *  - one greedy left-to-right pass per merge, in rank order (the exact
+  *    semantics the DuckDB replace-fold oracle mirrors);
+  *  - for a WELL-FORMED merges table that sequential order equals the
+  *    classic lowest-rank-first apply loop (checked against an
+  *    independent reference implementation of the classic algorithm);
+  *  - the trainer emits a well-formed table with deterministic
+  *    tie-breaks;
+  *  - encode/count are flatten/size of per-word segmentation.
+  */
+class BpeSpec extends SparkSpec {
+
+  private def table(ms: (String, String)*): BpeTable =
+    new BpeTable(ms.map(_._1).toArray, ms.map(_._2).toArray)
+
+  test("segmentation: greedy single pass per merge, rank order") {
+    val t = table(("a", "n"), ("an", "a"), ("b", "ana"))
+    // banana: chars -> (a,n) greedy: b an an a -> (an,a): the FIRST
+    // (an,a) occurrence merges (left-to-right), leaving b an ana ->
+    // (b,ana): no (b,ana) pair present (b is followed by an)
+    assert(t.segmentString("banana").toSeq == Seq("b", "an", "ana"))
+  }
+
+  test("segmentation: adjacent self-pairs do not overlap") {
+    val t = table(("a", "a"))
+    assert(t.segmentString("aaaa").toSeq == Seq("aa", "aa"))
+    assert(t.segmentString("aaa").toSeq == Seq("aa", "a"))
+    assert(t.segmentString("aaaaa").toSeq == Seq("aa", "aa", "a"))
+  }
+
+  test("segmentation: empty merges table = code points; surrogates intact") {
+    val t = table()
+    assert(t.segmentString("abc").toSeq == Seq("a", "b", "c"))
+    // a surrogate pair (U+1F600) must stay one symbol, not split chars
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(t.segmentString("a" + emoji + "b").toSeq == Seq("a", emoji, "b"))
+  }
+
+  test("a merged symbol never re-pairs within its own pass") {
+    // (a,b) over "abb": merging position 0 yields ab,b — the new (ab,b)
+    // pair is NOT (a,b), so the pass must stop there
+    val t = table(("a", "b"))
+    assert(t.segmentString("abb").toSeq == Seq("ab", "b"))
+    assert(t.segmentString("abab").toSeq == Seq("ab", "ab"))
+  }
+
+  /** Independent reference: the CLASSIC apply loop — repeatedly find
+    * the LOWEST-RANK pair present anywhere in the word and run one
+    * greedy pass for it, until no merge applies. */
+  private def classicApply(word: String, ms: Seq[(String, String)]): Seq[String] = {
+    val rank = ms.zipWithIndex.toMap
+    var syms = word.map(_.toString).toVector
+    var done = false
+    while (!done) {
+      val present = syms.zip(syms.drop(1)).flatMap(p => rank.get(p).map(p -> _))
+      if (present.isEmpty) done = true
+      else {
+        val (l, r) = present.minBy(_._2)._1
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+            out += (l + r); j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.result()
+      }
+    }
+    syms
+  }
+
+  test("rank-order apply equals classic lowest-rank-first on a trained table") {
+    val s = spark
+    import s.implicits._
+    // train on a corpus with real merge structure, then check EVERY
+    // vocabulary word both ways
+    val docs = Seq(
+      (1L, "lower lower lowest newer newest wider widest low new"),
+      (2L, "newest newest lowest wider lower new low low low"),
+      (3L, "the the the these them theme scheme he she her here")
+    ).toDF("doc_id", "text")
+    val trained = Bpe.trainMerges(docs, rounds = 10)
+    val ms = trained.map { case (_, l, r, _) => (l, r) }
+    val t = table(ms: _*)
+    val vocab = docs.select(explode(TextDsl.tokens(col("text"))).as("w"))
+      .distinct().collect().map(_.getString(0))
+    assert(vocab.nonEmpty)
+    vocab.foreach { w =>
+      assert(t.segmentString(w).toSeq == classicApply(w, ms),
+        s"word '$w' under ${ms.mkString(",")}")
+    }
+  }
+
+  test("trained table is well-formed: every side is a char or an earlier product") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "lower lower lowest newer newest wider widest"),
+      (2L, "newest newest lowest wider lower")
+    ).toDF("doc_id", "text")
+    val trained = Bpe.trainMerges(docs, rounds = 8)
+    val products = scala.collection.mutable.Set.empty[String]
+    trained.foreach { case (rank, l, r, cnt) =>
+      assert(cnt >= 1, s"rank $rank count")
+      for (side <- Seq(l, r))
+        assert(side.codePointCount(0, side.length) == 1 || products(side),
+          s"rank $rank side '$side' is neither a code point nor an earlier product")
+      products += (l + r)
+    }
+    // deterministic: retraining yields the identical table
+    assert(Bpe.trainMerges(docs, rounds = 8) == trained)
+  }
+
+  test("fixed merges fixture is well-formed") {
+    val products = scala.collection.mutable.Set.empty[String]
+    Bpe.fixedMerges.foreach { case (l, r) =>
+      for (side <- Seq(l, r))
+        assert(side.length == 1 || products(side), s"side '$side'")
+      products += (l + r)
+    }
+  }
+
+  test("encodeTokens flattens per-word segmentation; countTokens is its size") {
+    val s = spark
+    import s.implicits._
+    val ms = Bpe.fixedMerges
+    val t = table(ms: _*)
+    val df = Seq((1L, "the scan joins the line"), (2L, ""), (3L, "key"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextDsl.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("tk"),
+        BpeFunctions.encodeTokens(col("tk"), ms).as("syms"),
+        BpeFunctions.countTokens(col("tk"), ms).as("n"))
+    df.collect().foreach { r =>
+      val words = r.getSeq[String](1)
+      val syms = r.getSeq[String](2)
+      val expected = words.flatMap(w => t.segmentString(w))
+      assert(syms == expected, s"doc ${r.getLong(0)}")
+      assert(r.getLong(3) == expected.length.toLong)
+    }
+  }
+
+  test("segmentation survives codegen and interpreted paths identically") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("scanning", "ordered", "the", "aggregate", "x")
+      .toDF("w")
+    val compiled = df.select(col("w"),
+      BpeFunctions.segmentWord(col("w"), Bpe.fixedMerges).as("syms"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val t = table(Bpe.fixedMerges: _*)
+    compiled.foreach { case (w, syms) =>
+      assert(syms == t.segmentString(w).toSeq, w)
+    }
+  }
+}
