@@ -208,6 +208,70 @@ object Multimodal extends QueryModule {
       .select(col("media_id"), col("emb"))
   }
 
+  /** md5-derived ZERO-SUM integer conv weights: raw w[k][dy·9+dx·3+c] =
+    * h60("conv k dy dx c") % 5 − 2 ∈ {−2..2}, then W = 27·w − Σw per
+    * kernel — integer-exact zero-sum (Σ W = 27·Σw − 27·Σw = 0), the
+    * edge-detector discipline. Zero-sum is LOAD-BEARING: a kernel with
+    * nonzero mass responds ∝ its weight sum × local brightness, which
+    * is a FIXED cross-feature pattern shared by every item — measured
+    * on the fixture, it collapsed every embedding into one centroid
+    * cell. Zero-sum kernels respond only to local contrast, so the
+    * embedding directions are item-specific. Same 60-bit md5 both
+    * engines compute ⇒ the oracle derives the identical grid
+    * relationally (the q76 sign-grid discipline, one level richer). */
+  def convWeights(k: Int): Array[Array[Long]] =
+    Array.tabulate(k) { ki =>
+      val raw = Array.tabulate(27) { i =>
+        val dy = i / 9
+        val dx = (i % 9) / 3
+        val c = i % 3
+        graft.functions.HashKernels.md5h60(
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            s"conv $ki $dy $dx $c")) % 5 - 2
+      }
+      val s = raw.sum
+      raw.map(w => 27L * w - s)
+    }
+
+  /** CONV featurizer — the last featurizer stand-in retired one level
+    * deeper than [[pixelEmbedding]]'s patch means: resize every P6
+    * payload to a fixed 16×8 grid (the REAL resample kernel), run K
+    * genuine 3×3×3 integer convolutions + 2×2 stride-2 max pooling
+    * over the decoded samples ([[graft.functions.PpmCodec.convPool3x3]]
+    * — a true 2D kernel, vertical-structure-sensitive), shift the
+    * K·21 pooled features by +743580 (= the |conv| bound Σ|W|·255 ≤
+    * 27·108·255, so the centering division sees only non-negative
+    * operands where Spark div ≡ DuckDB //; centering then erases the
+    * constant), center, and JL-project to `outDims` through the md5 ±1
+    * grid. Rescale ÷2e6 — the smallest power-of-ten-ish divisor whose
+    * WORST CASE stays exact: |proj| ≤ 84·2·743580 ≈ 1.25e8 (inside
+    * SignedProject's 7.6e8 per-coordinate guard), coords ≤ 62.5, and
+    * the ×1e7-scaled squared norm ≤ 16·(6.25e8)² ≈ 6.3e18 < 2^63 for
+    * ANY input (the q116 envelope discipline). Typical fixture norms
+    * land ~0.1, far below the worst case (text bytes span ~[97,122],
+    * not [0,255]) — q134 therefore pairs this embedding with a
+    * ÷100-scaled centroid table so cell assignment is driven by
+    * DIRECTION, not by which centroid happens to have the smallest
+    * norm. Every stage is a
+    * compiled map-side kernel; only the outDims-double embedding flows
+    * downstream. What remains a stand-in after this is exactly the
+    * LEARNED model call ([[decodeStubFeatures]]). */
+  def convEmbedding(media: DataFrame, k: Int = 4, outDims: Int = 16): DataFrame = {
+    import graft.functions.MediaCodecFunctions._
+    val dims = k * 3 * 7 // pooled planes at the 16×8 grid: pH = 3, pW = 7
+    val signs = graft.functions.VectorFunctions.rpSigns(dims, outDims)
+    resizePpm(media, w = 16, h = 8)
+      .withColumn("_cf", ppmConvPool3x3(col("content"), convWeights(k)))
+      .withColumn("_feat0", expr("transform(_cf, x -> x + 743580L)"))
+      .withColumn("_mu",
+        expr(s"aggregate(_feat0, 0L, (a, x) -> a + x) div ${dims}L"))
+      .withColumn("_feat", expr("transform(_feat0, x -> x - _mu)"))
+      .withColumn("emb", transform(
+        graft.functions.VectorFunctions.signedProject(col("_feat"), signs),
+        p => p.cast("double") / lit(2e6)))
+      .select(col("media_id"), col("emb"))
+  }
+
   /** The AUDIO twin of [[pixelEmbedding]] — a pixel-space→sample-space
     * transliteration proving the embedding seam is format-generic: each
     * canonical stereo PCM-16 container splits into `nWindows` frame

@@ -1184,6 +1184,133 @@ object Similarity extends QueryModule {
         ${semanticDedupSqlTail(threshold = "0.9")}""")),
 
     // ------------------------------------------------------------------
+    // q134: CONV FEATURIZER, one level deeper than q111's patch means —
+    // semantic dedup over embeddings from a genuine 3×3 convolution
+    // stack: resize every P6 payload to a fixed 16×8 grid (the REAL
+    // resample kernel), 4 md5-derived ±2 integer 3×3×3 kernels in valid
+    // mode + 2×2 stride-2 max pooling over the decoded samples
+    // (PpmCodec.convPool3x3 — true 2D, vertical-structure-sensitive;
+    // MultimodalSpec pins a multi-row container against a scalar
+    // reference), 84 pooled features shifted non-negative, centered,
+    // JL-projected 84→16, feeding the UNCHANGED dedup tail. The oracle
+    // derives the conv WEIGHTS relationally from the same md5 grid (the
+    // q76 discipline at 5 values), re-derives every resized sample from
+    // the container hex, and exploits one construction invariant: the
+    // wrap's sources are all h = 1, so resize replicates rows and the
+    // 2D conv collapses to column-summed weights — valid for ANY input
+    // of this pipeline, not just the fixture. One wrong pixel byte,
+    // weight, pool bound, or projection sign anywhere hash-fails.
+    QueryDef(
+      "q134_conv_semantic_dedup",
+      (s, dir) => {
+        val docs = T.documents(s, dir).filter(octet_length(col("text")) >= 3)
+        val emb = graft.ext.Multimodal.convEmbedding(
+          graft.ext.Multimodal.ppmWrap(docs), k = 4, outDims = 16)
+        // centroids ÷100 (±0.002): the conv embedding's envelope-safe
+        // rescale puts typical norms ~0.1 (see convEmbedding doc) — at
+        // the stock ±0.2 centroid scale the ||c||² spread would dominate
+        // −2v·c and every item would take the smallest-norm cell; at
+        // ÷100 the assignment is direction-driven. Cosine dedup within
+        // cells is scale-invariant either way.
+        val cents = graft.operators.SimilarityJoin.md5CentroidTable(
+            s, nCells = 8, dim = 16)
+          .withColumn("centroid",
+            transform(col("centroid"), x => x / lit(100.0)))
+        graft.operators.SimilarityJoin.semanticDedup(
+            emb, col("media_id"), col("emb"), cents, threshold = 0.9)
+          .orderBy(col("cell"))
+      },
+      Some(s"""
+        WITH src AS (SELECT doc_id AS media_id,
+                            octet_length(encode(text)) // 3 AS w,
+                            hex(encode(text)) AS hx
+                     FROM documents WHERE octet_length(encode(text)) >= 3),
+        -- resized sample (x, ·, c) of the 16×8 grid: nearest-neighbor
+        -- from an h = 1 source ⇒ every output row copies row 0, so one
+        -- (x, c) plane stands for all 8 rows; v = pixel-run byte
+        -- 3·(x·w//16) + c, decoded from hex
+        rp AS (SELECT media_id, gx.x, gc.c,
+                      (strpos('0123456789ABCDEF',
+                         substring(hx, CAST(2*(3*(gx.x*w//16)+gc.c)+1 AS INT), 1)) - 1) * 16
+                      + strpos('0123456789ABCDEF',
+                         substring(hx, CAST(2*(3*(gx.x*w//16)+gc.c)+2 AS INT), 1)) - 1 AS val
+               FROM src, (SELECT unnest(range(0, 16)) AS x) gx,
+                    (SELECT unnest(range(0, 3)) AS c) gc),
+        -- md5-derived conv weights, relationally (the q76 grid at 5
+        -- values): raw w = h60('conv k dy dx c') % 5 − 2, made ZERO-SUM
+        -- per kernel by W = 27·w − Σw (integer-exact; see convWeights —
+        -- nonzero kernel mass responds to shared brightness and
+        -- collapses every item into one cell)
+        wr AS (SELECT gk.kk, gdy.dy, gdx.dx, gc2.c,
+                      CAST(${X.h60Sql("'conv ' || CAST(gk.kk AS VARCHAR) || ' ' || CAST(gdy.dy AS VARCHAR) || ' ' || CAST(gdx.dx AS VARCHAR) || ' ' || CAST(gc2.c AS VARCHAR)")} % 5 AS BIGINT) - 2 AS wv
+               FROM (SELECT unnest(range(0, 4)) AS kk) gk,
+                    (SELECT unnest(range(0, 3)) AS dy) gdy,
+                    (SELECT unnest(range(0, 3)) AS dx) gdx,
+                    (SELECT unnest(range(0, 3)) AS c) gc2),
+        ws AS (SELECT kk, CAST(SUM(wv) AS BIGINT) AS s FROM wr GROUP BY kk),
+        wt AS (SELECT kk, dy, dx, c, 27 * wv - s AS wv
+               FROM wr JOIN ws USING (kk)),
+        -- identical rows ⇒ Σ_dy W[k][dy][dx][c] acts once per column
+        cw AS (SELECT kk, dx, c, CAST(SUM(wv) AS BIGINT) AS cw
+               FROM wt GROUP BY 1, 2, 3),
+        -- valid conv positions ox ∈ [0, 14): conv(k, ox) = Σ_{dx,c}
+        -- cw · v(ox+dx, c); oy-independent by the row identity
+        conv AS (SELECT rp.media_id, cw.kk, go.ox,
+                        CAST(SUM(cw.cw * rp.val) AS BIGINT) AS cv
+                 FROM (SELECT unnest(range(0, 14)) AS ox) go
+                 JOIN cw ON TRUE
+                 JOIN rp ON rp.x = go.ox + cw.dx AND rp.c = cw.c
+                 GROUP BY 1, 2, 3),
+        -- 2×2 stride-2 max pool: px pairs (2px, 2px+1); pooled rows are
+        -- again identical, materialized as py ∈ {0,1,2}
+        pool AS (SELECT media_id, kk, ox // 2 AS px, MAX(cv) AS pv
+                 FROM conv GROUP BY 1, 2, 3),
+        -- flatten ((k·3)+py)·7+px (the kernel's index order), shift
+        -- +743580 = Σ|W|·255 bound so the centering division sees only
+        -- non-negative operands (// ≡ div); centering erases the shift
+        feat0 AS (SELECT media_id,
+                         CAST((kk * 3 + gpy.py) * 7 + px AS BIGINT) AS k,
+                         pv + 743580 AS x
+                  FROM pool, (SELECT unnest(range(0, 3)) AS py) gpy),
+        fmean AS (SELECT media_id, CAST(SUM(x) // 84 AS BIGINT) AS mu
+                  FROM feat0 GROUP BY media_id),
+        feat AS (SELECT media_id, k, x - mu AS x
+                 FROM feat0 JOIN fmean USING (media_id)),
+        grid AS (SELECT gi.i AS i, gj.j AS j,
+                        1 - 2*(${X.h60Sql("'rp ' || CAST(gi.i AS VARCHAR) || ' ' || CAST(gj.j AS VARCHAR)")} % 2) AS sgn
+                 FROM (SELECT unnest(range(0, 84)) AS i) gi,
+                      (SELECT unnest(range(0, 16)) AS j) gj),
+        proj AS (SELECT media_id, j, CAST(SUM(x * sgn) AS BIGINT) AS p
+                 FROM feat JOIN grid ON grid.i = feat.k
+                 GROUP BY media_id, j),
+        embl AS (SELECT media_id AS vec_id, list(p ORDER BY j) AS pl
+                 FROM proj GROUP BY media_id),
+        -- ÷100-scaled centroids (±0.002) — see the engine-side comment
+        cent AS (
+          SELECT gc3.c AS cell,
+                 list_transform(range(0, 16), d ->
+                   (CAST(${X.h60Sql("'ivf ' || CAST(gc3.c AS VARCHAR) || ' ' || CAST(d AS VARCHAR)")}
+                      % 4001 AS BIGINT) - 2000) / 10000.0 / 100.0) AS ctr
+          FROM (SELECT unnest(range(0, 8)) AS c) gc3),
+        vecs AS (SELECT vec_id,
+                        list_transform(pl, p -> CAST(p AS DOUBLE) / 2000000.0) AS fd,
+                        ${X.scaledVecSql(
+                          "list_transform(pl, p -> CAST(p AS DOUBLE) / 2000000.0)")} AS v
+                 FROM embl),
+        vn AS (SELECT vec_id, fd, v, ${X.norm2IntSql("v")} AS n2 FROM vecs),
+        dist AS (SELECT vec_id, cell,
+                   list_aggregate(list_transform(range(0, 16),
+                     i -> (fd[i+1] - ctr[i+1]) * (fd[i+1] - ctr[i+1])), 'sum') AS d
+                 FROM vn, cent),
+        assigned AS (SELECT vec_id, cell FROM (
+                       SELECT vec_id, cell,
+                              row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d, cell) AS rn
+                       FROM dist) WHERE rn = 1),
+        ${ivfAvSqlCte()},
+        ${semanticDedupSqlTail(threshold = "0.9")}""")),
+
+    // ------------------------------------------------------------------
     // q115: INDEX APPEND WITHOUT REFIT — the daily maintenance path of
     // a serving index: the "fit-time" corpus (even vec_ids) is assigned
     // and persisted; the new batch (odd vec_ids) assigns through the

@@ -191,6 +191,94 @@ object PpmCodec {
       mins(0), mins(1), mins(2), maxs(0), maxs(1), maxs(2)))
   }
 
+  /** TRUE 2D convolution + pooling over the decoded pixel grid: K
+    * integer 3×3×3 kernels (all three channels feed every kernel) in
+    * VALID mode — conv(k, ox, oy) = Σ_{dy,dx,c} W[k][dy·9+dx·3+c] ·
+    * v(ox+dx, oy+dy, c) for ox < w−2, oy < h−2 — followed by 2×2
+    * stride-2 MAX pooling (floor dims; odd remainder dropped). Output
+    * is the flattened pooled planes, index ((k·pH)+py)·pW + px, as
+    * exact int64 (|conv| ≤ Σ|W| · maxval — callers pick weights that
+    * keep downstream arithmetic in range; the md5-derived ±2 grid of
+    * [[graft.ext.Multimodal.convWeights]] bounds it at 13 770 for
+    * 8-bit samples).
+    *
+    * Requires at least one pooled cell (w ≥ 4, h ≥ 4) — a genuine
+    * shape contract, thrown as the named error; and this kernel, unlike
+    * the patch-mean featurizer, is sensitive to VERTICAL structure
+    * (MultimodalSpec checks a hand-built multi-row container against a
+    * scalar reference), even though the fixture wrap's h = 1 sources
+    * arrive with replicated rows after resize. */
+  def convPool3x3(bytes: Array[Byte], weights: Array[Array[Long]]): ArrayData = {
+    val hdr = parseHeader(bytes)
+    val w = hdr.getLong(0).toInt
+    val h = hdr.getLong(1).toInt
+    val maxv = hdr.getLong(2)
+    val off = hdr.getLong(3).toInt
+    val two = maxv > 255
+    val convW = w - 2
+    val convH = h - 2
+    val pW = convW / 2
+    val pH = convH / 2
+    if (pW < 1 || pH < 1)
+      throw new IllegalArgumentException(
+        s"ppm_conv_pool_3x3: ${w}x$h yields no pooled cells (need ≥ 4x4)")
+    // decode once into an int plane: v(x, y, c) at (y·w + x)·3 + c
+    val v = new Array[Int](w * h * 3)
+    var p = off
+    var i = 0
+    while (i < v.length) {
+      v(i) =
+        if (two) { val x = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff); p += 2; x }
+        else { val x = bytes(p) & 0xff; p += 1; x }
+      i += 1
+    }
+    val k = weights.length
+    val out = new Array[Long](k * pH * pW)
+    val conv = new Array[Long](convW * convH)
+    var ki = 0
+    while (ki < k) {
+      val wt = weights(ki)
+      var oy = 0
+      while (oy < convH) {
+        var ox = 0
+        while (ox < convW) {
+          var acc = 0L
+          var dy = 0
+          while (dy < 3) {
+            val rowBase = ((oy + dy) * w + ox) * 3
+            var dx = 0
+            while (dx < 3) {
+              val pix = rowBase + dx * 3
+              val wb = dy * 9 + dx * 3
+              acc += wt(wb) * v(pix) + wt(wb + 1) * v(pix + 1) + wt(wb + 2) * v(pix + 2)
+              dx += 1
+            }
+            dy += 1
+          }
+          conv(oy * convW + ox) = acc
+          ox += 1
+        }
+        oy += 1
+      }
+      var py = 0
+      while (py < pH) {
+        var px2 = 0
+        while (px2 < pW) {
+          val a = conv((2 * py) * convW + 2 * px2)
+          val b = conv((2 * py) * convW + 2 * px2 + 1)
+          val c = conv((2 * py + 1) * convW + 2 * px2)
+          val d = conv((2 * py + 1) * convW + 2 * px2 + 1)
+          out((ki * pH + py) * pW + px2) =
+            math.max(math.max(a, b), math.max(c, d))
+          px2 += 1
+        }
+        py += 1
+      }
+      ki += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** REAL pixel-level column crop [x0, x1): copy the pixel bytes of
     * columns x0..x1-1 from every source row into a NEW canonical P6
     * container of width x1−x0. This is the frame-extraction primitive:
@@ -329,9 +417,42 @@ case class PpmChannelStats(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** binary P6 payload → array<bigint>: K 3×3×3 integer convolution
+  * kernels (valid mode) over the decoded pixel grid, then 2×2 stride-2
+  * MAX pooling — the deterministic conv featurizer one level deeper
+  * than patch means ([[PpmCodec.convPool3x3]]). */
+case class PpmConvPool3x3(child: Expression, weights: Array[Array[Long]])
+    extends UnaryExpression with ArrayParamEquality {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"ppm_conv_pool_3x3 requires a BINARY payload column, got ${child.dataType.sql}")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ppm_conv_pool_3x3"
+  override protected def arrayParams: Seq[AnyRef] = Seq(weights)
+  override protected def scalarParams: Seq[Any] = Nil
+
+  override def nullSafeEval(input: Any): Any =
+    PpmCodec.convPool3x3(input.asInstanceOf[Array[Byte]], weights)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("weights", weights, "long[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PpmCodec.convPool3x3($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PpmConvPool3x3 =
+    copy(child = c)
+}
+
 object MediaCodecFunctions {
   def ppmHeader(payload: Column): Column =
     ColumnBridge.column(PpmHeader(ColumnBridge.expression(payload)))
+
+  def ppmConvPool3x3(payload: Column, weights: Array[Array[Long]]): Column =
+    ColumnBridge.column(PpmConvPool3x3(
+      ColumnBridge.expression(payload), weights))
 
   def ppmChannelStats(payload: Column): Column =
     ColumnBridge.column(PpmChannelStats(ColumnBridge.expression(payload)))

@@ -141,6 +141,7 @@ class PlanAuditSpec extends SparkSpec {
       "q110_semantic_dedup_dist_fit" -> 4, // q92's shape (cells, caps, verify, summary) with the fit done distributedly BEFORE the query plan
       "q111_pixel_semantic_dedup" -> 4, // q84's dedup shape over pixel-derived embeddings — featurization (crop/stats/JL kernels) is entirely map-side and adds ZERO exchanges
       "q116_audio_semantic_dedup" -> 4, // q111's shape with sample-space featurization (wav crop/stats kernels) — same all-map-side featurization argument
+      "q134_conv_semantic_dedup" -> 4, // q111's dedup shape over conv-featurized embeddings — resize/conv/pool/project are all map-side kernels, ZERO extra exchanges vs q111
       "q117_catalog_version_diff" -> 4, // CDC diff: full-outer join on the key (2 exchanges) + change-class agg + ordered output — the q66 merge shuffle shape read-side
       "q105_ann_serving_dist_fit" -> 3, // q98's 2 + one extra window pass: the salted rank's stage-1 (qid, salt) sort — the partition bound IS the third exchange
       "q102_cms_sketch" -> 3, // token counts, cell agg, ordered output
@@ -176,7 +177,10 @@ class PlanAuditSpec extends SparkSpec {
     "q94_semantic_dedup_partial_probe", "q104_cms_merge",
     "q108_hll_estimate_merge", "q110_semantic_dedup_dist_fit",
     "q111_pixel_semantic_dedup", "q113_hist_quantile_merge",
-    "q115_index_append_occupancy", "q116_audio_semantic_dedup")
+    "q115_index_append_occupancy", "q116_audio_semantic_dedup",
+    "q134_conv_semantic_dedup") // 4/3 across envs on first regeneration —
+                                // the same cached-relation finalization
+                                // wobble as its q111/q116 siblings
 
   test("budgets equal the committed measured matrix plus at most one justified slack") {
     // PLAN_BUDGETS.json is regenerated by graft.tools.ShuffleCounts and

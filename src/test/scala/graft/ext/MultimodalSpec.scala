@@ -83,6 +83,69 @@ class MultimodalSpec extends SparkSpec {
       PpmCodec.resize(ascii("P5\n1 1\n255\n") ++ px(0), 1, 1))
   }
 
+  test("PpmCodec.convPool3x3: true 2D conv + max pool against a scalar reference") {
+    import graft.functions.PpmCodec
+    // 6x4 RGB source; the px helper makes sample (x, y, c) = f(x, y)+c,
+    // so channel wiring matters too. f is QUADRATIC in (x, y): a linear
+    // f is annihilated position-independently by zero-sum kernels (conv
+    // of an affine plane is constant), which would mask pooling bugs.
+    def grid(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] =
+      ascii(s"P6\n$w $h\n255\n") ++
+        (0 until h).flatMap(y => (0 until w).flatMap(x => px(f(x, y)))).toArray
+    val q: (Int, Int) => Int = (x, y) => (x * x + 7 * y * y + 3 * x * y) % 97
+    val qFlip: (Int, Int) => Int = (x, y) => q(x, 3 - y)
+    val src = grid(6, 4, q)
+    val wts = graft.ext.Multimodal.convWeights(2)
+    // scalar reference: independent re-derivation of valid conv + 2x2/2 pool
+    def ref(w: Int, h: Int, f: (Int, Int) => Int): Seq[Long] = {
+      val convW = w - 2; val convH = h - 2
+      val pW = convW / 2; val pH = convH / 2
+      for {
+        k <- 0 until wts.length; py <- 0 until pH; px2 <- 0 until pW
+      } yield {
+        def conv(ox: Int, oy: Int): Long =
+          (for (dy <- 0 until 3; dx <- 0 until 3; c <- 0 until 3)
+            yield wts(k)(dy * 9 + dx * 3 + c) * (f(ox + dx, oy + dy) + c)).sum
+        Seq(conv(2 * px2, 2 * py), conv(2 * px2 + 1, 2 * py),
+          conv(2 * px2, 2 * py + 1), conv(2 * px2 + 1, 2 * py + 1)).max
+      }
+    }
+    assert(PpmCodec.convPool3x3(src, wts).toLongArray().toSeq == ref(6, 4, q))
+    // vertical sensitivity: flipping the rows changes output
+    val flipped = grid(6, 4, qFlip)
+    assert(PpmCodec.convPool3x3(flipped, wts).toLongArray().toSeq ==
+      ref(6, 4, qFlip))
+    assert(PpmCodec.convPool3x3(src, wts).toLongArray().toSeq !=
+      PpmCodec.convPool3x3(flipped, wts).toLongArray().toSeq)
+    // zero-sum weights ⇒ a PER-CHANNEL-uniform image (flat f plus the
+    // +c channel offset, uniform per channel) convolves to exactly 0:
+    // Σ_i W·const + Σ_c (Σ_{dy,dx} W[·][c])·c — the first term dies by
+    // zero-sum; the second is position-independent and cancels against
+    // itself... it does NOT in general, so check against the reference
+    // instead of asserting 0, and assert the CONSTANT-f response is
+    // position-independent (all pooled cells equal per kernel)
+    val flat = PpmCodec.convPool3x3(grid(6, 4, (_, _) => 137), wts)
+      .toLongArray().toSeq
+    assert(flat == ref(6, 4, (_, _) => 137))
+    assert(flat.grouped(2).forall(g => g.distinct.size == 1),
+      "constant image must give position-independent responses")
+    // shape contract: fewer than one pooled cell fails fast
+    intercept[IllegalArgumentException](
+      PpmCodec.convPool3x3(grid(3, 4, (x, y) => x + y), wts))
+    intercept[IllegalArgumentException](
+      PpmCodec.convPool3x3(grid(6, 3, (x, y) => x + y), wts))
+  }
+
+  test("convWeights: md5-derived, zero-sum per kernel, deterministic") {
+    val wts = graft.ext.Multimodal.convWeights(4)
+    assert(wts.length == 4 && wts.forall(_.length == 27))
+    wts.foreach(k => assert(k.sum == 0L, "zero-sum"))
+    // bound used by the envelope arithmetic: |W| ≤ 27·2 + 54 = 108
+    wts.foreach(k => assert(k.forall(w => math.abs(w) <= 108L)))
+    assert(graft.ext.Multimodal.convWeights(4).map(_.toSeq).toSeq ==
+      wts.map(_.toSeq).toSeq)
+  }
+
   test("PpmCodec.cropCols: column strips are pixel-exact sub-containers") {
     import graft.functions.PpmCodec
     // 3x2 source; crop [1,2) picks the middle column of BOTH rows
