@@ -6,9 +6,15 @@ Usage: python3 scripts/oracle_times.py <oracle_sql.json> <sf_dir> [out.json] [qu
 Runs every oracle SQL from a graft.Verify dump's oracle_sql.json against the
 sf_dir parquet tables in DuckDB and records wall seconds per query, so the
 judge's Spark-vs-DuckDB comparison is adjudicable per query, not just at
-suite totals. Timings are min-of-ORACLE_PASSES runs (default 2; set
-ORACLE_PASSES=1 for the slow all-pairs oracles at sf0.1). The result is
-written as JSON: {"sf": ..., "passes": N, "total": sec, "times": {name: sec}}.
+suite totals. Timings are min-of-ORACLE_PASSES runs (default 3; set
+ORACLE_PASSES=1 for quick spot checks). The result is written as JSON:
+{"sf": ..., "passes": N, "total": sec, "times": {name: sec},
+ "contract_only": [name, ...]}.
+
+contract_only lists oracles that do NOT recompute the engine's work — they
+assert a CONTRACT (a fixed expected-values literal, a recall boolean), so
+their sub-10ms timings are not a performance denominator and per-query
+Spark/DuckDB ratios over them are meaningless. They still gate correctness.
 
 DuckDB runs single-process over the same parquet the Spark side reads; it is
 the reference single-node columnar engine here, which makes it the operative
@@ -21,7 +27,13 @@ def main():
     oracle_path, sf_dir = sys.argv[1], sys.argv[2]
     out_path = sys.argv[3] if len(sys.argv) > 3 else "ORACLE_TIMES.json"
     only = set(sys.argv[4:])
-    passes = int(os.environ.get("ORACLE_PASSES", "2"))
+    passes = int(os.environ.get("ORACLE_PASSES", "3"))
+    # Oracles that assert a contract instead of recomputing the result:
+    # q53 emits a recall>=0.5 boolean per query point; q60 is the fixed
+    # expected-output literal of the reference example pipeline. Ratio-
+    # exempt in any bench comparison (their oracle cost is ~1 ms of
+    # constant folding, not an engine baseline).
+    contract_only = {"q53_ann_ivf", "q60_pipeline_example"}
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
@@ -40,7 +52,8 @@ def main():
         times[name] = round(best, 3)
         print(f"{name}: {times[name]:.3f}s", flush=True)
     result = {"sf": sf_dir, "passes": passes,
-              "total": round(sum(times.values()), 3), "times": times}
+              "total": round(sum(times.values()), 3), "times": times,
+              "contract_only": sorted(contract_only & set(times))}
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
     print(f"== total {result['total']:.1f}s over {len(times)} oracles -> {out_path}")

@@ -43,7 +43,13 @@ object Bench {
     // while a mean would average the noise back in. Whole-suite passes (not
     // back-to-back per query) so the second sample isn't flattered by a
     // still-warm page cache for exactly its own inputs.
-    def runPass() = SparkEntry.queries.map { case (name, fn) => name -> timeOne(name, fn) }
+    // SPARK_GRAFT_ONLY (comma-separated names): local-iteration filter —
+    // the round driver never sets it, so the contract output is unchanged
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.view.filterKeys(names).toMap)
+    def runPass() = selected.map { case (name, fn) => name -> timeOne(name, fn) }
     def passTotal(p: Map[String, (Double, Boolean)]) =
       p.values.collect { case (t, true) => t }.sum
     // Pass-total spread over queries that succeeded in EVERY pass:

