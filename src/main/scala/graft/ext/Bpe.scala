@@ -71,14 +71,19 @@ object Bpe extends QueryModule {
   def mergesSqlArr(merges: Seq[(String, String)]): String =
     merges.map { case (l, r) => s"$l $r" }.mkString("['", "','", "']")
 
-  /** Segment one word column/expression under `merges`: the
+  /** Segment one word column/expression under a merges-array SQL
+    * expression (list of "left right" strings in rank order): the
     * ||-delimited replace fold described in the class doc. */
-  def segmentSql(tok: String, merges: Seq[(String, String)]): String =
+  def segmentSqlWith(tok: String, mergesArr: String): String =
     s"list_filter(string_split(list_reduce(list_prepend(" +
       s"'||' || array_to_string(string_split_regex($tok, ''), '||') || '||', " +
-      s"${mergesSqlArr(merges)}), " +
+      s"$mergesArr), " +
       s"(acc, m) -> replace(acc, '|' || split_part(m,' ',1) || '||' || split_part(m,' ',2) || '|', " +
       s"'|' || split_part(m,' ',1) || split_part(m,' ',2) || '|')), '||'), x -> x != '')"
+
+  /** [[segmentSqlWith]] under a LITERAL merges table. */
+  def segmentSql(tok: String, merges: Seq[(String, String)]): String =
+    segmentSqlWith(tok, mergesSqlArr(merges))
 
   /** CTEs `tk` (doc tokens), `vocab`, `sl` (per-distinct-word symbol
     * count under the FIXED merges) and `bpe` (doc_id, source, n_chars,
@@ -102,12 +107,32 @@ object Bpe extends QueryModule {
   // -------------------------------------------------------------------
   // Train.
 
+  /** The corpus word-frequency table (w, c) — the ONLY state BPE
+    * training reads, and a LINEAR sketch in the CMS/LM sense: epoch
+    * tables fold by [[mergeWordCounts]] and training on the fold is
+    * bit-equal to training on the union corpus (q135's law). */
+  def wordCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(X.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+
+  /** Additive fold: wc(A) ⊕ wc(B) = wc(A ∪ B) exactly. */
+  def mergeWordCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("w"), col("c").as("ca"))
+      .join(b.select(col("w"), col("c").as("cb")), Seq("w"), "full_outer")
+      .select(col("w"),
+        (coalesce(col("ca"), lit(0L)) + coalesce(col("cb"), lit(0L))).as("c"))
+
   /** R rounds of pair-count/argmax/merge over the corpus word-frequency
     * table (see class doc). Eager: runs R tiny jobs; returns the merges
     * with their winning pair counts. */
-  def trainMerges(docs: DataFrame, rounds: Int): Seq[(Int, String, String, Long)] = {
-    val words = docs.select(explode(X.tokens(col("text"))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c")).persist()
+  def trainMerges(docs: DataFrame, rounds: Int): Seq[(Int, String, String, Long)] =
+    trainMergesFromCounts(wordCounts(docs), rounds)
+
+  /** [[trainMerges]] from a persisted (w, c) word-count table — the
+    * catalog-serving entry point (q135): counts fold through epochs,
+    * training re-derives the merges from whatever fold it is handed. */
+  def trainMergesFromCounts(wc: DataFrame, rounds: Int): Seq[(Int, String, String, Long)] = {
+    val words = wc.persist()
     try {
       val acc = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
       var merges = Seq.empty[(String, String)]
@@ -134,11 +159,13 @@ object Bpe extends QueryModule {
 
   /** One training round of the oracle unroll — MATERIALIZED is
     * load-bearing: seg{r} feeds both pc{r+1} and seg{r+1}, and plain
-    * CTE inlining doubles the tree per round (2^R blowup). */
-  private def trainRoundSqlCtes(r: Int): String = {
-    val prev = s"seg${r - 1}"
+    * CTE inlining doubles the tree per round (2^R blowup). `tag`
+    * namespaces the CTE chain so two corpora can train in ONE query
+    * (q135's epoch-A vs folded-union law). */
+  private def trainRoundSqlCtes(r: Int, tag: String = ""): String = {
+    val prev = s"seg$tag${r - 1}"
     s"""
-        pc$r AS MATERIALIZED (
+        pc$tag$r AS MATERIALIZED (
           SELECT syms[i] AS l, syms[i+1] AS r, CAST(SUM(c) AS BIGINT) AS cnt
           FROM (SELECT c, syms, unnest(range(1, len(syms))) AS i
                 FROM (SELECT c, list_filter(string_split(seg, '||'),
@@ -146,12 +173,30 @@ object Bpe extends QueryModule {
                       FROM $prev)
                 WHERE len(syms) >= 2)
           GROUP BY 1, 2),
-        best$r AS MATERIALIZED (
-          SELECT l, r, cnt FROM pc$r ORDER BY cnt DESC, l, r LIMIT 1),
-        seg$r AS MATERIALIZED (
+        best$tag$r AS MATERIALIZED (
+          SELECT l, r, cnt FROM pc$tag$r ORDER BY cnt DESC, l, r LIMIT 1),
+        seg$tag$r AS MATERIALIZED (
           SELECT w, c, replace(seg, '|' || b.l || '||' || b.r || '|',
                                '|' || b.l || b.r || '|') AS seg
-          FROM $prev, best$r b)"""
+          FROM $prev, best$tag$r b)"""
+  }
+
+  /** Full tagged train chain: `wc$tag` (w, c) must exist upstream;
+    * emits seg${tag}0 + R rounds + `ml$tag` — the trained merges as a
+    * 1-row rank-ordered "l r" array, ready for [[segmentSqlWith]]. */
+  private def trainChainSqlCtes(tag: String): String = {
+    val rounds = (1 to TrainRounds).map(trainRoundSqlCtes(_, tag)).mkString(",")
+    val union = (1 to TrainRounds).map(r =>
+      s"SELECT $r AS rank, l || ' ' || r AS p FROM best$tag$r")
+      .mkString(" UNION ALL ")
+    s"""
+        seg${tag}0 AS (SELECT w, c,
+                        '||' || array_to_string(string_split_regex(w, ''),
+                          '||') || '||' AS seg
+                 FROM wc$tag),
+        $rounds,
+        ml$tag AS MATERIALIZED (
+          SELECT list(p ORDER BY rank) AS ml FROM ($union))"""
   }
 
   /** Rounds the train query runs — enough to reach multi-level merges
@@ -233,7 +278,7 @@ object Bpe extends QueryModule {
           .orderBy(col("merge_rank"))
       },
       Some {
-        val rounds = (1 to TrainRounds).map(trainRoundSqlCtes).mkString(",")
+        val rounds = (1 to TrainRounds).map(r => trainRoundSqlCtes(r)).mkString(",")
         val sel = (1 to TrainRounds).map { r =>
           s"SELECT CAST($r AS BIGINT) AS merge_rank, l AS merge_left, " +
             s"r AS merge_right, cnt AS pair_count FROM best$r"
@@ -298,6 +343,107 @@ object Bpe extends QueryModule {
         WITH $bpeCountCtes,
         q AS (SELECT doc_id, source, n_bpe FROM bpe
               WHERE n_chars >= 100 AND n_bpe >= 60),
-        ${Curation.manifestTailSql("n_bpe")}"""))
+        ${Curation.manifestTailSql("n_bpe")}""")),
+
+    // ------------------------------------------------------------------
+    // q135: BPE THROUGH THE CATALOG — fifth member of the
+    // catalog-serving family (q118 histogram, q119 HLL, q120 CMS, q122
+    // LM): the tokenizer's trainable state is the word-frequency table,
+    // and THAT is the linear sketch — epoch A's counts commit as v1,
+    // epoch B folds in additively as v2, and TRAINING RE-DERIVES the
+    // merges from each version (merges themselves are an argmax chain,
+    // NOT foldable — the catalog persists the counts, which are, plus
+    // each version's trained merges table as index-as-data). A probe
+    // batch (every 5th document) encodes under EACH version's merges:
+    // v1 tokenizes probes with "the tokenizer as of epoch A" forever;
+    // v2's merges are bit-identical to training from scratch on the
+    // union corpus (count linearity — the law the oracle proves by
+    // training its F chain on ALL documents while the engine trains on
+    // the FOLDED v2 counts). Per (version, doc): word count, subword
+    // count, and the positional fingerprint of the full symbol stream.
+    QueryDef(
+      "q135_bpe_catalog_serving",
+      (s, dir) => {
+        val work = graft.Scratch.dir("q135")
+        val cat = new graft.catalog.VersionedCatalog(s, work, format = "parquet")
+        val wcSchema = org.apache.spark.sql.types.StructType.fromDDL(
+          "w STRING, c BIGINT")
+        val docs = T.documents(s, dir)
+        cat.writeNext("bpe_wc", wordCounts(docs.filter(col("doc_id") % 2 === 0)))
+        cat.writeNext("bpe_wc", mergeWordCounts(
+          cat.read("bpe_wc", 1, Some(wcSchema)),
+          wordCounts(docs.filter(col("doc_id") % 2 === 1))))
+        val probe = docs.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), X.tokens(col("text")).as("tk"))
+        import s.implicits._
+        (1 to 2).map { v =>
+          val merges = trainMergesFromCounts(
+            cat.read("bpe_wc", v, Some(wcSchema)), TrainRounds)
+          // persist each version's trained merges alongside its counts —
+          // the serving artifact a tokenizer consumer would load
+          cat.writeNext("bpe_merges", merges
+            .map { case (r, l, rt, c) => (r.toLong, l, rt, c) }
+            .toDF("merge_rank", "merge_left", "merge_right", "pair_count"))
+          val ms = merges.map { case (_, l, r, _) => (l, r) }
+          probe
+            .select(lit(v.toLong).as("version"), col("doc_id"),
+              size(col("tk")).cast("long").as("n_words"),
+              BpeFunctions.encodeTokens(col("tk"), ms).as("syms"))
+            .select(col("version"), col("doc_id"), col("n_words"),
+              size(col("syms")).cast("long").as("n_bpe"),
+              graft.functions.HashFunctions.positionalFingerprint(col("syms"))
+                .as("bpe_fp"))
+        }.reduce(_ unionByName _).orderBy(col("version"), col("doc_id"))
+      },
+      Some(s"""
+        WITH wca AS (SELECT w, COUNT(*) AS c
+                     FROM (SELECT unnest(${X.tokensSql("text")}) AS w
+                           FROM documents WHERE doc_id % 2 = 0)
+                     GROUP BY w),
+        wcf AS (SELECT w, COUNT(*) AS c
+                FROM (SELECT unnest(${X.tokensSql("text")}) AS w
+                      FROM documents)
+                GROUP BY w),
+        ${trainChainSqlCtes("a")},
+        ${trainChainSqlCtes("f")},
+        -- probe tail: q130's construction, once per served version
+        tk AS (SELECT doc_id, ${X.tokensSql("text")} AS tk FROM documents
+               WHERE doc_id % 5 = 0),
+        wpos AS (SELECT doc_id, tk[i] AS w, CAST(i AS BIGINT) AS wi
+                 FROM (SELECT doc_id, tk, unnest(range(1, len(tk)+1)) AS i
+                       FROM tk)),
+        vocab AS (SELECT DISTINCT w FROM wpos),
+        segv AS MATERIALIZED (
+          SELECT 1 AS version, v.w,
+                 ${segmentSqlWith("v.w", "m.ml")} AS syms
+          FROM vocab v, mla m
+          UNION ALL
+          SELECT 2, v.w, ${segmentSqlWith("v.w", "m.ml")}
+          FROM vocab v, mlf m),
+        sl AS (SELECT version, w, syms, CAST(len(syms) AS BIGINT) AS ns
+               FROM segv),
+        dw AS (SELECT version, doc_id, wi, syms, ns,
+                      coalesce(SUM(ns) OVER (PARTITION BY version, doc_id
+                        ORDER BY wi
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS off
+               FROM wpos JOIN sl USING (w)),
+        contrib AS (SELECT version, doc_id,
+                           (${X.h60Sql("syms[k]")} % ${X.P}) * (off + k) AS term
+                    FROM (SELECT version, doc_id, syms, off,
+                                 unnest(range(1, len(syms)+1)) AS k
+                          FROM dw)),
+        fp AS (SELECT version, doc_id,
+                      CAST(SUM(term) % ${X.P} AS BIGINT) AS bpe_fp
+               FROM contrib GROUP BY version, doc_id)
+        SELECT v.version, t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_words,
+               coalesce(x.nb, 0) AS n_bpe, coalesce(f.bpe_fp, 0) AS bpe_fp
+        FROM tk t
+        CROSS JOIN (SELECT unnest([CAST(1 AS BIGINT), 2]) AS version) v
+        LEFT JOIN (SELECT version, doc_id, CAST(SUM(ns) AS BIGINT) AS nb
+                   FROM dw GROUP BY version, doc_id) x
+          ON x.version = v.version AND x.doc_id = t.doc_id
+        LEFT JOIN fp f ON f.version = v.version AND f.doc_id = t.doc_id
+        ORDER BY v.version, t.doc_id"""))
   )
 }

@@ -79,6 +79,10 @@ class PlanAuditSpec extends SparkSpec {
       "q107_hll_sketch", "q109_frame_channel_stats", "q112_hist_sketch",
       "q114_wav_channel_stats",
       "q130_bpe_encode", // map-side tokenize→bpe→fingerprint kernels + output sort
+      "q135_bpe_catalog_serving", // served plan = per-version map-side
+                                  // encode over probe docs + union +
+                                  // sort; the count folds and the two
+                                  // trainings ran eagerly before it
       "q131_bpe_train") // the RETURNED merges table is a 12-row local
                         // relation + sort; the R training rounds run
                         // eagerly before this plan (each its own

@@ -119,6 +119,18 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.trainMerges(docs, rounds = 8) == trained)
   }
 
+  test("word-count fold law: training on wc(A) ⊕ wc(B) ≡ training on A ∪ B") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, "lower lower lowest newer"), (2L, "newest lowest wider"))
+      .toDF("doc_id", "text")
+    val b = Seq((3L, "newer newer widest lower"), (4L, "low new lowest"))
+      .toDF("doc_id", "text")
+    val folded = Bpe.mergeWordCounts(Bpe.wordCounts(a), Bpe.wordCounts(b))
+    assert(Bpe.trainMergesFromCounts(folded, rounds = 8) ==
+      Bpe.trainMerges(a.unionByName(b), rounds = 8))
+  }
+
   test("fixed merges fixture is well-formed") {
     val products = scala.collection.mutable.Set.empty[String]
     Bpe.fixedMerges.foreach { case (l, r) =>
