@@ -612,6 +612,35 @@ object EventPipelines {
     q.awaitTermination()
   }
 
+  /** Streaming TOKENIZER state → catalog: the fifth member of the
+    * sketch-sink family. Each epoch's documents reduce to a
+    * word-frequency table ([[graft.ext.Bpe.wordCounts]] — the exact
+    * q131 training input, so streamed state trains identically to
+    * batch) folding additively into `<step>_wc`
+    * ([[graft.ext.Bpe.mergeWordCounts]] — linear like CMS cells, NOT
+    * content-idempotent, so exactly-once rides the shared atomic epoch
+    * tag). Serving TRAINS from any version's counts
+    * ([[graft.ext.Bpe.trainMergesFromCounts]], the q135 path): the
+    * merges argmax chain is derived state, never folded. State is
+    * vocabulary-sized, never corpus-sized. */
+  def runCatalogBpeSink(
+      docs: DataFrame,
+      checkpoint: String,
+      cat: graft.catalog.VersionedCatalog,
+      step: String): Unit = {
+    val q = docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        foldEpoch(cat, s"${step}_wc",
+          graft.ext.Bpe.wordCounts(batch), epoch,
+          graft.ext.Bpe.mergeWordCounts)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Batch views of the streaming transforms over the fixture table —
     * the unified-API property: identical code, batch source. */
   def eventsBatch(spark: SparkSession, dir: String): DataFrame =

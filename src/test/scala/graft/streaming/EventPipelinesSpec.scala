@@ -588,6 +588,52 @@ class EventPipelinesSpec extends SparkSpec {
     }
   }
 
+  test("streaming BPE sink: word counts fold, training serves any version, replay-safe") {
+    val s = spark
+    import s.implicits._
+    withTempDir { dir =>
+      val in = s"$dir/in"; val ckpt = s"$dir/ckpt"; val root = s"$dir/cat"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      def writeInput(name: String, docs: Seq[(Long, String)]): Unit =
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/$name"),
+          docs.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+            .mkString("\n").getBytes)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING")
+      def stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(in)
+      val cat = new graft.catalog.VersionedCatalog(spark, root, format = "parquet")
+      val wcSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "w STRING, c BIGINT")
+
+      val e1 = Seq((1L, "lower lower lowest newer"), (2L, "newest lowest wider"))
+      val e2 = Seq((3L, "newer newer widest lower"), (4L, "low new lowest"))
+      writeInput("e1.json", e1)
+      EventPipelines.runCatalogBpeSink(stream, ckpt, cat, "bpe")
+      assert(cat.latestVersion("bpe_wc").contains(1))
+      writeInput("e2.json", e2)
+      EventPipelines.runCatalogBpeSink(stream, ckpt, cat, "bpe")
+      assert(cat.latestVersion("bpe_wc").contains(2))
+
+      def cnts(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val both = (e1 ++ e2).toDF("doc_id", "text")
+      // latest = the batch word counts over the union (count linearity)
+      assert(cnts(cat.latest("bpe_wc", Some(wcSchema))) ==
+        cnts(graft.ext.Bpe.wordCounts(both)))
+      // v1 = epoch 1's counts forever (tokenizer time travel)
+      assert(cnts(cat.read("bpe_wc", 1, Some(wcSchema))) ==
+        cnts(graft.ext.Bpe.wordCounts(e1.toDF("doc_id", "text"))))
+      // training from the served state == a fresh batch train (q135 law)
+      assert(graft.ext.Bpe.trainMergesFromCounts(
+          cat.latest("bpe_wc", Some(wcSchema)), rounds = 8) ==
+        graft.ext.Bpe.trainMerges(both, rounds = 8))
+      // replay with no new input: no new version (exactly-once via tag)
+      EventPipelines.runCatalogBpeSink(stream, ckpt, cat, "bpe")
+      assert(cat.latestVersion("bpe_wc").contains(2))
+    }
+  }
+
   test("streaming index append: epochs assign through persisted centroids, replay-safe") {
     val s = spark
     import s.implicits._
