@@ -444,6 +444,64 @@ object Bpe extends QueryModule {
                    FROM dw GROUP BY version, doc_id) x
           ON x.version = v.version AND x.doc_id = t.doc_id
         LEFT JOIN fp f ON f.version = v.version AND f.doc_id = t.doc_id
-        ORDER BY v.version, t.doc_id"""))
+        ORDER BY v.version, t.doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q136: GREEDY whole-word chunking in SUBWORD units — the
+    // context-window prep pass (q55 chunks by characters; training
+    // context limits are tokenizer units): scan each document's words
+    // left to right, open a new chunk when adding a word's subword
+    // count would exceed the 128-subword budget (words atomic; a
+    // single over-budget word becomes its own oversized chunk). The
+    // scan is sequential BY NATURE — no window function expresses
+    // "reset the accumulator when it would overflow" — so the engine
+    // runs it as a compiled row-local kernel over each doc's token
+    // array (zero shuffle before the output sort) and the oracle
+    // mirrors the exact scan as a RECURSIVE CTE advancing every
+    // document one word per step (the q129 recursion discipline).
+    // Every (doc, chunk) row is hash-checked: word count AND subword
+    // count — an off-by-one in either side's scan shifts every later
+    // boundary and fails loudly.
+    QueryDef(
+      "q136_bpe_context_chunks",
+      (s, dir) => {
+        T.documents(s, dir)
+          .select(col("doc_id"),
+            BpeFunctions.chunkCounts(X.tokens(col("text")), fixedMerges,
+              budget = 128L).as("ch"))
+          .select(col("doc_id"),
+            posexplode(col("ch")).as(Seq("chunk_idx", "c")))
+          .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+            col("c.n_words").as("n_words"),
+            col("c.n_subwords").as("n_subwords"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some(s"""
+        WITH RECURSIVE tk AS (SELECT doc_id, ${X.tokensSql("text")} AS tk
+                              FROM documents),
+        wpos AS (SELECT doc_id, tk[i] AS w, CAST(i AS BIGINT) AS wi
+                 FROM (SELECT doc_id, tk, unnest(range(1, len(tk)+1)) AS i
+                       FROM tk)),
+        vocab AS (SELECT DISTINCT w FROM wpos),
+        sl AS (SELECT w, CAST(len(${segmentSql("w", fixedMerges)}) AS BIGINT)
+                      AS ns
+               FROM vocab),
+        wn AS (SELECT doc_id, wi, ns FROM wpos JOIN sl USING (w)),
+        -- state after consuming word wi: (chunk index, subwords used) —
+        -- the kernel's scan, one word per recursion step
+        rec AS (
+          SELECT doc_id, CAST(1 AS BIGINT) AS wi, CAST(0 AS BIGINT) AS ci,
+                 ns AS used
+          FROM wn WHERE wi = 1
+          UNION ALL
+          SELECT r.doc_id, r.wi + 1,
+                 CASE WHEN r.used + n.ns > 128 THEN r.ci + 1 ELSE r.ci END,
+                 CASE WHEN r.used + n.ns > 128 THEN n.ns
+                      ELSE r.used + n.ns END
+          FROM rec r JOIN wn n ON n.doc_id = r.doc_id AND n.wi = r.wi + 1)
+        SELECT r.doc_id, r.ci AS chunk_idx, COUNT(*) AS n_words,
+               CAST(SUM(n.ns) AS BIGINT) AS n_subwords
+        FROM rec r JOIN wn n USING (doc_id, wi)
+        GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

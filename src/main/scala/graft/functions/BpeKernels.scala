@@ -132,6 +132,37 @@ final class BpeTable(val lefts: Array[String], val rights: Array[String])
     new GenericArrayData(out)
   }
 
+  /** GREEDY whole-word chunking in subword units — the context-window
+    * prep pass: scan words left to right; a word joins the current
+    * chunk unless adding its subword count would exceed `budget` and
+    * the chunk is non-empty, in which case it OPENS the next chunk. A
+    * single word longer than the budget becomes its own oversized chunk
+    * (words are atomic here — splitting them is q47/q132's
+    * concat-and-chunk semantic, a different operator). Returns one
+    * struct<n_words, n_subwords> per chunk, in order. Row-local and
+    * sequential by nature — exactly what a compiled per-row kernel is
+    * for; the oracle mirrors the same scan as a recursive CTE. */
+  def chunkCounts(tokens: ArrayData, budget: Long): ArrayData = {
+    val n = tokens.numElements()
+    val out = new java.util.ArrayList[AnyRef]()
+    var words = 0L
+    var used = 0L
+    var i = 0
+    while (i < n) {
+      val wn = segmentString(tokens.getUTF8String(i).toString).length.toLong
+      if (words > 0L && used + wn > budget) {
+        out.add(org.apache.spark.sql.catalyst.InternalRow(words, used))
+        words = 0L
+        used = 0L
+      }
+      words += 1L
+      used += wn
+      i += 1
+    }
+    if (words > 0L) out.add(org.apache.spark.sql.catalyst.InternalRow(words, used))
+    new GenericArrayData(out.toArray)
+  }
+
   /** array<string> word tokens → total BPE symbol count, without
     * materializing the symbols (the budget-arithmetic fast path). */
   def countTokens(tokens: ArrayData): Long = {
@@ -215,6 +246,34 @@ case class BpeCountTokens(child: Expression,
     copy(child = c)
 }
 
+/** array<string> word tokens → array<struct<n_words, n_subwords>>:
+  * greedy whole-word chunks under a subword budget
+  * ([[BpeTable.chunkCounts]]). */
+case class BpeChunkCounts(child: Expression,
+    lefts: Array[String], rights: Array[String], budget: Long)
+    extends UnaryExpression with ArrayParamEquality {
+  private val structType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_words", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_subwords", LongType, nullable = false)))
+  override def dataType: DataType = ArrayType(structType, containsNull = false)
+  override def prettyName: String = "bpe_chunk_counts"
+  override protected def arrayParams: Seq[AnyRef] = Seq(lefts, rights)
+  override protected def scalarParams: Seq[Any] = Seq(budget)
+
+  @transient private lazy val table = new BpeTable(lefts, rights)
+
+  override def nullSafeEval(input: Any): Any =
+    table.chunkCounts(input.asInstanceOf[ArrayData], budget)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpe", table, classOf[BpeTable].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.chunkCounts($c, ${budget}L)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BpeChunkCounts =
+    copy(child = c)
+}
+
 object BpeFunctions {
   private def split(merges: Seq[(String, String)]) =
     (merges.map(_._1).toArray, merges.map(_._2).toArray)
@@ -232,5 +291,12 @@ object BpeFunctions {
   def countTokens(tokens: Column, merges: Seq[(String, String)]): Column = {
     val (l, r) = split(merges)
     ColumnBridge.column(BpeCountTokens(ColumnBridge.expression(tokens), l, r))
+  }
+
+  def chunkCounts(tokens: Column, merges: Seq[(String, String)],
+      budget: Long): Column = {
+    val (l, r) = split(merges)
+    ColumnBridge.column(BpeChunkCounts(
+      ColumnBridge.expression(tokens), l, r, budget))
   }
 }

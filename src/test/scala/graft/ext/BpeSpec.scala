@@ -119,6 +119,40 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.trainMerges(docs, rounds = 8) == trained)
   }
 
+  test("property: rank-order ≡ classic apply over random well-formed tables") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val wordGen = Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+    // build a random WELL-FORMED merges table: repeatedly segment a
+    // random corpus word under the merges so far and promote one of its
+    // adjacent symbol pairs — every side is a code point or an earlier
+    // product by construction
+    for (iter <- 0 until 40) {
+      val words = (0 until 8).map(i => sample(wordGen, 100L * iter + i))
+      var ms = Seq.empty[(String, String)]
+      for (r <- 0 until 6) {
+        val t = table(ms: _*)
+        val w = words(sample(Gen.choose(0, words.size - 1), 7L * iter + r))
+        val syms = t.segmentString(w)
+        if (syms.length >= 2) {
+          val at = sample(Gen.choose(0, syms.length - 2), 13L * iter + r)
+          val cand = (syms(at), syms(at + 1))
+          if (!ms.contains(cand)) ms = ms :+ cand
+        }
+      }
+      val t = table(ms: _*)
+      words.foreach { w =>
+        assert(t.segmentString(w).toSeq == classicApply(w, ms),
+          s"'$w' under ${ms.mkString(",")}")
+        // segmentation is a PARTITION of the word: concatenation restores it
+        assert(t.segmentString(w).mkString == w)
+      }
+    }
+  }
+
   test("word-count fold law: training on wc(A) ⊕ wc(B) ≡ training on A ∪ B") {
     val s = spark
     import s.implicits._
@@ -158,6 +192,35 @@ class BpeSpec extends SparkSpec {
       assert(syms == expected, s"doc ${r.getLong(0)}")
       assert(r.getLong(3) == expected.length.toLong)
     }
+  }
+
+  test("chunkCounts: greedy fill, oversized single word, budget boundary") {
+    val t = table() // no merges: subword count = word length
+    def chunks(ws: Seq[String], b: Long): Seq[(Long, Long)] = {
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        ws.map(org.apache.spark.unsafe.types.UTF8String.fromString)
+          .toArray[AnyRef])
+      val out = t.chunkCounts(arr, b)
+      (0 until out.numElements()).map { i =>
+        val r = out.getStruct(i, 2); (r.getLong(0), r.getLong(1))
+      }
+    }
+    // 3+3 fills a 6-budget exactly; the next word opens chunk 2
+    assert(chunks(Seq("abc", "def", "gh"), 6) == Seq((2L, 6L), (1L, 2L)))
+    // a word longer than the budget is its own oversized chunk
+    assert(chunks(Seq("abcdefgh", "ab"), 4) == Seq((1L, 8L), (1L, 2L)))
+    // oversized word mid-stream flushes the open chunk first
+    assert(chunks(Seq("ab", "abcdefgh", "cd"), 4) ==
+      Seq((1L, 2L), (1L, 8L), (1L, 2L)))
+    // empty input → no chunks
+    assert(chunks(Seq(), 4) == Seq())
+    // invariants on a longer random-ish stream: counts partition the
+    // stream; every multi-word chunk respects the budget
+    val ws = Seq("a", "bb", "ccc", "dddd", "e", "ff", "ggg", "hh", "i")
+    val cs = chunks(ws, 5)
+    assert(cs.map(_._1).sum == ws.length)
+    assert(cs.map(_._2).sum == ws.map(_.length.toLong).sum)
+    cs.foreach { case (nw, nsub) => assert(nw == 1 || nsub <= 5) }
   }
 
   test("segmentation survives codegen and interpreted paths identically") {
