@@ -98,6 +98,7 @@ object Bpe extends QueryModule {
         sl AS (SELECT w, CAST(len(${segmentSql("w", fixedMerges)}) AS BIGINT) AS ns
                FROM vocab),
         bpe AS (SELECT t.doc_id, t.source, t.n_chars,
+                       CAST(len(t.tk) AS BIGINT) AS n_words,
                        coalesce(x.nb, 0) AS n_bpe
                 FROM tk t
                 LEFT JOIN (SELECT doc_id, CAST(SUM(ns) AS BIGINT) AS nb
@@ -502,6 +503,51 @@ object Bpe extends QueryModule {
         SELECT r.doc_id, r.ci AS chunk_idx, COUNT(*) AS n_words,
                CAST(SUM(n.ns) AS BIGINT) AS n_subwords
         FROM rec r JOIN wn n USING (doc_id, wi)
-        GROUP BY 1, 2 ORDER BY 1, 2"""))
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ------------------------------------------------------------------
+    // q137: tokenizer FERTILITY report — the standard tokenizer-eval
+    // table, per source: subwords-per-word (fertility) and
+    // chars-per-subword, exact integer basis-point ratios over summed
+    // counts. High fertility = the tokenizer fragments that domain's
+    // vocabulary (code, rare languages); the table is what you read
+    // before deciding a domain needs its own merges. Plan: one map-side
+    // count pass (the count kernel never materializes symbols) + one
+    // partial-aggregable group-by. Shares the q132/q133 count CTEs.
+    QueryDef(
+      "q137_bpe_fertility",
+      (s, dir) => {
+        T.documents(s, dir)
+          .select(col("source"), col("n_chars"),
+            size(X.tokens(col("text"))).cast("long").as("nw"),
+            BpeFunctions.countTokens(X.tokens(col("text")), fixedMerges)
+              .as("nb"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nw")).as("n_words"),
+            sum(col("nb")).as("n_subwords"),
+            sum(col("n_chars")).as("sum_chars"))
+          .select(col("source"), col("n_docs"), col("n_words"),
+            col("n_subwords"),
+            when(col("n_words") === 0L, lit(0L))
+              .otherwise(expr("(n_subwords * 10000) div n_words"))
+              .as("fertility_e4"),
+            when(col("n_subwords") === 0L, lit(0L))
+              .otherwise(expr("(sum_chars * 10000) div n_subwords"))
+              .as("chars_per_subword_e4"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH $bpeCountCtes
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_words) AS BIGINT) AS n_words,
+               CAST(SUM(n_bpe) AS BIGINT) AS n_subwords,
+               CASE WHEN SUM(n_words) = 0 THEN 0
+                    ELSE CAST(SUM(n_bpe) * 10000 // SUM(n_words) AS BIGINT)
+               END AS fertility_e4,
+               CASE WHEN SUM(n_bpe) = 0 THEN 0
+                    ELSE CAST(SUM(n_chars) * 10000 // SUM(n_bpe) AS BIGINT)
+               END AS chars_per_subword_e4
+        FROM bpe GROUP BY source ORDER BY source"""))
   )
 }

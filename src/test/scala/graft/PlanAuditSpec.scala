@@ -102,6 +102,7 @@ class PlanAuditSpec extends SparkSpec {
       "q35_vocab_topk", "q36_topk_docs_per_source", "q37_stratified_sample",
       "q39_exact_stats", "q40_dedup_exact", "q46_dedup_clusters",
       "q47_sequence_packing", "q132_bpe_sequence_packing",
+      "q137_bpe_fertility",
       "q48_train_val_test", "q50_nn_brute",
       "q129_dedup_survivor_quality",
       "q51_ann_lsh", "q54_embedding_quantize", "q61_catalog_timetravel",
