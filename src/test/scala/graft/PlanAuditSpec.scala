@@ -180,6 +180,10 @@ class PlanAuditSpec extends SparkSpec {
     "q41_dedup_minhash_lsh", "q44_dedup_embedding_cosine",
     "q80_dedup_incremental", // observed 5/6 → 6/6 → 5/5 across r10/r11 regenerations
     "q45_curation_pipeline", "q92_semantic_dedup_two_level",
+    "q84_semantic_dedup", // observed 4/3 (r11) → 4/4 → 3/4 across three
+                          // r11-r12 regenerations on unchanged operator
+                          // code — the same cached-relation finalization
+                          // wobble as its q92/q94 siblings
     "q94_semantic_dedup_partial_probe", "q104_cms_merge",
     "q108_hll_estimate_merge", "q110_semantic_dedup_dist_fit",
     "q111_pixel_semantic_dedup", "q113_hist_quantile_merge",
