@@ -548,6 +548,43 @@ object Bpe extends QueryModule {
                CASE WHEN SUM(n_bpe) = 0 THEN 0
                     ELSE CAST(SUM(n_chars) * 10000 // SUM(n_bpe) AS BIGINT)
                END AS chars_per_subword_e4
-        FROM bpe GROUP BY source ORDER BY source"""))
+        FROM bpe GROUP BY source ORDER BY source""")),
+
+    // ------------------------------------------------------------------
+    // q138: TOKENIZER-CONSISTENT LM quality scoring — the q121 add-one
+    // bigram surprise computed over the SUBWORD stream the model would
+    // actually train on (word-level perplexity misprices domains the
+    // tokenizer fragments; scoring in the training unit is what CCNet's
+    // KenLM pass does with its own sentencepiece model). Pure
+    // composition: the BPE encode kernel feeds LmScore's pre-tokenized
+    // seam; the corpus is tokenized+encoded ONCE and cached for the
+    // LM's three reads (the q126 discipline). The oracle reuses q121's
+    // scoring body verbatim over a subword-stream `tk` CTE built by the
+    // vocabulary-segmentation join (ordered flatten restores the
+    // per-document stream).
+    QueryDef(
+      "q138_subword_lm_score",
+      (s, dir) => {
+        val scope = new graft.CacheScope
+        graft.CacheScope.releaseAfterNextAction(s, scope)
+        val bpeTk = scope.cache(T.documents(s, dir)
+          .select(col("doc_id"),
+            BpeFunctions.encodeTokens(X.tokens(col("text")), fixedMerges)
+              .as("tk")))
+        LmScore.surpriseScoresTk(bpeTk, bpeTk).orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH tk0 AS (SELECT doc_id, ${X.tokensSql("text")} AS tk
+                     FROM documents),
+        wpos AS (SELECT doc_id, tk[i] AS w, CAST(i AS BIGINT) AS wi
+                 FROM (SELECT doc_id, tk, unnest(range(1, len(tk)+1)) AS i
+                       FROM tk0)),
+        vocab AS (SELECT DISTINCT w FROM wpos),
+        seg AS (SELECT w, ${segmentSql("w", fixedMerges)} AS syms FROM vocab),
+        -- the per-document SUBWORD stream: ordered flatten of each
+        -- word's segmentation
+        tk AS (SELECT doc_id, flatten(list(syms ORDER BY wi)) AS tk
+               FROM wpos JOIN seg USING (w) GROUP BY doc_id),
+        ${LmScore.selfScoreOracleTailSql}"""))
   )
 }

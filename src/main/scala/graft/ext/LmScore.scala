@@ -178,22 +178,11 @@ object LmScore extends QueryModule {
         col("thr_e4"), col("accepted"))
   }
 
-  override val defs: Seq[QueryDef] = Seq(
-
-    // ------------------------------------------------------------------
-    // q121: the self-scored corpus — fit the bigram LM on documents and
-    // score every document against it, all exact int64. The full score
-    // table is hash-checked (every doc, every column), not an estimate
-    // contract: the floor-log2 identity makes "perplexity" a
-    // deterministic integer.
-    QueryDef(
-      "q121_lm_surprise_score",
-      (s, dir) => {
-        val docs = T.documents(s, dir)
-        surpriseScores(docs, docs).orderBy(col("doc_id"))
-      },
-      Some(s"""
-        WITH tk AS (SELECT doc_id, ${X.tokensSql("text")} AS tk FROM documents),
+  /** The q121 self-scoring oracle body over an upstream CTE named `tk`
+    * (doc_id, tk: item array) — ONE text shared by q121 (word tokens)
+    * and q138 (BPE subwords): the LM arithmetic is item-agnostic, only
+    * the tokenization unit upstream changes. */
+  private[ext] def selfScoreOracleTailSql: String = s"""
         bg AS (SELECT doc_id, unnest(${X.shinglesSql("tk", 2)}) AS bg FROM tk),
         lmb AS (SELECT bg, COUNT(*) AS cb FROM bg GROUP BY bg),
         lmp AS (SELECT split_part(bg, ' ', 1) AS w1,
@@ -216,7 +205,25 @@ object LmScore extends QueryModule {
                CAST(SUM(bits) AS BIGINT) AS total_bits,
                CAST(SUM(bits) * 100 // COUNT(*) AS BIGINT)
                  AS centibits_per_bigram
-        FROM bits GROUP BY doc_id ORDER BY doc_id""")),
+        FROM bits GROUP BY doc_id ORDER BY doc_id"""
+
+  override val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // q121: the self-scored corpus — fit the bigram LM on documents and
+    // score every document against it, all exact int64. The full score
+    // table is hash-checked (every doc, every column), not an estimate
+    // contract: the floor-log2 identity makes "perplexity" a
+    // deterministic integer.
+    QueryDef(
+      "q121_lm_surprise_score",
+      (s, dir) => {
+        val docs = T.documents(s, dir)
+        surpriseScores(docs, docs).orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH tk AS (SELECT doc_id, ${X.tokensSql("text")} AS tk FROM documents),
+        $selfScoreOracleTailSql""")),
 
     // ------------------------------------------------------------------
     // q127: DATA SELECTION VIA IMPORTANCE RESAMPLING — DSIR (Xie,
