@@ -178,11 +178,12 @@ object LmScore extends QueryModule {
         col("thr_e4"), col("accepted"))
   }
 
-  /** The q121 self-scoring oracle body over an upstream CTE named `tk`
-    * (doc_id, tk: item array) — ONE text shared by q121 (word tokens)
-    * and q138 (BPE subwords): the LM arithmetic is item-agnostic, only
-    * the tokenization unit upstream changes. */
-  private[ext] def selfScoreOracleTailSql: String = s"""
+  /** The q121 self-scoring CTE chain (through `bits`) over an upstream
+    * CTE named `tk` (doc_id, tk: item array) — ONE text shared by q121
+    * (word tokens), q138 (BPE subwords), and q139 (scores feeding the
+    * pacing tiers): the LM arithmetic is item-agnostic, only the
+    * tokenization unit upstream changes. */
+  private[ext] def selfScoreBodyCtesSql: String = s"""
         bg AS (SELECT doc_id, unnest(${X.shinglesSql("tk", 2)}) AS bg FROM tk),
         lmb AS (SELECT bg, COUNT(*) AS cb FROM bg GROUP BY bg),
         lmp AS (SELECT split_part(bg, ' ', 1) AS w1,
@@ -200,7 +201,12 @@ object LmScore extends QueryModule {
                  FROM (SELECT doc_id, den, num,
                               length(printf('%b', num))
                                 - length(printf('%b', den)) AS k
-                       FROM sc))
+                       FROM sc))"""
+
+  /** [[selfScoreBodyCtesSql]] + the per-doc score projection — the
+    * complete q121/q138 oracle after their `tk` CTE. */
+  private[ext] def selfScoreOracleTailSql: String = s"""
+        $selfScoreBodyCtesSql
         SELECT doc_id, COUNT(*) AS n_bigrams,
                CAST(SUM(bits) AS BIGINT) AS total_bits,
                CAST(SUM(bits) * 100 // COUNT(*) AS BIGINT)
@@ -224,6 +230,94 @@ object LmScore extends QueryModule {
       Some(s"""
         WITH tk AS (SELECT doc_id, ${X.tokensSql("text")} AS tk FROM documents),
         $selfScoreOracleTailSql""")),
+
+    // ------------------------------------------------------------------
+    // q139: QUALITY PACING — the mixture move the perplexity filter
+    // feeds (CCNet's head/middle/tail buckets, Wenzek et al. LREC
+    // 2020): tier every scored document by which QUARTILE of the
+    // corpus centibits distribution it falls in, then sample each tier
+    // at its own deterministic rate — tier 1 (lowest surprise =
+    // boilerplate) keeps 25%, the mid tiers keep all, tier 4 (highest
+    // surprise = noise) keeps 10%. Quartile thresholds are computed
+    // SCALE-CORRECTLY: centibits are bounded small integers, so the
+    // exact order statistics come from a per-VALUE histogram +
+    // cumulative window over the few-hundred-row value domain (never a
+    // global sort of the corpus; the HistSketch discipline) —
+    // thr_t = min value with cum_count ≥ ⌈t·n/4⌉, ties share tiers by
+    // construction. Sampling is md5-residue (the q49 discipline), so
+    // the kept SET is reproducible anywhere. Docs with < 2 tokens have
+    // no score and sit outside the pacing universe (q121's contract).
+    QueryDef(
+      "q139_quality_pacing",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = T.documents(s, dir)
+        val scope = new graft.CacheScope
+        graft.CacheScope.releaseAfterNextAction(s, scope)
+        val scored = scope.cache(surpriseScores(docs, docs)
+          .select(col("doc_id"), col("centibits_per_bigram").as("cb")))
+        val n1 = scored.agg(count(lit(1)).as("n"))
+        // value-domain cumulative histogram: the window is over distinct
+        // centibit VALUES (domain-bounded, ≤ a few hundred rows), not
+        // the corpus — the single-partition sort is intentional and tiny
+        val cum = scored.groupBy(col("cb")).agg(count(lit(1)).as("c"))
+          .withColumn("cc", sum(col("c")).over(
+            Window.orderBy(col("cb"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val thr = cum.crossJoin(broadcast(n1)).agg(
+          min(when(col("cc") >= expr("(1*n+3) div 4"), col("cb"))).as("t1"),
+          min(when(col("cc") >= expr("(2*n+3) div 4"), col("cb"))).as("t2"),
+          min(when(col("cc") >= expr("(3*n+3) div 4"), col("cb"))).as("t3"))
+        scored.crossJoin(broadcast(thr))
+          .withColumn("tier",
+            when(col("cb") <= col("t1"), 1L)
+              .when(col("cb") <= col("t2"), 2L)
+              .when(col("cb") <= col("t3"), 3L).otherwise(4L))
+          .withColumn("rate_e4", expr(
+            "CASE tier WHEN 1 THEN 2500 WHEN 2 THEN 10000 " +
+              "WHEN 3 THEN 10000 ELSE 1000 END"))
+          .withColumn("kept",
+            X.hp(concat(lit("pace "), col("doc_id").cast("string")))
+              % 10000 < col("rate_e4"))
+          .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+          .groupBy(col("tier"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            coalesce(sum(when(col("kept"), col("n_chars"))), lit(0L))
+              .as("kept_chars"))
+          .orderBy(col("tier"))
+      },
+      Some(s"""
+        WITH tk AS (SELECT doc_id, ${X.tokensSql("text")} AS tk FROM documents),
+        $selfScoreBodyCtesSql,
+        scores AS (SELECT doc_id,
+                          CAST(SUM(bits) * 100 // COUNT(*) AS BIGINT) AS cb
+                   FROM bits GROUP BY doc_id),
+        nn AS (SELECT COUNT(*) AS n FROM scores),
+        hist AS (SELECT cb, COUNT(*) AS c FROM scores GROUP BY cb),
+        cum AS (SELECT cb, SUM(c) OVER (ORDER BY cb) AS cc FROM hist),
+        thr AS (SELECT MIN(CASE WHEN cc >= (1*n+3)//4 THEN cb END) AS t1,
+                       MIN(CASE WHEN cc >= (2*n+3)//4 THEN cb END) AS t2,
+                       MIN(CASE WHEN cc >= (3*n+3)//4 THEN cb END) AS t3
+                FROM cum, nn),
+        tiered AS (SELECT s.doc_id,
+                          CASE WHEN s.cb <= t.t1 THEN 1
+                               WHEN s.cb <= t.t2 THEN 2
+                               WHEN s.cb <= t.t3 THEN 3 ELSE 4 END AS tier
+                   FROM scores s, thr t),
+        kept AS (SELECT doc_id, CAST(tier AS BIGINT) AS tier,
+                        ${X.hpSql("'pace ' || CAST(doc_id AS VARCHAR)")}
+                          % 10000 <
+                          CASE tier WHEN 1 THEN 2500 WHEN 2 THEN 10000
+                               WHEN 3 THEN 10000 ELSE 1000 END AS kept
+                 FROM tiered)
+        SELECT k.tier, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept,
+               CAST(coalesce(SUM(CASE WHEN kept THEN d.n_chars END), 0)
+                 AS BIGINT) AS kept_chars
+        FROM kept k JOIN documents d USING (doc_id)
+        GROUP BY k.tier ORDER BY k.tier""")),
 
     // ------------------------------------------------------------------
     // q127: DATA SELECTION VIA IMPORTANCE RESAMPLING — DSIR (Xie,
