@@ -585,6 +585,102 @@ object Bpe extends QueryModule {
         -- word's segmentation
         tk AS (SELECT doc_id, flatten(list(syms ORDER BY wi)) AS tk
                FROM wpos JOIN seg USING (w) GROUP BY doc_id),
-        ${LmScore.selfScoreOracleTailSql}"""))
+        ${LmScore.selfScoreOracleTailSql}""")),
+
+    // ------------------------------------------------------------------
+    // q140: TOKENIZER-UPGRADE AUDIT — the comparison a retrain ships
+    // with: given the q135 catalog's v1 (epoch A) and v2 (folded union)
+    // tokenizers, report per version the corpus subword-type inventory,
+    // total subword volume, and fertility, plus the type overlap
+    // between versions (how much of the vocabulary survived the
+    // retrain). EVERYTHING is vocabulary-sized arithmetic: per-word
+    // subword counts join the word-frequency table (total subwords =
+    // Σ_w c(w)·|seg_v(w)| — no per-document pass at all), type sets
+    // are distinct subwords over the vocabulary segmentations, and the
+    // overlap is one vocabulary-sized group-by. The oracle reuses the
+    // q135 train chains and derives the same inventory relationally.
+    QueryDef(
+      "q140_tokenizer_version_audit",
+      (s, dir) => {
+        val work = graft.Scratch.dir("q140")
+        val cat = new graft.catalog.VersionedCatalog(s, work, format = "parquet")
+        val wcSchema = org.apache.spark.sql.types.StructType.fromDDL(
+          "w STRING, c BIGINT")
+        val docs = T.documents(s, dir)
+        cat.writeNext("bpe_wc", wordCounts(docs.filter(col("doc_id") % 2 === 0)))
+        cat.writeNext("bpe_wc", mergeWordCounts(
+          cat.read("bpe_wc", 1, Some(wcSchema)),
+          wordCounts(docs.filter(col("doc_id") % 2 === 1))))
+        val scope = new graft.CacheScope
+        graft.CacheScope.releaseAfterNextAction(s, scope)
+        // the FULL corpus word-frequency table — both versions segment
+        // it (the audit asks how each tokenizer treats today's corpus)
+        val wcAll = scope.cache(wordCounts(docs))
+        val segd = (1 to 2).map { v =>
+          val ms = trainMergesFromCounts(
+            cat.read("bpe_wc", v, Some(wcSchema)), TrainRounds)
+            .map { case (_, l, r, _) => (l, r) }
+          wcAll.select(lit(v.toLong).as("version"), col("w"), col("c"),
+            BpeFunctions.segmentWord(col("w"), ms).as("syms"))
+        }
+        val both = scope.cache(segd.reduce(_ unionByName _))
+        val totals = both.groupBy(col("version"))
+          .agg(sum(col("c") * size(col("syms"))).as("total_subwords"),
+            sum(col("c")).as("total_words"))
+        val types = both
+          .select(col("version"), explode(col("syms")).as("t")).distinct()
+        val typeCounts = types.groupBy(col("version"))
+          .agg(count(lit(1)).as("n_subword_types"))
+        val shared = types.groupBy(col("t"))
+          .agg(count(lit(1)).as("nv"))
+          .filter(col("nv") === 2L)
+          .agg(count(lit(1)).as("shared_types"))
+        totals.join(typeCounts, "version").crossJoin(broadcast(shared))
+          .select(col("version"), col("n_subword_types"),
+            col("total_subwords"), col("total_words"),
+            when(col("total_words") === 0L, lit(0L))
+              .otherwise(expr("(total_subwords * 10000) div total_words"))
+              .as("fertility_e4"),
+            col("shared_types"))
+          .orderBy(col("version"))
+      },
+      Some(s"""
+        WITH wca AS (SELECT w, COUNT(*) AS c
+                     FROM (SELECT unnest(${X.tokensSql("text")}) AS w
+                           FROM documents WHERE doc_id % 2 = 0)
+                     GROUP BY w),
+        wcf AS (SELECT w, COUNT(*) AS c
+                FROM (SELECT unnest(${X.tokensSql("text")}) AS w
+                      FROM documents)
+                GROUP BY w),
+        ${trainChainSqlCtes("a")},
+        ${trainChainSqlCtes("f")},
+        -- both tokenizer versions segment the FULL corpus vocabulary
+        segv AS MATERIALIZED (
+          SELECT 1 AS version, v.w, v.c,
+                 ${segmentSqlWith("v.w", "m.ml")} AS syms
+          FROM wcf v, mla m
+          UNION ALL
+          SELECT 2, v.w, v.c, ${segmentSqlWith("v.w", "m.ml")}
+          FROM wcf v, mlf m),
+        totals AS (SELECT version,
+                          CAST(SUM(c * len(syms)) AS BIGINT) AS total_subwords,
+                          CAST(SUM(c) AS BIGINT) AS total_words
+                   FROM segv GROUP BY version),
+        types AS (SELECT DISTINCT version, unnest(syms) AS t FROM segv),
+        typecnt AS (SELECT version, COUNT(*) AS n_subword_types
+                    FROM types GROUP BY version),
+        shared AS (SELECT COUNT(*) AS shared_types
+                   FROM (SELECT t FROM types GROUP BY t HAVING COUNT(*) = 2))
+        SELECT CAST(tt.version AS BIGINT) AS version,
+               tc.n_subword_types, tt.total_subwords, tt.total_words,
+               CASE WHEN tt.total_words = 0 THEN 0
+                    ELSE CAST(tt.total_subwords * 10000 // tt.total_words
+                      AS BIGINT)
+               END AS fertility_e4,
+               s.shared_types
+        FROM totals tt JOIN typecnt tc USING (version)
+        CROSS JOIN shared s
+        ORDER BY tt.version"""))
   )
 }

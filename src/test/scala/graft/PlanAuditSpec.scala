@@ -46,9 +46,11 @@ class PlanAuditSpec extends SparkSpec {
                           // LM (source and target)
     "q138_subword_lm_score", // q121's 1-row vocabulary broadcast over the
                              // subword stream
-    "q139_quality_pacing" // q121's vocabulary broadcast + the 1-row
-                          // scored-count and quartile-threshold
-                          // broadcasts (the q49 scalar-stats shape)
+    "q139_quality_pacing", // q121's vocabulary broadcast + the 1-row
+                           // scored-count and quartile-threshold
+                           // broadcasts (the q49 scalar-stats shape)
+    "q140_tokenizer_version_audit" // 1-row shared-type-count broadcast
+                                   // joined to the 2-row version stats
     // q81/q87/q91/q97/q98 carried a probe-stage centroid crossJoin
     // until round 8; the compiled top_cells kernel removed it — the
     // serving paths are now all equi-joins and must STAY that way
@@ -164,6 +166,7 @@ class PlanAuditSpec extends SparkSpec {
       "q121_lm_surprise_score" -> 7, // LM fit (bigram agg + prefix agg + vocab distinct) + bigram-keyed and prefix-keyed doc-side joins + per-doc agg + ordered output — the LM joins broadcast at fixture scale and degrade to shuffle joins declaratively
       "q138_subword_lm_score" -> 7, // q121's pinned LM shape verbatim over the cached BPE subword stream — the encode kernel is map-side, zero extra exchanges
       "q139_quality_pacing" -> 5, // LM score passes read the CACHED scored frame (q121's fit collapses onto it) + value-domain histogram agg + tiny threshold window + per-tier agg + ordered output
+      "q140_tokenizer_version_audit" -> 7, // vocabulary-sized only: word-count agg + per-version totals agg + type distinct + per-version type counts + overlap group-by + 1-row shared broadcast + ordered output — no per-document pass anywhere
       "q122_lm_catalog_serving" -> 7, // q121's scoring shape reading persisted LM versions: per version the bigram + prefix joins and per-doc agg; the fit/fold happened before the served plan
       "q123_repeated_span_coverage" -> 3, // positional-shingle-hash count + repeated-key join + per-doc window/agg — linear in corpus tokens, no pair materialization (ExactSubstr signal)
       "q124_repeated_span_removal" -> 4, // q123's discovery + covered-position distinct + anti-join + ordered per-doc reassembly — the span explosion multiplies only the repeated side
