@@ -91,6 +91,13 @@ class PlanAuditSpec extends SparkSpec {
                                   // encode over probe docs + union +
                                   // sort; the count folds and the two
                                   // trainings ran eagerly before it
+      "q141_quality_classifier_train", // returned plan = the 10-row epoch
+                                       // weight table + sort; the R
+                                       // training aggregates ran eagerly
+                                       // at construct (Lloyd/BPE shape)
+      "q142_quality_classifier_apply", // score = literal-weight dot over
+                                       // the cached feature frame + sort;
+                                       // training ran eagerly at construct
       "q131_bpe_train") // the RETURNED merges table is a 12-row local
                         // relation + sort; the R training rounds run
                         // eagerly before this plan (each its own

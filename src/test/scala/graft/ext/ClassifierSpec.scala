@@ -1,0 +1,75 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Contract tests for [[Classifier]] — the integer averaged
+  * perceptron: determinism of the trained weights, the standardization
+  * bounds that every overflow-margin claim rests on, and HELD-OUT
+  * generalization (train on even doc_ids, evaluate on odd) beating the
+  * majority-class baseline — the evidence the learner actually learns
+  * rather than memorizes or collapses to one class. */
+class ClassifierSpec extends SparkSpec {
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("standardized features stay within [-Scale, Scale] and keep the label") {
+    val feat = Classifier.features(docs)
+    val r = feat.agg(
+      min(least(col("x1"), col("x2"), col("x3"), col("x4"), col("x5"))),
+      max(greatest(col("x1"), col("x2"), col("x3"), col("x4"), col("x5"))),
+      sum(when(col("y") === 1L || col("y") === -1L, 0L).otherwise(1L)),
+      count(lit(1))).collect()(0)
+    assert(r.getLong(0) >= -Classifier.Scale && r.getLong(1) <= Classifier.Scale,
+      s"standardized range [${r.getLong(0)}, ${r.getLong(1)}]")
+    assert(r.getLong(2) == 0L, "labels must be exactly +1/-1")
+    assert(r.getLong(3) > 100L, "universe unexpectedly small")
+  }
+
+  test("training is deterministic across runs") {
+    val feat = Classifier.features(docs).persist()
+    try {
+      val a = Classifier.trainPerceptron(feat, epochs = 4)
+      val b = Classifier.trainPerceptron(feat, epochs = 4)
+      assert(a.map(_._2.toSeq) == b.map(_._2.toSeq))
+      assert(a.map(_._3) == b.map(_._3))
+    } finally { feat.unpersist(); () }
+  }
+
+  test("held-out agreement beats the majority-class baseline") {
+    // split at the raw-feature level so train and eval share ONE
+    // standardization + label frame (splitting the corpus first would
+    // let the two halves disagree on quartile thresholds — a different
+    // concept per half, not a generalization test)
+    val feat = Classifier.features(docs).persist()
+    try {
+      val train = feat.filter(col("doc_id") % 2 === 0).persist()
+      val eval = feat.filter(col("doc_id") % 2 === 1)
+      val wavg = Classifier.averagedWeights(Classifier.trainPerceptron(train))
+      val scoreCol = (1 to 5).foldLeft(lit(wavg(0)): org.apache.spark.sql.Column) {
+        case (acc, j) => acc + lit(wavg(j)) * col(s"x$j")
+      }
+      val r = eval.select(
+        sum(when((scoreCol > 0L) === (col("y") === 1L), 1L).otherwise(0L)),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)),
+        count(lit(1))).collect()(0)
+      val (agree, pos, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val majority = math.max(pos, n - pos)
+      assert(agree > majority,
+        s"held-out agreement $agree/$n must beat majority $majority/$n")
+      // and by a real margin, not a tie-break: ≥ 75% on the fixture
+      // (measured 0.93; the assert leaves slack for fixture drift)
+      assert(agree * 100L >= n * 75L, s"agreement $agree/$n below 75%")
+      train.unpersist()
+    } finally { feat.unpersist(); () }
+  }
+
+  test("averaged weights are the componentwise snapshot sum") {
+    val snaps = Seq(
+      (1, Array(1L, 2L, 3L, 4L, 5L, 6L), 10L),
+      (2, Array(-1L, 0L, 7L, 4L, -5L, 6L), 3L))
+    assert(Classifier.averagedWeights(snaps).toSeq ==
+      Seq(0L, 2L, 10L, 8L, 0L, 12L))
+  }
+}
