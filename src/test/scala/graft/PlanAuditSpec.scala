@@ -180,7 +180,9 @@ class PlanAuditSpec extends SparkSpec {
       "q125_source_overlap_matrix" -> 6, // distinct (shingle-hash, source) + per-source sizes + hash self-join + pair agg + matrix frame + ordered output — work ∝ Σ per-shingle source-count², never doc pairs
       "q126_source_quality_report" -> 16, // COMPOSITION query: four independent corpus passes (LM surprise 7, span coverage 3, exact-dup 3, lang entropy 2) reduced per-source + the #sources-row report joins — the count is the sum of its proven parts, each budget-pinned standalone
       "q127_dsir_sampling" -> 13, // TWO full LM fit+score passes (source and target, ~6 each: q121's pinned shape) + the per-doc bits join — DSIR is definitionally a two-model query
-      "q128_span_decontam" -> 3) // train span-key distinct + eval-side semi-join + per-doc window/agg — q123's linear shape with the repeated set replaced by the train key set
+      "q128_span_decontam" -> 3, // train span-key distinct + eval-side semi-join + per-doc window/agg — q123's linear shape with the repeated set replaced by the train key set
+      "q143_line_boilerplate_signals" -> 4, // line-hash distinct-doc count (∝ distinct lines) + hash-keyed join back + per-doc agg + ordered output — map-side line derivation
+      "q144_line_boilerplate_removal" -> 5) // q143's dup shape + the per-doc reassembly exchange (the corpus's one unavoidable regroup, q124's) + universe left join
     (b0.map(_ -> 0) ++ b1.map(_ -> 1) ++ b2.map(_ -> 2) ++ multi).toMap
   }
 
