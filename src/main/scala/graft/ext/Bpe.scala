@@ -85,6 +85,30 @@ object Bpe extends QueryModule {
   def segmentSql(tok: String, merges: Seq[(String, String)]): String =
     segmentSqlWith(tok, mergesSqlArr(merges))
 
+  /** [[fixedMerges]] lifted to the BYTE level: every side re-expressed
+    * as its UTF-8 hex form (the byte-level kernel's symbol alphabet —
+    * ASCII sides, so "sc" → "7363" = hex("s")+hex("c") and the chained
+    * structure carries over exactly). */
+  val fixedMergesBytes: Seq[(String, String)] =
+    fixedMerges.map { case (l, r) => (hexSym(l), hexSym(r)) }
+
+  private def hexSym(s: String): String =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => f"${b & 0xff}%02X").mkString
+
+  /** Byte-level [[segmentSqlWith]]: the seed symbols are the word's
+    * UTF-8 bytes as two-hex-digit strings — DuckDB's
+    * hex(encode(w)) produces the same uppercase form as Spark's hex()
+    * and the kernel's %02X, so the replace fold applies unchanged. */
+  def segmentBytesSqlWith(tok: String, mergesArr: String): String =
+    s"list_filter(string_split(list_reduce(list_prepend(" +
+      s"'||' || array_to_string(list_transform(" +
+      s"range(1, len(hex(encode($tok)))//2 + 1), " +
+      s"i -> substr(hex(encode($tok)), CAST(i*2-1 AS INT), 2)), '||') || '||', " +
+      s"$mergesArr), " +
+      s"(acc, m) -> replace(acc, '|' || split_part(m,' ',1) || '||' || split_part(m,' ',2) || '|', " +
+      s"'|' || split_part(m,' ',1) || split_part(m,' ',2) || '|')), '||'), x -> x != '')"
+
   /** CTEs `tk` (doc tokens), `vocab`, `sl` (per-distinct-word symbol
     * count under the FIXED merges) and `bpe` (doc_id, source, n_chars,
     * n_bpe) — the shared preamble of every fixed-table BPE oracle
@@ -258,6 +282,72 @@ object Bpe extends QueryModule {
                coalesce(x.nb, 0) AS n_bpe, coalesce(f.bpe_fp, 0) AS bpe_fp
         FROM tk t
         LEFT JOIN (SELECT doc_id, CAST(SUM(ns) AS BIGINT) AS nb
+                   FROM dw GROUP BY doc_id) x USING (doc_id)
+        LEFT JOIN fp f USING (doc_id)
+        ORDER BY t.doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q145: BYTE-LEVEL BPE with byte fallback — q130's encode re-pointed
+    // at UTF-8 bytes (Radford et al., "Language Models are Unsupervised
+    // Multitask Learners", 2019 §2.2: GPT-2's byte-level BPE): base
+    // symbols are the word's UTF-8 bytes, merges join byte pairs, and
+    // EVERY word tokenizes — no unknown symbol exists by construction
+    // (the fallback property BpeSpec's astral cases pin: a 4-byte code
+    // point simply spans 4 base symbols until merges cover it). Same
+    // greedy kernel, same ||-delimited replace-fold oracle — only the
+    // seed alphabet changes (hex-byte symbols, identical uppercase on
+    // both engines). Hash-checked per doc: word count, BYTE count,
+    // subword count, and the positional fingerprint of the full symbol
+    // stream. Plan: strictly map-side kernels + output sort, q130's
+    // shape.
+    QueryDef(
+      "q145_bpe_byte_level",
+      (s, dir) => {
+        T.documents(s, dir)
+          .select(col("doc_id"), X.tokens(col("text")).as("tk"))
+          .select(col("doc_id"),
+            size(col("tk")).cast("long").as("n_words"),
+            expr("aggregate(tk, CAST(0 AS BIGINT), (a, w) -> a + octet_length(w))")
+              .as("n_bytes"),
+            BpeFunctions.encodeTokensBytes(col("tk"), fixedMergesBytes)
+              .as("syms"))
+          .select(col("doc_id"), col("n_words"), col("n_bytes"),
+            size(col("syms")).cast("long").as("n_bpe"),
+            graft.functions.HashFunctions.positionalFingerprint(col("syms"))
+              .as("bpe_fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH tk AS (SELECT doc_id, ${X.tokensSql("text")} AS tk FROM documents),
+        wpos AS (SELECT doc_id, tk[i] AS w, CAST(i AS BIGINT) AS wi
+                 FROM (SELECT doc_id, tk, unnest(range(1, len(tk)+1)) AS i
+                       FROM tk)),
+        vocab AS (SELECT DISTINCT w FROM wpos),
+        seg AS (SELECT w,
+                       ${segmentBytesSqlWith("w", mergesSqlArr(fixedMergesBytes))}
+                         AS syms
+                FROM vocab),
+        sl AS (SELECT w, syms, CAST(len(syms) AS BIGINT) AS ns,
+                      CAST(octet_length(encode(w)) AS BIGINT) AS nb
+               FROM seg),
+        dw AS (SELECT doc_id, wi, syms, ns, nb,
+                      coalesce(SUM(ns) OVER (PARTITION BY doc_id ORDER BY wi
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS off
+               FROM wpos JOIN sl USING (w)),
+        contrib AS (SELECT doc_id,
+                           (${X.h60Sql("syms[k]")} % ${X.P}) * (off + k) AS term
+                    FROM (SELECT doc_id, syms, off,
+                                 unnest(range(1, len(syms)+1)) AS k
+                          FROM dw)),
+        fp AS (SELECT doc_id, CAST(SUM(term) % ${X.P} AS BIGINT) AS bpe_fp
+               FROM contrib GROUP BY doc_id)
+        SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_words,
+               coalesce(x.nbytes, 0) AS n_bytes,
+               coalesce(x.nsym, 0) AS n_bpe, coalesce(f.bpe_fp, 0) AS bpe_fp
+        FROM tk t
+        LEFT JOIN (SELECT doc_id, CAST(SUM(ns) AS BIGINT) AS nsym,
+                          CAST(SUM(nb) AS BIGINT) AS nbytes
                    FROM dw GROUP BY doc_id) x USING (doc_id)
         LEFT JOIN fp f USING (doc_id)
         ORDER BY t.doc_id""")),

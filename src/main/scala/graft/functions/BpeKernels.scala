@@ -38,10 +38,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * per-token cost degenerates to one hash lookup. Nothing shuffles
   * until whatever aggregation consumes the counts.
   */
-final class BpeTable(val lefts: Array[String], val rights: Array[String])
+final class BpeTable(val lefts: Array[String], val rights: Array[String],
+    val byteLevel: Boolean = false)
     extends Serializable {
   require(lefts.length == rights.length,
     s"bpe: ${lefts.length} lefts vs ${rights.length} rights")
+  locally {
+    var i = 0
+    while (i < lefts.length) {
+      if (lefts(i) == null || rights(i) == null ||
+          lefts(i).isEmpty || rights(i).isEmpty)
+        throw new IllegalArgumentException(
+          s"bpe: empty merge symbol at rank ${i + 1} — a merge side must " +
+            "be a non-empty symbol (BpeFuzzSpec contract)")
+      i += 1
+    }
+  }
 
   /** Per-task (post-deserialization) word→segmentation cache. Bounded:
     * beyond the cap new words are segmented but not cached. */
@@ -51,11 +63,18 @@ final class BpeTable(val lefts: Array[String], val rights: Array[String])
 
   def size: Int = lefts.length
 
-  /** Greedy rank-order segmentation of one word (see class doc). */
+  /** Greedy rank-order segmentation of one word (see class doc).
+    * Byte-level tables split into UTF-8 BYTES first, each byte a
+    * two-hex-digit uppercase symbol ("the" → 54|68|65) — GPT-2-style
+    * byte fallback: EVERY byte has a base symbol, so no word is ever
+    * out of vocabulary, astral code points merely span 4 base symbols.
+    * Hex text (not raw bytes) keeps symbols engine-portable: both
+    * Spark's hex() and DuckDB's hex(encode()) produce the identical
+    * uppercase form, so the SQL replace-fold oracle applies unchanged. */
   def segmentString(word: String): Array[String] = {
     val hit = cache.get(word)
     if (hit != null) return hit
-    var syms = codePoints(word)
+    var syms = if (byteLevel) hexBytes(word) else codePoints(word)
     var m = 0
     while (m < lefts.length) {
       val l = lefts(m)
@@ -83,6 +102,17 @@ final class BpeTable(val lefts: Array[String], val rights: Array[String])
     }
     if (cache.size < CacheCap) cache.put(word, syms)
     syms
+  }
+
+  private def hexBytes(word: String): Array[String] = {
+    val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[String](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      out(i) = String.format("%02X", Integer.valueOf(bytes(i) & 0xff))
+      i += 1
+    }
+    out
   }
 
   private def codePoints(word: String): Array[String] = {
@@ -179,14 +209,14 @@ final class BpeTable(val lefts: Array[String], val rights: Array[String])
 
 /** string word → array<string> BPE symbols under the given merges. */
 case class BpeSegmentWord(child: Expression,
-    lefts: Array[String], rights: Array[String])
+    lefts: Array[String], rights: Array[String], byteLevel: Boolean = false)
     extends UnaryExpression with ArrayParamEquality {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "bpe_segment_word"
   override protected def arrayParams: Seq[AnyRef] = Seq(lefts, rights)
-  override protected def scalarParams: Seq[Any] = Nil
+  override protected def scalarParams: Seq[Any] = Seq(byteLevel)
 
-  @transient private lazy val table = new BpeTable(lefts, rights)
+  @transient private lazy val table = new BpeTable(lefts, rights, byteLevel)
 
   override def nullSafeEval(input: Any): Any =
     table.segmentWord(input.asInstanceOf[UTF8String])
@@ -202,14 +232,14 @@ case class BpeSegmentWord(child: Expression,
 
 /** array<string> word tokens → flat array<string> BPE symbol stream. */
 case class BpeEncodeTokens(child: Expression,
-    lefts: Array[String], rights: Array[String])
+    lefts: Array[String], rights: Array[String], byteLevel: Boolean = false)
     extends UnaryExpression with ArrayParamEquality {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "bpe_encode_tokens"
   override protected def arrayParams: Seq[AnyRef] = Seq(lefts, rights)
-  override protected def scalarParams: Seq[Any] = Nil
+  override protected def scalarParams: Seq[Any] = Seq(byteLevel)
 
-  @transient private lazy val table = new BpeTable(lefts, rights)
+  @transient private lazy val table = new BpeTable(lefts, rights, byteLevel)
 
   override def nullSafeEval(input: Any): Any =
     table.encodeTokens(input.asInstanceOf[ArrayData])
@@ -225,14 +255,14 @@ case class BpeEncodeTokens(child: Expression,
 
 /** array<string> word tokens → bigint total BPE symbol count. */
 case class BpeCountTokens(child: Expression,
-    lefts: Array[String], rights: Array[String])
+    lefts: Array[String], rights: Array[String], byteLevel: Boolean = false)
     extends UnaryExpression with ArrayParamEquality {
   override def dataType: DataType = LongType
   override def prettyName: String = "bpe_count_tokens"
   override protected def arrayParams: Seq[AnyRef] = Seq(lefts, rights)
-  override protected def scalarParams: Seq[Any] = Nil
+  override protected def scalarParams: Seq[Any] = Seq(byteLevel)
 
-  @transient private lazy val table = new BpeTable(lefts, rights)
+  @transient private lazy val table = new BpeTable(lefts, rights, byteLevel)
 
   override def nullSafeEval(input: Any): Any =
     table.countTokens(input.asInstanceOf[ArrayData])
@@ -250,7 +280,8 @@ case class BpeCountTokens(child: Expression,
   * greedy whole-word chunks under a subword budget
   * ([[BpeTable.chunkCounts]]). */
 case class BpeChunkCounts(child: Expression,
-    lefts: Array[String], rights: Array[String], budget: Long)
+    lefts: Array[String], rights: Array[String], budget: Long,
+    byteLevel: Boolean = false)
     extends UnaryExpression with ArrayParamEquality {
   private val structType = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("n_words", LongType, nullable = false),
@@ -258,9 +289,9 @@ case class BpeChunkCounts(child: Expression,
   override def dataType: DataType = ArrayType(structType, containsNull = false)
   override def prettyName: String = "bpe_chunk_counts"
   override protected def arrayParams: Seq[AnyRef] = Seq(lefts, rights)
-  override protected def scalarParams: Seq[Any] = Seq(budget)
+  override protected def scalarParams: Seq[Any] = Seq(budget, byteLevel)
 
-  @transient private lazy val table = new BpeTable(lefts, rights)
+  @transient private lazy val table = new BpeTable(lefts, rights, byteLevel)
 
   override def nullSafeEval(input: Any): Any =
     table.chunkCounts(input.asInstanceOf[ArrayData], budget)
@@ -277,6 +308,26 @@ case class BpeChunkCounts(child: Expression,
 object BpeFunctions {
   private def split(merges: Seq[(String, String)]) =
     (merges.map(_._1).toArray, merges.map(_._2).toArray)
+
+  /** Byte-level builders: merges operate over two-hex-digit UTF-8 byte
+    * symbols (see [[BpeTable.segmentString]]). */
+  def segmentWordBytes(word: Column, merges: Seq[(String, String)]): Column = {
+    val (l, r) = split(merges)
+    ColumnBridge.column(BpeSegmentWord(ColumnBridge.expression(word), l, r,
+      byteLevel = true))
+  }
+
+  def encodeTokensBytes(tokens: Column, merges: Seq[(String, String)]): Column = {
+    val (l, r) = split(merges)
+    ColumnBridge.column(BpeEncodeTokens(ColumnBridge.expression(tokens), l, r,
+      byteLevel = true))
+  }
+
+  def countTokensBytes(tokens: Column, merges: Seq[(String, String)]): Column = {
+    val (l, r) = split(merges)
+    ColumnBridge.column(BpeCountTokens(ColumnBridge.expression(tokens), l, r,
+      byteLevel = true))
+  }
 
   def segmentWord(word: Column, merges: Seq[(String, String)]): Column = {
     val (l, r) = split(merges)

@@ -86,6 +86,7 @@ class PlanAuditSpec extends SparkSpec {
       "q107_hll_sketch", "q109_frame_channel_stats", "q112_hist_sketch",
       "q114_wav_channel_stats",
       "q130_bpe_encode", // map-side tokenize→bpe→fingerprint kernels + output sort
+      "q145_bpe_byte_level", // q130's shape over hex-byte symbols — same map-side kernels + sort
       "q136_bpe_context_chunks", // row-local greedy chunk kernel + posexplode + sort
       "q135_bpe_catalog_serving", // served plan = per-version map-side
                                   // encode over probe docs + union +

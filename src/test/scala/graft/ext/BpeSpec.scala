@@ -223,6 +223,40 @@ class BpeSpec extends SparkSpec {
     cs.foreach { case (nw, nsub) => assert(nw == 1 || nsub <= 5) }
   }
 
+  private def byteTable(ms: (String, String)*): BpeTable =
+    new BpeTable(ms.map(_._1).toArray, ms.map(_._2).toArray, byteLevel = true)
+
+  private def hexOf(s: String): String =
+    s.getBytes("UTF-8").map(b => f"${b & 0xff}%02X").mkString
+
+  test("byte-level: base symbols are UTF-8 bytes; astral spans 4, no unknowns") {
+    val t = byteTable()
+    assert(t.segmentString("ab").toSeq == Seq("61", "62"))
+    // é = 2 UTF-8 bytes, U+1F600 = 4 — byte fallback covers both
+    assert(t.segmentString("é").toSeq == Seq("C3", "A9"))
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(t.segmentString(emoji).toSeq == Seq("F0", "9F", "98", "80"))
+    assert(t.segmentString("a" + emoji).toSeq ==
+      Seq("61", "F0", "9F", "98", "80"))
+  }
+
+  test("byte-level: concatenated symbols always restore the word's hex") {
+    val t = byteTable(("61", "62"), ("6162", "63"))
+    for (w <- Seq("abc", "abcabc", "xabcy", "résumé", "日本語",
+        new String(Character.toChars(0x1F600)) * 2))
+      assert(t.segmentString(w).mkString == hexOf(w), s"'$w'")
+    assert(t.segmentString("abc").toSeq == Seq("616263"))
+  }
+
+  test("byte-level fixture merges mirror the char-level segmentation on ASCII") {
+    val tc = table(Bpe.fixedMerges: _*)
+    val tb = byteTable(Bpe.fixedMergesBytes: _*)
+    for (w <- Seq("scan", "order", "the", "line", "agg", "join", "key",
+        "scanner", "disordered", "keyline", "x", "aggregate"))
+      assert(tb.segmentString(w).toSeq == tc.segmentString(w).toSeq.map(hexOf),
+        s"'$w'")
+  }
+
   test("segmentation survives codegen and interpreted paths identically") {
     val s = spark
     import s.implicits._
