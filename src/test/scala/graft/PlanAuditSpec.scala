@@ -148,6 +148,7 @@ class PlanAuditSpec extends SparkSpec {
       "q68_data_quality_report" -> 5, // per-column profile aggregates unioned into one report
       "q71_media_fingerprints" -> 3, // per-media hash, duplicate groups, ordered output
       "q75_pagerank" -> 5, // one equi-join (deg pre-attached to edges) + partial-agg sum per round, checkpoint cadence 4
+      "q146_pagerank_catalog_served" -> 5, // q75's per-round shape reading the PERSISTED degree-attached edge/node versions — base build/write ran at construct; the files are the checkpoint
       "q80_dedup_incremental" -> 6, // new-side bands, bucket join vs corpus, verify, summaries
       "q83_bloom_decontam_sharded" -> 8, // per-shard bloom build + sharded membership + union summary
       "q84_semantic_dedup" -> 4, // cells, caps, pair verify, summary
