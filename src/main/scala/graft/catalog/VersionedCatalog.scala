@@ -80,9 +80,26 @@ final class VersionedCatalog(
     val staging = new Path(
       new Path(rootPath, ".staging"),
       s"$step-${java.util.UUID.randomUUID()}")
-    val w = df.write.mode(SaveMode.Overwrite).format(format).options(options)
+    // Row count rides the write itself (an Observation on the plan —
+    // zero extra jobs), so the manifest can record it without a second
+    // pass over the data.
+    val obs = org.apache.spark.sql.Observation()
+    val w = df.observe(obs,
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("rows"))
+      .write.mode(SaveMode.Overwrite).format(format).options(options)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .save(staging.toString)
+    val rowCount = scala.util.Try(obs.get("rows").asInstanceOf[Long]).toOption
+    // The MANIFEST commits atomically WITH the version (written into
+    // the staged directory before the promote rename): the file list +
+    // sizes + row count let `read` resolve a version's data files in
+    // ONE small-file read instead of an O(files) directory listing —
+    // the object-store fix (eventually-consistent LIST, 10⁶-file
+    // versions) — and pin the exact file SET a reader sees (the
+    // snapshot-isolation hook). Underscore-prefixed, so every Spark
+    // reader ignores it as data.
+    writeManifest(staging, rowCount, partitionBy)
     // An epoch tag is written INTO the staged directory before the
     // promote rename, so "version exists" and "epoch recorded" commit
     // in ONE atomic filesystem operation — the property additive
@@ -130,6 +147,70 @@ final class VersionedCatalog(
       } else v += 1
     }
     committed
+  }
+
+  /** The per-version manifest file name — `_`-prefixed and `=`-free,
+    * so it is invisible to every Spark file reader (same rule as the
+    * epoch tags). */
+  private val ManifestName = "_manifest.json"
+
+  /** Relative paths (under `dir`) of the committed data files: every
+    * regular file not `_`/`.`-prefixed, recursively (partitioned
+    * layouts nest under key=value subdirectories). */
+  private def listDataFiles(dir: Path): Seq[(String, Long)] = {
+    def walk(d: Path, prefix: String): Seq[(String, Long)] =
+      fs.listStatus(d).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("_") || name.startsWith(".")) Seq.empty
+        else if (st.isDirectory) walk(st.getPath, s"$prefix$name/")
+        else Seq((s"$prefix$name", st.getLen))
+      }
+    walk(dir, "")
+  }
+
+  /** Write `_manifest.json` into a staged version directory (see
+    * [[writeNext]]). Minimal hand-rolled JSON — names are part-file
+    * names and hive `key=value` dirs; quotes/backslashes cannot occur
+    * in either, and the escape covers them anyway. */
+  private def writeManifest(staging: Path, rowCount: Option[Long],
+      partitionBy: Seq[String]): Unit = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val files = listDataFiles(staging)
+    val fileArr = files.map { case (n, b) =>
+      s"""{"name":"${esc(n)}","bytes":$b}"""
+    }.mkString("[", ",", "]")
+    val json =
+      s"""{"format":"${esc(format)}","n_files":${files.length},""" +
+        s""""total_bytes":${files.map(_._2).sum},""" +
+        s""""row_count":${rowCount.fold("null")(_.toString)},""" +
+        s""""partition_by":${partitionBy.map(c => s""""${esc(c)}"""")
+          .mkString("[", ",", "]")},""" +
+        s""""files":$fileArr}"""
+    val out = fs.create(new Path(staging, ManifestName), true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The committed manifest of a version, parsed, if one exists
+    * (versions written before manifests were introduced have none —
+    * every reader falls back to directory listing). */
+  def manifest(step: String, version: Int): Option[CatalogManifest] = {
+    val p = new Path(versionDir(step, version), ManifestName)
+    try {
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val text =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        CatalogManifest.parse(text)
+      }
+    } catch {
+      // an UNREADABLE manifest (checksum mismatch, truncated write,
+      // permission skew) degrades to the directory-listing path the
+      // same way a malformed one does — the manifest is an
+      // optimization, never a single point of failure for reads
+      case _: java.io.IOException => None
+    }
   }
 
   private def claimDir(step: String): Path = new Path(stepDir(step), ".claims")
@@ -184,12 +265,25 @@ final class VersionedCatalog(
       .drop(zcol))
   }
 
-  /** Read a specific committed version (time travel; tools.go:593-604). */
+  /** Read a specific committed version (time travel; tools.go:593-604).
+    *
+    * Resolves the data files VIA THE MANIFEST when one exists: the
+    * exact committed file set feeds the reader directly (no O(files)
+    * directory listing — the object-store path — and no window where a
+    * concurrent writer's stray file could widen the snapshot);
+    * `basePath` keeps hive partition columns parsing for partitioned
+    * versions. Manifest-less versions (pre-manifest commits, foreign
+    * directories) fall back to the directory scan unchanged. */
   def read(step: String, version: Int, schema: Option[StructType] = None): DataFrame = {
     val dir = versionDir(step, version)
     if (!fs.exists(dir))
       throw new NoSuchElementException(s"catalog: $step has no version $version under $root")
-    reader(schema).load(dir.toString)
+    manifest(step, version) match {
+      case Some(m) if m.files.nonEmpty =>
+        val paths = m.files.map { case (n, _) => new Path(dir, n).toString }
+        reader(schema).option("basePath", dir.toString).load(paths: _*)
+      case _ => reader(schema).load(dir.toString)
+    }
   }
 
   /** Read the latest committed version (tools.go:578-589). */
@@ -373,6 +467,46 @@ final class VersionedCatalog(
     val r = spark.read.format(format).options(options).option("mode", "FAILFAST")
     schema.fold(r)(r.schema)
   }
+}
+
+/** A committed version's parsed `_manifest.json` (see
+  * [[VersionedCatalog.writeNext]]): the exact data-file set with
+  * sizes, the write-time row count, and the partition layout. */
+final case class CatalogManifest(
+    format: String,
+    nFiles: Int,
+    totalBytes: Long,
+    rowCount: Option[Long],
+    partitionBy: Seq[String],
+    files: Seq[(String, Long)])
+
+object CatalogManifest {
+  private val FileRe = """\{"name":"((?:[^"\\]|\\.)*)","bytes":(\d+)\}""".r
+  private val FmtRe = """"format":"((?:[^"\\]|\\.)*)"""".r
+  private val NFilesRe = """"n_files":(\d+)""".r
+  private val BytesRe = """"total_bytes":(\d+)""".r
+  private val RowsRe = """"row_count":(null|\d+)""".r
+  private val PartRe = """"partition_by":\[([^\]]*)\]""".r
+  private def unesc(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
+
+  /** Parse the fixed manifest format this catalog writes; None on
+    * anything malformed — every caller treats None as "fall back to
+    * directory listing", so a damaged manifest degrades, never lies. */
+  def parse(text: String): Option[CatalogManifest] =
+    for {
+      fmt <- FmtRe.findFirstMatchIn(text).map(m => unesc(m.group(1)))
+      nf <- NFilesRe.findFirstMatchIn(text).map(_.group(1).toInt)
+      tb <- BytesRe.findFirstMatchIn(text).map(_.group(1).toLong)
+      rcRaw <- RowsRe.findFirstMatchIn(text).map(_.group(1))
+      partRaw <- PartRe.findFirstMatchIn(text).map(_.group(1))
+      files = FileRe.findAllMatchIn(text)
+        .map(m => (unesc(m.group(1)), m.group(2).toLong)).toSeq
+      if files.length == nf
+    } yield CatalogManifest(fmt, nf, tb,
+      if (rcRaw == "null") None else Some(rcRaw.toLong),
+      """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(partRaw)
+        .map(m => unesc(m.group(1))).toSeq,
+      files)
 }
 
 object VersionedCatalog {

@@ -368,6 +368,80 @@ class VersionedCatalogSpec extends SparkSpec {
     }
   }
 
+  test("manifest round-trip: files, sizes, row count commit with the version") {
+    withTempDir { dir =>
+      val cat = new VersionedCatalog(spark, dir.toString, format = "parquet")
+      cat.writeNext("t", df(1, 2, 3))
+      val m = cat.manifest("t", 1).getOrElse(fail("no manifest committed"))
+      assert(m.format == "parquet")
+      assert(m.rowCount.contains(3L))
+      assert(m.nFiles == m.files.length && m.files.nonEmpty)
+      assert(m.totalBytes == m.files.map(_._2).sum)
+      assert(m.partitionBy.isEmpty)
+      // the listed files are exactly the data files on disk
+      val vdir = java.nio.file.Paths.get(dir.toString, "t", "v=1")
+      m.files.foreach { case (n, bytes) =>
+        val p = vdir.resolve(n)
+        assert(java.nio.file.Files.exists(p), s"manifest names missing file $n")
+        assert(java.nio.file.Files.size(p) == bytes, s"size drift for $n")
+      }
+      // and the manifest-resolved read returns the same rows
+      assert(cat.read("t", 1, Some(schema)).collect().map(_.getInt(0)).sorted
+        .toSeq == Seq(1, 2, 3))
+    }
+  }
+
+  test("manifest read pins the committed snapshot against stray files") {
+    withTempDir { dir =>
+      val cat = new VersionedCatalog(spark, dir.toString, format = "parquet")
+      cat.writeNext("t", df(1, 2))
+      // a stray parquet file lands in the version dir AFTER commit (a
+      // crashed foreign writer, an object-store anomaly): the manifest
+      // read must not widen the snapshot to include it
+      val strayDir = java.nio.file.Files.createTempDirectory("stray")
+      df(99).coalesce(1).write.mode("overwrite").parquet(strayDir.toString)
+      val strayPart = java.nio.file.Files.list(strayDir).iterator()
+      val part = Iterator.continually(strayPart)
+        .flatMap(it => if (it.hasNext) Some(it.next()) else None)
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part,
+        java.nio.file.Paths.get(dir.toString, "t", "v=1", "part-stray.parquet"))
+      assert(cat.read("t", 1, Some(schema)).collect().map(_.getInt(0)).sorted
+        .toSeq == Seq(1, 2), "stray file leaked into the manifest snapshot")
+    }
+  }
+
+  test("manifest records partition layout; partitioned read keeps pruning") {
+    val s = spark
+    import s.implicits._
+    withTempDir { dir =>
+      val cat = new VersionedCatalog(spark, dir.toString, format = "parquet")
+      val data = Seq((1, "a"), (2, "a"), (3, "b")).toDF("id", "src")
+      cat.writeNext("t", data, partitionBy = Seq("src"))
+      val m = cat.manifest("t", 1).getOrElse(fail("no manifest"))
+      assert(m.partitionBy == Seq("src"))
+      assert(m.files.forall(_._1.startsWith("src=")),
+        s"partitioned files should nest under src=: ${m.files.map(_._1)}")
+      // basePath keeps the partition column parsing on the manifest path
+      val got = cat.read("t", 1)
+      assert(got.columns.contains("src"))
+      assert(got.filter(org.apache.spark.sql.functions.col("src") === "a")
+        .count() == 2)
+    }
+  }
+
+  test("a damaged manifest degrades to directory listing, never lies") {
+    withTempDir { dir =>
+      val cat = new VersionedCatalog(spark, dir.toString, format = "parquet")
+      cat.writeNext("t", df(4, 5))
+      val mf = java.nio.file.Paths.get(dir.toString, "t", "v=1", "_manifest.json")
+      java.nio.file.Files.write(mf, "{corrupt".getBytes("UTF-8"))
+      assert(cat.manifest("t", 1).isEmpty)
+      assert(cat.read("t", 1, Some(schema)).collect().map(_.getInt(0)).sorted
+        .toSeq == Seq(4, 5))
+    }
+  }
+
   test("schema evolution: an old version reads under a widened schema with nulls") {
     val s = spark
     import s.implicits._
