@@ -75,7 +75,8 @@ final class VersionedCatalog(
     * on trailing columns or re-select. */
   def writeNext(step: String, df: DataFrame,
       partitionBy: Seq[String] = Seq.empty,
-      epochTag: Option[Long] = None): Int = {
+      epochTag: Option[Long] = None,
+      extraOptions: Map[String, String] = Map.empty): Int = {
     var v = nextVersion(step)
     val staging = new Path(
       new Path(rootPath, ".staging"),
@@ -87,7 +88,8 @@ final class VersionedCatalog(
     val w = df.observe(obs,
         org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("rows"))
-      .write.mode(SaveMode.Overwrite).format(format).options(options)
+      .write.mode(SaveMode.Overwrite).format(format)
+      .options(options ++ extraOptions)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .save(staging.toString)
     val rowCount = scala.util.Try(obs.get("rows").asInstanceOf[Long]).toOption
@@ -238,11 +240,25 @@ final class VersionedCatalog(
     * `partitionBy` for the directory half). One range-exchange + local
     * sort at write time buys every later selective read. */
   def writeNextSorted(step: String, df: DataFrame,
-      cols: Seq[String], numFiles: Int): Int = {
+      cols: Seq[String], numFiles: Int,
+      rowGroupBytes: Option[Long] = None): Int = {
     import org.apache.spark.sql.functions.col
     writeNext(step, df.repartitionByRange(numFiles, cols.map(col): _*)
-      .sortWithinPartitions(cols.map(col): _*))
+      .sortWithinPartitions(cols.map(col): _*),
+      extraOptions = clusteredParquetOptions(cols, rowGroupBytes))
   }
+
+  /** Parquet footer options for a key-clustered write: BLOOM FILTERS on
+    * the cluster keys (point lookups skip row groups whose min/max
+    * straddle the probe — high-cardinality keys under range layout) and
+    * an optional row-group size (smaller groups = finer min/max
+    * pruning granularity for selective reads; leave None for the
+    * format default). No-ops for non-parquet catalogs. */
+  private def clusteredParquetOptions(cols: Seq[String],
+      rowGroupBytes: Option[Long]): Map[String, String] =
+    if (format != "parquet") Map.empty
+    else cols.map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap ++
+      rowGroupBytes.map(b => "parquet.block.size" -> b.toString)
 
   /** Write the next version Z-ORDER clustered on two non-negative int
     * key columns: rows sort by the Morton-interleaved key, so each file
@@ -251,7 +267,8 @@ final class VersionedCatalog(
     * [[writeNextSorted]] can only serve its leading column. Same one
     * range-exchange + local-sort write cost. */
   def writeNextZOrdered(step: String, df: DataFrame,
-      colA: String, colB: String, numFiles: Int): Int = {
+      colA: String, colB: String, numFiles: Int,
+      rowGroupBytes: Option[Long] = None): Int = {
     import org.apache.spark.sql.functions.col
     // pick a temp sort-key name that cannot shadow (and then silently
     // drop) a user column of the same name
@@ -262,7 +279,8 @@ final class VersionedCatalog(
     writeNext(step, df.withColumn(zcol, z)
       .repartitionByRange(numFiles, col(zcol))
       .sortWithinPartitions(col(zcol))
-      .drop(zcol))
+      .drop(zcol),
+      extraOptions = clusteredParquetOptions(Seq(colA, colB), rowGroupBytes))
   }
 
   /** Read a specific committed version (time travel; tools.go:593-604).

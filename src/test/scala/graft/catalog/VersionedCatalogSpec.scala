@@ -259,6 +259,67 @@ class VersionedCatalogSpec extends SparkSpec {
     }
   }
 
+  test("sorted write prunes ROW GROUPS on a key predicate; blooms in the footer") {
+    val s = spark
+    import s.implicits._
+    withTempDir { dir =>
+      val cat = new VersionedCatalog(spark, dir.toString, format = "parquet")
+      // 200k rows into 2 files with ~64 KiB row groups → many row
+      // groups per file, each covering a narrow disjoint key range
+      val df = (1 to 200000).map(i => ((i * 7919) % 200000, i.toLong))
+        .toDF("k", "v")
+      cat.writeNextSorted("t", df, Seq("k"), numFiles = 2,
+        rowGroupBytes = Some(64L * 1024))
+      // footer check: every data file carries min/max stats AND a bloom
+      // filter on the key column (the option must reach the writer)
+      val conf = spark.sparkContext.hadoopConfiguration
+      cat.manifest("t", 1).get.files.foreach { case (name, _) =>
+        val p = new org.apache.hadoop.fs.Path(s"$dir/t/v=1/$name")
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+        try {
+          val blocks = reader.getFooter.getBlocks
+          assert(blocks.size() > 3, s"$name: expected many row groups, got ${blocks.size()}")
+          blocks.forEach { b =>
+            import scala.jdk.CollectionConverters._
+            val kCol = b.getColumns.asScala
+              .find(_.getPath.toDotString == "k").get
+            assert(kCol.getStatistics != null && !kCol.getStatistics.isEmpty,
+              s"$name: no column stats")
+            assert(kCol.getBloomFilterOffset >= 0,
+              s"$name: no bloom filter on the key column")
+          }
+        } finally reader.close()
+      }
+      // behavior check: a point read materializes only the surviving
+      // row groups — the SCAN's output rows (pre-Filter, record-level
+      // parquet filtering off by default) must be far below the corpus
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      def descend(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        val here = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            descend(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            descend(q.plan)
+          case _ => Seq(p)
+        }
+        here ++ p.children.flatMap(descend)
+      }
+      val probe = cat.latest("t")
+        .filter(org.apache.spark.sql.functions.col("k") === 12345)
+      assert(probe.count() == 1)
+      probe.collect()
+      val scan = descend(probe.queryExecution.executedPlan)
+        .collectFirst { case f: FileSourceScanExec => f }.get
+      assert(scan.metadata("PushedFilters").contains("k"),
+        "key predicate did not push to the parquet scan")
+      val scanned = scan.metrics("numOutputRows").value
+      assert(scanned < 20000,
+        s"scan materialized $scanned of 200000 rows — row groups not skipped")
+    }
+  }
+
   test("z-ordered write: every file covers a bounded rectangle of BOTH key columns") {
     val s = spark
     import s.implicits._
