@@ -89,23 +89,35 @@ object Classifier extends QueryModule {
     docs.select(col("doc_id"), X.tokens(col("text")).as("tk"))
       .filter(size(col("tk")) >= 3)
 
-  /** Raw integer features + weak label (see class doc) over a cached
-    * pre-tokenized (doc_id, tk) frame. */
-  def rawFeatures(tk3d: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val scored = LmScore.surpriseScoresTk(tk3d, tk3d)
+  /** Per-document LM centibits over a pre-tokenized universe — the
+    * self-scored x1 feature and the label's raw material. */
+  def scoredCb(tk3d: DataFrame): DataFrame =
+    LmScore.surpriseScoresTk(tk3d, tk3d)
       .select(col("doc_id"), col("centibits_per_bigram").as("cb"))
-    // quartile thresholds via the q139 value-domain histogram (the
-    // window is over distinct centibit values — domain-bounded)
+
+  /** Weak-label quartile thresholds (1 row: t1, t2, t3) of a scored
+    * (doc_id, cb) frame — the q139 value-domain histogram (the window
+    * is over distinct centibit values, domain-bounded). Part of the
+    * MODEL ARTIFACT: scoring a later corpus under a persisted model
+    * must label with the TRAINING corpus's thresholds (q147). */
+  def labelThresholds(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val n1 = scored.agg(count(lit(1)).as("n"))
     val cum = scored.groupBy(col("cb")).agg(count(lit(1)).as("c"))
       .withColumn("cc", sum(col("c")).over(
         Window.orderBy(col("cb"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val thr = cum.crossJoin(broadcast(n1)).agg(
+    cum.crossJoin(broadcast(n1)).agg(
       min(when(col("cc") >= expr("(1*n+3) div 4"), col("cb"))).as("t1"),
       min(when(col("cc") >= expr("(2*n+3) div 4"), col("cb"))).as("t2"),
       min(when(col("cc") >= expr("(3*n+3) div 4"), col("cb"))).as("t3"))
+  }
+
+  /** Raw integer features + weak label (see class doc) over a cached
+    * pre-tokenized universe, its LM scores, and a GIVEN 1-row
+    * threshold frame (broadcast). */
+  def rawFeaturesUnder(tk3d: DataFrame, scored: DataFrame,
+      thr: DataFrame): DataFrame = {
     val st = tk3d.select(col("doc_id"),
       size(col("tk")).cast("long").as("n"),
       X.shingles(col("tk"), 2).as("s2"),
@@ -130,13 +142,28 @@ object Classifier extends QueryModule {
         expr("(nstop * 10000) div n").as("x5"))
   }
 
-  /** Integer standardization of [[rawFeatures]] (see class doc): both
-    * div operands non-negative, so the engines agree bit for bit. */
-  def standardize(raw: DataFrame): DataFrame = {
+  /** Raw features + label with thresholds derived from the SAME
+    * universe (the q141/q142 self-contained instantiation). */
+  def rawFeatures(tk3d: DataFrame): DataFrame = {
+    val scored = scoredCb(tk3d)
+    rawFeaturesUnder(tk3d, scored, labelThresholds(scored))
+  }
+
+  /** The standardization statistics (1 row: lo/hi/sum per feature + n)
+    * — the second half of the model artifact (q147 persists them with
+    * the weights; phase-B features standardize under PHASE-A stats, the
+    * training-serving-skew rule). */
+  def featureStats(raw: DataFrame): DataFrame = {
     val aggs = FeatCols.flatMap(c => Seq(
       min(col(c)).as(s"lo_$c"), max(col(c)).as(s"hi_$c"),
       sum(col(c)).as(s"s_$c"))) :+ count(lit(1)).as("n")
-    val stats = raw.agg(aggs.head, aggs.tail: _*)
+    raw.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Integer standardization under a GIVEN 1-row stats frame (see
+    * class doc): both div operands non-negative, so the engines agree
+    * bit for bit. */
+  def standardizeUnder(raw: DataFrame, stats: DataFrame): DataFrame = {
     val std = FeatCols.map { c =>
       val den = s"(hi_$c - lo_$c + 1)"
       expr(s"(($c - lo_$c) * $Scale) div $den" +
@@ -145,6 +172,10 @@ object Classifier extends QueryModule {
     raw.crossJoin(broadcast(stats))
       .select(col("doc_id") +: col("y") +: std: _*)
   }
+
+  /** Standardization with stats from the same frame. */
+  def standardize(raw: DataFrame): DataFrame =
+    standardizeUnder(raw, featureStats(raw))
 
   /** Standardized feature table for a document corpus. The scope
     * caches the tokenized universe (the LM fit reads it three times)
@@ -171,8 +202,16 @@ object Classifier extends QueryModule {
     * epoch's misclassified count — R 1-row collects, the Lloyd/BPE
     * control-plane shape. */
   def trainPerceptron(feat: DataFrame, epochs: Int = Epochs)
-      : Seq[(Int, Array[Long], Long)] = {
-    var w = Array.fill(6)(0L)
+      : Seq[(Int, Array[Long], Long)] =
+    trainPerceptronFrom(feat, epochs, Array.fill(6)(0L))
+
+  /** [[trainPerceptron]] WARM-STARTED from persisted weights — the
+    * q147 continuation path: epoch numbering restarts at 1 for the new
+    * phase, the weight state carries over. */
+  def trainPerceptronFrom(feat: DataFrame, epochs: Int,
+      init: Array[Long]): Seq[(Int, Array[Long], Long)] = {
+    require(init.length == 6, s"classifier: 6 weights expected, got ${init.length}")
+    var w = init.clone()
     val snaps = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Long], Long)]
     for (r <- 1 to epochs) {
       val mis = (col("y") * score(w)) <= 0L
@@ -195,22 +234,39 @@ object Classifier extends QueryModule {
   // -------------------------------------------------------------------
   // Oracle side (DuckDB).
 
-  /** CTEs through the standardized feature table `feat` (doc_id, y,
-    * x1..x5) — MATERIALIZED: every epoch scans it. */
-  private def featCtesSql: String = s"""
-        tkall AS (SELECT doc_id, ${X.tokensSql("text")} AS tk FROM documents),
-        tk AS (SELECT doc_id, tk FROM tkall WHERE len(tk) >= 3),
-        ${LmScore.selfScoreBodyCtesSql},
-        cbs AS (SELECT doc_id, CAST(SUM(bits) * 100 // COUNT(*) AS BIGINT) AS cb
-                FROM bits GROUP BY doc_id),
-        nn AS (SELECT COUNT(*) AS n FROM cbs),
-        hist AS (SELECT cb, COUNT(*) AS c FROM cbs GROUP BY cb),
-        cum AS (SELECT cb, SUM(c) OVER (ORDER BY cb) AS cc FROM hist),
-        thr AS (SELECT MIN(CASE WHEN cc >= (1*n+3)//4 THEN cb END) AS t1,
+  /** CTEs through the standardized feature table `feat$tag` (doc_id,
+    * y, x1..x5) over the universe restricted by `where` — MATERIALIZED:
+    * every epoch scans it. `thrCte`/`statsCte` override where the
+    * label thresholds / standardization stats come FROM: q147's
+    * phase-B chain labels and standardizes the full corpus under the
+    * PERSISTED phase-A model artifact (training-serving-skew rule);
+    * left None, both derive from this chain's own universe. */
+  private def featChainSql(tag: String, where: String,
+      thrCte: Option[String] = None, statsCte: Option[String] = None): String = {
+    val thrName = thrCte.getOrElse(s"thr$tag")
+    val statsName = statsCte.getOrElse(s"fstats$tag")
+    val ownThr = if (thrCte.isDefined) "" else s"""
+        nn$tag AS (SELECT COUNT(*) AS n FROM cbs$tag),
+        hist$tag AS (SELECT cb, COUNT(*) AS c FROM cbs$tag GROUP BY cb),
+        cum$tag AS (SELECT cb, SUM(c) OVER (ORDER BY cb) AS cc FROM hist$tag),
+        thr$tag AS (SELECT MIN(CASE WHEN cc >= (1*n+3)//4 THEN cb END) AS t1,
                        MIN(CASE WHEN cc >= (2*n+3)//4 THEN cb END) AS t2,
                        MIN(CASE WHEN cc >= (3*n+3)//4 THEN cb END) AS t3
-                FROM cum, nn),
-        st AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n,
+                FROM cum$tag, nn$tag),"""
+    val ownStats = if (statsCte.isDefined) "" else s"""
+        fstats$tag AS (SELECT ${FeatCols.map(c =>
+          s"MIN($c) AS lo_$c, MAX($c) AS hi_$c, CAST(SUM($c) AS BIGINT) AS s_$c")
+          .mkString(", ")}, COUNT(*) AS n
+                   FROM featraw$tag),"""
+    s"""
+        tkall$tag AS (SELECT doc_id, ${X.tokensSql("text")} AS tk
+                      FROM documents $where),
+        tk$tag AS (SELECT doc_id, tk FROM tkall$tag WHERE len(tk) >= 3),
+        ${LmScore.selfScoreBodyCtesSqlTagged(tag)},
+        cbs$tag AS (SELECT doc_id,
+                        CAST(SUM(bits) * 100 // COUNT(*) AS BIGINT) AS cb
+                FROM bits$tag GROUP BY doc_id),$ownThr
+        st$tag AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n,
                       ${X.shinglesSql("tk", 2)} AS s2,
                       CAST(len(list_filter(tk,
                         t -> list_contains(${X.stopwordsSql}, t))) AS BIGINT)
@@ -218,8 +274,8 @@ object Classifier extends QueryModule {
                       CAST(list_max(list_transform(list_distinct(tk),
                              d -> len(list_filter(tk, x -> x = d)))) AS BIGINT)
                         AS top_cnt
-               FROM tk),
-        featraw AS (
+               FROM tk$tag),
+        featraw$tag AS (
           SELECT s.doc_id,
                  CASE WHEN c.cb > t.t1 AND c.cb <= t.t3
                       THEN CAST(1 AS BIGINT) ELSE -1 END AS y,
@@ -229,42 +285,46 @@ object Classifier extends QueryModule {
                    // len(s.s2) AS BIGINT) AS x3,
                  s.top_cnt * 10000 // s.n AS x4,
                  s.nstop * 10000 // s.n AS x5
-          FROM st s JOIN cbs c USING (doc_id) CROSS JOIN thr t),
-        fstats AS (SELECT ${FeatCols.map(c =>
-          s"MIN($c) AS lo_$c, MAX($c) AS hi_$c, CAST(SUM($c) AS BIGINT) AS s_$c")
-          .mkString(", ")}, COUNT(*) AS n
-                   FROM featraw),
-        feat AS MATERIALIZED (
+          FROM st$tag s JOIN cbs$tag c USING (doc_id) CROSS JOIN $thrName t),$ownStats
+        feat$tag AS MATERIALIZED (
           SELECT doc_id, y, ${FeatCols.map { c =>
             val den = s"(hi_$c - lo_$c + 1)"
             s"(($c - lo_$c) * $Scale) // $den" +
               s" - (((s_$c // n) - lo_$c) * $Scale) // $den AS $c"
           }.mkString(", ")}
-          FROM featraw, fstats)"""
+          FROM featraw$tag, $statsName)"""
+  }
+
+  /** The untagged self-contained chain (q141/q142/q148). */
+  private def featCtesSql: String = featChainSql("", "")
 
   /** y·(w·x) under the CTE `w$r`'s weight row. */
   private def marginSql(w: String): String =
     s"y * ($w.w0 + ${FeatCols.zipWithIndex
       .map { case (c, j) => s"$w.w${j + 1}*$c" }.mkString(" + ")})"
 
-  /** The unrolled R-epoch train chain: e$r (misclassification sums) and
-    * w$r (post-update weights + the epoch's misclassified count). Every
-    * CTE is MATERIALIZED — feat and each w$r feed multiple consumers
-    * (the q131 unroll discipline). */
-  private def trainChainSql(epochs: Int): String =
-    (1 to epochs).map { r =>
-      val cond = if (r == 1) "TRUE" else s"${marginSql(s"p")} <= 0"
-      val from = if (r == 1) "feat" else s"feat, w${r - 1} p"
+  /** The unrolled train chain for epochs `from..to` over CTE `feat`:
+    * e$r (misclassification sums) and w$r (post-update weights + the
+    * epoch's misclassified count). Epoch `from` starts from zero
+    * weights when from == 1, else from w${from-1} — chains CONCATENATE
+    * (q147's warm start trains 6..10 over a different feature table).
+    * Every CTE is MATERIALIZED — feat and each w$r feed multiple
+    * consumers (the q131 unroll discipline). */
+  private def trainChainSql(from: Int, to: Int, feat: String): String =
+    (from to to).map { r =>
+      val zeroInit = r == 1
+      val cond = if (zeroInit) "TRUE" else s"${marginSql(s"p")} <= 0"
+      val from0 = if (zeroInit) feat else s"$feat, w${r - 1} p"
       val sums = (s"CAST(coalesce(SUM(CASE WHEN $cond THEN y END), 0) AS BIGINT) AS d0" +:
         FeatCols.zipWithIndex.map { case (c, j) =>
           s"CAST(coalesce(SUM(CASE WHEN $cond THEN y*$c END), 0) AS BIGINT) AS d${j + 1}"
         }) :+ s"CAST(coalesce(SUM(CASE WHEN $cond THEN 1 END), 0) AS BIGINT) AS nm"
       val prev =
-        if (r == 1) (0 to 5).map(j => s"CAST(0 AS BIGINT) AS w$j")
+        if (zeroInit) (0 to 5).map(j => s"CAST(0 AS BIGINT) AS w$j")
           .mkString("(SELECT ", ", ", ") p")
         else s"w${r - 1} p"
       s"""
-        e$r AS MATERIALIZED (SELECT ${sums.mkString(", ")} FROM $from),
+        e$r AS MATERIALIZED (SELECT ${sums.mkString(", ")} FROM $from0),
         w$r AS MATERIALIZED (
           SELECT ${(0 to 5).map(j => s"p.w$j + e.d$j AS w$j").mkString(", ")},
                  e.nm AS nm
@@ -297,7 +357,7 @@ object Classifier extends QueryModule {
           s"SELECT CAST($r AS BIGINT) AS epoch, w0, w1, w2, w3, w4, w5, " +
             s"nm AS n_mis FROM w$r").mkString(" UNION ALL ")
         s"""
-        WITH $featCtesSql, ${trainChainSql(Epochs)}
+        WITH $featCtesSql, ${trainChainSql(1, Epochs, "feat")}
         SELECT * FROM ($union) ORDER BY epoch"""
       }),
 
@@ -329,7 +389,7 @@ object Classifier extends QueryModule {
           .mkString(", ")
         val froms = (1 to Epochs).map(r => s"w$r").mkString(", ")
         s"""
-        WITH $featCtesSql, ${trainChainSql(Epochs)},
+        WITH $featCtesSql, ${trainChainSql(1, Epochs, "feat")},
         wavg AS (SELECT $wavg FROM $froms)
         SELECT f.doc_id, f.y,
                a.a0 + ${FeatCols.zipWithIndex
@@ -337,6 +397,153 @@ object Classifier extends QueryModule {
                (a.a0 + ${FeatCols.zipWithIndex
           .map { case (c, j) => s"a.a${j + 1}*f.$c" }.mkString(" + ")}) > 0 AS kept
         FROM feat f, wavg a ORDER BY f.doc_id"""
+      }),
+
+    // ------------------------------------------------------------------
+    // q147: the CLASSIFIER THROUGH THE CATALOG — sixth member of the
+    // catalog-serving family, and the first whose state is NOT a
+    // linear sketch: perceptron weights don't fold, they WARM-START.
+    // The model artifact is three tables (weights + label thresholds +
+    // standardization stats — persisting the weights alone would
+    // rebuild features under a DIFFERENT normalization and silently
+    // skew serving; the thresholds/stats ARE part of the model).
+    // Phase A trains 5 epochs on the even-doc_id epoch and commits all
+    // three as v1; phase B builds the FULL corpus's features UNDER THE
+    // PERSISTED v1 thresholds/stats (training-serving-skew rule),
+    // warm-starts from v1's weights, and trains 5 more epochs → v2.
+    // Per (version, epoch): post-update weights + misclassified count,
+    // all hash-checked — the oracle re-derives both phases through
+    // concatenated unrolled chains (e6 reads w5 across the feature-
+    // table switch).
+    QueryDef(
+      "q147_classifier_catalog_warm_start",
+      (s, dir) => {
+        import s.implicits._
+        val work = graft.Scratch.dir("q147")
+        val cat = new graft.catalog.VersionedCatalog(s, work, format = "parquet")
+        val T_ = org.apache.spark.sql.types.StructType.fromDDL _
+        val thrSchema = T_("t1 BIGINT, t2 BIGINT, t3 BIGINT")
+        val statsSchema = T_(FeatCols.map(c =>
+          s"lo_$c BIGINT, hi_$c BIGINT, s_$c BIGINT").mkString(", ") +
+          ", n BIGINT")
+        val wSchema = T_("epoch BIGINT, w0 BIGINT, w1 BIGINT, w2 BIGINT, " +
+          "w3 BIGINT, w4 BIGINT, w5 BIGINT, n_mis BIGINT")
+        def weightsDf(snaps: Seq[(Int, Array[Long], Long)]) = snaps
+          .map { case (r, w, nm) =>
+            (r.toLong, w(0), w(1), w(2), w(3), w(4), w(5), nm) }
+          .toDF("epoch", "w0", "w1", "w2", "w3", "w4", "w5", "n_mis")
+        val docs = T.documents(s, dir)
+        val scope = new graft.CacheScope
+        try {
+          // phase A: even-doc_id epoch, self-contained model
+          val tkA = scope.cache(tk3(docs.filter(col("doc_id") % 2 === 0)))
+          val scoredA = scope.cache(scoredCb(tkA))
+          cat.writeNext("clf_thr", labelThresholds(scoredA))
+          val rawA = scope.cache(rawFeaturesUnder(tkA, scoredA,
+            cat.read("clf_thr", 1, Some(thrSchema))))
+          cat.writeNext("clf_stats", featureStats(rawA))
+          val featA = scope.cache(standardizeUnder(rawA,
+            cat.read("clf_stats", 1, Some(statsSchema))).coalesce(4))
+          val snapsA = trainPerceptron(featA, Epochs / 2)
+          cat.writeNext("clf_w", weightsDf(snapsA))
+          // phase B: full corpus under the PERSISTED v1 artifact
+          val tkF = scope.cache(tk3(docs))
+          val rawF = scope.cache(rawFeaturesUnder(tkF, scoredCb(tkF),
+            cat.read("clf_thr", 1, Some(thrSchema))))
+          val featF = scope.cache(standardizeUnder(rawF,
+            cat.read("clf_stats", 1, Some(statsSchema))).coalesce(4))
+          val last = cat.read("clf_w", 1, Some(wSchema))
+            .orderBy(col("epoch").desc).limit(1).collect()(0)
+          val init = (1 to 6).map(last.getLong).toArray
+          val snapsB = trainPerceptronFrom(featF, Epochs / 2, init)
+          cat.writeNext("clf_w", weightsDf(snapsB))
+          (snapsA.map { case (r, w, nm) => (1L, r.toLong, w, nm) } ++
+            snapsB.map { case (r, w, nm) => (2L, r.toLong, w, nm) })
+            .map { case (v, r, w, nm) =>
+              (v, r, w(0), w(1), w(2), w(3), w(4), w(5), nm) }
+            .toDF("version", "epoch", "w0", "w1", "w2", "w3", "w4", "w5",
+              "n_mis")
+            .orderBy(col("version"), col("epoch"))
+        } finally scope.release()
+      },
+      Some {
+        val half = Epochs / 2
+        val union = ((1 to half).map(r =>
+          s"SELECT CAST(1 AS BIGINT) AS version, CAST($r AS BIGINT) AS epoch, " +
+            s"w0, w1, w2, w3, w4, w5, nm AS n_mis FROM w$r") ++
+          (half + 1 to 2 * half).map(r =>
+            s"SELECT CAST(2 AS BIGINT), CAST(${r - half} AS BIGINT), " +
+              s"w0, w1, w2, w3, w4, w5, nm FROM w$r")).mkString(" UNION ALL ")
+        s"""
+        WITH ${featChainSql("a", "WHERE doc_id % 2 = 0")},
+        ${featChainSql("f", "", thrCte = Some("thra"),
+          statsCte = Some("fstatsa"))},
+        ${trainChainSql(1, half, "feata")},
+        ${trainChainSql(half + 1, 2 * half, "featf")}
+        SELECT * FROM ($union) ORDER BY version, epoch"""
+      }),
+
+    // ------------------------------------------------------------------
+    // q148: CLASSIFIER-GATED per-source CURATION REPORT — the filter
+    // applied as a curation pass (the CCNet pipeline shape: LM →
+    // classifier → per-source keep rates): the q142 model scores every
+    // universe doc and the report reduces per source — docs, positive
+    // weak labels, kept docs, label agreement, kept chars. What a data
+    // lead reads before shipping the filtered mixture: a source whose
+    // keep-rate collapses (or whose agreement diverges from the
+    // corpus's) needs its own look before the filter ships. Plan:
+    // q142's training (eager construct) + one broadcast-stats score
+    // pass + a #sources-row partial-aggregable reduce.
+    QueryDef(
+      "q148_classifier_source_report",
+      (s, dir) => {
+        val docs = T.documents(s, dir)
+        val scope = new graft.CacheScope
+        val feat = scope.cache(features(docs, scope))
+        val wavg = averagedWeights(trainPerceptron(feat))
+        graft.CacheScope.releaseAfterNextAction(s, scope)
+        feat.select(col("doc_id"), col("y"), score(wavg).as("score"))
+          .join(docs.select(col("doc_id"), col("source"), col("n_chars")),
+            "doc_id")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos_label"),
+            sum(when(col("score") > 0L, 1L).otherwise(0L)).as("n_kept"),
+            sum(when((col("score") > 0L) === (col("y") === 1L), 1L)
+              .otherwise(0L)).as("n_agree"),
+            coalesce(sum(when(col("score") > 0L, col("n_chars"))), lit(0L))
+              .as("kept_chars"))
+          .withColumn("keep_frac_e4", expr("(n_kept * 10000) div n_docs"))
+          .select(col("source"), col("n_docs"), col("n_pos_label"),
+            col("n_kept"), col("keep_frac_e4"), col("n_agree"),
+            col("kept_chars"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val wavg = (0 to 5).map(j =>
+          "(" + (1 to Epochs).map(r => s"w$r.w$j").mkString(" + ") + s") AS a$j")
+          .mkString(", ")
+        val froms = (1 to Epochs).map(r => s"w$r").mkString(", ")
+        val sc = "a.a0 + " + FeatCols.zipWithIndex
+          .map { case (c, j) => s"a.a${j + 1}*f.$c" }.mkString(" + ")
+        s"""
+        WITH $featCtesSql, ${trainChainSql(1, Epochs, "feat")},
+        wavg AS (SELECT $wavg FROM $froms),
+        scored_docs AS (SELECT f.doc_id, f.y, $sc AS score
+                        FROM feat f, wavg a)
+        SELECT d.source, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN s.y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_pos_label,
+               CAST(SUM(CASE WHEN s.score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept,
+               CAST(SUM(CASE WHEN s.score > 0 THEN 1 ELSE 0 END) * 10000
+                 // COUNT(*) AS BIGINT) AS keep_frac_e4,
+               CAST(SUM(CASE WHEN (s.score > 0) = (s.y = 1) THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_agree,
+               CAST(coalesce(SUM(CASE WHEN s.score > 0 THEN d.n_chars END), 0)
+                 AS BIGINT) AS kept_chars
+        FROM scored_docs s JOIN documents d USING (doc_id)
+        GROUP BY d.source ORDER BY d.source"""
       })
   )
 }

@@ -183,25 +183,32 @@ object LmScore extends QueryModule {
     * (word tokens), q138 (BPE subwords), and q139 (scores feeding the
     * pacing tiers): the LM arithmetic is item-agnostic, only the
     * tokenization unit upstream changes. */
-  private[ext] def selfScoreBodyCtesSql: String = s"""
-        bg AS (SELECT doc_id, unnest(${X.shinglesSql("tk", 2)}) AS bg FROM tk),
-        lmb AS (SELECT bg, COUNT(*) AS cb FROM bg GROUP BY bg),
-        lmp AS (SELECT split_part(bg, ' ', 1) AS w1,
+  private[ext] def selfScoreBodyCtesSql: String = selfScoreBodyCtesSqlTagged("")
+
+  /** [[selfScoreBodyCtesSql]] with every CTE name suffixed by `tag`
+    * (over an upstream `tk$tag`) — lets one query carry SEVERAL
+    * self-scored universes (q147's phase-A vs full-corpus chains; the
+    * q127 two-LM discipline). Tag "" reproduces the shared text
+    * exactly. */
+  private[ext] def selfScoreBodyCtesSqlTagged(tag: String): String = s"""
+        bg$tag AS (SELECT doc_id, unnest(${X.shinglesSql("tk", 2)}) AS bg FROM tk$tag),
+        lmb$tag AS (SELECT bg, COUNT(*) AS cb FROM bg$tag GROUP BY bg),
+        lmp$tag AS (SELECT split_part(bg, ' ', 1) AS w1,
                        CAST(SUM(cb) AS BIGINT) AS cp
-                FROM lmb GROUP BY 1),
-        vc AS (SELECT COUNT(DISTINCT t) AS v
-               FROM (SELECT unnest(tk) AS t FROM tk)),
-        sc AS (SELECT b.doc_id, l.cb + 1 AS den, p.cp + vc.v AS num
-               FROM bg b
-               JOIN lmb l USING (bg)
-               JOIN lmp p ON p.w1 = split_part(b.bg, ' ', 1)
-               CROSS JOIN vc),
-        bits AS (SELECT doc_id,
+                FROM lmb$tag GROUP BY 1),
+        vc$tag AS (SELECT COUNT(DISTINCT t) AS v
+               FROM (SELECT unnest(tk) AS t FROM tk$tag)),
+        sc$tag AS (SELECT b.doc_id, l.cb + 1 AS den, p.cp + vc.v AS num
+               FROM bg$tag b
+               JOIN lmb$tag l USING (bg)
+               JOIN lmp$tag p ON p.w1 = split_part(b.bg, ' ', 1)
+               CROSS JOIN vc$tag vc),
+        bits$tag AS (SELECT doc_id,
                         greatest(0, CASE WHEN (den << k) > num THEN k - 1 ELSE k END) AS bits
                  FROM (SELECT doc_id, den, num,
                               length(printf('%b', num))
                                 - length(printf('%b', den)) AS k
-                       FROM sc))"""
+                       FROM sc$tag))"""
 
   /** [[selfScoreBodyCtesSql]] + the per-doc score projection — the
     * complete q121/q138 oracle after their `tk` CTE. */

@@ -28,7 +28,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * paths should hold it near-linear anyway. The committed artifact
   * (SCALE_BENCH.json) is the judge-auditable record.
   *
-  * Usage: ScaleBench [sfDir] [out.json] [factor]
+  * Usage: ScaleBench [sfDir] [out.json] [factor] [q1,q2,...]
+  *
+  * The optional 4th arg restricts the run to named queries — the ×100
+  * configuration (round-13 agenda: measure the top-exponent queries
+  * PAST the scheduling-floor regime that ×10 still partly hides) runs
+  * only the five largest ×10 exponents; replicating 100× and running
+  * the full heavy list would add wall-clock without adding signal.
   */
 object ScaleBench {
 
@@ -82,6 +88,11 @@ object ScaleBench {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("SCALE_BENCH.json")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val selected = args.lift(3)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(heavy)
+    selected.foreach(n => require(graft.SparkEntry.queries.contains(n),
+      s"scalebench: unknown query $n"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -105,7 +116,7 @@ object ScaleBench {
       (System.nanoTime() - t0) / 1e9
     }
     def pass(dir: String): Map[String, Double] =
-      heavy.map(n => n -> timeOne(graft.SparkEntry.queries(n), dir)).toMap
+      selected.map(n => n -> timeOne(graft.SparkEntry.queries(n), dir)).toMap
     def minPass(dir: String): Map[String, Double] = {
       val (a, b) = (pass(dir), pass(dir))
       a.map { case (k, v) => k -> math.min(v, b(k)) }
@@ -117,7 +128,7 @@ object ScaleBench {
 
     def f(v: Double) =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val rows = heavy.map { n =>
+    val rows = selected.map { n =>
       val ratio = tF(n) / t1(n)
       val exp = math.log(ratio) / math.log(factor.toDouble)
       s"""  "$n": {"t1": ${f(t1(n))}, "t$factor": ${f(tF(n))}, """ +
@@ -126,7 +137,7 @@ object ScaleBench {
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (s"""{"sf": "$sfDir", "factor": $factor, "cpus": $cpus,\n""" +
         s""" "queries": {\n${rows.mkString(",\n")}\n}}\n""").getBytes("UTF-8"))
-    println(s"== wrote ${heavy.size} queries x {1,$factor} -> $out")
+    println(s"== wrote ${selected.size} queries x {1,$factor} -> $out")
     spark.stop()
   }
 }

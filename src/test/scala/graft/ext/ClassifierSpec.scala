@@ -65,6 +65,19 @@ class ClassifierSpec extends SparkSpec {
     } finally { feat.unpersist(); () }
   }
 
+  test("warm start is epoch-chain associativity: 5+5 over one table ≡ 10") {
+    val feat = Classifier.features(docs).persist()
+    try {
+      val full = Classifier.trainPerceptron(feat, epochs = 10)
+      val first = Classifier.trainPerceptron(feat, epochs = 5)
+      val cont = Classifier.trainPerceptronFrom(feat, epochs = 5,
+        init = first.last._2)
+      assert(first.map(_._2.toSeq) == full.take(5).map(_._2.toSeq))
+      assert(cont.map(_._2.toSeq) == full.drop(5).map(_._2.toSeq))
+      assert(cont.map(_._3) == full.drop(5).map(_._3))
+    } finally { feat.unpersist(); () }
+  }
+
   test("averaged weights are the componentwise snapshot sum") {
     val snaps = Seq(
       (1, Array(1L, 2L, 3L, 4L, 5L, 6L), 10L),
