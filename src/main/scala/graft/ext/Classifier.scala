@@ -376,8 +376,10 @@ object Classifier extends QueryModule {
         val scope = new graft.CacheScope
         val feat = scope.cache(features(T.documents(s, dir), scope))
         val wavg = averagedWeights(trainPerceptron(feat))
-        // cache survives until the returned plan's own materialization
-        graft.CacheScope.releaseAfterNextAction(s, scope)
+        // the cache stays pinned for the returned plan (the q90/q133
+        // convention: drivers clearCache per query; releasing on the
+        // NEXT action is wrong here — an interleaved action would drop
+        // the cache and the measured plan would refit the whole LM)
         feat.select(col("doc_id"), col("y"),
             score(wavg).as("score"))
           .withColumn("kept", col("score") > 0L)
@@ -501,7 +503,7 @@ object Classifier extends QueryModule {
         val scope = new graft.CacheScope
         val feat = scope.cache(features(docs, scope))
         val wavg = averagedWeights(trainPerceptron(feat))
-        graft.CacheScope.releaseAfterNextAction(s, scope)
+        // bare persist, driver clearCache convention (see q142's note)
         feat.select(col("doc_id"), col("y"), score(wavg).as("score"))
           .join(docs.select(col("doc_id"), col("source"), col("n_chars")),
             "doc_id")

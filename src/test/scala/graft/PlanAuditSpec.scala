@@ -99,6 +99,10 @@ class PlanAuditSpec extends SparkSpec {
       "q142_quality_classifier_apply", // score = literal-weight dot over
                                        // the cached feature frame + sort;
                                        // training ran eagerly at construct
+      "q147_classifier_catalog_warm_start", // returned plan = the 10-row
+                                       // version×epoch weight table + sort;
+                                       // both phases' training and the 4
+                                       // catalog ops ran eagerly at construct
       "q131_bpe_train") // the RETURNED merges table is a 12-row local
                         // relation + sort; the R training rounds run
                         // eagerly before this plan (each its own
@@ -119,6 +123,8 @@ class PlanAuditSpec extends SparkSpec {
       "q47_sequence_packing", "q132_bpe_sequence_packing",
       "q137_bpe_fertility",
       "q48_train_val_test", "q50_nn_brute",
+      "q148_classifier_source_report", // cached-feature score + docs join
+                                       // reduced to a #sources-row agg + sort
       "q129_dedup_survivor_quality",
       "q51_ann_lsh", "q54_embedding_quantize", "q61_catalog_timetravel",
       "q62_tumbling_windows", "q63_session_windows", "q64_sliding_windows",
