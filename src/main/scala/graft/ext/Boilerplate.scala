@@ -97,7 +97,25 @@ object Boilerplate extends QueryModule {
         t => t.startsWith("http") || t.startsWith("www")))
         .cast("long").as("n_link_tokens"))
 
-  /** Per-line-hash distinct-document counts — ∝ distinct lines. */
+  /** Per-line-hash distinct-document counts (lh, nd) — ∝ distinct
+    * lines, and a LINEAR sketch in the CMS/LM sense when documents
+    * partition into epochs (each doc in exactly one epoch): epoch
+    * tables fold by [[mergeLineStats]] and the fold equals the
+    * union-corpus counts exactly — the q149 catalog law. */
+  def lineStats(lines: DataFrame): DataFrame =
+    lines.select(col("doc_id"), X.h60(col("line")).as("lh"))
+      .groupBy(col("lh")).agg(countDistinct(col("doc_id")).as("nd"))
+
+  /** Additive fold: stats(A) ⊕ stats(B) = stats(A ∪ B) exactly for
+    * epoch-partitioned corpora (the [[LmScore.mergeBigramCounts]]
+    * shape). */
+  def mergeLineStats(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("lh"), col("nd").as("na"))
+      .join(b.select(col("lh"), col("nd").as("nb")), Seq("lh"), "full_outer")
+      .select(col("lh"),
+        (coalesce(col("na"), lit(0L)) + coalesce(col("nb"), lit(0L)))
+          .as("nd"))
+
   private def dupCounts(sig: DataFrame): DataFrame =
     sig.groupBy(col("lh")).agg(countDistinct(col("doc_id")).as("nd"))
 
@@ -126,8 +144,20 @@ object Boilerplate extends QueryModule {
     * string. */
   def removeDuplicatedLines(lines: DataFrame, sep: String): DataFrame = {
     val sig = withLineSignals(lines)
-    val kept = sig.join(dupCounts(sig), "lh")
-      .filter(col("nd") < DupDocs)
+    removeLinesUnder(lines, dupCounts(sig), sep)
+  }
+
+  /** [[removeDuplicatedLines]] under an EXTERNAL (lh, nd) stats table —
+    * the serving seam (q149): the stats may be a persisted catalog
+    * version folded over past epochs; lines absent from it count as
+    * nd = 0 (never seen → kept). */
+  def removeLinesUnder(lines: DataFrame, stats: DataFrame,
+      sep: String): DataFrame = {
+    val kept = lines
+      .select(col("doc_id"), col("line_idx"), col("line"),
+        X.h60(col("line")).as("lh"))
+      .join(stats, Seq("lh"), "left")
+      .filter(coalesce(col("nd"), lit(0L)) < DupDocs)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_lines_kept"),
         sum(size(split(col("line"), " ")).cast("long")).as("n_tokens_kept"),
@@ -211,6 +241,73 @@ object Boilerplate extends QueryModule {
                ${X.h60Sql("coalesce(k.cleaned, '')")} AS cleaned_fp
         FROM (SELECT DISTINCT doc_id FROM ln) u
         LEFT JOIN kept k USING (doc_id)
-        ORDER BY u.doc_id"""))
+        ORDER BY u.doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q149: LINE STATS THROUGH THE CATALOG — seventh catalog-serving
+    // member, and the incremental form of line boilerplate (the
+    // q80/q89 incremental-dedup discipline applied to lines): the
+    // per-line distinct-doc count table IS a linear sketch for
+    // epoch-partitioned corpora (each doc in one epoch ⇒ counts are
+    // additive), so epoch A's stats commit as v1, epoch B folds in as
+    // v2 ≡ the union-corpus stats exactly (the law the oracle proves
+    // by counting over ALL docs while the engine folds persisted
+    // epoch tables). A probe batch (every 5th doc) is CLEANED under
+    // EACH version: v1 cuts only epoch-A boilerplate forever (lines
+    // unseen in v1 keep — never seen ⇒ nd 0), v2 cuts union
+    // boilerplate — version isolation for the cleaning rule itself.
+    QueryDef(
+      "q149_line_stats_catalog_serving",
+      (s, dir) => {
+        val work = graft.Scratch.dir("q149")
+        val cat = new graft.catalog.VersionedCatalog(s, work, format = "parquet")
+        val stSchema = org.apache.spark.sql.types.StructType.fromDDL(
+          "lh BIGINT, nd BIGINT")
+        val docs = T.documents(s, dir)
+        cat.writeNext("line_stats",
+          lineStats(linesTokenWindows(docs.filter(col("doc_id") % 2 === 0))))
+        cat.writeNext("line_stats", mergeLineStats(
+          cat.read("line_stats", 1, Some(stSchema)),
+          lineStats(linesTokenWindows(docs.filter(col("doc_id") % 2 === 1)))))
+        val probe = linesTokenWindows(docs.filter(col("doc_id") % 5 === 0))
+        (1 to 2).map { v =>
+          removeLinesUnder(probe, cat.read("line_stats", v, Some(stSchema)), " ")
+            .select(lit(v.toLong).as("version"), col("doc_id"),
+              col("n_lines_kept"), col("n_tokens_kept"), col("cleaned_fp"))
+        }.reduce(_ unionByName _).orderBy(col("version"), col("doc_id"))
+      },
+      Some(s"""
+        WITH $linesTokenWindowsSql,
+        sig AS (SELECT doc_id, line_idx, line, ${X.h60Sql("line")} AS lh
+                FROM ln),
+        -- v1 = epoch A (even doc_ids) alone; v2 = the additive fold,
+        -- which IS the union-corpus count table (distinct-doc counts
+        -- are additive across epoch-partitioned corpora)
+        d1 AS (SELECT lh, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+               FROM sig WHERE doc_id % 2 = 0 GROUP BY lh),
+        d2 AS (SELECT lh, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+               FROM sig GROUP BY lh),
+        pl AS (SELECT * FROM sig WHERE doc_id % 5 = 0),
+        kept AS (
+          SELECT 1 AS version, p.doc_id, COUNT(*) AS n_lines_kept,
+                 CAST(SUM(len(string_split(p.line, ' '))) AS BIGINT)
+                   AS n_tokens_kept,
+                 string_agg(p.line, ' ' ORDER BY p.line_idx) AS cleaned
+          FROM pl p LEFT JOIN d1 USING (lh)
+          WHERE coalesce(d1.nd, 0) < $DupDocs GROUP BY p.doc_id
+          UNION ALL
+          SELECT 2, p.doc_id, COUNT(*),
+                 CAST(SUM(len(string_split(p.line, ' '))) AS BIGINT),
+                 string_agg(p.line, ' ' ORDER BY p.line_idx)
+          FROM pl p LEFT JOIN d2 USING (lh)
+          WHERE coalesce(d2.nd, 0) < $DupDocs GROUP BY p.doc_id)
+        SELECT CAST(v.version AS BIGINT) AS version, u.doc_id,
+               coalesce(k.n_lines_kept, 0) AS n_lines_kept,
+               coalesce(k.n_tokens_kept, 0) AS n_tokens_kept,
+               ${X.h60Sql("coalesce(k.cleaned, '')")} AS cleaned_fp
+        FROM (SELECT DISTINCT doc_id FROM pl) u
+        CROSS JOIN (SELECT unnest([1, 2]) AS version) v
+        LEFT JOIN kept k ON k.version = v.version AND k.doc_id = u.doc_id
+        ORDER BY version, u.doc_id"""))
   )
 }

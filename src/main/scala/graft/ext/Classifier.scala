@@ -546,6 +546,79 @@ object Classifier extends QueryModule {
                  AS BIGINT) AS kept_chars
         FROM scored_docs s JOIN documents d USING (doc_id)
         GROUP BY d.source ORDER BY d.source"""
+      }),
+
+    // ------------------------------------------------------------------
+    // q150: the classifier's OPERATING CURVE — the threshold sweep a
+    // filter ships with (how aggressive should the cut be?): five
+    // thresholds spanning the score range symmetrically
+    // (t_k = k·base, k ∈ −2..2, base = Σ|w̄_feat|·Scale div 4 — a
+    // deterministic, data-derived grid; |score − w̄₀| is bounded by
+    // 4·base so the grid brackets the distribution), and per threshold
+    // the kept count, true positives against the weak label, and
+    // integer basis-point precision/recall. Divisions guard n_kept = 0
+    // with greatest(1,·) — nonneg operands, both engines agree. Plan:
+    // q142's training + ONE cached-feature scan crossed with the
+    // 5-row literal grid, reduced to 5 rows.
+    QueryDef(
+      "q150_classifier_threshold_sweep",
+      (s, dir) => {
+        import s.implicits._
+        val scope = new graft.CacheScope
+        val feat = scope.cache(features(T.documents(s, dir), scope))
+        val wavg = averagedWeights(trainPerceptron(feat))
+        val base = (1 to 5).map(j => math.abs(wavg(j))).sum * Scale.toLong / 4L
+        val thrDf = (-2 to 2).map(k => (k.toLong, k * base))
+          .toDF("thr_k", "thr")
+        feat.select(col("y"), score(wavg).as("score"))
+          .crossJoin(broadcast(thrDf))
+          .groupBy(col("thr_k"), col("thr"))
+          .agg(
+            sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos"),
+            sum(when(col("score") > col("thr"), 1L).otherwise(0L))
+              .as("n_kept"),
+            sum(when(col("score") > col("thr") && col("y") === 1L, 1L)
+              .otherwise(0L)).as("tp"))
+          .select(col("thr_k"), col("thr"), col("n_kept"), col("tp"),
+            expr("(tp * 10000) div greatest(CAST(1 AS BIGINT), n_kept)")
+              .as("precision_e4"),
+            expr("(tp * 10000) div greatest(CAST(1 AS BIGINT), n_pos)")
+              .as("recall_e4"))
+          .orderBy(col("thr_k"))
+      },
+      Some {
+        val wavg = (0 to 5).map(j =>
+          "(" + (1 to Epochs).map(r => s"w$r.w$j").mkString(" + ") + s") AS a$j")
+          .mkString(", ")
+        val froms = (1 to Epochs).map(r => s"w$r").mkString(", ")
+        val sc = "a.a0 + " + FeatCols.zipWithIndex
+          .map { case (c, j) => s"a.a${j + 1}*f.$c" }.mkString(" + ")
+        s"""
+        WITH $featCtesSql, ${trainChainSql(1, Epochs, "feat")},
+        wavg AS (SELECT $wavg FROM $froms),
+        nrm AS (SELECT (abs(a1)+abs(a2)+abs(a3)+abs(a4)+abs(a5)) * $Scale // 4
+                         AS base
+                FROM wavg),
+        grid AS (SELECT CAST(k AS BIGINT) AS thr_k,
+                        CAST(k * base AS BIGINT) AS thr
+                 FROM (SELECT unnest([-2, -1, 0, 1, 2]) AS k), nrm),
+        scored AS (SELECT f.y, $sc AS score FROM feat f, wavg a)
+        SELECT g.thr_k, g.thr,
+               CAST(SUM(CASE WHEN s.score > g.thr THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN s.score > g.thr AND s.y = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN s.score > g.thr AND s.y = 1
+                             THEN 1 ELSE 0 END) * 10000
+                 // greatest(1, SUM(CASE WHEN s.score > g.thr
+                                        THEN 1 ELSE 0 END)) AS BIGINT)
+                 AS precision_e4,
+               CAST(SUM(CASE WHEN s.score > g.thr AND s.y = 1
+                             THEN 1 ELSE 0 END) * 10000
+                 // greatest(1, SUM(CASE WHEN s.y = 1 THEN 1 ELSE 0 END))
+                 AS BIGINT) AS recall_e4
+        FROM scored s CROSS JOIN grid g
+        GROUP BY g.thr_k, g.thr ORDER BY g.thr_k"""
       })
   )
 }

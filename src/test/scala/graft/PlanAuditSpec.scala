@@ -49,8 +49,13 @@ class PlanAuditSpec extends SparkSpec {
     "q139_quality_pacing", // q121's vocabulary broadcast + the 1-row
                            // scored-count and quartile-threshold
                            // broadcasts (the q49 scalar-stats shape)
-    "q140_tokenizer_version_audit" // 1-row shared-type-count broadcast
+    "q140_tokenizer_version_audit", // 1-row shared-type-count broadcast
                                    // joined to the 2-row version stats
+    "q150_classifier_threshold_sweep" // the 5-row literal threshold GRID
+                                   // broadcast-crossed with the scored
+                                   // corpus (every doc × every threshold
+                                   // is the sweep's definition; the grid
+                                   // side is 5 rows by construction)
     // q81/q87/q91/q97/q98 carried a probe-stage centroid crossJoin
     // until round 8; the compiled top_cells kernel removed it — the
     // serving paths are now all equi-joins and must STAY that way
@@ -125,6 +130,8 @@ class PlanAuditSpec extends SparkSpec {
       "q48_train_val_test", "q50_nn_brute",
       "q148_classifier_source_report", // cached-feature score + docs join
                                        // reduced to a #sources-row agg + sort
+      "q150_classifier_threshold_sweep", // cached-feature score × 5-row
+                                       // literal grid → 5-row agg + sort
       "q129_dedup_survivor_quality",
       "q51_ann_lsh", "q54_embedding_quantize", "q61_catalog_timetravel",
       "q62_tumbling_windows", "q63_session_windows", "q64_sliding_windows",
@@ -155,6 +162,7 @@ class PlanAuditSpec extends SparkSpec {
       "q71_media_fingerprints" -> 3, // per-media hash, duplicate groups, ordered output
       "q75_pagerank" -> 5, // one equi-join (deg pre-attached to edges) + partial-agg sum per round, checkpoint cadence 4
       "q146_pagerank_catalog_served" -> 5, // q75's per-round shape reading the PERSISTED degree-attached edge/node versions — base build/write ran at construct; the files are the checkpoint
+      "q149_line_stats_catalog_serving" -> 4, // per-version probe clean: line-hash left join vs the persisted stats version + per-doc reassembly + union + ordered output; the stats fold ran at construct
       "q80_dedup_incremental" -> 6, // new-side bands, bucket join vs corpus, verify, summaries
       "q83_bloom_decontam_sharded" -> 8, // per-shard bloom build + sharded membership + union summary
       "q84_semantic_dedup" -> 4, // cells, caps, pair verify, summary
