@@ -84,8 +84,10 @@ object Classifier extends QueryModule {
   // -------------------------------------------------------------------
   // Engine side.
 
-  /** Per-document tokenized universe: docs with ≥ 3 tokens. */
-  private def tk3(docs: DataFrame): DataFrame =
+  /** Per-document tokenized universe: docs with ≥ 3 tokens.
+    * private[graft]: the streaming classifier sink builds per-epoch
+    * features from it. */
+  private[graft] def tk3(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), X.tokens(col("text")).as("tk"))
       .filter(size(col("tk")) >= 3)
 
@@ -230,6 +232,33 @@ object Classifier extends QueryModule {
     * perceptron's weight vector (integer sum: same sign as the mean). */
   def averagedWeights(snaps: Seq[(Int, Array[Long], Long)]): Array[Long] =
     snaps.map(_._2).transpose.map(_.sum).toArray
+
+  // -------------------------------------------------------------------
+  // The persisted model artifact's schemas + row forms (q147 and the
+  // streaming classifier sink share them).
+
+  val ThrSchemaDdl = "t1 BIGINT, t2 BIGINT, t3 BIGINT"
+  val StatsSchemaDdl: String = FeatCols.map(c =>
+    s"lo_$c BIGINT, hi_$c BIGINT, s_$c BIGINT").mkString(", ") + ", n BIGINT"
+  val WeightsSchemaDdl =
+    "epoch BIGINT, w0 BIGINT, w1 BIGINT, w2 BIGINT, w3 BIGINT, w4 BIGINT, " +
+      "w5 BIGINT, n_mis BIGINT"
+
+  /** Epoch snapshots as the persistable weight table. */
+  def weightsDf(spark: SparkSession,
+      snaps: Seq[(Int, Array[Long], Long)]): DataFrame = {
+    import spark.implicits._
+    snaps.map { case (r, w, nm) =>
+      (r.toLong, w(0), w(1), w(2), w(3), w(4), w(5), nm) }
+      .toDF("epoch", "w0", "w1", "w2", "w3", "w4", "w5", "n_mis")
+  }
+
+  /** The last committed epoch's weight vector from a persisted weight
+    * table. */
+  def lastWeights(weights: DataFrame): Array[Long] = {
+    val last = weights.orderBy(col("epoch").desc).limit(1).collect()(0)
+    (1 to 6).map(last.getLong).toArray
+  }
 
   // -------------------------------------------------------------------
   // Oracle side (DuckDB).
@@ -424,16 +453,9 @@ object Classifier extends QueryModule {
         val work = graft.Scratch.dir("q147")
         val cat = new graft.catalog.VersionedCatalog(s, work, format = "parquet")
         val T_ = org.apache.spark.sql.types.StructType.fromDDL _
-        val thrSchema = T_("t1 BIGINT, t2 BIGINT, t3 BIGINT")
-        val statsSchema = T_(FeatCols.map(c =>
-          s"lo_$c BIGINT, hi_$c BIGINT, s_$c BIGINT").mkString(", ") +
-          ", n BIGINT")
-        val wSchema = T_("epoch BIGINT, w0 BIGINT, w1 BIGINT, w2 BIGINT, " +
-          "w3 BIGINT, w4 BIGINT, w5 BIGINT, n_mis BIGINT")
-        def weightsDf(snaps: Seq[(Int, Array[Long], Long)]) = snaps
-          .map { case (r, w, nm) =>
-            (r.toLong, w(0), w(1), w(2), w(3), w(4), w(5), nm) }
-          .toDF("epoch", "w0", "w1", "w2", "w3", "w4", "w5", "n_mis")
+        val thrSchema = T_(ThrSchemaDdl)
+        val statsSchema = T_(StatsSchemaDdl)
+        val wSchema = T_(WeightsSchemaDdl)
         val docs = T.documents(s, dir)
         val scope = new graft.CacheScope
         try {
@@ -447,18 +469,16 @@ object Classifier extends QueryModule {
           val featA = scope.cache(standardizeUnder(rawA,
             cat.read("clf_stats", 1, Some(statsSchema))).coalesce(4))
           val snapsA = trainPerceptron(featA, Epochs / 2)
-          cat.writeNext("clf_w", weightsDf(snapsA))
+          cat.writeNext("clf_w", weightsDf(s, snapsA))
           // phase B: full corpus under the PERSISTED v1 artifact
           val tkF = scope.cache(tk3(docs))
           val rawF = scope.cache(rawFeaturesUnder(tkF, scoredCb(tkF),
             cat.read("clf_thr", 1, Some(thrSchema))))
           val featF = scope.cache(standardizeUnder(rawF,
             cat.read("clf_stats", 1, Some(statsSchema))).coalesce(4))
-          val last = cat.read("clf_w", 1, Some(wSchema))
-            .orderBy(col("epoch").desc).limit(1).collect()(0)
-          val init = (1 to 6).map(last.getLong).toArray
+          val init = lastWeights(cat.read("clf_w", 1, Some(wSchema)))
           val snapsB = trainPerceptronFrom(featF, Epochs / 2, init)
-          cat.writeNext("clf_w", weightsDf(snapsB))
+          cat.writeNext("clf_w", weightsDf(s, snapsB))
           (snapsA.map { case (r, w, nm) => (1L, r.toLong, w, nm) } ++
             snapsB.map { case (r, w, nm) => (2L, r.toLong, w, nm) })
             .map { case (v, r, w, nm) =>

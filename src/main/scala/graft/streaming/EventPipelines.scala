@@ -641,6 +641,118 @@ object EventPipelines {
     q.awaitTermination()
   }
 
+  /** Streaming LINE STATS → catalog: the sixth member of the
+    * sketch-sink family. Each epoch's documents reduce to a per-line
+    * distinct-doc count table ([[graft.ext.Boilerplate.lineStats]]
+    * over token-window lines — the exact q143/q149 definition) folding
+    * additively into `<step>_lines`
+    * ([[graft.ext.Boilerplate.mergeLineStats]] — linear for
+    * epoch-partitioned corpora since each doc lives in exactly one
+    * epoch; NOT content-idempotent, so exactly-once rides the shared
+    * atomic epoch tag). Serving cleans any batch against any version
+    * ([[graft.ext.Boilerplate.removeLinesUnder]], the q149 path).
+    * State is ∝ distinct lines, never corpus-sized. */
+  def runCatalogLineStatsSink(
+      docs: DataFrame,
+      checkpoint: String,
+      cat: graft.catalog.VersionedCatalog,
+      step: String): Unit = {
+    val q = docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        foldEpoch(cat, s"${step}_lines",
+          graft.ext.Boilerplate.lineStats(
+            graft.ext.Boilerplate.linesTokenWindows(batch)), epoch,
+          graft.ext.Boilerplate.mergeLineStats)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Streaming CLASSIFIER → catalog: the first NON-FOLDABLE member of
+    * the catalog-sink family — perceptron weights don't merge, they
+    * WARM-START (the q147 law), so each epoch CONTINUES training from
+    * the latest committed weights instead of folding a partial state.
+    * The FIRST epoch bootstraps the full model artifact: label
+    * thresholds + standardization stats from its own batch (committed
+    * as `<step>_thr` / `<step>_stats` v1 — frozen thereafter, the
+    * training-serving-skew rule) + weights trained from zero. Every
+    * later epoch builds its batch's features UNDER the frozen v1
+    * artifact, warm-starts from the newest `<step>_w` version, and
+    * commits the continued weights as the next version — model time
+    * travel for free (score under any epoch's weights via
+    * [[graft.ext.Classifier.lastWeights]]).
+    *
+    * Exactly-once: training is neither idempotent nor foldable — a
+    * replayed epoch would train TWICE on its batch — so every artifact
+    * write is guarded per step by the shared atomic epoch tag; the
+    * bootstrap's three writes are individually guarded, which makes a
+    * crash BETWEEN them safe (the replay skips the committed ones and
+    * completes the rest — the weights write, last, decides whether the
+    * epoch "happened"). */
+  def runCatalogClassifierSink(
+      docs: DataFrame,
+      checkpoint: String,
+      cat: graft.catalog.VersionedCatalog,
+      step: String,
+      epochsPerBatch: Int = 5): Unit = {
+    val q = docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        trainClassifierEpoch(cat, step, batch, epoch, epochsPerBatch)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  private[streaming] def trainClassifierEpoch(
+      cat: graft.catalog.VersionedCatalog, step: String,
+      batch: DataFrame, epoch: Long, epochsPerBatch: Int): Unit = {
+    import graft.ext.Classifier
+    val wStep = s"${step}_w"
+    if (cat.maxEpochTag(wStep).exists(_ >= epoch)) return
+    def writeOnce(s0: String, df: => DataFrame): Unit =
+      if (!cat.maxEpochTag(s0).exists(_ >= epoch)) {
+        cat.writeNext(s0, df, epochTag = Some(epoch)); ()
+      }
+    val T_ = org.apache.spark.sql.types.StructType.fromDDL _
+    val thrSchema = T_(Classifier.ThrSchemaDdl)
+    val statsSchema = T_(Classifier.StatsSchemaDdl)
+    val wSchema = T_(Classifier.WeightsSchemaDdl)
+    val spark = batch.sparkSession
+    val scope = new graft.CacheScope
+    try {
+      val tk = scope.cache(Classifier.tk3(batch))
+      if (cat.latestVersion(wStep).isEmpty) {
+        // bootstrap: thresholds + stats from the FIRST epoch's batch
+        val scored = scope.cache(Classifier.scoredCb(tk))
+        writeOnce(s"${step}_thr", Classifier.labelThresholds(scored))
+        val raw = scope.cache(Classifier.rawFeaturesUnder(tk, scored,
+          cat.read(s"${step}_thr", 1, Some(thrSchema))))
+        writeOnce(s"${step}_stats", Classifier.featureStats(raw))
+        val feat = scope.cache(Classifier.standardizeUnder(raw,
+          cat.read(s"${step}_stats", 1, Some(statsSchema))).coalesce(4))
+        writeOnce(wStep, Classifier.weightsDf(spark,
+          Classifier.trainPerceptron(feat, epochsPerBatch)))
+      } else {
+        // continuation: features under the FROZEN v1 artifact,
+        // warm-started from the newest weights
+        val raw = scope.cache(Classifier.rawFeaturesUnder(tk,
+          Classifier.scoredCb(tk),
+          cat.read(s"${step}_thr", 1, Some(thrSchema))))
+        val feat = scope.cache(Classifier.standardizeUnder(raw,
+          cat.read(s"${step}_stats", 1, Some(statsSchema))).coalesce(4))
+        val init = Classifier.lastWeights(cat.latest(wStep, Some(wSchema)))
+        writeOnce(wStep, Classifier.weightsDf(spark,
+          Classifier.trainPerceptronFrom(feat, epochsPerBatch, init)))
+      }
+    } finally scope.release()
+  }
+
   /** Batch views of the streaming transforms over the fixture table —
     * the unified-API property: identical code, batch source. */
   def eventsBatch(spark: SparkSession, dir: String): DataFrame =

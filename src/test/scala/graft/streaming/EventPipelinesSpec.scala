@@ -910,6 +910,126 @@ class EventPipelinesSpec extends SparkSpec {
     }
   }
 
+  test("streaming line-stats sink: epoch counts fold, cleaning serves per version, replay-safe") {
+    val s = spark
+    import s.implicits._
+    withTempDir { dir =>
+      val in = s"$dir/in"; val ckpt = s"$dir/ckpt"; val root = s"$dir/cat"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      def writeInput(name: String, docs: Seq[(Long, String)]): Unit =
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/$name"),
+          docs.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+            .mkString("\n").getBytes)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING")
+      def stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(in)
+      val cat = new graft.catalog.VersionedCatalog(spark, root, format = "parquet")
+      val stSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "lh BIGINT, nd BIGINT")
+      // 10-token pseudo-lines: craft docs of exactly 10 tokens so each
+      // doc IS one line; the chrome line recurs across epochs
+      val chrome = "c c c c c c c c c c"
+      val e1 = Seq((2L, chrome), (4L, chrome), (6L, "u1 " + ("a " * 8).trim + " z"))
+      val e2 = Seq((1L, chrome), (3L, "u2 " + ("b " * 8).trim + " z"))
+      writeInput("e1.json", e1)
+      EventPipelines.runCatalogLineStatsSink(stream, ckpt, cat, "ls")
+      assert(cat.latestVersion("ls_lines").contains(1))
+      writeInput("e2.json", e2)
+      EventPipelines.runCatalogLineStatsSink(stream, ckpt, cat, "ls")
+      assert(cat.latestVersion("ls_lines").contains(2))
+      def cnts(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val both = (e1 ++ e2).toDF("doc_id", "text")
+      // latest = batch stats over the union (epoch-partitioned linearity)
+      assert(cnts(cat.latest("ls_lines", Some(stSchema))) ==
+        cnts(graft.ext.Boilerplate.lineStats(
+          graft.ext.Boilerplate.linesTokenWindows(both))))
+      // serving: cleaning a probe under v1 (chrome seen 2x < 3 → kept)
+      // vs v2 (chrome seen 3x → cut) — version isolation of the rule
+      val probe = graft.ext.Boilerplate.linesTokenWindows(
+        Seq((9L, chrome)).toDF("doc_id", "text"))
+      def keptLines(v: Int) = graft.ext.Boilerplate
+        .removeLinesUnder(probe, cat.read("ls_lines", v, Some(stSchema)), " ")
+        .collect()(0).getLong(1)
+      assert(keptLines(1) == 1L && keptLines(2) == 0L)
+      // replay with no new input: no new version
+      EventPipelines.runCatalogLineStatsSink(stream, ckpt, cat, "ls")
+      assert(cat.latestVersion("ls_lines").contains(2))
+    }
+  }
+
+  test("streaming classifier sink: bootstrap then warm-start under the frozen artifact, replay-safe") {
+    val s = spark
+    import s.implicits._
+    withTempDir { dir =>
+      val in = s"$dir/in"; val ckpt = s"$dir/ckpt"; val root = s"$dir/cat"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      def writeInput(name: String, docs: Seq[(Long, String)]): Unit =
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/$name"),
+          docs.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+            .mkString("\n").getBytes)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING")
+      def stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(in)
+      val cat = new graft.catalog.VersionedCatalog(spark, root, format = "parquet")
+      val fixture = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val e1docs = fixture.filter(col("doc_id") % 2 === 0)
+      val e2docs = fixture.filter(col("doc_id") % 2 === 1)
+      def lines(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      writeInput("e1.json", lines(e1docs))
+      EventPipelines.runCatalogClassifierSink(stream, ckpt, cat, "clf")
+      assert(cat.latestVersion("clf_thr").contains(1))
+      assert(cat.latestVersion("clf_stats").contains(1))
+      assert(cat.latestVersion("clf_w").contains(1))
+      writeInput("e2.json", lines(e2docs))
+      EventPipelines.runCatalogClassifierSink(stream, ckpt, cat, "clf")
+      // thresholds/stats FROZEN at v1; weights advanced
+      assert(cat.latestVersion("clf_thr").contains(1))
+      assert(cat.latestVersion("clf_stats").contains(1))
+      assert(cat.latestVersion("clf_w").contains(2))
+
+      // the streamed two-epoch model equals the BATCH warm-start run
+      // of the same two phases (the q147 law, epoch-B universe = the
+      // odd docs here)
+      import graft.ext.Classifier
+      val T_ = org.apache.spark.sql.types.StructType.fromDDL _
+      val scope = new graft.CacheScope
+      try {
+        val tkA = scope.cache(Classifier.tk3(e1docs))
+        val scoredA = scope.cache(Classifier.scoredCb(tkA))
+        val thrA = Classifier.labelThresholds(scoredA)
+        val rawA = scope.cache(Classifier.rawFeaturesUnder(tkA, scoredA, thrA))
+        val statsA = Classifier.featureStats(rawA)
+        val featA = scope.cache(
+          Classifier.standardizeUnder(rawA, statsA).coalesce(4))
+        val snapsA = Classifier.trainPerceptron(featA, 5)
+        val tkB = scope.cache(Classifier.tk3(e2docs))
+        val rawB = scope.cache(Classifier.rawFeaturesUnder(
+          tkB, Classifier.scoredCb(tkB), thrA))
+        val featB = scope.cache(
+          Classifier.standardizeUnder(rawB, statsA).coalesce(4))
+        val snapsB = Classifier.trainPerceptronFrom(featB, 5, snapsA.last._2)
+        val wSchema = T_(Classifier.WeightsSchemaDdl)
+        assert(Classifier.lastWeights(
+          cat.read("clf_w", 1, Some(wSchema))).toSeq ==
+          snapsA.last._2.toSeq)
+        assert(Classifier.lastWeights(
+          cat.read("clf_w", 2, Some(wSchema))).toSeq ==
+          snapsB.last._2.toSeq)
+      } finally scope.release()
+      // replay with no new input: nothing moves (training is neither
+      // idempotent nor foldable — the tag guard is all that stands
+      // between a replay and a double-trained model)
+      EventPipelines.runCatalogClassifierSink(stream, ckpt, cat, "clf")
+      assert(cat.latestVersion("clf_w").contains(2))
+    }
+  }
+
   test("foreachBatch retry: transient sink failure retried within an epoch (ST3)") {
     val s = spark
     import s.implicits._
