@@ -153,17 +153,30 @@ object Bpe extends QueryModule {
   def trainMerges(docs: DataFrame, rounds: Int): Seq[(Int, String, String, Long)] =
     trainMergesFromCounts(wordCounts(docs), rounds)
 
+  /** [[trainMerges]] over UTF-8 byte symbols (hex pairs — the q145
+    * alphabet): the same pair-argmax loop with a byte-level seed, so
+    * the trained table drives [[BpeFunctions.encodeTokensBytes]]
+    * directly. Classic GPT-2 training shape: merges emerge over bytes,
+    * never an unknown symbol. */
+  def trainMergesBytes(docs: DataFrame, rounds: Int): Seq[(Int, String, String, Long)] =
+    trainMergesFromCounts(wordCounts(docs), rounds, byteLevel = true)
+
   /** [[trainMerges]] from a persisted (w, c) word-count table — the
     * catalog-serving entry point (q135): counts fold through epochs,
-    * training re-derives the merges from whatever fold it is handed. */
-  def trainMergesFromCounts(wc: DataFrame, rounds: Int): Seq[(Int, String, String, Long)] = {
+    * training re-derives the merges from whatever fold it is handed.
+    * `byteLevel` seeds segmentation with UTF-8 hex-byte symbols
+    * instead of code points (the q151 training path). */
+  def trainMergesFromCounts(wc: DataFrame, rounds: Int,
+      byteLevel: Boolean = false): Seq[(Int, String, String, Long)] = {
     val words = wc.persist()
     try {
       val acc = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
       var merges = Seq.empty[(String, String)]
       for (r <- 1 to rounds) {
-        val seg = words.select(col("c"),
-          BpeFunctions.segmentWord(col("w"), merges).as("syms"))
+        val segExpr =
+          if (byteLevel) BpeFunctions.segmentWordBytes(col("w"), merges)
+          else BpeFunctions.segmentWord(col("w"), merges)
+        val seg = words.select(col("c"), segExpr.as("syms"))
         val best = seg.filter(size(col("syms")) >= 2)
           .select(col("c"), explode(expr(
             "transform(sequence(1, size(syms)-1), i -> struct(syms[i-1] AS l, syms[i] AS r))"))
@@ -381,6 +394,46 @@ object Bpe extends QueryModule {
                     GROUP BY w),
         seg0 AS (SELECT w, c,
                         '||' || array_to_string(string_split_regex(w, ''),
+                          '||') || '||' AS seg
+                 FROM wc),
+        $rounds
+        SELECT * FROM ($sel) ORDER BY merge_rank"""
+      }),
+
+    // ------------------------------------------------------------------
+    // q151: BYTE-LEVEL BPE TRAIN — q131's corpus-weighted pair-argmax
+    // loop seeded with UTF-8 byte symbols (the q145 hex-pair alphabet):
+    // the trained merges emerge over bytes, so train + apply now both
+    // run at the byte level end to end (GPT-2's actual training
+    // recipe). The per-round machinery is seed-agnostic — the oracle
+    // reuses q131's MATERIALIZED round CTEs verbatim with only seg0
+    // swapped to the hex-byte seed; tie-breaks order identically (hex
+    // symbols are uppercase ASCII alphanumerics on both engines).
+    // Hash-checked rank by rank including winning pair counts.
+    QueryDef(
+      "q151_bpe_byte_level_train",
+      (s, dir) => {
+        import s.implicits._
+        trainMergesBytes(T.documents(s, dir), TrainRounds)
+          .map { case (r, l, rt, c) => (r.toLong, l, rt, c) }
+          .toDF("merge_rank", "merge_left", "merge_right", "pair_count")
+          .orderBy(col("merge_rank"))
+      },
+      Some {
+        val rounds = (1 to TrainRounds).map(r => trainRoundSqlCtes(r)).mkString(",")
+        val sel = (1 to TrainRounds).map { r =>
+          s"SELECT CAST($r AS BIGINT) AS merge_rank, l AS merge_left, " +
+            s"r AS merge_right, cnt AS pair_count FROM best$r"
+        }.mkString(" UNION ALL ")
+        s"""
+        WITH wc AS (SELECT w, COUNT(*) AS c
+                    FROM (SELECT unnest(${X.tokensSql("text")}) AS w
+                          FROM documents)
+                    GROUP BY w),
+        seg0 AS (SELECT w, c,
+                        '||' || array_to_string(list_transform(
+                          range(1, len(hex(encode(w)))//2 + 1),
+                          i -> substr(hex(encode(w)), CAST(i*2-1 AS INT), 2)),
                           '||') || '||' AS seg
                  FROM wc),
         $rounds

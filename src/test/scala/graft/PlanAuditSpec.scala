@@ -108,6 +108,8 @@ class PlanAuditSpec extends SparkSpec {
                                        // version×epoch weight table + sort;
                                        // both phases' training and the 4
                                        // catalog ops ran eagerly at construct
+      "q151_bpe_byte_level_train", // q131's shape with the hex-byte seed —
+                        // same 12-row local-relation return
       "q131_bpe_train") // the RETURNED merges table is a 12-row local
                         // relation + sort; the R training rounds run
                         // eagerly before this plan (each its own

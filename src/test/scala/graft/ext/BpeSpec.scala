@@ -257,6 +257,29 @@ class BpeSpec extends SparkSpec {
         s"'$w'")
   }
 
+  test("byte-level training: well-formed over byte symbols, deterministic, applies") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "lower lower lowest newer newest wider widest low new"),
+      (2L, "newest newest lowest wider lower new low low low")
+    ).toDF("doc_id", "text")
+    val trained = Bpe.trainMergesBytes(docs, rounds = 8)
+    val products = scala.collection.mutable.Set.empty[String]
+    trained.foreach { case (rank, l, r, cnt) =>
+      assert(cnt >= 1, s"rank $rank count")
+      for (side <- Seq(l, r))
+        assert(side.length == 2 || products(side),
+          s"rank $rank side '$side' is neither one byte nor an earlier product")
+      products += (l + r)
+    }
+    assert(Bpe.trainMergesBytes(docs, rounds = 8) == trained)
+    // the trained table drives the byte-level kernel: partition law
+    val t = byteTable(trained.map { case (_, l, r, _) => (l, r) }: _*)
+    for (w <- Seq("lower", "newest", "low", "unseen"))
+      assert(t.segmentString(w).mkString == hexOf(w), s"'$w'")
+  }
+
   test("segmentation survives codegen and interpreted paths identically") {
     val s = spark
     import s.implicits._
