@@ -186,15 +186,19 @@ object Classifier extends QueryModule {
   def features(docs: DataFrame,
       scope: graft.CacheScope = new graft.CacheScope): DataFrame = {
     val t = scope.cache(tk3(docs))
+    // the LM scores feed BOTH the threshold derivation and the feature
+    // join — cached, or the whole LM fit runs twice per materialization
+    val scored = scope.cache(scoredCb(t))
     // coalesce the epoch-scanned table to a handful of partitions: it
     // is n_docs × 7 longs (KBs at fixture scale, ~50 GB at 10⁹ docs —
     // still a few hundred right-sized partitions, never 32 near-empty
     // ones whose per-epoch task-scheduling floor dominates R tiny jobs)
-    standardize(scope.cache(rawFeatures(t))).coalesce(4)
+    standardize(scope.cache(
+      rawFeaturesUnder(t, scored, labelThresholds(scored)))).coalesce(4)
   }
 
   /** w·x + w0 under literal weights (w(0) = bias). */
-  private def score(w: Array[Long]): Column =
+  private[ext] def score(w: Array[Long]): Column =
     FeatCols.zipWithIndex.foldLeft(lit(w(0)): Column) {
       case (acc, (c, j)) => acc + lit(w(j + 1)) * col(c)
     }
@@ -270,8 +274,9 @@ object Classifier extends QueryModule {
     * phase-B chain labels and standardizes the full corpus under the
     * PERSISTED phase-A model artifact (training-serving-skew rule);
     * left None, both derive from this chain's own universe. */
-  private def featChainSql(tag: String, where: String,
-      thrCte: Option[String] = None, statsCte: Option[String] = None): String = {
+  private[ext] def featChainSql(tag: String, where: String,
+      thrCte: Option[String] = None, statsCte: Option[String] = None,
+      src: String = "documents"): String = {
     val thrName = thrCte.getOrElse(s"thr$tag")
     val statsName = statsCte.getOrElse(s"fstats$tag")
     val ownThr = if (thrCte.isDefined) "" else s"""
@@ -289,7 +294,7 @@ object Classifier extends QueryModule {
                    FROM featraw$tag),"""
     s"""
         tkall$tag AS (SELECT doc_id, ${X.tokensSql("text")} AS tk
-                      FROM documents $where),
+                      FROM $src $where),
         tk$tag AS (SELECT doc_id, tk FROM tkall$tag WHERE len(tk) >= 3),
         ${LmScore.selfScoreBodyCtesSqlTagged(tag)},
         cbs$tag AS (SELECT doc_id,
@@ -327,6 +332,24 @@ object Classifier extends QueryModule {
   /** The untagged self-contained chain (q141/q142/q148). */
   private def featCtesSql: String = featChainSql("", "")
 
+  /** The averaged-weights + scored-docs oracle fragment over a trained
+    * chain with CTE suffix `tag` — "wavg$tag" (a0..a5) and
+    * "scored$tag" (doc_id, y, score); the epochs must already be
+    * unrolled via [[trainChainSql]]. private[ext]: q152's composition
+    * reuses it. */
+  private[ext] def scoredCtesSql(tag: String): String = {
+    val wavg = (0 to 5).map(j =>
+      "(" + (1 to Epochs).map(r => s"w$r.w$j").mkString(" + ") + s") AS a$j")
+      .mkString(", ")
+    val froms = (1 to Epochs).map(r => s"w$r").mkString(", ")
+    val sc = "a.a0 + " + FeatCols.zipWithIndex
+      .map { case (c, j) => s"a.a${j + 1}*f.$c" }.mkString(" + ")
+    s"""
+        wavg$tag AS (SELECT $wavg FROM $froms),
+        scored$tag AS (SELECT f.doc_id, f.y, $sc AS score
+                       FROM feat$tag f, wavg$tag a)"""
+  }
+
   /** y·(w·x) under the CTE `w$r`'s weight row. */
   private def marginSql(w: String): String =
     s"y * ($w.w0 + ${FeatCols.zipWithIndex
@@ -339,7 +362,7 @@ object Classifier extends QueryModule {
     * (q147's warm start trains 6..10 over a different feature table).
     * Every CTE is MATERIALIZED — feat and each w$r feed multiple
     * consumers (the q131 unroll discipline). */
-  private def trainChainSql(from: Int, to: Int, feat: String): String =
+  private[ext] def trainChainSql(from: Int, to: Int, feat: String): String =
     (from to to).map { r =>
       val zeroInit = r == 1
       val cond = if (zeroInit) "TRUE" else s"${marginSql(s"p")} <= 0"

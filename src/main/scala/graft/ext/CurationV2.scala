@@ -1,0 +1,140 @@
+package graft.ext
+
+import graft.{QueryDef, QueryModule, Tables => T}
+import graft.ext.{TextDsl => X}
+import org.apache.spark.sql.functions._
+
+/** The round-13 CURATION PIPELINE V2 — the capstone composition: every
+  * stage a real curation stack runs between raw crawl and training
+  * shards, each individually oracled elsewhere, composed END TO END in
+  * one hash-checked declarative flow (q45 is the v1 pipeline over the
+  * fixed-rule gates; v2 swaps in the round's line-level and LEARNED
+  * stages):
+  *
+  *   1. LINE-level boilerplate removal (q143/q144): cut lines
+  *      duplicated across ≥ 3 docs, reassemble each doc's CLEANED
+  *      token stream in order.
+  *   2. Repetition gate on the CLEANED text (q57's signals as integer
+  *      basis points): ≥ 20 tokens, duplicate-3-gram ≤ 5%, top-token
+  *      ≤ 15%.
+  *   3. TRAINED quality filter (q141/q142): the integer averaged
+  *      perceptron trains ON THE GATED CLEANED CORPUS (the filter
+  *      adapts to what earlier stages let through — the CCNet
+  *      ordering) and keeps score > 0.
+  *   4. Sequence packing (q47's arithmetic): survivors pack into
+  *      512-token bins per source; the bin table is the result.
+  *
+  * A drift ANYWHERE — a line-cut boundary, a gate threshold, one
+  * training epoch's aggregate, a packing boundary — shifts the final
+  * bin table and fails the hash compare.
+  *
+  * 100 TB shape: stage 1 is the q144 plan (one dup-count shuffle ∝
+  * distinct lines + the per-doc reassembly exchange); stage 2 is
+  * map-side folds over the cleaned arrays; stage 3 is the q141 LM plan
+  * + R feature-table scans; stage 4 is one per-source window + a
+  * partial-aggregable bin reduce. The composition adds NO new shuffle
+  * class over its stages.
+  */
+object CurationV2 extends QueryModule {
+
+  /** Gate thresholds (integer basis points of q57's signals). */
+  val MinTokens = 20
+  val MaxDup3Bps = 500L
+  val MaxTopBps = 1500L
+
+  /** Packing budget in (cleaned) whitespace tokens. */
+  val PackBudget = 512L
+
+  override val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q152_curation_pipeline_v2",
+      (s, dir) => {
+        val docs = T.documents(s, dir)
+        val scope = new graft.CacheScope
+        // stage 1: line removal → per-doc cleaned token stream. The
+        // hashed line frame feeds the stats build AND the join back.
+        val linesC = scope.cache(
+          Boilerplate.linesTokenWindows(docs)
+            .withColumn("lh", X.h60(col("line"))))
+        val stats = linesC.groupBy(col("lh"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+        val cleaned = linesC.join(stats, Seq("lh"), "left")
+          .filter(coalesce(col("nd"), lit(0L)) < Boilerplate.DupDocs)
+          .groupBy(col("doc_id"))
+          .agg(flatten(transform(
+            array_sort(collect_list(struct(col("line_idx"), col("line")))),
+            x => split(x.getField("line"), " "))).as("ctk"))
+        // stage 2: repetition gate on the cleaned stream (map-side)
+        val gate = scope.cache(cleaned
+          .filter(size(col("ctk")) >= MinTokens)
+          .withColumn("s3", X.shingles(col("ctk"), 3))
+          .withColumn("dup3_bps", expr(
+            "((size(s3) - size(array_distinct(s3))) * 10000) div size(s3)"))
+          .withColumn("top_cnt", expr("""aggregate(sort_array(ctk),
+              named_struct('prev', '', 'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),
+              (acc, t) -> named_struct(
+                'prev', t,
+                'run',  IF(t = acc.prev, acc.run + 1, CAST(1 AS BIGINT)),
+                'best', greatest(acc.best, IF(t = acc.prev, acc.run + 1, CAST(1 AS BIGINT)))),
+              acc -> acc.best)"""))
+          .withColumn("top_bps", expr("(top_cnt * 10000) div size(ctk)"))
+          .filter(col("dup3_bps") <= MaxDup3Bps && col("top_bps") <= MaxTopBps)
+          .join(docs.select(col("doc_id"), col("source")), "doc_id")
+          .select(col("doc_id"), col("source"), col("ctk"),
+            size(col("ctk")).cast("long").as("n_tokens")))
+        // stage 3: train the quality filter ON the gated cleaned
+        // corpus. The cleaned stream IS already the tokenized universe
+        // (token-window lines reassemble the token stream exactly —
+        // the BoilerplateSpec identity law), so the classifier's
+        // pre-tokenized seam skips the text round-trip the oracle's
+        // shared chain spells out.
+        // a plain projection of the cached gate — no second cache
+        val tkG = gate.select(col("doc_id"), col("ctk").as("tk"))
+        val scoredG = scope.cache(Classifier.scoredCb(tkG))
+        val feat = scope.cache(Classifier.standardize(
+          Classifier.rawFeaturesUnder(tkG, scoredG,
+            Classifier.labelThresholds(scoredG))).coalesce(4))
+        val wavg = Classifier.averagedWeights(Classifier.trainPerceptron(feat))
+        val kept = feat
+          .select(col("doc_id"), Classifier.score(wavg).as("score"))
+          .filter(col("score") > 0L)
+        // stage 4: pack survivors into 512-token bins per source
+        Curation.packByBudget(
+          kept.join(gate.select(col("doc_id"), col("source"), col("n_tokens")),
+            "doc_id")
+            .select(col("doc_id"), col("source"), col("n_tokens")),
+          budget = PackBudget)
+      },
+      Some(s"""
+        WITH ${Boilerplate.linesTokenWindowsSql},
+        sig AS MATERIALIZED (
+          SELECT doc_id, line_idx, line, ${X.h60Sql("line")} AS lh FROM ln),
+        d AS (SELECT lh, COUNT(DISTINCT doc_id) AS nd FROM sig GROUP BY lh),
+        ck AS (SELECT doc_id,
+                      flatten(list(string_split(line, ' ')
+                        ORDER BY line_idx)) AS ctk
+               FROM sig LEFT JOIN d USING (lh)
+               WHERE coalesce(d.nd, 0) < ${Boilerplate.DupDocs}
+               GROUP BY doc_id),
+        gate0 AS (SELECT doc_id, ctk, ${X.shinglesSql("ctk", 3)} AS s3,
+                         CAST(list_max(list_transform(list_distinct(ctk),
+                                dd -> len(list_filter(ctk, x -> x = dd))))
+                           AS BIGINT) AS top_cnt
+                  FROM ck WHERE len(ctk) >= $MinTokens),
+        gate AS MATERIALIZED (
+          SELECT g.doc_id, dd.source,
+                 array_to_string(g.ctk, ' ') AS text,
+                 CAST(len(g.ctk) AS BIGINT) AS n_tokens
+          FROM gate0 g JOIN documents dd USING (doc_id)
+          WHERE (len(g.s3) - len(list_distinct(g.s3))) * 10000
+                  // len(g.s3) <= $MaxDup3Bps
+            AND g.top_cnt * 10000 // len(g.ctk) <= $MaxTopBps),
+        ${Classifier.featChainSql("c", "", src = "gate")},
+        ${Classifier.trainChainSql(1, Classifier.Epochs, "featc")},
+        ${Classifier.scoredCtesSql("c")},
+        nt AS (SELECT s.doc_id, g.source, g.n_tokens
+               FROM scoredc s JOIN gate g USING (doc_id)
+               WHERE s.score > 0)
+        ${Curation.packTailSql(PackBudget)}"""))
+  )
+}

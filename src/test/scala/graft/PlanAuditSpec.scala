@@ -134,6 +134,13 @@ class PlanAuditSpec extends SparkSpec {
                                        // reduced to a #sources-row agg + sort
       "q150_classifier_threshold_sweep", // cached-feature score × 5-row
                                        // literal grid → 5-row agg + sort
+      "q152_curation_pipeline_v2", // the RETURNED plan is stage 4 alone:
+                                       // kept-score filter over the cached
+                                       // features joined to the cached gate
+                                       // + the per-source pack window/agg —
+                                       // stages 1-3 (line removal, gates,
+                                       // training) materialized into caches
+                                       // at construct
       "q129_dedup_survivor_quality",
       "q51_ann_lsh", "q54_embedding_quantize", "q61_catalog_timetravel",
       "q62_tumbling_windows", "q63_session_windows", "q64_sliding_windows",
