@@ -491,6 +491,20 @@ class VersionedCatalogSpec extends SparkSpec {
     }
   }
 
+  test("compact and merge write manifests too; vacuum removes them with the version") {
+    withTempDir { dir =>
+      val cat = new VersionedCatalog(spark, dir.toString, format = "parquet")
+      cat.writeNext("t", df((1 to 500): _*))
+      cat.compact("t", Some(schema))
+      val m2 = cat.manifest("t", 2).getOrElse(fail("compacted version has no manifest"))
+      assert(m2.rowCount.contains(500L))
+      assert(cat.read("t", 2, Some(schema)).count() == 500)
+      cat.vacuum("t", keep = 1)
+      assert(cat.manifest("t", 1).isEmpty, "vacuumed version's manifest must go with it")
+      assert(cat.manifest("t", 2).nonEmpty)
+    }
+  }
+
   test("a damaged manifest degrades to directory listing, never lies") {
     withTempDir { dir =>
       val cat = new VersionedCatalog(spark, dir.toString, format = "parquet")
