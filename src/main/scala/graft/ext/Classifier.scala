@@ -276,7 +276,7 @@ object Classifier extends QueryModule {
     * left None, both derive from this chain's own universe. */
   private[ext] def featChainSql(tag: String, where: String,
       thrCte: Option[String] = None, statsCte: Option[String] = None,
-      src: String = "documents"): String = {
+      src: String = "documents", cbsSql: Option[String] = None): String = {
     val thrName = thrCte.getOrElse(s"thr$tag")
     val statsName = statsCte.getOrElse(s"fstats$tag")
     val ownThr = if (thrCte.isDefined) "" else s"""
@@ -292,14 +292,20 @@ object Classifier extends QueryModule {
           s"MIN($c) AS lo_$c, MAX($c) AS hi_$c, CAST(SUM($c) AS BIGINT) AS s_$c")
           .mkString(", ")}, COUNT(*) AS n
                    FROM featraw$tag),"""
+    // the centibit source: the universe's own self-scored LM by
+    // default, or a caller-supplied scoring text (q153's cross-corpus
+    // chain scores tk$tag against the REFERENCE LM instead) — either
+    // way it must define cbs$tag (doc_id, cb)
+    val cbsBlock = cbsSql.getOrElse(s"""
+        ${LmScore.selfScoreBodyCtesSqlTagged(tag)},
+        cbs$tag AS (SELECT doc_id,
+                        CAST(SUM(bits) * 100 // COUNT(*) AS BIGINT) AS cb
+                FROM bits$tag GROUP BY doc_id)""")
     s"""
         tkall$tag AS (SELECT doc_id, ${X.tokensSql("text")} AS tk
                       FROM $src $where),
         tk$tag AS (SELECT doc_id, tk FROM tkall$tag WHERE len(tk) >= 3),
-        ${LmScore.selfScoreBodyCtesSqlTagged(tag)},
-        cbs$tag AS (SELECT doc_id,
-                        CAST(SUM(bits) * 100 // COUNT(*) AS BIGINT) AS cb
-                FROM bits$tag GROUP BY doc_id),$ownThr
+        $cbsBlock,$ownThr
         st$tag AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n,
                       ${X.shinglesSql("tk", 2)} AS s2,
                       CAST(len(list_filter(tk,
@@ -589,6 +595,84 @@ object Classifier extends QueryModule {
                  AS BIGINT) AS kept_chars
         FROM scored_docs s JOIN documents d USING (doc_id)
         GROUP BY d.source ORDER BY d.source"""
+      }),
+
+    // ------------------------------------------------------------------
+    // q153: CROSS-CORPUS scoring — the actual CCNet deployment shape
+    // (Wenzek et al. LREC 2020: the quality model is fit against a
+    // REFERENCE corpus, then scores the whole crawl): train on the
+    // English slice, score EVERY document under the frozen reference
+    // artifact — reference thresholds label, reference stats
+    // standardize (the training-serving-skew rule; a crawl doc's
+    // features are measured on the reference's scale, so "kept" means
+    // "reference-like", not "average for its own corpus"). Completes
+    // the serving matrix: self (q142), warm-start continuation (q147),
+    // cross-corpus (q153). Engine: one reference feature build + train
+    // at construct; the returned plan scores the full corpus's
+    // features (built under 1-row broadcast reference artifacts) with
+    // literal weights. Oracle: the q147 chain machinery with the
+    // reference tag's thresholds/stats re-used by the full chain.
+    QueryDef(
+      "q153_classifier_cross_corpus",
+      (s, dir) => {
+        val docs = T.documents(s, dir)
+        val scope = new graft.CacheScope
+        // reference = the English slice; its LM + thresholds + stats
+        // together are the model artifact
+        val tkR = scope.cache(tk3(docs.filter(col("lang") === "en")))
+        val refLmB = scope.cache(LmScore.bigramCountsTk(tkR))
+        val refVocab = scope.cache(LmScore.vocabTokensTk(tkR))
+        def underRefLm(tk: DataFrame) =
+          LmScore.scoreAgainstLmTk(refLmB, refVocab, tk)
+            .select(col("doc_id"), col("centibits_per_bigram").as("cb"))
+        val scoredR = scope.cache(underRefLm(tkR))
+        val thrR = scope.cache(labelThresholds(scoredR))
+        val rawR = scope.cache(rawFeaturesUnder(tkR, scoredR, thrR))
+        val statsR = scope.cache(featureStats(rawR))
+        val featR = scope.cache(standardizeUnder(rawR, statsR).coalesce(4))
+        val wavg = averagedWeights(trainPerceptron(featR))
+        // every crawl doc scores under the REFERENCE LM (never its own
+        // corpus's — the training/serving feature must be the same
+        // measurement) and the frozen reference thresholds/stats
+        val tkF = scope.cache(tk3(docs))
+        val featF = standardizeUnder(
+          rawFeaturesUnder(tkF, underRefLm(tkF), thrR), statsR)
+        featF.select(col("doc_id"), col("y"), score(wavg).as("score"))
+          .withColumn("kept", col("score") > 0L)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        // the full corpus's centibits come from scoring its bigrams
+        // against the REFERENCE chain's LM CTEs (lmbr/lmpr/vcr) with
+        // add-one left joins — the q127 cross-LM discipline
+        val crossCbs = s"""
+        bgf AS (SELECT doc_id, unnest(${X.shinglesSql("tk", 2)}) AS bg
+                FROM tkf),
+        scfx AS (SELECT b.doc_id,
+                        coalesce(l.cb, 0) + 1 AS den,
+                        coalesce(p.cp, 0) + vc.v AS num
+                 FROM bgf b
+                 LEFT JOIN lmbr l USING (bg)
+                 LEFT JOIN lmpr p ON p.w1 = split_part(b.bg, ' ', 1)
+                 CROSS JOIN vcr vc),
+        bitsfx AS (SELECT doc_id,
+                        greatest(0, CASE WHEN (den << k) > num
+                                         THEN k - 1 ELSE k END) AS bits
+                 FROM (SELECT doc_id, den, num,
+                              length(printf('%b', num))
+                                - length(printf('%b', den)) AS k
+                       FROM scfx)),
+        cbsf AS (SELECT doc_id,
+                        CAST(SUM(bits) * 100 // COUNT(*) AS BIGINT) AS cb
+                 FROM bitsfx GROUP BY doc_id)"""
+        s"""
+        WITH ${featChainSql("r", "WHERE lang = 'en'")},
+        ${featChainSql("f", "", thrCte = Some("thrr"),
+          statsCte = Some("fstatsr"), cbsSql = Some(crossCbs))},
+        ${trainChainSql(1, Epochs, "featr")},
+        ${scoredCtesSql("f")}
+        SELECT doc_id, y, score, score > 0 AS kept
+        FROM scoredf ORDER BY doc_id"""
       }),
 
     // ------------------------------------------------------------------

@@ -35,6 +35,8 @@ class PlanAuditSpec extends SparkSpec {
                              // scored bigrams (q59's corpus-stats shape)
     "q122_lm_catalog_serving", // the same 1-row vocabulary broadcast,
                               // once per served LM version
+    "q153_classifier_cross_corpus", // q121's 1-row vocabulary broadcast in
+                              // the serving plan's reference-LM scoring
     "q125_source_overlap_matrix", // the matrix FRAME is a #sources ×
                                  // #sources cross of the per-source
                                  // size aggregate (≤ tens of rows per
@@ -172,6 +174,7 @@ class PlanAuditSpec extends SparkSpec {
       "q75_pagerank" -> 5, // one equi-join (deg pre-attached to edges) + partial-agg sum per round, checkpoint cadence 4
       "q146_pagerank_catalog_served" -> 5, // q75's per-round shape reading the PERSISTED degree-attached edge/node versions — base build/write ran at construct; the files are the checkpoint
       "q149_line_stats_catalog_serving" -> 4, // per-version probe clean: line-hash left join vs the persisted stats version + per-doc reassembly + union + ordered output; the stats fold ran at construct
+      "q153_classifier_cross_corpus" -> 4, // the SERVING plan: full-corpus bigrams left-joined against the cached reference LM (bigram + prefix keys) + per-doc agg + ordered score output — reference training ran at construct
       "q80_dedup_incremental" -> 6, // new-side bands, bucket join vs corpus, verify, summaries
       "q83_bloom_decontam_sharded" -> 8, // per-shard bloom build + sharded membership + union summary
       "q84_semantic_dedup" -> 4, // cells, caps, pair verify, summary
