@@ -343,6 +343,71 @@ object Multimodal extends QueryModule {
   // that IS expressible in both engines (payload sizes, fingerprints,
   // metadata aggregation). The stub kernels are covered by MultimodalSpec.
 
+  // -------------------------------------------------------------------
+  // dHash family constants + shared pieces (q154/q155).
+
+  /** Position buckets for the perceptual hash — 63 gradient bits. */
+  val DHashBuckets = 64
+  /** Minimum payload bytes for the 64-bucket contract (64 px × 3). */
+  val DHashMinBytes = 192
+  /** Near-dup verify radius (bits). */
+  val DHashMaxHamming = 6L
+  /** LSH banding: 4 bands × 16 bits (last band 15 — bit 63 unused). */
+  val DHashBands = 4
+  val DHashBandBits = 16
+  val DHashBandMask = 65535L
+  val DHashLastMask = 32767L
+  /** Planted-variant id offset for the q155 fixture. */
+  val DHashVariantOffset = 1000000L
+
+  /** Eligible docs ∪ planted 3-byte-edit variants, hashed — the q155
+    * corpus: (media_id, dhash). The variant rewrites characters 31-33
+    * to 'zzz' (same construction in the oracle), a small perceptual
+    * edit the gradient hash must survive. */
+  private[ext] def dhashCorpus(docs: DataFrame): DataFrame = {
+    val base = docs.filter(octet_length(col("text")) >= DHashMinBytes)
+      .select(col("doc_id"), col("text"))
+    val variants = base.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + DHashVariantOffset).as("doc_id"),
+        concat(substring(col("text"), 1, 30), lit("zzz"),
+          expr("substring(text, 34)")).as("text"))
+    val dh = graft.functions.MediaCodecFunctions
+      .ppmDHash(col("content"), DHashBuckets)
+    ppmWrap(base.unionByName(variants))
+      .select(col("media_id"), dh.as("dhash"))
+  }
+
+  /** Oracle CTE chain computing dh(media_id, dhash) from a
+    * corpus(media_id, text) CTE — the full bit-level reconstruction:
+    * hex-nibble pixel decode (q109's `v` pattern), r+g+b luminance,
+    * i·B div n bucket map, sum div count means, adjacent-mean gradient
+    * bits packed over bits [0, 63). */
+  private def dhashSqlCtes: String = s"""
+        src AS (SELECT media_id, octet_length(encode(text)) // 3 AS n,
+                       hex(encode(text)) AS hx
+                FROM corpus),
+        px AS (SELECT media_id, n, CAST(unnest(range(0, n)) AS BIGINT) AS i
+               FROM src),
+        lum AS (SELECT p.media_id, p.i * $DHashBuckets // p.n AS j,
+                 (strpos('0123456789ABCDEF', substring(hx, CAST(6*i+1 AS INT), 1)) - 1) * 16
+               + strpos('0123456789ABCDEF', substring(hx, CAST(6*i+2 AS INT), 1)) - 1
+               + (strpos('0123456789ABCDEF', substring(hx, CAST(6*i+3 AS INT), 1)) - 1) * 16
+               + strpos('0123456789ABCDEF', substring(hx, CAST(6*i+4 AS INT), 1)) - 1
+               + (strpos('0123456789ABCDEF', substring(hx, CAST(6*i+5 AS INT), 1)) - 1) * 16
+               + strpos('0123456789ABCDEF', substring(hx, CAST(6*i+6 AS INT), 1)) - 1 AS v
+                FROM px p JOIN src USING (media_id)),
+        bm AS (SELECT media_id, j, SUM(v) // COUNT(*) AS m
+               FROM lum GROUP BY media_id, j),
+        gb AS (SELECT a.media_id, a.j,
+                      CASE WHEN a.m > b.m THEN 1 ELSE 0 END AS bit
+               FROM bm a JOIN bm b
+                 ON a.media_id = b.media_id AND b.j = a.j + 1
+               WHERE a.j < ${DHashBuckets - 1}),
+        dh AS (SELECT media_id,
+                      CAST(SUM(bit * (1::BIGINT << CAST(j AS INT))) AS BIGINT)
+                        AS dhash
+               FROM gb GROUP BY media_id)"""
+
   override val defs: Seq[QueryDef] = Seq(
 
     // q70: media inventory — binary payloads + typed metadata, grouped
@@ -732,6 +797,110 @@ object Multimodal extends QueryModule {
         FROM (SELECT doc_id AS media_id,
                      octet_length(encode(text)) // 3 AS w
               FROM documents WHERE octet_length(encode(text)) >= 3)
-        ORDER BY media_id"""))
+        ORDER BY media_id""")),
+
+    // ------------------------------------------------------------------
+    // q154: PERCEPTUAL IMAGE HASH (dHash) — the multimodal analogue of
+    // SimHash (q42): a compiled codegen kernel (PpmCodec.dhash) decodes
+    // each P6 payload and packs 63 luminance-gradient bits over 64
+    // position buckets into one non-negative int64. The oracle
+    // re-derives every bit from the construction bytes (hex-nibble
+    // decode, the q109 pattern): per-pixel r+g+b sums, bucket means by
+    // the i·64 div n floor map with sum div count, adjacent-mean
+    // comparisons — a one-bit drift anywhere in either engine's
+    // decode, bucketing, or bit packing hash-fails. Docs below 64
+    // pixels (192 payload bytes) are out of contract (the kernel
+    // throws; the query filters). 100 TB: map-side only — payloads
+    // never leave their partition; 8 bytes per image flow downstream.
+    QueryDef(
+      "q154_image_dhash",
+      (s, dir) => {
+        val docs = T.documents(s, dir)
+          .filter(octet_length(col("text")) >= DHashMinBytes)
+        val hdr = graft.functions.MediaCodecFunctions.ppmHeader(col("content"))
+        val dh = graft.functions.MediaCodecFunctions
+          .ppmDHash(col("content"), DHashBuckets)
+        ppmWrap(docs)
+          .select(col("media_id"), hdr.as("h"), dh.as("dhash"))
+          .select(col("media_id"),
+            (element_at(col("h"), 1) * element_at(col("h"), 2)).as("n_px"),
+            col("dhash"))
+          .orderBy(col("media_id"))
+      },
+      Some(s"""
+        WITH corpus AS (SELECT doc_id AS media_id, text FROM documents
+                        WHERE octet_length(encode(text)) >= $DHashMinBytes),
+        $dhashSqlCtes
+        SELECT d.media_id, s.n AS n_px, d.dhash
+        FROM dh d JOIN src s USING (media_id)
+        ORDER BY d.media_id""")),
+
+    // ------------------------------------------------------------------
+    // q155: HAMMING-LSH IMAGE NEAR-DUP — dHash near-duplicate pairs via
+    // bit-sampling LSH (Indyk & Motwani, STOC 1998 §4.2 applied to
+    // hamming space): 4 contiguous ~16-bit bands of the 63-bit hash;
+    // candidate pairs share at least one exact band (two hashes within
+    // hamming 6 differ in ≤ 6 of 63 bits, so by pigeonhole at least
+    // one of 4 bands is untouched — the band join is EXACT for this
+    // radius, not probabilistic); verify = bit_count(xor) ≤ 6. The
+    // fixture plants a 3-byte pixel edit per doc_id%5==0 image
+    // (media_id + 1,000,000) — robustness (planted pairs land at
+    // hamming ≤ 2, MultimodalSpec pins one) and the oracle recomputes
+    // every planted byte relationally. 100 TB: work ∝ Σ bucket² over
+    // 4×2^16 band cells of 8-byte keys — the q41 banded-LSH shape (a
+    // production radius uses more/narrower bands + the cappedBuckets
+    // discipline; the capped variant is measured there).
+    QueryDef(
+      "q155_dhash_near_dup",
+      (s, dir) => {
+        val dh = dhashCorpus(T.documents(s, dir))
+        val bands = dh
+          .withColumn("b", explode(sequence(lit(0), lit(DHashBands - 1))))
+          .withColumn("bv", expr(
+            s"shiftright(dhash, $DHashBandBits * b) & " +
+              s"(CASE WHEN b = ${DHashBands - 1} " +
+              s"THEN ${DHashLastMask}L ELSE ${DHashBandMask}L END)"))
+        val cand = bands.select(col("b"), col("bv"), col("media_id").as("id_a"))
+          .join(bands.select(col("b"), col("bv"), col("media_id").as("id_b")),
+            Seq("b", "bv"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b")).distinct()
+        cand
+          .join(dh.select(col("media_id").as("id_a"), col("dhash").as("ha")), "id_a")
+          .join(dh.select(col("media_id").as("id_b"), col("dhash").as("hb")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            expr("CAST(bit_count(ha ^ hb) AS BIGINT)").as("hamming"),
+            (col("id_b") === col("id_a") + DHashVariantOffset).as("planted"))
+          .filter(col("hamming") <= DHashMaxHamming)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""
+        WITH base AS (SELECT doc_id AS media_id, text FROM documents
+                      WHERE octet_length(encode(text)) >= $DHashMinBytes),
+        corpus AS (
+          SELECT media_id, text FROM base
+          UNION ALL
+          SELECT media_id + $DHashVariantOffset,
+                 substr(text, 1, 30) || 'zzz' || substr(text, 34)
+          FROM base WHERE media_id % 5 = 0),
+        $dhashSqlCtes,
+        bands AS (SELECT media_id, dhash, b,
+                         (dhash >> CAST($DHashBandBits * b AS INT)) &
+                           (CASE WHEN b = ${DHashBands - 1}
+                             THEN $DHashLastMask ELSE $DHashBandMask END) AS bv
+                  FROM dh CROSS JOIN
+                    (SELECT unnest(range(0, $DHashBands)) AS b)),
+        cand AS (SELECT DISTINCT a.media_id AS id_a, c.media_id AS id_b
+                 FROM bands a JOIN bands c ON a.b = c.b AND a.bv = c.bv
+                 WHERE a.media_id < c.media_id)
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(x.dhash, y.dhash)) AS BIGINT) AS hamming,
+               id_b = id_a + $DHashVariantOffset AS planted
+        FROM cand
+        JOIN dh x ON x.media_id = id_a
+        JOIN dh y ON y.media_id = id_b
+        WHERE bit_count(xor(x.dhash, y.dhash)) <= $DHashMaxHamming
+        ORDER BY id_a, id_b"""))
   )
+
 }

@@ -315,6 +315,69 @@ object PpmCodec {
     }
     out
   }
+
+  /** Perceptual difference hash (dHash — Krawetz, "Kind of Like That",
+    * hackerfactor.com 2013; the gradient variant of the aHash family)
+    * over the decoded pixel run in scan order: per-pixel luminance
+    * (the exact integer r+g+b sum — no /3, so no division drift),
+    * `buckets` position buckets (pixel i → bucket i·buckets div n —
+    * the same floor map as resize), bucket mean = sum div count (both
+    * operands non-negative), and bit j = mean(j) > mean(j+1) packed
+    * little-endian into bits [0, buckets-1) of an int64. With
+    * buckets ≤ 64 the hash occupies ≤ 63 bits — always NON-NEGATIVE,
+    * so cross-engine shift/mask/xor arithmetic never touches the sign
+    * bit. Robust to small pixel edits by construction (an edit moves
+    * one or two bucket means slightly; MultimodalSpec pins a planted
+    * 3-byte edit at hamming ≤ 2) while content changes flip many
+    * gradient bits.
+    *
+    * Shape contract (named error, the codec-fuzz discipline): needs
+    * n ≥ buckets so every bucket is non-empty (pigeonhole on the floor
+    * map), and 2 ≤ buckets ≤ 64. One compiled pass per row, zero
+    * shuffle — only the 8-byte hash flows downstream, which is what
+    * makes LSH-banded near-dup joins over billions of images cheap. */
+  def dhash(bytes: Array[Byte], buckets: Int): Long = {
+    if (buckets < 2 || buckets > 64)
+      throw new IllegalArgumentException(
+        s"ppm_dhash: buckets $buckets outside [2, 64]")
+    val hdr = parseHeader(bytes)
+    val w = hdr.getLong(0)
+    val h = hdr.getLong(1)
+    val maxv = hdr.getLong(2)
+    val off = hdr.getLong(3).toInt
+    val two = maxv > 255
+    val n = w * h
+    if (n < buckets)
+      throw new IllegalArgumentException(
+        s"ppm_dhash: ${w}x$h carries $n pixels < $buckets buckets — " +
+          "every bucket must be non-empty")
+    val sums = new Array[Long](buckets)
+    val cnts = new Array[Long](buckets)
+    var p = off
+    var i = 0L
+    while (i < n) {
+      var lum = 0L
+      var c = 0
+      while (c < 3) {
+        lum +=
+          (if (two) (((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)).toLong
+           else (bytes(p) & 0xff).toLong)
+        p += (if (two) 2 else 1)
+        c += 1
+      }
+      val j = (i * buckets / n).toInt
+      sums(j) += lum
+      cnts(j) += 1L
+      i += 1
+    }
+    var hash = 0L
+    var j = 0
+    while (j < buckets - 1) {
+      if (sums(j) / cnts(j) > sums(j + 1) / cnts(j + 1)) hash |= 1L << j
+      j += 1
+    }
+    hash
+  }
 }
 
 /** binary P6 payload → array<bigint> [width, height, maxval,
@@ -446,9 +509,35 @@ case class PpmConvPool3x3(child: Expression, weights: Array[Array[Long]])
     copy(child = c)
 }
 
+/** binary P6 payload → int64: perceptual difference hash over `buckets`
+  * position buckets of the luminance run ([[PpmCodec.dhash]]) — packed
+  * gradient bits, always non-negative (≤ 63 bits), the map-side half of
+  * hamming-LSH image near-dup. */
+case class PpmDHash(child: Expression, buckets: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"ppm_dhash requires a BINARY payload column, got ${child.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "ppm_dhash"
+
+  override def nullSafeEval(input: Any): Any =
+    PpmCodec.dhash(input.asInstanceOf[Array[Byte]], buckets)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PpmCodec.dhash($c, $buckets)")
+
+  override protected def withNewChildInternal(c: Expression): PpmDHash =
+    copy(child = c)
+}
+
 object MediaCodecFunctions {
   def ppmHeader(payload: Column): Column =
     ColumnBridge.column(PpmHeader(ColumnBridge.expression(payload)))
+
+  def ppmDHash(payload: Column, buckets: Int): Column =
+    ColumnBridge.column(PpmDHash(ColumnBridge.expression(payload), buckets))
 
   def ppmConvPool3x3(payload: Column, weights: Array[Array[Long]]): Column =
     ColumnBridge.column(PpmConvPool3x3(

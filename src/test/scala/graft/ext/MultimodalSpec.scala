@@ -238,6 +238,49 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("PpmCodec.dhash: hand-computed gradient bits, 8/16-bit, shape contracts") {
+    import graft.functions.PpmCodec
+    // 8x1 RGB, buckets=4 → 2 px per bucket. Luminance sums per pixel:
+    // 33, 63, 18, 273, 3, 0, 765, 6 → bucket means (sum div cnt):
+    // 48, 145, 1, 385 → bits: 48>145 F, 145>1 T, 1>385 F → hash = 2
+    val src = ascii("P6\n8 1\n255\n") ++ px(10) ++ px(20) ++ px(5) ++
+      px(90) ++ px(0) ++ Array[Byte](0, 0, 0) ++
+      Array[Byte](-1, -1, -1) ++ px(1)
+    assert(PpmCodec.dhash(src, 4) == 2L)
+
+    // bucket boundaries follow the i·B div n floor map: same pixels as a
+    // 4x2 container scan identically (row-major), so the hash is equal
+    val twoRow = ascii("P6\n4 2\n255\n") ++ src.drop(ascii("P6\n8 1\n255\n").length)
+    assert(PpmCodec.dhash(twoRow, 4) == 2L)
+
+    // 16-bit samples: 4 px, lum = 258, 0, 256, 65535 → bits T,F,F → 1
+    def px16(v: Int): Array[Byte] =
+      Array[Byte]((v >> 8).toByte, v.toByte, 0, 0, 0, 0)
+    val wide = ascii("P6\n4 1\n65535\n") ++
+      px16(258) ++ px16(0) ++ px16(256) ++ px16(65535)
+    assert(PpmCodec.dhash(wide, 4) == 1L)
+
+    // shape contracts: named errors, never raw JVM faults
+    intercept[IllegalArgumentException](PpmCodec.dhash(src, 1))
+    intercept[IllegalArgumentException](PpmCodec.dhash(src, 65))
+    intercept[IllegalArgumentException](PpmCodec.dhash(src, 9)) // 8 px < 9
+  }
+
+  test("dhash corpus: hashes non-negative; planted 3-byte edits within hamming 2") {
+    val dh = dhashCorpus(graft.Tables.documents(spark, dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dh.valuesIterator.forall(_ >= 0L), "63-bit hash must stay non-negative")
+    val planted = dh.keys.filter(_ >= DHashVariantOffset)
+    assert(planted.nonEmpty)
+    planted.foreach { vid =>
+      val ham = java.lang.Long.bitCount(dh(vid) ^ dh(vid - DHashVariantOffset))
+      assert(ham <= 2, s"variant $vid drifted to hamming $ham")
+    }
+    // and a CONTENT change flips many gradient bits: different docs are far
+    val ids = dh.keys.filter(_ < DHashVariantOffset).toSeq.sorted.take(2)
+    assert(java.lang.Long.bitCount(dh(ids(0)) ^ dh(ids(1))) > DHashMaxHamming)
+  }
+
   test("PpmCodec: real container bytes parse; every malformation class fails fast") {
     import graft.functions.PpmCodec
     def ppm(s: String): Array[Byte] = s.getBytes("ISO-8859-1")

@@ -58,7 +58,8 @@ class CodecFuzzSpec extends AnyFunSuite {
     "ppm_resize" -> (() => PpmCodec.resize(bytes, 5, 3)),
     "ppm_crop" -> (() => PpmCodec.cropCols(bytes, 0, 1)),
     "ppm_conv" -> (() => PpmCodec.convPool3x3(
-      bytes, graft.ext.Multimodal.convWeights(1))))
+      bytes, graft.ext.Multimodal.convWeights(1))),
+    "ppm_dhash" -> (() => PpmCodec.dhash(bytes, 4)))
 
   test("PPM: valid containers parse to construction; every op succeeds") {
     samples(ppmGen, 120, 1000L).foreach { c =>
@@ -73,6 +74,10 @@ class CodecFuzzSpec extends AnyFunSuite {
       PpmCodec.cropCols(c.bytes, 0, 1)
       iaeOrSuccess("ppm_conv")(PpmCodec.convPool3x3(
         c.bytes, graft.ext.Multimodal.convWeights(1)))
+      // dhash needs ≥ 4 pixels for 4 buckets; in contract it must be
+      // non-negative (63-bit), out of contract it must IAE
+      if (c.w * c.h >= 4) assert(PpmCodec.dhash(c.bytes, 4) >= 0L)
+      else intercept[IllegalArgumentException](PpmCodec.dhash(c.bytes, 4))
     }
   }
 
