@@ -92,7 +92,14 @@ final class VersionedCatalog(
       .options(options ++ extraOptions)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .save(staging.toString)
-    val rowCount = scala.util.Try(obs.get("rows").asInstanceOf[Long]).toOption
+    val rowCount = scala.util.Try(obs.get("rows").asInstanceOf[Long]) match {
+      case scala.util.Success(n) => Some(n)
+      case scala.util.Failure(e) =>
+        VersionedCatalog.log.warn(
+          s"catalog: row-count observation failed for $step " +
+            s"(${e.getMessage}) - manifest will carry row_count=null")
+        None
+    }
     // The MANIFEST commits atomically WITH the version (written into
     // the staged directory before the promote rename): the file list +
     // sizes + row count let `read` resolve a version's data files in
@@ -204,14 +211,26 @@ final class VersionedCatalog(
         val text =
           try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
-        CatalogManifest.parse(text)
+        val parsed = CatalogManifest.parse(text)
+        // A manifest that EXISTS but fails to parse is corruption, not
+        // a pre-manifest version — make the silent degradation to
+        // O(files) listing observable.
+        if (parsed.isEmpty)
+          VersionedCatalog.log.warn(
+            s"catalog: manifest at $p exists but failed to parse " +
+              "(falling back to directory listing)")
+        parsed
       }
     } catch {
       // an UNREADABLE manifest (checksum mismatch, truncated write,
       // permission skew) degrades to the directory-listing path the
       // same way a malformed one does — the manifest is an
       // optimization, never a single point of failure for reads
-      case _: java.io.IOException => None
+      case e: java.io.IOException =>
+        VersionedCatalog.log.warn(
+          s"catalog: manifest at $p unreadable (${e.getMessage}) " +
+            "- falling back to directory listing")
+        None
     }
   }
 
@@ -533,4 +552,7 @@ object VersionedCatalog {
     * create-no-overwrite; this lock closes the check-then-act window of
     * local-filesystem create for writers sharing a JVM. */
   private[catalog] val claimLock = new Object
+
+  private[catalog] val log =
+    org.slf4j.LoggerFactory.getLogger(classOf[VersionedCatalog])
 }

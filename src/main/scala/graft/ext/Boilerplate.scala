@@ -54,9 +54,13 @@ object Boilerplate extends QueryModule {
 
   /** (doc_id, line_idx, line) from raw text split on newlines —
     * the real-corpus instantiation. Blank lines are kept (their
-    * indices matter for faithful reassembly); callers can filter. */
+    * indices matter for faithful reassembly); callers can filter.
+    * CRLF is normalized: splitting on `\r?\n` keeps a trailing `\r`
+    * out of the line so per-line signals (ends_terminal) agree with
+    * the RE2 oracle semantics; reassembly is byte-exact for LF text
+    * and LF-normalizing for CRLF text. */
   def linesRaw(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), posexplode(split(col("text"), "\n")))
+    docs.select(col("doc_id"), posexplode(split(col("text"), "\r?\n")))
       .select(col("doc_id"), col("pos").cast("long").as("line_idx"),
         col("col").as("line"))
 
@@ -92,7 +96,9 @@ object Boilerplate extends QueryModule {
   private def withLineSignals(lines: DataFrame): DataFrame =
     lines.select(col("doc_id"), col("line_idx"), col("line"),
       X.h60(col("line")).as("lh"),
-      col("line").rlike("[.!?]$").as("ends_terminal"),
+      // \z, not $: Java's $ also matches before a final \r/\n while
+      // the DuckDB oracle's RE2 $ is end-of-string only
+      col("line").rlike("[.!?]\\z").as("ends_terminal"),
       size(filter(split(col("line"), " "),
         t => t.startsWith("http") || t.startsWith("www")))
         .cast("long").as("n_link_tokens"))

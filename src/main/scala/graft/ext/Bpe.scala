@@ -195,6 +195,103 @@ object Bpe extends QueryModule {
     } finally { words.unpersist(); () }
   }
 
+  /** BATCHED merge training: provably-sequential-equal multi-merge
+    * sweeps — the scale fix for [[trainMergesFromCounts]]'s one
+    * driver round-trip PER MERGE (a real 32-50k-merge vocabulary would
+    * pay tens of thousands of collects with O(R²·vocab)
+    * resegmentation; this pays ~R/k).
+    *
+    * Per sweep: segment once, collect the top `batchK`+1 pair
+    * candidates (ordered by the training tie-break cnt DESC, l, r),
+    * and apply the longest prefix of that ranking such that
+    *
+    *  (1) the prefix members are pairwise symbol-disjoint, counting
+    *      each accepted winner's CONCATENATION as an occupied symbol
+    *      (a later candidate whose side equals an earlier winner's
+    *      merged string would gain new occurrences mid-sweep), and
+    *  (2) counts are STRICTLY decreasing through the prefix AND
+    *      strictly above the first excluded candidate's count.
+    *
+    * Why that prefix is exactly what sequential training picks, by
+    * induction over prefix position i: (a) candidate i's own count is
+    * unchanged by winners 1..i−1 (disjoint symbols — none of its
+    * occurrences are consumed or created); (b) every OTHER old pair
+    * ranks strictly below c_i — any pair with count ≥ the prefix's
+    * minimum that touches a winner's symbols would itself sit in the
+    * top ranks and break the prefix at or before i (contradiction),
+    * and strictness (2) excludes count TIES sneaking in from below;
+    * (c) every NEW pair created by winner j has count ≤ the old count
+    * of an adjacent pair touching l_j/r_j, which by (b) is < the
+    * prefix minimum. So at sequential step i the argmax over the
+    * modified counts is candidate i with its old count — the batch
+    * replays sequential bit for bit, including the recorded
+    * pair_count. A tie or conflict stops the prefix; an empty prefix
+    * falls back to the plain single-merge step (sequential by
+    * definition). BpeSpec's property case fuzzes the law; q156 proves
+    * it against the sequential ORACLE on the fixture. */
+  def trainMergesBatched(wc: DataFrame, rounds: Int, batchK: Int,
+      byteLevel: Boolean = false): Seq[(Int, String, String, Long)] =
+    trainMergesBatchedWithSweeps(wc, rounds, batchK, byteLevel)._1
+
+  /** [[trainMergesBatched]] also returning the number of sweeps
+    * (driver round-trips) — the measured job-count ∝ R/k evidence. */
+  def trainMergesBatchedWithSweeps(wc: DataFrame, rounds: Int,
+      batchK: Int, byteLevel: Boolean = false)
+      : (Seq[(Int, String, String, Long)], Int) = {
+    require(batchK >= 1, "bpe batched train: batchK must be >= 1")
+    val words = wc.persist()
+    try {
+      val acc = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      var merges = Seq.empty[(String, String)]
+      var sweeps = 0
+      while (acc.length < rounds) {
+        sweeps += 1
+        val segExpr =
+          if (byteLevel) BpeFunctions.segmentWordBytes(col("w"), merges)
+          else BpeFunctions.segmentWord(col("w"), merges)
+        val cand = words.select(col("c"), segExpr.as("syms"))
+          .filter(size(col("syms")) >= 2)
+          .select(col("c"), explode(expr(
+            "transform(sequence(1, size(syms)-1), i -> struct(syms[i-1] AS l, syms[i] AS r))"))
+            .as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("c")).as("cnt"))
+          .orderBy(col("cnt").desc, col("l"), col("r"))
+          .limit(batchK + 1).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+        require(cand.nonEmpty,
+          s"bpe train: vocabulary fully merged after ${acc.length} merges — lower `rounds`")
+        // longest disjoint, strictly-decreasing prefix of the ranking
+        val used = scala.collection.mutable.Set.empty[String]
+        var batch = Vector.empty[(String, String, Long)]
+        var stop = false
+        for (c @ (l, r, cnt) <- cand.take(batchK) if !stop) {
+          val decreasing = batch.isEmpty || batch.last._3 > cnt
+          if (decreasing && !used(l) && !used(r)) {
+            batch :+= c
+            used += l; used += r; used += (l + r)
+          } else stop = true
+        }
+        // (2)'s tail condition: the last accepted count must sit
+        // STRICTLY above the next candidate (whatever excluded it);
+        // shrink until it does. A list shorter than batchK+1 is
+        // exhaustive — nothing ranks below it.
+        while (batch.nonEmpty && cand.length > batch.length &&
+            batch.last._3 <= cand(batch.length)._3)
+          batch = batch.init
+        // fallback: a tie/conflict at the very top degrades to the
+        // plain sequential single step, which is correct by definition
+        if (batch.isEmpty) batch = Vector(cand.head)
+        val take = batch.take(rounds - acc.length)
+        take.foreach { case (l, r, cnt) =>
+          acc += ((acc.length + 1, l, r, cnt))
+          merges = merges :+ ((l, r))
+        }
+      }
+      (acc.toSeq, sweeps)
+    } finally { words.unpersist(); () }
+  }
+
   /** One training round of the oracle unroll — MATERIALIZED is
     * load-bearing: seg{r} feeds both pc{r+1} and seg{r+1}, and plain
     * CTE inlining doubles the tree per round (2^R blowup). `tag`
@@ -240,6 +337,11 @@ object Bpe extends QueryModule {
   /** Rounds the train query runs — enough to reach multi-level merges
     * on the fixture vocabulary, far under its Σ(len−1) exhaustion. */
   val TrainRounds = 12
+
+  /** Candidates per batched-training sweep (q156) — small enough that
+    * the fixture exercises the conflict/tie fallbacks, large enough to
+    * show the sweep count dropping well below R. */
+  val BatchK = 4
 
   override val defs: Seq[QueryDef] = Seq(
 
@@ -434,6 +536,52 @@ object Bpe extends QueryModule {
                         '||' || array_to_string(list_transform(
                           range(1, len(hex(encode(w)))//2 + 1),
                           i -> substr(hex(encode(w)), CAST(i*2-1 AS INT), 2)),
+                          '||') || '||' AS seg
+                 FROM wc),
+        $rounds
+        SELECT * FROM ($sel) ORDER BY merge_rank"""
+      }),
+
+    // ------------------------------------------------------------------
+    // q156: BATCHED BPE TRAIN ≡ SEQUENTIAL — the control-plane scale
+    // fix for q131's one-collect-per-merge loop, proven bit-for-bit:
+    // the engine trains with multi-merge sweeps (top-k candidates,
+    // longest disjoint strictly-decreasing prefix applied per sweep —
+    // see trainMergesBatched's equivalence proof), while the ORACLE is
+    // q131's sequential round-by-round unroll unchanged. Identical
+    // merge ranks, sides, AND recorded pair counts = the equivalence
+    // law holds on the fixture; BpeFuzzSpec fuzzes it across corpora
+    // and k. 100 TB: driver round-trips drop from R to ~R/k (measured
+    // sweep count on stderr; a real 32k-merge vocabulary at k=256 is
+    // ~125 collects instead of 32,000) and resegmentation work from
+    // O(R²·vocab) to O((R/k)·R·vocab).
+    QueryDef(
+      "q156_bpe_batched_train",
+      (s, dir) => {
+        import s.implicits._
+        val (ms, sweeps) = trainMergesBatchedWithSweeps(
+          wordCounts(T.documents(s, dir)), TrainRounds, BatchK)
+        System.err.println(
+          s"[q156] sweeps=$sweeps for rounds=$TrainRounds batchK=$BatchK")
+        ms.map { case (r, l, rt, c) => (r.toLong, l, rt, c) }
+          .toDF("merge_rank", "merge_left", "merge_right", "pair_count")
+          .orderBy(col("merge_rank"))
+      },
+      Some {
+        // the SEQUENTIAL oracle, verbatim q131 — that identity IS the
+        // proof obligation
+        val rounds = (1 to TrainRounds).map(r => trainRoundSqlCtes(r)).mkString(",")
+        val sel = (1 to TrainRounds).map { r =>
+          s"SELECT CAST($r AS BIGINT) AS merge_rank, l AS merge_left, " +
+            s"r AS merge_right, cnt AS pair_count FROM best$r"
+        }.mkString(" UNION ALL ")
+        s"""
+        WITH wc AS (SELECT w, COUNT(*) AS c
+                    FROM (SELECT unnest(${X.tokensSql("text")}) AS w
+                          FROM documents)
+                    GROUP BY w),
+        seg0 AS (SELECT w, c,
+                        '||' || array_to_string(string_split_regex(w, ''),
                           '||') || '||' AS seg
                  FROM wc),
         $rounds

@@ -138,8 +138,8 @@ object Classifier extends QueryModule {
           .otherwise(-1L).as("y"),
         col("cb").as("x1"),
         least(abs(col("cb") - col("t2")), lit(DevCap)).as("x2"),
-        expr("((size(s2) - size(array_distinct(s2))) * 10000) div size(s2)")
-          .as("x3"),
+        expr("""(CAST(size(s2) - size(array_distinct(s2)) AS BIGINT) * 10000)
+            div size(s2)""").as("x3"),
         expr("(top_cnt * 10000) div n").as("x4"),
         expr("(nstop * 10000) div n").as("x5"))
   }

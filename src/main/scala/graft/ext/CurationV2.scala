@@ -69,7 +69,7 @@ object CurationV2 extends QueryModule {
           .filter(size(col("ctk")) >= MinTokens)
           .withColumn("s3", X.shingles(col("ctk"), 3))
           .withColumn("dup3_bps", expr(
-            "((size(s3) - size(array_distinct(s3))) * 10000) div size(s3)"))
+            "(CAST(size(s3) - size(array_distinct(s3)) AS BIGINT) * 10000) div size(s3)"))
           .withColumn("top_cnt", expr("""aggregate(sort_array(ctk),
               named_struct('prev', '', 'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),
               (acc, t) -> named_struct(

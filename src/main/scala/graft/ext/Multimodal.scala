@@ -352,11 +352,15 @@ object Multimodal extends QueryModule {
   val DHashMinBytes = 192
   /** Near-dup verify radius (bits). */
   val DHashMaxHamming = 6L
-  /** LSH banding: 4 bands × 16 bits (last band 15 — bit 63 unused). */
-  val DHashBands = 4
-  val DHashBandBits = 16
-  val DHashBandMask = 65535L
-  val DHashLastMask = 32767L
+  /** LSH banding: 7 bands × 9 bits covering all 63 gradient bits
+    * (63 = 7·9 exactly; bit 63 is never set). 7 bands ≥ radius+1, so
+    * by pigeonhole any pair within hamming 6 leaves ≥ 1 band
+    * untouched — the band join is EXACT for the radius. (4×16 bands,
+    * used before round 14, only guarantee hamming ≤ 3: a 6-bit diff
+    * spread 2+2+1+1 across 4 bands collides in no band.) */
+  val DHashBands = 7
+  val DHashBandBits = 9
+  val DHashBandMask = 511L
   /** Planted-variant id offset for the q155 fixture. */
   val DHashVariantOffset = 1000000L
 
@@ -838,16 +842,19 @@ object Multimodal extends QueryModule {
     // ------------------------------------------------------------------
     // q155: HAMMING-LSH IMAGE NEAR-DUP — dHash near-duplicate pairs via
     // bit-sampling LSH (Indyk & Motwani, STOC 1998 §4.2 applied to
-    // hamming space): 4 contiguous ~16-bit bands of the 63-bit hash;
+    // hamming space): 7 contiguous 9-bit bands of the 63-bit hash;
     // candidate pairs share at least one exact band (two hashes within
-    // hamming 6 differ in ≤ 6 of 63 bits, so by pigeonhole at least
-    // one of 4 bands is untouched — the band join is EXACT for this
-    // radius, not probabilistic); verify = bit_count(xor) ≤ 6. The
+    // hamming 6 differ in ≤ 6 of 63 bits, and 7 bands > 6 diff bits,
+    // so by pigeonhole at least one band is untouched — the band join
+    // is EXACT for this radius, not probabilistic; pigeonhole needs
+    // bands ≥ radius+1, which 4 bands did NOT give — see
+    // MultimodalSpec's all-bands-touched case); verify =
+    // bit_count(xor) ≤ 6. The
     // fixture plants a 3-byte pixel edit per doc_id%5==0 image
     // (media_id + 1,000,000) — robustness (planted pairs land at
     // hamming ≤ 2, MultimodalSpec pins one) and the oracle recomputes
     // every planted byte relationally. 100 TB: work ∝ Σ bucket² over
-    // 4×2^16 band cells of 8-byte keys — the q41 banded-LSH shape (a
+    // 7×2^9 band cells of 8-byte keys — the q41 banded-LSH shape (a
     // production radius uses more/narrower bands + the cappedBuckets
     // discipline; the capped variant is measured there).
     QueryDef(
@@ -857,9 +864,7 @@ object Multimodal extends QueryModule {
         val bands = dh
           .withColumn("b", explode(sequence(lit(0), lit(DHashBands - 1))))
           .withColumn("bv", expr(
-            s"shiftright(dhash, $DHashBandBits * b) & " +
-              s"(CASE WHEN b = ${DHashBands - 1} " +
-              s"THEN ${DHashLastMask}L ELSE ${DHashBandMask}L END)"))
+            s"shiftright(dhash, $DHashBandBits * b) & ${DHashBandMask}L"))
         val cand = bands.select(col("b"), col("bv"), col("media_id").as("id_a"))
           .join(bands.select(col("b"), col("bv"), col("media_id").as("id_b")),
             Seq("b", "bv"))
@@ -886,8 +891,7 @@ object Multimodal extends QueryModule {
         $dhashSqlCtes,
         bands AS (SELECT media_id, dhash, b,
                          (dhash >> CAST($DHashBandBits * b AS INT)) &
-                           (CASE WHEN b = ${DHashBands - 1}
-                             THEN $DHashLastMask ELSE $DHashBandMask END) AS bv
+                           $DHashBandMask AS bv
                   FROM dh CROSS JOIN
                     (SELECT unnest(range(0, $DHashBands)) AS b)),
         cand AS (SELECT DISTINCT a.media_id AS id_a, c.media_id AS id_b

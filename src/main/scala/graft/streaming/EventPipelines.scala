@@ -728,7 +728,12 @@ object EventPipelines {
     try {
       val tk = scope.cache(Classifier.tk3(batch))
       if (cat.latestVersion(wStep).isEmpty) {
-        // bootstrap: thresholds + stats from the FIRST epoch's batch
+        // bootstrap: thresholds + stats from the FIRST epoch's batch.
+        // Degeneracy guard: an empty tk3 universe (no doc with >= 3
+        // tokens) would commit NULL thresholds/stats as the FROZEN v1
+        // artifact and permanently no-op all later training — skip
+        // the epoch entirely and retry bootstrap on the next one.
+        if (tk.isEmpty) return
         val scored = scope.cache(Classifier.scoredCb(tk))
         writeOnce(s"${step}_thr", Classifier.labelThresholds(scored))
         val raw = scope.cache(Classifier.rawFeaturesUnder(tk, scored,

@@ -93,6 +93,7 @@ class PlanAuditSpec extends SparkSpec {
       "q107_hll_sketch", "q109_frame_channel_stats", "q112_hist_sketch",
       "q114_wav_channel_stats",
       "q130_bpe_encode", // map-side tokenize→bpe→fingerprint kernels + output sort
+      "q154_image_dhash", // map-side ppm decode + dhash kernel + output sort
       "q145_bpe_byte_level", // q130's shape over hex-byte symbols — same map-side kernels + sort
       "q136_bpe_context_chunks", // row-local greedy chunk kernel + posexplode + sort
       "q135_bpe_catalog_serving", // served plan = per-version map-side
@@ -112,6 +113,8 @@ class PlanAuditSpec extends SparkSpec {
                                        // catalog ops ran eagerly at construct
       "q151_bpe_byte_level_train", // q131's shape with the hex-byte seed —
                         // same 12-row local-relation return
+      "q156_bpe_batched_train", // q131's 12-row local-relation return;
+                        // the batched sweeps ran eagerly at construct
       "q131_bpe_train") // the RETURNED merges table is a 12-row local
                         // relation + sort; the R training rounds run
                         // eagerly before this plan (each its own
@@ -144,6 +147,10 @@ class PlanAuditSpec extends SparkSpec {
                                        // training) materialized into caches
                                        // at construct
       "q129_dedup_survivor_quality",
+      "q155_dhash_near_dup", // 7x9 band self-join buckets + candidate
+                             // distinct; the hash side is map-side
+                             // (q154) and the verify joins broadcast
+                             // the 8-byte hash table at fixture scale
       "q51_ann_lsh", "q54_embedding_quantize", "q61_catalog_timetravel",
       "q62_tumbling_windows", "q63_session_windows", "q64_sliding_windows",
       "q66_catalog_merge", "q69_column_profile", "q70_media_inventory",

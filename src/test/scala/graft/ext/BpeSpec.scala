@@ -153,6 +153,45 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("property: batched(k) training ≡ sequential over random corpora and k") {
+    val s = spark
+    import s.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    // small alphabet + repeated words → dense pair-count collisions,
+    // so the tie/conflict fallback paths actually fire
+    val wordGen = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    for (iter <- 0 until 6) {
+      val words = (0 until 10).map(i => sample(wordGen, 991L * iter + i))
+      val reps = words.zipWithIndex.flatMap { case (w, i) =>
+        Seq.fill(1 + (i * 7 + iter) % 4)(w) }
+      val docs = Seq((1L, reps.mkString(" "))).toDF("doc_id", "text")
+      val wc = Bpe.wordCounts(docs)
+      val sequential = Bpe.trainMergesFromCounts(wc, rounds = 7)
+      for (k <- Seq(1, 2, 4, 8)) {
+        val (batched, sweeps) =
+          Bpe.trainMergesBatchedWithSweeps(wc, rounds = 7, batchK = k)
+        assert(batched == sequential,
+          s"iter $iter k=$k: batched diverged from sequential\n" +
+            s"  seq: $sequential\n  bat: $batched")
+        assert(sweeps <= 7, s"iter $iter k=$k: more sweeps than rounds")
+      }
+    }
+    // and on a corpus whose top pair counts are DISTINCT and
+    // symbol-disjoint (each word its own alphabet, its own frequency),
+    // k>1 really batches: sweep 1 lands 4 merges at once
+    val big = Seq((1L, (Seq.fill(16)("ab") ++ Seq.fill(13)("cd") ++
+      Seq.fill(9)("ef") ++ Seq.fill(5)("gh") ++ Seq.fill(2)("ij"))
+        .mkString(" "))).toDF("doc_id", "text")
+    val (bat, sw) = Bpe.trainMergesBatchedWithSweeps(
+      Bpe.wordCounts(big), rounds = 5, batchK = 4)
+    assert(bat == Bpe.trainMergesFromCounts(Bpe.wordCounts(big), rounds = 5))
+    assert(sw == 2, s"expected 2 sweeps (4 merges + 1), got $sw")
+  }
+
   test("word-count fold law: training on wc(A) ⊕ wc(B) ≡ training on A ∪ B") {
     val s = spark
     import s.implicits._

@@ -281,6 +281,36 @@ class MultimodalSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(dh(ids(0)) ^ dh(ids(1))) > DHashMaxHamming)
   }
 
+  test("dhash banding is exact at the radius: all-old-bands-touched hamming-6 pair collides") {
+    // Adversarial pair for the pre-round-14 4×16 banding: 6 differing
+    // bits spread 2+2+1+1 across the four old 16-bit bands
+    // ({1,9, 17,25, 33, 49}) — every old band touched, so the old band
+    // join produced NO candidate and silently dropped an in-radius
+    // pair. Pigeonhole needs bands ≥ radius+1: with 7×9 bands over 63
+    // bits, any ≤6-bit diff leaves ≥1 band untouched.
+    val a = 0x123456789ABCDL // arbitrary 63-bit hash
+    val diff = Seq(1, 9, 17, 25, 33, 49).map(1L << _).reduce(_ | _)
+    val b = a ^ diff
+    assert(java.lang.Long.bitCount(a ^ b) == DHashMaxHamming)
+    def bandsOf(h: Long, nBands: Int, bits: Int, mask: Long): Seq[(Int, Long)] =
+      (0 until nBands).map(i => i -> ((h >>> (bits * i)) & mask))
+    // old banding: no shared band (the bug ADVICE flagged)
+    val oldShared = bandsOf(a, 4, 16, 65535L).toSet
+      .intersect(bandsOf(b, 4, 16, 65535L).toSet)
+      .filter { case (i, _) => i < 3 } ++ // last old band was 15-bit
+      (if (((a >>> 48) & 32767L) == ((b >>> 48) & 32767L)) Set(3 -> 0L) else Set())
+    assert(oldShared.isEmpty, "pair deliberately constructed to defeat 4x16 banding")
+    // current banding (the q155 constants): at least one exact band match
+    val shared = bandsOf(a, DHashBands, DHashBandBits, DHashBandMask).toSet
+      .intersect(bandsOf(b, DHashBands, DHashBandBits, DHashBandMask).toSet)
+    assert(shared.nonEmpty, "7x9 banding must catch every hamming<=6 pair")
+    // and exhaustively: EVERY 6-subset of positions leaves >=1 band clean
+    // (63 choose 6 is large; check the pigeonhole directly instead —
+    // 6 diff bits can touch at most 6 of the 7 bands)
+    assert(DHashBands > DHashMaxHamming)
+    assert(DHashBands * DHashBandBits == 63)
+  }
+
   test("PpmCodec: real container bytes parse; every malformation class fails fast") {
     import graft.functions.PpmCodec
     def ppm(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
