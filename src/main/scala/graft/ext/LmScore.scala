@@ -178,6 +178,72 @@ object LmScore extends QueryModule {
         col("thr_e4"), col("accepted"))
   }
 
+  // -------------------------------------------------------------------
+  // TRIGRAM model (q157/q158) — the same add-one/floor-log2 discipline
+  // one order up: P(w3|w1 w2) = (c(w1 w2 w3) + 1) / (c(w1 w2 ·) + V),
+  // bits(tg) = floor(log2((c(w1 w2 ·) + V) / (c(tg) + 1))). The
+  // unseen-prefix two-join contract generalizes exactly as the class
+  // doc promised: the count joins by TRIGRAM, the prefix mass joins by
+  // the (w1, w2) BIGRAM prefix independently (an unseen trigram can
+  // still carry a seen two-word prefix whose full continuation mass
+  // must price it), V stays the unigram vocabulary. This is the
+  // CCNet-fidelity step past q121's bigram (real perplexity filters
+  // are 5-gram KenLM; bigram underfits topical text — higher orders
+  // are this same shape again with a longer prefix key).
+
+  private def trigramsTk(toks: DataFrame): DataFrame = toks.select(
+    col("doc_id"), explode(X.shingles(col("tk"), 3)).as("tg"))
+
+  /** The persistable trigram LM state: (tg, ct) exact counts — linear
+    * like [[bigramCounts]], folds by [[mergeTrigramCounts]]. */
+  def trigramCountsTk(toks: DataFrame): DataFrame =
+    trigramsTk(toks).groupBy(col("tg")).agg(count(lit(1)).as("ct"))
+
+  /** Additive fold: lm3(A) ⊕ lm3(B) = lm3(A ∪ B) exactly. */
+  def mergeTrigramCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("tg"), col("ct").as("ca"))
+      .join(b.select(col("tg"), col("ct").as("cbb")), Seq("tg"), "full_outer")
+      .select(col("tg"),
+        (coalesce(col("ca"), lit(0L)) + coalesce(col("cbb"), lit(0L)))
+          .as("ct"))
+
+  /** The (w1 w2) prefix as a single key column — tokens are
+    * whitespace-split, so the space join is collision-free. */
+  private def tgPrefix(tg: Column): Column =
+    concat_ws(" ", slice(split(tg, " "), 1, 2))
+
+  /** Score a pre-tokenized frame against a persisted trigram LM —
+    * [[scoreAgainstLmTk]]'s contract one order up: trigram-keyed count
+    * join + (w1,w2)-prefix mass join + 1-row V broadcast; fully unseen
+    * trigram ⇒ c = 0, unseen prefix ⇒ mass 0; add-one keeps both
+    * defined and `greatest(0, ·)` closes the degenerate-fit edge
+    * identically on both engines. Documents with < 3 tokens have no
+    * trigrams and do not flow. */
+  def scoreAgainstLm3Tk(lm3: DataFrame, vocab: DataFrame,
+      scoreTk: DataFrame): DataFrame = {
+    val prefixMass = lm3
+      .withColumn("p2", tgPrefix(col("tg")))
+      .groupBy(col("p2")).agg(sum(col("ct")).as("cp"))
+    val v1 = vocab.agg(count(lit(1)).as("v"))
+    trigramsTk(scoreTk)
+      .withColumn("p2", tgPrefix(col("tg")))
+      .join(lm3, Seq("tg"), "left")
+      .join(prefixMass, Seq("p2"), "left")
+      .crossJoin(broadcast(v1))
+      .select(col("doc_id"),
+        greatest(lit(0L),
+          floorLog2Ratio(coalesce(col("cp"), lit(0L)) + col("v"),
+            coalesce(col("ct"), lit(0L)) + lit(1L))).as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("bits")).as("total_bits"))
+      .select(col("doc_id"), col("n_trigrams"), col("total_bits"),
+        expr("(total_bits * 100) div n_trigrams").as("centibits_per_trigram"))
+  }
+
+  /** Self-scoring under the trigram model (q157; fit = score frame). */
+  def surpriseScores3Tk(fitTk: DataFrame, scoreTk: DataFrame): DataFrame =
+    scoreAgainstLm3Tk(trigramCountsTk(fitTk), vocabTokensTk(fitTk), scoreTk)
+
   /** The q121 self-scoring CTE chain (through `bits`) over an upstream
     * CTE named `tk` (doc_id, tk: item array) — ONE text shared by q121
     * (word tokens), q138 (BPE subwords), and q139 (scores feeding the
@@ -491,6 +557,128 @@ object LmScore extends QueryModule {
                CAST(SUM(bits) AS BIGINT) AS total_bits,
                CAST(SUM(bits) * 100 // COUNT(*) AS BIGINT)
                  AS centibits_per_bigram
+        FROM bits GROUP BY version, doc_id ORDER BY version, doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q157: TRIGRAM surprise scoring — q121 one model order up (see the
+    // trigram section comment): fit the add-one trigram LM on documents
+    // and score every document against it, all exact int64; the
+    // (w1,w2)-prefix mass join replaces the w1 join, everything else is
+    // the same floor-log2 integer machinery, hash-checked on the full
+    // score table. 100 TB: identical shape to q121 — the LM is a
+    // corpus-reduced count table (trigram vocabulary is larger than
+    // bigram but still the DISTINCT-shingle reduction of the corpus,
+    // catalog-persistable), scoring is one doc-side join pair + per-doc
+    // agg, V a 1-row broadcast.
+    QueryDef(
+      "q157_lm_trigram_score",
+      (s, dir) => {
+        val toks = tokenized(T.documents(s, dir))
+        surpriseScores3Tk(toks, toks).orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH tk AS (SELECT doc_id, ${X.tokensSql("text")} AS tk FROM documents),
+        tg AS (SELECT doc_id, unnest(${X.shinglesSql("tk", 3)}) AS tg FROM tk),
+        lmt AS (SELECT tg, COUNT(*) AS ct FROM tg GROUP BY tg),
+        lmp AS (SELECT split_part(tg, ' ', 1) || ' ' || split_part(tg, ' ', 2) AS p2,
+                       CAST(SUM(ct) AS BIGINT) AS cp
+                FROM lmt GROUP BY 1),
+        vc AS (SELECT COUNT(DISTINCT t) AS v
+               FROM (SELECT unnest(tk) AS t FROM tk)),
+        sc AS (SELECT g.doc_id, l.ct + 1 AS den, p.cp + vc.v AS num
+               FROM tg g
+               JOIN lmt l USING (tg)
+               JOIN lmp p ON p.p2 = split_part(g.tg, ' ', 1) || ' ' ||
+                             split_part(g.tg, ' ', 2)
+               CROSS JOIN vc),
+        bits AS (SELECT doc_id,
+                        greatest(0, CASE WHEN (den << k) > num THEN k - 1 ELSE k END) AS bits
+                 FROM (SELECT doc_id, den, num,
+                              length(printf('%b', num))
+                                - length(printf('%b', den)) AS k
+                       FROM sc))
+        SELECT doc_id, COUNT(*) AS n_trigrams,
+               CAST(SUM(bits) AS BIGINT) AS total_bits,
+               CAST(SUM(bits) * 100 // COUNT(*) AS BIGINT)
+                 AS centibits_per_trigram
+        FROM bits GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q158: the TRIGRAM LM through the catalog — q122's fold law one
+    // order up: epoch A (even doc_ids) commits trigram counts +
+    // vocabulary as v1, epoch B folds in additively as v2 (trigram
+    // counts are linear; v2 ≡ a from-scratch union-corpus fit), and a
+    // probe batch scores under EACH version. Version isolation does
+    // real work here: a trigram unseen in epoch A prices at v1 with
+    // zero count AND possibly zero (w1,w2)-prefix mass — the
+    // unseen-prefix contract the two-join shape exists for.
+    QueryDef(
+      "q158_lm3_catalog_serving",
+      (s, dir) => {
+        val work = graft.Scratch.dir("q158")
+        val cat = new graft.catalog.VersionedCatalog(s, work, format = "parquet")
+        val tgSchema = org.apache.spark.sql.types.StructType.fromDDL(
+          "tg STRING, ct BIGINT")
+        val vSchema = org.apache.spark.sql.types.StructType.fromDDL("t STRING")
+        val docs = T.documents(s, dir)
+        val even = tokenized(docs.filter(col("doc_id") % 2 === 0))
+        val odd = tokenized(docs.filter(col("doc_id") % 2 === 1))
+        cat.writeNext("lm3_tg", trigramCountsTk(even))
+        cat.writeNext("lm3_vocab", vocabTokensTk(even))
+        cat.writeNext("lm3_tg", mergeTrigramCounts(
+          cat.read("lm3_tg", 1, Some(tgSchema)), trigramCountsTk(odd)))
+        cat.writeNext("lm3_vocab",
+          cat.read("lm3_vocab", 1, Some(vSchema))
+            .unionByName(vocabTokensTk(odd)).distinct())
+        val probe = tokenized(docs.filter(col("doc_id") % 5 === 0))
+        (1 to 2).map { v =>
+          scoreAgainstLm3Tk(cat.read("lm3_tg", v, Some(tgSchema)),
+              cat.read("lm3_vocab", v, Some(vSchema)), probe)
+            .select(lit(v.toLong).as("version"), col("doc_id"),
+              col("n_trigrams"), col("total_bits"),
+              col("centibits_per_trigram"))
+        }.reduce(_ unionByName _).orderBy(col("version"), col("doc_id"))
+      },
+      Some(s"""
+        WITH tk AS (SELECT doc_id, ${X.tokensSql("text")} AS tk FROM documents),
+        tg AS (SELECT doc_id, doc_id % 2 = 0 AS even,
+                      unnest(${X.shinglesSql("tk", 3)}) AS tg
+               FROM tk),
+        lmt AS (SELECT tg,
+                       CAST(coalesce(SUM(CASE WHEN even THEN 1 END), 0)
+                         AS BIGINT) AS ct_a,
+                       CAST(COUNT(*) AS BIGINT) AS ct_f
+                FROM tg GROUP BY tg),
+        lmp AS (SELECT split_part(tg, ' ', 1) || ' ' || split_part(tg, ' ', 2) AS p2,
+                       CAST(SUM(ct_a) AS BIGINT) AS cp_a,
+                       CAST(SUM(ct_f) AS BIGINT) AS cp_f
+                FROM lmt GROUP BY 1),
+        va AS (SELECT COUNT(DISTINCT t) AS v_a
+               FROM (SELECT unnest(tk) AS t FROM tk WHERE doc_id % 2 = 0)),
+        vf AS (SELECT COUNT(DISTINCT t) AS v_f
+               FROM (SELECT unnest(tk) AS t FROM tk)),
+        sc AS (SELECT g.doc_id, l.ct_a, l.ct_f, p.cp_a, p.cp_f, va.v_a, vf.v_f
+               FROM tg g
+               JOIN lmt l USING (tg)
+               JOIN lmp p ON p.p2 = split_part(g.tg, ' ', 1) || ' ' ||
+                             split_part(g.tg, ' ', 2)
+               CROSS JOIN va CROSS JOIN vf
+               WHERE g.doc_id % 5 = 0),
+        sv AS (SELECT 1 AS version, doc_id, cp_a + v_a AS num, ct_a + 1 AS den
+               FROM sc
+               UNION ALL
+               SELECT 2, doc_id, cp_f + v_f, ct_f + 1 FROM sc),
+        bits AS (SELECT version, doc_id,
+                        greatest(0, CASE WHEN (den << k) > num THEN k - 1 ELSE k END) AS bits
+                 FROM (SELECT version, doc_id, den, num,
+                              length(printf('%b', num))
+                                - length(printf('%b', den)) AS k
+                       FROM sv))
+        SELECT CAST(version AS BIGINT) AS version, doc_id,
+               COUNT(*) AS n_trigrams,
+               CAST(SUM(bits) AS BIGINT) AS total_bits,
+               CAST(SUM(bits) * 100 // COUNT(*) AS BIGINT)
+                 AS centibits_per_trigram
         FROM bits GROUP BY version, doc_id ORDER BY version, doc_id"""))
   )
 }

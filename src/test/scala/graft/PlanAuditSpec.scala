@@ -35,6 +35,10 @@ class PlanAuditSpec extends SparkSpec {
                              // scored bigrams (q59's corpus-stats shape)
     "q122_lm_catalog_serving", // the same 1-row vocabulary broadcast,
                               // once per served LM version
+    "q157_lm_trigram_score", // q121's 1-row vocabulary broadcast under
+                             // the trigram model
+    "q158_lm3_catalog_serving", // q122's per-version 1-row vocabulary
+                                // broadcast under the trigram model
     "q153_classifier_cross_corpus", // q121's 1-row vocabulary broadcast in
                               // the serving plan's reference-LM scoring
     "q125_source_overlap_matrix", // the matrix FRAME is a #sources ×
@@ -210,6 +214,8 @@ class PlanAuditSpec extends SparkSpec {
       "q139_quality_pacing" -> 5, // LM score passes read the CACHED scored frame (q121's fit collapses onto it) + value-domain histogram agg + tiny threshold window + per-tier agg + ordered output
       "q140_tokenizer_version_audit" -> 7, // vocabulary-sized only: word-count agg + per-version totals agg + type distinct + per-version type counts + overlap group-by + 1-row shared broadcast + ordered output — no per-document pass anywhere
       "q122_lm_catalog_serving" -> 7, // q121's scoring shape reading persisted LM versions: per version the bigram + prefix joins and per-doc agg; the fit/fold happened before the served plan
+      "q157_lm_trigram_score" -> 6, // q121's pinned LM shape one order up: trigram agg + (w1,w2)-prefix agg + vocab distinct + doc-side joins + per-doc agg + ordered output; measured 6 (one fewer than q121 — AQE folds the self-join side)
+      "q158_lm3_catalog_serving" -> 7, // q122's served shape with trigram counts: per version the trigram + prefix-mass joins and per-doc agg; fit/fold ran at construct
       "q123_repeated_span_coverage" -> 3, // positional-shingle-hash count + repeated-key join + per-doc window/agg — linear in corpus tokens, no pair materialization (ExactSubstr signal)
       "q124_repeated_span_removal" -> 4, // q123's discovery + covered-position distinct + anti-join + ordered per-doc reassembly — the span explosion multiplies only the repeated side
       "q125_source_overlap_matrix" -> 6, // distinct (shingle-hash, source) + per-source sizes + hash self-join + pair agg + matrix frame + ordered output — work ∝ Σ per-shingle source-count², never doc pairs
