@@ -364,6 +364,97 @@ object Multimodal extends QueryModule {
   /** Planted-variant id offset for the q155 fixture. */
   val DHashVariantOffset = 1000000L
 
+  // -------------------------------------------------------------------
+  // Audio fingerprint family constants + shared pieces (q159/q160) —
+  // the WAV-side completion of the dHash family: same 63-bit hash
+  // width, same 7×9 Hamming banding tail, same planted-variant
+  // protocol.
+
+  /** Time buckets for the two-band envelope hash: 32 packs exactly
+    * 31 env + 31 roughness + 1 tilt = 63 bits. */
+  val AudioFpBuckets = 32
+  /** Minimum payload bytes: 2·buckets stereo frames × 4 bytes. */
+  val AudioFpMinBytes = 256
+
+  /** Eligible docs ∪ planted 3-byte-edit variants, WAV-wrapped and
+    * fingerprinted — the q160 corpus: (media_id, ahash). Same variant
+    * construction as [[dhashCorpus]]: characters 31-33 rewritten to
+    * 'zzz' (bytes 30-32 → samples 15-16 → two frames of ≥ 64), a
+    * small perceptual edit the envelope hash must survive. */
+  private[ext] def audioFpCorpus(docs: DataFrame): DataFrame = {
+    val base = docs.filter(octet_length(col("text")) >= AudioFpMinBytes)
+      .select(col("doc_id"), col("text"))
+    val variants = base.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + DHashVariantOffset).as("doc_id"),
+        concat(substring(col("text"), 1, 30), lit("zzz"),
+          expr("substring(text, 34)")).as("text"))
+    val ah = graft.functions.WavCodecFunctions.wavEnvHash(
+      col("content"), AudioFpBuckets)
+    base.unionByName(variants)
+      .select(col("doc_id").as("media_id"),
+        graft.functions.WavCodecFunctions.wavWrap(
+          col("text").cast("binary"), lit(8000)).as("content"))
+      .select(col("media_id"), ah.as("ahash"))
+  }
+
+  /** Oracle CTE chain computing ah(media_id, ahash) from a
+    * corpus(media_id, text) CTE — the full bit-level reconstruction:
+    * q114's int16-LE hex sample decode, per-frame mono fold m = l+r,
+    * env |m| and roughness |m − lag(m)| sums over the i·B div n
+    * bucket map, adjacent-mean gradient bits for both bands + the
+    * tilt bit. */
+  private def audioFpSqlCtes: String = s"""
+        asrc AS (SELECT media_id, octet_length(encode(text)) // 4 AS n,
+                        hex(encode(text)) AS hx
+                 FROM corpus),
+        apx AS (SELECT media_id, n, hx,
+                       CAST(unnest(range(0, 2 * n)) AS BIGINT) AS i
+                FROM asrc),
+        asm AS (SELECT media_id, n, i // 2 AS f,
+                       (strpos('0123456789ABCDEF',
+                          substring(hx, CAST(4 * i + 1 AS INT), 1)) - 1) * 16
+                       + strpos('0123456789ABCDEF',
+                          substring(hx, CAST(4 * i + 2 AS INT), 1)) - 1
+                       + 256 * ((strpos('0123456789ABCDEF',
+                                   substring(hx, CAST(4 * i + 3 AS INT), 1)) - 1) * 16
+                                + strpos('0123456789ABCDEF',
+                                   substring(hx, CAST(4 * i + 4 AS INT), 1)) - 1) AS uv
+                FROM apx),
+        afr AS (SELECT media_id, n, f,
+                       CAST(SUM(CASE WHEN uv >= 32768 THEN uv - 65536
+                                     ELSE uv END) AS BIGINT) AS m
+                FROM asm GROUP BY media_id, n, f),
+        adm AS (SELECT media_id, n, f, m,
+                       lag(m) OVER (PARTITION BY media_id ORDER BY f) AS pm
+                FROM afr),
+        abk AS (SELECT media_id, f * $AudioFpBuckets // n AS j,
+                       abs(m) AS e,
+                       CASE WHEN f > 0 THEN abs(m - pm) END AS r
+                FROM adm),
+        abs_ AS (SELECT media_id, j,
+                        CAST(SUM(e) AS BIGINT) AS es, COUNT(*) AS ec,
+                        CAST(SUM(r) AS BIGINT) AS rs, COUNT(r) AS rc
+                 FROM abk GROUP BY media_id, j),
+        agb AS (SELECT a.media_id,
+                       CAST(SUM(CASE WHEN a.es // a.ec > b.es // b.ec
+                                THEN CAST(1 AS BIGINT) << CAST(a.j AS INT)
+                                ELSE 0 END)
+                          + SUM(CASE WHEN a.rs // a.rc > b.rs // b.rc
+                                THEN CAST(1 AS BIGINT)
+                                     << CAST(${AudioFpBuckets - 1} + a.j AS INT)
+                                ELSE 0 END) AS BIGINT) AS gbits
+                FROM abs_ a
+                JOIN abs_ b ON b.media_id = a.media_id AND b.j = a.j + 1
+                GROUP BY a.media_id),
+        att AS (SELECT media_id,
+                       CASE WHEN SUM(rs) > SUM(es)
+                            THEN CAST(1 AS BIGINT)
+                                 << ${2 * AudioFpBuckets - 2}
+                            ELSE CAST(0 AS BIGINT) END AS tilt
+                FROM abs_ GROUP BY media_id),
+        ah AS (SELECT g.media_id, g.gbits + t.tilt AS ahash
+               FROM agb g JOIN att t USING (media_id))"""
+
   /** Eligible docs ∪ planted 3-byte-edit variants, hashed — the q155
     * corpus: (media_id, dhash). The variant rewrites characters 31-33
     * to 'zzz' (same construction in the oracle), a small perceptual
@@ -904,6 +995,102 @@ object Multimodal extends QueryModule {
         JOIN dh x ON x.media_id = id_a
         JOIN dh y ON y.media_id = id_b
         WHERE bit_count(xor(x.dhash, y.dhash)) <= $DHashMaxHamming
+        ORDER BY id_a, id_b""")),
+
+    // ------------------------------------------------------------------
+    // q159: PERCEPTUAL AUDIO FINGERPRINT — the WAV-side completion of
+    // the q154 dHash family: a compiled codegen kernel
+    // (WavCodec.envHash) decodes each PCM-16 container and packs 63
+    // bits of two-band energy structure (31 envelope gradients + 31
+    // first-difference "roughness" gradients + 1 spectral-tilt bit
+    // over 32 time buckets — the Haitsma-Kalker band-energy sign hash
+    // with exact integer bands). The oracle re-derives every bit from
+    // the container hex: q114's int16-LE sample decode, mono fold,
+    // bucket sums div counts, adjacent-mean comparisons, bit packing —
+    // one drifted sample or misplaced bucket boundary in either engine
+    // hash-fails. Docs below 64 stereo frames (256 payload bytes) are
+    // out of contract (the kernel throws; the query filters). 100 TB:
+    // map-side only — payloads never leave their partition; 8 bytes
+    // per clip flow downstream.
+    QueryDef(
+      "q159_audio_fingerprint",
+      (s, dir) => {
+        val docs = T.documents(s, dir)
+          .filter(octet_length(col("text")) >= AudioFpMinBytes)
+        val hdr = graft.functions.WavCodecFunctions.wavHeader(col("content"))
+        val ah = graft.functions.WavCodecFunctions.wavEnvHash(
+          col("content"), AudioFpBuckets)
+        docs.select(col("doc_id").as("media_id"),
+            graft.functions.WavCodecFunctions.wavWrap(
+              col("text").cast("binary"), lit(8000)).as("content"))
+          .select(col("media_id"), hdr.as("h"), ah.as("ahash"))
+          .select(col("media_id"),
+            element_at(col("h"), 4).as("n_frames"), col("ahash"))
+          .orderBy(col("media_id"))
+      },
+      Some(s"""
+        WITH corpus AS (SELECT doc_id AS media_id, text FROM documents
+                        WHERE octet_length(encode(text)) >= $AudioFpMinBytes),
+        $audioFpSqlCtes
+        SELECT a.media_id, CAST(s.n AS BIGINT) AS n_frames, a.ahash
+        FROM ah a JOIN asrc s USING (media_id)
+        ORDER BY a.media_id""")),
+
+    // ------------------------------------------------------------------
+    // q160: HAMMING-LSH AUDIO NEAR-DUP — q155's corrected 7×9 banding
+    // over the audio fingerprint: candidate pairs share ≥ 1 exact
+    // 9-bit band (pigeonhole-EXACT at hamming ≤ 6 — 7 bands > 6 diff
+    // bits), verify = bit_count(xor) ≤ 6, planted 3-byte perceptual
+    // edits per doc_id%5==0 clip must survive. 100 TB: work ∝
+    // Σ bucket² over 7×2^9 band cells of 8-byte keys — the shared
+    // image/audio near-dup tail.
+    QueryDef(
+      "q160_audio_fp_near_dup",
+      (s, dir) => {
+        val ah = audioFpCorpus(T.documents(s, dir))
+        val bands = ah
+          .withColumn("b", explode(sequence(lit(0), lit(DHashBands - 1))))
+          .withColumn("bv", expr(
+            s"shiftright(ahash, $DHashBandBits * b) & ${DHashBandMask}L"))
+        val cand = bands.select(col("b"), col("bv"), col("media_id").as("id_a"))
+          .join(bands.select(col("b"), col("bv"), col("media_id").as("id_b")),
+            Seq("b", "bv"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b")).distinct()
+        cand
+          .join(ah.select(col("media_id").as("id_a"), col("ahash").as("ha")), "id_a")
+          .join(ah.select(col("media_id").as("id_b"), col("ahash").as("hb")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            expr("CAST(bit_count(ha ^ hb) AS BIGINT)").as("hamming"),
+            (col("id_b") === col("id_a") + DHashVariantOffset).as("planted"))
+          .filter(col("hamming") <= DHashMaxHamming)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""
+        WITH base AS (SELECT doc_id AS media_id, text FROM documents
+                      WHERE octet_length(encode(text)) >= $AudioFpMinBytes),
+        corpus AS (
+          SELECT media_id, text FROM base
+          UNION ALL
+          SELECT media_id + $DHashVariantOffset,
+                 substr(text, 1, 30) || 'zzz' || substr(text, 34)
+          FROM base WHERE media_id % 5 = 0),
+        $audioFpSqlCtes,
+        bands AS (SELECT media_id, ahash, b,
+                         (ahash >> CAST($DHashBandBits * b AS INT)) &
+                           $DHashBandMask AS bv
+                  FROM ah CROSS JOIN
+                    (SELECT unnest(range(0, $DHashBands)) AS b)),
+        cand AS (SELECT DISTINCT a.media_id AS id_a, c.media_id AS id_b
+                 FROM bands a JOIN bands c ON a.b = c.b AND a.bv = c.bv
+                 WHERE a.media_id < c.media_id)
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(x.ahash, y.ahash)) AS BIGINT) AS hamming,
+               id_b = id_a + $DHashVariantOffset AS planted
+        FROM cand
+        JOIN ah x ON x.media_id = id_a
+        JOIN ah y ON y.media_id = id_b
+        WHERE bit_count(xor(x.ahash, y.ahash)) <= $DHashMaxHamming
         ORDER BY id_a, id_b"""))
   )
 

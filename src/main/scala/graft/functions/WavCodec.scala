@@ -216,6 +216,93 @@ object WavCodec {
     * Bounds are fail-fast (0 ≤ a ≤ b ≤ n_frames) — a silent clamp
     * would make a miscomputed window read as quiet audio instead of an
     * error. */
+  /** Perceptual audio fingerprint — the dHash discipline
+    * ([[PpmCodec.dhash]]) applied to a TWO-BAND energy envelope of the
+    * decoded sample stream (band-energy sign hashing, the
+    * chromaprint/Philips-robust-hash family's shape: Haitsma &
+    * Kalker, "A Highly Robust Audio Fingerprint System", ISMIR 2002 —
+    * their FFT band energies replaced by two exact integer bands so
+    * both engines agree bit for bit):
+    *
+    *  - mono fold per frame: m_f = Σ channel samples (sum, not mean —
+    *    no division, no rounding);
+    *  - LOW band (envelope): e_f = |m_f|; HIGH band (first-difference
+    *    roughness, the integer proxy for high-frequency energy):
+    *    r_f = |m_f − m_{f−1}| (f ≥ 1);
+    *  - `buckets` time buckets by the same i·B div n floor map as
+    *    dHash; per-bucket means = sum div count (non-negative exact
+    *    operands);
+    *  - bits [0, B−1): adjacent-mean env gradients; bits
+    *    [B−1, 2B−3]: adjacent-mean roughness gradients; bit 2B−2:
+    *    spectral tilt (total roughness > total envelope).
+    *
+    * B = 32 packs exactly 63 bits (31 + 31 + 1), sharing the 7×9-band
+    * Hamming LSH tail with the image hash. Loudness scaling shifts
+    * every bucket mean together, so gradients are robust to gain-like
+    * edits; a few-sample edit moves one or two bucket means slightly
+    * (MultimodalSpec pins a planted 3-byte edit at small hamming)
+    * while content changes flip many bits.
+    *
+    * Shape contract: 2 ≤ buckets ≤ 32 and nFrames ≥ 2·buckets (floor
+    * map then puts ≥ 2 frames in every bucket, so every bucket has
+    * ≥ 1 roughness diff — counts never zero). One compiled pass per
+    * row, zero shuffle; 8 bytes flow downstream. */
+  def envHash(bytes: Array[Byte], buckets: Int): Long = {
+    if (buckets < 2 || buckets > 32)
+      throw new IllegalArgumentException(
+        s"wav_env_hash: buckets $buckets outside [2, 32]")
+    val hdr = parseHeader(bytes)
+    val channels = hdr.getLong(0).toInt
+    val bits = hdr.getLong(2).toInt
+    val n = hdr.getLong(3)
+    val off = hdr.getLong(4).toInt
+    if (n < 2L * buckets)
+      throw new IllegalArgumentException(
+        s"wav_env_hash: $n frames < ${2 * buckets} — every bucket needs " +
+          "at least two frames for the roughness band")
+    val envSum = new Array[Long](buckets)
+    val envCnt = new Array[Long](buckets)
+    val rghSum = new Array[Long](buckets)
+    val rghCnt = new Array[Long](buckets)
+    var p = off
+    var prev = 0L
+    var i = 0L
+    while (i < n) {
+      var m = 0L
+      var ch = 0
+      while (ch < channels) {
+        m +=
+          (if (bits == 16) (((bytes(p + 1) & 0xff) << 8) | (bytes(p) & 0xff)).toShort.toLong
+           else (bytes(p) & 0xff).toLong)
+        p += bits / 8
+        ch += 1
+      }
+      val j = (i * buckets / n).toInt
+      envSum(j) += math.abs(m)
+      envCnt(j) += 1L
+      if (i > 0L) {
+        rghSum(j) += math.abs(m - prev)
+        rghCnt(j) += 1L
+      }
+      prev = m
+      i += 1
+    }
+    var hash = 0L
+    var j = 0
+    while (j < buckets - 1) {
+      if (envSum(j) / envCnt(j) > envSum(j + 1) / envCnt(j + 1))
+        hash |= 1L << j
+      if (rghSum(j) / rghCnt(j) > rghSum(j + 1) / rghCnt(j + 1))
+        hash |= 1L << (buckets - 1 + j)
+      j += 1
+    }
+    var te = 0L; var tr = 0L
+    j = 0
+    while (j < buckets) { te += envSum(j); tr += rghSum(j); j += 1 }
+    if (tr > te) hash |= 1L << (2 * buckets - 2)
+    hash
+  }
+
   def cropFrames(bytes: Array[Byte], a: Long, b: Long): Array[Byte] = {
     val hdr = parseHeader(bytes)
     val nFrames = hdr.getLong(3)
@@ -272,6 +359,32 @@ case class WavChannelStats(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(c: Expression): WavChannelStats =
     copy(child = c)
+}
+
+/** (binary WAV payload, buckets INT) → BIGINT two-band envelope
+  * fingerprint ([[WavCodec.envHash]]) — the audio twin of [[PpmDHash]]. */
+case class WavEnvHash(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType &&
+        right.dataType == org.apache.spark.sql.types.IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"wav_env_hash requires (BINARY, INT), got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "wav_env_hash"
+
+  override def nullSafeEval(payload: Any, buckets: Any): Any =
+    WavCodec.envHash(payload.asInstanceOf[Array[Byte]],
+      buckets.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, k) =>
+      s"graft.functions.WavCodec.envHash($b, $k)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): WavEnvHash = copy(left = l, right = r)
 }
 
 /** (binary raw bytes, rate INT) → binary: a REAL canonical PCM-16
@@ -342,4 +455,8 @@ object WavCodecFunctions {
   def wavCropFrames(payload: Column, a: Column, b: Column): Column =
     ColumnBridge.column(WavCropFrames(ColumnBridge.expression(payload),
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def wavEnvHash(payload: Column, buckets: Int): Column =
+    ColumnBridge.column(WavEnvHash(ColumnBridge.expression(payload),
+      org.apache.spark.sql.catalyst.expressions.Literal(buckets)))
 }

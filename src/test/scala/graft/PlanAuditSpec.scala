@@ -98,6 +98,7 @@ class PlanAuditSpec extends SparkSpec {
       "q114_wav_channel_stats",
       "q130_bpe_encode", // map-side tokenize→bpe→fingerprint kernels + output sort
       "q154_image_dhash", // map-side ppm decode + dhash kernel + output sort
+      "q159_audio_fingerprint", // map-side wav decode + env-hash kernel + output sort
       "q145_bpe_byte_level", // q130's shape over hex-byte symbols — same map-side kernels + sort
       "q136_bpe_context_chunks", // row-local greedy chunk kernel + posexplode + sort
       "q135_bpe_catalog_serving", // served plan = per-version map-side
@@ -155,6 +156,8 @@ class PlanAuditSpec extends SparkSpec {
                              // distinct; the hash side is map-side
                              // (q154) and the verify joins broadcast
                              // the 8-byte hash table at fixture scale
+      "q160_audio_fp_near_dup", // q155's banded near-dup tail verbatim
+                             // over the audio fingerprint
       "q51_ann_lsh", "q54_embedding_quantize", "q61_catalog_timetravel",
       "q62_tumbling_windows", "q63_session_windows", "q64_sliding_windows",
       "q66_catalog_merge", "q69_column_profile", "q70_media_inventory",

@@ -281,6 +281,48 @@ class MultimodalSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(dh(ids(0)) ^ dh(ids(1))) > DHashMaxHamming)
   }
 
+  test("WavCodec.envHash: hand-computed two-band bits, layout, shape contracts") {
+    import graft.functions.WavCodec
+    def pcm(frames: Seq[(Int, Int)]): Array[Byte] = {
+      val raw = frames.flatMap { case (l, r) =>
+        Seq(l & 0xff, (l >> 8) & 0xff, r & 0xff, (r >> 8) & 0xff)
+      }.map(_.toByte).toArray
+      WavCodec.wrapPcm16Stereo(raw, 8000)
+    }
+    // B=2 layout: bit 0 env gradient, bit 1 rough gradient, bit 2 tilt.
+    // m = [10,10,2,2]: env means 10 vs 2 -> bit0; rough means 0 vs 4 ->
+    // no bit1; tilt 8 < 24 -> no bit2
+    assert(WavCodec.envHash(pcm(Seq((10, 0), (10, 0), (2, 0), (2, 0))), 2) == 1L)
+    // m = [200,-200,200,-200]: env means equal, rough means equal,
+    // tilt 1200 > 800 -> only bit2
+    assert(WavCodec.envHash(
+      pcm(Seq((100, 100), (-100, -100), (100, 100), (-100, -100))), 2) == 4L)
+    // loudness scaling preserves every bit (gradients compare together)
+    assert(WavCodec.envHash(pcm(Seq((20, 0), (20, 0), (4, 0), (4, 0))), 2) == 1L)
+    // shape contracts: named errors
+    intercept[IllegalArgumentException](
+      WavCodec.envHash(pcm(Seq((1, 0), (1, 0), (1, 0), (1, 0))), 1))
+    intercept[IllegalArgumentException](
+      WavCodec.envHash(pcm(Seq((1, 0), (1, 0), (1, 0), (1, 0))), 33))
+    intercept[IllegalArgumentException]( // 4 frames < 2*4 buckets
+      WavCodec.envHash(pcm(Seq((1, 0), (1, 0), (1, 0), (1, 0))), 4))
+  }
+
+  test("audio fp corpus: hashes non-negative; planted 3-byte edits within hamming 6") {
+    val ah = audioFpCorpus(graft.Tables.documents(spark, dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ah.valuesIterator.forall(_ >= 0L), "63-bit hash must stay non-negative")
+    val planted = ah.keys.filter(_ >= DHashVariantOffset)
+    assert(planted.nonEmpty)
+    planted.foreach { vid =>
+      val ham = java.lang.Long.bitCount(ah(vid) ^ ah(vid - DHashVariantOffset))
+      assert(ham <= DHashMaxHamming, s"variant $vid drifted to hamming $ham")
+    }
+    // different clips are far apart
+    val ids = ah.keys.filter(_ < DHashVariantOffset).toSeq.sorted.take(2)
+    assert(java.lang.Long.bitCount(ah(ids(0)) ^ ah(ids(1))) > DHashMaxHamming)
+  }
+
   test("dhash banding is exact at the radius: all-old-bands-touched hamming-6 pair collides") {
     // Adversarial pair for the pre-round-14 4×16 banding: 6 differing
     // bits spread 2+2+1+1 across the four old 16-bit bands
