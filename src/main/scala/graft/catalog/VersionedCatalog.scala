@@ -76,7 +76,8 @@ final class VersionedCatalog(
   def writeNext(step: String, df: DataFrame,
       partitionBy: Seq[String] = Seq.empty,
       epochTag: Option[Long] = None,
-      extraOptions: Map[String, String] = Map.empty): Int = {
+      extraOptions: Map[String, String] = Map.empty,
+      statsCols: Seq[String] = Seq.empty): Int = {
     var v = nextVersion(step)
     val staging = new Path(
       new Path(rootPath, ".staging"),
@@ -108,7 +109,7 @@ final class VersionedCatalog(
     // versions) — and pin the exact file SET a reader sees (the
     // snapshot-isolation hook). Underscore-prefixed, so every Spark
     // reader ignores it as data.
-    writeManifest(staging, rowCount, partitionBy)
+    writeManifest(staging, rowCount, partitionBy, statsCols)
     // An epoch tag is written INTO the staged directory before the
     // promote rename, so "version exists" and "epoch recorded" commit
     // in ONE atomic filesystem operation — the property additive
@@ -177,16 +178,78 @@ final class VersionedCatalog(
     walk(dir, "")
   }
 
+  /** Per-file min/max of the integral `statsCols` over a staged
+    * version — ONE column-pruned scan grouped by file (cheap next to
+    * the write it follows; the Delta/Iceberg per-file-stats idea with
+    * the stats computed post-write instead of inline). Non-integral
+    * columns are skipped: the manifest stores int64 ranges only, so
+    * numeric comparisons never go through strings. Returns
+    * relative-file-name → col → (min, max); empty on any failure (the
+    * stats are an optimization — a missing entry just isn't pruned). */
+  private def fileKeyRanges(staging: Path,
+      statsCols: Seq[String]): Map[String, Map[String, (Long, Long)]] = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    if (statsCols.isEmpty) return Map.empty
+    try {
+      val df = reader(None).load(staging.toString)
+      val integral = Set("tinyint", "smallint", "int", "bigint")
+      val cols = statsCols.filter(c =>
+        df.schema.fields.exists(f =>
+          f.name == c && integral(f.dataType.simpleString)))
+      if (cols.isEmpty) return Map.empty
+      val prefix = fs.getFileStatus(staging).getPath.toUri.getPath
+      df.groupBy(input_file_name().as("_file"))
+        .agg(min(col(cols.head).cast("long")).as(s"mn_${cols.head}"),
+          (cols.tail.map(c => min(col(c).cast("long")).as(s"mn_$c")) ++
+            cols.map(c => max(col(c).cast("long")).as(s"mx_$c"))): _*)
+        .collect()
+        .flatMap { r =>
+          val uri = new java.net.URI(r.getString(0)).getPath
+          val idx = uri.indexOf(prefix)
+          if (idx < 0) None
+          else {
+            val rel = uri.substring(idx + prefix.length).stripPrefix("/")
+            val m = cols.flatMap { c =>
+              val mn = r.getAs[Any](s"mn_$c")
+              val mx = r.getAs[Any](s"mx_$c")
+              if (mn == null || mx == null) None
+              else Some(c -> (mn.asInstanceOf[Long], mx.asInstanceOf[Long]))
+            }.toMap
+            if (m.isEmpty) None else Some(rel -> m)
+          }
+        }.toMap
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        VersionedCatalog.log.warn(
+          s"catalog: file-stats pass failed for $staging (${e.getMessage}) " +
+            "- manifest will carry no key ranges")
+        Map.empty
+    }
+  }
+
   /** Write `_manifest.json` into a staged version directory (see
     * [[writeNext]]). Minimal hand-rolled JSON — names are part-file
     * names and hive `key=value` dirs; quotes/backslashes cannot occur
-    * in either, and the escape covers them anyway. */
+    * in either, and the escape covers them anyway. With `statsCols`,
+    * each file entry also records per-file int64 min/max key ranges
+    * ([[fileKeyRanges]]) so [[readRange]] can prune FILES at planning
+    * time, before any parquet footer is opened. */
   private def writeManifest(staging: Path, rowCount: Option[Long],
-      partitionBy: Seq[String]): Unit = {
+      partitionBy: Seq[String], statsCols: Seq[String] = Seq.empty): Unit = {
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val files = listDataFiles(staging)
+    val ranges = fileKeyRanges(staging, statsCols)
     val fileArr = files.map { case (n, b) =>
-      s"""{"name":"${esc(n)}","bytes":$b}"""
+      val stats = ranges.get(n).filter(_.nonEmpty).fold("") { m =>
+        val mins = m.toSeq.sortBy(_._1)
+          .map { case (c, (mn, _)) => s""""${esc(c)}":$mn""" }
+          .mkString("{", ",", "}")
+        val maxs = m.toSeq.sortBy(_._1)
+          .map { case (c, (_, mx)) => s""""${esc(c)}":$mx""" }
+          .mkString("{", ",", "}")
+        s""","mins":$mins,"maxs":$maxs"""
+      }
+      s"""{"name":"${esc(n)}","bytes":$b$stats}"""
     }.mkString("[", ",", "]")
     val json =
       s"""{"format":"${esc(format)}","n_files":${files.length},""" +
@@ -264,7 +327,8 @@ final class VersionedCatalog(
     import org.apache.spark.sql.functions.col
     writeNext(step, df.repartitionByRange(numFiles, cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*),
-      extraOptions = clusteredParquetOptions(cols, rowGroupBytes))
+      extraOptions = clusteredParquetOptions(cols, rowGroupBytes),
+      statsCols = cols)
   }
 
   /** Parquet footer options for a key-clustered write: BLOOM FILTERS on
@@ -299,7 +363,10 @@ final class VersionedCatalog(
       .repartitionByRange(numFiles, col(zcol))
       .sortWithinPartitions(col(zcol))
       .drop(zcol),
-      extraOptions = clusteredParquetOptions(Seq(colA, colB), rowGroupBytes))
+      extraOptions = clusteredParquetOptions(Seq(colA, colB), rowGroupBytes),
+      // each file covers a bounded Morton rectangle, so per-column
+      // min/max prune on EITHER key
+      statsCols = Seq(colA, colB))
   }
 
   /** Read a specific committed version (time travel; tools.go:593-604).
@@ -321,6 +388,41 @@ final class VersionedCatalog(
         reader(schema).option("basePath", dir.toString).load(paths: _*)
       case _ => reader(schema).load(dir.toString)
     }
+  }
+
+  /** Read a committed version restricted to `lo <= key <= hi`,
+    * pruning FILES at planning time from the manifest's per-file key
+    * ranges — the Delta/Iceberg data-skipping step BEFORE parquet
+    * footers: only files whose [min, max] overlaps the probe range are
+    * handed to the reader at all (files without recorded stats are
+    * kept — stats are an optimization, never a correctness filter).
+    * The key predicate is applied on top regardless, so the result is
+    * exactly `read(...).filter(lo <= key <= hi)` whether or not
+    * anything pruned; [[writeNextSorted]]/[[writeNextZOrdered]] write
+    * disjoint ranges by construction, so a point read opens one file.
+    * At 100 TB this is the difference between "open 10⁶ footers to
+    * skip them" and "open the 3 files that can match". */
+  def readRange(step: String, version: Int, key: String,
+      lo: Long, hi: Long, schema: Option[StructType] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = versionDir(step, version)
+    if (!fs.exists(dir))
+      throw new NoSuchElementException(s"catalog: $step has no version $version under $root")
+    val base = manifest(step, version) match {
+      case Some(m) if m.files.nonEmpty =>
+        val surviving = m.files.collect {
+          case (n, _) if m.stats.get(n).flatMap(_.get(key))
+            .forall { case (mn, mx) => mx >= lo && mn <= hi } => n
+        }
+        if (surviving.isEmpty)
+          // every file pruned: an empty frame with the version's schema
+          read(step, version, schema).limit(0)
+        else
+          reader(schema).option("basePath", dir.toString)
+            .load(surviving.map(n => new Path(dir, n).toString): _*)
+      case _ => reader(schema).load(dir.toString)
+    }
+    base.filter(col(key) >= lit(lo) && col(key) <= lit(hi))
   }
 
   /** Read the latest committed version (tools.go:578-589). */
@@ -508,23 +610,32 @@ final class VersionedCatalog(
 
 /** A committed version's parsed `_manifest.json` (see
   * [[VersionedCatalog.writeNext]]): the exact data-file set with
-  * sizes, the write-time row count, and the partition layout. */
+  * sizes, the write-time row count, the partition layout, and (for
+  * key-clustered writes) per-file int64 key ranges — `stats` maps
+  * file name → column → (min, max), empty for files written without
+  * `statsCols`. */
 final case class CatalogManifest(
     format: String,
     nFiles: Int,
     totalBytes: Long,
     rowCount: Option[Long],
     partitionBy: Seq[String],
-    files: Seq[(String, Long)])
+    files: Seq[(String, Long)],
+    stats: Map[String, Map[String, (Long, Long)]] = Map.empty)
 
 object CatalogManifest {
-  private val FileRe = """\{"name":"((?:[^"\\]|\\.)*)","bytes":(\d+)\}""".r
+  private val FileRe =
+    ("""\{"name":"((?:[^"\\]|\\.)*)","bytes":(\d+)""" +
+      """(?:,"mins":\{([^}]*)\},"maxs":\{([^}]*)\})?\}""").r
   private val FmtRe = """"format":"((?:[^"\\]|\\.)*)"""".r
   private val NFilesRe = """"n_files":(\d+)""".r
   private val BytesRe = """"total_bytes":(\d+)""".r
   private val RowsRe = """"row_count":(null|\d+)""".r
   private val PartRe = """"partition_by":\[([^\]]*)\]""".r
+  private val KvRe = """"((?:[^"\\]|\\.)*)":(-?\d+)""".r
   private def unesc(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
+  private def kvs(s: String): Map[String, Long] =
+    KvRe.findAllMatchIn(s).map(m => unesc(m.group(1)) -> m.group(2).toLong).toMap
 
   /** Parse the fixed manifest format this catalog writes; None on
     * anything malformed — every caller treats None as "fall back to
@@ -536,14 +647,25 @@ object CatalogManifest {
       tb <- BytesRe.findFirstMatchIn(text).map(_.group(1).toLong)
       rcRaw <- RowsRe.findFirstMatchIn(text).map(_.group(1))
       partRaw <- PartRe.findFirstMatchIn(text).map(_.group(1))
-      files = FileRe.findAllMatchIn(text)
-        .map(m => (unesc(m.group(1)), m.group(2).toLong)).toSeq
+      matches = FileRe.findAllMatchIn(text).toSeq
+      files = matches.map(m => (unesc(m.group(1)), m.group(2).toLong))
       if files.length == nf
     } yield CatalogManifest(fmt, nf, tb,
       if (rcRaw == "null") None else Some(rcRaw.toLong),
       """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(partRaw)
         .map(m => unesc(m.group(1))).toSeq,
-      files)
+      files,
+      matches.flatMap { m =>
+        if (m.group(3) == null) None
+        else {
+          val mins = kvs(m.group(3))
+          val maxs = kvs(m.group(4))
+          val cols = mins.keySet intersect maxs.keySet
+          if (cols.isEmpty) None
+          else Some(unesc(m.group(1)) ->
+            cols.map(c => c -> (mins(c), maxs(c))).toMap)
+        }
+      }.toMap)
 }
 
 object VersionedCatalog {

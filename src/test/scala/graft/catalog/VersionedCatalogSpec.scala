@@ -259,6 +259,76 @@ class VersionedCatalogSpec extends SparkSpec {
     }
   }
 
+  test("manifest key ranges prune FILES: a point readRange opens only the matching file") {
+    val s = spark
+    import s.implicits._
+    withTempDir { dir =>
+      val cat = new VersionedCatalog(spark, dir.toString, format = "parquet")
+      val df = (1 to 1000).map(i => ((i * 379) % 1000, s"p$i")).toDF("k", "p")
+      cat.writeNextSorted("t", df, Seq("k"), numFiles = 4)
+      // every data file carries a recorded int64 range for the key
+      val m = cat.manifest("t", 1).getOrElse(fail("no manifest"))
+      assert(m.files.length == 4)
+      m.files.foreach { case (n, _) =>
+        assert(m.stats.get(n).exists(_.contains("k")),
+          s"file $n has no recorded range for k")
+      }
+      // recorded ranges are disjoint (sorted-write construction)
+      val ranges = m.files.map { case (n, _) => m.stats(n)("k") }.sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Seq((_, hi1), (lo2, _)) => assert(lo2 > hi1)
+        case _ =>
+      }
+      // the files-opened metric: full read plans 4 files, a point
+      // readRange plans exactly the ONE file whose range covers the key
+      assert(cat.read("t", 1).inputFiles.length == 4)
+      val point = cat.readRange("t", 1, "k", 500, 500)
+      assert(point.inputFiles.length == 1,
+        s"point read planned ${point.inputFiles.length} files")
+      // and a range straddling two files plans exactly those two
+      val bounds = ranges.map(_._2)
+      val straddle = cat.readRange("t", 1, "k", bounds(0), bounds(0) + 1)
+      assert(straddle.inputFiles.length == 2)
+      // correctness unchanged: readRange == read + filter, row for row
+      assert(point.collect().map(r => (r.getInt(0), r.getString(1))).toSet ==
+        cat.read("t", 1).filter($"k" === 500)
+          .collect().map(r => (r.getInt(0), r.getString(1))).toSet)
+      // an out-of-domain probe prunes everything and returns empty
+      assert(cat.readRange("t", 1, "k", 5000, 6000).count() == 0)
+      // versions written WITHOUT statsCols keep no ranges and never prune
+      cat.writeNext("u", df)
+      val mu = cat.manifest("u", 1).getOrElse(fail("no manifest"))
+      assert(mu.stats.isEmpty)
+      assert(cat.readRange("u", 1, "k", 500, 500).inputFiles.length ==
+        cat.read("u", 1).inputFiles.length)
+      assert(cat.readRange("u", 1, "k", 500, 500).count() == 1)
+    }
+  }
+
+  test("z-ordered manifest ranges prune on EITHER key column") {
+    val s = spark
+    import s.implicits._
+    withTempDir { dir =>
+      val cat = new VersionedCatalog(spark, dir.toString, format = "parquet")
+      // 32x32 grid: Morton order gives each of 4 files a quadrant, so
+      // both x and y ranges are bounded per file
+      val df = (for (x <- 0 until 32; y <- 0 until 32) yield (x, y))
+        .toDF("x", "y")
+      cat.writeNextZOrdered("t", df, "x", "y", numFiles = 4)
+      val m = cat.manifest("t", 1).getOrElse(fail("no manifest"))
+      m.files.foreach { case (n, _) =>
+        assert(m.stats.get(n).exists(st => st.contains("x") && st.contains("y")))
+      }
+      val all = cat.read("t", 1).inputFiles.length
+      assert(all == 4)
+      // a quadrant-corner probe on EITHER axis opens fewer files
+      assert(cat.readRange("t", 1, "x", 0, 0).inputFiles.length < all)
+      assert(cat.readRange("t", 1, "y", 31, 31).inputFiles.length < all)
+      assert(cat.readRange("t", 1, "x", 0, 0).count() == 32)
+      assert(cat.readRange("t", 1, "y", 31, 31).count() == 32)
+    }
+  }
+
   test("sorted write prunes ROW GROUPS on a key predicate; blooms in the footer") {
     val s = spark
     import s.implicits._
