@@ -244,6 +244,63 @@ object LmScore extends QueryModule {
   def surpriseScores3Tk(fitTk: DataFrame, scoreTk: DataFrame): DataFrame =
     scoreAgainstLm3Tk(trigramCountsTk(fitTk), vocabTokensTk(fitTk), scoreTk)
 
+  /** Whole-bit backoff penalty — the integer stand-in for stupid
+    * backoff's α ≈ 0.4 discount (Brants et al., "Large Language
+    * Models in Machine Translation", EMNLP 2007): one extra bit ≈
+    * α = 0.5, the nearest power of two. */
+  val BackoffPenaltyBits = 1L
+
+  /** BACKOFF scoring (q161): price each trigram under the trigram
+    * model when the LM has SEEN it, else back off to the bigram model
+    * plus [[BackoffPenaltyBits]] — Brants' stupid backoff in the
+    * floor-log2 integer discipline (no normalization, like the
+    * original: it's a score, not a distribution). Backoff is what
+    * higher-order models need to be USABLE cross-corpus: a pure
+    * add-one trigram prices every unseen continuation near log2(V)
+    * regardless of how plausible its bigram tail is; backoff
+    * discriminates. Self-scoring never fires the backoff branch (every
+    * trigram is seen in its own fit), so the q161 instantiation is
+    * cross-corpus by construction. Both orders' count tables are the
+    * same linear-sketch state as q122/q158 — the whole model persists
+    * and folds through the catalog unchanged. */
+  def backoffScoresTk(fitTk: DataFrame, scoreTk: DataFrame): DataFrame = {
+    val lm3 = trigramCountsTk(fitTk)
+    val lm2 = bigramCountsTk(fitTk)
+    val pm3 = lm3.withColumn("p2", tgPrefix(col("tg")))
+      .groupBy(col("p2")).agg(sum(col("ct")).as("cp3"))
+    val pm2 = lm2.withColumn("w1", split(col("bg"), " ").getItem(0))
+      .groupBy(col("w1")).agg(sum(col("cb")).as("cp2"))
+    val v1 = vocabTokensTk(fitTk).agg(count(lit(1)).as("v"))
+    trigramsTk(scoreTk)
+      .withColumn("p2", tgPrefix(col("tg")))
+      // the backoff bigram is the trigram's TAIL (w2 w3): the longest
+      // context the lower-order model can still condition on
+      .withColumn("bg", concat_ws(" ", slice(split(col("tg"), " "), 2, 2)))
+      .withColumn("w1", split(col("tg"), " ").getItem(1))
+      .join(lm3, Seq("tg"), "left")
+      .join(pm3, Seq("p2"), "left")
+      .join(lm2, Seq("bg"), "left")
+      .join(pm2, Seq("w1"), "left")
+      .crossJoin(broadcast(v1))
+      .select(col("doc_id"),
+        col("ct").isNotNull.as("seen"),
+        when(col("ct").isNotNull,
+          greatest(lit(0L), floorLog2Ratio(
+            coalesce(col("cp3"), lit(0L)) + col("v"), col("ct") + lit(1L))))
+          .otherwise(lit(BackoffPenaltyBits) +
+            greatest(lit(0L), floorLog2Ratio(
+              coalesce(col("cp2"), lit(0L)) + col("v"),
+              coalesce(col("cb"), lit(0L)) + lit(1L))))
+          .as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("seen"), 0L).otherwise(1L)).as("n_backoff"),
+        sum(col("bits")).as("total_bits"))
+      .select(col("doc_id"), col("n_trigrams"), col("n_backoff"),
+        col("total_bits"),
+        expr("(total_bits * 100) div n_trigrams").as("centibits_per_trigram"))
+  }
+
   /** The q121 self-scoring CTE chain (through `bits`) over an upstream
     * CTE named `tk` (doc_id, tk: item array) — ONE text shared by q121
     * (word tokens), q138 (BPE subwords), and q139 (scores feeding the
@@ -679,6 +736,82 @@ object LmScore extends QueryModule {
                CAST(SUM(bits) AS BIGINT) AS total_bits,
                CAST(SUM(bits) * 100 // COUNT(*) AS BIGINT)
                  AS centibits_per_trigram
-        FROM bits GROUP BY version, doc_id ORDER BY version, doc_id"""))
+        FROM bits GROUP BY version, doc_id ORDER BY version, doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q161: BACKOFF LM SCORING — stupid backoff (Brants et al., EMNLP
+    // 2007) in exact integer bits: trigrams the reference LM has SEEN
+    // price under the trigram model; unseen trigrams back off to the
+    // bigram tail (w2 w3) plus a 1-bit penalty (≈ α = 0.5). Fit on the
+    // English reference slice, score EVERY document (the q127/q153
+    // cross-LM discipline) — self-scoring never fires backoff, cross-
+    // corpus scoring is where higher orders need it: pure add-one
+    // prices every unseen continuation near log2(V) regardless of its
+    // bigram tail's plausibility; backoff discriminates. n_backoff per
+    // doc is hash-checked along with the bits — the branch decision
+    // itself is part of the contract. 100 TB: the model is two linear
+    // count tables + V (catalog-persistable, foldable); scoring is
+    // four doc-side equi-joins + per-doc agg, no new shuffle class
+    // over q157.
+    QueryDef(
+      "q161_lm_backoff_score",
+      (s, dir) => {
+        val docs = T.documents(s, dir)
+        val fitTk = tokenized(docs.filter(col("lang") === "en"))
+        backoffScoresTk(fitTk, tokenized(docs)).orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH tk AS (SELECT doc_id, lang, ${X.tokensSql("text")} AS tk
+                    FROM documents),
+        tgall AS (SELECT doc_id, unnest(${X.shinglesSql("tk", 3)}) AS tg
+                  FROM tk),
+        lmt AS (SELECT tg, COUNT(*) AS ct
+                FROM (SELECT unnest(${X.shinglesSql("tk", 3)}) AS tg
+                      FROM tk WHERE lang = 'en')
+                GROUP BY tg),
+        pm3 AS (SELECT split_part(tg, ' ', 1) || ' ' || split_part(tg, ' ', 2) AS p2,
+                       CAST(SUM(ct) AS BIGINT) AS cp3
+                FROM lmt GROUP BY 1),
+        lmb AS (SELECT bg, COUNT(*) AS cb
+                FROM (SELECT unnest(${X.shinglesSql("tk", 2)}) AS bg
+                      FROM tk WHERE lang = 'en')
+                GROUP BY bg),
+        pm2 AS (SELECT split_part(bg, ' ', 1) AS w1,
+                       CAST(SUM(cb) AS BIGINT) AS cp2
+                FROM lmb GROUP BY 1),
+        vc AS (SELECT COUNT(DISTINCT t) AS v
+               FROM (SELECT unnest(tk) AS t FROM tk WHERE lang = 'en')),
+        sc AS (SELECT g.doc_id, l.ct IS NOT NULL AS seen,
+                      CASE WHEN l.ct IS NOT NULL THEN 0
+                           ELSE $BackoffPenaltyBits END AS pen,
+                      CASE WHEN l.ct IS NOT NULL
+                           THEN coalesce(p3.cp3, 0) + vc.v
+                           ELSE coalesce(p2.cp2, 0) + vc.v END AS num,
+                      CASE WHEN l.ct IS NOT NULL THEN l.ct + 1
+                           ELSE coalesce(b.cb, 0) + 1 END AS den
+               FROM tgall g
+               LEFT JOIN lmt l USING (tg)
+               LEFT JOIN pm3 p3
+                 ON p3.p2 = split_part(g.tg, ' ', 1) || ' ' ||
+                            split_part(g.tg, ' ', 2)
+               LEFT JOIN lmb b
+                 ON b.bg = split_part(g.tg, ' ', 2) || ' ' ||
+                           split_part(g.tg, ' ', 3)
+               LEFT JOIN pm2 p2 ON p2.w1 = split_part(g.tg, ' ', 2)
+               CROSS JOIN vc),
+        bits AS (SELECT doc_id, seen,
+                        pen + greatest(0, CASE WHEN (den << k) > num
+                                          THEN k - 1 ELSE k END) AS bits
+                 FROM (SELECT doc_id, seen, pen, den, num,
+                              length(printf('%b', num))
+                                - length(printf('%b', den)) AS k
+                       FROM sc))
+        SELECT doc_id, COUNT(*) AS n_trigrams,
+               CAST(SUM(CASE WHEN seen THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n_backoff,
+               CAST(SUM(bits) AS BIGINT) AS total_bits,
+               CAST(SUM(bits) * 100 // COUNT(*) AS BIGINT)
+                 AS centibits_per_trigram
+        FROM bits GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -37,6 +37,8 @@ class PlanAuditSpec extends SparkSpec {
                               // once per served LM version
     "q157_lm_trigram_score", // q121's 1-row vocabulary broadcast under
                              // the trigram model
+    "q161_lm_backoff_score", // the same 1-row vocabulary broadcast in
+                             // the backoff score
     "q158_lm3_catalog_serving", // q122's per-version 1-row vocabulary
                                 // broadcast under the trigram model
     "q153_classifier_cross_corpus", // q121's 1-row vocabulary broadcast in
@@ -218,6 +220,7 @@ class PlanAuditSpec extends SparkSpec {
       "q140_tokenizer_version_audit" -> 7, // vocabulary-sized only: word-count agg + per-version totals agg + type distinct + per-version type counts + overlap group-by + 1-row shared broadcast + ordered output — no per-document pass anywhere
       "q122_lm_catalog_serving" -> 7, // q121's scoring shape reading persisted LM versions: per version the bigram + prefix joins and per-doc agg; the fit/fold happened before the served plan
       "q157_lm_trigram_score" -> 6, // q121's pinned LM shape one order up: trigram agg + (w1,w2)-prefix agg + vocab distinct + doc-side joins + per-doc agg + ordered output; measured 6 (one fewer than q121 — AQE folds the self-join side)
+      "q161_lm_backoff_score" -> 9, // TWO-ORDER model: trigram + bigram count aggs + both prefix-mass aggs + vocab distinct + four doc-side joins + per-doc agg + ordered output — stupid backoff is definitionally a two-model score (the q127 two-LM argument, one statement)
       "q158_lm3_catalog_serving" -> 7, // q122's served shape with trigram counts: per version the trigram + prefix-mass joins and per-doc agg; fit/fold ran at construct
       "q123_repeated_span_coverage" -> 3, // positional-shingle-hash count + repeated-key join + per-doc window/agg — linear in corpus tokens, no pair materialization (ExactSubstr signal)
       "q124_repeated_span_removal" -> 4, // q123's discovery + covered-position distinct + anti-join + ordered per-doc reassembly — the span explosion multiplies only the repeated side
