@@ -835,6 +835,106 @@ object Curation extends QueryModule {
         LEFT JOIN lmsrc l USING (source)
         JOIN ent e USING (source)
         ORDER BY d.source""")),
+
+    // ------------------------------------------------------------------
+    // q162: PII MASKING — the scrubbing pass every shipped corpus runs
+    // (CCNet/Dolma/RefinedWeb mask emails, URLs, phone numbers before
+    // release). Token-level on WHITESPACE splits (X.tokens lowercases
+    // and strips punctuation, which would destroy the very tokens this
+    // query classifies): email = full-match on a local@domain.tld
+    // class regex, URL = http(s)://... or www. prefix, phone-like =
+    // only [0-9+().-] chars with ≥ 7 digits; precedence
+    // email > URL > phone. The fixture text is PII-free, so plants
+    // derive RELATIONALLY from doc_id in both engines (the dhashCorpus
+    // discipline): %7 docs gain an email, %11 a URL, %13 a phone —
+    // every class fires and the masked-text 60-bit hash pins the exact
+    // rewrite byte for byte. Regexes avoid backslash escapes entirely
+    // ([.] not \\.) — Java and RE2 agree on the character-class subset,
+    // and the two engines' string-literal escaping rules never meet a
+    // backslash. 100 TB: pure map-side HOFs; only counts + an 8-byte
+    // hash leave the scan.
+    QueryDef(
+      "q162_pii_mask",
+      (s, dir) => {
+        val planted = T.documents(s, dir).select(col("doc_id"), concat(
+          col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact-"), col("doc_id").cast("string"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" http://site-"), col("doc_id").cast("string"),
+              lit(".example"))).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            concat(lit(" +1-555-0"),
+              (lit(100L) + col("doc_id") % 100).cast("string")))
+            .otherwise(lit(""))).as("text"))
+        planted
+          .withColumn("tk", expr("filter(split(text, ' +'), t -> t != '')"))
+          .withColumn("cls", expr("""transform(tk, t -> CASE
+            WHEN t RLIKE '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+$'
+              THEN 'E'
+            WHEN t LIKE 'http://%' OR t LIKE 'https://%' OR t LIKE 'www.%'
+              THEN 'U'
+            WHEN t RLIKE '^[0-9+().-]+$'
+                 AND length(regexp_replace(t, '[^0-9]', '')) >= 7
+              THEN 'P'
+            ELSE 'K' END)"""))
+          .withColumn("masked", expr("""array_join(
+            zip_with(tk, cls, (t, c) -> CASE c
+              WHEN 'E' THEN '<EMAIL>' WHEN 'U' THEN '<URL>'
+              WHEN 'P' THEN '<PHONE>' ELSE t END), ' ')"""))
+          .select(col("doc_id"),
+            size(col("tk")).cast("long").as("n_tokens"),
+            expr("CAST(size(filter(cls, c -> c = 'E')) AS BIGINT)").as("n_emails"),
+            expr("CAST(size(filter(cls, c -> c = 'U')) AS BIGINT)").as("n_urls"),
+            expr("CAST(size(filter(cls, c -> c = 'P')) AS BIGINT)").as("n_phones"),
+            length(col("masked")).cast("long").as("masked_chars"),
+            X.h60(col("masked")).as("masked_h60"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH planted AS (
+          SELECT doc_id, text
+            || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact-' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+            || CASE WHEN doc_id % 11 = 0
+                 THEN ' http://site-' || CAST(doc_id AS VARCHAR) || '.example'
+                 ELSE '' END
+            || CASE WHEN doc_id % 13 = 0
+                 THEN ' +1-555-0' || CAST(100 + doc_id % 100 AS VARCHAR)
+                 ELSE '' END AS text
+          FROM documents),
+        tkc AS (SELECT doc_id,
+                       list_filter(string_split_regex(text, ' +'),
+                         t -> t != '') AS tk
+                FROM planted),
+        cls AS (SELECT doc_id, tk,
+                       list_transform(tk, t -> CASE
+                         WHEN regexp_matches(t,
+                           '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+$$')
+                           THEN 'E'
+                         WHEN t LIKE 'http://%' OR t LIKE 'https://%'
+                              OR t LIKE 'www.%' THEN 'U'
+                         WHEN regexp_matches(t, '^[0-9+().-]+$$')
+                              AND length(regexp_replace(t, '[^0-9]', '', 'g')) >= 7
+                           THEN 'P'
+                         ELSE 'K' END) AS cl
+                FROM tkc),
+        mk AS (SELECT doc_id, tk, cl,
+                      array_to_string(list_transform(range(1, len(tk) + 1),
+                        i -> CASE cl[i] WHEN 'E' THEN '<EMAIL>'
+                             WHEN 'U' THEN '<URL>' WHEN 'P' THEN '<PHONE>'
+                             ELSE tk[i] END), ' ') AS masked
+               FROM cls)
+        SELECT doc_id,
+               CAST(len(tk) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(cl, c -> c = 'E')) AS BIGINT) AS n_emails,
+               CAST(len(list_filter(cl, c -> c = 'U')) AS BIGINT) AS n_urls,
+               CAST(len(list_filter(cl, c -> c = 'P')) AS BIGINT) AS n_phones,
+               CAST(length(masked) AS BIGINT) AS masked_chars,
+               ${X.h60Sql("masked")} AS masked_h60
+        FROM mk ORDER BY doc_id""")),
   )
 }
 

@@ -101,6 +101,7 @@ class PlanAuditSpec extends SparkSpec {
       "q130_bpe_encode", // map-side tokenize→bpe→fingerprint kernels + output sort
       "q154_image_dhash", // map-side ppm decode + dhash kernel + output sort
       "q159_audio_fingerprint", // map-side wav decode + env-hash kernel + output sort
+      "q162_pii_mask", // map-side token classify/mask HOFs + output sort
       "q145_bpe_byte_level", // q130's shape over hex-byte symbols — same map-side kernels + sort
       "q136_bpe_context_chunks", // row-local greedy chunk kernel + posexplode + sort
       "q135_bpe_catalog_serving", // served plan = per-version map-side
