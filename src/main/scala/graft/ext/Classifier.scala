@@ -746,6 +746,65 @@ object Classifier extends QueryModule {
                  AS BIGINT) AS recall_e4
         FROM scored s CROSS JOIN grid g
         GROUP BY g.thr_k, g.thr ORDER BY g.thr_k"""
+      }),
+
+    // ------------------------------------------------------------------
+    // q163: CALIBRATION TABLE — the reliability diagram a shipped
+    // filter is audited with (is a higher score actually a higher
+    // chance of "reference-like"?): scores bin into 8 equal-width
+    // integer bins over the observed [lo, hi] range (1-row broadcast
+    // bounds; bin = (score−lo)·8 div (hi−lo+1) — both operands
+    // non-negative, the division rule), and each bin reports document
+    // count, weak-label positives, and the empirical positive rate in
+    // basis points plus its exact score span. A calibrated filter
+    // shows pos_rate_e4 rising with bin — on the fixture it does
+    // (spec-gated monotone trend), and the full table is hash-checked.
+    // Complements q150: the sweep picks an operating point, this
+    // validates the score's ORDERING between points. 100 TB: one
+    // cached-feature score pass + an 8-row aggregate.
+    QueryDef(
+      "q163_classifier_calibration",
+      (s, dir) => {
+        val scope = new graft.CacheScope
+        val feat = scope.cache(features(T.documents(s, dir), scope))
+        val wavg = averagedWeights(trainPerceptron(feat))
+        val scored = feat.select(col("y"), score(wavg).as("score"))
+        val bounds = scored.agg(min(col("score")).as("lo"),
+          max(col("score")).as("hi"))
+        scored.crossJoin(broadcast(bounds))
+          .withColumn("bin", expr("((score - lo) * 8) div (hi - lo + 1)"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos"),
+            min(col("score")).as("score_min"),
+            max(col("score")).as("score_max"))
+          .select(col("bin"), col("n_docs"), col("n_pos"),
+            expr("(n_pos * 10000) div n_docs").as("pos_rate_e4"),
+            col("score_min"), col("score_max"))
+          .orderBy(col("bin"))
+      },
+      Some {
+        val wavg = (0 to 5).map(j =>
+          "(" + (1 to Epochs).map(r => s"w$r.w$j").mkString(" + ") + s") AS a$j")
+          .mkString(", ")
+        val froms = (1 to Epochs).map(r => s"w$r").mkString(", ")
+        val sc = "a.a0 + " + FeatCols.zipWithIndex
+          .map { case (c, j) => s"a.a${j + 1}*f.$c" }.mkString(" + ")
+        s"""
+        WITH $featCtesSql, ${trainChainSql(1, Epochs, "feat")},
+        wavg AS (SELECT $wavg FROM $froms),
+        scored AS (SELECT f.y, $sc AS score FROM feat f, wavg a),
+        b AS (SELECT MIN(score) AS lo, MAX(score) AS hi FROM scored)
+        SELECT (s.score - b.lo) * 8 // (b.hi - b.lo + 1) AS bin,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN s.y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_pos,
+               CAST(SUM(CASE WHEN s.y = 1 THEN 1 ELSE 0 END) * 10000
+                 // COUNT(*) AS BIGINT) AS pos_rate_e4,
+               CAST(MIN(s.score) AS BIGINT) AS score_min,
+               CAST(MAX(s.score) AS BIGINT) AS score_max
+        FROM scored s, b
+        GROUP BY 1 ORDER BY 1"""
       })
   )
 }

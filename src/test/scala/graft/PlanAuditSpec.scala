@@ -59,6 +59,9 @@ class PlanAuditSpec extends SparkSpec {
                            // broadcasts (the q49 scalar-stats shape)
     "q140_tokenizer_version_audit", // 1-row shared-type-count broadcast
                                    // joined to the 2-row version stats
+    "q163_classifier_calibration", // 1-row score-bounds broadcast
+                                   // crossed with the scored corpus
+                                   // (the q139 scalar-stats shape)
     "q150_classifier_threshold_sweep" // the 5-row literal threshold GRID
                                    // broadcast-crossed with the scored
                                    // corpus (every doc × every threshold
@@ -211,6 +214,7 @@ class PlanAuditSpec extends SparkSpec {
       "q105_ann_serving_dist_fit" -> 3, // q98's 2 + one extra window pass: the salted rank's stage-1 (qid, salt) sort — the partition bound IS the third exchange
       "q102_cms_sketch" -> 3, // token counts, cell agg, ordered output
       "q103_cms_heavy_hitters" -> 3, // token counts, cell agg, serve probe
+      "q163_classifier_calibration" -> 3, // cached-feature score pass: 1-row bounds agg + bin agg + ordered 8-row output; training ran at construct (the q150 shape with bounds instead of the grid)
       "q104_cms_merge" -> 7, // ONE cached tokenization + three sketch aggs over it + 2 full-outer D×W merges; +1 slack — AQE finalizes the cached-relation joins differently depending on suite order
       "q108_hll_estimate_merge" -> 5, // ONE cached distinct-item pass + conditional-MAX register agg + 1-row stats/distinct broadcast; +1 AQE slack like q104
       "q113_hist_quantile_merge" -> 5, // ONE cached scaled-value pass + parity bin agg + 256-row cum/serve windows + exact-order-stat window; +1 AQE slack on the cached-relation joins like q104/q108

@@ -85,4 +85,22 @@ class ClassifierSpec extends SparkSpec {
     assert(Classifier.averagedWeights(snaps).toSeq ==
       Seq(0L, 2L, 10L, 8L, 0L, 12L))
   }
+
+  test("calibration: positive rate rises monotonically with the score bin") {
+    // the q163 reliability contract — the score ORDERS risk, not just
+    // separates classes: empirical positive rate must be non-decreasing
+    // across occupied bins, and the extreme bins must actually separate
+    val cal = graft.SparkEntry
+      .queries("q163_classifier_calibration")(spark, "/root/testdata/sf0.001")
+      .collect()
+    val rates = cal.map(r => r.getAs[Long]("bin") -> r.getAs[Long]("pos_rate_e4"))
+      .sortBy(_._1).map(_._2)
+    assert(rates.length >= 3, "expected several occupied bins")
+    rates.sliding(2).foreach {
+      case Array(a, b) => assert(a <= b, s"calibration dip: $a -> $b")
+      case _ =>
+    }
+    assert(rates.head < rates.last,
+      "extreme bins must separate (a flat table calibrates nothing)")
+  }
 }
