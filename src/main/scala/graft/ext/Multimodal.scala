@@ -998,6 +998,90 @@ object Multimodal extends QueryModule {
         ORDER BY id_a, id_b""")),
 
     // ------------------------------------------------------------------
+    // q164: INCREMENTAL IMAGE NEAR-DUP — the q80/q89 incremental
+    // discipline on the dHash family: an arriving batch (every third
+    // image + planted 3-byte-edit variants of corpus images) checks
+    // against the EXISTING corpus without ever joining the corpus to
+    // itself. Only NEW-side band rows probe the corpus's band cells,
+    // so work ∝ Σ |new ∩ cell| · |cell| — at 100 TB the corpus side is
+    // the persisted band index (8-byte hashes; catalog-servable like
+    // q81) and a daily batch costs batch-proportional work, not
+    // corpus². Same corrected 7×9 exact-radius banding; verify =
+    // hamming ≤ 6; planted variants must surface (recall is exact at
+    // the radius, so they provably do).
+    QueryDef(
+      "q164_dhash_incremental",
+      (s, dir) => {
+        val base = T.documents(s, dir)
+          .filter(octet_length(col("text")) >= DHashMinBytes)
+          .select(col("doc_id"), col("text"))
+        val corpus = base.filter(col("doc_id") % 3 =!= 0)
+        val variants = corpus.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + DHashVariantOffset).as("doc_id"),
+            concat(substring(col("text"), 1, 30), lit("zzz"),
+              expr("substring(text, 34)")).as("text"))
+        val newb = base.filter(col("doc_id") % 3 === 0)
+          .unionByName(variants)
+        val dhc = graft.functions.MediaCodecFunctions
+          .ppmDHash(col("content"), DHashBuckets)
+        def hashed(df: DataFrame): DataFrame =
+          ppmWrap(df).select(col("media_id"), dhc.as("dhash"))
+        def banded(df: DataFrame): DataFrame = df
+          .withColumn("b", explode(sequence(lit(0), lit(DHashBands - 1))))
+          .withColumn("bv", expr(
+            s"shiftright(dhash, $DHashBandBits * b) & ${DHashBandMask}L"))
+        val hc = hashed(corpus)
+        val hn = hashed(newb)
+        val cand = banded(hn)
+          .select(col("b"), col("bv"), col("media_id").as("id_new"))
+          .join(banded(hc)
+            .select(col("b"), col("bv"), col("media_id").as("id_corpus")),
+            Seq("b", "bv"))
+          .select(col("id_new"), col("id_corpus")).distinct()
+        cand
+          .join(hn.select(col("media_id").as("id_new"), col("dhash").as("hn")),
+            "id_new")
+          .join(hc.select(col("media_id").as("id_corpus"), col("dhash").as("hc")),
+            "id_corpus")
+          .select(col("id_new"), col("id_corpus"),
+            expr("CAST(bit_count(hn ^ hc) AS BIGINT)").as("hamming"),
+            (col("id_new") === col("id_corpus") + DHashVariantOffset)
+              .as("planted"))
+          .filter(col("hamming") <= DHashMaxHamming)
+          .orderBy(col("id_new"), col("id_corpus"))
+      },
+      Some(s"""
+        WITH base AS (SELECT doc_id AS media_id, text FROM documents
+                      WHERE octet_length(encode(text)) >= $DHashMinBytes),
+        corpus AS (
+          SELECT media_id, text FROM base
+          UNION ALL
+          SELECT media_id + $DHashVariantOffset,
+                 substr(text, 1, 30) || 'zzz' || substr(text, 34)
+          FROM base WHERE media_id % 3 != 0 AND media_id % 5 = 0),
+        $dhashSqlCtes,
+        sides AS (SELECT media_id, dhash,
+                         media_id >= $DHashVariantOffset
+                           OR media_id % 3 = 0 AS is_new
+                  FROM dh),
+        bands AS (SELECT media_id, dhash, is_new, b,
+                         (dhash >> CAST($DHashBandBits * b AS INT)) &
+                           $DHashBandMask AS bv
+                  FROM sides CROSS JOIN
+                    (SELECT unnest(range(0, $DHashBands)) AS b)),
+        cand AS (SELECT DISTINCT n.media_id AS id_new, c.media_id AS id_corpus
+                 FROM bands n JOIN bands c ON n.b = c.b AND n.bv = c.bv
+                 WHERE n.is_new AND NOT c.is_new)
+        SELECT id_new, id_corpus,
+               CAST(bit_count(xor(x.dhash, y.dhash)) AS BIGINT) AS hamming,
+               id_new = id_corpus + $DHashVariantOffset AS planted
+        FROM cand
+        JOIN dh x ON x.media_id = id_new
+        JOIN dh y ON y.media_id = id_corpus
+        WHERE bit_count(xor(x.dhash, y.dhash)) <= $DHashMaxHamming
+        ORDER BY id_new, id_corpus""")),
+
+    // ------------------------------------------------------------------
     // q159: PERCEPTUAL AUDIO FINGERPRINT — the WAV-side completion of
     // the q154 dHash family: a compiled codegen kernel
     // (WavCodec.envHash) decodes each PCM-16 container and packs 63

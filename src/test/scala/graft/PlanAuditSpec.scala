@@ -164,6 +164,11 @@ class PlanAuditSpec extends SparkSpec {
                              // the 8-byte hash table at fixture scale
       "q160_audio_fp_near_dup", // q155's banded near-dup tail verbatim
                              // over the audio fingerprint
+      "q164_dhash_incremental", // new-side-only band probe vs the
+                             // corpus bands + candidate distinct; both
+                             // hash sides map-side, verify joins
+                             // broadcast at fixture scale (q80's
+                             // incremental shape on the image family)
       "q51_ann_lsh", "q54_embedding_quantize", "q61_catalog_timetravel",
       "q62_tumbling_windows", "q63_session_windows", "q64_sliding_windows",
       "q66_catalog_merge", "q69_column_profile", "q70_media_inventory",
