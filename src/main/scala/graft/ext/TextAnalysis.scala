@@ -316,6 +316,57 @@ object TextAnalysis extends QueryModule {
           FROM (SELECT source, doc_id, n_chars,
                        ${X.hpSql("CAST(doc_id AS VARCHAR)")} AS pr
                 FROM documents))
-        WHERE rank <= 5 ORDER BY source, rank"""))
+        WHERE rank <= 5 ORDER BY source, rank""")),
+
+    // ------------------------------------------------------------------
+    // q165: PARAGRAPH-LEVEL LANGUAGE SEGMENTATION — CCNet's actual LID
+    // granularity (Wenzek et al. LREC 2020 run fastText per PARAGRAPH
+    // and keep/split documents by the vote, because web pages mix
+    // languages): the q31 stopword heuristic applied per token-window
+    // "paragraph" (the Boilerplate.LineTokens windowing — the fixture
+    // is single-line), then per document the paragraph vote: counts,
+    // English share in basis points, majority label (en iff
+    // 2·n_en ≥ n_paras — deterministic tie-to-en), and the
+    // mixed-language flag (some but not all paragraphs English) that
+    // a segmenting curation pass would split on. 100 TB: map-side
+    // window derivation + one per-doc partial agg; nothing else.
+    QueryDef(
+      "q165_paragraph_lang",
+      (s, dir) => {
+        val docs = T.documents(s, dir)
+        graft.ext.Boilerplate.linesTokenWindows(docs)
+          .withColumn("hits",
+            size(array_intersect(array_distinct(split(col("line"), " ")),
+              stopArr)).cast("long"))
+          .withColumn("is_en", col("hits") >= 2)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_paras"),
+            sum(when(col("is_en"), 1L).otherwise(0L)).as("n_en"))
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+          .select(col("doc_id"), col("lang"), col("n_paras"), col("n_en"),
+            expr("(n_en * 10000) div n_paras").as("en_bps"),
+            when(col("n_en") * 2 >= col("n_paras"), "en").otherwise("unk")
+              .as("doc_lang"),
+            (col("n_en") > 0 && col("n_en") < col("n_paras")).as("mixed"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH ${graft.ext.Boilerplate.linesTokenWindowsSql},
+        p AS (SELECT doc_id,
+                     CAST(len(list_intersect(
+                       list_distinct(string_split(line, ' ')), $stopSql))
+                       AS BIGINT) >= 2 AS is_en
+              FROM ln),
+        a AS (SELECT doc_id, COUNT(*) AS n_paras,
+                     CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_en
+              FROM p GROUP BY doc_id)
+        SELECT a.doc_id, d.lang, a.n_paras, a.n_en,
+               a.n_en * 10000 // a.n_paras AS en_bps,
+               CASE WHEN a.n_en * 2 >= a.n_paras THEN 'en' ELSE 'unk' END
+                 AS doc_lang,
+               a.n_en > 0 AND a.n_en < a.n_paras AS mixed
+        FROM a JOIN documents d USING (doc_id)
+        ORDER BY a.doc_id"""))
   )
 }

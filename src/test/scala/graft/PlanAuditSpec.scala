@@ -169,6 +169,11 @@ class PlanAuditSpec extends SparkSpec {
                              // hash sides map-side, verify joins
                              // broadcast at fixture scale (q80's
                              // incremental shape on the image family)
+      "q165_paragraph_lang", // per-paragraph LID is map-side (window
+                             // derivation + stopword intersect); one
+                             // per-doc partial agg + docs join
+                             // (broadcast at fixture scale) + ordered
+                             // output — the workhorse 2-exchange shape
       "q51_ann_lsh", "q54_embedding_quantize", "q61_catalog_timetravel",
       "q62_tumbling_windows", "q63_session_windows", "q64_sliding_windows",
       "q66_catalog_merge", "q69_column_profile", "q70_media_inventory",
