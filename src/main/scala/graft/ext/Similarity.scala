@@ -388,25 +388,43 @@ object Similarity extends QueryModule {
                               ORDER BY d, cell) AS pr
                      FROM dist WHERE vec_id < 50) WHERE pr <= 4)"""
 
-  /** The IVF serving tail shared VERBATIM by the q81, q97 and q98
+  /** The IVF serving chain shared VERBATIM by the q81, q97 and q98
     * oracles: probed cells → candidates → exact integer-cosine scores
-    * → per-query top-3. The three queries differ ONLY in how the
-    * `probes` CTE is produced (flat scan / two-level full probe /
-    * two-level partial probe). */
-  private val ivfServeSqlTail = s"""
+    * → per-query top-3, emitted as a CTE `ivfk (qid, rank, nid, cos)`
+    * so the recall report (q166) can consume the ranked set without
+    * re-stating the scoring text. The serving queries differ ONLY in
+    * how the `probes` CTE is produced (flat scan / two-level full
+    * probe / two-level partial probe). */
+  private val ivfServeRankSqlCtes = s"""
         cand AS (SELECT p.qid, a.vec_id AS nid
                  FROM probes p JOIN assigned a ON a.cell = p.cell
                  WHERE a.vec_id != p.qid),
         scored AS (SELECT c.qid, c.nid,
                      ${X.cosineFromIntsSql(X.dotIntSql("q.v", "n.v"), "q.n2", "n.n2")} AS cos
                    FROM cand c JOIN vn q ON q.vec_id = c.qid
-                               JOIN vn n ON n.vec_id = c.nid)
-        SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos FROM (
+                               JOIN vn n ON n.vec_id = c.nid),
+        ivfk AS (SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos FROM (
           SELECT qid, nid, cos,
                  row_number() OVER (PARTITION BY qid
                    ORDER BY cos DESC, nid) AS rank
-          FROM scored) WHERE rank <= 3
+          FROM scored) WHERE rank <= 3)"""
+
+  /** [[ivfServeRankSqlCtes]] + the final ordered projection — the text
+    * the q81/q97/q98/q105 oracles end with. */
+  private val ivfServeSqlTail = s"""$ivfServeRankSqlCtes
+        SELECT qid, rank, nid, cos FROM ivfk
         ORDER BY qid, rank"""
+
+  /** Sign-bit LSH signature CTE (first 8 dims, axis-aligned signs) —
+    * shared VERBATIM by the q51 oracle and the q166 recall report so
+    * the two contracts cannot drift on bucketing. Expects `scn` from
+    * [[scaledSqlCte]]. */
+  private val lshSigSqlCte = s"""
+        sig AS (SELECT vec_id, label, v, n2,
+                  list_aggregate(list_transform(range(1, 9),
+                    i -> CASE WHEN v[i] >= 0 THEN (CAST(1 AS BIGINT) << (i-1))
+                              ELSE CAST(0 AS BIGINT) END), 'sum') AS sig
+                FROM scn)"""
 
   /** The candidates → ADC-score half of the IVF-PQ oracle chain —
     * everything downstream of the `probes` CTE, so the flat (q87/q91)
@@ -521,11 +539,7 @@ object Similarity extends QueryModule {
       },
       Some(s"""
         WITH $scaledSqlCte,
-        sig AS (SELECT vec_id, label, v, n2,
-                  list_aggregate(list_transform(range(1, 9),
-                    i -> CASE WHEN v[i] >= 0 THEN (CAST(1 AS BIGINT) << (i-1))
-                              ELSE CAST(0 AS BIGINT) END), 'sum') AS sig
-                FROM scn),
+        $lshSigSqlCte,
         pairs AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
                     ${X.cosineFromIntsSql(X.dotIntSql("a.v", "b.v"), "a.n2", "b.n2")} AS cos
                   FROM sig a JOIN sig b
@@ -1588,6 +1602,114 @@ object Similarity extends QueryModule {
           iters = 3)},
         ${twoLevelServeProbeSqlCtes(dim = 64, nCoarse = 8, iters = 3,
           wProbe = 2, nProbe = 4, queryPred = "vec_id < 50")},
-        $ivfServeSqlTail"""))
+        $ivfServeSqlTail""")),
+
+    // ------------------------------------------------------------------
+    // q166: ANN RECALL REPORT — the index-quality regression check every
+    // ANN deployment runs before swapping an index into serving
+    // (Faiss/ScaNN publish exactly this table): brute-force exact top-3
+    // over a 50-query sample is the ground truth; each candidate serving
+    // path (q51's sign-bit LSH buckets, q81's md5-centroid IVF at
+    // nProbe 4/16) is scored against it side by side. Per variant:
+    // queries answered, rows returned, ground-truth hits, queries whose
+    // TRUE nearest neighbor was found anywhere in the top-3, and
+    // recall@3 in integer basis points (nonneg-operand div). Both
+    // serving paths are deterministic, so the whole report — including
+    // the recall numbers — is oracle-expressible, not just a pinned
+    // boolean (q53's weaker contract for the non-mirrorable KMeans fit).
+    // 100 TB: ground truth is bounded by the SAMPLE (50 queries × corpus
+    // map-side rank — the q53 brute discipline, never corpus²); the
+    // serving sides are the production plans unchanged; the compare is
+    // a broadcast-able ~300-row join.
+    QueryDef(
+      "q166_ann_recall_report",
+      (s, dir) => {
+        val k = 3
+        val base = scaled(s, dir)
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+        // ground truth: exact top-k per sampled query (50 × n, q53's shape)
+        val q = base.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("qid"), col("v").as("va"), col("n2").as("n2a"))
+        val c = base.select(col("vec_id").as("nid"), col("v").as("vb"), col("n2").as("n2b"))
+        val truth = q.crossJoin(c).filter(col("qid") =!= col("nid"))
+          .withColumn("cos", X.cosineFromInts(
+            X.dotInt(col("va"), col("vb")), col("n2a"), col("n2b")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k)
+          .select(col("qid"), col("nid"), col("rn"))
+        // candidate path 1: q51's LSH buckets (same expanded sig expression)
+        val sigExpr = (1 to 8).map(i =>
+          when(element_at(col("v"), i) >= 0, lit(1L << (i - 1)))
+            .otherwise(lit(0L))).reduce(_ + _)
+        val sigd = base.withColumn("sig", sigExpr)
+        val lq = sigd.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("qid"), col("v").as("va"),
+            col("n2").as("n2a"), col("sig"))
+        val lc = sigd.select(col("vec_id").as("nid"), col("v").as("vb"),
+          col("n2").as("n2b"), col("sig"))
+        val lsh = lq.join(lc, Seq("sig")).filter(col("qid") =!= col("nid"))
+          .withColumn("cos", X.cosineFromInts(
+            X.dotInt(col("va"), col("vb")), col("n2a"), col("n2b")))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= k)
+          .select(col("qid"), col("nid"))
+        // candidate path 2: q81's served IVF plan, unchanged
+        val cents = graft.operators.SimilarityJoin.md5CentroidTable(s)
+        val ivf = graft.operators.SimilarityJoin.ivfTopKServing(
+            T.embeddings(s, dir), col("vec_id"), col("embedding"),
+            queryPred = col("vec_id") < 50, cents, nProbe = 4, k = k)
+          .select(col("qid"), col("nid"))
+        val approx = ivf.withColumn("variant", lit("ivf"))
+          .unionByName(lsh.withColumn("variant", lit("lsh")))
+        val tot = truth.agg(count(lit(1)).as("n_truth"))
+        approx.join(truth, Seq("qid", "nid"), "left")
+          .groupBy(col("variant"))
+          .agg(countDistinct(col("qid")).as("n_queries"),
+            count(lit(1)).as("n_returned"),
+            sum(when(col("rn").isNotNull, 1L).otherwise(0L)).as("n_hits"),
+            countDistinct(when(col("rn") === 1, col("qid"))).as("nn_found"))
+          .crossJoin(broadcast(tot)) // 1-row denominator broadcast
+          .select(col("variant"), col("n_queries"), col("n_returned"),
+            col("n_hits"), col("nn_found"),
+            expr("(n_hits * 10000) div n_truth").as("recall_bps"))
+          .orderBy(col("variant"))
+      },
+      Some(s"""
+        WITH $scaledSqlCte,
+        $lshSigSqlCte,
+        lpairs AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+                     ${X.cosineFromIntsSql(X.dotIntSql("a.v", "b.v"), "a.n2", "b.n2")} AS cos
+                   FROM sig a JOIN sig b
+                     ON a.sig = b.sig AND a.vec_id != b.vec_id
+                   WHERE a.vec_id < 50),
+        lshk AS (SELECT qid, nid FROM (
+                   SELECT qid, nid,
+                          row_number() OVER (PARTITION BY qid
+                            ORDER BY cos DESC, nid) AS rank
+                   FROM lpairs) WHERE rank <= 3),
+        ${ivfAssignSqlCtes()},
+        $ivfFlatProbeSqlCte,
+        $ivfServeRankSqlCtes,
+        truth AS (SELECT qid, nid, rn FROM (
+                    SELECT a.vec_id AS qid, b.vec_id AS nid,
+                           row_number() OVER (PARTITION BY a.vec_id
+                             ORDER BY ${X.cosineFromIntsSql(X.dotIntSql("a.v", "b.v"), "a.n2", "b.n2")} DESC,
+                                      b.vec_id) AS rn
+                    FROM scn a JOIN scn b ON a.vec_id != b.vec_id
+                    WHERE a.vec_id < 50) WHERE rn <= 3),
+        tt AS (SELECT COUNT(*) AS n_truth FROM truth),
+        approx AS (SELECT 'ivf' AS variant, qid, nid FROM ivfk
+                   UNION ALL
+                   SELECT 'lsh' AS variant, qid, nid FROM lshk),
+        hit AS (SELECT ap.variant, ap.qid, ap.nid, t.rn
+                FROM approx ap LEFT JOIN truth t
+                  ON t.qid = ap.qid AND t.nid = ap.nid)
+        SELECT variant, COUNT(DISTINCT qid) AS n_queries,
+               COUNT(*) AS n_returned,
+               CAST(SUM(CASE WHEN rn IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+               COUNT(DISTINCT CASE WHEN rn = 1 THEN qid END) AS nn_found,
+               CAST(SUM(CASE WHEN rn IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 * 10000 // (SELECT n_truth FROM tt) AS recall_bps
+        FROM hit GROUP BY variant ORDER BY variant"""))
   )
 }

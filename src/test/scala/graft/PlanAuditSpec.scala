@@ -23,6 +23,10 @@ class PlanAuditSpec extends SparkSpec {
                                   // the same 1-row max-sqrt broadcast
     "q53_ann_ivf", // nCells-row centroid broadcast + 50-query × corpus
                    // brute cross join: the recall-contract baseline
+    "q166_ann_recall_report", // the recall report's ground truth IS
+                              // q53's 50-query × corpus brute cross
+                              // join (sample-bounded, never corpus²),
+                              // plus the 1-row truth-count broadcast
     "q59_bm25_search", // 1-row corpus-stats broadcast to every doc
     "q86_pq_adc_topk", // flat-PQ ADC scan: the 50-query LUT broadcast
                        // against every 32-bit code IS the query shape
@@ -244,7 +248,8 @@ class PlanAuditSpec extends SparkSpec {
       "q127_dsir_sampling" -> 13, // TWO full LM fit+score passes (source and target, ~6 each: q121's pinned shape) + the per-doc bits join — DSIR is definitionally a two-model query
       "q128_span_decontam" -> 3, // train span-key distinct + eval-side semi-join + per-doc window/agg — q123's linear shape with the repeated set replaced by the train key set
       "q143_line_boilerplate_signals" -> 4, // line-hash distinct-doc count (∝ distinct lines) + hash-keyed join back + per-doc agg + ordered output — map-side line derivation
-      "q144_line_boilerplate_removal" -> 5) // q143's dup shape + the per-doc reassembly exchange (the corpus's one unavoidable regroup, q124's) + universe left join
+      "q144_line_boilerplate_removal" -> 5, // q143's dup shape + the per-doc reassembly exchange (the corpus's one unavoidable regroup, q124's) + universe left join
+      "q166_ann_recall_report" -> 8) // three candidate sets in one statement: brute truth window (sample-bounded cross), LSH sig join + window, IVF serve join + window, union, truth left join, per-variant agg + ordered output — each path's standalone budget proven by q50/q51/q81
     (b0.map(_ -> 0) ++ b1.map(_ -> 1) ++ b2.map(_ -> 2) ++ multi).toMap
   }
 
