@@ -633,7 +633,82 @@ object Dedup extends QueryModule {
                END AS contamination_pct
         FROM (SELECT doc_id, n_tokens FROM esl) e
         LEFT JOIN cov c USING (doc_id)
-        ORDER BY e.doc_id"""))
+        ORDER BY e.doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q167: CONTAINMENT near-dup — Broder's second resemblance measure
+    // (c(A,B) = |A∩B| / |A|, "On the resemblance and containment of
+    // documents", SEQUENCES 1997): asymmetric, so it catches the pair
+    // Jaccard (q43) structurally misses — a short document contained
+    // INSIDE a long one (a quote, an excerpt, a page embedding another).
+    // An excerpt half the source's length has containment 1.0 but
+    // Jaccard ≈ 0.5⁻; at a 0.5 Jaccard gate it survives dedup as a
+    // "unique" doc and leaks duplicated text into training. The fixture
+    // text has no planted excerpts, so the query DERIVES them
+    // relationally (the q162/q164 planting discipline): every document
+    // with ≥ 12 tokens contributes an excerpt pseudo-doc (id + 10⁷,
+    // tokens[3 .. 2+n/2]) whose 3-shingles are a subset of its source's
+    // by construction — containment exactly 10000 bps, provably
+    // surfacing at every SF. Candidates and |A∩B| ride q43's machinery
+    // (shared-shingle df-capped buckets; intersection = pair
+    // multiplicity, a count aggregation); only the verdict differs:
+    // containment of the SMALLER shingle set in integer bps, with the
+    // Jaccard bps alongside to show what the symmetric gate would have
+    // said. 100 TB: identical profile to q43 — work ∝ Σ df², the df cap
+    // bounds stopword shingles, no pair ever carries the shingle arrays.
+    QueryDef(
+      "q167_dedup_containment",
+      (s, dir) => {
+        val toks = T.documents(s, dir)
+          .select(col("doc_id"), X.tokens(col("text")).as("tk"))
+        val exc = toks.filter(size(col("tk")) >= 12)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            expr("slice(tk, 3, int(size(tk) div 2))").as("tk"))
+        val base = toks.unionByName(exc)
+          .select(col("doc_id"), array_distinct(X.shingles(col("tk"), 3)).as("sh"))
+          .persist()
+        val sizes = base.select(col("doc_id"), size(col("sh")).cast("long").as("sz"))
+        val inter = graft.operators.NearDup.cappedBuckets(
+            base.select(col("doc_id"), explode(col("sh")).as("s")),
+            Seq("s"), "doc_id", 1024, "containment_df_cap")
+          .select(explode(graft.functions.HashFunctions.sortedIdPairs(col("ids"))).as("p"))
+          .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+          .withColumn("cont_bps", expr("(inter * 10000) div least(sza, szb)"))
+          .filter(col("cont_bps") >= 8000L)
+          .select(col("doc_a"), col("doc_b"), col("inter"),
+            col("sza"), col("szb"), col("cont_bps"),
+            expr("(inter * 10000) div (sza + szb - inter)").as("jac_bps"),
+            when(col("sza") < col("szb"), col("doc_a"))
+              .when(col("szb") < col("sza"), col("doc_b"))
+              .otherwise(least(col("doc_a"), col("doc_b"))).as("contained_id"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""
+        WITH toks AS (SELECT doc_id, ${X.tokensSql("text")} AS tk FROM documents),
+        exc AS (SELECT doc_id + 10000000 AS doc_id, tk[3:2+len(tk)//2] AS tk
+                FROM toks WHERE len(tk) >= 12),
+        uni AS (SELECT * FROM toks UNION ALL SELECT * FROM exc),
+        shg AS (SELECT doc_id, list_distinct(${X.shinglesSql("tk", 3)}) AS sh FROM uni),
+        sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS sz FROM shg),
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM shg),
+        pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         CAST(COUNT(*) AS BIGINT) AS inter
+                  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT doc_a, doc_b, inter, x.sz AS sza, y.sz AS szb,
+               inter * 10000 // least(x.sz, y.sz) AS cont_bps,
+               inter * 10000 // (x.sz + y.sz - inter) AS jac_bps,
+               CASE WHEN x.sz < y.sz THEN doc_a
+                    WHEN y.sz < x.sz THEN doc_b
+                    ELSE least(doc_a, doc_b) END AS contained_id
+        FROM pairs JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+        WHERE inter * 10000 // least(x.sz, y.sz) >= 8000
+        ORDER BY doc_a, doc_b"""))
   )
 
   /** Span length (in tokens) for [[repeatedSpanCoverage]] / q123. */

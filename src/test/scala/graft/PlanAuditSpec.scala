@@ -249,7 +249,8 @@ class PlanAuditSpec extends SparkSpec {
       "q128_span_decontam" -> 3, // train span-key distinct + eval-side semi-join + per-doc window/agg — q123's linear shape with the repeated set replaced by the train key set
       "q143_line_boilerplate_signals" -> 4, // line-hash distinct-doc count (∝ distinct lines) + hash-keyed join back + per-doc agg + ordered output — map-side line derivation
       "q144_line_boilerplate_removal" -> 5, // q143's dup shape + the per-doc reassembly exchange (the corpus's one unavoidable regroup, q124's) + universe left join
-      "q166_ann_recall_report" -> 8) // three candidate sets in one statement: brute truth window (sample-bounded cross), LSH sig join + window, IVF serve join + window, union, truth left join, per-variant agg + ordered output — each path's standalone budget proven by q50/q51/q81
+      "q166_ann_recall_report" -> 8, // three candidate sets in one statement: brute truth window (sample-bounded cross), LSH sig join + window, IVF serve join + window, union, truth left join, per-variant agg + ordered output — each path's standalone budget proven by q50/q51/q81
+      "q167_dedup_containment" -> 4) // q43's exact shape (df-capped shingle buckets, pair-count agg, two size joins, ordered output) over the doc+excerpt union — the union and planting are map-side, zero extra exchanges vs q43
     (b0.map(_ -> 0) ++ b1.map(_ -> 1) ++ b2.map(_ -> 2) ++ multi).toMap
   }
 
@@ -270,6 +271,10 @@ class PlanAuditSpec extends SparkSpec {
                           // r11-r12 regenerations on unchanged operator
                           // code — the same cached-relation finalization
                           // wobble as its q92/q94 siblings
+    "q166_ann_recall_report", // observed local8 8 → 7 across two r14
+                              // regenerations on unchanged code — the
+                              // three-path union's joins finalize
+                              // differently with session state
     "q94_semantic_dedup_partial_probe", "q104_cms_merge",
     "q108_hll_estimate_merge", "q110_semantic_dedup_dist_fit",
     "q111_pixel_semantic_dedup", "q113_hist_quantile_merge",
