@@ -1175,7 +1175,92 @@ object Multimodal extends QueryModule {
         JOIN ah x ON x.media_id = id_a
         JOIN ah y ON y.media_id = id_b
         WHERE bit_count(xor(x.ahash, y.ahash)) <= $DHashMaxHamming
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+
+    // ------------------------------------------------------------------
+    // q168: INCREMENTAL AUDIO NEAR-DUP — q164's new-batch-vs-corpus
+    // discipline on the audio fingerprint, completing the multimodal
+    // incremental family (image: q155 batch / q164 incremental; audio:
+    // q160 batch / THIS). An arriving batch (every third clip + planted
+    // 3-byte perceptual edits of corpus clips) probes the existing
+    // corpus's band cells new-side-only — work ∝ Σ |new∩cell| · |cell|,
+    // never corpus²; at 100 TB the corpus side is the persisted 8-byte
+    // band index. Same corrected 7×9 exact-radius banding; verify =
+    // hamming ≤ 6; planted variants provably surface.
+    QueryDef(
+      "q168_audio_fp_incremental",
+      (s, dir) => {
+        val base = T.documents(s, dir)
+          .filter(octet_length(col("text")) >= AudioFpMinBytes)
+          .select(col("doc_id"), col("text"))
+        val corpus = base.filter(col("doc_id") % 3 =!= 0)
+        val variants = corpus.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + DHashVariantOffset).as("doc_id"),
+            concat(substring(col("text"), 1, 30), lit("zzz"),
+              expr("substring(text, 34)")).as("text"))
+        val newb = base.filter(col("doc_id") % 3 === 0)
+          .unionByName(variants)
+        val ahc = graft.functions.WavCodecFunctions.wavEnvHash(
+          col("content"), AudioFpBuckets)
+        def hashed(df: DataFrame): DataFrame = df
+          .select(col("doc_id").as("media_id"),
+            graft.functions.WavCodecFunctions.wavWrap(
+              col("text").cast("binary"), lit(8000)).as("content"))
+          .select(col("media_id"), ahc.as("ahash"))
+        def banded(df: DataFrame): DataFrame = df
+          .withColumn("b", explode(sequence(lit(0), lit(DHashBands - 1))))
+          .withColumn("bv", expr(
+            s"shiftright(ahash, $DHashBandBits * b) & ${DHashBandMask}L"))
+        val hc = hashed(corpus)
+        val hn = hashed(newb)
+        val cand = banded(hn)
+          .select(col("b"), col("bv"), col("media_id").as("id_new"))
+          .join(banded(hc)
+            .select(col("b"), col("bv"), col("media_id").as("id_corpus")),
+            Seq("b", "bv"))
+          .select(col("id_new"), col("id_corpus")).distinct()
+        cand
+          .join(hn.select(col("media_id").as("id_new"), col("ahash").as("hn")),
+            "id_new")
+          .join(hc.select(col("media_id").as("id_corpus"), col("ahash").as("hc")),
+            "id_corpus")
+          .select(col("id_new"), col("id_corpus"),
+            expr("CAST(bit_count(hn ^ hc) AS BIGINT)").as("hamming"),
+            (col("id_new") === col("id_corpus") + DHashVariantOffset)
+              .as("planted"))
+          .filter(col("hamming") <= DHashMaxHamming)
+          .orderBy(col("id_new"), col("id_corpus"))
+      },
+      Some(s"""
+        WITH base AS (SELECT doc_id AS media_id, text FROM documents
+                      WHERE octet_length(encode(text)) >= $AudioFpMinBytes),
+        corpus AS (
+          SELECT media_id, text FROM base
+          UNION ALL
+          SELECT media_id + $DHashVariantOffset,
+                 substr(text, 1, 30) || 'zzz' || substr(text, 34)
+          FROM base WHERE media_id % 3 != 0 AND media_id % 5 = 0),
+        $audioFpSqlCtes,
+        sides AS (SELECT media_id, ahash,
+                         media_id >= $DHashVariantOffset
+                           OR media_id % 3 = 0 AS is_new
+                  FROM ah),
+        bands AS (SELECT media_id, ahash, is_new, b,
+                         (ahash >> CAST($DHashBandBits * b AS INT)) &
+                           $DHashBandMask AS bv
+                  FROM sides CROSS JOIN
+                    (SELECT unnest(range(0, $DHashBands)) AS b)),
+        cand AS (SELECT DISTINCT n.media_id AS id_new, c.media_id AS id_corpus
+                 FROM bands n JOIN bands c ON n.b = c.b AND n.bv = c.bv
+                 WHERE n.is_new AND NOT c.is_new)
+        SELECT id_new, id_corpus,
+               CAST(bit_count(xor(x.ahash, y.ahash)) AS BIGINT) AS hamming,
+               id_new = id_corpus + $DHashVariantOffset AS planted
+        FROM cand
+        JOIN sides x ON x.media_id = id_new
+        JOIN sides y ON y.media_id = id_corpus
+        WHERE bit_count(xor(x.ahash, y.ahash)) <= $DHashMaxHamming
+        ORDER BY id_new, id_corpus"""))
   )
 
 }

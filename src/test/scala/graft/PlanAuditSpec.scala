@@ -173,6 +173,8 @@ class PlanAuditSpec extends SparkSpec {
                              // hash sides map-side, verify joins
                              // broadcast at fixture scale (q80's
                              // incremental shape on the image family)
+      "q168_audio_fp_incremental", // q164's new-side-only band probe
+                             // verbatim over the audio fingerprint
       "q165_paragraph_lang", // per-paragraph LID is map-side (window
                              // derivation + stopword intersect); one
                              // per-doc partial agg + docs join
