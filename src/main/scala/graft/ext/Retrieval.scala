@@ -35,6 +35,36 @@ object Retrieval extends QueryModule {
   // below are spelled identically in the oracle so both engines parse
   // the same doubles: k1+1 = 2.2, 1-b = 0.25.
 
+  /** The BM25 oracle SQL, shared VERBATIM by q59 (in-query statistics)
+    * and q169 (statistics persisted as a catalog index at construct,
+    * served from postings): the two contracts rank against the same
+    * text, so the serving path can never drift from the definition. */
+  private val bm25OracleSql = s"""
+        WITH docs AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS dl
+                      FROM (SELECT doc_id, ${X.tokensSql("text")} AS tk FROM documents)),
+        st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tot,
+${terms.zipWithIndex.map { case (t, i) =>
+        s"               CAST(SUM(CASE WHEN list_contains(tk, '$t') THEN 1 ELSE 0 END) AS BIGINT) AS df_$i"
+      }.mkString(",\n")}
+               FROM docs),
+        scored AS (
+          SELECT doc_id, dl,
+${terms.indices.map { i =>
+        s"""            (CAST(idf_$i AS DOUBLE) * (CAST(tf_$i AS DOUBLE) * 2.2)) /
+              (CAST(tf_$i AS DOUBLE) + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / avgdl))"""
+      }.mkString("            ", "\n            + ", "")} AS score
+          FROM (SELECT doc_id, dl,
+${terms.zipWithIndex.map { case (t, i) =>
+        s"                       CAST(len(list_filter(tk, x -> x = '$t')) AS BIGINT) AS tf_$i"
+      }.mkString(",\n")},
+${terms.indices.map { i =>
+        s"                       CAST(floor(1000000.0 * (CAST(n_docs - df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5)) AS BIGINT) AS idf_$i"
+      }.mkString(",\n")},
+                       CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+                FROM docs, st))
+        SELECT doc_id, dl, score FROM scored
+        WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20"""
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q59_bm25_search",
@@ -70,30 +100,85 @@ object Retrieval extends QueryModule {
           .limit(20)
           .select(col("doc_id"), col("dl"), col("score"))
       },
-      Some(s"""
-        WITH docs AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS dl
-                      FROM (SELECT doc_id, ${X.tokensSql("text")} AS tk FROM documents)),
-        st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tot,
-${terms.zipWithIndex.map { case (t, i) =>
-        s"               CAST(SUM(CASE WHEN list_contains(tk, '$t') THEN 1 ELSE 0 END) AS BIGINT) AS df_$i"
-      }.mkString(",\n")}
-               FROM docs),
-        scored AS (
-          SELECT doc_id, dl,
-${terms.indices.map { i =>
-        s"""            (CAST(idf_$i AS DOUBLE) * (CAST(tf_$i AS DOUBLE) * 2.2)) /
-              (CAST(tf_$i AS DOUBLE) + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / avgdl))"""
-      }.mkString("            ", "\n            + ", "")} AS score
-          FROM (SELECT doc_id, dl,
-${terms.zipWithIndex.map { case (t, i) =>
-        s"                       CAST(len(list_filter(tk, x -> x = '$t')) AS BIGINT) AS tf_$i"
-      }.mkString(",\n")},
-${terms.indices.map { i =>
-        s"                       CAST(floor(1000000.0 * (CAST(n_docs - df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5)) AS BIGINT) AS idf_$i"
-      }.mkString(",\n")},
-                       CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
-                FROM docs, st))
-        SELECT doc_id, dl, score FROM scored
-        WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20"""))
+      Some(bm25OracleSql)),
+
+    // ------------------------------------------------------------------
+    // q169: CATALOG-SERVED BM25 — the retrieval serving shape (the q146
+    // graph-as-data discipline applied to search): construct builds the
+    // INVERTED INDEX as four catalog versions — postings (term, doc_id,
+    // tf: ONE shuffle on the term/doc key, the standard distributed
+    // index build), per-doc lengths, per-term document frequencies, and
+    // the 1-row corpus stats — and the SERVED plan reads ONLY those
+    // versions: postings filtered to the query terms (predicate reaches
+    // the parquet scan; at 100 TB the postings version is
+    // term-clustered via writeNextSorted so readRange opens only the
+    // matching files), pivoted per doc, scored with the IDENTICAL
+    // IEEE parenthesization as q59 (tf = 0 contributes exactly +0.0,
+    // so the served sum is bit-equal to the full-width sum), top-20.
+    // The oracle is q59's text VERBATIM ([[bm25OracleSql]]) — the
+    // serving path is proven against the definition, not a copy of it.
+    QueryDef(
+      "q169_bm25_catalog_served",
+      (s, dir) => {
+        val work = graft.Scratch.dir("q169")
+        val cat = new graft.catalog.VersionedCatalog(s, work, format = "parquet")
+        val docs = T.documents(s, dir)
+          .select(col("doc_id"), X.tokens(col("text")).as("tk"))
+          .withColumn("dl", size(col("tk")).cast("long"))
+          .localCheckpoint(eager = false) // 3 index builds read it
+        val postings = docs
+          .select(col("doc_id"), explode(col("tk")).as("term"))
+          .groupBy(col("term"), col("doc_id"))
+          .agg(count(lit(1)).as("tf"))
+        cat.writeNext("bm25_postings", postings)
+        cat.writeNext("bm25_docstats", docs.select(col("doc_id"), col("dl")))
+        cat.writeNext("bm25_terms",
+          postings.groupBy(col("term")).agg(count(lit(1)).as("df")))
+        cat.writeNext("bm25_stats",
+          docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot")))
+        import org.apache.spark.sql.types.StructType
+        val post = cat.read("bm25_postings", 1,
+            Some(StructType.fromDDL("term STRING, doc_id BIGINT, tf BIGINT")))
+          .filter(col("term").isin(terms: _*))
+        val dstat = cat.read("bm25_docstats", 1,
+          Some(StructType.fromDDL("doc_id BIGINT, dl BIGINT")))
+        val dfs = cat.read("bm25_terms", 1,
+            Some(StructType.fromDDL("term STRING, df BIGINT")))
+          .filter(col("term").isin(terms: _*))
+          .agg(terms.zipWithIndex.map { case (t, i) =>
+            sum(when(col("term") === t, col("df")).otherwise(0L)).as(s"df_$i")
+          }.head, terms.zipWithIndex.tail.map { case (t, i) =>
+            sum(when(col("term") === t, col("df")).otherwise(0L)).as(s"df_$i")
+          }: _*)
+        val stats = cat.read("bm25_stats", 1,
+          Some(StructType.fromDDL("n_docs BIGINT, tot BIGINT")))
+        val tfp = post.groupBy(col("doc_id"))
+          .agg(terms.zipWithIndex.map { case (t, i) =>
+            sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"tf_$i")
+          }.head, terms.zipWithIndex.tail.map { case (t, i) =>
+            sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"tf_$i")
+          }: _*)
+        val avgdl = col("tot").cast("double") / col("n_docs").cast("double")
+        def idf(i: Int): Column =
+          floor(lit(1000000.0d) * ((col("n_docs") - col(s"df_$i")).cast("double") + lit(0.5d))
+            / (col(s"df_$i").cast("double") + lit(0.5d))).cast("long")
+        def term(i: Int): Column = {
+          val tfd = col(s"tf_$i").cast("double")
+          (col(s"idf_$i").cast("double") * (tfd * lit(2.2d))) /
+            (tfd + lit(1.2d) * (lit(0.25d) + (lit(0.75d) * col("dl").cast("double")) / col("avgdl")))
+        }
+        tfp.join(dstat, "doc_id")
+          .crossJoin(broadcast(stats))
+          .crossJoin(broadcast(dfs))
+          .select(Seq(col("doc_id"), col("dl"), avgdl.as("avgdl")) ++
+            terms.indices.map(i => col(s"tf_$i")) ++
+            terms.indices.map(i => idf(i).as(s"idf_$i")): _*)
+          .withColumn("score", terms.indices.map(term).reduceLeft(_ + _))
+          .filter(col("score") > 0d)
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(20)
+          .select(col("doc_id"), col("dl"), col("score"))
+      },
+      Some(bm25OracleSql))
   )
 }

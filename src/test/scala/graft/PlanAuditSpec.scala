@@ -28,6 +28,9 @@ class PlanAuditSpec extends SparkSpec {
                               // join (sample-bounded, never corpus²),
                               // plus the 1-row truth-count broadcast
     "q59_bm25_search", // 1-row corpus-stats broadcast to every doc
+    "q169_bm25_catalog_served", // q59's 1-row stats broadcast, read
+                                // from the persisted index version
+                                // (plus the 1-row df pivot broadcast)
     "q86_pq_adc_topk", // flat-PQ ADC scan: the 50-query LUT broadcast
                        // against every 32-bit code IS the query shape
     "q108_hll_estimate_merge", // 1-row distinct-count broadcast joined
@@ -175,6 +178,11 @@ class PlanAuditSpec extends SparkSpec {
                              // incremental shape on the image family)
       "q168_audio_fp_incremental", // q164's new-side-only band probe
                              // verbatim over the audio fingerprint
+      "q169_bm25_catalog_served", // served plan: term-filtered postings
+                             // pivot agg + top-k TakeOrdered; the
+                             // doc-length join and both 1-row stats
+                             // crosses broadcast — index builds ran
+                             // at construct into the catalog
       "q165_paragraph_lang", // per-paragraph LID is map-side (window
                              // derivation + stopword intersect); one
                              // per-doc partial agg + docs join
