@@ -708,7 +708,84 @@ object Dedup extends QueryModule {
                     ELSE least(doc_a, doc_b) END AS contained_id
         FROM pairs JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
         WHERE inter * 10000 // least(x.sz, y.sz) >= 8000
-        ORDER BY doc_a, doc_b"""))
+        ORDER BY doc_a, doc_b""")),
+
+    // ------------------------------------------------------------------
+    // q170: DEDUP INDEX CATALOG SERVING — the serving-from-persisted-
+    // state shape (LM q122/q158, sketches q118-q120, PageRank q146,
+    // classifier q147, line stats q149, BM25 q169) completed for the
+    // dedup family, which is where it matters most at 100 TB: the
+    // MinHash BAND INDEX and the hashed-shingle VERIFICATION STORE are
+    // catalog versions written at construct (minhashBandTable — the
+    // exact construction q41/q80 use in-query, so a served probe can
+    // never disagree with the definition), and the served plan for an
+    // arriving batch (doc_id % 3 = 0) computes its own signatures
+    // map-side, probes the PERSISTED band cells (new-side-only join, ∝
+    // Σ |new∩cell|·|cell|), and verifies exact Jaccard against the
+    // persisted 60-bit shingle-hash arrays — the old corpus is never
+    // re-tokenized, the q80 incremental contract from cold state.
+    // Jaccard here is over the DISTINCT hashed shingle sets on both
+    // engines (array_distinct/transform ↔ list_distinct over hm), so a
+    // hash collision — ≈2⁻⁶⁰ per shingle pair — hits both sides
+    // identically and the compare stays exact. Production adds q80's
+    // bucket cap before the probe join; the fixture sits far under it.
+    QueryDef(
+      "q170_dedup_catalog_serving",
+      (s, dir) => {
+        val work = graft.Scratch.dir("q170")
+        val cat = new graft.catalog.VersionedCatalog(s, work, format = "parquet")
+        val docs = T.documents(s, dir)
+        val (cbase, cbands) = graft.operators.NearDup.minhashBandTable(
+          docs.filter(col("doc_id") % 3 =!= 0), col("doc_id"), col("text"),
+          numHashes = 12, bands = 3, shingleWidth = 3)
+        cat.writeNext("mh_bands",
+          cbands.select(col("band"), col("bsig"), col("doc_id")))
+        cat.writeNext("mh_shingles", cbase.select(col("doc_id"),
+          array_distinct(transform(col("sh"), sh => X.hp(sh))).as("hsh")))
+        import org.apache.spark.sql.types.StructType
+        val pb = cat.read("mh_bands", 1,
+          Some(StructType.fromDDL("band INT, bsig STRING, doc_id BIGINT")))
+        val csh = cat.read("mh_shingles", 1,
+          Some(StructType.fromDDL("doc_id BIGINT, hsh ARRAY<BIGINT>")))
+        val (nbase, nbands) = graft.operators.NearDup.minhashBandTable(
+          docs.filter(col("doc_id") % 3 === 0), col("doc_id"), col("text"),
+          numHashes = 12, bands = 3, shingleWidth = 3)
+        val cand = nbands
+          .select(col("band"), col("bsig"), col("doc_id").as("nid"))
+          .join(pb.select(col("band"), col("bsig"), col("doc_id").as("mid")),
+            Seq("band", "bsig"))
+          .select(col("nid"), col("mid")).distinct()
+        val inter = size(array_intersect(col("ha"), col("hb")))
+        cand
+          .join(nbase.select(col("doc_id").as("nid"),
+            array_distinct(transform(col("sh"), sh => X.hp(sh))).as("ha")), "nid")
+          .join(csh.select(col("doc_id").as("mid"), col("hsh").as("hb")), "mid")
+          .withColumn("jac", inter.cast("double") /
+            (size(col("ha")) + size(col("hb")) - inter).cast("double"))
+          .filter(col("jac") >= 0.5)
+          .select(least(col("nid"), col("mid")).as("doc_a"),
+            greatest(col("nid"), col("mid")).as("doc_b"), col("jac"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""
+        WITH $shingledSqlCte,
+        sig AS (SELECT doc_id, list_distinct(hm) AS hs,
+                       ${X.minhashSigSql("hm", 12)} AS sig
+                FROM hm WHERE len(sh) > 0),
+        bands AS (SELECT doc_id, bnd, array_to_string(sig[bnd*4+1:bnd*4+4], '-') AS bsig
+                  FROM sig, (SELECT unnest(range(0, 3)) AS bnd)),
+        cand AS (SELECT DISTINCT n.doc_id AS nid, c.doc_id AS mid
+                 FROM bands n JOIN bands c
+                   ON n.bnd = c.bnd AND n.bsig = c.bsig
+                 WHERE n.doc_id % 3 = 0 AND c.doc_id % 3 != 0),
+        pr AS (SELECT least(nid, mid) AS doc_a, greatest(nid, mid) AS doc_b,
+                      CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) /
+                        CAST(len(x.hs) + len(y.hs)
+                             - len(list_intersect(x.hs, y.hs)) AS DOUBLE) AS jac
+               FROM cand JOIN sig x ON x.doc_id = nid
+                         JOIN sig y ON y.doc_id = mid)
+        SELECT doc_a, doc_b, jac FROM pr
+        WHERE jac >= 0.5 ORDER BY doc_a, doc_b"""))
   )
 
   /** Span length (in tokens) for [[repeatedSpanCoverage]] / q123. */

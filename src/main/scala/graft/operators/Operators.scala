@@ -261,6 +261,20 @@ object NearDup {
       .select(col("doc_a"), col("doc_b"), col("dist"))
   }
 
+  /** The (base, banded) MinHash index pair as first-class data:
+    * base (doc_id, sh, sig) and banded (doc_id, band, bsig) — the two
+    * tables a catalog-persisted dedup index stores (q170 writes them
+    * as versions; a later batch probes the band version and verifies
+    * against the shingle store without ever re-tokenizing the
+    * corpus). Same construction [[minhashLsh]]/[[minhashLshIncremental]]
+    * use internally, so a served probe and an in-query pass can never
+    * disagree on banding. */
+  def minhashBandTable(
+      docs: DataFrame, id: Column, text: Column,
+      numHashes: Int = 12, bands: Int = 3, shingleWidth: Int = 3,
+      scope: graft.CacheScope = new graft.CacheScope): (DataFrame, DataFrame) =
+    bandedSignatures(docs, id, text, Nil, numHashes, bands, shingleWidth, scope)
+
   /** The (doc_id, sh, sig) MinHash signature table alone — the
     * index-as-data unit [[minhashLshIncremental]] consumes: persist it
     * through the versioned catalog after each run and the next

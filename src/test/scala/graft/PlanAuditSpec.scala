@@ -178,6 +178,13 @@ class PlanAuditSpec extends SparkSpec {
                              // incremental shape on the image family)
       "q168_audio_fp_incremental", // q164's new-side-only band probe
                              // verbatim over the audio fingerprint
+      "q170_dedup_catalog_serving", // served probe: new-side signature
+                             // derivation is map-side; band join vs
+                             // the persisted band version + candidate
+                             // distinct; verify joins read the
+                             // persisted shingle store (broadcast at
+                             // fixture scale) — index builds ran at
+                             // construct
       "q169_bm25_catalog_served", // served plan: term-filtered postings
                              // pivot agg + top-k TakeOrdered; the
                              // doc-length join and both 1-row stats
