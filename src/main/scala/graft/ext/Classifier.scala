@@ -805,6 +805,66 @@ object Classifier extends QueryModule {
                CAST(MAX(s.score) AS BIGINT) AS score_max
         FROM scored s, b
         GROUP BY 1 ORDER BY 1"""
+      }),
+
+    // ------------------------------------------------------------------
+    // q171: ACTIVE-LEARNING BATCH SELECTION — the labeling-loop member
+    // of the classifier family (train q141 → apply q142 → warm-start
+    // q147 → report q148 → curve q150 → cross-corpus q153 →
+    // calibration q163 → SELECT WHAT TO LABEL NEXT). Uncertainty
+    // sampling (Lewis & Gale, SIGIR 1994) under the integer model: the
+    // decision boundary is score = 0 (q142's kept = score > 0), so a
+    // doc's uncertainty margin is |score| exactly — no probability
+    // calibration needed, and abs on int64 is identical on both
+    // engines. Diversity via per-source quotas (the stratification
+    // every labeling vendor requires): the 5 lowest-margin docs per
+    // source, ties to the lower doc_id; the weak label rides along so
+    // an annotator disagreement with it is immediately visible. 100
+    // TB: one scored pass (map-side under the cached features) + a
+    // per-source top-k window over a tiny margin-filtered frame — in
+    // production the window runs after a margin pre-filter
+    // (|score| ≤ ε keeps ~the batch size), so the sort never sees the
+    // corpus.
+    QueryDef(
+      "q171_active_learning_batch",
+      (s, dir) => {
+        val scope = new graft.CacheScope
+        val docs = T.documents(s, dir)
+        val feat = scope.cache(features(docs, scope))
+        val wavg = averagedWeights(trainPerceptron(feat))
+        val scored = feat
+          .select(col("doc_id"), col("y"), score(wavg).as("score"))
+          .join(docs.select(col("doc_id"), col("source")), "doc_id")
+          .withColumn("margin", abs(col("score")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("margin"), col("doc_id"))
+        scored.withColumn("pick", row_number().over(w).cast("long"))
+          .filter(col("pick") <= 5)
+          .select(col("source"), col("pick"), col("doc_id"),
+            col("score"), col("margin"), col("y"))
+          .orderBy(col("source"), col("pick"))
+      },
+      Some {
+        val wavg = (0 to 5).map(j =>
+          "(" + (1 to Epochs).map(r => s"w$r.w$j").mkString(" + ") + s") AS a$j")
+          .mkString(", ")
+        val froms = (1 to Epochs).map(r => s"w$r").mkString(", ")
+        val sc = "a.a0 + " + FeatCols.zipWithIndex
+          .map { case (c, j) => s"a.a${j + 1}*f.$c" }.mkString(" + ")
+        s"""
+        WITH $featCtesSql, ${trainChainSql(1, Epochs, "feat")},
+        wavg AS (SELECT $wavg FROM $froms),
+        alsc AS (SELECT f.doc_id, f.y, $sc AS score FROM feat f, wavg a),
+        almg AS (SELECT s.doc_id, d.source, s.y, s.score,
+                      abs(s.score) AS margin
+               FROM alsc s JOIN documents d USING (doc_id)),
+        alpk AS (SELECT source, doc_id, y, score, margin,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY margin, doc_id) AS pick
+               FROM almg)
+        SELECT source, CAST(pick AS BIGINT) AS pick, doc_id,
+               score, margin, y
+        FROM alpk WHERE pick <= 5 ORDER BY source, pick"""
       })
   )
 }

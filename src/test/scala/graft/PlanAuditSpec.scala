@@ -178,6 +178,11 @@ class PlanAuditSpec extends SparkSpec {
                              // incremental shape on the image family)
       "q168_audio_fp_incremental", // q164's new-side-only band probe
                              // verbatim over the audio fingerprint
+      "q171_active_learning_batch", // scored pass reads the CACHED
+                             // feature table (training ran at
+                             // construct); source join broadcasts +
+                             // per-source top-k window + ordered
+                             // output — 2 exchanges
       "q170_dedup_catalog_serving", // served probe: new-side signature
                              // derivation is map-side; band join vs
                              // the persisted band version + candidate
