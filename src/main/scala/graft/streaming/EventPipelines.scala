@@ -671,6 +671,45 @@ object EventPipelines {
     q.awaitTermination()
   }
 
+  /** Streaming DEDUP BAND INDEX → catalog: q170's index-as-data pair
+    * maintained by a stream. Each epoch's documents contribute their
+    * (band, bsig, doc_id) band rows and (doc_id, hsh) hashed-shingle
+    * verification rows ([[graft.operators.NearDup.minhashBandTable]] —
+    * the exact q41/q80/q170 construction, so streamed state serves the
+    * same probes), folded by UNION: dedup-index state is a growing
+    * doc-keyed set (the q115 index-append discipline), so the atomic
+    * epoch tag is the exactly-once guard — a replayed epoch would
+    * duplicate its rows; the tag skips it. The two table writes are
+    * individually guarded: a crash between them replays safely (the
+    * committed bands fold is skipped, the shingle fold completes).
+    * Every version is a complete servable index — q170's probe plan
+    * reads any epoch's bands/shingles, and streamed history is never
+    * re-tokenized. */
+  def runCatalogDedupIndexSink(
+      docs: DataFrame,
+      checkpoint: String,
+      cat: graft.catalog.VersionedCatalog,
+      step: String): Unit = {
+    val q = docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val (base, banded) = graft.operators.NearDup.minhashBandTable(
+          batch, col("doc_id"), col("text"))
+        foldEpoch(cat, s"${step}_bands",
+          banded.select(col("band"), col("bsig"), col("doc_id")), epoch,
+          (b, f) => b.unionByName(f))
+        foldEpoch(cat, s"${step}_shingles",
+          base.select(col("doc_id"),
+            array_distinct(transform(col("sh"),
+              sh => graft.ext.TextDsl.hp(sh))).as("hsh")), epoch,
+          (b, f) => b.unionByName(f))
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming CLASSIFIER → catalog: the first NON-FOLDABLE member of
     * the catalog-sink family — perceptron weights don't merge, they
     * WARM-START (the q147 law), so each epoch CONTINUES training from

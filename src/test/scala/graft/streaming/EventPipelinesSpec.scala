@@ -959,6 +959,58 @@ class EventPipelinesSpec extends SparkSpec {
     }
   }
 
+  test("streaming dedup band-index sink: epochs fold to the batch index, replay-safe") {
+    val s = spark
+    import s.implicits._
+    withTempDir { dir =>
+      val in = s"$dir/in"; val ckpt = s"$dir/ckpt"; val root = s"$dir/cat"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING")
+      def stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(in)
+      val cat = new graft.catalog.VersionedCatalog(spark, root, format = "parquet")
+      val fixture = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      def writeEpoch(name: String, docs: org.apache.spark.sql.DataFrame): Unit = {
+        val rows = docs.toJSON.collect()
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/$name"),
+          rows.mkString("\n").getBytes)
+      }
+      writeEpoch("e1.json", fixture.filter(col("doc_id") % 2 === 0))
+      EventPipelines.runCatalogDedupIndexSink(stream, ckpt, cat, "mh")
+      assert(cat.latestVersion("mh_bands").contains(1))
+      assert(cat.latestVersion("mh_shingles").contains(1))
+      writeEpoch("e2.json", fixture.filter(col("doc_id") % 2 === 1))
+      EventPipelines.runCatalogDedupIndexSink(stream, ckpt, cat, "mh")
+      assert(cat.latestVersion("mh_bands").contains(2))
+      // streamed latest ≡ the batch-built index over the union — the
+      // epoch-partitioned linearity law every foldable sink obeys
+      val bSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "band INT, bsig STRING, doc_id BIGINT")
+      val shSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, hsh ARRAY<BIGINT>")
+      val (base, banded) = graft.operators.NearDup.minhashBandTable(
+        fixture, col("doc_id"), col("text"))
+      def bandSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+      assert(bandSet(cat.latest("mh_bands", Some(bSchema))) ==
+        bandSet(banded.select(col("band"), col("bsig"), col("doc_id"))))
+      def shMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      assert(shMap(cat.latest("mh_shingles", Some(shSchema))) ==
+        shMap(base.select(col("doc_id"),
+          org.apache.spark.sql.functions.array_distinct(
+            org.apache.spark.sql.functions.transform(col("sh"),
+              sh => graft.ext.TextDsl.hp(sh))).as("hsh"))))
+      // replay with no new input: no new version on either table
+      EventPipelines.runCatalogDedupIndexSink(stream, ckpt, cat, "mh")
+      assert(cat.latestVersion("mh_bands").contains(2))
+      assert(cat.latestVersion("mh_shingles").contains(2))
+    }
+  }
+
   test("streaming classifier sink: bootstrap then warm-start under the frozen artifact, replay-safe") {
     val s = spark
     import s.implicits._
