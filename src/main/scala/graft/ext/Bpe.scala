@@ -972,6 +972,68 @@ object Bpe extends QueryModule {
                s.shared_types
         FROM totals tt JOIN typecnt tc USING (version)
         CROSS JOIN shared s
-        ORDER BY tt.version"""))
+        ORDER BY tt.version""")),
+
+    // ------------------------------------------------------------------
+    // q172: BPE DECODE ROUND-TRIP — the tokenizer-integrity gate every
+    // shipped tokenizer runs in CI (encode→decode must be the identity;
+    // GPT-2's byte-level design exists precisely so no input can fail
+    // it): each document's words are byte-level encoded by the
+    // compiled kernel (q145's merges), DECODED back by un-hexing the
+    // concatenated hex-pair symbols, and compared byte-for-byte to the
+    // original. The comparison anchors on the ORIGINAL text, not on a
+    // mirrored recompute — if the kernel dropped, duplicated or
+    // reordered a byte, Spark's `ok` flips false while the oracle's
+    // stays true and the hash compare fails loudly. Alongside: exact
+    // bytes-per-subword in bps, the compression the merges actually
+    // deliver. 100 TB: wholly map-side (kernel + unhex + compare per
+    // row); one ordered output.
+    QueryDef(
+      "q172_bpe_roundtrip",
+      (s, dir) => {
+        T.documents(s, dir)
+          .select(col("doc_id"), X.tokens(col("text")).as("tk"))
+          .select(col("doc_id"),
+            size(col("tk")).cast("long").as("n_words"),
+            expr("aggregate(tk, CAST(0 AS BIGINT), (a, w) -> a + octet_length(w))")
+              .as("n_bytes"),
+            BpeFunctions.encodeTokensBytes(col("tk"), fixedMergesBytes)
+              .as("syms"),
+            concat_ws("", col("tk")).cast("binary").as("orig"))
+          .select(col("doc_id"), col("n_words"), col("n_bytes"),
+            size(col("syms")).cast("long").as("n_bpe"),
+            when(size(col("syms")) === 0, lit(0L))
+              .otherwise(expr("(n_bytes * 10000) div size(syms)"))
+              .as("bytes_per_sym_e4"),
+            (unhex(concat_ws("", col("syms"))) === col("orig")).as("ok"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH tk AS (SELECT doc_id, ${X.tokensSql("text")} AS tk FROM documents),
+        wpos AS (SELECT doc_id, tk[i] AS w, CAST(i AS BIGINT) AS wi
+                 FROM (SELECT doc_id, tk, unnest(range(1, len(tk)+1)) AS i
+                       FROM tk)),
+        vocab AS (SELECT DISTINCT w FROM wpos),
+        seg AS (SELECT w,
+                       ${segmentBytesSqlWith("w", mergesSqlArr(fixedMergesBytes))}
+                         AS syms
+                FROM vocab),
+        sl AS (SELECT w, CAST(len(syms) AS BIGINT) AS ns,
+                      CAST(octet_length(encode(w)) AS BIGINT) AS nb,
+                      unhex(array_to_string(syms, '')) = encode(w) AS wok
+               FROM seg),
+        agg AS (SELECT doc_id, CAST(SUM(ns) AS BIGINT) AS n_bpe,
+                       CAST(SUM(nb) AS BIGINT) AS n_bytes,
+                       bool_and(wok) AS ok
+                FROM wpos JOIN sl USING (w) GROUP BY doc_id)
+        SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_words,
+               coalesce(a.n_bytes, 0) AS n_bytes,
+               coalesce(a.n_bpe, 0) AS n_bpe,
+               CASE WHEN coalesce(a.n_bpe, 0) = 0 THEN 0
+                    ELSE coalesce(a.n_bytes, 0) * 10000 // a.n_bpe
+               END AS bytes_per_sym_e4,
+               coalesce(a.ok, TRUE) AS ok
+        FROM tk t LEFT JOIN agg a USING (doc_id)
+        ORDER BY t.doc_id"""))
   )
 }

@@ -113,6 +113,7 @@ class PlanAuditSpec extends SparkSpec {
       "q159_audio_fingerprint", // map-side wav decode + env-hash kernel + output sort
       "q162_pii_mask", // map-side token classify/mask HOFs + output sort
       "q145_bpe_byte_level", // q130's shape over hex-byte symbols — same map-side kernels + sort
+      "q172_bpe_roundtrip", // q145's map-side kernel + unhex/compare per row + sort — the decode gate adds zero exchanges
       "q136_bpe_context_chunks", // row-local greedy chunk kernel + posexplode + sort
       "q135_bpe_catalog_serving", // served plan = per-version map-side
                                   // encode over probe docs + union +
