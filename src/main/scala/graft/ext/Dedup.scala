@@ -785,7 +785,87 @@ object Dedup extends QueryModule {
                FROM cand JOIN sig x ON x.doc_id = nid
                          JOIN sig y ON y.doc_id = mid)
         SELECT doc_a, doc_b, jac FROM pr
-        WHERE jac >= 0.5 ORDER BY doc_a, doc_b"""))
+        WHERE jac >= 0.5 ORDER BY doc_a, doc_b""")),
+
+    // ------------------------------------------------------------------
+    // q173: SPLIT LEAKAGE AUDIT — the eval-hygiene gate every training
+    // run needs before trusting its val/test numbers (the published
+    // failure mode: GPT-3's Appendix C found eval-set overlap AFTER
+    // training; Dolma/FineWeb audit splits exactly this way): q48's
+    // deterministic hash split assigns train/val/test, then every
+    // val/test document is measured for EXACT-SUBSTRING contamination
+    // against the train split — q128's span machinery (10-token
+    // positional shingles → train-key semi-join → per-doc interval
+    // union) with the decontam corpus replaced by the engine's own
+    // train partition. Per split: docs, contaminated docs, token
+    // totals, and leakage in integer bps. A random split of a corpus
+    // with near-duplicates LEAKS BY CONSTRUCTION (dup pairs straddle
+    // the split boundary) — this query makes that number visible,
+    // which is why dedup-before-split is the shipped ordering. 100 TB:
+    // q128's linear shape — no pairs, work ∝ corpus tokens.
+    QueryDef(
+      "q173_split_leakage_audit",
+      (s, dir) => {
+        val docs = T.documents(s, dir)
+        val r = X.hp(col("doc_id").cast("string")) % 20
+        val withSplit = docs.withColumn("split",
+          when(r <= 17, "train").when(r === 18, "val").otherwise("test"))
+        val evalSide = withSplit.filter(col("split") =!= "train")
+        spanContamination(
+            withSplit.filter(col("split") === "train"),
+            evalSide.select(col("doc_id"), col("text")))
+          .join(evalSide.select(col("doc_id"), col("split")), "doc_id")
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("covered_tokens") > 0L, 1L).otherwise(0L))
+              .as("n_contaminated"),
+            sum(col("n_tokens")).as("eval_tokens"),
+            sum(col("covered_tokens")).as("covered_tokens"))
+          .select(col("split"), col("n_docs"), col("n_contaminated"),
+            col("eval_tokens"), col("covered_tokens"),
+            when(col("eval_tokens") === 0L, lit(0L))
+              .otherwise(expr("(covered_tokens * 10000) div eval_tokens"))
+              .as("leak_bps"))
+          .orderBy(col("split"))
+      },
+      Some(s"""
+        WITH tk AS (SELECT doc_id, ${X.tokensSql("text")} AS tk,
+                           ${X.hpSql("CAST(doc_id AS VARCHAR)")} % 20 AS r
+                    FROM documents),
+        trainkeys AS (SELECT DISTINCT ${X.h60Sql("sh")} AS k
+                      FROM (SELECT unnest(${X.shinglesSql("tk", 10)}) AS sh
+                            FROM tk WHERE r <= 17)),
+        esl AS (SELECT doc_id,
+                       CASE WHEN r = 18 THEN 'val' ELSE 'test' END AS split,
+                       len(tk) AS n_tokens,
+                       ${X.shinglesSql("tk", 10)} AS sh
+                FROM tk WHERE r >= 18),
+        epos AS (SELECT doc_id, sh, unnest(range(1, len(sh)+1)) AS i FROM esl),
+        ekeyed AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                          ${X.h60Sql("sh[i]")} AS k
+                   FROM epos),
+        sw AS (SELECT doc_id, pos,
+                      max(pos + 10) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS prev_end
+               FROM ekeyed JOIN trainkeys USING (k)),
+        cov AS (SELECT doc_id,
+                       CAST(SUM(greatest(0, pos + 10
+                         - greatest(pos, coalesce(prev_end, -1)))) AS BIGINT)
+                         AS covered_tokens
+                FROM sw GROUP BY doc_id)
+        SELECT e.split, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN coalesce(c.covered_tokens, 0) > 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+               CAST(SUM(e.n_tokens) AS BIGINT) AS eval_tokens,
+               CAST(SUM(coalesce(c.covered_tokens, 0)) AS BIGINT)
+                 AS covered_tokens,
+               CASE WHEN SUM(e.n_tokens) = 0 THEN 0
+                    ELSE CAST(SUM(coalesce(c.covered_tokens, 0)) * 10000
+                      // SUM(e.n_tokens) AS BIGINT)
+               END AS leak_bps
+        FROM esl e LEFT JOIN cov c USING (doc_id)
+        GROUP BY e.split ORDER BY e.split"""))
   )
 
   /** Span length (in tokens) for [[repeatedSpanCoverage]] / q123. */
