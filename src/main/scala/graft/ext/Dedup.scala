@@ -865,7 +865,73 @@ object Dedup extends QueryModule {
                       // SUM(e.n_tokens) AS BIGINT)
                END AS leak_bps
         FROM esl e LEFT JOIN cov c USING (doc_id)
-        GROUP BY e.split ORDER BY e.split"""))
+        GROUP BY e.split ORDER BY e.split""")),
+
+    // ------------------------------------------------------------------
+    // q174: DEDUP IMPACT REPORT — the "X% of the corpus removed" table
+    // every published dedup run leads with (Lee et al. ACL 2022 Table
+    // 1; RefinedWeb/Dolma report per-source removal rates): q41's
+    // verified near-dup pairs close into q46's transitive clusters,
+    // each cluster keeps its min-id survivor, and the REMOVED mass
+    // rolls up per source — docs, tokens, and removal in integer bps.
+    // This is the number a curation owner actually decides with
+    // (is src3 40% duplicate? is the dedup worth the pass?), sitting
+    // one aggregation above the pair/cluster queries that justify it.
+    // 100 TB: the pair/cluster machinery is q41/q46's (banded, capped,
+    // min-label propagation); the report itself is one partial-agg
+    // over (doc_id, source, n_tokens) — nothing new shuffles.
+    QueryDef(
+      "q174_dedup_impact_report",
+      (s, dir) => {
+        val docs = T.documents(s, dir)
+        val toks = docs.select(col("doc_id"), col("source"),
+          size(X.tokens(col("text"))).cast("long").as("n_tokens"))
+        val pairs = graft.operators.NearDup.minhashLsh(docs,
+            col("doc_id"), col("text"),
+            numHashes = 12, bands = 3, shingleWidth = 3, threshold = 0.5)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        val removed = graft.operators.Graph.connectedComponents(pairs)
+          .filter(col("node") =!= col("label"))
+          .select(col("node").as("doc_id"), lit(1L).as("rm"))
+        toks.join(removed, Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("rm"), lit(0L))).as("n_removed"),
+            sum(col("n_tokens")).as("tokens_total"),
+            sum(when(col("rm").isNotNull, col("n_tokens")).otherwise(0L))
+              .as("tokens_removed"))
+          .select(col("source"), col("n_docs"), col("n_removed"),
+            col("tokens_total"), col("tokens_removed"),
+            when(col("tokens_total") === 0L, lit(0L))
+              .otherwise(expr("(tokens_removed * 10000) div tokens_total"))
+              .as("removed_bps"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH RECURSIVE ${minhashPairsSqlCte()},
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+                  UNION SELECT doc_b, doc_a FROM mh_pairs),
+        reach(a, b) AS (SELECT a, b FROM edges
+                        UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        lbl AS (SELECT r.a AS doc, least(MIN(r.b), r.a) AS root
+                FROM reach r GROUP BY r.a),
+        rmv AS (SELECT doc FROM lbl WHERE doc != root),
+        tok AS (SELECT doc_id, source,
+                       CAST(len(${X.tokensSql("text")}) AS BIGINT) AS n_tokens
+                FROM documents)
+        SELECT t.source, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN r.doc IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_removed,
+               CAST(SUM(t.n_tokens) AS BIGINT) AS tokens_total,
+               CAST(SUM(CASE WHEN r.doc IS NOT NULL THEN t.n_tokens
+                        ELSE 0 END) AS BIGINT) AS tokens_removed,
+               CASE WHEN SUM(t.n_tokens) = 0 THEN 0
+                    ELSE CAST(SUM(CASE WHEN r.doc IS NOT NULL THEN t.n_tokens
+                              ELSE 0 END) * 10000
+                      // SUM(t.n_tokens) AS BIGINT)
+               END AS removed_bps
+        FROM tok t LEFT JOIN rmv r ON r.doc = t.doc_id
+        GROUP BY t.source ORDER BY t.source"""))
   )
 
   /** Span length (in tokens) for [[repeatedSpanCoverage]] / q123. */
