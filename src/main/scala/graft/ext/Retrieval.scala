@@ -35,12 +35,12 @@ object Retrieval extends QueryModule {
   // below are spelled identically in the oracle so both engines parse
   // the same doubles: k1+1 = 2.2, 1-b = 0.25.
 
-  /** The BM25 oracle SQL, shared VERBATIM by q59 (in-query statistics)
-    * and q169 (statistics persisted as a catalog index at construct,
-    * served from postings): the two contracts rank against the same
-    * text, so the serving path can never drift from the definition. */
-  private val bm25OracleSql = s"""
-        WITH docs AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS dl
+  /** The BM25 scoring CTE body (docs → corpus stats → per-doc score),
+    * shared by q59's oracle tail AND composed under q175's fusion CTEs
+    * — one text, so the fusion's lexical list can never drift from the
+    * ranking definition. Exposes CTEs `docs`(doc_id, tk, dl) and
+    * `scored`(doc_id, dl, score). */
+  private val bm25BodyCtesSql = s"""docs AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS dl
                       FROM (SELECT doc_id, ${X.tokensSql("text")} AS tk FROM documents)),
         st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tot,
 ${terms.zipWithIndex.map { case (t, i) =>
@@ -61,40 +61,59 @@ ${terms.indices.map { i =>
         s"                       CAST(floor(1000000.0 * (CAST(n_docs - df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5)) AS BIGINT) AS idf_$i"
       }.mkString(",\n")},
                        CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
-                FROM docs, st))
+                FROM docs, st))"""
+
+  /** The BM25 oracle SQL, shared VERBATIM by q59 (in-query statistics)
+    * and q169 (statistics persisted as a catalog index at construct,
+    * served from postings): the two contracts rank against the same
+    * text, so the serving path can never drift from the definition. */
+  private val bm25OracleSql = s"""
+        WITH $bm25BodyCtesSql
         SELECT doc_id, dl, score FROM scored
         WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20"""
+
+  /** Engine-side BM25 scoring over tokenized docs (doc_id, tk, dl) →
+    * (doc_id, dl, score). The ONE scoring pipeline behind q59 and
+    * q175's lexical list (shared code = the non-drift proof, mirroring
+    * [[bm25BodyCtesSql]] on the oracle side). Corpus statistics reduce
+    * to 1 row and broadcast back; scoring is map-side. */
+  private def bm25Scored(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val statAggs =
+      sum(col("dl")).as("tot") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          sum(when(array_contains(col("tk"), t), 1L).otherwise(0L))
+            .as(s"df_$i")
+        }
+    val stats = docs.agg(count(lit(1)).as("n_docs"), statAggs: _*)
+    val avgdl = col("tot").cast("double") / col("n_docs").cast("double")
+    def tf(i: Int): Column =
+      size(filter(col("tk"), x => x === lit(terms(i)))).cast("long")
+    def idf(i: Int): Column =
+      floor(lit(1000000.0d) * ((col("n_docs") - col(s"df_$i")).cast("double") + lit(0.5d))
+        / (col(s"df_$i").cast("double") + lit(0.5d))).cast("long")
+    def term(i: Int): Column = {
+      val tfd = col(s"tf_$i").cast("double")
+      (col(s"idf_$i").cast("double") * (tfd * lit(2.2d))) /
+        (tfd + lit(1.2d) * (lit(0.25d) + (lit(0.75d) * col("dl").cast("double")) / col("avgdl")))
+    }
+    docs.crossJoin(broadcast(stats))
+      .select(Seq(col("doc_id"), col("dl"), avgdl.as("avgdl")) ++
+        terms.indices.map(i => tf(i).as(s"tf_$i")) ++
+        terms.indices.map(i => idf(i).as(s"idf_$i")): _*)
+      .withColumn("score", terms.indices.map(term).reduceLeft(_ + _))
+      .select(col("doc_id"), col("dl"), col("score"))
+  }
+
+  private def tokenizedDocs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    T.documents(s, dir)
+      .select(col("doc_id"), X.tokens(col("text")).as("tk"))
+      .withColumn("dl", size(col("tk")).cast("long"))
 
   override val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q59_bm25_search",
       (s, dir) => {
-        val docs = T.documents(s, dir)
-          .select(col("doc_id"), X.tokens(col("text")).as("tk"))
-          .withColumn("dl", size(col("tk")).cast("long"))
-        val statAggs =
-          sum(col("dl")).as("tot") +:
-            terms.zipWithIndex.map { case (t, i) =>
-              sum(when(array_contains(col("tk"), t), 1L).otherwise(0L))
-                .as(s"df_$i")
-            }
-        val stats = docs.agg(count(lit(1)).as("n_docs"), statAggs: _*)
-        val avgdl = col("tot").cast("double") / col("n_docs").cast("double")
-        def tf(i: Int): Column =
-          size(filter(col("tk"), x => x === lit(terms(i)))).cast("long")
-        def idf(i: Int): Column =
-          floor(lit(1000000.0d) * ((col("n_docs") - col(s"df_$i")).cast("double") + lit(0.5d))
-            / (col(s"df_$i").cast("double") + lit(0.5d))).cast("long")
-        def term(i: Int): Column = {
-          val tfd = col(s"tf_$i").cast("double")
-          (col(s"idf_$i").cast("double") * (tfd * lit(2.2d))) /
-            (tfd + lit(1.2d) * (lit(0.25d) + (lit(0.75d) * col("dl").cast("double")) / col("avgdl")))
-        }
-        docs.crossJoin(broadcast(stats))
-          .select(Seq(col("doc_id"), col("dl"), avgdl.as("avgdl")) ++
-            terms.indices.map(i => tf(i).as(s"tf_$i")) ++
-            terms.indices.map(i => idf(i).as(s"idf_$i")): _*)
-          .withColumn("score", terms.indices.map(term).reduceLeft(_ + _))
+        bm25Scored(tokenizedDocs(s, dir))
           .filter(col("score") > 0d)
           .orderBy(col("score").desc, col("doc_id"))
           .limit(20)
@@ -179,6 +198,96 @@ ${terms.indices.map { i =>
           .limit(20)
           .select(col("doc_id"), col("dl"), col("score"))
       },
-      Some(bm25OracleSql))
+      Some(bm25OracleSql)),
+
+    // ------------------------------------------------------------------
+    // q175: HYBRID RETRIEVAL WITH RECIPROCAL-RANK FUSION — the shipped
+    // RAG retrieval stack (Cormack et al. SIGIR 2009 RRF; every
+    // production hybrid search — Elastic, Vespa, Weaviate — defaults to
+    // exactly this): the SAME query answered by two independent
+    // rankers — q59's BM25 lexical list and a semantic list from
+    // hashed bag-of-words cosine (the feature-hashing trick; stand-in
+    // for a learned embedding, same fusion contract) — then fused by
+    // rank alone: score(d) = Σ_lists 1e6 div (60 + rank_list(d)).
+    // Rank-based fusion needs no score calibration between rankers,
+    // which is why it ships; integer contributions keep it bit-exact.
+    //
+    // Scale shape (100 TB): both rankers are top-K TakeOrdered (k rows
+    // per partition ship, never a global sort); the rank windows run
+    // over the K-row survivors only; the fusion is a K×K full join —
+    // driver-scale. BM25 statistics broadcast (q59's plan); the hashed
+    // vectors are ONE map-side fold per doc (TextDsl.hashedBow — the
+    // corpus never explodes). Oracle mirrors the vectors sparsely
+    // (unnest→group); the sums are exact integers so the dense fold and
+    // sparse group agree bit-for-bit, and both ranking floats are
+    // single IEEE ops on identical exact operands.
+    QueryDef(
+      "q175_hybrid_rrf_search",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val K = 50
+        val docs = tokenizedDocs(s, dir)
+          .localCheckpoint(eager = false) // both rankers read it
+        val lexW = Window.orderBy(col("score").desc, col("doc_id"))
+        val lex = bm25Scored(docs)
+          .filter(col("score") > 0d)
+          .orderBy(col("score").desc, col("doc_id")).limit(K)
+          .select(col("doc_id"),
+            row_number().over(lexW).cast("long").as("lex_rank"))
+        val qv = X.hashedBow(array(terms.map(lit): _*))
+        val v = X.hashedBow(col("tk"))
+        val semW = Window.orderBy(col("cos").desc, col("doc_id"))
+        val sem = docs
+          .select(col("doc_id"), v.as("v"))
+          .select(col("doc_id"), col("v"), X.norm2Int(col("v")).as("n2"),
+            X.norm2Int(qv).as("qn2"))
+          .filter(col("n2") > 0L)
+          .select(col("doc_id"),
+            X.cosineFromInts(X.dotInt(col("v"), qv), col("n2"), col("qn2"))
+              .as("cos"))
+          .orderBy(col("cos").desc, col("doc_id")).limit(K)
+          .select(col("doc_id"),
+            row_number().over(semW).cast("long").as("sem_rank"))
+        lex.join(sem, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+            expr("CAST(coalesce(1000000 div (60 + lex_rank), 0) " +
+              "+ coalesce(1000000 div (60 + sem_rank), 0) AS BIGINT)")
+              .as("rrf_micro"))
+          .orderBy(col("rrf_micro").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some(s"""
+        WITH $bm25BodyCtesSql,
+        hocc AS (SELECT doc_id, ${X.hashedBowOccSql("t")}
+                 FROM docs, unnest(tk) AS u(t)),
+        hvec AS (SELECT doc_id, j, CAST(SUM(sg) AS BIGINT) AS vj
+                 FROM hocc GROUP BY 1, 2),
+        hn2 AS (SELECT doc_id, CAST(SUM(vj*vj) AS BIGINT) AS n2
+                FROM hvec GROUP BY 1),
+        hqocc AS (SELECT ${X.hashedBowOccSql("t")}
+                  FROM unnest(${terms.mkString("['", "','", "']")}) AS u(t)),
+        hq AS (SELECT j, CAST(SUM(sg) AS BIGINT) AS qj FROM hqocc GROUP BY 1),
+        hqn AS (SELECT CAST(SUM(qj*qj) AS BIGINT) AS qn2 FROM hq),
+        hdot AS (SELECT v.doc_id, CAST(SUM(v.vj * q.qj) AS BIGINT) AS dot
+                 FROM hvec v JOIN hq q USING (j) GROUP BY 1),
+        hsem0 AS (SELECT n.doc_id,
+                         ${X.cosineFromIntsSql("coalesce(d.dot, 0)", "n.n2", "q.qn2")} AS cos
+                  FROM hn2 n LEFT JOIN hdot d USING (doc_id), hqn q
+                  WHERE n.n2 > 0),
+        hsem AS (SELECT doc_id, cos,
+                        CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS r
+                 FROM hsem0),
+        hlex AS (SELECT doc_id, score,
+                        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r
+                 FROM scored WHERE score > 0),
+        hl2 AS (SELECT doc_id, r AS lex_rank FROM hlex WHERE r <= 50),
+        hs2 AS (SELECT doc_id, r AS sem_rank FROM hsem WHERE r <= 50),
+        hfuse AS (SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+                         l.lex_rank, s.sem_rank,
+                         CAST(coalesce(1000000 // (60 + l.lex_rank), 0)
+                            + coalesce(1000000 // (60 + s.sem_rank), 0) AS BIGINT) AS rrf_micro
+                  FROM hl2 l FULL JOIN hs2 s ON l.doc_id = s.doc_id)
+        SELECT doc_id, lex_rank, sem_rank, rrf_micro
+        FROM hfuse ORDER BY rrf_micro DESC, doc_id LIMIT 20"""))
   )
 }

@@ -158,4 +158,36 @@ object TextDsl {
 
   def cosineFromIntsSql(dot: String, n2a: String, n2b: String): String =
     s"(CAST($dot AS DOUBLE) / (sqrt(CAST($n2a AS DOUBLE)) * sqrt(CAST($n2b AS DOUBLE))))"
+
+  // -------------------------------------------------------------------
+  // Hashed bag-of-words (the feature-hashing trick, Weinberger et al.
+  // ICML 2009): token t contributes sign(t) ∈ {±1} at bucket
+  // h60(t) % dim; the vector is the signed occurrence count per bucket.
+  // Exact int64 end to end, so cosine against another hashed vector is
+  // bit-identical cross-engine via [[cosineFromInts]].
+  //
+  // Engine side runs the compiled kernel (HashKernels.hashedBow — the
+  // interpreted fold pays 2 md5 Column trees + a dim-wide zip_with per
+  // token); [[hashedBowHof]] keeps the declarative formulation, and
+  // HashKernelsSpec asserts they are identical on the fixtures.
+  // Strictly map-side: the corpus never explodes or shuffles to build
+  // vectors. The oracle mirrors via the sparse unnest→group
+  // formulation; the sums are exact integers, so the formulations are
+  // equal.
+  def hashedBow(tk: Column, dim: Int = 16): Column =
+    graft.functions.HashFunctions.hashedBow(tk, dim)
+
+  def hashedBowHof(tkExpr: String, dim: Int = 16): Column = expr(
+    s"aggregate(transform($tkExpr, t -> named_struct(" +
+      s"'j', CAST(CONV(SUBSTRING(md5(t), 1, 15), 16, 10) AS BIGINT) % $dim, " +
+      s"'sg', 1L - 2L * (CAST(CONV(SUBSTRING(md5(CONCAT('sgn ', t)), 1, 15), 16, 10) AS BIGINT) % 2L))), " +
+      s"array_repeat(CAST(0 AS BIGINT), $dim), " +
+      s"(acc, p) -> zip_with(acc, sequence(0, ${dim - 1}), " +
+      s"(a, i) -> a + IF(i = p.j, p.sg, CAST(0 AS BIGINT))))")
+
+  /** Sparse oracle mirror of [[hashedBow]]: per-occurrence (bucket,
+    * sign) rows to GROUP BY — compose as
+    * `FROM <toks>, unnest(tk) AS u(t)`. */
+  def hashedBowOccSql(t: String): String =
+    s"CAST(${h60Sql(t)} % 16 AS BIGINT) AS j, 1 - 2*(${h60Sql(s"('sgn ' || $t)")} % 2) AS sg"
 }

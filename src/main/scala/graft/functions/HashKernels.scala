@@ -101,6 +101,25 @@ object HashKernels {
     acc
   }
 
+  private val sgnPrefix = UTF8String.fromString("sgn ")
+
+  /** Hashed bag-of-words (feature hashing): token t adds
+    * sign ∈ {±1} at bucket md5h60(t) % dim, sign = +1 iff
+    * md5h60("sgn " + t) is even — matches TextDsl.hashedBowHof
+    * term for term (h60 ≥ 0 makes % 2 ≡ & 1). */
+  def hashedBow(tokens: ArrayData, dim: Int): ArrayData = {
+    val v = new Array[Long](dim)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      val j = (md5h60(t) % dim).toInt
+      v(j) += (if ((md5h60(UTF8String.concat(sgnPrefix, t)) & 1L) == 0L) 1L else -1L)
+      i += 1
+    }
+    new GenericArrayData(v)
+  }
+
   /** All (ids[i], ids[j]) with i<j as struct rows; see SortedIdPairs. */
   def sortedIdPairs(ids: ArrayData): ArrayData = {
     val n = ids.numElements()
@@ -276,6 +295,23 @@ case class SimHash60(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** array<string> tokens → array<bigint> dim-wide hashed bag-of-words
+  * vector (the feature-hashing trick). */
+case class HashedBow(child: Expression, dim: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_bow"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.hashedBow(input.asInstanceOf[ArrayData], dim)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.hashedBow($c, $dim)")
+
+  override protected def withNewChildInternal(c: Expression): HashedBow =
+    copy(child = c)
+}
+
 /** array<string> tokens → order-sensitive 60-bit-hash positional
   * fingerprint mod P (bigint). */
 case class PositionalFingerprint(child: Expression) extends UnaryExpression {
@@ -356,6 +392,9 @@ object HashFunctions {
 
   def positionalFingerprint(tokens: Column): Column =
     ColumnBridge.column(PositionalFingerprint(ColumnBridge.expression(tokens)))
+
+  def hashedBow(tokens: Column, dim: Int): Column =
+    ColumnBridge.column(HashedBow(ColumnBridge.expression(tokens), dim))
 
   def sortedPayloadPairs(items: Column): Column =
     ColumnBridge.column(SortedPayloadPairs(ColumnBridge.expression(items)))

@@ -28,6 +28,9 @@ class PlanAuditSpec extends SparkSpec {
                               // join (sample-bounded, never corpus²),
                               // plus the 1-row truth-count broadcast
     "q59_bm25_search", // 1-row corpus-stats broadcast to every doc
+    "q175_hybrid_rrf_search", // q59's 1-row stats broadcast (shared
+                              // bm25Scored code) feeding the lexical
+                              // ranker of the RRF fusion
     "q169_bm25_catalog_served", // q59's 1-row stats broadcast, read
                                 // from the persisted index version
                                 // (plus the 1-row df pivot broadcast)
@@ -272,6 +275,7 @@ class PlanAuditSpec extends SparkSpec {
       "q128_span_decontam" -> 3, // train span-key distinct + eval-side semi-join + per-doc window/agg — q123's linear shape with the repeated set replaced by the train key set
       "q173_split_leakage_audit" -> 4, // q128's 3-exchange span shape with the train/eval sides carved by the hash split + one per-split agg over the ~50-row contamination frame
       "q174_dedup_impact_report" -> 4, // q41's banded pair machinery (bands, caps, verify) feeding min-label clusters (label propagation runs at construct via localCheckpoint) + one per-source partial agg + ordered output
+      "q175_hybrid_rrf_search" -> 1, // BOTH rankers are map-side scoring + top-K TakeOrdered (BM25 stats broadcast, hashed-BoW is one fold per doc); rank windows run over the K-row survivors, fusion join is K×K broadcast — the one exchange is the 1-row stats agg
       "q143_line_boilerplate_signals" -> 4, // line-hash distinct-doc count (∝ distinct lines) + hash-keyed join back + per-doc agg + ordered output — map-side line derivation
       "q144_line_boilerplate_removal" -> 5, // q143's dup shape + the per-doc reassembly exchange (the corpus's one unavoidable regroup, q124's) + universe left join
       "q166_ann_recall_report" -> 8, // three candidate sets in one statement: brute truth window (sample-bounded cross), LSH sig join + window, IVF serve join + window, union, truth left join, per-variant agg + ordered output — each path's standalone budget proven by q50/q51/q81

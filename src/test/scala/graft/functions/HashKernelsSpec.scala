@@ -86,6 +86,21 @@ class HashKernelsSpec extends SparkSpec {
     assert(both.count() == 500)
   }
 
+  test("HashedBow == HOF fold incl. empty/cancelling token lists") {
+    val both = shingles
+      .withColumn("native", HashFunctions.hashedBow(col("tk"), 16))
+      .withColumn("hof", X.hashedBowHof("tk", 16))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    assert(both.count() == 500)
+    val s = spark
+    import s.implicits._
+    val edge = Seq(Seq[String](), Seq("a"), Seq("a", "a", "b"))
+      .toDF("tk")
+      .withColumn("native", HashFunctions.hashedBow(col("tk"), 16))
+      .withColumn("hof", X.hashedBowHof("tk", 16))
+    assert(edge.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
   test("SimHash60 == HOF simhash over h60 token hashes") {
     val both = shingles
       .withColumn("native", HashFunctions.simhash60(col("tk")))
