@@ -931,7 +931,77 @@ object Dedup extends QueryModule {
                       // SUM(t.n_tokens) AS BIGINT)
                END AS removed_bps
         FROM tok t LEFT JOIN rmv r ON r.doc = t.doc_id
-        GROUP BY t.source ORDER BY t.source"""))
+        GROUP BY t.source ORDER BY t.source""")),
+
+    // ------------------------------------------------------------------
+    // q176: LSH BAND PRECISION REPORT — the banding-tuning table (the
+    // dedup-side complement of q166's recall report): per band, how
+    // many candidate pairs the band generates (n_cand), how many are
+    // its MARGINAL contribution (n_new: pairs no earlier band already
+    // found — the number that justifies paying for band b+1), how many
+    // verify as true near-dups at Jaccard ≥ 0.5 (n_true), and the
+    // band's candidate precision in bps. This is how b×r gets chosen
+    // in practice (Leskovec/Rajaraman/Ullman ch.3's S-curve, measured
+    // on the actual corpus instead of assumed).
+    //
+    // 100 TB: candidate generation is q41's banded bucket machinery
+    // (k ints per doc shuffle, capped buckets); each pair verifies
+    // ONCE (on the distinct pair set) and the per-band attribution
+    // joins the verdict back to the ≤ bands-row candidate list — no
+    // extra shingle traffic. The report is one partial agg over that.
+    QueryDef(
+      "q176_lsh_band_precision",
+      (s, dir) => {
+        val scope = new graft.CacheScope
+        graft.CacheScope.releaseAfterNextAction(s, scope)
+        val (base, banded) = graft.operators.NearDup.minhashBandTable(
+          T.documents(s, dir), col("doc_id"), col("text"), scope = scope)
+        val cand = scope.cache(
+          graft.operators.NearDup.cappedBuckets(
+              banded.select(col("band"), col("bsig"), col("doc_id")),
+              Seq("band", "bsig"), "doc_id", 1024, "q176_bucket_cap")
+            .select(col("band"),
+              explode(graft.operators.NearDup.pairsOf(col("ids"))).as("p"))
+            .select(col("band").cast("long").as("band"),
+              col("p.a").as("doc_a"), col("p.b").as("doc_b")))
+        val first = cand.groupBy(col("doc_a"), col("doc_b"))
+          .agg(min(col("band")).as("first_band"))
+        val ver = first
+          .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+          .join(base.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+          .select(col("doc_a"), col("doc_b"), col("first_band"),
+            when(jaccard(col("sha"), col("shb")) >= 0.5, 1L).otherwise(0L)
+              .as("is_true"))
+        cand.join(ver, Seq("doc_a", "doc_b"))
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("n_cand"),
+            sum(when(col("band") === col("first_band"), 1L).otherwise(0L))
+              .as("n_new"),
+            sum(col("is_true")).as("n_true"))
+          .select(col("band"), col("n_cand"), col("n_new"), col("n_true"),
+            expr("CAST((n_true * 10000) div n_cand AS BIGINT)")
+              .as("precision_bps"))
+          .orderBy(col("band"))
+      },
+      Some(s"""
+        WITH $shingledSqlCte,
+        sig AS (SELECT doc_id, sh, ${X.minhashSigSql("hm", 12)} AS sig FROM hm WHERE len(sh) > 0),
+        bands AS (SELECT doc_id, bnd, array_to_string(sig[bnd*4+1:bnd*4+4], '-') AS bsig
+                  FROM sig, (SELECT unnest(range(0, 3)) AS bnd)),
+        bpc AS (SELECT a.bnd AS band, a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b
+                  ON a.bnd = b.bnd AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+        bpf AS (SELECT doc_a, doc_b, MIN(band) AS first_band FROM bpc GROUP BY 1, 2),
+        bpv AS (SELECT f.doc_a, f.doc_b, f.first_band,
+                       CASE WHEN ${jaccardSql("x.sh", "y.sh")} >= 0.5 THEN 1 ELSE 0 END AS is_true
+                FROM bpf f JOIN sig x ON x.doc_id = f.doc_a
+                           JOIN sig y ON y.doc_id = f.doc_b)
+        SELECT c.band, COUNT(*) AS n_cand,
+               CAST(SUM(CASE WHEN c.band = v.first_band THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+               CAST(SUM(v.is_true) AS BIGINT) AS n_true,
+               CAST((CAST(SUM(v.is_true) AS BIGINT) * 10000) // COUNT(*) AS BIGINT) AS precision_bps
+        FROM bpc c JOIN bpv v ON v.doc_a = c.doc_a AND v.doc_b = c.doc_b
+        GROUP BY c.band ORDER BY c.band"""))
   )
 
   /** Span length (in tokens) for [[repeatedSpanCoverage]] / q123. */

@@ -276,6 +276,7 @@ class PlanAuditSpec extends SparkSpec {
       "q173_split_leakage_audit" -> 4, // q128's 3-exchange span shape with the train/eval sides carved by the hash split + one per-split agg over the ~50-row contamination frame
       "q174_dedup_impact_report" -> 4, // q41's banded pair machinery (bands, caps, verify) feeding min-label clusters (label propagation runs at construct via localCheckpoint) + one per-source partial agg + ordered output
       "q175_hybrid_rrf_search" -> 1, // BOTH rankers are map-side scoring + top-K TakeOrdered (BM25 stats broadcast, hashed-BoW is one fold per doc); rank windows run over the K-row survivors, fusion join is K×K broadcast — the one exchange is the 1-row stats agg
+      "q176_lsh_band_precision" -> 3, // q41's banded bucket machinery (band group + pair distinct) + the verdict join-back; verify joins ride the cached signature broadcast
       "q143_line_boilerplate_signals" -> 4, // line-hash distinct-doc count (∝ distinct lines) + hash-keyed join back + per-doc agg + ordered output — map-side line derivation
       "q144_line_boilerplate_removal" -> 5, // q143's dup shape + the per-doc reassembly exchange (the corpus's one unavoidable regroup, q124's) + universe left join
       "q166_ann_recall_report" -> 8, // three candidate sets in one statement: brute truth window (sample-bounded cross), LSH sig join + window, IVF serve join + window, union, truth left join, per-variant agg + ordered output — each path's standalone budget proven by q50/q51/q81
@@ -304,6 +305,10 @@ class PlanAuditSpec extends SparkSpec {
                               // regenerations on unchanged code — the
                               // three-path union's joins finalize
                               // differently with session state
+    "q103_cms_heavy_hitters", // observed local8 3 → 1 across r14
+                              // regenerations on unchanged code — the
+                              // serve probe's broadcast finalizes away
+                              // two exchanges with session state
     "q94_semantic_dedup_partial_probe", "q104_cms_merge",
     "q108_hll_estimate_merge", "q110_semantic_dedup_dist_fit",
     "q111_pixel_semantic_dedup", "q113_hist_quantile_merge",
