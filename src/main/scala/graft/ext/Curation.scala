@@ -417,6 +417,158 @@ object Curation extends QueryModule {
         GROUP BY d.source ORDER BY d.source""")),
 
     // ------------------------------------------------------------------
+    // q177: TOKEN-BUDGET APPORTIONMENT — the data-mixture quota table
+    // (GPT-3 Table 2.2 / LLaMA Table 1 publish exactly this): a hard
+    // training budget B (20% of the corpus's clean-token mass) split
+    // across sources by largest-remainder (Hamilton) apportionment over
+    // clean-token weights — quota_s = ⌊B·w_s/W⌋ plus one for the
+    // ⌈⌉-largest remainders, so Σ quota = B EXACTLY (rate-based
+    // sampling, q49, can't promise that; epoch planners need the hard
+    // equality). repeat_centiepochs = how many hundredths of an epoch
+    // of source s the budget buys — the "how many epochs of Wikipedia"
+    // number. clean = n ≥ 5 tokens ∧ stopword share ≥ 5% (integer
+    // gate: sh·20 ≥ n).
+    //
+    // 100 TB: per-source weights are ONE partial agg over the corpus;
+    // the apportionment itself runs on the #sources-row table (1-row
+    // broadcasts + a tiny window) — driver-scale by construction. At
+    // trillion-token scale B·w_s would overflow int64: apportion in
+    // kilotokens (scale weights down by a common factor first) —
+    // DuckDB errors loudly on the breach rather than wrapping.
+    QueryDef(
+      "q177_token_budget_apportionment",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val tok = T.documents(s, dir)
+          .select(col("source"), X.tokens(col("text")).as("tk"))
+          .select(col("source"), size(col("tk")).cast("long").as("n"),
+            size(filter(col("tk"), t => t.isin(X.stopwords: _*)))
+              .cast("long").as("sh"))
+        val per = tok.groupBy(col("source"))
+          .agg(sum(col("n")).as("tokens_total"),
+            sum(when(col("n") >= 5L && col("sh") * 20L >= col("n"), col("n"))
+              .otherwise(0L)).as("clean_tokens"))
+        val tot = per.agg(sum(col("clean_tokens")).as("wsum"))
+        val based = per.crossJoin(broadcast(tot))
+          .withColumn("budget", expr("wsum div 5"))
+          .withColumn("base", expr(
+            "CASE WHEN wsum = 0 THEN 0L ELSE (budget * clean_tokens) div wsum END"))
+          .withColumn("rem", expr(
+            "CASE WHEN wsum = 0 THEN 0L ELSE (budget * clean_tokens) % wsum END"))
+        val leftover = based.agg(
+          (max(col("budget")) - sum(col("base"))).as("leftover"))
+        based.crossJoin(broadcast(leftover))
+          .withColumn("rk", row_number()
+            .over(Window.orderBy(col("rem").desc, col("source"))).cast("long"))
+          .withColumn("quota",
+            col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .select(col("source"), col("tokens_total"), col("clean_tokens"),
+            col("quota"),
+            when(col("clean_tokens") === 0L, 0L)
+              .otherwise(expr("(quota * 100) div clean_tokens"))
+              .as("repeat_centiepochs"),
+            when(col("budget") === 0L, 0L)
+              .otherwise(expr("(quota * 10000) div budget")).as("share_bps"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH atok AS (SELECT source, ${X.tokensSql("text")} AS tk FROM documents),
+        acnt AS (SELECT source, CAST(len(tk) AS BIGINT) AS n,
+                        CAST(len(list_filter(tk, t -> list_contains(${X.stopwordsSql}, t))) AS BIGINT) AS sh
+                 FROM atok),
+        aper AS (SELECT source, CAST(SUM(n) AS BIGINT) AS tokens_total,
+                        CAST(SUM(CASE WHEN n >= 5 AND sh * 20 >= n THEN n ELSE 0 END) AS BIGINT) AS clean_tokens
+                 FROM acnt GROUP BY source),
+        aw AS (SELECT CAST(SUM(clean_tokens) AS BIGINT) AS wsum FROM aper),
+        ab AS (SELECT p.source, p.tokens_total, p.clean_tokens,
+                      w.wsum // 5 AS budget,
+                      CASE WHEN w.wsum = 0 THEN 0 ELSE ((w.wsum // 5) * p.clean_tokens) // w.wsum END AS base,
+                      CASE WHEN w.wsum = 0 THEN 0 ELSE ((w.wsum // 5) * p.clean_tokens) % w.wsum END AS rem
+               FROM aper p, aw w),
+        al AS (SELECT CAST(MAX(budget) - SUM(base) AS BIGINT) AS leftover FROM ab),
+        ar AS (SELECT b.*, l.leftover,
+                      CAST(row_number() OVER (ORDER BY b.rem DESC, b.source) AS BIGINT) AS rk
+               FROM ab b, al l)
+        SELECT source, tokens_total, clean_tokens,
+               CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota,
+               CAST(CASE WHEN clean_tokens = 0 THEN 0
+                    ELSE ((base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END) * 100) // clean_tokens END AS BIGINT) AS repeat_centiepochs,
+               CAST(CASE WHEN budget = 0 THEN 0
+                    ELSE ((base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END) * 10000) // budget END AS BIGINT) AS share_bps
+        FROM ar ORDER BY source""")),
+
+    // ------------------------------------------------------------------
+    // q178: SOURCE DISTRIBUTION DRIFT — the per-source outlier monitor
+    // every multi-source ingest runs (Dolma/FineWeb publish per-source
+    // length histograms for exactly this): each source's token-count
+    // distribution compared against the corpus-wide one over
+    // power-of-two length buckets, scored by an integer L1 distance in
+    // bps (2× total-variation distance) plus the single most-drifted
+    // bucket and its signed deviation — the "src16 is 20% over-heavy
+    // in 32-63-token docs" pointer that catches a broken extractor or
+    // a boilerplate flood before it trains. Buckets are bitlen(n+1) =
+    // length(bin(n+1)) — pure integer, exact on both engines (the
+    // q121 bits discipline); shares are truncating bps divisions on
+    // identical operands.
+    //
+    // 100 TB: the ONLY corpus-sized work is the map-side bucket
+    // derivation + one (source, bucket) partial agg; everything after
+    // runs on the sources × ~dozen-buckets grid (1-row broadcasts +
+    // a grid window) — driver-scale by construction.
+    QueryDef(
+      "q178_source_drift",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val sb = T.documents(s, dir)
+          .select(col("source"),
+            length(bin(size(X.tokens(col("text"))).cast("long") + lit(1L)))
+              .cast("long").as("b"))
+          .groupBy(col("source"), col("b")).agg(count(lit(1)).as("cnt"))
+        val st = sb.groupBy(col("source")).agg(sum(col("cnt")).as("tot"))
+        val cb = sb.groupBy(col("b")).agg(sum(col("cnt")).as("cntc"))
+        val n1 = sb.agg(sum(col("cnt")).as("n"))
+        val grid = st.crossJoin(broadcast(cb)).crossJoin(broadcast(n1))
+          .join(sb, Seq("source", "b"), "left")
+          .withColumn("cnt0", coalesce(col("cnt"), lit(0L)))
+          .withColumn("diff",
+            expr("(cnt0 * 10000) div tot - (cntc * 10000) div n"))
+          .withColumn("adiff", abs(col("diff")))
+        grid
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("source"))
+              .orderBy(col("adiff").desc, col("b"))))
+          .groupBy(col("source"))
+          .agg(max(col("tot")).as("n_docs"),
+            sum(col("adiff")).as("l1_bps"),
+            max(when(col("rk") === 1, col("b"))).as("top_bucket"),
+            max(when(col("rk") === 1, col("diff"))).as("top_diff_bps"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH dtok AS (SELECT source,
+                             length(bin(CAST(len(${X.tokensSql("text")})+1 AS BIGINT))) AS b
+                      FROM documents),
+        dsb AS (SELECT source, b, COUNT(*) AS cnt FROM dtok GROUP BY 1, 2),
+        dst AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS tot FROM dsb GROUP BY 1),
+        dcb AS (SELECT b, CAST(SUM(cnt) AS BIGINT) AS cntc FROM dsb GROUP BY 1),
+        dn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM dsb),
+        dg AS (SELECT s.source, s.tot, c.b, c.cntc, n.n, coalesce(x.cnt, 0) AS cnt
+               FROM dst s CROSS JOIN dcb c CROSS JOIN dn n
+               LEFT JOIN dsb x ON x.source = s.source AND x.b = c.b),
+        dd AS (SELECT source, tot, b,
+                      (cnt*10000)//tot - (cntc*10000)//n AS diff
+               FROM dg),
+        dr AS (SELECT source, tot, b, diff, abs(diff) AS adiff,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY abs(diff) DESC, b) AS rk
+               FROM dd)
+        SELECT source, CAST(MAX(tot) AS BIGINT) AS n_docs,
+               CAST(SUM(adiff) AS BIGINT) AS l1_bps,
+               CAST(MAX(CASE WHEN rk = 1 THEN b END) AS BIGINT) AS top_bucket,
+               CAST(MAX(CASE WHEN rk = 1 THEN diff END) AS BIGINT) AS top_diff_bps
+        FROM dr GROUP BY source ORDER BY source""")),
+
+    // ------------------------------------------------------------------
     // q56: decontamination — flag test-split documents sharing any
     // 5-gram with ANY train-split document (the q48 hash split). The
     // overlap join runs on 60-bit shingle HASHES, not strings: the

@@ -31,6 +31,12 @@ class PlanAuditSpec extends SparkSpec {
     "q175_hybrid_rrf_search", // q59's 1-row stats broadcast (shared
                               // bm25Scored code) feeding the lexical
                               // ranker of the RRF fusion
+    "q177_token_budget_apportionment", // two 1-row scalar broadcasts
+                                       // (weight total, leftover) to the
+                                       // #sources-row apportionment table
+    "q178_source_drift", // the sources × ~dozen-buckets comparison GRID
+                         // is a deliberate broadcast cross (+ the 1-row
+                         // corpus-total broadcast)
     "q169_bm25_catalog_served", // q59's 1-row stats broadcast, read
                                 // from the persisted index version
                                 // (plus the 1-row df pivot broadcast)
@@ -277,6 +283,8 @@ class PlanAuditSpec extends SparkSpec {
       "q174_dedup_impact_report" -> 4, // q41's banded pair machinery (bands, caps, verify) feeding min-label clusters (label propagation runs at construct via localCheckpoint) + one per-source partial agg + ordered output
       "q175_hybrid_rrf_search" -> 1, // BOTH rankers are map-side scoring + top-K TakeOrdered (BM25 stats broadcast, hashed-BoW is one fold per doc); rank windows run over the K-row survivors, fusion join is K×K broadcast — the one exchange is the 1-row stats agg
       "q176_lsh_band_precision" -> 3, // q41's banded bucket machinery (band group + pair distinct) + the verdict join-back; verify joins ride the cached signature broadcast
+      "q177_token_budget_apportionment" -> 5, // ONE corpus partial agg (per-source weights) + two 1-row broadcasts + the #sources-row rank window + ordered output — the apportionment itself is driver-scale
+      "q178_source_drift" -> 6, // ONE corpus (source, bucket) partial agg + three grid-side reductions (source totals / bucket totals / 1-row N) + the grid window + ordered output
       "q143_line_boilerplate_signals" -> 4, // line-hash distinct-doc count (∝ distinct lines) + hash-keyed join back + per-doc agg + ordered output — map-side line derivation
       "q144_line_boilerplate_removal" -> 5, // q143's dup shape + the per-doc reassembly exchange (the corpus's one unavoidable regroup, q124's) + universe left join
       "q166_ann_recall_report" -> 8, // three candidate sets in one statement: brute truth window (sample-bounded cross), LSH sig join + window, IVF serve join + window, union, truth left join, per-variant agg + ordered output — each path's standalone budget proven by q50/q51/q81
