@@ -195,6 +195,65 @@ object Curation extends QueryModule {
     * determinism arithmetic can never drift between them. Returns
     * (source, thr); sample membership is then
     * `hp(doc_id) % 10000 < thr`. */
+  /** q178/q179's per-(source, power-of-two-length-bucket) doc counts —
+    * the drift monitor's LINEAR state: fold epochs by per-key SUM.
+    * Bucket = bitlen(n_tokens+1) via length(bin(·)), pure integer. */
+  private def sourceBucketCounts(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        length(bin(size(X.tokens(col("text"))).cast("long") + lit(1L)))
+          .cast("long").as("b"))
+      .groupBy(col("source"), col("b")).agg(count(lit(1)).as("cnt"))
+
+  /** The drift report over a (source, b, cnt) count table — shared by
+    * q178 (in-query counts) and q179 (catalog-served counts), so the
+    * served monitor can never drift from the definition. Unordered;
+    * callers sort. Everything here runs on the sources × buckets grid
+    * (1-row/grid broadcasts + a grid window) — driver-scale. */
+  private def driftReport(sb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val st = sb.groupBy(col("source")).agg(sum(col("cnt")).as("tot"))
+    val cb = sb.groupBy(col("b")).agg(sum(col("cnt")).as("cntc"))
+    val n1 = sb.agg(sum(col("cnt")).as("n"))
+    st.crossJoin(broadcast(cb)).crossJoin(broadcast(n1))
+      .join(sb, Seq("source", "b"), "left")
+      .withColumn("cnt0", coalesce(col("cnt"), lit(0L)))
+      .withColumn("diff",
+        expr("(cnt0 * 10000) div tot - (cntc * 10000) div n"))
+      .withColumn("adiff", abs(col("diff")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("adiff").desc, col("b"))))
+      .groupBy(col("source"))
+      .agg(max(col("tot")).as("n_docs"),
+        sum(col("adiff")).as("l1_bps"),
+        max(when(col("rk") === 1, col("b"))).as("top_bucket"),
+        max(when(col("rk") === 1, col("diff"))).as("top_diff_bps"))
+  }
+
+  /** SQL mirror of [[driftReport]] over a counts CTE (source, b, cnt),
+    * tag-namespaced so two count universes compose in one statement
+    * (q179 serves two versions). Exposes `${tag}f`(source, n_docs,
+    * l1_bps, top_bucket, top_diff_bps). */
+  private def driftTailSql(tag: String, counts: String): String = s"""
+        ${tag}st AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS tot FROM $counts GROUP BY 1),
+        ${tag}cb AS (SELECT b, CAST(SUM(cnt) AS BIGINT) AS cntc FROM $counts GROUP BY 1),
+        ${tag}n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM $counts),
+        ${tag}g AS (SELECT s.source, s.tot, c.b, c.cntc, n.n, coalesce(x.cnt, 0) AS cnt
+                    FROM ${tag}st s CROSS JOIN ${tag}cb c CROSS JOIN ${tag}n n
+                    LEFT JOIN $counts x ON x.source = s.source AND x.b = c.b),
+        ${tag}d AS (SELECT source, tot, b,
+                           (cnt*10000)//tot - (cntc*10000)//n AS diff
+                    FROM ${tag}g),
+        ${tag}r AS (SELECT source, tot, b, diff, abs(diff) AS adiff,
+                           row_number() OVER (PARTITION BY source
+                             ORDER BY abs(diff) DESC, b) AS rk
+                    FROM ${tag}d),
+        ${tag}f AS (SELECT source, CAST(MAX(tot) AS BIGINT) AS n_docs,
+                           CAST(SUM(adiff) AS BIGINT) AS l1_bps,
+                           CAST(MAX(CASE WHEN rk = 1 THEN b END) AS BIGINT) AS top_bucket,
+                           CAST(MAX(CASE WHEN rk = 1 THEN diff END) AS BIGINT) AS top_diff_bps
+                    FROM ${tag}r GROUP BY source)"""
+
   private def mixtureThresholds(docs: DataFrame): DataFrame = {
     val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val mx = counts.agg(max(sqrt(col("n").cast("double"))).as("mx"))
@@ -517,56 +576,71 @@ object Curation extends QueryModule {
     // a grid window) — driver-scale by construction.
     QueryDef(
       "q178_source_drift",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val sb = T.documents(s, dir)
-          .select(col("source"),
-            length(bin(size(X.tokens(col("text"))).cast("long") + lit(1L)))
-              .cast("long").as("b"))
-          .groupBy(col("source"), col("b")).agg(count(lit(1)).as("cnt"))
-        val st = sb.groupBy(col("source")).agg(sum(col("cnt")).as("tot"))
-        val cb = sb.groupBy(col("b")).agg(sum(col("cnt")).as("cntc"))
-        val n1 = sb.agg(sum(col("cnt")).as("n"))
-        val grid = st.crossJoin(broadcast(cb)).crossJoin(broadcast(n1))
-          .join(sb, Seq("source", "b"), "left")
-          .withColumn("cnt0", coalesce(col("cnt"), lit(0L)))
-          .withColumn("diff",
-            expr("(cnt0 * 10000) div tot - (cntc * 10000) div n"))
-          .withColumn("adiff", abs(col("diff")))
-        grid
-          .withColumn("rk", row_number().over(
-            Window.partitionBy(col("source"))
-              .orderBy(col("adiff").desc, col("b"))))
-          .groupBy(col("source"))
-          .agg(max(col("tot")).as("n_docs"),
-            sum(col("adiff")).as("l1_bps"),
-            max(when(col("rk") === 1, col("b"))).as("top_bucket"),
-            max(when(col("rk") === 1, col("diff"))).as("top_diff_bps"))
-          .orderBy(col("source"))
-      },
+      (s, dir) =>
+        driftReport(sourceBucketCounts(T.documents(s, dir)))
+          .orderBy(col("source")),
       Some(s"""
         WITH dtok AS (SELECT source,
                              length(bin(CAST(len(${X.tokensSql("text")})+1 AS BIGINT))) AS b
                       FROM documents),
         dsb AS (SELECT source, b, COUNT(*) AS cnt FROM dtok GROUP BY 1, 2),
-        dst AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS tot FROM dsb GROUP BY 1),
-        dcb AS (SELECT b, CAST(SUM(cnt) AS BIGINT) AS cntc FROM dsb GROUP BY 1),
-        dn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM dsb),
-        dg AS (SELECT s.source, s.tot, c.b, c.cntc, n.n, coalesce(x.cnt, 0) AS cnt
-               FROM dst s CROSS JOIN dcb c CROSS JOIN dn n
-               LEFT JOIN dsb x ON x.source = s.source AND x.b = c.b),
-        dd AS (SELECT source, tot, b,
-                      (cnt*10000)//tot - (cntc*10000)//n AS diff
-               FROM dg),
-        dr AS (SELECT source, tot, b, diff, abs(diff) AS adiff,
-                      row_number() OVER (PARTITION BY source
-                        ORDER BY abs(diff) DESC, b) AS rk
-               FROM dd)
-        SELECT source, CAST(MAX(tot) AS BIGINT) AS n_docs,
-               CAST(SUM(adiff) AS BIGINT) AS l1_bps,
-               CAST(MAX(CASE WHEN rk = 1 THEN b END) AS BIGINT) AS top_bucket,
-               CAST(MAX(CASE WHEN rk = 1 THEN diff END) AS BIGINT) AS top_diff_bps
-        FROM dr GROUP BY source ORDER BY source""")),
+        ${driftTailSql("d", "dsb")}
+        SELECT source, n_docs, l1_bps, top_bucket, top_diff_bps
+        FROM df ORDER BY source""")),
+
+    // ------------------------------------------------------------------
+    // q179: DRIFT MONITOR THROUGH THE CATALOG — q178's report as a
+    // MAINTAINED index (the q118/q119/q120 serving discipline): the
+    // (source, bucket, cnt) table is a LINEAR sketch — epoch tables
+    // fold by per-key SUM and the fold IS the union corpus's counts —
+    // so each catalog version stores the running counts (v1 = epoch A,
+    // v2 = fold(v1, epoch B)) and the SERVED report derives from the
+    // count table alone: per version, the full q178 drift report with
+    // ZERO corpus re-scans (shared [[driftReport]] code = the
+    // non-drift proof). This is how a production ingest watches drift:
+    // the monitor folds each batch into bounded state; the corpus is
+    // never re-read. The oracle computes both versions' reports
+    // directly from the parity partition, bit-for-bit.
+    QueryDef(
+      "q179_drift_catalog_serving",
+      (s, dir) => {
+        val work = graft.Scratch.dir("q179")
+        val cat = new graft.catalog.VersionedCatalog(s, work, format = "parquet")
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "source STRING, b BIGINT, cnt BIGINT")
+        val docs = T.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("text"))
+        // bounded state (sources × ~dozen buckets): one file per version
+        cat.writeNext("drift",
+          sourceBucketCounts(docs.filter(col("doc_id") % 2 === 0))
+            .coalesce(1))
+        cat.writeNext("drift",
+          cat.read("drift", 1, Some(schema))
+            .unionByName(sourceBucketCounts(docs.filter(col("doc_id") % 2 === 1)))
+            .groupBy(col("source"), col("b")).agg(sum(col("cnt")).as("cnt"))
+            .coalesce(1))
+        (1 to 2).map { v =>
+          driftReport(cat.read("drift", v, Some(schema)))
+            .select(lit(v.toLong).as("version"), col("source"),
+              col("n_docs"), col("l1_bps"), col("top_bucket"),
+              col("top_diff_bps"))
+        }.reduce(_ unionByName _).orderBy(col("version"), col("source"))
+      },
+      Some(s"""
+        WITH vtok AS (SELECT doc_id % 2 AS par, source,
+                             length(bin(CAST(len(${X.tokensSql("text")})+1 AS BIGINT))) AS b
+                      FROM documents),
+        vcnt AS (SELECT par, source, b, COUNT(*) AS cnt FROM vtok GROUP BY 1, 2, 3),
+        v1c AS (SELECT source, b, CAST(SUM(cnt) AS BIGINT) AS cnt
+                FROM vcnt WHERE par = 0 GROUP BY 1, 2),
+        v2c AS (SELECT source, b, CAST(SUM(cnt) AS BIGINT) AS cnt
+                FROM vcnt GROUP BY 1, 2),
+        ${driftTailSql("v1", "v1c")},
+        ${driftTailSql("v2", "v2c")}
+        SELECT CAST(1 AS BIGINT) AS version, source, n_docs, l1_bps, top_bucket, top_diff_bps FROM v1f
+        UNION ALL
+        SELECT CAST(2 AS BIGINT) AS version, source, n_docs, l1_bps, top_bucket, top_diff_bps FROM v2f
+        ORDER BY version, source""")),
 
     // ------------------------------------------------------------------
     // q56: decontamination — flag test-split documents sharing any
