@@ -198,18 +198,26 @@ object Curation extends QueryModule {
   /** q178/q179's per-(source, power-of-two-length-bucket) doc counts —
     * the drift monitor's LINEAR state: fold epochs by per-key SUM.
     * Bucket = bitlen(n_tokens+1) via length(bin(·)), pure integer. */
-  private def sourceBucketCounts(docs: DataFrame): DataFrame =
+  private[graft] def sourceBucketCounts(docs: DataFrame): DataFrame =
     docs.select(col("source"),
         length(bin(size(X.tokens(col("text"))).cast("long") + lit(1L)))
           .cast("long").as("b"))
       .groupBy(col("source"), col("b")).agg(count(lit(1)).as("cnt"))
+
+  /** Per-key-SUM fold of two (source, b, cnt) count tables — the drift
+    * monitor's merge law (linear sketch: the fold IS the union corpus's
+    * counts). Shared by q179's catalog fold and the streaming drift
+    * sink so batch and stream can never disagree on the algebra. */
+  private[graft] def mergeSourceBucketCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("source"), col("b"))
+      .agg(sum(col("cnt")).as("cnt"))
 
   /** The drift report over a (source, b, cnt) count table — shared by
     * q178 (in-query counts) and q179 (catalog-served counts), so the
     * served monitor can never drift from the definition. Unordered;
     * callers sort. Everything here runs on the sources × buckets grid
     * (1-row/grid broadcasts + a grid window) — driver-scale. */
-  private def driftReport(sb: DataFrame): DataFrame = {
+  private[graft] def driftReport(sb: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val st = sb.groupBy(col("source")).agg(sum(col("cnt")).as("tot"))
     val cb = sb.groupBy(col("b")).agg(sum(col("cnt")).as("cntc"))
@@ -615,9 +623,9 @@ object Curation extends QueryModule {
           sourceBucketCounts(docs.filter(col("doc_id") % 2 === 0))
             .coalesce(1))
         cat.writeNext("drift",
-          cat.read("drift", 1, Some(schema))
-            .unionByName(sourceBucketCounts(docs.filter(col("doc_id") % 2 === 1)))
-            .groupBy(col("source"), col("b")).agg(sum(col("cnt")).as("cnt"))
+          mergeSourceBucketCounts(
+            cat.read("drift", 1, Some(schema)),
+            sourceBucketCounts(docs.filter(col("doc_id") % 2 === 1)))
             .coalesce(1))
         (1 to 2).map { v =>
           driftReport(cat.read("drift", v, Some(schema)))

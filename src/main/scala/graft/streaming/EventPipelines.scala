@@ -671,6 +671,37 @@ object EventPipelines {
     q.awaitTermination()
   }
 
+  /** Streaming DRIFT MONITOR → catalog: q179's count state maintained
+    * by a stream. Each epoch's documents reduce to their (source,
+    * power-of-2-length-bucket) doc counts
+    * ([[graft.ext.Curation.sourceBucketCounts]] — the exact q178/q179
+    * construction, so streamed state serves the same report) and fold
+    * in by per-key SUM ([[graft.ext.Curation.mergeSourceBucketCounts]]
+    * — the linear-sketch law: the fold IS the union corpus's counts).
+    * Additive state, so the atomic epoch tag is the exactly-once
+    * guard — a replayed epoch would double its counts; the tag skips
+    * it. Bounded state (sources × ~dozen buckets) commits as one file;
+    * every version is a complete servable drift snapshot for
+    * [[graft.ext.Curation.driftReport]] with zero corpus re-scans. */
+  def runCatalogDriftSink(
+      docs: DataFrame,
+      checkpoint: String,
+      cat: graft.catalog.VersionedCatalog,
+      step: String): Unit = {
+    val q = docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        foldEpoch(cat, s"${step}_drift",
+          graft.ext.Curation.sourceBucketCounts(batch), epoch,
+          graft.ext.Curation.mergeSourceBucketCounts,
+          boundedState = true)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming DEDUP BAND INDEX → catalog: q170's index-as-data pair
     * maintained by a stream. Each epoch's documents contribute their
     * (band, bsig, doc_id) band rows and (doc_id, hsh) hashed-shingle

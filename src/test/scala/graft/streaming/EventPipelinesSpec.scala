@@ -959,6 +959,48 @@ class EventPipelinesSpec extends SparkSpec {
     }
   }
 
+  test("streaming drift sink: epochs fold to the batch counts, served report matches, replay-safe") {
+    val s = spark
+    import s.implicits._
+    withTempDir { dir =>
+      val in = s"$dir/in"; val ckpt = s"$dir/ckpt"; val root = s"$dir/cat"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, source STRING, text STRING")
+      def stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(in)
+      val cat = new graft.catalog.VersionedCatalog(spark, root, format = "parquet")
+      val stSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "source STRING, b BIGINT, cnt BIGINT")
+      val fixture = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id"), col("source"), col("text"))
+      def writeEpoch(name: String, docs: org.apache.spark.sql.DataFrame): Unit =
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/$name"),
+          docs.toJSON.collect().mkString("\n").getBytes)
+      writeEpoch("e1.json", fixture.filter(col("doc_id") % 2 === 0))
+      EventPipelines.runCatalogDriftSink(stream, ckpt, cat, "dm")
+      assert(cat.latestVersion("dm_drift").contains(1))
+      writeEpoch("e2.json", fixture.filter(col("doc_id") % 2 === 1))
+      EventPipelines.runCatalogDriftSink(stream, ckpt, cat, "dm")
+      assert(cat.latestVersion("dm_drift").contains(2))
+      def cnts(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // latest counts = batch counts over the union (linear-sketch law)
+      assert(cnts(cat.latest("dm_drift", Some(stSchema))) ==
+        cnts(graft.ext.Curation.sourceBucketCounts(fixture)))
+      // the served report from streamed state = the in-query report
+      def rep(df: org.apache.spark.sql.DataFrame) = graft.ext.Curation
+        .driftReport(df).orderBy(col("source")).collect().toSeq
+      assert(rep(cat.latest("dm_drift", Some(stSchema))) ==
+        rep(graft.ext.Curation.sourceBucketCounts(fixture)))
+      // replay with no new input: no new version (additive state —
+      // the epoch tag is the exactly-once guard)
+      EventPipelines.runCatalogDriftSink(stream, ckpt, cat, "dm")
+      assert(cat.latestVersion("dm_drift").contains(2))
+    }
+  }
+
   test("streaming dedup band-index sink: epochs fold to the batch index, replay-safe") {
     val s = spark
     import s.implicits._
