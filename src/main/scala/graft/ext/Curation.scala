@@ -651,6 +651,53 @@ object Curation extends QueryModule {
         ORDER BY version, source""")),
 
     // ------------------------------------------------------------------
+    // q182: PACKING EFFICIENCY SWEEP — the context-length tuning table
+    // (every training run picks a sequence length; T5/GPT-NeoX docs
+    // discuss exactly this fill-factor tradeoff): q47's packing
+    // arithmetic evaluated at THREE candidate budgets (256/512/1024) in
+    // one statement — bins produced, fill factor in bps of capacity,
+    // and bins a straddling doc overflows. Longer contexts pack the
+    // tail worse (the last bin per shard underfills); this is the
+    // measured curve that decision reads. Tokenize ONCE (checkpointed),
+    // three window+agg passes over the counted frame — each is q47's
+    // exact shape (shared packByBudget/packTailSql, so the sweep can
+    // never drift from the shipped packer).
+    QueryDef(
+      "q182_packing_efficiency_sweep",
+      (s, dir) => {
+        val counted = T.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            size(X.tokens(col("text"))).cast("long").as("n_tokens"))
+          .localCheckpoint(eager = false) // three sweep passes read it
+        Seq(256L, 512L, 1024L).map { b =>
+          packByBudget(counted, b)
+            .agg(count(lit(1)).as("n_bins"),
+              sum(col("bin_tokens")).as("total_tokens"),
+              sum(when(col("bin_tokens") > b, 1L).otherwise(0L))
+                .as("overflow_bins"))
+            .select(lit(b).as("budget"), col("n_bins"), col("total_tokens"),
+              expr(s"(total_tokens * 10000) div (n_bins * $b)").as("fill_bps"),
+              col("overflow_bins"))
+        }.reduce(_ unionByName _).orderBy(col("budget"))
+      },
+      Some(s"""
+        WITH nt AS (SELECT doc_id, source,
+                           CAST(len(${X.tokensSql("text")}) AS BIGINT) AS n_tokens
+                    FROM documents),
+        pk256 AS (${packTailSql(256)}),
+        pk512 AS (${packTailSql(512)}),
+        pk1024 AS (${packTailSql(1024)})
+        SELECT * FROM (
+          ${Seq(256, 512, 1024).map { b =>
+            s"""SELECT CAST($b AS BIGINT) AS budget, COUNT(*) AS n_bins,
+               CAST(SUM(bin_tokens) AS BIGINT) AS total_tokens,
+               (CAST(SUM(bin_tokens) AS BIGINT) * 10000) // (COUNT(*) * $b) AS fill_bps,
+               CAST(SUM(CASE WHEN bin_tokens > $b THEN 1 ELSE 0 END) AS BIGINT) AS overflow_bins
+          FROM pk$b"""
+          }.mkString("\n          UNION ALL\n          ")})
+        ORDER BY budget""")),
+
+    // ------------------------------------------------------------------
     // q56: decontamination — flag test-split documents sharing any
     // 5-gram with ANY train-split document (the q48 hash split). The
     // overlap join runs on 60-bit shingle HASHES, not strings: the

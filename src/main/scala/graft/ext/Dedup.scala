@@ -45,16 +45,19 @@ object Dedup extends QueryModule {
     kept.select(col("doc_id"), array_distinct(X.shingles(col("tk"), 3)).as("sh"))
   }
 
-  private val shingledSqlCte =
-    s"""toks AS (SELECT doc_id, ${X.tokensSql("text")} AS tk FROM documents),
+  private def shingledSqlCteFrom(from: String) =
+    s"""toks AS (SELECT doc_id, ${X.tokensSql("text")} AS tk FROM $from),
        shg AS (SELECT doc_id, list_distinct(${X.shinglesSql("tk", 3)}) AS sh FROM toks),
        hm AS (SELECT doc_id, sh, list_transform(sh, s -> ${X.hpSql("s")}) AS hm FROM shg)"""
+
+  private val shingledSqlCte = shingledSqlCteFrom("documents")
 
   /** Oracle CTE chain up to the verified MinHash-LSH pair set
     * (q41 parameters: 12 hashes, 3 bands × 4 rows, Jaccard ≥ 0.5) —
     * shared by q41 (pair listing) and q46 (transitive clusters). */
-  private def minhashPairsSqlCte(jacFilter: String = "0.5") =
-    s"""$shingledSqlCte,
+  private def minhashPairsSqlCte(jacFilter: String = "0.5",
+      from: String = "documents") =
+    s"""${shingledSqlCteFrom(from)},
        sig AS (SELECT doc_id, sh, ${X.minhashSigSql("hm", 12)} AS sig FROM hm WHERE len(sh) > 0),
        bands AS (SELECT doc_id, bnd, array_to_string(sig[bnd*4+1:bnd*4+4], '-') AS bsig
                  FROM sig, (SELECT unnest(range(0, 3)) AS bnd)),
@@ -1001,7 +1004,68 @@ object Dedup extends QueryModule {
                CAST(SUM(v.is_true) AS BIGINT) AS n_true,
                CAST((CAST(SUM(v.is_true) AS BIGINT) * 10000) // COUNT(*) AS BIGINT) AS precision_bps
         FROM bpc c JOIN bpv v ON v.doc_a = c.doc_a AND v.doc_b = c.doc_b
-        GROUP BY c.band ORDER BY c.band"""))
+        GROUP BY c.band ORDER BY c.band""")),
+
+    // ------------------------------------------------------------------
+    // q181: DEDUP LINEAGE TABLE — the provenance record a curation
+    // team keeps for every removal (RefinedWeb §3 and Dolma both ship
+    // per-doc removal attribution; it's what makes a dedup AUDITABLE
+    // and reversible): one row per removed doc with its surviving
+    // representative and the modality that killed it, in the shipped
+    // pipeline order — exact dedup over normalized tokens first
+    // (q40's contract: survivor = min doc_id per norm), then near-dup
+    // clusters over the exact survivors (q41's pairs → q46's
+    // transitive min-label clusters). A doc removed exactly never
+    // reaches the near pass, so lineage rows are unique by doc_id.
+    //
+    // 100 TB: the exact pass is one hash agg on norm; the near pass is
+    // q41/q46's banded machinery over the (smaller) survivor set; the
+    // lineage union adds no new shuffle class.
+    QueryDef(
+      "q181_dedup_lineage",
+      (s, dir) => {
+        val docs = T.documents(s, dir)
+        val norm = docs.select(col("doc_id"),
+          concat_ws(" ", X.tokens(col("text"))).as("norm"))
+        val groups = norm.groupBy(col("norm")).agg(min(col("doc_id")).as("surv"))
+        val normed = norm.join(groups, "norm")
+        val exactRemoved = normed.filter(col("doc_id") =!= col("surv"))
+          .select(col("doc_id"), col("surv").as("survivor_id"),
+            lit("exact").as("modality"))
+        val survDocs = docs.join(
+          normed.filter(col("doc_id") === col("surv")).select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+        val pairs = graft.operators.NearDup.minhashLsh(survDocs,
+            col("doc_id"), col("text"),
+            numHashes = 12, bands = 3, shingleWidth = 3, threshold = 0.5)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        val nearRemoved = graft.operators.Graph.connectedComponents(pairs)
+          .filter(col("node") =!= col("label"))
+          .select(col("node").as("doc_id"), col("label").as("survivor_id"),
+            lit("near").as("modality"))
+        exactRemoved.unionByName(nearRemoved).orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH RECURSIVE
+        lt AS (SELECT doc_id, array_to_string(${X.tokensSql("text")}, ' ') AS norm
+               FROM documents),
+        lg AS (SELECT norm, MIN(doc_id) AS surv FROM lt GROUP BY norm),
+        lsv AS (SELECT surv AS doc_id FROM lg GROUP BY surv),
+        ldocs AS (SELECT d.* FROM documents d JOIN lsv USING (doc_id)),
+        ${minhashPairsSqlCte(from = "ldocs")},
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+                  UNION SELECT doc_b, doc_a FROM mh_pairs),
+        reach(a, b) AS (SELECT a, b FROM edges
+                        UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        lbl AS (SELECT r.a AS doc, least(MIN(r.b), r.a) AS root
+                FROM reach r GROUP BY r.a)
+        SELECT doc_id, survivor_id, modality FROM (
+          SELECT t.doc_id, g.surv AS survivor_id, 'exact' AS modality
+          FROM lt t JOIN lg g USING (norm) WHERE t.doc_id != g.surv
+          UNION ALL
+          SELECT doc AS doc_id, root AS survivor_id, 'near' AS modality
+          FROM lbl WHERE doc != root)
+        ORDER BY doc_id"""))
   )
 
   /** Span length (in tokens) for [[repeatedSpanCoverage]] / q123. */

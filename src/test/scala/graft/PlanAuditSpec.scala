@@ -291,6 +291,8 @@ class PlanAuditSpec extends SparkSpec {
       "q178_source_drift" -> 6, // ONE corpus (source, bucket) partial agg + three grid-side reductions (source totals / bucket totals / 1-row N) + the grid window + ordered output
       "q179_drift_catalog_serving" -> 7, // TWO q178 served-report tails over the count versions (grid-side only — the corpus-sized count builds run at construct into the catalog) + union + ordered output
       "q180_vocab_growth" -> 5, // the one vocab-proportional exchange (type-hash min-doc agg) + per-decile doc agg + 1-row min/max broadcast + the 10-row grid window + ordered output
+      "q181_dedup_lineage" -> 2, // exact-group hash agg + the lineage union sort; the near pass's banded pair machinery and min-label propagation run at construct via localCheckpoint (q174's shape)
+      "q182_packing_efficiency_sweep" -> 4, // three q47 pack passes (per-source sort window + partial agg each) over ONE checkpointed counted frame + the 3-row union sort — sweep passes share the tokenize
       "q143_line_boilerplate_signals" -> 4, // line-hash distinct-doc count (∝ distinct lines) + hash-keyed join back + per-doc agg + ordered output — map-side line derivation
       "q144_line_boilerplate_removal" -> 5, // q143's dup shape + the per-doc reassembly exchange (the corpus's one unavoidable regroup, q124's) + universe left join
       "q166_ann_recall_report" -> 8, // three candidate sets in one statement: brute truth window (sample-bounded cross), LSH sig join + window, IVF serve join + window, union, truth left join, per-variant agg + ordered output — each path's standalone budget proven by q50/q51/q81
