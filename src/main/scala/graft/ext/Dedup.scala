@@ -1065,6 +1065,73 @@ object Dedup extends QueryModule {
           UNION ALL
           SELECT doc AS doc_id, root AS survivor_id, 'near' AS modality
           FROM lbl WHERE doc != root)
+        ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q183: INCREMENTAL DEDUP LINEAGE — q181's provenance record for
+    // the DAILY-BATCH case (the shape production actually runs: the
+    // corpus is already deduped, today's batch must be attributed
+    // against it without re-pairing the corpus): for each NEW doc
+    // (q80's parity convention), the exact stage attaches it to the
+    // min-id holder of its normalized text across corpus ∪ batch; the
+    // near stage runs q80's new-side-only incremental pair machinery
+    // over exact survivors, and a new doc is removed iff some verified
+    // partner has a smaller id — survivor = its smallest partner (the
+    // FIRST-FIT contract: incremental dedup attaches to an existing
+    // representative, it never re-clusters the corpus — which is
+    // exactly why q181's full closure exists as the batch-rebuild
+    // complement).
+    //
+    // 100 TB: candidate work is q80's Σ |new∩cell|·|cell| (buckets
+    // without a new member prune before any pair forms); the exact
+    // stage is one hash agg; lineage rows ship only for the batch.
+    QueryDef(
+      "q183_incremental_lineage",
+      (s, dir) => {
+        val docs = T.documents(s, dir)
+        val isNew = col("doc_id") % 2 === 1
+        val norm = docs.select(col("doc_id"),
+          concat_ws(" ", X.tokens(col("text"))).as("norm"))
+        val groups = norm.groupBy(col("norm")).agg(min(col("doc_id")).as("surv"))
+        val normed = norm.join(groups, "norm")
+        val exactRemovedNew = normed
+          .filter(col("doc_id") =!= col("surv") && isNew)
+          .select(col("doc_id"), col("surv").as("survivor_id"),
+            lit("exact").as("modality"))
+        val survDocs = docs.join(
+          normed.filter(col("doc_id") === col("surv")).select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+        val pairs = graft.operators.NearDup.minhashLshIncremental(survDocs,
+          col("doc_id"), col("text"), col("doc_id") % 2 === 1,
+          numHashes = 12, bands = 3, shingleWidth = 3, threshold = 0.5)
+        val nearRemovedNew = pairs
+          .select(col("doc_a").as("d"), col("doc_b").as("p"))
+          .unionByName(pairs.select(col("doc_b").as("d"), col("doc_a").as("p")))
+          .filter(col("d") % 2 === 1)
+          .groupBy(col("d")).agg(min(col("p")).as("mp"))
+          .filter(col("mp") < col("d"))
+          .select(col("d").as("doc_id"), col("mp").as("survivor_id"),
+            lit("near").as("modality"))
+        exactRemovedNew.unionByName(nearRemovedNew).orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH
+        lt AS (SELECT doc_id, array_to_string(${X.tokensSql("text")}, ' ') AS norm
+               FROM documents),
+        lg AS (SELECT norm, MIN(doc_id) AS surv FROM lt GROUP BY norm),
+        lsv AS (SELECT surv AS doc_id FROM lg GROUP BY surv),
+        ldocs AS (SELECT d.* FROM documents d JOIN lsv USING (doc_id)),
+        ${minhashPairsSqlCte(from = "ldocs")},
+        ipart AS (SELECT doc_a AS d, doc_b AS p FROM mh_pairs
+                  UNION ALL SELECT doc_b, doc_a FROM mh_pairs),
+        inear AS (SELECT d, MIN(p) AS mp FROM ipart
+                  WHERE d % 2 = 1 GROUP BY d HAVING MIN(p) < d)
+        SELECT doc_id, survivor_id, modality FROM (
+          SELECT t.doc_id, g.surv AS survivor_id, 'exact' AS modality
+          FROM lt t JOIN lg g USING (norm)
+          WHERE t.doc_id != g.surv AND t.doc_id % 2 = 1
+          UNION ALL
+          SELECT d AS doc_id, mp AS survivor_id, 'near' AS modality FROM inear)
         ORDER BY doc_id"""))
   )
 

@@ -109,6 +109,42 @@ ${terms.indices.map { i =>
       .select(col("doc_id"), X.tokens(col("text")).as("tk"))
       .withColumn("dl", size(col("tk")).cast("long"))
 
+  private val RankK = 50
+
+  /** The hashed-BoW + rank-list + RRF-fusion CTE chain (composes after
+    * [[bm25BodyCtesSql]]; exposes hl2/hs2/hfuse) — ONE text shared by
+    * q175's fusion tail and q184's eval so the rank lists under
+    * evaluation are exactly the rank lists served. */
+  private val hybridRanksCtesSql = s"""hocc AS (SELECT doc_id, ${X.hashedBowOccSql("t")}
+                 FROM docs, unnest(tk) AS u(t)),
+        hvec AS (SELECT doc_id, j, CAST(SUM(sg) AS BIGINT) AS vj
+                 FROM hocc GROUP BY 1, 2),
+        hn2 AS (SELECT doc_id, CAST(SUM(vj*vj) AS BIGINT) AS n2
+                FROM hvec GROUP BY 1),
+        hqocc AS (SELECT ${X.hashedBowOccSql("t")}
+                  FROM unnest(${terms.mkString("['", "','", "']")}) AS u(t)),
+        hq AS (SELECT j, CAST(SUM(sg) AS BIGINT) AS qj FROM hqocc GROUP BY 1),
+        hqn AS (SELECT CAST(SUM(qj*qj) AS BIGINT) AS qn2 FROM hq),
+        hdot AS (SELECT v.doc_id, CAST(SUM(v.vj * q.qj) AS BIGINT) AS dot
+                 FROM hvec v JOIN hq q USING (j) GROUP BY 1),
+        hsem0 AS (SELECT n.doc_id,
+                         ${X.cosineFromIntsSql("coalesce(d.dot, 0)", "n.n2", "q.qn2")} AS cos
+                  FROM hn2 n LEFT JOIN hdot d USING (doc_id), hqn q
+                  WHERE n.n2 > 0),
+        hsem AS (SELECT doc_id, cos,
+                        CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS r
+                 FROM hsem0),
+        hlex AS (SELECT doc_id, score,
+                        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r
+                 FROM scored WHERE score > 0),
+        hl2 AS (SELECT doc_id, r AS lex_rank FROM hlex WHERE r <= $RankK),
+        hs2 AS (SELECT doc_id, r AS sem_rank FROM hsem WHERE r <= $RankK),
+        hfuse AS (SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+                         l.lex_rank, s.sem_rank,
+                         CAST(coalesce(1000000 // (60 + l.lex_rank), 0)
+                            + coalesce(1000000 // (60 + s.sem_rank), 0) AS BIGINT) AS rrf_micro
+                  FROM hl2 l FULL JOIN hs2 s ON l.doc_id = s.doc_id)"""
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q59_bm25_search",
@@ -224,70 +260,127 @@ ${terms.indices.map { i =>
     QueryDef(
       "q175_hybrid_rrf_search",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val K = 50
         val docs = tokenizedDocs(s, dir)
           .localCheckpoint(eager = false) // both rankers read it
-        val lexW = Window.orderBy(col("score").desc, col("doc_id"))
-        val lex = bm25Scored(docs)
-          .filter(col("score") > 0d)
-          .orderBy(col("score").desc, col("doc_id")).limit(K)
-          .select(col("doc_id"),
-            row_number().over(lexW).cast("long").as("lex_rank"))
-        val qv = X.hashedBow(array(terms.map(lit): _*))
-        val v = X.hashedBow(col("tk"))
-        val semW = Window.orderBy(col("cos").desc, col("doc_id"))
-        val sem = docs
-          .select(col("doc_id"), v.as("v"))
-          .select(col("doc_id"), col("v"), X.norm2Int(col("v")).as("n2"),
-            X.norm2Int(qv).as("qn2"))
-          .filter(col("n2") > 0L)
-          .select(col("doc_id"),
-            X.cosineFromInts(X.dotInt(col("v"), qv), col("n2"), col("qn2"))
-              .as("cos"))
-          .orderBy(col("cos").desc, col("doc_id")).limit(K)
-          .select(col("doc_id"),
-            row_number().over(semW).cast("long").as("sem_rank"))
-        lex.join(sem, Seq("doc_id"), "full_outer")
-          .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
-            expr("CAST(coalesce(1000000 div (60 + lex_rank), 0) " +
-              "+ coalesce(1000000 div (60 + sem_rank), 0) AS BIGINT)")
-              .as("rrf_micro"))
+        fusedRanks(docs)
           .orderBy(col("rrf_micro").desc, col("doc_id"))
           .limit(20)
       },
       Some(s"""
         WITH $bm25BodyCtesSql,
-        hocc AS (SELECT doc_id, ${X.hashedBowOccSql("t")}
-                 FROM docs, unnest(tk) AS u(t)),
-        hvec AS (SELECT doc_id, j, CAST(SUM(sg) AS BIGINT) AS vj
-                 FROM hocc GROUP BY 1, 2),
-        hn2 AS (SELECT doc_id, CAST(SUM(vj*vj) AS BIGINT) AS n2
-                FROM hvec GROUP BY 1),
-        hqocc AS (SELECT ${X.hashedBowOccSql("t")}
-                  FROM unnest(${terms.mkString("['", "','", "']")}) AS u(t)),
-        hq AS (SELECT j, CAST(SUM(sg) AS BIGINT) AS qj FROM hqocc GROUP BY 1),
-        hqn AS (SELECT CAST(SUM(qj*qj) AS BIGINT) AS qn2 FROM hq),
-        hdot AS (SELECT v.doc_id, CAST(SUM(v.vj * q.qj) AS BIGINT) AS dot
-                 FROM hvec v JOIN hq q USING (j) GROUP BY 1),
-        hsem0 AS (SELECT n.doc_id,
-                         ${X.cosineFromIntsSql("coalesce(d.dot, 0)", "n.n2", "q.qn2")} AS cos
-                  FROM hn2 n LEFT JOIN hdot d USING (doc_id), hqn q
-                  WHERE n.n2 > 0),
-        hsem AS (SELECT doc_id, cos,
-                        CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS r
-                 FROM hsem0),
-        hlex AS (SELECT doc_id, score,
-                        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r
-                 FROM scored WHERE score > 0),
-        hl2 AS (SELECT doc_id, r AS lex_rank FROM hlex WHERE r <= 50),
-        hs2 AS (SELECT doc_id, r AS sem_rank FROM hsem WHERE r <= 50),
-        hfuse AS (SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
-                         l.lex_rank, s.sem_rank,
-                         CAST(coalesce(1000000 // (60 + l.lex_rank), 0)
-                            + coalesce(1000000 // (60 + s.sem_rank), 0) AS BIGINT) AS rrf_micro
-                  FROM hl2 l FULL JOIN hs2 s ON l.doc_id = s.doc_id)
+        $hybridRanksCtesSql
         SELECT doc_id, lex_rank, sem_rank, rrf_micro
-        FROM hfuse ORDER BY rrf_micro DESC, doc_id LIMIT 20"""))
+        FROM hfuse ORDER BY rrf_micro DESC, doc_id LIMIT 20""")),
+
+    // ------------------------------------------------------------------
+    // q184: RETRIEVAL EVAL REPORT — the regression table every search
+    // deployment gates ranker changes on (TREC-style P@k + reciprocal
+    // rank; the q166 recall-report discipline applied to retrieval):
+    // q175's three rankers — lexical BM25, hashed-BoW cosine, and their
+    // RRF fusion — scored side by side against a deterministic
+    // relevance oracle (docs containing ALL query terms: the
+    // conjunctive-match qrel stand-in, derived from the same corpus so
+    // the whole report is oracle-expressible). Per variant: total
+    // relevant docs, P@5/10/20 in bps, and reciprocal rank of the
+    // first relevant hit ×1e6 — all integer. The rank lists are the
+    // SAME code as q175 (shared lexRanked/semRanked/fusedRanks and the
+    // shared CTE text), so the eval can never drift from the serving
+    // path. Scale: the rankers' top-K plans; metrics reduce the ≤2K-row
+    // candidate lists with a 1-row relevance-count broadcast.
+    QueryDef(
+      "q184_retrieval_eval",
+      (s, dir) => {
+        val docs = tokenizedDocs(s, dir)
+          .localCheckpoint(eager = false) // rankers + qrels read it
+        val rel = docs
+          .filter(terms.map(t => array_contains(col("tk"), t)).reduce(_ && _))
+          .select(col("doc_id"), lit(1L).as("is_rel"))
+        val nrel = rel.agg(count(lit(1)).as("n_rel"))
+        val fusedW = org.apache.spark.sql.expressions.Window
+          .orderBy(col("rrf_micro").desc, col("doc_id"))
+        val lists = Seq(
+          "lex" -> lexRanked(docs).select(col("doc_id"), col("lex_rank").as("r")),
+          "rrf" -> fusedRanks(docs)
+            .select(col("doc_id"),
+              row_number().over(fusedW).cast("long").as("r")),
+          "sem" -> semRanked(docs).select(col("doc_id"), col("sem_rank").as("r")))
+        lists.map { case (variant, list) =>
+          list.join(rel, Seq("doc_id"), "left")
+            .withColumn("hit", coalesce(col("is_rel"), lit(0L)))
+            .crossJoin(broadcast(nrel))
+            .groupBy(col("n_rel"))
+            .agg(
+              expr("CAST(SUM(CASE WHEN hit = 1 AND r <= 5 THEN 1 ELSE 0 END) * 10000 div 5 AS BIGINT)").as("p5_bps"),
+              expr("CAST(SUM(CASE WHEN hit = 1 AND r <= 10 THEN 1 ELSE 0 END) * 10000 div 10 AS BIGINT)").as("p10_bps"),
+              expr("CAST(SUM(CASE WHEN hit = 1 AND r <= 20 THEN 1 ELSE 0 END) * 10000 div 20 AS BIGINT)").as("p20_bps"),
+              expr("CAST(coalesce(1000000 div MIN(CASE WHEN hit = 1 THEN r END), 0) AS BIGINT)").as("rr_e6"))
+            .select(lit(variant).as("variant"), col("n_rel"), col("p5_bps"),
+              col("p10_bps"), col("p20_bps"), col("rr_e6"))
+        }.reduce(_ unionByName _).orderBy(col("variant"))
+      },
+      Some(s"""
+        WITH $bm25BodyCtesSql,
+        $hybridRanksCtesSql,
+        qrel AS (SELECT doc_id FROM docs
+                 WHERE ${terms.map(t => s"list_contains(tk, '$t')").mkString(" AND ")}),
+        qnrel AS (SELECT COUNT(*) AS n_rel FROM qrel),
+        qlv AS (SELECT doc_id, lex_rank AS r FROM hl2),
+        qsv AS (SELECT doc_id, sem_rank AS r FROM hs2),
+        qrv AS (SELECT doc_id,
+                       CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS r
+                FROM hfuse)
+        SELECT * FROM (
+          ${Seq("lex" -> "qlv", "rrf" -> "qrv", "sem" -> "qsv").map { case (v, cte) =>
+            s"""SELECT '$v' AS variant, n.n_rel,
+               CAST(SUM(CASE WHEN q.doc_id IS NOT NULL AND l.r <= 5 THEN 1 ELSE 0 END) * 10000 // 5 AS BIGINT) AS p5_bps,
+               CAST(SUM(CASE WHEN q.doc_id IS NOT NULL AND l.r <= 10 THEN 1 ELSE 0 END) * 10000 // 10 AS BIGINT) AS p10_bps,
+               CAST(SUM(CASE WHEN q.doc_id IS NOT NULL AND l.r <= 20 THEN 1 ELSE 0 END) * 10000 // 20 AS BIGINT) AS p20_bps,
+               CAST(coalesce(1000000 // MIN(CASE WHEN q.doc_id IS NOT NULL THEN l.r END), 0) AS BIGINT) AS rr_e6
+          FROM $cte l LEFT JOIN qrel q ON q.doc_id = l.doc_id, qnrel n
+          GROUP BY n.n_rel"""
+          }.mkString("\n          UNION ALL\n          ")})
+        ORDER BY variant"""))
   )
+
+  /** The BM25 top-K lexical rank list (doc_id, lex_rank) — q175's
+    * lexical side and q184's 'lex' variant. */
+  private def lexRanked(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lexW = Window.orderBy(col("score").desc, col("doc_id"))
+    bm25Scored(docs)
+      .filter(col("score") > 0d)
+      .orderBy(col("score").desc, col("doc_id")).limit(RankK)
+      .select(col("doc_id"),
+        row_number().over(lexW).cast("long").as("lex_rank"))
+  }
+
+  /** The hashed-BoW cosine top-K semantic rank list (doc_id,
+    * sem_rank) — q175's semantic side and q184's 'sem' variant. */
+  private def semRanked(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qv = X.hashedBow(array(terms.map(lit): _*))
+    val semW = Window.orderBy(col("cos").desc, col("doc_id"))
+    docs
+      .select(col("doc_id"), X.hashedBow(col("tk")).as("v"))
+      .select(col("doc_id"), col("v"), X.norm2Int(col("v")).as("n2"),
+        X.norm2Int(qv).as("qn2"))
+      .filter(col("n2") > 0L)
+      .select(col("doc_id"),
+        X.cosineFromInts(X.dotInt(col("v"), qv), col("n2"), col("qn2"))
+          .as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(RankK)
+      .select(col("doc_id"),
+        row_number().over(semW).cast("long").as("sem_rank"))
+  }
+
+  /** RRF fusion of [[lexRanked]] × [[semRanked]] — unsorted (doc_id,
+    * lex_rank, sem_rank, rrf_micro); q175 orders + limits, q184 ranks
+    * the whole fused candidate set. */
+  private def fusedRanks(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    lexRanked(docs).join(semRanked(docs), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+        expr("CAST(coalesce(1000000 div (60 + lex_rank), 0) " +
+          "+ coalesce(1000000 div (60 + sem_rank), 0) AS BIGINT)")
+          .as("rrf_micro"))
+
 }

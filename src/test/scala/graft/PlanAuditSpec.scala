@@ -41,6 +41,9 @@ class PlanAuditSpec extends SparkSpec {
                                   // served version; shared driftReport)
     "q180_vocab_growth", // 1-row min/max-doc-id broadcast deriving the
                          // ingest deciles map-side (q19's scalar shape)
+    "q184_retrieval_eval", // q175's 1-row BM25-stats broadcast (shared
+                           // rankers) + the 1-row relevance-count
+                           // broadcast per variant
     "q169_bm25_catalog_served", // q59's 1-row stats broadcast, read
                                 // from the persisted index version
                                 // (plus the 1-row df pivot broadcast)
@@ -293,6 +296,8 @@ class PlanAuditSpec extends SparkSpec {
       "q180_vocab_growth" -> 5, // the one vocab-proportional exchange (type-hash min-doc agg) + per-decile doc agg + 1-row min/max broadcast + the 10-row grid window + ordered output
       "q181_dedup_lineage" -> 2, // exact-group hash agg + the lineage union sort; the near pass's banded pair machinery and min-label propagation run at construct via localCheckpoint (q174's shape)
       "q182_packing_efficiency_sweep" -> 4, // three q47 pack passes (per-source sort window + partial agg each) over ONE checkpointed counted frame + the 3-row union sort — sweep passes share the tokenize
+      "q183_incremental_lineage" -> 13, // the exact-group hash agg + survivor semi-join feeding q80's incremental machinery IN-PLAN (bucket-size agg, new-side and all-side bucket joins, two verify joins — q80's 6-exchange class) + the min-partner agg + lineage union sort; every exchange ∝ batch∩bucket, not corpus
+      "q184_retrieval_eval" -> 4, // q175's 1-exchange ranker shape evaluated three ways: per-variant metric aggs over ≤2K-row candidate lists + the 3-row union sort; relevance count is a 1-row broadcast
       "q143_line_boilerplate_signals" -> 4, // line-hash distinct-doc count (∝ distinct lines) + hash-keyed join back + per-doc agg + ordered output — map-side line derivation
       "q144_line_boilerplate_removal" -> 5, // q143's dup shape + the per-doc reassembly exchange (the corpus's one unavoidable regroup, q124's) + universe left join
       "q166_ann_recall_report" -> 8, // three candidate sets in one statement: brute truth window (sample-bounded cross), LSH sig join + window, IVF serve join + window, union, truth left join, per-variant agg + ordered output — each path's standalone budget proven by q50/q51/q81
