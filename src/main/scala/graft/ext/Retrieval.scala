@@ -145,6 +145,72 @@ ${terms.indices.map { i =>
                             + coalesce(1000000 // (60 + s.sem_rank), 0) AS BIGINT) AS rrf_micro
                   FROM hl2 l FULL JOIN hs2 s ON l.doc_id = s.doc_id)"""
 
+  /** Persist the BM25 inverted index as four catalog versions —
+    * postings (ONE shuffle on the term/doc key), per-doc lengths,
+    * per-term document frequencies, 1-row corpus stats. Shared by
+    * q169 and q185 so the two served plans index identically. */
+  private def bm25IndexBuild(cat: graft.catalog.VersionedCatalog,
+      docs: org.apache.spark.sql.DataFrame): Unit = {
+    val postings = docs
+      .select(col("doc_id"), explode(col("tk")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    cat.writeNext("bm25_postings", postings)
+    cat.writeNext("bm25_docstats", docs.select(col("doc_id"), col("dl")))
+    cat.writeNext("bm25_terms",
+      postings.groupBy(col("term")).agg(count(lit(1)).as("df")))
+    cat.writeNext("bm25_stats",
+      docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot")))
+  }
+
+  /** BM25 scores (doc_id, dl, score) served from [[bm25IndexBuild]]'s
+    * versions only: postings filtered to the query terms (predicate
+    * reaches the parquet scan), pivoted per doc, scored with the
+    * IDENTICAL IEEE parenthesization as q59 — tf = 0 contributes
+    * exactly +0.0, so the served sum is bit-equal to the full-width
+    * sum. */
+  private def bm25ServedScores(cat: graft.catalog.VersionedCatalog): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    val post = cat.read("bm25_postings", 1,
+        Some(StructType.fromDDL("term STRING, doc_id BIGINT, tf BIGINT")))
+      .filter(col("term").isin(terms: _*))
+    val dstat = cat.read("bm25_docstats", 1,
+      Some(StructType.fromDDL("doc_id BIGINT, dl BIGINT")))
+    val dfs = cat.read("bm25_terms", 1,
+        Some(StructType.fromDDL("term STRING, df BIGINT")))
+      .filter(col("term").isin(terms: _*))
+      .agg(terms.zipWithIndex.map { case (t, i) =>
+        sum(when(col("term") === t, col("df")).otherwise(0L)).as(s"df_$i")
+      }.head, terms.zipWithIndex.tail.map { case (t, i) =>
+        sum(when(col("term") === t, col("df")).otherwise(0L)).as(s"df_$i")
+      }: _*)
+    val stats = cat.read("bm25_stats", 1,
+      Some(StructType.fromDDL("n_docs BIGINT, tot BIGINT")))
+    val tfp = post.groupBy(col("doc_id"))
+      .agg(terms.zipWithIndex.map { case (t, i) =>
+        sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"tf_$i")
+      }.head, terms.zipWithIndex.tail.map { case (t, i) =>
+        sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"tf_$i")
+      }: _*)
+    val avgdl = col("tot").cast("double") / col("n_docs").cast("double")
+    def idf(i: Int): Column =
+      floor(lit(1000000.0d) * ((col("n_docs") - col(s"df_$i")).cast("double") + lit(0.5d))
+        / (col(s"df_$i").cast("double") + lit(0.5d))).cast("long")
+    def term(i: Int): Column = {
+      val tfd = col(s"tf_$i").cast("double")
+      (col(s"idf_$i").cast("double") * (tfd * lit(2.2d))) /
+        (tfd + lit(1.2d) * (lit(0.25d) + (lit(0.75d) * col("dl").cast("double")) / col("avgdl")))
+    }
+    tfp.join(dstat, "doc_id")
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(dfs))
+      .select(Seq(col("doc_id"), col("dl"), avgdl.as("avgdl")) ++
+        terms.indices.map(i => col(s"tf_$i")) ++
+        terms.indices.map(i => idf(i).as(s"idf_$i")): _*)
+      .withColumn("score", terms.indices.map(term).reduceLeft(_ + _))
+      .select(col("doc_id"), col("dl"), col("score"))
+  }
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q59_bm25_search",
@@ -175,66 +241,58 @@ ${terms.indices.map { i =>
     QueryDef(
       "q169_bm25_catalog_served",
       (s, dir) => {
-        val work = graft.Scratch.dir("q169")
-        val cat = new graft.catalog.VersionedCatalog(s, work, format = "parquet")
+        val cat = new graft.catalog.VersionedCatalog(
+          s, graft.Scratch.dir("q169"), format = "parquet")
         val docs = T.documents(s, dir)
           .select(col("doc_id"), X.tokens(col("text")).as("tk"))
           .withColumn("dl", size(col("tk")).cast("long"))
           .localCheckpoint(eager = false) // 3 index builds read it
-        val postings = docs
-          .select(col("doc_id"), explode(col("tk")).as("term"))
-          .groupBy(col("term"), col("doc_id"))
-          .agg(count(lit(1)).as("tf"))
-        cat.writeNext("bm25_postings", postings)
-        cat.writeNext("bm25_docstats", docs.select(col("doc_id"), col("dl")))
-        cat.writeNext("bm25_terms",
-          postings.groupBy(col("term")).agg(count(lit(1)).as("df")))
-        cat.writeNext("bm25_stats",
-          docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot")))
-        import org.apache.spark.sql.types.StructType
-        val post = cat.read("bm25_postings", 1,
-            Some(StructType.fromDDL("term STRING, doc_id BIGINT, tf BIGINT")))
-          .filter(col("term").isin(terms: _*))
-        val dstat = cat.read("bm25_docstats", 1,
-          Some(StructType.fromDDL("doc_id BIGINT, dl BIGINT")))
-        val dfs = cat.read("bm25_terms", 1,
-            Some(StructType.fromDDL("term STRING, df BIGINT")))
-          .filter(col("term").isin(terms: _*))
-          .agg(terms.zipWithIndex.map { case (t, i) =>
-            sum(when(col("term") === t, col("df")).otherwise(0L)).as(s"df_$i")
-          }.head, terms.zipWithIndex.tail.map { case (t, i) =>
-            sum(when(col("term") === t, col("df")).otherwise(0L)).as(s"df_$i")
-          }: _*)
-        val stats = cat.read("bm25_stats", 1,
-          Some(StructType.fromDDL("n_docs BIGINT, tot BIGINT")))
-        val tfp = post.groupBy(col("doc_id"))
-          .agg(terms.zipWithIndex.map { case (t, i) =>
-            sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"tf_$i")
-          }.head, terms.zipWithIndex.tail.map { case (t, i) =>
-            sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"tf_$i")
-          }: _*)
-        val avgdl = col("tot").cast("double") / col("n_docs").cast("double")
-        def idf(i: Int): Column =
-          floor(lit(1000000.0d) * ((col("n_docs") - col(s"df_$i")).cast("double") + lit(0.5d))
-            / (col(s"df_$i").cast("double") + lit(0.5d))).cast("long")
-        def term(i: Int): Column = {
-          val tfd = col(s"tf_$i").cast("double")
-          (col(s"idf_$i").cast("double") * (tfd * lit(2.2d))) /
-            (tfd + lit(1.2d) * (lit(0.25d) + (lit(0.75d) * col("dl").cast("double")) / col("avgdl")))
-        }
-        tfp.join(dstat, "doc_id")
-          .crossJoin(broadcast(stats))
-          .crossJoin(broadcast(dfs))
-          .select(Seq(col("doc_id"), col("dl"), avgdl.as("avgdl")) ++
-            terms.indices.map(i => col(s"tf_$i")) ++
-            terms.indices.map(i => idf(i).as(s"idf_$i")): _*)
-          .withColumn("score", terms.indices.map(term).reduceLeft(_ + _))
+        bm25IndexBuild(cat, docs)
+        bm25ServedScores(cat)
           .filter(col("score") > 0d)
           .orderBy(col("score").desc, col("doc_id"))
           .limit(20)
           .select(col("doc_id"), col("dl"), col("score"))
       },
       Some(bm25OracleSql)),
+
+    // ------------------------------------------------------------------
+    // q185: CATALOG-SERVED HYBRID RETRIEVAL — the q169 serving
+    // discipline applied to the FULL q175 stack: construct persists the
+    // BM25 inverted index (q169's four versions, shared
+    // [[bm25IndexBuild]]) plus the hashed-BoW document vectors as a
+    // fifth version, and the SERVED plan reads ONLY catalog state —
+    // lexical ranks from the postings scoring ([[bm25ServedScores]],
+    // bit-equal to q59's by the tf=0 ≡ +0.0 argument), semantic ranks
+    // from the stored vectors, fused by the same RRF tails
+    // ([[rankLexTail]]/[[rankSemTail]]/[[fuseLists]] — q175's exact
+    // code). The oracle is q175's text VERBATIM: the serving path is
+    // proven against the definition. This is the RAG deployment shape:
+    // index once, answer queries from state, never re-tokenize.
+    QueryDef(
+      "q185_hybrid_catalog_served",
+      (s, dir) => {
+        val cat = new graft.catalog.VersionedCatalog(
+          s, graft.Scratch.dir("q185"), format = "parquet")
+        val docs = T.documents(s, dir)
+          .select(col("doc_id"), X.tokens(col("text")).as("tk"))
+          .withColumn("dl", size(col("tk")).cast("long"))
+          .localCheckpoint(eager = false) // 4 index builds read it
+        bm25IndexBuild(cat, docs)
+        cat.writeNext("hyb_vectors",
+          docs.select(col("doc_id"), X.hashedBow(col("tk")).as("v")))
+        val vecs = cat.read("hyb_vectors", 1,
+          Some(org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, v ARRAY<BIGINT>")))
+        fuseLists(rankLexTail(bm25ServedScores(cat)), rankSemTail(vecs))
+          .orderBy(col("rrf_micro").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some(s"""
+        WITH $bm25BodyCtesSql,
+        $hybridRanksCtesSql
+        SELECT doc_id, lex_rank, sem_rank, rrf_micro
+        FROM hfuse ORDER BY rrf_micro DESC, doc_id LIMIT 20""")),
 
     // ------------------------------------------------------------------
     // q175: HYBRID RETRIEVAL WITH RECIPROCAL-RANK FUSION — the shipped
@@ -342,26 +400,32 @@ ${terms.indices.map { i =>
         ORDER BY variant"""))
   )
 
-  /** The BM25 top-K lexical rank list (doc_id, lex_rank) — q175's
-    * lexical side and q184's 'lex' variant. */
-  private def lexRanked(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  /** Top-K lexical rank list (doc_id, lex_rank) from a BM25-scored
+    * frame — the ONE ranking tail behind q175/q184 (in-query scores)
+    * and q185 (catalog-served scores). */
+  private def rankLexTail(scored: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lexW = Window.orderBy(col("score").desc, col("doc_id"))
-    bm25Scored(docs)
+    scored
       .filter(col("score") > 0d)
       .orderBy(col("score").desc, col("doc_id")).limit(RankK)
       .select(col("doc_id"),
         row_number().over(lexW).cast("long").as("lex_rank"))
   }
 
-  /** The hashed-BoW cosine top-K semantic rank list (doc_id,
-    * sem_rank) — q175's semantic side and q184's 'sem' variant. */
-  private def semRanked(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  /** The BM25 top-K lexical rank list (doc_id, lex_rank) — q175's
+    * lexical side and q184's 'lex' variant. */
+  private def lexRanked(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    rankLexTail(bm25Scored(docs))
+
+  /** Top-K semantic rank list (doc_id, sem_rank) from a hashed-BoW
+    * vector frame (doc_id, v) — shared by the in-query and
+    * catalog-served semantic rankers. */
+  private def rankSemTail(vecs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val qv = X.hashedBow(array(terms.map(lit): _*))
     val semW = Window.orderBy(col("cos").desc, col("doc_id"))
-    docs
-      .select(col("doc_id"), X.hashedBow(col("tk")).as("v"))
+    vecs
       .select(col("doc_id"), col("v"), X.norm2Int(col("v")).as("n2"),
         X.norm2Int(qv).as("qn2"))
       .filter(col("n2") > 0L)
@@ -373,14 +437,24 @@ ${terms.indices.map { i =>
         row_number().over(semW).cast("long").as("sem_rank"))
   }
 
-  /** RRF fusion of [[lexRanked]] × [[semRanked]] — unsorted (doc_id,
-    * lex_rank, sem_rank, rrf_micro); q175 orders + limits, q184 ranks
-    * the whole fused candidate set. */
-  private def fusedRanks(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    lexRanked(docs).join(semRanked(docs), Seq("doc_id"), "full_outer")
+  /** The hashed-BoW cosine top-K semantic rank list (doc_id,
+    * sem_rank) — q175's semantic side and q184's 'sem' variant. */
+  private def semRanked(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    rankSemTail(docs.select(col("doc_id"), X.hashedBow(col("tk")).as("v")))
+
+  /** RRF fusion of a lexical × semantic rank-list pair — unsorted
+    * (doc_id, lex_rank, sem_rank, rrf_micro). */
+  private def fuseLists(lex: org.apache.spark.sql.DataFrame,
+      sem: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    lex.join(sem, Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
         expr("CAST(coalesce(1000000 div (60 + lex_rank), 0) " +
           "+ coalesce(1000000 div (60 + sem_rank), 0) AS BIGINT)")
           .as("rrf_micro"))
+
+  /** [[fuseLists]] over the in-query rankers; q175 orders + limits,
+    * q184 ranks the whole fused candidate set. */
+  private def fusedRanks(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    fuseLists(lexRanked(docs), semRanked(docs))
 
 }

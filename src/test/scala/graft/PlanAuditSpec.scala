@@ -47,6 +47,9 @@ class PlanAuditSpec extends SparkSpec {
     "q169_bm25_catalog_served", // q59's 1-row stats broadcast, read
                                 // from the persisted index version
                                 // (plus the 1-row df pivot broadcast)
+    "q185_hybrid_catalog_served", // q169's served 1-row stats/df
+                                  // broadcasts feeding the hybrid
+                                  // fusion's lexical ranker
     "q86_pq_adc_topk", // flat-PQ ADC scan: the 50-query LUT broadcast
                        // against every 32-bit code IS the query shape
     "q108_hll_estimate_merge", // 1-row distinct-count broadcast joined
@@ -298,6 +301,7 @@ class PlanAuditSpec extends SparkSpec {
       "q182_packing_efficiency_sweep" -> 4, // three q47 pack passes (per-source sort window + partial agg each) over ONE checkpointed counted frame + the 3-row union sort — sweep passes share the tokenize
       "q183_incremental_lineage" -> 13, // the exact-group hash agg + survivor semi-join feeding q80's incremental machinery IN-PLAN (bucket-size agg, new-side and all-side bucket joins, two verify joins — q80's 6-exchange class) + the min-partner agg + lineage union sort; every exchange ∝ batch∩bucket, not corpus
       "q184_retrieval_eval" -> 4, // q175's 1-exchange ranker shape evaluated three ways: per-variant metric aggs over ≤2K-row candidate lists + the 3-row union sort; relevance count is a 1-row broadcast
+      "q185_hybrid_catalog_served" -> 2, // the SERVED hybrid plan: postings pivot agg + ordered output — index builds (postings shuffle, vector fold) run at construct into the catalog; rankers ride broadcasts
       "q143_line_boilerplate_signals" -> 4, // line-hash distinct-doc count (∝ distinct lines) + hash-keyed join back + per-doc agg + ordered output — map-side line derivation
       "q144_line_boilerplate_removal" -> 5, // q143's dup shape + the per-doc reassembly exchange (the corpus's one unavoidable regroup, q124's) + universe left join
       "q166_ann_recall_report" -> 8, // three candidate sets in one statement: brute truth window (sample-bounded cross), LSH sig join + window, IVF serve join + window, union, truth left join, per-variant agg + ordered output — each path's standalone budget proven by q50/q51/q81
@@ -326,6 +330,10 @@ class PlanAuditSpec extends SparkSpec {
                               // regenerations on unchanged code — the
                               // three-path union's joins finalize
                               // differently with session state
+    "q183_incremental_lineage", // observed 13/12 ↔ 12/13 across two r14
+                                // regenerations on unchanged code — the
+                                // incremental machinery's cached-relation
+                                // finalization wobble (q80's family)
     "q103_cms_heavy_hitters", // observed local8 3 → 1 across r14
                               // regenerations on unchanged code — the
                               // serve probe's broadcast finalizes away
