@@ -355,6 +355,66 @@ object Curation extends QueryModule {
                       CAST(floor(10000.0 * sqrt(CAST(n AS DOUBLE)) / mx) AS BIGINT) AS thr
                FROM counts, m)"""
 
+  /** q162/q186's shared PII pass: plant deterministic email/URL/phone
+    * tokens (fixture has none), whitespace-split preserving raw tokens,
+    * classify each token E/U/P/K — map-side, carrying (doc_id, source,
+    * tk, cls). ONE definition so the masker and the exposure report
+    * classify identically. */
+  private def piiClassified(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"), concat(
+        col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact-"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" http://site-"), col("doc_id").cast("string"),
+            lit(".example"))).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" +1-555-0"),
+            (lit(100L) + col("doc_id") % 100).cast("string")))
+          .otherwise(lit(""))).as("text"))
+      .withColumn("tk", expr("filter(split(text, ' +'), t -> t != '')"))
+      .withColumn("cls", expr("""transform(tk, t -> CASE
+        WHEN t RLIKE '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+$'
+          THEN 'E'
+        WHEN t LIKE 'http://%' OR t LIKE 'https://%' OR t LIKE 'www.%'
+          THEN 'U'
+        WHEN t RLIKE '^[0-9+().-]+$'
+             AND length(regexp_replace(t, '[^0-9]', '')) >= 7
+          THEN 'P'
+        ELSE 'K' END)"""))
+
+  /** SQL mirror of [[piiClassified]] — CTEs planted/tkc/cls, exposing
+    * cls(doc_id, source, tk, cl). */
+  private val piiClsCtesSql = s"""planted AS (
+          SELECT doc_id, source, text
+            || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact-' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+            || CASE WHEN doc_id % 11 = 0
+                 THEN ' http://site-' || CAST(doc_id AS VARCHAR) || '.example'
+                 ELSE '' END
+            || CASE WHEN doc_id % 13 = 0
+                 THEN ' +1-555-0' || CAST(100 + doc_id % 100 AS VARCHAR)
+                 ELSE '' END AS text
+          FROM documents),
+        tkc AS (SELECT doc_id, source,
+                       list_filter(string_split_regex(text, ' +'),
+                         t -> t != '') AS tk
+                FROM planted),
+        cls AS (SELECT doc_id, source, tk,
+                       list_transform(tk, t -> CASE
+                         WHEN regexp_matches(t,
+                           '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+$$')
+                           THEN 'E'
+                         WHEN t LIKE 'http://%' OR t LIKE 'https://%'
+                              OR t LIKE 'www.%' THEN 'U'
+                         WHEN regexp_matches(t, '^[0-9+().-]+$$')
+                              AND length(regexp_replace(t, '[^0-9]', '', 'g')) >= 7
+                           THEN 'P'
+                         ELSE 'K' END) AS cl
+                FROM tkc)"""
+
   override val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -1137,29 +1197,7 @@ object Curation extends QueryModule {
     QueryDef(
       "q162_pii_mask",
       (s, dir) => {
-        val planted = T.documents(s, dir).select(col("doc_id"), concat(
-          col("text"),
-          when(col("doc_id") % 7 === 0,
-            concat(lit(" contact-"), col("doc_id").cast("string"),
-              lit("@example.com"))).otherwise(lit("")),
-          when(col("doc_id") % 11 === 0,
-            concat(lit(" http://site-"), col("doc_id").cast("string"),
-              lit(".example"))).otherwise(lit("")),
-          when(col("doc_id") % 13 === 0,
-            concat(lit(" +1-555-0"),
-              (lit(100L) + col("doc_id") % 100).cast("string")))
-            .otherwise(lit(""))).as("text"))
-        planted
-          .withColumn("tk", expr("filter(split(text, ' +'), t -> t != '')"))
-          .withColumn("cls", expr("""transform(tk, t -> CASE
-            WHEN t RLIKE '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+$'
-              THEN 'E'
-            WHEN t LIKE 'http://%' OR t LIKE 'https://%' OR t LIKE 'www.%'
-              THEN 'U'
-            WHEN t RLIKE '^[0-9+().-]+$'
-                 AND length(regexp_replace(t, '[^0-9]', '')) >= 7
-              THEN 'P'
-            ELSE 'K' END)"""))
+        piiClassified(T.documents(s, dir))
           .withColumn("masked", expr("""array_join(
             zip_with(tk, cls, (t, c) -> CASE c
               WHEN 'E' THEN '<EMAIL>' WHEN 'U' THEN '<URL>'
@@ -1174,34 +1212,7 @@ object Curation extends QueryModule {
           .orderBy(col("doc_id"))
       },
       Some(s"""
-        WITH planted AS (
-          SELECT doc_id, text
-            || CASE WHEN doc_id % 7 = 0
-                 THEN ' contact-' || CAST(doc_id AS VARCHAR) || '@example.com'
-                 ELSE '' END
-            || CASE WHEN doc_id % 11 = 0
-                 THEN ' http://site-' || CAST(doc_id AS VARCHAR) || '.example'
-                 ELSE '' END
-            || CASE WHEN doc_id % 13 = 0
-                 THEN ' +1-555-0' || CAST(100 + doc_id % 100 AS VARCHAR)
-                 ELSE '' END AS text
-          FROM documents),
-        tkc AS (SELECT doc_id,
-                       list_filter(string_split_regex(text, ' +'),
-                         t -> t != '') AS tk
-                FROM planted),
-        cls AS (SELECT doc_id, tk,
-                       list_transform(tk, t -> CASE
-                         WHEN regexp_matches(t,
-                           '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+$$')
-                           THEN 'E'
-                         WHEN t LIKE 'http://%' OR t LIKE 'https://%'
-                              OR t LIKE 'www.%' THEN 'U'
-                         WHEN regexp_matches(t, '^[0-9+().-]+$$')
-                              AND length(regexp_replace(t, '[^0-9]', '', 'g')) >= 7
-                           THEN 'P'
-                         ELSE 'K' END) AS cl
-                FROM tkc),
+        WITH $piiClsCtesSql,
         mk AS (SELECT doc_id, tk, cl,
                       array_to_string(list_transform(range(1, len(tk) + 1),
                         i -> CASE cl[i] WHEN 'E' THEN '<EMAIL>'
@@ -1216,6 +1227,62 @@ object Curation extends QueryModule {
                CAST(length(masked) AS BIGINT) AS masked_chars,
                ${X.h60Sql("masked")} AS masked_h60
         FROM mk ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q186: PII EXPOSURE REPORT — the per-source privacy scorecard a
+    // release review reads before shipping a corpus (BigScience/Dolma
+    // document per-source PII handling; the masker q162 is the
+    // remediation, THIS is the measurement that triggers it): per
+    // source — docs, docs carrying any PII token, email/URL/phone token
+    // totals, and overall exposure in bps of all tokens. Shares
+    // [[piiClassified]]/`piiClsCtesSql` with q162, so the report counts
+    // exactly what the masker would mask. Map-side classify + ONE
+    // per-source partial agg.
+    QueryDef(
+      "q186_pii_exposure_report",
+      (s, dir) => {
+        piiClassified(T.documents(s, dir))
+          .select(col("source"),
+            size(col("tk")).cast("long").as("n"),
+            expr("CAST(size(filter(cls, c -> c = 'E')) AS BIGINT)").as("ne"),
+            expr("CAST(size(filter(cls, c -> c = 'U')) AS BIGINT)").as("nu"),
+            expr("CAST(size(filter(cls, c -> c = 'P')) AS BIGINT)").as("np"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("ne") + col("nu") + col("np") > 0L, 1L)
+              .otherwise(0L)).as("docs_with_pii"),
+            sum(col("ne")).as("n_emails"),
+            sum(col("nu")).as("n_urls"),
+            sum(col("np")).as("n_phones"),
+            sum(col("n")).as("n_tokens"))
+          .select(col("source"), col("n_docs"), col("docs_with_pii"),
+            col("n_emails"), col("n_urls"), col("n_phones"),
+            when(col("n_tokens") === 0L, 0L)
+              .otherwise(expr(
+                "((n_emails + n_urls + n_phones) * 10000) div n_tokens"))
+              .as("pii_bps"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH $piiClsCtesSql,
+        pcnt AS (SELECT source,
+                        CAST(len(tk) AS BIGINT) AS n,
+                        CAST(len(list_filter(cl, c -> c = 'E')) AS BIGINT) AS ne,
+                        CAST(len(list_filter(cl, c -> c = 'U')) AS BIGINT) AS nu,
+                        CAST(len(list_filter(cl, c -> c = 'P')) AS BIGINT) AS np
+                 FROM cls),
+        pagg AS (SELECT source, COUNT(*) AS n_docs,
+                        CAST(SUM(CASE WHEN ne + nu + np > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+                        CAST(SUM(ne) AS BIGINT) AS n_emails,
+                        CAST(SUM(nu) AS BIGINT) AS n_urls,
+                        CAST(SUM(np) AS BIGINT) AS n_phones,
+                        CAST(SUM(n) AS BIGINT) AS n_tokens
+                 FROM pcnt GROUP BY source)
+        SELECT source, n_docs, docs_with_pii, n_emails, n_urls, n_phones,
+               CASE WHEN n_tokens = 0 THEN 0
+                    ELSE CAST(((n_emails + n_urls + n_phones) * 10000)
+                      // n_tokens AS BIGINT) END AS pii_bps
+        FROM pagg ORDER BY source""")),
   )
 }
 

@@ -302,6 +302,7 @@ class PlanAuditSpec extends SparkSpec {
       "q183_incremental_lineage" -> 13, // the exact-group hash agg + survivor semi-join feeding q80's incremental machinery IN-PLAN (bucket-size agg, new-side and all-side bucket joins, two verify joins — q80's 6-exchange class) + the min-partner agg + lineage union sort; every exchange ∝ batch∩bucket, not corpus
       "q184_retrieval_eval" -> 4, // q175's 1-exchange ranker shape evaluated three ways: per-variant metric aggs over ≤2K-row candidate lists + the 3-row union sort; relevance count is a 1-row broadcast
       "q185_hybrid_catalog_served" -> 2, // the SERVED hybrid plan: postings pivot agg + ordered output — index builds (postings shuffle, vector fold) run at construct into the catalog; rankers ride broadcasts
+      "q186_pii_exposure_report" -> 2, // map-side plant+classify (q162's shared pass) + ONE per-source partial agg + ordered output
       "q143_line_boilerplate_signals" -> 4, // line-hash distinct-doc count (∝ distinct lines) + hash-keyed join back + per-doc agg + ordered output — map-side line derivation
       "q144_line_boilerplate_removal" -> 5, // q143's dup shape + the per-doc reassembly exchange (the corpus's one unavoidable regroup, q124's) + universe left join
       "q166_ann_recall_report" -> 8, // three candidate sets in one statement: brute truth window (sample-bounded cross), LSH sig join + window, IVF serve join + window, union, truth left join, per-variant agg + ordered output — each path's standalone budget proven by q50/q51/q81
