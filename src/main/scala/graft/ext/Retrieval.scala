@@ -77,7 +77,7 @@ ${terms.indices.map { i =>
     * q175's lexical list (shared code = the non-drift proof, mirroring
     * [[bm25BodyCtesSql]] on the oracle side). Corpus statistics reduce
     * to 1 row and broadcast back; scoring is map-side. */
-  private def bm25Scored(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private[graft] def bm25Scored(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val statAggs =
       sum(col("dl")).as("tot") +:
         terms.zipWithIndex.map { case (t, i) =>
@@ -151,10 +151,7 @@ ${terms.indices.map { i =>
     * q169 and q185 so the two served plans index identically. */
   private def bm25IndexBuild(cat: graft.catalog.VersionedCatalog,
       docs: org.apache.spark.sql.DataFrame): Unit = {
-    val postings = docs
-      .select(col("doc_id"), explode(col("tk")).as("term"))
-      .groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"))
+    val postings = bm25Postings(docs)
     cat.writeNext("bm25_postings", postings)
     cat.writeNext("bm25_docstats", docs.select(col("doc_id"), col("dl")))
     cat.writeNext("bm25_terms",
@@ -163,20 +160,38 @@ ${terms.indices.map { i =>
       docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot")))
   }
 
+  /** (term, doc_id, tf) postings from tokenized docs — the ONE shuffle
+    * of the distributed index build. private[graft]: the streaming
+    * retrieval-index sink folds per-epoch postings through the
+    * catalog. */
+  private[graft] def bm25Postings(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), explode(col("tk")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Tokenize a (doc_id[, ...], text) frame into the (doc_id, tk, dl)
+    * shape the index builders consume. */
+  private[graft] def bm25Tokenize(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), X.tokens(col("text")).as("tk"))
+      .withColumn("dl", size(col("tk")).cast("long"))
+
   /** BM25 scores (doc_id, dl, score) served from [[bm25IndexBuild]]'s
     * versions only: postings filtered to the query terms (predicate
     * reaches the parquet scan), pivoted per doc, scored with the
     * IDENTICAL IEEE parenthesization as q59 — tf = 0 contributes
     * exactly +0.0, so the served sum is bit-equal to the full-width
     * sum. */
-  private def bm25ServedScores(cat: graft.catalog.VersionedCatalog): org.apache.spark.sql.DataFrame = {
+  private[graft] def bm25ServedScores(cat: graft.catalog.VersionedCatalog,
+      v: Int = 1): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.types.StructType
-    val post = cat.read("bm25_postings", 1,
+    val post = cat.read("bm25_postings", v,
         Some(StructType.fromDDL("term STRING, doc_id BIGINT, tf BIGINT")))
       .filter(col("term").isin(terms: _*))
-    val dstat = cat.read("bm25_docstats", 1,
+    val dstat = cat.read("bm25_docstats", v,
       Some(StructType.fromDDL("doc_id BIGINT, dl BIGINT")))
-    val dfs = cat.read("bm25_terms", 1,
+    val dfs = cat.read("bm25_terms", v,
         Some(StructType.fromDDL("term STRING, df BIGINT")))
       .filter(col("term").isin(terms: _*))
       .agg(terms.zipWithIndex.map { case (t, i) =>
@@ -184,7 +199,7 @@ ${terms.indices.map { i =>
       }.head, terms.zipWithIndex.tail.map { case (t, i) =>
         sum(when(col("term") === t, col("df")).otherwise(0L)).as(s"df_$i")
       }: _*)
-    val stats = cat.read("bm25_stats", 1,
+    val stats = cat.read("bm25_stats", v,
       Some(StructType.fromDDL("n_docs BIGINT, tot BIGINT")))
     val tfp = post.groupBy(col("doc_id"))
       .agg(terms.zipWithIndex.map { case (t, i) =>

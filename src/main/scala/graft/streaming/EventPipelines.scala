@@ -702,6 +702,54 @@ object EventPipelines {
     q.awaitTermination()
   }
 
+  /** Streaming RETRIEVAL INDEX → catalog: q169/q185's BM25 inverted
+    * index maintained by a stream. Each epoch's documents contribute
+    * their postings ([[graft.ext.Retrieval.bm25Postings]] — the exact
+    * q169/q185 construction, so streamed state serves the same scoring
+    * plan) and per-doc lengths, folded by UNION (doc-keyed growing
+    * sets — the q115 append discipline; epochs carry disjoint new
+    * docs); per-term document frequencies fold by per-term SUM and the
+    * 1-row corpus stats fold element-wise — both additive, so the
+    * atomic epoch tag is the exactly-once guard (a replay would double
+    * them; the tag skips it). The four writes are individually
+    * guarded: a crash mid-epoch replays safely. Every version is a
+    * complete servable index —
+    * [[graft.ext.Retrieval.bm25ServedScores]] reads any epoch's four
+    * tables and its scores are bit-equal to the in-query q59
+    * definition over the streamed union (tf = 0 ≡ +0.0); streamed
+    * history is never re-tokenized. */
+  def runCatalogRetrievalIndexSink(
+      docs: DataFrame,
+      checkpoint: String,
+      cat: graft.catalog.VersionedCatalog,
+      step: String): Unit = {
+    val q = docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val tk = graft.ext.Retrieval.bm25Tokenize(batch)
+          .localCheckpoint(eager = false) // 4 epoch tables read it
+        val postings = graft.ext.Retrieval.bm25Postings(tk)
+        foldEpoch(cat, s"${step}_postings", postings, epoch,
+          (a, b) => a.unionByName(b))
+        foldEpoch(cat, s"${step}_docstats",
+          tk.select(col("doc_id"), col("dl")), epoch,
+          (a, b) => a.unionByName(b))
+        foldEpoch(cat, s"${step}_terms",
+          postings.groupBy(col("term")).agg(count(lit(1)).as("df")), epoch,
+          (a, b) => a.unionByName(b).groupBy(col("term"))
+            .agg(sum(col("df")).as("df")))
+        foldEpoch(cat, s"${step}_stats",
+          tk.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot")), epoch,
+          (a, b) => a.unionByName(b)
+            .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot")).as("tot")),
+          boundedState = true)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming DEDUP BAND INDEX → catalog: q170's index-as-data pair
     * maintained by a stream. Each epoch's documents contribute their
     * (band, bsig, doc_id) band rows and (doc_id, hsh) hashed-shingle

@@ -1001,6 +1001,50 @@ class EventPipelinesSpec extends SparkSpec {
     }
   }
 
+  test("streaming retrieval-index sink: served scores equal the in-query definition, replay-safe") {
+    val s = spark
+    import s.implicits._
+    withTempDir { dir =>
+      val in = s"$dir/in"; val ckpt = s"$dir/ckpt"; val root = s"$dir/cat"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING")
+      def stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(in)
+      val cat = new graft.catalog.VersionedCatalog(spark, root, format = "parquet")
+      val fixture = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      def writeEpoch(name: String, docs: org.apache.spark.sql.DataFrame): Unit =
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/$name"),
+          docs.toJSON.collect().mkString("\n").getBytes)
+      // step = "bm25" so the streamed tables carry the exact names
+      // bm25ServedScores reads
+      writeEpoch("e1.json", fixture.filter(col("doc_id") % 2 === 0))
+      EventPipelines.runCatalogRetrievalIndexSink(stream, ckpt, cat, "bm25")
+      assert(cat.latestVersion("bm25_postings").contains(1))
+      writeEpoch("e2.json", fixture.filter(col("doc_id") % 2 === 1))
+      EventPipelines.runCatalogRetrievalIndexSink(stream, ckpt, cat, "bm25")
+      assert(Seq("bm25_postings", "bm25_docstats", "bm25_terms", "bm25_stats")
+        .forall(st => cat.latestVersion(st).contains(2)))
+      def scores(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      // served-from-streamed-state scores = the in-query q59 definition
+      // over the epochs' union, bit-for-bit (tf = 0 contributes +0.0)
+      val served = scores(graft.ext.Retrieval.bm25ServedScores(cat, 2)
+        .filter(col("score") > 0d))
+      val direct = scores(graft.ext.Retrieval.bm25Scored(
+          graft.ext.Retrieval.bm25Tokenize(fixture))
+        .filter(col("score") > 0d))
+      assert(served == direct)
+      assert(served.nonEmpty)
+      // replay with no new input: no new version on any of the four
+      EventPipelines.runCatalogRetrievalIndexSink(stream, ckpt, cat, "bm25")
+      assert(Seq("bm25_postings", "bm25_docstats", "bm25_terms", "bm25_stats")
+        .forall(st => cat.latestVersion(st).contains(2)))
+    }
+  }
+
   test("streaming dedup band-index sink: epochs fold to the batch index, replay-safe") {
     val s = spark
     import s.implicits._
