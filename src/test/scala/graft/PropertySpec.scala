@@ -115,6 +115,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("compiled hashedBow ≡ HOF fold for arbitrary token lists, and is linear") {
+    val s = spark
+    import s.implicits._
+    val tokGen = Gen.listOfN(5,
+      Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('é', '中'))).map(_.mkString)
+    val listsGen = Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, tokGen))
+    val lists = samples(listsGen, 200)
+    val df = lists.toDF("tk")
+    val both = df.select(
+        graft.functions.HashFunctions.hashedBow(
+          org.apache.spark.sql.functions.col("tk"), 16).as("k"),
+        graft.ext.TextDsl.hashedBowHof("tk", 16).as("h"))
+      .collect()
+    both.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    // linearity: bow(a ++ b) = bow(a) + bow(b) elementwise — the property
+    // that makes the vectors mergeable across any doc split
+    val pairs = samples(Gen.zip(listsGen, listsGen), 50)
+    val lin = pairs.toDF("a", "b").select(
+        graft.functions.HashFunctions.hashedBow(
+          org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.col("a"),
+            org.apache.spark.sql.functions.col("b")), 16).as("ab"),
+        graft.functions.HashFunctions.hashedBow(
+          org.apache.spark.sql.functions.col("a"), 16).as("va"),
+        graft.functions.HashFunctions.hashedBow(
+          org.apache.spark.sql.functions.col("b"), 16).as("vb"))
+      .collect()
+    lin.foreach { r =>
+      val ab = r.getSeq[Long](0); val va = r.getSeq[Long](1); val vb = r.getSeq[Long](2)
+      assert(ab == va.zip(vb).map { case (x, y) => x + y })
+    }
+  }
+
   test("top_k ≡ global sort + take(k) for arbitrary data and k") {
     val s = spark
     import s.implicits._
