@@ -820,11 +820,16 @@ object Classifier extends QueryModule {
     // every labeling vendor requires): the 5 lowest-margin docs per
     // source, ties to the lower doc_id; the weak label rides along so
     // an annotator disagreement with it is immediately visible. 100
-    // TB: one scored pass (map-side under the cached features) + a
-    // per-source top-k window over a tiny margin-filtered frame — in
-    // production the window runs after a margin pre-filter
-    // (|score| ≤ ε keeps ~the batch size), so the sort never sees the
-    // corpus.
+    // TB: one scored pass (map-side under the cached features) + the
+    // bounded-heap top_k aggregate per source (TopKOrdered — the
+    // library's own discipline, TopKAgg.scala documents the row_number
+    // window as the anti-pattern it replaces): each map task reduces
+    // its slice to ≤ 5 rows per source before the exchange, so no
+    // corpus-sized sort partition ever exists. Smallest (margin,
+    // doc_id) = largest (−margin, −doc_id) lexicographically; the
+    // payload columns ride the struct tail and never affect the order
+    // (the two leading keys are already a total order — doc_id is
+    // unique).
     QueryDef(
       "q171_active_learning_batch",
       (s, dir) => {
@@ -836,12 +841,14 @@ object Classifier extends QueryModule {
           .select(col("doc_id"), col("y"), score(wavg).as("score"))
           .join(docs.select(col("doc_id"), col("source")), "doc_id")
           .withColumn("margin", abs(col("score")))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("source")).orderBy(col("margin"), col("doc_id"))
-        scored.withColumn("pick", row_number().over(w).cast("long"))
-          .filter(col("pick") <= 5)
-          .select(col("source"), col("pick"), col("doc_id"),
-            col("score"), col("margin"), col("y"))
+        scored.groupBy(col("source"))
+          .agg(graft.functions.AggFunctions.topK(
+            struct((-col("margin")).as("nm"), (-col("doc_id")).as("nd"),
+              col("score").as("sc"), col("y").as("yy")), 5).as("top"))
+          .select(col("source"), posexplode(col("top")))
+          .select(col("source"), (col("pos") + 1).cast("long").as("pick"),
+            (-col("col.nd")).as("doc_id"), col("col.sc").as("score"),
+            (-col("col.nm")).as("margin"), col("col.yy").as("y"))
           .orderBy(col("source"), col("pick"))
       },
       Some {

@@ -355,11 +355,14 @@ object Curation extends QueryModule {
                       CAST(floor(10000.0 * sqrt(CAST(n AS DOUBLE)) / mx) AS BIGINT) AS thr
                FROM counts, m)"""
 
-  /** q162/q186's shared PII pass: plant deterministic email/URL/phone
-    * tokens (fixture has none), whitespace-split preserving raw tokens,
-    * classify each token E/U/P/K — map-side, carrying (doc_id, source,
-    * tk, cls). ONE definition so the masker and the exposure report
-    * classify identically. */
+  /** q162/q186's shared PII pass: plant deterministic email/URL/IP/
+    * phone tokens (fixture has none), whitespace-split preserving raw
+    * tokens, classify each token E/U/I/P/K — map-side, carrying
+    * (doc_id, source, tk, cls). ONE definition so the masker and the
+    * exposure report classify identically. The IPv4 class (Dolma-class
+    * scrubbing masks IPs alongside emails/phones) tests BEFORE the
+    * phone class: a dotted quad is all [0-9.] with ≥ 7 digits, so the
+    * phone regex would otherwise swallow it. */
   private def piiClassified(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("source"), concat(
         col("text"),
@@ -372,6 +375,11 @@ object Curation extends QueryModule {
         when(col("doc_id") % 13 === 0,
           concat(lit(" +1-555-0"),
             (lit(100L) + col("doc_id") % 100).cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 17 === 0,
+          concat(lit(" 10."), (col("doc_id") % 200).cast("string"),
+            lit("."), (col("doc_id") % 250).cast("string"),
+            lit("."), (lit(1L) + col("doc_id") % 254).cast("string")))
           .otherwise(lit(""))).as("text"))
       .withColumn("tk", expr("filter(split(text, ' +'), t -> t != '')"))
       .withColumn("cls", expr("""transform(tk, t -> CASE
@@ -379,6 +387,8 @@ object Curation extends QueryModule {
           THEN 'E'
         WHEN t LIKE 'http://%' OR t LIKE 'https://%' OR t LIKE 'www.%'
           THEN 'U'
+        WHEN t RLIKE '^[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}$'
+          THEN 'I'
         WHEN t RLIKE '^[0-9+().-]+$'
              AND length(regexp_replace(t, '[^0-9]', '')) >= 7
           THEN 'P'
@@ -396,6 +406,11 @@ object Curation extends QueryModule {
                  ELSE '' END
             || CASE WHEN doc_id % 13 = 0
                  THEN ' +1-555-0' || CAST(100 + doc_id % 100 AS VARCHAR)
+                 ELSE '' END
+            || CASE WHEN doc_id % 17 = 0
+                 THEN ' 10.' || CAST(doc_id % 200 AS VARCHAR)
+                   || '.' || CAST(doc_id % 250 AS VARCHAR)
+                   || '.' || CAST(1 + doc_id % 254 AS VARCHAR)
                  ELSE '' END AS text
           FROM documents),
         tkc AS (SELECT doc_id, source,
@@ -409,6 +424,9 @@ object Curation extends QueryModule {
                            THEN 'E'
                          WHEN t LIKE 'http://%' OR t LIKE 'https://%'
                               OR t LIKE 'www.%' THEN 'U'
+                         WHEN regexp_matches(t,
+                           '^[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}$$')
+                           THEN 'I'
                          WHEN regexp_matches(t, '^[0-9+().-]+$$')
                               AND length(regexp_replace(t, '[^0-9]', '', 'g')) >= 7
                            THEN 'P'
@@ -1183,13 +1201,16 @@ object Curation extends QueryModule {
     // release). Token-level on WHITESPACE splits (X.tokens lowercases
     // and strips punctuation, which would destroy the very tokens this
     // query classifies): email = full-match on a local@domain.tld
-    // class regex, URL = http(s)://... or www. prefix, phone-like =
-    // only [0-9+().-] chars with ≥ 7 digits; precedence
-    // email > URL > phone. The fixture text is PII-free, so plants
-    // derive RELATIONALLY from doc_id in both engines (the dhashCorpus
-    // discipline): %7 docs gain an email, %11 a URL, %13 a phone —
-    // every class fires and the masked-text 60-bit hash pins the exact
-    // rewrite byte for byte. Regexes avoid backslash escapes entirely
+    // class regex, URL = http(s)://... or www. prefix, IPv4 = dotted
+    // quad of 1-3 digit octets, phone-like = only [0-9+().-] chars
+    // with ≥ 7 digits; precedence email > URL > IP > phone (the IP
+    // test must precede phone — a dotted quad satisfies the phone
+    // class's character set and digit floor). The fixture text is
+    // PII-free, so plants derive RELATIONALLY from doc_id in both
+    // engines (the dhashCorpus discipline): %7 docs gain an email,
+    // %11 a URL, %13 a phone, %17 an IP — every class fires and the
+    // masked-text 60-bit hash pins the exact rewrite byte for byte.
+    // Regexes avoid backslash escapes entirely
     // ([.] not \\.) — Java and RE2 agree on the character-class subset,
     // and the two engines' string-literal escaping rules never meet a
     // backslash. 100 TB: pure map-side HOFs; only counts + an 8-byte
@@ -1201,11 +1222,13 @@ object Curation extends QueryModule {
           .withColumn("masked", expr("""array_join(
             zip_with(tk, cls, (t, c) -> CASE c
               WHEN 'E' THEN '<EMAIL>' WHEN 'U' THEN '<URL>'
-              WHEN 'P' THEN '<PHONE>' ELSE t END), ' ')"""))
+              WHEN 'I' THEN '<IP>' WHEN 'P' THEN '<PHONE>'
+              ELSE t END), ' ')"""))
           .select(col("doc_id"),
             size(col("tk")).cast("long").as("n_tokens"),
             expr("CAST(size(filter(cls, c -> c = 'E')) AS BIGINT)").as("n_emails"),
             expr("CAST(size(filter(cls, c -> c = 'U')) AS BIGINT)").as("n_urls"),
+            expr("CAST(size(filter(cls, c -> c = 'I')) AS BIGINT)").as("n_ips"),
             expr("CAST(size(filter(cls, c -> c = 'P')) AS BIGINT)").as("n_phones"),
             length(col("masked")).cast("long").as("masked_chars"),
             X.h60(col("masked")).as("masked_h60"))
@@ -1216,13 +1239,15 @@ object Curation extends QueryModule {
         mk AS (SELECT doc_id, tk, cl,
                       array_to_string(list_transform(range(1, len(tk) + 1),
                         i -> CASE cl[i] WHEN 'E' THEN '<EMAIL>'
-                             WHEN 'U' THEN '<URL>' WHEN 'P' THEN '<PHONE>'
+                             WHEN 'U' THEN '<URL>' WHEN 'I' THEN '<IP>'
+                             WHEN 'P' THEN '<PHONE>'
                              ELSE tk[i] END), ' ') AS masked
                FROM cls)
         SELECT doc_id,
                CAST(len(tk) AS BIGINT) AS n_tokens,
                CAST(len(list_filter(cl, c -> c = 'E')) AS BIGINT) AS n_emails,
                CAST(len(list_filter(cl, c -> c = 'U')) AS BIGINT) AS n_urls,
+               CAST(len(list_filter(cl, c -> c = 'I')) AS BIGINT) AS n_ips,
                CAST(len(list_filter(cl, c -> c = 'P')) AS BIGINT) AS n_phones,
                CAST(length(masked) AS BIGINT) AS masked_chars,
                ${X.h60Sql("masked")} AS masked_h60
@@ -1246,20 +1271,22 @@ object Curation extends QueryModule {
             size(col("tk")).cast("long").as("n"),
             expr("CAST(size(filter(cls, c -> c = 'E')) AS BIGINT)").as("ne"),
             expr("CAST(size(filter(cls, c -> c = 'U')) AS BIGINT)").as("nu"),
+            expr("CAST(size(filter(cls, c -> c = 'I')) AS BIGINT)").as("ni"),
             expr("CAST(size(filter(cls, c -> c = 'P')) AS BIGINT)").as("np"))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),
-            sum(when(col("ne") + col("nu") + col("np") > 0L, 1L)
+            sum(when(col("ne") + col("nu") + col("ni") + col("np") > 0L, 1L)
               .otherwise(0L)).as("docs_with_pii"),
             sum(col("ne")).as("n_emails"),
             sum(col("nu")).as("n_urls"),
+            sum(col("ni")).as("n_ips"),
             sum(col("np")).as("n_phones"),
             sum(col("n")).as("n_tokens"))
           .select(col("source"), col("n_docs"), col("docs_with_pii"),
-            col("n_emails"), col("n_urls"), col("n_phones"),
+            col("n_emails"), col("n_urls"), col("n_ips"), col("n_phones"),
             when(col("n_tokens") === 0L, 0L)
               .otherwise(expr(
-                "((n_emails + n_urls + n_phones) * 10000) div n_tokens"))
+                "((n_emails + n_urls + n_ips + n_phones) * 10000) div n_tokens"))
               .as("pii_bps"))
           .orderBy(col("source"))
       },
@@ -1269,18 +1296,21 @@ object Curation extends QueryModule {
                         CAST(len(tk) AS BIGINT) AS n,
                         CAST(len(list_filter(cl, c -> c = 'E')) AS BIGINT) AS ne,
                         CAST(len(list_filter(cl, c -> c = 'U')) AS BIGINT) AS nu,
+                        CAST(len(list_filter(cl, c -> c = 'I')) AS BIGINT) AS ni,
                         CAST(len(list_filter(cl, c -> c = 'P')) AS BIGINT) AS np
                  FROM cls),
         pagg AS (SELECT source, COUNT(*) AS n_docs,
-                        CAST(SUM(CASE WHEN ne + nu + np > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+                        CAST(SUM(CASE WHEN ne + nu + ni + np > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
                         CAST(SUM(ne) AS BIGINT) AS n_emails,
                         CAST(SUM(nu) AS BIGINT) AS n_urls,
+                        CAST(SUM(ni) AS BIGINT) AS n_ips,
                         CAST(SUM(np) AS BIGINT) AS n_phones,
                         CAST(SUM(n) AS BIGINT) AS n_tokens
                  FROM pcnt GROUP BY source)
-        SELECT source, n_docs, docs_with_pii, n_emails, n_urls, n_phones,
+        SELECT source, n_docs, docs_with_pii, n_emails, n_urls, n_ips,
+               n_phones,
                CASE WHEN n_tokens = 0 THEN 0
-                    ELSE CAST(((n_emails + n_urls + n_phones) * 10000)
+                    ELSE CAST(((n_emails + n_urls + n_ips + n_phones) * 10000)
                       // n_tokens AS BIGINT) END AS pii_bps
         FROM pagg ORDER BY source""")),
   )
