@@ -301,6 +301,144 @@ object LmScore extends QueryModule {
         expr("(total_bits * 100) div n_trigrams").as("centibits_per_trigram"))
   }
 
+  // -------------------------------------------------------------------
+  // FOURGRAM model (q190/q191) — the trigram section's closing promise
+  // kept ("higher orders are this same shape again with a longer
+  // prefix key"): P(w4|w1 w2 w3) = (c(w1 w2 w3 w4) + 1) /
+  // (c(w1 w2 w3 ·) + V), bits = floor(log2((c(p3 ·) + V) / (c(fg) +
+  // 1))). One order below KenLM's 5-gram default — and the LAST order
+  // the fixture corpus can exercise meaningfully (at 4-gram the
+  // self-fit is already near-singleton; order 5 would price every
+  // continuation identically). The count table stays a linear sketch:
+  // epoch tables fold additively like q122/q158's.
+
+  private def fourgramsTk(toks: DataFrame): DataFrame = toks.select(
+    col("doc_id"), explode(X.shingles(col("tk"), 4)).as("fg"))
+
+  /** The persistable 4-gram LM state: (fg, cf) exact counts — linear
+    * like [[trigramCountsTk]], folds additively. */
+  def fourgramCountsTk(toks: DataFrame): DataFrame =
+    fourgramsTk(toks).groupBy(col("fg")).agg(count(lit(1)).as("cf"))
+
+  /** The (w1 w2 w3) prefix as a single key column. */
+  private def fgPrefix(fg: Column): Column =
+    concat_ws(" ", slice(split(fg, " "), 1, 3))
+
+  /** Score a pre-tokenized frame against a persisted 4-gram LM —
+    * [[scoreAgainstLm3Tk]]'s contract one order up: 4-gram count join
+    * + (w1,w2,w3)-prefix mass join + 1-row V broadcast; unseen 4-gram
+    * ⇒ c = 0, unseen prefix ⇒ mass 0. Documents with < 4 tokens have
+    * no 4-grams and do not flow. */
+  def scoreAgainstLm4Tk(lm4: DataFrame, vocab: DataFrame,
+      scoreTk: DataFrame): DataFrame = {
+    val prefixMass = lm4
+      .withColumn("p3", fgPrefix(col("fg")))
+      .groupBy(col("p3")).agg(sum(col("cf")).as("cp"))
+    val v1 = vocab.agg(count(lit(1)).as("v"))
+    fourgramsTk(scoreTk)
+      .withColumn("p3", fgPrefix(col("fg")))
+      .join(lm4, Seq("fg"), "left")
+      .join(prefixMass, Seq("p3"), "left")
+      .crossJoin(broadcast(v1))
+      .select(col("doc_id"),
+        greatest(lit(0L),
+          floorLog2Ratio(coalesce(col("cp"), lit(0L)) + col("v"),
+            coalesce(col("cf"), lit(0L)) + lit(1L))).as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fourgrams"), sum(col("bits")).as("total_bits"))
+      .select(col("doc_id"), col("n_fourgrams"), col("total_bits"),
+        expr("(total_bits * 100) div n_fourgrams").as("centibits_per_fourgram"))
+  }
+
+  /** Self-scoring under the 4-gram model (q190; fit = score frame). */
+  def surpriseScores4Tk(fitTk: DataFrame, scoreTk: DataFrame): DataFrame =
+    scoreAgainstLm4Tk(fourgramCountsTk(fitTk), vocabTokensTk(fitTk), scoreTk)
+
+  /** CHAINED stupid backoff (q191) — [[backoffScoresTk]] one order up
+    * AND one level deeper: price each 4-gram under the 4-gram model
+    * when the LM has seen it; else back off to the trigram TAIL
+    * (w2 w3 w4) plus [[BackoffPenaltyBits]]; if the trigram is unseen
+    * too, back off again to the bigram tail (w3 w4) plus 2 bits — the
+    * full recursive chain of Brants' stupid backoff (EMNLP 2007, α per
+    * dropped order) in the floor-log2 integer discipline. The branch
+    * decisions (n_bo3 = priced at trigram, n_bo2 = priced at bigram)
+    * are part of the hash-checked contract. All three orders' count
+    * tables are the same linear-sketch state — the whole model
+    * persists and folds through the catalog unchanged. Scale: six
+    * doc-side equi-joins + per-doc agg — no new shuffle class over
+    * q161, just more keyed lookups against corpus-reduced tables. */
+  def backoffChainScoresTk(fitTk: DataFrame, scoreTk: DataFrame): DataFrame = {
+    val lm4 = fourgramCountsTk(fitTk)
+    val lm3 = trigramCountsTk(fitTk)
+    val lm2 = bigramCountsTk(fitTk)
+    val pm4 = lm4.withColumn("p3", fgPrefix(col("fg")))
+      .groupBy(col("p3")).agg(sum(col("cf")).as("cp4"))
+    val pm3 = lm3.withColumn("p2", tgPrefix(col("tg")))
+      .groupBy(col("p2")).agg(sum(col("ct")).as("cp3"))
+    val pm2 = lm2.withColumn("w1", split(col("bg"), " ").getItem(0))
+      .groupBy(col("w1")).agg(sum(col("cb")).as("cp2"))
+    val v1 = vocabTokensTk(fitTk).agg(count(lit(1)).as("v"))
+    fourgramsTk(scoreTk)
+      .withColumn("p3", fgPrefix(col("fg")))
+      // each backoff level conditions on the longest context the
+      // lower-order model still has: trigram tail, then bigram tail
+      .withColumn("tg", concat_ws(" ", slice(split(col("fg"), " "), 2, 3)))
+      .withColumn("p2", concat_ws(" ", slice(split(col("fg"), " "), 2, 2)))
+      .withColumn("bg", concat_ws(" ", slice(split(col("fg"), " "), 3, 2)))
+      .withColumn("w1", split(col("fg"), " ").getItem(2))
+      .join(lm4, Seq("fg"), "left")
+      .join(pm4, Seq("p3"), "left")
+      .join(lm3, Seq("tg"), "left")
+      .join(pm3, Seq("p2"), "left")
+      .join(lm2, Seq("bg"), "left")
+      .join(pm2, Seq("w1"), "left")
+      .crossJoin(broadcast(v1))
+      .select(col("doc_id"),
+        when(col("cf").isNotNull, 0L).when(col("ct").isNotNull, 1L)
+          .otherwise(2L).as("od"),
+        when(col("cf").isNotNull,
+          greatest(lit(0L), floorLog2Ratio(
+            coalesce(col("cp4"), lit(0L)) + col("v"), col("cf") + lit(1L))))
+          .when(col("ct").isNotNull,
+            lit(BackoffPenaltyBits) + greatest(lit(0L), floorLog2Ratio(
+              coalesce(col("cp3"), lit(0L)) + col("v"), col("ct") + lit(1L))))
+          .otherwise(
+            lit(2L * BackoffPenaltyBits) + greatest(lit(0L), floorLog2Ratio(
+              coalesce(col("cp2"), lit(0L)) + col("v"),
+              coalesce(col("cb"), lit(0L)) + lit(1L))))
+          .as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fourgrams"),
+        sum(when(col("od") === 1L, 1L).otherwise(0L)).as("n_bo3"),
+        sum(when(col("od") === 2L, 1L).otherwise(0L)).as("n_bo2"),
+        sum(col("bits")).as("total_bits"))
+      .select(col("doc_id"), col("n_fourgrams"), col("n_bo3"), col("n_bo2"),
+        col("total_bits"),
+        expr("(total_bits * 100) div n_fourgrams").as("centibits_per_fourgram"))
+  }
+
+  /** The English-fit trigram + bigram model CTEs (lmt/pm3/lmb/pm2/vc)
+    * shared VERBATIM by the q161 and q191 oracles — the chained
+    * backoff prices its lower orders against the IDENTICAL model text
+    * the single-level backoff uses, so the two contracts cannot drift.
+    * Expects a `tk (doc_id, lang, tk)` CTE earlier in the WITH. */
+  private val enFitModelCtesSql = s"""lmt AS (SELECT tg, COUNT(*) AS ct
+                FROM (SELECT unnest(${X.shinglesSql("tk", 3)}) AS tg
+                      FROM tk WHERE lang = 'en')
+                GROUP BY tg),
+        pm3 AS (SELECT split_part(tg, ' ', 1) || ' ' || split_part(tg, ' ', 2) AS p2,
+                       CAST(SUM(ct) AS BIGINT) AS cp3
+                FROM lmt GROUP BY 1),
+        lmb AS (SELECT bg, COUNT(*) AS cb
+                FROM (SELECT unnest(${X.shinglesSql("tk", 2)}) AS bg
+                      FROM tk WHERE lang = 'en')
+                GROUP BY bg),
+        pm2 AS (SELECT split_part(bg, ' ', 1) AS w1,
+                       CAST(SUM(cb) AS BIGINT) AS cp2
+                FROM lmb GROUP BY 1),
+        vc AS (SELECT COUNT(DISTINCT t) AS v
+               FROM (SELECT unnest(tk) AS t FROM tk WHERE lang = 'en'))"""
+
   /** The q121 self-scoring CTE chain (through `bits`) over an upstream
     * CTE named `tk` (doc_id, tk: item array) — ONE text shared by q121
     * (word tokens), q138 (BPE subwords), and q139 (scores feeding the
@@ -765,22 +903,7 @@ object LmScore extends QueryModule {
                     FROM documents),
         tgall AS (SELECT doc_id, unnest(${X.shinglesSql("tk", 3)}) AS tg
                   FROM tk),
-        lmt AS (SELECT tg, COUNT(*) AS ct
-                FROM (SELECT unnest(${X.shinglesSql("tk", 3)}) AS tg
-                      FROM tk WHERE lang = 'en')
-                GROUP BY tg),
-        pm3 AS (SELECT split_part(tg, ' ', 1) || ' ' || split_part(tg, ' ', 2) AS p2,
-                       CAST(SUM(ct) AS BIGINT) AS cp3
-                FROM lmt GROUP BY 1),
-        lmb AS (SELECT bg, COUNT(*) AS cb
-                FROM (SELECT unnest(${X.shinglesSql("tk", 2)}) AS bg
-                      FROM tk WHERE lang = 'en')
-                GROUP BY bg),
-        pm2 AS (SELECT split_part(bg, ' ', 1) AS w1,
-                       CAST(SUM(cb) AS BIGINT) AS cp2
-                FROM lmb GROUP BY 1),
-        vc AS (SELECT COUNT(DISTINCT t) AS v
-               FROM (SELECT unnest(tk) AS t FROM tk WHERE lang = 'en')),
+        $enFitModelCtesSql,
         sc AS (SELECT g.doc_id, l.ct IS NOT NULL AS seen,
                       CASE WHEN l.ct IS NOT NULL THEN 0
                            ELSE $BackoffPenaltyBits END AS pen,
@@ -812,6 +935,135 @@ object LmScore extends QueryModule {
                CAST(SUM(bits) AS BIGINT) AS total_bits,
                CAST(SUM(bits) * 100 // COUNT(*) AS BIGINT)
                  AS centibits_per_trigram
+        FROM bits GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q190: FOURGRAM surprise scoring — q157 one model order up (the
+    // trigram section's closing promise kept; see the fourgram section
+    // comment): fit the add-one 4-gram LM on documents and score every
+    // document against it, all exact int64. One order below KenLM's
+    // 5-gram default and the last order the fixture corpus exercises
+    // meaningfully. 100 TB: identical shape to q157 — the LM is a
+    // corpus-reduced count table, scoring is one doc-side join pair +
+    // per-doc agg, V a 1-row broadcast.
+    QueryDef(
+      "q190_lm_fourgram_score",
+      (s, dir) => {
+        val toks = tokenized(T.documents(s, dir))
+        surpriseScores4Tk(toks, toks).orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH tk AS (SELECT doc_id, ${X.tokensSql("text")} AS tk FROM documents),
+        fg AS (SELECT doc_id, unnest(${X.shinglesSql("tk", 4)}) AS fg FROM tk),
+        lmf AS (SELECT fg, COUNT(*) AS cf FROM fg GROUP BY fg),
+        lmp AS (SELECT split_part(fg, ' ', 1) || ' ' || split_part(fg, ' ', 2)
+                         || ' ' || split_part(fg, ' ', 3) AS p3,
+                       CAST(SUM(cf) AS BIGINT) AS cp
+                FROM lmf GROUP BY 1),
+        vc AS (SELECT COUNT(DISTINCT t) AS v
+               FROM (SELECT unnest(tk) AS t FROM tk)),
+        fsc AS (SELECT g.doc_id, l.cf + 1 AS den, p.cp + vc.v AS num
+                FROM fg g
+                JOIN lmf l USING (fg)
+                JOIN lmp p ON p.p3 = split_part(g.fg, ' ', 1) || ' ' ||
+                              split_part(g.fg, ' ', 2) || ' ' ||
+                              split_part(g.fg, ' ', 3)
+                CROSS JOIN vc),
+        bits AS (SELECT doc_id,
+                        greatest(0, CASE WHEN (den << k) > num THEN k - 1 ELSE k END) AS bits
+                 FROM (SELECT doc_id, den, num,
+                              length(printf('%b', num))
+                                - length(printf('%b', den)) AS k
+                       FROM fsc))
+        SELECT doc_id, COUNT(*) AS n_fourgrams,
+               CAST(SUM(bits) AS BIGINT) AS total_bits,
+               CAST(SUM(bits) * 100 // COUNT(*) AS BIGINT)
+                 AS centibits_per_fourgram
+        FROM bits GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q191: CHAINED BACKOFF SCORING — q161 one order up AND one level
+    // deeper: 4-grams the English-fit LM has seen price under the
+    // 4-gram model; unseen 4-grams back off to the trigram tail
+    // (w2 w3 w4) + 1 bit; 4-grams whose trigram tail is ALSO unseen
+    // back off again to the bigram tail (w3 w4) + 2 bits — Brants'
+    // stupid backoff as the full recursive chain, in exact integer
+    // bits. The lower-order model CTEs are q161's text VERBATIM
+    // (enFitModelCtesSql), so the chain's trigram/bigram prices can
+    // never drift from the single-level backoff's. Both branch counts
+    // (n_bo3/n_bo2) are hash-checked — the chain's routing is part of
+    // the contract, not just the totals. 100 TB: six doc-side
+    // equi-joins against corpus-reduced count tables + per-doc agg —
+    // no new shuffle class over q161.
+    QueryDef(
+      "q191_lm_backoff_chain",
+      (s, dir) => {
+        val docs = T.documents(s, dir)
+        val fitTk = tokenized(docs.filter(col("lang") === "en"))
+        backoffChainScoresTk(fitTk, tokenized(docs)).orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH tk AS (SELECT doc_id, lang, ${X.tokensSql("text")} AS tk
+                    FROM documents),
+        fgall AS (SELECT doc_id, unnest(${X.shinglesSql("tk", 4)}) AS fg
+                  FROM tk),
+        lmf AS (SELECT fg, COUNT(*) AS cf
+                FROM (SELECT unnest(${X.shinglesSql("tk", 4)}) AS fg
+                      FROM tk WHERE lang = 'en')
+                GROUP BY fg),
+        pm4 AS (SELECT split_part(fg, ' ', 1) || ' ' || split_part(fg, ' ', 2)
+                         || ' ' || split_part(fg, ' ', 3) AS p3,
+                       CAST(SUM(cf) AS BIGINT) AS cp4
+                FROM lmf GROUP BY 1),
+        $enFitModelCtesSql,
+        csc AS (SELECT g.doc_id,
+                       CASE WHEN f.cf IS NOT NULL THEN 0
+                            WHEN l.ct IS NOT NULL THEN 1
+                            ELSE 2 END AS od,
+                       CASE WHEN f.cf IS NOT NULL THEN 0
+                            WHEN l.ct IS NOT NULL THEN $BackoffPenaltyBits
+                            ELSE ${2 * BackoffPenaltyBits} END AS pen,
+                       CASE WHEN f.cf IS NOT NULL
+                            THEN coalesce(p4.cp4, 0) + vc.v
+                            WHEN l.ct IS NOT NULL
+                            THEN coalesce(p3.cp3, 0) + vc.v
+                            ELSE coalesce(p2.cp2, 0) + vc.v END AS num,
+                       CASE WHEN f.cf IS NOT NULL THEN f.cf + 1
+                            WHEN l.ct IS NOT NULL THEN l.ct + 1
+                            ELSE coalesce(b.cb, 0) + 1 END AS den
+                FROM fgall g
+                LEFT JOIN lmf f USING (fg)
+                LEFT JOIN pm4 p4
+                  ON p4.p3 = split_part(g.fg, ' ', 1) || ' ' ||
+                             split_part(g.fg, ' ', 2) || ' ' ||
+                             split_part(g.fg, ' ', 3)
+                LEFT JOIN lmt l
+                  ON l.tg = split_part(g.fg, ' ', 2) || ' ' ||
+                            split_part(g.fg, ' ', 3) || ' ' ||
+                            split_part(g.fg, ' ', 4)
+                LEFT JOIN pm3 p3
+                  ON p3.p2 = split_part(g.fg, ' ', 2) || ' ' ||
+                             split_part(g.fg, ' ', 3)
+                LEFT JOIN lmb b
+                  ON b.bg = split_part(g.fg, ' ', 3) || ' ' ||
+                            split_part(g.fg, ' ', 4)
+                LEFT JOIN pm2 p2 ON p2.w1 = split_part(g.fg, ' ', 3)
+                CROSS JOIN vc),
+        bits AS (SELECT doc_id, od,
+                        pen + greatest(0, CASE WHEN (den << k) > num
+                                          THEN k - 1 ELSE k END) AS bits
+                 FROM (SELECT doc_id, od, pen, den, num,
+                              length(printf('%b', num))
+                                - length(printf('%b', den)) AS k
+                       FROM csc))
+        SELECT doc_id, COUNT(*) AS n_fourgrams,
+               CAST(SUM(CASE WHEN od = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_bo3,
+               CAST(SUM(CASE WHEN od = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_bo2,
+               CAST(SUM(bits) AS BIGINT) AS total_bits,
+               CAST(SUM(bits) * 100 // COUNT(*) AS BIGINT)
+                 AS centibits_per_fourgram
         FROM bits GROUP BY doc_id ORDER BY doc_id"""))
   )
 }
