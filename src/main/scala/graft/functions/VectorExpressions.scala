@@ -166,6 +166,84 @@ object SignedProject {
   }
 }
 
+/** Multi-table sign-LSH signatures of an exact-int64 scaled vector: the
+  * sign matrix (inDims × L·bits, md5-derived like
+  * [[VectorFunctions.rpSigns]] so both engines build it identically)
+  * projects v once, then each consecutive group of `bits` projected
+  * coordinates packs into one signature — out[t] = Σ_j (proj[t·bits+j]
+  * ≥ 0 ? 1<<j : 0), one int64 bucket key per hash table.
+  *
+  * Why L tables instead of one: a single b-bit sign signature has ≤ 2^b
+  * buckets and recall ~p^b (p = 1 − θ/π per hyperplane) — the failure
+  * mode q166 measured on the single-table path (recall@3 = 66 bps).
+  * Multi-table LSH (Indyk-Motwani; the Faiss/Datasketch default) unions
+  * candidates across L independent tables: miss probability (1−p^b)^L
+  * decays exponentially in L while per-table bucket selectivity stays
+  * 2^b. The signature pack is ONE compiled pass (n·L·b multiply-adds
+  * per row, map-side, whole-stage-codegen'd); no norm guard is needed
+  * because only the projection SIGNS are consumed — the int64 envelope
+  * for the raw coordinates (|Σ v_i| ≤ n·max|v| ≪ 2^63) cannot trip at
+  * scaledVec magnitudes.
+  */
+case class SignLshSignatures(
+    child: Expression, signs: Array[Array[Long]], bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ArrayParamEquality {
+  require(bits >= 1 && bits <= 63, s"sign_lsh_sigs: bits must be 1..63, got $bits")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sign_lsh_sigs"
+  override protected def arrayParams: Seq[AnyRef] = Seq(signs)
+  override protected def scalarParams: Seq[Any] = Seq(bits)
+
+  override def nullSafeEval(input: Any): Any =
+    SignLshSignatures.signatures(input.asInstanceOf[ArrayData], signs, bits)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("signs", signs, "long[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SignLshSignatures.signatures($c, $ref, $bits)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): SignLshSignatures =
+    copy(child = c)
+}
+
+object SignLshSignatures {
+  def signatures(v: ArrayData, signs: Array[Array[Long]], bits: Int): ArrayData = {
+    val n = v.numElements()
+    if (n != signs.length)
+      throw new IllegalArgumentException(
+        s"sign_lsh_sigs: vector has $n dims but the sign matrix has ${signs.length} rows")
+    val k = if (signs.length == 0) 0 else signs(0).length
+    require(k % bits == 0,
+      s"sign_lsh_sigs: $k projected dims do not split into $bits-bit tables")
+    val proj = new Array[Long](k)
+    var i = 0
+    while (i < n) {
+      val x = v.getLong(i)
+      val row = signs(i)
+      var j = 0
+      while (j < k) { proj(j) += x * row(j); j += 1 }
+      i += 1
+    }
+    val tables = k / bits
+    val sigs = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var s = 0L
+      var j = 0
+      while (j < bits) {
+        if (proj(t * bits + j) >= 0) s |= 1L << j
+        j += 1
+      }
+      sigs(t) = s
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sigs)
+  }
+}
+
 /** Morton/Z-order key: interleaves the low 31 bits of two non-negative
   * int64 keys (result bit 2i = a's bit i, 2i+1 = b's bit i — 62 bits,
   * always positive). Sorting by the interleaved key clusters rows into
@@ -221,14 +299,26 @@ object VectorFunctions {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** md5-derived ±1 sign matrix shared with the oracle SQL:
-    * sign(i,j) = 1 - 2·(md5h60("rp i j") mod 2). */
-  def rpSigns(inDims: Int, outDims: Int): Array[Array[Long]] =
+    * sign(i,j) = 1 - 2·(md5h60("<tag> i j") mod 2). Distinct tags
+    * decouple independent sign universes (the JL sketch's "rp" vs the
+    * multi-table LSH's "mlsh") so adding one can never perturb the
+    * other's projections. */
+  def rpSignsTagged(tag: String, inDims: Int, outDims: Int): Array[Array[Long]] =
     Array.tabulate(inDims, outDims) { (i, j) =>
       1L - 2L * (HashKernels.md5h60(
-        org.apache.spark.unsafe.types.UTF8String.fromString(s"rp $i $j")) % 2L)
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"$tag $i $j")) % 2L)
     }
+
+  /** [[rpSignsTagged]] at the original "rp" tag (q76's JL sketch). */
+  def rpSigns(inDims: Int, outDims: Int): Array[Array[Long]] =
+    rpSignsTagged("rp", inDims, outDims)
 
   /** Deterministic ±1 random projection of a scaled int64 vector. */
   def signedProject(v: Column, signs: Array[Array[Long]]): Column =
     ColumnBridge.column(SignedProject(ColumnBridge.expression(v), signs))
+
+  /** Multi-table sign-LSH bucket signatures (one int64 per table) of a
+    * scaled int64 vector — see [[SignLshSignatures]]. */
+  def signLshSigs(v: Column, signs: Array[Array[Long]], bits: Int): Column =
+    ColumnBridge.column(SignLshSignatures(ColumnBridge.expression(v), signs, bits))
 }
