@@ -226,6 +226,127 @@ ${terms.indices.map { i =>
       .select(col("doc_id"), col("dl"), col("score"))
   }
 
+  // -------------------------------------------------------------------
+  // BATCH MULTI-QUERY RETRIEVAL (q188/q189) — the production RAG shape
+  // the fixed-`terms` queries serve one instance of: N queries ranked
+  // in ONE plan. The query table derives deterministically from the
+  // corpus vocabulary (top df terms chunked into 3-term queries), so
+  // the whole batch contract is oracle-expressible. Scoring moves from
+  // the fixed-width column sum (impossible with variable terms) to the
+  // postings join: query terms ⋈ postings → per-(query, doc, term)
+  // BM25 contribution floor-scaled to exact int64 micro-units → one
+  // exact integer SUM per (query, doc) — order-free where a float sum
+  // over a shuffle would not be. 100 TB: postings are the q169 index
+  // shape (term-clustered, prunable); the query table broadcasts; the
+  // only per-query state is a bounded top-k heap.
+
+  private val BatchNQ = 25
+  private val BatchQTerms = 3
+  private val BatchRankK = 10
+  /** Query terms draw from the top-31 vocabulary ranks — the fixture
+    * corpus has exactly 31 distinct word tokens, so the modular-stride
+    * selection below exercises every one while still generating 25
+    * distinct multi-term queries (disjoint 3-term chunks would cap at
+    * ⌊31/3⌋ = 10). */
+  private val BatchVocabTop = 31
+
+  /** Deterministic batch query table (qid, term, df): vocabulary
+    * ranked by (df DESC, term), query q = ranks {q, q+5, q+10} mod
+    * BatchVocabTop (distinct because the strides aren't 0 mod 31) —
+    * overlapping selections, so N queries isn't bounded by vocabulary
+    * size. The rank window runs over the TakeOrdered top-31 survivors,
+    * never the vocabulary. */
+  private def batchQueryTerms(postings: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dfs = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val ranked = dfs.orderBy(col("df").desc, col("term")).limit(BatchVocabTop)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("df").desc, col("term"))).cast("long"))
+    val sess = postings.sparkSession
+    val qgrid = sess.range(BatchNQ.toLong).toDF("qid")
+      .crossJoin(sess.range(BatchQTerms.toLong).toDF("k"))
+      .select(col("qid"),
+        expr(s"((qid + 5*k) % $BatchVocabTop) + 1").as("rank"))
+    qgrid.join(broadcast(ranked), Seq("rank"))
+      .select(col("qid"), col("term"), col("df"))
+  }
+
+  /** Per-(query, doc) exact BM25 scores (qid, doc_id, score_e6) from
+    * the postings join — the ONE batch scoring pipeline behind q188
+    * and q189's lexical lists (the bm25Scored/bm25BodyCtesSql
+    * non-drift discipline, batch edition). Each term contribution is
+    * the q59 formula on the q59 idf floor, then floor-scaled ×1e6 to
+    * int64 so the per-(qid, doc) SUM is exact and shuffle-order-free. */
+  private def bm25BatchScores(docs: org.apache.spark.sql.DataFrame,
+      postings: org.apache.spark.sql.DataFrame,
+      qterms: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+    val idfE6 = floor(lit(1000000.0d)
+      * ((col("n_docs") - col("df")).cast("double") + lit(0.5d))
+      / (col("df").cast("double") + lit(0.5d))).cast("long")
+    val tfd = col("tf").cast("double")
+    postings
+      .join(broadcast(qterms), Seq("term"))
+      .join(docs.select(col("doc_id"), col("dl")), Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_e6", idfE6)
+      .withColumn("avgdl", col("tot").cast("double") / col("n_docs").cast("double"))
+      .withColumn("c_e6", floor(
+        (col("idf_e6").cast("double") * (tfd * lit(2.2d))) /
+          (tfd + lit(1.2d) * (lit(0.25d)
+            + (lit(0.75d) * col("dl").cast("double")) / col("avgdl")))
+          * lit(1000000.0d)).cast("long"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("c_e6")).as("score_e6"))
+  }
+
+  /** Per-query top-k rank list via the bounded-heap top_k aggregate —
+    * (qid, doc_id, r) ranked by (`by` DESC, doc_id). */
+  private def batchRanked(scored: org.apache.spark.sql.DataFrame,
+      by: String, k: Int): org.apache.spark.sql.DataFrame =
+    scored.groupBy(col("qid"))
+      .agg(graft.functions.AggFunctions.topK(
+        struct(col(by).as("s"), (-col("doc_id")).as("nd"),
+          col("doc_id").as("doc_id")), k).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.doc_id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("r"))
+
+  /** The batch BM25 oracle CTE chain (docs → bpost → bdfs → bstt →
+    * bqt → bctr → bscore), shared VERBATIM by the q188 and q189
+    * oracles so the fusion's lexical lists can never drift from the
+    * batch ranking definition. */
+  private val batchBm25CtesSql = s"""docs AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS dl
+                 FROM (SELECT doc_id, ${X.tokensSql("text")} AS tk FROM documents)),
+        bpost AS (SELECT t AS term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+                  FROM docs, unnest(tk) AS u(t) GROUP BY 1, 2),
+        bdfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+                 FROM bpost GROUP BY term),
+        bstt AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tot
+                 FROM docs),
+        bqt AS (SELECT g.qid, r.term, r.df
+                FROM (SELECT qq.q AS qid,
+                             ((qq.q + 5*kk.k) % $BatchVocabTop) + 1 AS rank
+                      FROM (SELECT unnest(range(0, $BatchNQ)) AS q) qq,
+                           (SELECT unnest(range(0, $BatchQTerms)) AS k) kk) g
+                JOIN (SELECT term, df, rank
+                      FROM (SELECT term, df,
+                                   row_number() OVER (ORDER BY df DESC, term) AS rank
+                            FROM bdfs)
+                      WHERE rank <= $BatchVocabTop) r
+                  ON r.rank = g.rank),
+        bctr AS (SELECT q.qid, p.doc_id,
+                        CAST(floor(
+                          (CAST(CAST(floor(1000000.0 * (CAST(s.n_docs - q.df AS DOUBLE) + 0.5) / (CAST(q.df AS DOUBLE) + 0.5)) AS BIGINT) AS DOUBLE)
+                            * (CAST(p.tf AS DOUBLE) * 2.2))
+                          / (CAST(p.tf AS DOUBLE) + 1.2 * (0.25 + (0.75 * CAST(d.dl AS DOUBLE)) / (CAST(s.tot AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
+                          * 1000000.0) AS BIGINT) AS c_e6
+                 FROM bqt q JOIN bpost p USING (term)
+                 JOIN docs d ON d.doc_id = p.doc_id
+                 CROSS JOIN bstt s),
+        bscore AS (SELECT qid, doc_id, CAST(SUM(c_e6) AS BIGINT) AS score_e6
+                   FROM bctr GROUP BY qid, doc_id)"""
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q59_bm25_search",
@@ -412,7 +533,142 @@ ${terms.indices.map { i =>
           FROM $cte l LEFT JOIN qrel q ON q.doc_id = l.doc_id, qnrel n
           GROUP BY n.n_rel"""
           }.mkString("\n          UNION ALL\n          ")})
-        ORDER BY variant"""))
+        ORDER BY variant""")),
+
+    // ------------------------------------------------------------------
+    // q188: BATCH MULTI-QUERY BM25 — 25 queries ranked in ONE plan (see
+    // the batch section comment): the query table derives from the
+    // corpus vocabulary (top-75 df terms, 3 per query), broadcasts into
+    // the postings join, each (query, doc, term) contribution
+    // floor-scales to exact int64 micro-units, one exact SUM per
+    // (query, doc), per-query top-5 via the bounded-heap top_k. This
+    // generalizes q59's fixed-term ranking to the query-table shape
+    // production RAG serves; q169's served-postings layout is the same
+    // join with the postings read from the catalog. 100 TB: postings
+    // term-clustered and prunable to the query vocabulary; the query
+    // table is driver-scale; no per-query replanning.
+    QueryDef(
+      "q188_bm25_batch",
+      (s, dir) => {
+        val docs = tokenizedDocs(s, dir)
+          .localCheckpoint(eager = false) // postings + stats + dl read it
+        val postings = bm25Postings(docs)
+          .localCheckpoint(eager = false) // qterms + scores read it
+        val scores = bm25BatchScores(docs, postings, batchQueryTerms(postings))
+        scores.groupBy(col("qid"))
+          .agg(graft.functions.AggFunctions.topK(
+            struct(col("score_e6").as("s"), (-col("doc_id")).as("nd"),
+              col("doc_id").as("doc_id")), 5).as("top"))
+          .select(col("qid"), posexplode(col("top")))
+          .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+            col("col.doc_id").as("doc_id"), col("col.s").as("score_e6"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""
+        WITH $batchBm25CtesSql
+        SELECT qid, rank, doc_id, score_e6 FROM (
+          SELECT qid, doc_id, score_e6,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY score_e6 DESC, doc_id) AS rank
+          FROM bscore) WHERE rank <= 5 ORDER BY qid, rank""")),
+
+    // ------------------------------------------------------------------
+    // q189: BATCH HYBRID RRF — q175's fusion stack at the query-table
+    // shape: per query, a lexical top-10 from the batch BM25 scores
+    // (bm25BatchScores — q188's exact code and oracle text) and a
+    // semantic top-10 from hashed-BoW cosine (query vectors = the
+    // 3-term hashed bags, a 25-row broadcast against map-side document
+    // vectors — hashedBow is an order-free linear fold, so the
+    // collect_list assembly order cannot matter), fused per (query,
+    // doc) by the same integer RRF formula, top-5 per query. Queries
+    // with a zero-norm hashed bag are excluded from the semantic side
+    // on BOTH engines (cosine undefined). 100 TB: the semantic side is
+    // a bounded broadcast cross (N queries × corpus, map-side compiled
+    // dots — the q166 sample-bounded discipline); every ranking is a
+    // bounded top_k heap; fusion joins K-row lists.
+    QueryDef(
+      "q189_hybrid_batch_rrf",
+      (s, dir) => {
+        val docs = tokenizedDocs(s, dir)
+          .localCheckpoint(eager = false) // postings + vectors read it
+        val postings = bm25Postings(docs)
+          .localCheckpoint(eager = false) // qterms + scores read it
+        val qterms = batchQueryTerms(postings)
+        val lex = batchRanked(
+          bm25BatchScores(docs, postings, qterms), "score_e6", BatchRankK)
+          .withColumnRenamed("r", "lex_rank")
+        val qv = X.hashedBow(col("terms"))
+        val qvecs = qterms.groupBy(col("qid"))
+          .agg(collect_list(col("term")).as("terms"))
+          .select(col("qid"), qv.as("qv"), X.norm2Int(qv).as("qn2"))
+          .filter(col("qn2") > 0L)
+        val sem = batchRanked(
+          docs.select(col("doc_id"), X.hashedBow(col("tk")).as("v"))
+            .withColumn("n2", X.norm2Int(col("v")))
+            .filter(col("n2") > 0L)
+            .crossJoin(broadcast(qvecs))
+            .select(col("qid"), col("doc_id"), X.cosineFromInts(
+              X.dotInt(col("v"), col("qv")), col("n2"), col("qn2")).as("cos")),
+          "cos", BatchRankK)
+          .withColumnRenamed("r", "sem_rank")
+        val fused = lex.join(sem, Seq("qid", "doc_id"), "full_outer")
+          .select(col("qid"), col("doc_id"), col("lex_rank"), col("sem_rank"),
+            expr("CAST(coalesce(1000000 div (60 + lex_rank), 0) " +
+              "+ coalesce(1000000 div (60 + sem_rank), 0) AS BIGINT)")
+              .as("rrf_micro"))
+        fused.groupBy(col("qid"))
+          .agg(graft.functions.AggFunctions.topK(
+            struct(col("rrf_micro").as("s"), (-col("doc_id")).as("nd"),
+              col("doc_id").as("doc_id"), col("lex_rank").as("lr"),
+              col("sem_rank").as("sr")), 5).as("top"))
+          .select(col("qid"), posexplode(col("top")))
+          .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+            col("col.doc_id").as("doc_id"), col("col.lr").as("lex_rank"),
+            col("col.sr").as("sem_rank"), col("col.s").as("rrf_micro"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""
+        WITH $batchBm25CtesSql,
+        bqv AS (SELECT qid, j, CAST(SUM(sg) AS BIGINT) AS qj
+                FROM (SELECT qid, ${X.hashedBowOccSql("term")} FROM bqt)
+                GROUP BY 1, 2),
+        bqn AS (SELECT qid, CAST(SUM(qj*qj) AS BIGINT) AS qn2
+                FROM bqv GROUP BY qid),
+        bhocc AS (SELECT doc_id, ${X.hashedBowOccSql("t")}
+                  FROM docs, unnest(tk) AS u(t)),
+        bhvec AS (SELECT doc_id, j, CAST(SUM(sg) AS BIGINT) AS vj
+                  FROM bhocc GROUP BY 1, 2),
+        bhn AS (SELECT doc_id, CAST(SUM(vj*vj) AS BIGINT) AS n2
+                FROM bhvec GROUP BY 1),
+        bdot AS (SELECT q.qid, v.doc_id, CAST(SUM(v.vj * q.qj) AS BIGINT) AS dot
+                 FROM bhvec v JOIN bqv q USING (j) GROUP BY 1, 2),
+        bsem0 AS (SELECT q.qid, n.doc_id,
+                         ${X.cosineFromIntsSql("coalesce(d.dot, 0)", "n.n2", "q.qn2")} AS cos
+                  FROM bhn n CROSS JOIN bqn q
+                  LEFT JOIN bdot d ON d.qid = q.qid AND d.doc_id = n.doc_id
+                  WHERE n.n2 > 0 AND q.qn2 > 0),
+        bsem AS (SELECT qid, doc_id, r AS sem_rank FROM (
+                   SELECT qid, doc_id,
+                          row_number() OVER (PARTITION BY qid
+                            ORDER BY cos DESC, doc_id) AS r
+                   FROM bsem0) WHERE r <= $BatchRankK),
+        blex AS (SELECT qid, doc_id, r AS lex_rank FROM (
+                   SELECT qid, doc_id,
+                          row_number() OVER (PARTITION BY qid
+                            ORDER BY score_e6 DESC, doc_id) AS r
+                   FROM bscore) WHERE r <= $BatchRankK),
+        bfuse AS (SELECT coalesce(l.qid, s2.qid) AS qid,
+                         coalesce(l.doc_id, s2.doc_id) AS doc_id,
+                         l.lex_rank, s2.sem_rank,
+                         CAST(coalesce(1000000 // (60 + l.lex_rank), 0)
+                            + coalesce(1000000 // (60 + s2.sem_rank), 0) AS BIGINT) AS rrf_micro
+                  FROM blex l FULL JOIN bsem s2
+                    ON l.qid = s2.qid AND l.doc_id = s2.doc_id)
+        SELECT qid, rank, doc_id, lex_rank, sem_rank, rrf_micro FROM (
+          SELECT qid, doc_id, lex_rank, sem_rank, rrf_micro,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY rrf_micro DESC, doc_id) AS rank
+          FROM bfuse) WHERE rank <= 5 ORDER BY qid, rank"""))
   )
 
   /** Top-K lexical rank list (doc_id, lex_rank) from a BM25-scored
