@@ -380,9 +380,10 @@ object EventPipelines {
     * version's tag answers "already folded?" in one listing. */
   private[streaming] def foldSketchEpoch(
       cat: graft.catalog.VersionedCatalog, step: String,
-      epochCells: DataFrame, epoch: Long): Unit =
+      epochCells: DataFrame, epoch: Long,
+      retain: Option[Int] = None): Unit =
     foldEpoch(cat, step, epochCells, epoch,
-      graft.ext.CountMin.mergeSketches, boundedState = true)
+      graft.ext.CountMin.mergeSketches, boundedState = true, retain = retain)
 
   /** The shared epoch-fold guard both sketch sinks instantiate: skip
     * iff some RETAINED version already carries a tag ≥ this epoch, else
@@ -398,12 +399,26 @@ object EventPipelines {
     * forward (compact does; a manual republish might not). The replay
     * window only reopens if the tagged version itself is vacuumed,
     * and an epoch old enough to be vacuumed is old enough to be past
-    * the stream's checkpointed replay horizon. */
+    * the stream's checkpointed replay horizon.
+    *
+    * RETENTION (`retain = Some(k)`): after a fold commits version N,
+    * vacuum every version ≤ N − k — for FOLD-type sinks each version
+    * is a complete servable state, so old versions are redundant
+    * history that would otherwise accumulate one version per epoch
+    * forever (thousands/month at minutes-scale epochs). Append-type
+    * sinks must NOT pass retain (their versions are the history).
+    * Replay stays a no-op after a vacuum: the latest version always
+    * carries the latest epoch tag and epochs are monotone, so
+    * `maxEpochTag ≥ any replayed epoch` holds as long as ONE version
+    * survives — and vacuum always keeps ≥ 1. The vacuum runs only on
+    * the epoch that committed (inside the guard), so a replayed
+    * already-folded epoch cannot even re-trigger deletion. */
   private def foldEpoch(
       cat: graft.catalog.VersionedCatalog, step: String,
       epochDf: DataFrame, epoch: Long,
       merge: (DataFrame, DataFrame) => DataFrame,
-      boundedState: Boolean = false): Unit = {
+      boundedState: Boolean = false,
+      retain: Option[Int] = None): Unit = {
     if (!cat.maxEpochTag(step).exists(_ >= epoch)) {
       val next = cat.latestVersion(step) match {
         case None => epochDf
@@ -416,6 +431,7 @@ object EventPipelines {
       // data (LM bigrams, index assignments) keeps its partitioning.
       val out = if (boundedState) next.coalesce(1) else next
       cat.writeNext(step, out, epochTag = Some(epoch))
+      retain.foreach(k => cat.vacuum(step, k))
     }
   }
 
@@ -428,9 +444,10 @@ object EventPipelines {
     * redundant version. */
   private[streaming] def foldRegisterEpoch(
       cat: graft.catalog.VersionedCatalog, step: String,
-      epochRegs: DataFrame, epoch: Long): Unit =
+      epochRegs: DataFrame, epoch: Long,
+      retain: Option[Int] = None): Unit =
     foldEpoch(cat, step, epochRegs, epoch, graft.ext.Hll.mergeRegisters,
-      boundedState = true)
+      boundedState = true, retain = retain)
 
   /** Streaming HLL → catalog: each epoch reduces to a complete
     * m-register table ([[graft.ext.Hll.registerCells]] — the exact
@@ -443,12 +460,14 @@ object EventPipelines {
       item: org.apache.spark.sql.Column,
       checkpoint: String,
       cat: graft.catalog.VersionedCatalog,
-      step: String): Unit = {
+      step: String,
+      retain: Option[Int] = None): Unit = {
     val q = items.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        foldRegisterEpoch(cat, step, graft.ext.Hll.registerCells(batch, item), id)
+        foldRegisterEpoch(cat, step,
+          graft.ext.Hll.registerCells(batch, item), id, retain)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -463,9 +482,10 @@ object EventPipelines {
     * sketch. */
   private[streaming] def foldHistogramEpoch(
       cat: graft.catalog.VersionedCatalog, step: String,
-      epochBins: DataFrame, epoch: Long): Unit =
+      epochBins: DataFrame, epoch: Long,
+      retain: Option[Int] = None): Unit =
     foldEpoch(cat, step, epochBins, epoch, graft.ext.HistSketch.mergeBins,
-      boundedState = true)
+      boundedState = true, retain = retain)
 
   /** Streaming histogram → catalog: each epoch reduces to a complete
     * B-bin table ([[graft.ext.HistSketch.binCells]] — the exact q112
@@ -479,13 +499,14 @@ object EventPipelines {
       value: org.apache.spark.sql.Column,
       checkpoint: String,
       cat: graft.catalog.VersionedCatalog,
-      step: String): Unit = {
+      step: String,
+      retain: Option[Int] = None): Unit = {
     val q = rows.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         foldHistogramEpoch(cat, step,
-          graft.ext.HistSketch.binCells(batch, value), id)
+          graft.ext.HistSketch.binCells(batch, value), id, retain)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -510,12 +531,13 @@ object EventPipelines {
       item: org.apache.spark.sql.Column,
       checkpoint: String,
       cat: graft.catalog.VersionedCatalog,
-      step: String): Unit = {
+      step: String,
+      retain: Option[Int] = None): Unit = {
     val q = items.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        foldSketchEpoch(cat, step, countMinCells(batch, item), id)
+        foldSketchEpoch(cat, step, countMinCells(batch, item), id, retain)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -595,17 +617,19 @@ object EventPipelines {
       docs: DataFrame,
       checkpoint: String,
       cat: graft.catalog.VersionedCatalog,
-      step: String): Unit = {
+      step: String,
+      retain: Option[Int] = None): Unit = {
     val q = docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         foldEpoch(cat, s"${step}_bg",
           graft.ext.LmScore.bigramCounts(batch), epoch,
-          graft.ext.LmScore.mergeBigramCounts)
+          graft.ext.LmScore.mergeBigramCounts, retain = retain)
         foldEpoch(cat, s"${step}_vocab",
           graft.ext.LmScore.vocabTokens(batch), epoch,
-          (base, fresh) => base.unionByName(fresh).distinct())
+          (base, fresh) => base.unionByName(fresh).distinct(),
+          retain = retain)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

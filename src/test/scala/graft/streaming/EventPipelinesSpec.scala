@@ -449,6 +449,59 @@ class EventPipelinesSpec extends SparkSpec {
     }
   }
 
+  test("streaming sink retention: retain=2 over 5 epochs keeps exactly the last 2 servable versions") {
+    val s = spark
+    import s.implicits._
+    withTempDir { dir =>
+      val in = s"$dir/in"; val ckpt = s"$dir/ckpt"; val root = s"$dir/cat"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      def writeInput(name: String, items: Seq[String]): Unit =
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/$name"),
+          items.map(t => s"""{"token":"$t"}""").mkString("\n").getBytes)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL("token STRING")
+      def stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(in)
+      val cat = new graft.catalog.VersionedCatalog(spark, root, format = "parquet")
+      def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+      val epochs = (1 to 5).map(e => (0 until e).map(i => s"tok-$e-$i"))
+      // one run per epoch file: version ↔ epoch pairing is then
+      // deterministic (several pending files in one AvailableNow run
+      // can fold in either order — unions commute, but the v4 ==
+      // first-four-epochs check below would not)
+      epochs.take(3).zipWithIndex.foreach { case (e, i) =>
+        writeInput(s"e$i.json", e)
+        EventPipelines.runCatalogSketchSink(
+          stream, col("token"), ckpt, cat, "cmsr", retain = Some(2))
+      }
+      assert(cat.versions("cmsr") == Seq(2, 3),
+        s"after 3 epochs with retain=2: ${cat.versions("cmsr")}")
+      epochs.drop(3).zipWithIndex.foreach { case (e, i) =>
+        writeInput(s"l$i.json", e)
+        EventPipelines.runCatalogSketchSink(
+          stream, col("token"), ckpt, cat, "cmsr", retain = Some(2))
+      }
+      // exactly the last 2 versions remain on disk
+      assert(cat.versions("cmsr") == Seq(4, 5))
+      // ... and both are complete servable folds: latest equals the
+      // batch sketch over ALL five epochs (nothing was lost to vacuum),
+      // v4 equals the batch sketch over the first four
+      val all = epochs.flatten
+      assert(toMap(cat.latest("cmsr")) == toMap(EventPipelines.countMinCells(
+        all.toDF("token"), col("token"))))
+      assert(toMap(cat.read("cmsr", 4)) == toMap(EventPipelines.countMinCells(
+        epochs.take(4).flatten.toDF("token"), col("token"))))
+      // replay with no new input: adds nothing, vacuums nothing (the
+      // epoch-tag guard skips before the retention branch)
+      EventPipelines.runCatalogSketchSink(
+        stream, col("token"), ckpt, cat, "cmsr", retain = Some(2))
+      assert(cat.versions("cmsr") == Seq(4, 5))
+      assert(toMap(cat.latest("cmsr")) == toMap(EventPipelines.countMinCells(
+        all.toDF("token"), col("token"))))
+    }
+  }
+
   test("streaming HLL -> catalog: epoch registers MAX-fold to the batch sketch over the union") {
     val s = spark
     import s.implicits._
