@@ -450,19 +450,24 @@ object Similarity extends QueryModule {
     * never a corpus-wide sort). 100 TB: the corpus replicates L× into
     * the bucket join (the standard multi-table cost) but candidates
     * stay ∝ Σ bucket²/2^b per table; everything is keyed equi-joins. */
-  private def mlshTop3(base: DataFrame): DataFrame = {
-    val signs = graft.functions.VectorFunctions.rpSignsTagged(
-      "mlsh", 64, MlshTables * MlshBits)
-    val sigd = base.withColumn("sigs",
-      graft.functions.VectorFunctions.signLshSigs(col("v"), signs, MlshBits))
-    val q = sigd.filter(col("vec_id") < 50)
-      .select(col("vec_id").as("qid"), posexplode(col("sigs")))
+  /** The mlsh sign matrix (md5("mlsh i j"), built once per JVM). */
+  private lazy val MlshSigns = graft.functions.VectorFunctions.rpSignsTagged(
+    "mlsh", 64, MlshTables * MlshBits)
+
+  /** Per-row array of 16 int64 bucket signatures (compiled kernel). */
+  private def mlshSigs(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.VectorFunctions.signLshSigs(v, MlshSigns, MlshBits)
+
+  /** Explode a (id, v) frame into (id → `as`, tbl, sig) bucket keys. */
+  private def mlshBuckets(df: DataFrame, as: String): DataFrame =
+    df.select(col("vec_id").as(as), posexplode(mlshSigs(col("v"))))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "sig")
-    val c = sigd.select(col("vec_id").as("nid"), posexplode(col("sigs")))
-      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "sig")
-    val cand = q.join(c, Seq("tbl", "sig")).filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid")).distinct()
-    val vn = base.select(col("vec_id"), col("v"), col("n2"))
+
+  /** Exact integer-cosine re-rank of a (qid, nid) candidate set
+    * against a (vec_id, v, n2) vector table — top-3 per query via the
+    * bounded-heap top_k; the tail shared by the in-query (q187/q166)
+    * and catalog-served (q192) mlsh plans. */
+  private def mlshRankTail(cand: DataFrame, vn: DataFrame): DataFrame =
     cand
       .join(vn.select(col("vec_id").as("qid"), col("v").as("va"),
         col("n2").as("n2a")), Seq("qid"))
@@ -477,7 +482,15 @@ object Similarity extends QueryModule {
       .select(col("qid"), posexplode(col("top")))
       .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
         col("col.nid").as("nid"), col("col.c").as("cos"))
+
+  private def mlshTop3(base: DataFrame): DataFrame = {
+    val q = mlshBuckets(base.filter(col("vec_id") < 50), "qid")
+    val c = mlshBuckets(base, "nid")
+    val cand = q.join(c, Seq("tbl", "sig")).filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid")).distinct()
+    mlshRankTail(cand, base.select(col("vec_id"), col("v"), col("n2")))
   }
+
 
   /** The multi-table LSH oracle CTE chain (mgrid → mproj → msig →
     * mcand → mscored → mlshk) shared VERBATIM by the q187 oracle and
@@ -510,6 +523,15 @@ object Similarity extends QueryModule {
                            row_number() OVER (PARTITION BY qid
                              ORDER BY cos DESC, nid) AS rank
                     FROM mscored) WHERE rank <= 3)"""
+
+  /** The q187 oracle text — shared VERBATIM by q192 (catalog-served):
+    * the served plan is proven against the DEFINITION, the q169
+    * discipline. (Declared AFTER mlshSqlCtes: object vals initialize
+    * in declaration order.) */
+  private val mlshOracleSql = s"""
+        WITH $scaledSqlCte,
+        $mlshSqlCtes
+        SELECT qid, rank, nid, cos FROM mlshk ORDER BY qid, rank"""
 
   /** The candidates → ADC-score half of the IVF-PQ oracle chain —
     * everything downstream of the `probes` CTE, so the flat (q87/q91)
@@ -1828,9 +1850,45 @@ object Similarity extends QueryModule {
       "q187_ann_lsh_multitable",
       (s, dir) =>
         mlshTop3(scaled(s, dir)).orderBy(col("qid"), col("rank")),
-      Some(s"""
-        WITH $scaledSqlCte,
-        $mlshSqlCtes
-        SELECT qid, rank, nid, cos FROM mlshk ORDER BY qid, rank"""))
+      Some(mlshOracleSql)),
+
+    // ------------------------------------------------------------------
+    // q192: CATALOG-SERVED MULTI-TABLE LSH — the serving family
+    // (LM/sketches/classifier/BM25 q169/dedup q170/hybrid q185)
+    // extended to the round-15 ANN path: construct persists the BUCKET
+    // INDEX (tbl, sig, vec_id — the posexploded signature table, ONE
+    // shuffle) and the scaled vector store as two catalog versions;
+    // the SERVED plan reads ONLY those versions — arriving queries
+    // compute their 16 signatures map-side (the same compiled kernel),
+    // probe the persisted bucket cells, and re-rank by exact cosine
+    // against the stored vectors via the shared mlshRankTail. The
+    // corpus is never re-projected at serve time. Oracle is q187's
+    // text VERBATIM (mlshOracleSql): the served plan is proven against
+    // the definition, not a copy of it. 100 TB: the index version is
+    // (tbl, sig)-clusterable for readRange file pruning (the q169
+    // postings discipline); probe work ∝ Σ |query∩cell|·|cell|.
+    QueryDef(
+      "q192_ann_lsh_catalog_served",
+      (s, dir) => {
+        val cat = new graft.catalog.VersionedCatalog(
+          s, graft.Scratch.dir("q192"), format = "parquet")
+        val base = scaled(s, dir)
+          .localCheckpoint(eager = false) // both index builds read it
+        cat.writeNext("mlsh_vectors",
+          base.select(col("vec_id"), col("v"), col("n2")))
+        cat.writeNext("mlsh_index", mlshBuckets(base, "nid"))
+        import org.apache.spark.sql.types.StructType
+        val vecs = cat.read("mlsh_vectors", 1,
+          Some(StructType.fromDDL(
+            "vec_id BIGINT, v ARRAY<BIGINT>, n2 BIGINT")))
+        val idx = cat.read("mlsh_index", 1,
+          Some(StructType.fromDDL("nid BIGINT, tbl INT, sig BIGINT")))
+        val q = mlshBuckets(vecs.filter(col("vec_id") < 50), "qid")
+        val cand = q.join(idx, Seq("tbl", "sig"))
+          .filter(col("qid") =!= col("nid"))
+          .select(col("qid"), col("nid")).distinct()
+        mlshRankTail(cand, vecs).orderBy(col("qid"), col("rank"))
+      },
+      Some(mlshOracleSql))
   )
 }
