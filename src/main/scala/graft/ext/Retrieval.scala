@@ -312,8 +312,43 @@ ${terms.indices.map { i =>
       .select(col("qid"), col("col.doc_id").as("doc_id"),
         (col("pos") + 1).cast("long").as("r"))
 
+  /** The three batch rank structures — lexical top-K list (qid,
+    * doc_id, lex_rank), semantic top-K list (qid, doc_id, sem_rank),
+    * and the full fused frame (qid, doc_id, lex_rank, sem_rank,
+    * rrf_micro) — ONE construction shared by q189 (serves the fusion)
+    * and q193 (evaluates all three), so the eval can never drift from
+    * the served rankings. */
+  private def batchHybridParts(docs: org.apache.spark.sql.DataFrame,
+      postings: org.apache.spark.sql.DataFrame,
+      qterms: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val lex = batchRanked(
+      bm25BatchScores(docs, postings, qterms), "score_e6", BatchRankK)
+      .withColumnRenamed("r", "lex_rank")
+    val qv = X.hashedBow(col("terms"))
+    val qvecs = qterms.groupBy(col("qid"))
+      .agg(collect_list(col("term")).as("terms"))
+      .select(col("qid"), qv.as("qv"), X.norm2Int(qv).as("qn2"))
+      .filter(col("qn2") > 0L)
+    val sem = batchRanked(
+      docs.select(col("doc_id"), X.hashedBow(col("tk")).as("v"))
+        .withColumn("n2", X.norm2Int(col("v")))
+        .filter(col("n2") > 0L)
+        .crossJoin(broadcast(qvecs))
+        .select(col("qid"), col("doc_id"), X.cosineFromInts(
+          X.dotInt(col("v"), col("qv")), col("n2"), col("qn2")).as("cos")),
+      "cos", BatchRankK)
+      .withColumnRenamed("r", "sem_rank")
+    val fused = lex.join(sem, Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid"), col("doc_id"), col("lex_rank"), col("sem_rank"),
+        expr("CAST(coalesce(1000000 div (60 + lex_rank), 0) " +
+          "+ coalesce(1000000 div (60 + sem_rank), 0) AS BIGINT)")
+          .as("rrf_micro"))
+    (lex, sem, fused)
+  }
+
   /** The batch BM25 oracle CTE chain (docs → bpost → bdfs → bstt →
-    * bqt → bctr → bscore), shared VERBATIM by the q188 and q189
+    * bqt → bctr → bscore), shared VERBATIM by the q188, q189 and q193
     * oracles so the fusion's lexical lists can never drift from the
     * batch ranking definition. */
   private val batchBm25CtesSql = s"""docs AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS dl
@@ -346,6 +381,46 @@ ${terms.indices.map { i =>
                  CROSS JOIN bstt s),
         bscore AS (SELECT qid, doc_id, CAST(SUM(c_e6) AS BIGINT) AS score_e6
                    FROM bctr GROUP BY qid, doc_id)"""
+
+  /** The batch rank-list + fusion CTE chain (bqv → … → bfuse; composes
+    * after [[batchBm25CtesSql]]) shared VERBATIM by the q189 and q193
+    * oracles — the rank lists under evaluation are exactly the rank
+    * lists served (the hybridRanksCtesSql discipline, batch edition). */
+  private val batchRanksCtesSql = s"""bqv AS (SELECT qid, j, CAST(SUM(sg) AS BIGINT) AS qj
+                FROM (SELECT qid, ${X.hashedBowOccSql("term")} FROM bqt)
+                GROUP BY 1, 2),
+        bqn AS (SELECT qid, CAST(SUM(qj*qj) AS BIGINT) AS qn2
+                FROM bqv GROUP BY qid),
+        bhocc AS (SELECT doc_id, ${X.hashedBowOccSql("t")}
+                  FROM docs, unnest(tk) AS u(t)),
+        bhvec AS (SELECT doc_id, j, CAST(SUM(sg) AS BIGINT) AS vj
+                  FROM bhocc GROUP BY 1, 2),
+        bhn AS (SELECT doc_id, CAST(SUM(vj*vj) AS BIGINT) AS n2
+                FROM bhvec GROUP BY 1),
+        bdot AS (SELECT q.qid, v.doc_id, CAST(SUM(v.vj * q.qj) AS BIGINT) AS dot
+                 FROM bhvec v JOIN bqv q USING (j) GROUP BY 1, 2),
+        bsem0 AS (SELECT q.qid, n.doc_id,
+                         ${X.cosineFromIntsSql("coalesce(d.dot, 0)", "n.n2", "q.qn2")} AS cos
+                  FROM bhn n CROSS JOIN bqn q
+                  LEFT JOIN bdot d ON d.qid = q.qid AND d.doc_id = n.doc_id
+                  WHERE n.n2 > 0 AND q.qn2 > 0),
+        bsem AS (SELECT qid, doc_id, r AS sem_rank FROM (
+                   SELECT qid, doc_id,
+                          row_number() OVER (PARTITION BY qid
+                            ORDER BY cos DESC, doc_id) AS r
+                   FROM bsem0) WHERE r <= $BatchRankK),
+        blex AS (SELECT qid, doc_id, r AS lex_rank FROM (
+                   SELECT qid, doc_id,
+                          row_number() OVER (PARTITION BY qid
+                            ORDER BY score_e6 DESC, doc_id) AS r
+                   FROM bscore) WHERE r <= $BatchRankK),
+        bfuse AS (SELECT coalesce(l.qid, s2.qid) AS qid,
+                         coalesce(l.doc_id, s2.doc_id) AS doc_id,
+                         l.lex_rank, s2.sem_rank,
+                         CAST(coalesce(1000000 // (60 + l.lex_rank), 0)
+                            + coalesce(1000000 // (60 + s2.sem_rank), 0) AS BIGINT) AS rrf_micro
+                  FROM blex l FULL JOIN bsem s2
+                    ON l.qid = s2.qid AND l.doc_id = s2.doc_id)"""
 
   override val defs: Seq[QueryDef] = Seq(
     QueryDef(
@@ -593,29 +668,8 @@ ${terms.indices.map { i =>
           .localCheckpoint(eager = false) // postings + vectors read it
         val postings = bm25Postings(docs)
           .localCheckpoint(eager = false) // qterms + scores read it
-        val qterms = batchQueryTerms(postings)
-        val lex = batchRanked(
-          bm25BatchScores(docs, postings, qterms), "score_e6", BatchRankK)
-          .withColumnRenamed("r", "lex_rank")
-        val qv = X.hashedBow(col("terms"))
-        val qvecs = qterms.groupBy(col("qid"))
-          .agg(collect_list(col("term")).as("terms"))
-          .select(col("qid"), qv.as("qv"), X.norm2Int(qv).as("qn2"))
-          .filter(col("qn2") > 0L)
-        val sem = batchRanked(
-          docs.select(col("doc_id"), X.hashedBow(col("tk")).as("v"))
-            .withColumn("n2", X.norm2Int(col("v")))
-            .filter(col("n2") > 0L)
-            .crossJoin(broadcast(qvecs))
-            .select(col("qid"), col("doc_id"), X.cosineFromInts(
-              X.dotInt(col("v"), col("qv")), col("n2"), col("qn2")).as("cos")),
-          "cos", BatchRankK)
-          .withColumnRenamed("r", "sem_rank")
-        val fused = lex.join(sem, Seq("qid", "doc_id"), "full_outer")
-          .select(col("qid"), col("doc_id"), col("lex_rank"), col("sem_rank"),
-            expr("CAST(coalesce(1000000 div (60 + lex_rank), 0) " +
-              "+ coalesce(1000000 div (60 + sem_rank), 0) AS BIGINT)")
-              .as("rrf_micro"))
+        val (_, _, fused) =
+          batchHybridParts(docs, postings, batchQueryTerms(postings))
         fused.groupBy(col("qid"))
           .agg(graft.functions.AggFunctions.topK(
             struct(col("rrf_micro").as("s"), (-col("doc_id")).as("nd"),
@@ -629,46 +683,105 @@ ${terms.indices.map { i =>
       },
       Some(s"""
         WITH $batchBm25CtesSql,
-        bqv AS (SELECT qid, j, CAST(SUM(sg) AS BIGINT) AS qj
-                FROM (SELECT qid, ${X.hashedBowOccSql("term")} FROM bqt)
-                GROUP BY 1, 2),
-        bqn AS (SELECT qid, CAST(SUM(qj*qj) AS BIGINT) AS qn2
-                FROM bqv GROUP BY qid),
-        bhocc AS (SELECT doc_id, ${X.hashedBowOccSql("t")}
-                  FROM docs, unnest(tk) AS u(t)),
-        bhvec AS (SELECT doc_id, j, CAST(SUM(sg) AS BIGINT) AS vj
-                  FROM bhocc GROUP BY 1, 2),
-        bhn AS (SELECT doc_id, CAST(SUM(vj*vj) AS BIGINT) AS n2
-                FROM bhvec GROUP BY 1),
-        bdot AS (SELECT q.qid, v.doc_id, CAST(SUM(v.vj * q.qj) AS BIGINT) AS dot
-                 FROM bhvec v JOIN bqv q USING (j) GROUP BY 1, 2),
-        bsem0 AS (SELECT q.qid, n.doc_id,
-                         ${X.cosineFromIntsSql("coalesce(d.dot, 0)", "n.n2", "q.qn2")} AS cos
-                  FROM bhn n CROSS JOIN bqn q
-                  LEFT JOIN bdot d ON d.qid = q.qid AND d.doc_id = n.doc_id
-                  WHERE n.n2 > 0 AND q.qn2 > 0),
-        bsem AS (SELECT qid, doc_id, r AS sem_rank FROM (
-                   SELECT qid, doc_id,
-                          row_number() OVER (PARTITION BY qid
-                            ORDER BY cos DESC, doc_id) AS r
-                   FROM bsem0) WHERE r <= $BatchRankK),
-        blex AS (SELECT qid, doc_id, r AS lex_rank FROM (
-                   SELECT qid, doc_id,
-                          row_number() OVER (PARTITION BY qid
-                            ORDER BY score_e6 DESC, doc_id) AS r
-                   FROM bscore) WHERE r <= $BatchRankK),
-        bfuse AS (SELECT coalesce(l.qid, s2.qid) AS qid,
-                         coalesce(l.doc_id, s2.doc_id) AS doc_id,
-                         l.lex_rank, s2.sem_rank,
-                         CAST(coalesce(1000000 // (60 + l.lex_rank), 0)
-                            + coalesce(1000000 // (60 + s2.sem_rank), 0) AS BIGINT) AS rrf_micro
-                  FROM blex l FULL JOIN bsem s2
-                    ON l.qid = s2.qid AND l.doc_id = s2.doc_id)
+        $batchRanksCtesSql
         SELECT qid, rank, doc_id, lex_rank, sem_rank, rrf_micro FROM (
           SELECT qid, doc_id, lex_rank, sem_rank, rrf_micro,
                  row_number() OVER (PARTITION BY qid
                    ORDER BY rrf_micro DESC, doc_id) AS rank
-          FROM bfuse) WHERE rank <= 5 ORDER BY qid, rank"""))
+          FROM bfuse) WHERE rank <= 5 ORDER BY qid, rank""")),
+
+    // ------------------------------------------------------------------
+    // q193: BATCH RETRIEVAL EVAL — q184's TREC-style regression table
+    // at the query-table shape: the batch stack's three rankers (q188's
+    // lexical lists, q189's semantic lists, their RRF fusion — the SAME
+    // batchHybridParts code and shared CTE text, so the eval gates
+    // exactly what is served) scored against per-query conjunctive
+    // qrels (docs containing ALL of the query's terms). Per variant:
+    // total relevant pairs, micro-pooled P@5/P@10 in bps (Σ hits over
+    // all queries, normalized by k·N — exact integers), and mean
+    // reciprocal rank ×1e6 (per-query first-relevant rank, integer
+    // floor mean over the N queries; queries with no relevant hit
+    // contribute 0). 100 TB: qrels are a broadcast-predicate join
+    // (N·terms rows against the scan), the rankers are the batch plans
+    // unchanged, metrics reduce K-row lists.
+    QueryDef(
+      "q193_batch_retrieval_eval",
+      (s, dir) => {
+        val docs = tokenizedDocs(s, dir)
+          .localCheckpoint(eager = false) // postings + vectors + qrels
+        val postings = bm25Postings(docs)
+          .localCheckpoint(eager = false) // qterms + scores read it
+        val qterms = batchQueryTerms(postings)
+        val (lex, sem, fused) = batchHybridParts(docs, postings, qterms)
+        val rrf = batchRanked(fused, "rrf_micro", BatchRankK)
+        val qrel = docs.join(broadcast(qterms),
+            array_contains(col("tk"), col("term")))
+          .groupBy(col("qid"), col("doc_id"))
+          .agg(count(lit(1)).as("nm"))
+          .filter(col("nm") === BatchQTerms.toLong)
+          .select(col("qid"), col("doc_id"), lit(1L).as("isrel"))
+        val nrel = qrel.agg(count(lit(1)).as("n_rel"))
+        def evalList(variant: String, list: org.apache.spark.sql.DataFrame) =
+          list.join(qrel, Seq("qid", "doc_id"), "left")
+            .groupBy(col("qid"))
+            .agg(
+              sum(when(col("isrel").isNotNull && col("r") <= 5, 1L)
+                .otherwise(0L)).as("h5"),
+              sum(when(col("isrel").isNotNull && col("r") <= 10, 1L)
+                .otherwise(0L)).as("h10"),
+              min(when(col("isrel").isNotNull, col("r"))).as("fr"))
+            .crossJoin(broadcast(nrel))
+            .groupBy(col("n_rel"))
+            .agg(
+              expr(s"CAST(SUM(h5) * 10000 div (5 * $BatchNQ) AS BIGINT)")
+                .as("p5_bps"),
+              expr(s"CAST(SUM(h10) * 10000 div (10 * $BatchNQ) AS BIGINT)")
+                .as("p10_bps"),
+              expr(s"CAST(SUM(coalesce(1000000 div fr, 0)) div $BatchNQ AS BIGINT)")
+                .as("mrr_e6"))
+            .select(lit(variant).as("variant"), col("n_rel"),
+              col("p5_bps"), col("p10_bps"), col("mrr_e6"))
+        Seq(
+          evalList("lex", lex.withColumnRenamed("lex_rank", "r")),
+          evalList("rrf", rrf),
+          evalList("sem", sem.withColumnRenamed("sem_rank", "r")))
+          .reduce(_ unionByName _).orderBy(col("variant"))
+      },
+      Some(s"""
+        WITH $batchBm25CtesSql,
+        $batchRanksCtesSql,
+        brrf AS (SELECT qid, doc_id, r FROM (
+                   SELECT qid, doc_id,
+                          row_number() OVER (PARTITION BY qid
+                            ORDER BY rrf_micro DESC, doc_id) AS r
+                   FROM bfuse) WHERE r <= $BatchRankK),
+        bqrel AS (SELECT q.qid, d.doc_id
+                  FROM bqt q JOIN docs d ON list_contains(d.tk, q.term)
+                  GROUP BY q.qid, d.doc_id
+                  HAVING COUNT(*) = $BatchQTerms),
+        bnrel AS (SELECT COUNT(*) AS n_rel FROM bqrel)
+        SELECT * FROM (
+          ${Seq(
+            "lex" -> "(SELECT qid, doc_id, lex_rank AS r FROM blex)",
+            "rrf" -> "brrf",
+            "sem" -> "(SELECT qid, doc_id, sem_rank AS r FROM bsem)")
+            .map { case (v, src) =>
+          s"""SELECT '$v' AS variant, n.n_rel,
+               CAST(SUM(h5) * 10000 // (5 * $BatchNQ) AS BIGINT) AS p5_bps,
+               CAST(SUM(h10) * 10000 // (10 * $BatchNQ) AS BIGINT) AS p10_bps,
+               CAST(SUM(coalesce(1000000 // fr, 0)) // $BatchNQ AS BIGINT) AS mrr_e6
+          FROM (SELECT l.qid,
+                       SUM(CASE WHEN q.doc_id IS NOT NULL AND l.r <= 5
+                           THEN 1 ELSE 0 END) AS h5,
+                       SUM(CASE WHEN q.doc_id IS NOT NULL AND l.r <= 10
+                           THEN 1 ELSE 0 END) AS h10,
+                       MIN(CASE WHEN q.doc_id IS NOT NULL THEN l.r END) AS fr
+                FROM $src l LEFT JOIN bqrel q
+                  ON q.qid = l.qid AND q.doc_id = l.doc_id
+                GROUP BY l.qid), bnrel n
+          GROUP BY n.n_rel"""
+          }.mkString("\n          UNION ALL\n          ")})
+        ORDER BY variant"""))
   )
 
   /** Top-K lexical rank list (doc_id, lex_rank) from a BM25-scored
