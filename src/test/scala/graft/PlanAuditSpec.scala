@@ -65,6 +65,20 @@ class PlanAuditSpec extends SparkSpec {
                              // the trigram model
     "q161_lm_backoff_score", // the same 1-row vocabulary broadcast in
                              // the backoff score
+    "q190_lm_fourgram_score", // q157's 1-row vocabulary broadcast one
+                              // order up
+    "q191_lm_backoff_chain", // q161's 1-row vocabulary broadcast in
+                             // the chained three-order score
+    "q188_bm25_batch", // q59's 1-row corpus-stats broadcast feeding
+                       // the batch contribution scoring
+    "q189_hybrid_batch_rrf", // q188's 1-row stats broadcast + the
+                             // 25-row query-vector broadcast cross
+                             // (N queries × docs is the batch
+                             // semantic ranking's definition,
+                             // sample-bounded like q166's truth)
+    "q193_batch_retrieval_eval", // q189's broadcasts + the 1-row
+                                 // relevance-count broadcast per
+                                 // variant (q184's shape)
     "q158_lm3_catalog_serving", // q122's per-version 1-row vocabulary
                                 // broadcast under the trigram model
     "q153_classifier_cross_corpus", // q121's 1-row vocabulary broadcast in
@@ -201,8 +215,10 @@ class PlanAuditSpec extends SparkSpec {
       "q171_active_learning_batch", // scored pass reads the CACHED
                              // feature table (training ran at
                              // construct); source join broadcasts +
-                             // per-source top-k window + ordered
-                             // output — 2 exchanges
+                             // per-source bounded-heap top_k agg
+                             // (round 15: replaced the row_number
+                             // window — map-side partial top-5) +
+                             // ordered output — 2 exchanges
       "q170_dedup_catalog_serving", // served probe: new-side signature
                              // derivation is map-side; band join vs
                              // the persisted band version + candidate
@@ -305,8 +321,15 @@ class PlanAuditSpec extends SparkSpec {
       "q186_pii_exposure_report" -> 2, // map-side plant+classify (q162's shared pass) + ONE per-source partial agg + ordered output
       "q143_line_boilerplate_signals" -> 4, // line-hash distinct-doc count (∝ distinct lines) + hash-keyed join back + per-doc agg + ordered output — map-side line derivation
       "q144_line_boilerplate_removal" -> 5, // q143's dup shape + the per-doc reassembly exchange (the corpus's one unavoidable regroup, q124's) + universe left join
-      "q166_ann_recall_report" -> 8, // three candidate sets in one statement: brute truth window (sample-bounded cross), LSH sig join + window, IVF serve join + window, union, truth left join, per-variant agg + ordered output — each path's standalone budget proven by q50/q51/q81
-      "q167_dedup_containment" -> 4) // q43's exact shape (df-capped shingle buckets, pair-count agg, two size joins, ordered output) over the doc+excerpt union — the union and planting are map-side, zero extra exchanges vs q43
+      "q166_ann_recall_report" -> 9, // FOUR candidate sets in one statement since round 15: brute truth window (sample-bounded cross), LSH sig join + window, IVF serve join + window, the mlsh bucket join + candidate distinct + top_k (q187's path), union, truth left join, per-variant agg + ordered output — each path's standalone budget proven by q50/q51/q81/q187
+      "q167_dedup_containment" -> 4, // q43's exact shape (df-capped shingle buckets, pair-count agg, two size joins, ordered output) over the doc+excerpt union — the union and planting are map-side, zero extra exchanges vs q43
+      "q187_ann_lsh_multitable" -> 3, // multi-table LSH serving: the (tbl, sig) bucket join (signature pack is ONE map-side compiled pass) + candidate distinct + bounded-heap top_k; re-rank vector joins broadcast at fixture scale
+      "q192_ann_lsh_catalog_served" -> 3, // q187's served twin reading the persisted bucket index + vector store: same bucket join + distinct + top_k shape; index builds ran at construct into the catalog
+      "q188_bm25_batch" -> 5, // batch BM25: postings agg (the ONE index shuffle) + df agg + 1-row stats agg + per-(query, doc) exact-int contribution SUM + per-query top_k; the 75-row query table and stats broadcast
+      "q189_hybrid_batch_rrf" -> 9, // q188's lexical chain (5) + the semantic side: 25-row query-vector agg + per-query cosine top_k over the map-side broadcast cross + the K×K fusion join + final per-query top_k — every added exchange is K-row-bounded
+      "q190_lm_fourgram_score" -> 6, // q157's pinned LM shape one order up: 4-gram agg + (w1,w2,w3)-prefix agg + vocab distinct + doc-side joins + per-doc agg + ordered output
+      "q191_lm_backoff_chain" -> 11, // THREE-ORDER model (q161's two-model argument, one level deeper): 4-gram/trigram/bigram count aggs + three prefix-mass aggs + vocab distinct + six doc-side joins + per-doc agg + ordered output — chained stupid backoff is definitionally a three-model score
+      "q193_batch_retrieval_eval" -> 16) // q189's full rank construction (lex 5 + sem chain) evaluated three ways: per-variant per-query metric aggs + 1-row relevance broadcast + the qrel broadcast-predicate join + 3-row union sort — each list's standalone budget proven by q188/q189
     (b0.map(_ -> 0) ++ b1.map(_ -> 1) ++ b2.map(_ -> 2) ++ multi).toMap
   }
 
@@ -339,6 +362,10 @@ class PlanAuditSpec extends SparkSpec {
                               // regenerations on unchanged code — the
                               // serve probe's broadcast finalizes away
                               // two exchanges with session state
+    "q193_batch_retrieval_eval", // observed local4 16 / local8 15 on the
+                                 // first (r15) regeneration — the shared
+                                 // rank-construction joins finalize
+                                 // differently by parallelism
     "q94_semantic_dedup_partial_probe", "q104_cms_merge",
     "q108_hll_estimate_merge", "q110_semantic_dedup_dist_fit",
     "q111_pixel_semantic_dedup", "q113_hist_quantile_merge",

@@ -287,6 +287,45 @@ class SimilarityIvfSpec extends SparkSpec {
     assert(ratio > 16.0 * 0.7 && ratio < 16.0 * 1.3, s"avg ratio $ratio")
   }
 
+  test("sign-LSH signatures: pack correctness, tag independence, kernel == project-then-pack") {
+    import graft.functions.{SignLshSignatures, VectorFunctions}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    // hand example: v=(1,2) against 2 tables × 2 bits (4 projected dims)
+    // proj = (1·1+2·1, 1·(−1)+2·1, 1·1+2·(−1), 1·(−1)+2·(−1))
+    //      = (3, 1, −1, −3) → table 0 bits (≥0,≥0) = 3, table 1 = 0
+    val sigs = SignLshSignatures.signatures(
+      ArrayData.toArrayData(Array(1L, 2L)),
+      Array(Array(1L, -1L, 1L, -1L), Array(1L, 1L, -1L, -1L)), bits = 2)
+    assert(sigs.toLongArray().toSeq == Seq(3L, 0L))
+    // a zero projection packs as a SET bit (>= 0) — boundary pinned
+    val zero = SignLshSignatures.signatures(
+      ArrayData.toArrayData(Array(0L)), Array(Array(1L)), bits = 1)
+    assert(zero.toLongArray().toSeq == Seq(1L))
+    // tagged sign universes are deterministic and mutually independent
+    val m1 = VectorFunctions.rpSignsTagged("mlsh", 8, 8)
+    val m2 = VectorFunctions.rpSignsTagged("mlsh", 8, 8)
+    assert(m1.map(_.toSeq).toSeq == m2.map(_.toSeq).toSeq)
+    assert(m1.flatten.forall(v => v == 1L || v == -1L))
+    assert(m1.map(_.toSeq).toSeq !=
+      VectorFunctions.rpSigns(8, 8).map(_.toSeq).toSeq)
+    // dims that don't split into tables fail fast
+    intercept[IllegalArgumentException] {
+      SignLshSignatures.signatures(
+        ArrayData.toArrayData(Array(1L)), Array(Array(1L, 1L, 1L)), bits = 2)
+    }
+    // on the fixture corpus the kernel equals SignedProject + a packing
+    // expression over the same signs (one pass vs the two-stage chain)
+    val signs = VectorFunctions.rpSignsTagged("mlsh", 64, 112)
+    val packed = graft.Tables.embeddings(spark, dir)
+      .select(X.scaledVec(col("embedding")).as("v"))
+      .withColumn("one", VectorFunctions.signLshSigs(col("v"), signs, 7))
+      .withColumn("proj", VectorFunctions.signedProject(col("v"), signs))
+      .withColumn("two", expr("transform(sequence(0, 15), t -> " +
+        "aggregate(sequence(0, 6), 0L, (acc, j) -> " +
+        "acc + IF(element_at(proj, t*7 + j + 1) >= 0, shiftleft(1L, j), 0L)))"))
+    assert(packed.filter(col("one") =!= col("two")).count() == 0)
+  }
+
   test("recall@3 vs brute force is substantial even on near-orthogonal vectors") {
     val bruteTop = brute.toSeq.groupBy(_._1._1).map { case (q, entries) =>
       q -> entries.sortBy { case ((_, n), cos) => (-cos, n) }.take(3)
