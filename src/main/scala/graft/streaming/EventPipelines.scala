@@ -813,6 +813,40 @@ object EventPipelines {
     q.awaitTermination()
   }
 
+  /** STREAMING ANN-LSH INDEX — the q115/q170 append discipline for the
+    * q192 multi-table LSH serving pair: each epoch's new vectors scale
+    * map-side ([[graft.ext.Similarity.annScaled]] — the exact q187
+    * definition, so streamed state serves identically to batch-built),
+    * their (tbl, sig, vec_id) bucket rows append to `<step>_index` and
+    * their scaled rows to `<step>_vectors` by unionByName. Append is
+    * NOT content-idempotent — a replayed epoch would duplicate rows —
+    * so both folds ride the shared atomic epoch tag, individually
+    * guarded (a crash between them replays safely: the committed index
+    * fold skips, the vector fold completes). Every version pair is
+    * servable by q192's probe ([[graft.ext.Similarity.annServeTop3]]);
+    * streamed history is never re-projected. Eleventh member of the
+    * catalog-sink family. */
+  def runCatalogAnnIndexSink(
+      vectors: DataFrame,
+      checkpoint: String,
+      cat: graft.catalog.VersionedCatalog,
+      step: String): Unit = {
+    val q = vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val scaledB = graft.ext.Similarity.annScaled(batch)
+        foldEpoch(cat, s"${step}_index",
+          graft.ext.Similarity.annIndexRows(scaledB), epoch,
+          (b, f) => b.unionByName(f))
+        foldEpoch(cat, s"${step}_vectors", scaledB, epoch,
+          (b, f) => b.unionByName(f))
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming CLASSIFIER → catalog: the first NON-FOLDABLE member of
     * the catalog-sink family — perceptron weights don't merge, they
     * WARM-START (the q147 law), so each epoch CONTINUES training from

@@ -502,6 +502,59 @@ class EventPipelinesSpec extends SparkSpec {
     }
   }
 
+  test("streaming ANN-LSH index -> catalog: streamed epochs serve identically to batch-built") {
+    val s = spark
+    withTempDir { dir =>
+      val in = s"$dir/in"; val ckpt = s"$dir/ckpt"; val root = s"$dir/cat"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .select(col("vec_id"), col("embedding"))
+      val rows = emb.collect() // 500-row fixture: bounded test input
+      // (double)float widening is exact and Double.toString round-trips,
+      // so the streamed JSON parses to the SAME doubles scaledVec sees
+      // when it widens the batch side's floats
+      def json(r: org.apache.spark.sql.Row) =
+        s"""{"vec_id":${r.getLong(0)},"embedding":[${
+          r.getSeq[Float](1).map(_.toDouble.toString).mkString(",")}]}"""
+      def writeInput(name: String, rs: Seq[org.apache.spark.sql.Row]): Unit =
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/$name"),
+          rs.map(json).mkString("\n").getBytes)
+      writeInput("e1.json", rows.filter(_.getLong(0) % 2 == 0).toSeq)
+      writeInput("e2.json", rows.filter(_.getLong(0) % 2 == 1).toSeq)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+      def stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(in)
+      val cat = new graft.catalog.VersionedCatalog(spark, root, format = "parquet")
+      EventPipelines.runCatalogAnnIndexSink(stream, ckpt, cat, "ann")
+      assert(cat.latestVersion("ann_index").contains(2))
+      assert(cat.latestVersion("ann_vectors").contains(2))
+
+      val vSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "vec_id BIGINT, v ARRAY<BIGINT>, n2 BIGINT")
+      val iSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "nid BIGINT, tbl INT, sig BIGINT")
+      val vecs = cat.read("ann_vectors", 2, Some(vSchema))
+      val idx = cat.read("ann_index", 2, Some(iSchema))
+      // streamed index rows == the batch construction over the union
+      val batchScaled = graft.ext.Similarity.annScaled(emb)
+      def iSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(iSet(idx) == iSet(graft.ext.Similarity.annIndexRows(batchScaled)))
+      // ... and the streamed state SERVES identically: q192's probe
+      // over the streamed pair equals the probe over batch state
+      def top3(vs: org.apache.spark.sql.DataFrame, ix: org.apache.spark.sql.DataFrame) =
+        graft.ext.Similarity.annServeTop3(vs, ix).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(top3(vecs, idx) ==
+        top3(batchScaled, graft.ext.Similarity.annIndexRows(batchScaled)))
+      // replay with no new input: adds nothing on either table
+      EventPipelines.runCatalogAnnIndexSink(stream, ckpt, cat, "ann")
+      assert(cat.latestVersion("ann_index").contains(2))
+      assert(cat.latestVersion("ann_vectors").contains(2))
+    }
+  }
+
   test("streaming HLL -> catalog: epoch registers MAX-fold to the batch sketch over the union") {
     val s = spark
     import s.implicits._
