@@ -1064,6 +1064,97 @@ object LmScore extends QueryModule {
                CAST(SUM(bits) AS BIGINT) AS total_bits,
                CAST(SUM(bits) * 100 // COUNT(*) AS BIGINT)
                  AS centibits_per_fourgram
-        FROM bits GROUP BY doc_id ORDER BY doc_id"""))
+        FROM bits GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q195: LM PRUNING EFFECT — the measurement a KenLM `filter` run
+    // reports before shipping a pruned model (pruning the low-count
+    // tail is the standard CCNet-scale move: rare n-grams are most of
+    // the model rows and least of the probability mass): prune the
+    // bigram LM to cb ≥ max(2, Σcb/10000) — MASS-RELATIVE, because an
+    // absolute count floor is scale-degenerate (the fixture's template
+    // corpus has a near-constant ~930-bigram vocabulary whose counts
+    // grow ∝ docs: cb ≥ 2 prunes 9 rows at sf0.001 and ZERO at sf0.1;
+    // the relative floor prunes the same tail fraction at every scale,
+    // which is also the right semantics for a 100 TB corpus) — then
+    // score the corpus under the FULL and the PRUNED model
+    // (same scoreAgainstLmTk machinery — the pruned model's prefix
+    // masses recompute from the surviving rows, so a pruned bigram
+    // prices as unseen AND its prefix is lighter), and report model
+    // shrinkage vs score movement in one row. Deltas are reported as
+    // exact integer SUMS and docs-cheaper/costlier COUNTS — per-bigram
+    // deltas can be negative (a lighter prefix mass can price a
+    // SURVIVING bigram cheaper), so no division ever sees a negative
+    // operand. 100 TB: two scoring passes over the same tokenized
+    // corpus + two model-row counts; the pruned model is the point —
+    // it is the one that ships.
+    QueryDef(
+      "q195_lm_prune_effect",
+      (s, dir) => {
+        val toks = tokenized(T.documents(s, dir))
+          .localCheckpoint(eager = false) // fit + both scoring passes
+        val lm = bigramCountsTk(toks)
+          .localCheckpoint(eager = false) // model count + prune + score
+        val vocab = vocabTokensTk(toks)
+        val nTot = lm.agg(sum(col("cb")).as("nb"))
+        val lmP = lm.crossJoin(broadcast(nTot))
+          .filter(col("cb") >= greatest(lit(2L), expr("nb div 10000")))
+          .select(col("bg"), col("cb"))
+        val full = scoreAgainstLmTk(lm, vocab, toks)
+          .select(col("doc_id"), col("total_bits").as("bf"))
+        val pruned = scoreAgainstLmTk(lmP, vocab, toks)
+          .select(col("doc_id"), col("total_bits").as("bp"))
+        val mFull = lm.agg(count(lit(1)).as("model_rows_full"))
+        val mPruned = lmP.agg(count(lit(1)).as("model_rows_pruned"))
+        full.join(pruned, "doc_id")
+          .agg(count(lit(1)).as("docs_scored"),
+            sum(col("bf")).as("sum_bits_full"),
+            sum(col("bp")).as("sum_bits_pruned"),
+            sum(when(col("bp") < col("bf"), 1L).otherwise(0L))
+              .as("docs_cheaper"),
+            sum(when(col("bp") > col("bf"), 1L).otherwise(0L))
+              .as("docs_costlier"))
+          .crossJoin(broadcast(mFull))
+          .crossJoin(broadcast(mPruned))
+          .select(col("model_rows_full"), col("model_rows_pruned"),
+            col("docs_scored"), col("sum_bits_full"),
+            col("sum_bits_pruned"), col("docs_cheaper"),
+            col("docs_costlier"))
+      },
+      Some(s"""
+        WITH tk AS (SELECT doc_id, ${X.tokensSql("text")} AS tk FROM documents),
+        $selfScoreBodyCtesSql,
+        bn AS (SELECT CAST(SUM(cb) AS BIGINT) AS nb FROM lmb),
+        plmb AS (SELECT bg, cb FROM lmb, bn
+                 WHERE cb >= greatest(2, nb // 10000)),
+        plmp AS (SELECT split_part(bg, ' ', 1) AS w1,
+                        CAST(SUM(cb) AS BIGINT) AS cp
+                 FROM plmb GROUP BY 1),
+        psc AS (SELECT b.doc_id, coalesce(l.cb, 0) + 1 AS den,
+                       coalesce(p.cp, 0) + vc.v AS num
+                FROM bg b
+                LEFT JOIN plmb l USING (bg)
+                LEFT JOIN plmp p ON p.w1 = split_part(b.bg, ' ', 1)
+                CROSS JOIN vc),
+        pbits AS (SELECT doc_id,
+                         greatest(0, CASE WHEN (den << k) > num THEN k - 1 ELSE k END) AS bits
+                  FROM (SELECT doc_id, den, num,
+                               length(printf('%b', num))
+                                 - length(printf('%b', den)) AS k
+                        FROM psc)),
+        fdoc AS (SELECT doc_id, CAST(SUM(bits) AS BIGINT) AS bf
+                 FROM bits GROUP BY doc_id),
+        pdoc AS (SELECT doc_id, CAST(SUM(bits) AS BIGINT) AS bp
+                 FROM pbits GROUP BY doc_id)
+        SELECT (SELECT COUNT(*) FROM lmb) AS model_rows_full,
+               (SELECT COUNT(*) FROM plmb) AS model_rows_pruned,
+               COUNT(*) AS docs_scored,
+               CAST(SUM(f.bf) AS BIGINT) AS sum_bits_full,
+               CAST(SUM(p.bp) AS BIGINT) AS sum_bits_pruned,
+               CAST(SUM(CASE WHEN p.bp < f.bf THEN 1 ELSE 0 END) AS BIGINT)
+                 AS docs_cheaper,
+               CAST(SUM(CASE WHEN p.bp > f.bf THEN 1 ELSE 0 END) AS BIGINT)
+                 AS docs_costlier
+        FROM fdoc f JOIN pdoc p USING (doc_id)"""))
   )
 }

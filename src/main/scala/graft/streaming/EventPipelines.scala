@@ -651,14 +651,15 @@ object EventPipelines {
       docs: DataFrame,
       checkpoint: String,
       cat: graft.catalog.VersionedCatalog,
-      step: String): Unit = {
+      step: String,
+      retain: Option[Int] = None): Unit = {
     val q = docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         foldEpoch(cat, s"${step}_wc",
           graft.ext.Bpe.wordCounts(batch), epoch,
-          graft.ext.Bpe.mergeWordCounts)
+          graft.ext.Bpe.mergeWordCounts, retain = retain)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -680,7 +681,8 @@ object EventPipelines {
       docs: DataFrame,
       checkpoint: String,
       cat: graft.catalog.VersionedCatalog,
-      step: String): Unit = {
+      step: String,
+      retain: Option[Int] = None): Unit = {
     val q = docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -688,7 +690,7 @@ object EventPipelines {
         foldEpoch(cat, s"${step}_lines",
           graft.ext.Boilerplate.lineStats(
             graft.ext.Boilerplate.linesTokenWindows(batch)), epoch,
-          graft.ext.Boilerplate.mergeLineStats)
+          graft.ext.Boilerplate.mergeLineStats, retain = retain)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -711,7 +713,8 @@ object EventPipelines {
       docs: DataFrame,
       checkpoint: String,
       cat: graft.catalog.VersionedCatalog,
-      step: String): Unit = {
+      step: String,
+      retain: Option[Int] = None): Unit = {
     val q = docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -719,7 +722,7 @@ object EventPipelines {
         foldEpoch(cat, s"${step}_drift",
           graft.ext.Curation.sourceBucketCounts(batch), epoch,
           graft.ext.Curation.mergeSourceBucketCounts,
-          boundedState = true)
+          boundedState = true, retain = retain)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -746,7 +749,8 @@ object EventPipelines {
       docs: DataFrame,
       checkpoint: String,
       cat: graft.catalog.VersionedCatalog,
-      step: String): Unit = {
+      step: String,
+      retain: Option[Int] = None): Unit = {
     val q = docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -755,19 +759,19 @@ object EventPipelines {
           .localCheckpoint(eager = false) // 4 epoch tables read it
         val postings = graft.ext.Retrieval.bm25Postings(tk)
         foldEpoch(cat, s"${step}_postings", postings, epoch,
-          (a, b) => a.unionByName(b))
+          (a, b) => a.unionByName(b), retain = retain)
         foldEpoch(cat, s"${step}_docstats",
           tk.select(col("doc_id"), col("dl")), epoch,
-          (a, b) => a.unionByName(b))
+          (a, b) => a.unionByName(b), retain = retain)
         foldEpoch(cat, s"${step}_terms",
           postings.groupBy(col("term")).agg(count(lit(1)).as("df")), epoch,
           (a, b) => a.unionByName(b).groupBy(col("term"))
-            .agg(sum(col("df")).as("df")))
+            .agg(sum(col("df")).as("df")), retain = retain)
         foldEpoch(cat, s"${step}_stats",
           tk.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot")), epoch,
           (a, b) => a.unionByName(b)
             .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot")).as("tot")),
-          boundedState = true)
+          boundedState = true, retain = retain)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

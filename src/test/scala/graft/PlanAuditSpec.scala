@@ -79,6 +79,9 @@ class PlanAuditSpec extends SparkSpec {
     "q193_batch_retrieval_eval", // q189's broadcasts + the 1-row
                                  // relevance-count broadcast per
                                  // variant (q184's shape)
+    "q195_lm_prune_effect", // q121's 1-row vocabulary broadcast (both
+                            // scoring passes) + the 1-row mass-threshold
+                            // and model-row-count broadcasts
     "q158_lm3_catalog_serving", // q122's per-version 1-row vocabulary
                                 // broadcast under the trigram model
     "q153_classifier_cross_corpus", // q121's 1-row vocabulary broadcast in
@@ -324,6 +327,8 @@ class PlanAuditSpec extends SparkSpec {
       "q166_ann_recall_report" -> 9, // FOUR candidate sets in one statement since round 15: brute truth window (sample-bounded cross), LSH sig join + window, IVF serve join + window, the mlsh bucket join + candidate distinct + top_k (q187's path), union, truth left join, per-variant agg + ordered output — each path's standalone budget proven by q50/q51/q81/q187
       "q167_dedup_containment" -> 4, // q43's exact shape (df-capped shingle buckets, pair-count agg, two size joins, ordered output) over the doc+excerpt union — the union and planting are map-side, zero extra exchanges vs q43
       "q187_ann_lsh_multitable" -> 3, // multi-table LSH serving: the (tbl, sig) bucket join (signature pack is ONE map-side compiled pass) + candidate distinct + bounded-heap top_k; re-rank vector joins broadcast at fixture scale
+      "q194_ann_lsh_multiprobe" -> 3, // q187's bucket-join shape with the 9-key probe explode on the QUERY side only (map-side array explode, zero extra exchanges) — same distinct + top_k tail
+      "q195_lm_prune_effect" -> 10, // TWO q121-class scoring passes (full + pruned model: each bigram agg reuse + prefix agg + doc-side joins + per-doc agg) over one checkpointed tokenization + the 1-row mass-threshold and model-count broadcasts + the final 1-row report agg
       "q192_ann_lsh_catalog_served" -> 3, // q187's served twin reading the persisted bucket index + vector store: same bucket join + distinct + top_k shape; index builds ran at construct into the catalog
       "q188_bm25_batch" -> 5, // batch BM25: postings agg (the ONE index shuffle) + df agg + 1-row stats agg + per-(query, doc) exact-int contribution SUM + per-query top_k; the 75-row query table and stats broadcast
       "q189_hybrid_batch_rrf" -> 9, // q188's lexical chain (5) + the semantic side: 25-row query-vector agg + per-query cosine top_k over the map-side broadcast cross + the K×K fusion join + final per-query top_k — every added exchange is K-row-bounded
