@@ -272,22 +272,27 @@ ${terms.indices.map { i =>
   }
 
   /** Per-(query, doc) exact BM25 scores (qid, doc_id, score_e6) from
-    * the postings join — the ONE batch scoring pipeline behind q188
-    * and q189's lexical lists (the bm25Scored/bm25BodyCtesSql
-    * non-drift discipline, batch edition). Each term contribution is
-    * the q59 formula on the q59 idf floor, then floor-scaled ×1e6 to
-    * int64 so the per-(qid, doc) SUM is exact and shuffle-order-free. */
-  private def bm25BatchScores(docs: org.apache.spark.sql.DataFrame,
+    * the postings join — the ONE batch scoring pipeline behind q188,
+    * q189's lexical lists AND q196's catalog-served plan (the
+    * bm25Scored/bm25BodyCtesSql non-drift discipline, batch edition):
+    * the in-query callers derive `docstats`/`stats` from the tokenized
+    * corpus, the served caller reads them from the persisted index
+    * versions — the scoring text is ONE definition either way. Each
+    * term contribution is the q59 formula on the q59 idf floor, then
+    * floor-scaled ×1e6 to int64 so the per-(qid, doc) SUM is exact and
+    * shuffle-order-free. */
+  private def bm25BatchScoresFrom(
+      docstats: org.apache.spark.sql.DataFrame,
+      stats: org.apache.spark.sql.DataFrame,
       postings: org.apache.spark.sql.DataFrame,
       qterms: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
     val idfE6 = floor(lit(1000000.0d)
       * ((col("n_docs") - col("df")).cast("double") + lit(0.5d))
       / (col("df").cast("double") + lit(0.5d))).cast("long")
     val tfd = col("tf").cast("double")
     postings
       .join(broadcast(qterms), Seq("term"))
-      .join(docs.select(col("doc_id"), col("dl")), Seq("doc_id"))
+      .join(docstats.select(col("doc_id"), col("dl")), Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .withColumn("idf_e6", idfE6)
       .withColumn("avgdl", col("tot").cast("double") / col("n_docs").cast("double"))
@@ -299,6 +304,16 @@ ${terms.indices.map { i =>
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("c_e6")).as("score_e6"))
   }
+
+  /** [[bm25BatchScoresFrom]] with `docstats`/`stats` derived from the
+    * tokenized corpus — the in-query (q188/q189/q193) entry point. */
+  private def bm25BatchScores(docs: org.apache.spark.sql.DataFrame,
+      postings: org.apache.spark.sql.DataFrame,
+      qterms: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    bm25BatchScoresFrom(
+      docs.select(col("doc_id"), col("dl")),
+      docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot")),
+      postings, qterms)
 
   /** Per-query top-k rank list via the bounded-heap top_k aggregate —
     * (qid, doc_id, r) ranked by (`by` DESC, doc_id). */
@@ -421,6 +436,30 @@ ${terms.indices.map { i =>
                             + coalesce(1000000 // (60 + s2.sem_rank), 0) AS BIGINT) AS rrf_micro
                   FROM blex l FULL JOIN bsem s2
                     ON l.qid = s2.qid AND l.doc_id = s2.doc_id)"""
+
+  /** Per-query top-5 output tail (qid, rank, doc_id, score_e6) via the
+    * bounded-heap top_k — q188's exact tail, shared by q196's served
+    * plan. */
+  private def batchTop5(scores: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    scores.groupBy(col("qid"))
+      .agg(graft.functions.AggFunctions.topK(
+        struct(col("score_e6").as("s"), (-col("doc_id")).as("nd"),
+          col("doc_id").as("doc_id")), 5).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.doc_id").as("doc_id"), col("col.s").as("score_e6"))
+      .orderBy(col("qid"), col("rank"))
+
+  /** The batch-BM25 oracle — shared VERBATIM by q188 (in-query
+    * statistics) and q196 (statistics persisted as the q169 catalog
+    * index): the served plan is proven against the definition. */
+  private val batchBm25OracleSql = s"""
+        WITH $batchBm25CtesSql
+        SELECT qid, rank, doc_id, score_e6 FROM (
+          SELECT qid, doc_id, score_e6,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY score_e6 DESC, doc_id) AS rank
+          FROM bscore) WHERE rank <= 5 ORDER BY qid, rank"""
 
   override val defs: Seq[QueryDef] = Seq(
     QueryDef(
@@ -629,23 +668,43 @@ ${terms.indices.map { i =>
           .localCheckpoint(eager = false) // postings + stats + dl read it
         val postings = bm25Postings(docs)
           .localCheckpoint(eager = false) // qterms + scores read it
-        val scores = bm25BatchScores(docs, postings, batchQueryTerms(postings))
-        scores.groupBy(col("qid"))
-          .agg(graft.functions.AggFunctions.topK(
-            struct(col("score_e6").as("s"), (-col("doc_id")).as("nd"),
-              col("doc_id").as("doc_id")), 5).as("top"))
-          .select(col("qid"), posexplode(col("top")))
-          .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
-            col("col.doc_id").as("doc_id"), col("col.s").as("score_e6"))
-          .orderBy(col("qid"), col("rank"))
+        batchTop5(bm25BatchScores(docs, postings, batchQueryTerms(postings)))
       },
-      Some(s"""
-        WITH $batchBm25CtesSql
-        SELECT qid, rank, doc_id, score_e6 FROM (
-          SELECT qid, doc_id, score_e6,
-                 row_number() OVER (PARTITION BY qid
-                   ORDER BY score_e6 DESC, doc_id) AS rank
-          FROM bscore) WHERE rank <= 5 ORDER BY qid, rank""")),
+      Some(batchBm25OracleSql)),
+
+    // ------------------------------------------------------------------
+    // q196: CATALOG-SERVED BATCH BM25 — q188 at the q169 serving shape
+    // (the deployment pairing: q169 serves ONE fixed query from the
+    // persisted inverted index, THIS serves the whole query table):
+    // construct persists the four index versions (shared bm25IndexBuild
+    // — q169/q185's exact builder), and the SERVED plan reads ONLY
+    // catalog state: the query table derives from the postings version
+    // (same df ranking the in-query build computes), doc lengths and
+    // the 1-row corpus stats come from their versions, and the scoring
+    // is bm25BatchScoresFrom — the IDENTICAL code q188 runs, handed
+    // catalog reads instead of corpus aggregates. Oracle is q188's
+    // text VERBATIM: serving proven against the definition. 100 TB:
+    // nothing here re-tokenizes the corpus; the postings version is
+    // term-clustered/prunable and the rest of the plan is K-bounded.
+    QueryDef(
+      "q196_bm25_batch_catalog_served",
+      (s, dir) => {
+        import org.apache.spark.sql.types.StructType
+        val cat = new graft.catalog.VersionedCatalog(
+          s, graft.Scratch.dir("q196"), format = "parquet")
+        val docs = tokenizedDocs(s, dir)
+          .localCheckpoint(eager = false) // 3 index builds read it
+        bm25IndexBuild(cat, docs)
+        val post = cat.read("bm25_postings", 1,
+          Some(StructType.fromDDL("term STRING, doc_id BIGINT, tf BIGINT")))
+        val dstat = cat.read("bm25_docstats", 1,
+          Some(StructType.fromDDL("doc_id BIGINT, dl BIGINT")))
+        val stats = cat.read("bm25_stats", 1,
+          Some(StructType.fromDDL("n_docs BIGINT, tot BIGINT")))
+        batchTop5(bm25BatchScoresFrom(
+          dstat, stats, post, batchQueryTerms(post)))
+      },
+      Some(batchBm25OracleSql)),
 
     // ------------------------------------------------------------------
     // q189: BATCH HYBRID RRF — q175's fusion stack at the query-table

@@ -2007,6 +2007,75 @@ object Similarity extends QueryModule {
       Some(s"""
         WITH $scaledSqlCte,
         $mplshSqlCtes
-        SELECT qid, rank, nid, cos FROM plshk ORDER BY qid, rank"""))
+        SELECT qid, rank, nid, cos FROM plshk ORDER BY qid, rank""")),
+
+    // ------------------------------------------------------------------
+    // q197: ANN INDEX VERSIONS — the append-type counterpart to q192's
+    // frozen serving pair (and the oracled twin of the streaming
+    // ANN-index sink's fold law): epoch A (even vec_ids) commits
+    // index + vector versions as v1, epoch B appends the odd half as
+    // v2, and the SAME served probe (annServeTop3 — q192's code) runs
+    // against EACH version. Version isolation does real work: v1
+    // serves only the even half (even queries, even candidates — a
+    // point-in-time corpus state), v2 equals the from-scratch build
+    // over the union, which is exactly what the oracle computes — v2's
+    // chain is q187's mlshSqlCtes text VERBATIM, v1's is the same
+    // bucket/score text restricted to the even corpus, sharing mgrid/
+    // mproj/msig so the two versions cannot drift on geometry. This is
+    // model/index time travel for ANN: reproduce any day's retrieval
+    // by serving that day's version. 100 TB: appends never re-project
+    // history; each serve is q192's 3-exchange probe.
+    QueryDef(
+      "q197_ann_index_versions",
+      (s, dir) => {
+        import org.apache.spark.sql.types.StructType
+        val cat = new graft.catalog.VersionedCatalog(
+          s, graft.Scratch.dir("q197"), format = "parquet")
+        val base = scaled(s, dir)
+          .localCheckpoint(eager = false) // both epochs read it
+        val vSchema = StructType.fromDDL(
+          "vec_id BIGINT, v ARRAY<BIGINT>, n2 BIGINT")
+        val iSchema = StructType.fromDDL("nid BIGINT, tbl INT, sig BIGINT")
+        val even = base.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id"), col("v"), col("n2"))
+        val odd = base.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id"), col("v"), col("n2"))
+        cat.writeNext("ann_vectors", even)
+        cat.writeNext("ann_index", annIndexRows(even))
+        cat.writeNext("ann_vectors",
+          cat.read("ann_vectors", 1, Some(vSchema)).unionByName(odd))
+        cat.writeNext("ann_index",
+          cat.read("ann_index", 1, Some(iSchema))
+            .unionByName(annIndexRows(odd)))
+        (1 to 2).map { v =>
+          annServeTop3(cat.read("ann_vectors", v, Some(vSchema)),
+              cat.read("ann_index", v, Some(iSchema)))
+            .select(lit(v.toLong).as("version"), col("qid"), col("rank"),
+              col("nid"), col("cos"))
+        }.reduce(_ unionByName _)
+          .orderBy(col("version"), col("qid"), col("rank"))
+      },
+      Some(s"""
+        WITH $scaledSqlCte,
+        $mlshSqlCtes,
+        c1 AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+               FROM msig a JOIN msig b ON a.tbl = b.tbl AND a.sig = b.sig
+                 AND a.vec_id != b.vec_id
+               WHERE a.vec_id < 50 AND a.vec_id % 2 = 0
+                 AND b.vec_id % 2 = 0),
+        s1 AS (SELECT c.qid, c.nid,
+                 ${X.cosineFromIntsSql(X.dotIntSql("q.v", "n.v"), "q.n2", "n.n2")} AS cos
+               FROM c1 c JOIN scn q ON q.vec_id = c.qid
+                         JOIN scn n ON n.vec_id = c.nid),
+        k1 AS (SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos FROM (
+                 SELECT qid, nid, cos,
+                        row_number() OVER (PARTITION BY qid
+                          ORDER BY cos DESC, nid) AS rank
+                 FROM s1) WHERE rank <= 3)
+        SELECT version, qid, rank, nid, cos FROM (
+          SELECT CAST(1 AS BIGINT) AS version, qid, rank, nid, cos FROM k1
+          UNION ALL
+          SELECT CAST(2 AS BIGINT) AS version, qid, rank, nid, cos FROM mlshk)
+        ORDER BY version, qid, rank"""))
   )
 }

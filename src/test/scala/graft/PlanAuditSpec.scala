@@ -71,6 +71,9 @@ class PlanAuditSpec extends SparkSpec {
                              // the chained three-order score
     "q188_bm25_batch", // q59's 1-row corpus-stats broadcast feeding
                        // the batch contribution scoring
+    "q196_bm25_batch_catalog_served", // the same 1-row stats broadcast,
+                                      // read from the persisted index
+                                      // version (q169's served shape)
     "q189_hybrid_batch_rrf", // q188's 1-row stats broadcast + the
                              // 25-row query-vector broadcast cross
                              // (N queries × docs is the batch
@@ -328,6 +331,8 @@ class PlanAuditSpec extends SparkSpec {
       "q167_dedup_containment" -> 4, // q43's exact shape (df-capped shingle buckets, pair-count agg, two size joins, ordered output) over the doc+excerpt union — the union and planting are map-side, zero extra exchanges vs q43
       "q187_ann_lsh_multitable" -> 3, // multi-table LSH serving: the (tbl, sig) bucket join (signature pack is ONE map-side compiled pass) + candidate distinct + bounded-heap top_k; re-rank vector joins broadcast at fixture scale
       "q194_ann_lsh_multiprobe" -> 3, // q187's bucket-join shape with the 9-key probe explode on the QUERY side only (map-side array explode, zero extra exchanges) — same distinct + top_k tail
+      "q196_bm25_batch_catalog_served" -> 4, // q188's served twin: the postings-read df agg + contribution SUM + per-query top_k + the query-table rank window over the TakeOrdered top-31 — index builds ran at construct; docstats/stats ride catalog-read broadcasts
+      "q197_ann_index_versions" -> 5, // q192's 3-exchange probe shape TWICE (once per served version, candidates distinct + top_k each; the v1/v2 appends ran at construct) + the 2-version union sort — AQE folds one exchange across the shared scan
       "q195_lm_prune_effect" -> 10, // TWO q121-class scoring passes (full + pruned model: each bigram agg reuse + prefix agg + doc-side joins + per-doc agg) over one checkpointed tokenization + the 1-row mass-threshold and model-count broadcasts + the final 1-row report agg
       "q192_ann_lsh_catalog_served" -> 3, // q187's served twin reading the persisted bucket index + vector store: same bucket join + distinct + top_k shape; index builds ran at construct into the catalog
       "q188_bm25_batch" -> 5, // batch BM25: postings agg (the ONE index shuffle) + df agg + 1-row stats agg + per-(query, doc) exact-int contribution SUM + per-query top_k; the 75-row query table and stats broadcast
