@@ -373,4 +373,36 @@ class PropertySpec extends SparkSpec {
       assert(accepted == fits, s"x=$x: accepted=$accepted, fits=$fits")
     }
   }
+
+  test("sign_lsh_sigs ≡ project-then-pack reference for arbitrary vectors and sign matrices") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    // reference: plain-Scala projection + bit pack, independently coded
+    def ref(v: Array[Long], signs: Array[Array[Long]], bits: Int): Seq[Long] = {
+      val k = signs(0).length
+      val proj = Array.fill(k)(0L)
+      for (i <- v.indices; j <- 0 until k) proj(j) += v(i) * signs(i)(j)
+      proj.grouped(bits).map(_.zipWithIndex
+        .map { case (p, j) => if (p >= 0) 1L << j else 0L }.sum).toSeq
+    }
+    val caseGen = for {
+      dims <- Gen.choose(1, 6)
+      bits <- Gen.choose(1, 4)
+      tables <- Gen.choose(1, 4)
+      v <- Gen.listOfN(dims, Gen.choose(-1000000L, 1000000L))
+      signs <- Gen.listOfN(dims,
+        Gen.listOfN(bits * tables, Gen.oneOf(1L, -1L)))
+    } yield (v.toArray, signs.map(_.toArray).toArray, bits)
+    samples(caseGen, 80).foreach { case (v, signs, bits) =>
+      val got = graft.functions.SignLshSignatures.signatures(
+        ArrayData.toArrayData(v), signs, bits).toLongArray().toSeq
+      val want = ref(v, signs, bits)
+      assert(got == want, s"v=${v.toSeq} bits=$bits: $got vs $want")
+      // sign-scale invariance: doubling the vector never changes any
+      // signature (only projection SIGNS are consumed)
+      val scaled = graft.functions.SignLshSignatures.signatures(
+        ArrayData.toArrayData(v.map(_ * 2L)), signs, bits)
+        .toLongArray().toSeq
+      assert(scaled == want, s"scale variance at v=${v.toSeq}")
+    }
+  }
 }

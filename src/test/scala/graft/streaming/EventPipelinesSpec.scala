@@ -1151,6 +1151,48 @@ class EventPipelinesSpec extends SparkSpec {
     }
   }
 
+  test("streaming retrieval-index sink retention: retain=1 keeps one servable version per table") {
+    val s = spark
+    import s.implicits._
+    withTempDir { dir =>
+      val in = s"$dir/in"; val ckpt = s"$dir/ckpt"; val root = s"$dir/cat"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING")
+      def stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(in)
+      val cat = new graft.catalog.VersionedCatalog(spark, root, format = "parquet")
+      val fixture = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      def writeEpoch(name: String, docs: org.apache.spark.sql.DataFrame): Unit =
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/$name"),
+          docs.toJSON.collect().mkString("\n").getBytes)
+      (0 to 2).foreach { r =>
+        writeEpoch(s"e$r.json", fixture.filter(col("doc_id") % 3 === r))
+        EventPipelines.runCatalogRetrievalIndexSink(
+          stream, ckpt, cat, "bm25", retain = Some(1))
+      }
+      val tables = Seq("bm25_postings", "bm25_docstats", "bm25_terms", "bm25_stats")
+      // exactly ONE version (the third) survives on every table...
+      tables.foreach(st => assert(cat.versions(st) == Seq(3), s"$st: ${cat.versions(st)}"))
+      // ... and it is a complete fold: served scores from the retained
+      // version equal the in-query definition over ALL three epochs
+      def scores(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val served = scores(graft.ext.Retrieval.bm25ServedScores(cat, 3)
+        .filter(col("score") > 0d))
+      val direct = scores(graft.ext.Retrieval.bm25Scored(
+          graft.ext.Retrieval.bm25Tokenize(fixture))
+        .filter(col("score") > 0d))
+      assert(served == direct && served.nonEmpty)
+      // replay: adds nothing, vacuums nothing
+      EventPipelines.runCatalogRetrievalIndexSink(
+        stream, ckpt, cat, "bm25", retain = Some(1))
+      tables.foreach(st => assert(cat.versions(st) == Seq(3)))
+    }
+  }
+
   test("streaming dedup band-index sink: epochs fold to the batch index, replay-safe") {
     val s = spark
     import s.implicits._
