@@ -652,7 +652,8 @@ ${terms.indices.map { i =>
     // ------------------------------------------------------------------
     // q188: BATCH MULTI-QUERY BM25 — 25 queries ranked in ONE plan (see
     // the batch section comment): the query table derives from the
-    // corpus vocabulary (top-75 df terms, 3 per query), broadcasts into
+    // corpus vocabulary (top-31 df-ranked terms, 3 modular-stride terms
+    // per query = 75 query-term rows; batchQueryTerms), broadcasts into
     // the postings join, each (query, doc, term) contribution
     // floor-scales to exact int64 micro-units, one exact SUM per
     // (query, doc), per-query top-5 via the bounded-heap top_k. This

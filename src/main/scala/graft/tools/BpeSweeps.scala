@@ -67,12 +67,16 @@ object BpeSweeps {
         s"batched k=$k diverged from sequential at R=$rounds")
       (k, sweeps, wall)
     }
+    // Locale.ROOT: the default-locale f-interpolator writes "63,3" under
+    // comma-decimal locales, which is invalid JSON.
+    def js(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(d))
     val body = batched.map { case (k, sweeps, wall) =>
-      s""""k$k":{"sweeps":$sweeps,"wall_sec":${f"$wall%.1f"}}"""
+      s""""k$k":{"sweeps":$sweeps,"wall_sec":${js(wall)}}"""
     }.mkString(",")
     println(s"""{"tool":"bpe_sweeps","sf_dir":"$sfDir","corpus":"$corpus","rounds":$rounds,""" +
       s""""distinct_words":$nWords,"sequential":{"sweeps":$rounds,""" +
-      s""""wall_sec":${f"$seqWall%.1f"}},$body,"equal":true}""")
+      s""""wall_sec":${js(seqWall)}},$body,"equal":true}""")
     spark.stop()
   }
 }

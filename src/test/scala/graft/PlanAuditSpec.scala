@@ -372,7 +372,7 @@ class PlanAuditSpec extends SparkSpec {
                               // regenerations on unchanged code — the
                               // serve probe's broadcast finalizes away
                               // two exchanges with session state
-    "q193_batch_retrieval_eval", // observed local4 16 / local8 15 on the
+    "q193_batch_retrieval_eval", // observed local4 15 / local8 16 on the
                                  // first (r15) regeneration — the shared
                                  // rank-construction joins finalize
                                  // differently by parallelism
