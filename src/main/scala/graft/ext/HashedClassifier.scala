@@ -1,0 +1,442 @@
+package graft.ext
+
+import graft.{QueryDef, QueryModule, Tables => T}
+import graft.ext.{TextDsl => X}
+import graft.catalog.VersionedCatalog
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** fastText-class quality classifier: a linear model over HASHED
+  * BAG-OF-N-GRAM features with a DISTRIBUTED WEIGHT TABLE — the
+  * round-15 verdict's top capability gap. Where [[Classifier]] learns 6
+  * hand-built statistics with driver-held weights, this model learns a
+  * (feature_id, weight) TABLE over 2^16 feature-hashed unigrams +
+  * bigrams (Weinberger et al. ICML 2009, the fastText trick): no driver
+  * array anywhere — every epoch is one join-aggregate between the
+  * sparse feature table and the weight table, and the per-epoch weight
+  * snapshots are committed as catalog VERSIONS (the q147 artifact
+  * discipline generalized from 6 longs to a table).
+  *
+  * TASK — rule distillation, measured honestly. The fixture corpus is
+  * iid random-token text, and a round-16 prototype measured that
+  * LM-perplexity labels do NOT generalize for any bag-of-words model on
+  * it (NB log-odds: 0.96 train / 0.56 held-out; class-centroid: 0.52
+  * held-out) — the per-doc LM score is sampling noise, independent
+  * across documents. What a linear BoW model CAN learn, and what
+  * production stacks actually distill (rules → soft scorer, the
+  * C4/Gopher rule-to-model bootstrap), is the engine's own
+  * density-rule quality score (q32: length + stopword density + short-
+  * token density): the teacher rule is a near-linear function of
+  * normalized counts, so a perfect student EXISTS and held-out
+  * generalization is real (the student recovers which tokens carry the
+  * rule from labels alone). Labels follow Wenzek et al. (LREC 2020):
+  * train on the HEAD and TAIL quality quartiles, skip the ambiguous
+  * middle half — that also manufactures the margin the convergence
+  * bound needs (the median split leaves a hairline margin and the
+  * batch perceptron's (R/γ)² bound explodes; measured as a pure
+  * 122↔128 oscillation).
+  *
+  * FEATURES per document (universe: ≥ 3 tokens, [[Classifier.tk3]]):
+  * occurrence counts of unigrams + 2-shingles hashed to
+  * j = h60(gram) % 2^16, L1-normalized in integers
+  * c = (count·10⁴) div n_grams, plus two engineered rows riding the
+  * same table: bias (j = −1, c = 5000) and capped length
+  * (j = −2, c = min(n,200)·50). Hash buckets are non-negative, so the
+  * engineered ids can never collide.
+  *
+  * TRAINING — batch perceptron with a COOLED MEAN update. Epoch r:
+  * one scan scores every training doc against the current weight table
+  * (join on j, partial-aggregable sum), the misclassified set
+  * (y·s ≤ 0) feeds one join-aggregate Δ_j = Σ y·c, and the update is
+  * w += Δ >> k_r with k_r = bit_length(n_mis) + (r−1): the shift by
+  * bit_length(n_mis) makes the step a sub-mean per-misclassified-doc
+  * update (commensurate with per-doc feature mass), and the +(r−1)
+  * geometric cooling settles the see-saw two antipodal class clouds
+  * otherwise sustain (measured: with cooling every fixture SF reaches
+  * n_mis = 0 by epoch ≤ 6 for both the full and the even-half
+  * universe; without it the oscillation never ends). Arithmetic right
+  * shift is floor division by 2^k in BOTH engines (Spark `shiftright`
+  * sign-extends; DuckDB `>>` likewise) — the one integer "division"
+  * that is exact cross-engine on NEGATIVE operands, unlike `div` vs
+  * `//`. Serving uses the LAST epoch's snapshot: convergence is proven
+  * by the hash-checked train log (its n_mis column reaches 0), after
+  * which the last snapshot IS the separator — snapshot averaging (the
+  * q141 discipline) is measurably fragile here: early large snapshots
+  * can dominate the sum (0.46 train agreement at sf0.001).
+  *
+  * 100 TB shape: the feature table is corpus-linear and partitioned by
+  * doc (one tokenize pass, committed once — the [[ClassifierStore]]
+  * amortization applied from birth); the weight table is ≤ 2^16 + 2
+  * rows — always broadcastable; each epoch is one partial-aggregable
+  * corpus scan plus bounded joins; weights/thresholds/log are catalog
+  * state. Overflow margins: c ≤ 10⁴, per-epoch |Δ_j| ≤ n_docs·10⁴
+  * pre-shift — int64-safe to n ≈ 10¹⁰ docs, and DuckDB errors (never
+  * wraps) on overflow, so a breach fails loudly.
+  */
+object HashedClassifier extends QueryModule {
+
+  /** Hashed feature space: 2^16 buckets (j ∈ [0, Dim)); j = −1 bias,
+    * j = −2 length ride the same table. */
+  val Dim = 65536
+
+  /** Per-document L1 normalization target for the integer counts. */
+  val Scale = 10000L
+
+  /** Training epochs — the measured convergence knee (n_mis = 0 by
+    * epoch ≤ 6 at every fixture SF) with no slack: the train log is
+    * hash-checked, so a regression in the dynamics fails the gate. */
+  val Epochs = 6
+
+  /** q32's length cap, reused by the label and the length feature. */
+  val LenCap = 200L
+
+  // -------------------------------------------------------------------
+  // Engine side.
+
+  /** Integer q32 quality score (×10⁴): 0.5·min(n,200)/200 +
+    * 0.3·stop_frac + 0.2·(1 − short_frac), every division on
+    * non-negative operands. */
+  def qualityE4(tk3d: DataFrame): DataFrame =
+    tk3d.select(col("doc_id"),
+        size(col("tk")).cast("long").as("n"),
+        size(filter(col("tk"), t => array_contains(X.stopwordsArr, t)))
+          .cast("long").as("sh"),
+        size(filter(col("tk"), t => length(t) <= 2)).cast("long").as("xh"))
+      .select(col("doc_id"),
+        expr(s"least(n, $LenCap)*25 + (sh*3000) div n" +
+          s" + 2000 - (xh*2000) div n").as("q"))
+
+  /** Head/tail quartile thresholds of the quality score (1 row: t1,
+    * t3) — the value-domain histogram, [[Classifier.labelThresholds]]'
+    * discipline. */
+  def qThresholds(hq: DataFrame): DataFrame = {
+    val n1 = hq.agg(count(lit(1)).as("n"))
+    val cum = hq.groupBy(col("q")).agg(count(lit(1)).as("c"))
+      .withColumn("cc", sum(col("c")).over(
+        Window.orderBy(col("q"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cum.crossJoin(broadcast(n1)).agg(
+      min(when(col("cc") >= expr("(1*n+3) div 4"), col("q"))).as("t1"),
+      min(when(col("cc") >= expr("(3*n+3) div 4"), col("q"))).as("t3"))
+  }
+
+  /** Wenzek-style labels under a GIVEN 1-row threshold frame: +1 head
+    * quartile (q > t3), −1 tail quartile (q ≤ t1), 0 = ambiguous middle
+    * (excluded from training, still scored at serve). */
+  def labelsUnder(hq: DataFrame, thr: DataFrame): DataFrame =
+    hq.crossJoin(broadcast(thr)).select(col("doc_id"),
+      when(col("q") > col("t3"), 1L)
+        .when(col("q") <= col("t1"), -1L).otherwise(0L).as("y"))
+
+  /** The sparse hashed feature table (doc_id, j, c): normalized
+    * unigram+bigram bucket counts plus the bias and length rows. */
+  def hashedOcc(tk3d: DataFrame): DataFrame = {
+    val grams = tk3d.select(col("doc_id"),
+      (size(col("tk")).cast("long") * 2 - 1).as("ng"),
+      concat(col("tk"), X.shingles(col("tk"), 2)).as("g"))
+    val counts = grams
+      .select(col("doc_id"), col("ng"), explode(col("g")).as("t"))
+      .groupBy(col("doc_id"), col("ng"), (X.h60(col("t")) % Dim).as("j"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), col("j"), expr(s"(cnt * $Scale) div ng").as("c"))
+    val bias = tk3d.select(col("doc_id"), lit(-1L).as("j"),
+      lit(Scale / 2).as("c"))
+    val len = tk3d.select(col("doc_id"), lit(-2L).as("j"),
+      (least(size(col("tk")).cast("long"), lit(LenCap)) * 50L).as("c"))
+    counts.unionByName(bias).unionByName(len)
+  }
+
+  val OccSchemaDdl = "doc_id BIGINT, j BIGINT, c BIGINT"
+  val LabSchemaDdl = "doc_id BIGINT, y BIGINT"
+  val ThrSchemaDdl = "t1 BIGINT, t3 BIGINT"
+  val WSchemaDdl = "j BIGINT, w BIGINT"
+  val LogSchemaDdl =
+    "epoch BIGINT, n_mis BIGINT, k_shift BIGINT, nnz BIGINT, l1 BIGINT"
+
+  private def ddl(s: String) = StructType.fromDDL(s)
+
+  /** Per-doc scores under a weight table: one join-aggregate
+    * (doc_id, y, s). */
+  private def scoreUnder(occ: DataFrame, lab: DataFrame,
+      w: DataFrame): DataFrame =
+    occ.join(w, Seq("j"), "left")
+      .groupBy(col("doc_id"))
+      .agg(coalesce(sum(col("c") * coalesce(col("w"), lit(0L))), lit(0L))
+        .as("s"))
+      .join(lab, "doc_id")
+
+  /** Catalog-backed build-once store for the hashed-classifier family
+    * (the [[ClassifierStore]] pattern): `hocc`/`hlab`/`hthr` v1, the
+    * full-universe training's weight snapshots `hw` v1..vEpochs + log
+    * `hlog` v1, and the even-half training's `hwe`/`hloge` twins for
+    * the held-out gate. */
+  private object Store {
+    private val lock = new Object
+    private var roots = Map.empty[String, String]
+
+    private def catalogFor(s: SparkSession, dir: String): VersionedCatalog = {
+      val root = lock.synchronized {
+        roots.getOrElse(dir, {
+          val r = graft.Scratch.dir("hclf-store")
+          roots += dir -> r
+          r
+        })
+      }
+      new VersionedCatalog(s, root, format = "parquet")
+    }
+
+    def ensure(s: SparkSession, dir: String): VersionedCatalog =
+      lock.synchronized {
+        val cat = catalogFor(s, dir)
+        if (cat.latestVersion("hlog").isEmpty) {
+          val scope = new graft.CacheScope
+          try {
+            val t = scope.cache(Classifier.tk3(T.documents(s, dir)))
+            val hq = scope.cache(qualityE4(t))
+            cat.writeNext("hthr", qThresholds(hq))
+            cat.writeNext("hlab",
+              labelsUnder(hq, cat.read("hthr", 1, Some(ddl(ThrSchemaDdl)))))
+            cat.writeNext("hocc", hashedOcc(t))
+            // the committed tables are the single source of truth for
+            // both training runs (ClassifierStore's read-back rule)
+            val occ = scope.cache(
+              cat.read("hocc", 1, Some(ddl(OccSchemaDdl))).coalesce(8))
+            val lab = scope.cache(
+              cat.read("hlab", 1, Some(ddl(LabSchemaDdl))).coalesce(4))
+            trainLoop(s, cat, occ, lab, lit(true), "hw", "hlog")
+            trainLoop(s, cat, occ, lab, col("doc_id") % 2 === 0,
+              "hwe", "hloge")
+          } finally scope.release()
+        }
+        cat
+      }
+
+    /** The cooled-mean batch perceptron (see class doc): Epochs weight
+      * versions committed under `wStep`, the per-epoch log under
+      * `logStep`. Control state per epoch: n_mis + two weight-table
+      * stats — three longs, the Lloyd/BPE discipline. */
+    private def trainLoop(s: SparkSession, cat: VersionedCatalog,
+        occ: DataFrame, lab: DataFrame,
+        trainFilter: org.apache.spark.sql.Column,
+        wStep: String, logStep: String): Unit = {
+      import s.implicits._
+      val occT = occ.filter(trainFilter)
+      val labT = lab.filter(col("y") =!= 0L)
+      var wPrev = s.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        ddl(WSchemaDdl))
+      val log = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long, Long)]
+      for (r <- 1 to Epochs) {
+        val mis = scoreUnder(occT, labT, wPrev)
+          .filter(col("y") * col("s") <= 0L)
+          .select(col("doc_id"), col("y")).persist()
+        val nm = mis.count()
+        val k = (if (nm == 0L) 0
+          else 64 - java.lang.Long.numberOfLeadingZeros(nm)) + (r - 1)
+        val delta = occT.join(mis, "doc_id")
+          .groupBy(col("j"))
+          .agg(shiftright(sum(col("y") * col("c")), k).as("dw"))
+        cat.writeNext(wStep, wPrev.join(delta, Seq("j"), "full_outer")
+          .select(col("j"),
+            (coalesce(col("w"), lit(0L)) + coalesce(col("dw"), lit(0L)))
+              .as("w")))
+        mis.unpersist(blocking = false)
+        val wr = cat.read(wStep, r, Some(ddl(WSchemaDdl)))
+        val st = wr.agg(
+          coalesce(sum(when(col("w") =!= 0L, 1L)), lit(0L)).as("nnz"),
+          coalesce(sum(abs(col("w"))), lit(0L)).as("l1")).collect()(0)
+        log += ((r.toLong, nm, k.toLong, st.getLong(0), st.getLong(1)))
+        wPrev = wr
+      }
+      cat.writeNext(logStep,
+        log.toSeq.toDF("epoch", "n_mis", "k_shift", "nnz", "l1"))
+    }
+  }
+
+  /** Served train log / weight snapshot / feature & label tables —
+    * build-if-absent, then reads only. */
+  def trainLog(s: SparkSession, dir: String, logStep: String): DataFrame =
+    Store.ensure(s, dir).read(logStep, 1, Some(ddl(LogSchemaDdl)))
+  def weights(s: SparkSession, dir: String, wStep: String): DataFrame =
+    Store.ensure(s, dir).read(wStep, Epochs, Some(ddl(WSchemaDdl)))
+  def servedOcc(s: SparkSession, dir: String): DataFrame =
+    Store.ensure(s, dir).read("hocc", 1, Some(ddl(OccSchemaDdl)))
+  def servedLab(s: SparkSession, dir: String): DataFrame =
+    Store.ensure(s, dir).read("hlab", 1, Some(ddl(LabSchemaDdl)))
+
+  // -------------------------------------------------------------------
+  // Oracle side (DuckDB). CTE names are hb-prefixed (hbocc, hbw$r, ...)
+  // so composition can never collide with the classifier/LM builders.
+
+  private val baseCtesSql = s"""
+        hbtk AS (SELECT doc_id, tk
+                 FROM (SELECT doc_id, ${X.tokensSql("text")} AS tk
+                       FROM documents)
+                 WHERE len(tk) >= 3),
+        hbq AS (SELECT doc_id, least(len(tk), $LenCap)*25
+                  + (CAST(len(list_filter(tk, t ->
+                      list_contains(${X.stopwordsSql}, t))) AS BIGINT)
+                     * 3000) // len(tk)
+                  + 2000 - (CAST(len(list_filter(tk, t -> length(t) <= 2))
+                     AS BIGINT) * 2000) // len(tk) AS q
+                FROM hbtk),
+        hbn AS (SELECT COUNT(*) AS n FROM hbq),
+        hbhist AS (SELECT q, COUNT(*) AS c FROM hbq GROUP BY q),
+        hbcum AS (SELECT q, SUM(c) OVER (ORDER BY q) AS cc FROM hbhist),
+        hbthr AS (SELECT MIN(CASE WHEN cc >= (1*n+3)//4 THEN q END) AS t1,
+                         MIN(CASE WHEN cc >= (3*n+3)//4 THEN q END) AS t3
+                  FROM hbcum, hbn),
+        hblab AS MATERIALIZED (
+          SELECT h.doc_id,
+                 CASE WHEN h.q > t.t3 THEN CAST(1 AS BIGINT)
+                      WHEN h.q <= t.t1 THEN CAST(-1 AS BIGINT)
+                      ELSE CAST(0 AS BIGINT) END AS y
+          FROM hbq h CROSS JOIN hbthr t),
+        hbocc AS MATERIALIZED (
+          SELECT doc_id, j, CAST((c * $Scale) // ng AS BIGINT) AS c FROM (
+            SELECT doc_id, MAX(ng) AS ng,
+                   CAST(${X.h60Sql("t")} % $Dim AS BIGINT) AS j,
+                   COUNT(*) AS c
+            FROM (SELECT doc_id, 2*len(tk)-1 AS ng,
+                         list_concat(tk, ${X.shinglesSql("tk", 2)}) AS g
+                  FROM hbtk), unnest(g) AS u(t)
+            GROUP BY doc_id, j)
+          UNION ALL SELECT doc_id, CAST(-1 AS BIGINT),
+                           CAST(${Scale / 2} AS BIGINT) FROM hbtk
+          UNION ALL SELECT doc_id, CAST(-2 AS BIGINT),
+                           CAST(least(len(tk), $LenCap)*50 AS BIGINT)
+                    FROM hbtk)"""
+
+  /** The unrolled cooled-mean train chain: per epoch r, scores hbs$r,
+    * misclassified set hbm$r, count+shift hbk$r, shifted deltas hbd$r,
+    * merged weights hbw$r. `filter` restricts the TRAINING universe
+    * (e.g. "AND o.doc_id % 2 = 0"); epoch 1 starts from an empty weight
+    * table, so the general form needs no zero-init special case. */
+  private def trainChainSql(filter: String): String =
+    (1 to Epochs).map { r =>
+      val wPrev =
+        if (r == 1)
+          "(SELECT CAST(NULL AS BIGINT) AS j, CAST(NULL AS BIGINT) AS w " +
+            "WHERE FALSE)"
+        else s"hbw${r - 1}"
+      s"""
+        hbs$r AS (SELECT o.doc_id, l.y,
+                         CAST(coalesce(SUM(o.c * coalesce(w.w, 0)), 0)
+                           AS BIGINT) AS s
+                  FROM hbocc o JOIN hblab l USING (doc_id)
+                  LEFT JOIN $wPrev w ON w.j = o.j
+                  WHERE l.y <> 0 $filter
+                  GROUP BY o.doc_id, l.y),
+        hbm$r AS MATERIALIZED (SELECT doc_id, y FROM hbs$r WHERE y * s <= 0),
+        hbk$r AS MATERIALIZED (
+          SELECT COUNT(*) AS nm,
+                 (CASE WHEN COUNT(*) = 0 THEN 0
+                       ELSE length(printf('%b', COUNT(*))) END) + ${r - 1}
+                   AS k
+          FROM hbm$r),
+        hbd$r AS (SELECT o.j,
+                         CAST(SUM(m.y * o.c) AS BIGINT)
+                           >> (SELECT k FROM hbk$r) AS dw
+                  FROM hbocc o JOIN hbm$r m USING (doc_id) GROUP BY o.j),
+        hbw$r AS MATERIALIZED (
+          SELECT coalesce(w.j, d.j) AS j,
+                 CAST(coalesce(w.w, 0) + coalesce(d.dw, 0) AS BIGINT) AS w
+          FROM $wPrev w FULL OUTER JOIN hbd$r d ON w.j = d.j)"""
+    }.mkString(",")
+
+  override val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // q198: the TRAIN LOG — per epoch, the misclassified count, the
+    // cooled shift, and two weight-table digests (nonzero rows, L1
+    // norm), hash-checked rank by rank: a drift in ANY epoch's score
+    // pass, misclassified set, shift amount, or merge corrupts every
+    // later row and fails loudly. The n_mis column reaching 0 IS the
+    // convergence proof the serving queries rely on.
+    QueryDef(
+      "q198_hashed_classifier_train",
+      (s, dir) => trainLog(s, dir, "hlog").orderBy(col("epoch")),
+      Some {
+        val rows = (1 to Epochs).map(r =>
+          s"""SELECT CAST($r AS BIGINT) AS epoch, nm AS n_mis,
+                 CAST(k AS BIGINT) AS k_shift,
+                 (SELECT COUNT(*) FROM hbw$r WHERE w <> 0) AS nnz,
+                 (SELECT CAST(coalesce(SUM(ABS(w)), 0) AS BIGINT)
+                  FROM hbw$r) AS l1
+          FROM hbk$r""").mkString(" UNION ALL ")
+        s"""
+        WITH $baseCtesSql, ${trainChainSql("")}
+        SELECT * FROM ($rows) ORDER BY epoch"""
+      }),
+
+    // ------------------------------------------------------------------
+    // q199: SCORES + KEPT SET under the converged weight table — the
+    // applied filter (q142's shape for the hashed model): every
+    // universe document's integer score through one join-aggregate
+    // against the served weight table, kept = score > 0. The 3-class
+    // weak label rides along (middle-band docs score too — that is the
+    // point of a soft filter). Transitively pins every weight the
+    // corpus touches.
+    QueryDef(
+      "q199_hashed_classifier_apply",
+      (s, dir) => {
+        val w = weights(s, dir, "hw")
+        scoreUnder(servedOcc(s, dir), servedLab(s, dir), w)
+          .select(col("doc_id"), col("y"), col("s").as("score"),
+            (col("s") > 0L).as("kept"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH $baseCtesSql, ${trainChainSql("")}
+        SELECT doc_id, y, score, score > 0 AS kept FROM (
+          SELECT o.doc_id, l.y,
+                 CAST(coalesce(SUM(o.c * coalesce(w.w, 0)), 0) AS BIGINT)
+                   AS score
+          FROM hbocc o JOIN hblab l USING (doc_id)
+          LEFT JOIN hbw$Epochs w ON w.j = o.j
+          GROUP BY o.doc_id, l.y)
+        ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q200: HELD-OUT AGREEMENT through the catalog — train on the
+    // even-doc_id half (its weight snapshots committed as catalog
+    // versions v1..v6 of `hwe`), serve the ODD half from the converged
+    // version only, and report per-class agreement against the weak
+    // label in basis points. The generalization gate the verdict asked
+    // for: a memorizing model scores ~50% here; the distilled rule
+    // model scores ~100% (HashedClassifierSpec pins ≥ 9300 bps).
+    QueryDef(
+      "q200_hashed_classifier_heldout",
+      (s, dir) => {
+        val w = weights(s, dir, "hwe")
+        scoreUnder(
+          servedOcc(s, dir).filter(col("doc_id") % 2 === 1),
+          servedLab(s, dir).filter(col("y") =!= 0L), w)
+          .groupBy(col("y"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when((col("s") > 0L) === (col("y") === 1L), 1L)
+              .otherwise(0L)).as("n_agree"))
+          .select(col("y"), col("n_docs"), col("n_agree"),
+            expr("(n_agree * 10000) div n_docs").as("agree_e4"))
+          .orderBy(col("y"))
+      },
+      Some(s"""
+        WITH $baseCtesSql, ${trainChainSql("AND o.doc_id % 2 = 0")},
+        hbsv AS (SELECT o.doc_id, l.y,
+                        CAST(coalesce(SUM(o.c * coalesce(w.w, 0)), 0)
+                          AS BIGINT) AS s
+                 FROM hbocc o JOIN hblab l USING (doc_id)
+                 LEFT JOIN hbw$Epochs w ON w.j = o.j
+                 WHERE l.y <> 0 AND o.doc_id % 2 = 1
+                 GROUP BY o.doc_id, l.y)
+        SELECT y, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN (s > 0) = (y = 1) THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_agree,
+               CAST(SUM(CASE WHEN (s > 0) = (y = 1) THEN 1 ELSE 0 END)
+                 * 10000 // COUNT(*) AS BIGINT) AS agree_e4
+        FROM hbsv GROUP BY y ORDER BY y"""))
+  )
+}

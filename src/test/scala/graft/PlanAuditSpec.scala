@@ -333,6 +333,9 @@ class PlanAuditSpec extends SparkSpec {
       "q194_ann_lsh_multiprobe" -> 3, // q187's bucket-join shape with the 9-key probe explode on the QUERY side only (map-side array explode, zero extra exchanges) — same distinct + top_k tail
       "q196_bm25_batch_catalog_served" -> 4, // q188's served twin: the postings-read df agg + contribution SUM + per-query top_k + the query-table rank window over the TakeOrdered top-31 — index builds ran at construct; docstats/stats ride catalog-read broadcasts
       "q197_ann_index_versions" -> 5, // q192's 3-exchange probe shape TWICE (once per served version, candidates distinct + top_k each; the v1/v2 appends ran at construct) + the 2-version union sort — AQE folds one exchange across the shared scan
+      "q198_hashed_classifier_train" -> 1, // catalog-served train log: one parquet read + the 6-row sort (both trainings ran at construct)
+      "q199_hashed_classifier_apply" -> 2, // served feature-table scan joined to the <=2^16-row weight table (broadcast) + per-doc score agg + output sort
+      "q200_hashed_classifier_heldout" -> 3, // q199's served score shape on the odd half + the 2-row per-class agreement agg
       "q195_lm_prune_effect" -> 10, // TWO q121-class scoring passes (full + pruned model: each bigram agg reuse + prefix agg + doc-side joins + per-doc agg) over one checkpointed tokenization + the 1-row mass-threshold and model-count broadcasts + the final 1-row report agg
       "q192_ann_lsh_catalog_served" -> 3, // q187's served twin reading the persisted bucket index + vector store: same bucket join + distinct + top_k shape; index builds ran at construct into the catalog
       "q188_bm25_batch" -> 5, // batch BM25: postings agg (the ONE index shuffle) + df agg + 1-row stats agg + per-(query, doc) exact-int contribution SUM + per-query top_k; the 75-row query table and stats broadcast

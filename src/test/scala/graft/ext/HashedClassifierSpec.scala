@@ -1,0 +1,62 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Contract tests for [[HashedClassifier]] — the hashed bag-of-n-grams
+  * model with a distributed weight table: convergence of the cooled
+  * batch perceptron (the serving queries rely on the last snapshot
+  * being a separator), the held-out generalization gate, and the
+  * weight-table shape claims (bounded bucket ids, engineered rows
+  * present) that the 100 TB broadcastability argument rests on. */
+class HashedClassifierSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("training converges: n_mis reaches 0 within the epoch budget") {
+    val log = HashedClassifier.trainLog(spark, dir, "hlog")
+      .orderBy(col("epoch")).collect()
+    assert(log.length == HashedClassifier.Epochs)
+    assert(log.last.getAs[Long]("n_mis") == 0L,
+      s"full-universe training did not converge: ${log.map(_.getAs[Long]("n_mis")).mkString(",")}")
+    val logE = HashedClassifier.trainLog(spark, dir, "hloge")
+      .orderBy(col("epoch")).collect()
+    assert(logE.last.getAs[Long]("n_mis") == 0L,
+      s"even-half training did not converge: ${logE.map(_.getAs[Long]("n_mis")).mkString(",")}")
+  }
+
+  test("held-out agreement >= 0.93 for both classes") {
+    val rows = graft.SparkEntry
+      .queries("q200_hashed_classifier_heldout")(spark, dir)
+      .collect()
+    assert(rows.length == 2, "expected one row per head/tail class")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("agree_e4") >= 9300L,
+        s"class ${r.getAs[Long]("y")}: ${r.getAs[Long]("agree_e4")} bps")
+    }
+  }
+
+  test("weight table is bounded and carries the engineered rows") {
+    val w = HashedClassifier.weights(spark, dir, "hw")
+    val r = w.agg(
+      count(lit(1)).as("rows"),
+      max(col("j")).as("jmax"),
+      min(col("j")).as("jmin"),
+      sum(when(col("j") < 0L, 1L).otherwise(0L)).as("engineered"))
+      .collect()(0)
+    assert(r.getAs[Long]("rows") <= HashedClassifier.Dim + 2L,
+      "weight table exceeds the hashed space + engineered rows")
+    assert(r.getAs[Long]("jmax") < HashedClassifier.Dim.toLong)
+    assert(r.getAs[Long]("jmin") >= -2L)
+    assert(r.getAs[Long]("engineered") == 2L,
+      "bias (j=-1) and length (j=-2) rows must survive training")
+  }
+
+  test("store is idempotent: serving twice returns identical weights") {
+    val a = HashedClassifier.weights(spark, dir, "hw")
+      .orderBy(col("j")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = HashedClassifier.weights(spark, dir, "hw")
+      .orderBy(col("j")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.sameElements(b))
+  }
+}
