@@ -355,14 +355,23 @@ object Curation extends QueryModule {
                       CAST(floor(10000.0 * sqrt(CAST(n AS DOUBLE)) / mx) AS BIGINT) AS thr
                FROM counts, m)"""
 
-  /** q162/q186's shared PII pass: plant deterministic email/URL/IP/
-    * phone tokens (fixture has none), whitespace-split preserving raw
-    * tokens, classify each token E/U/I/P/K — map-side, carrying
+  /** q162/q186's shared PII pass: plant deterministic email/URL/card/
+    * phone/IP tokens (fixture has none), whitespace-split preserving
+    * raw tokens, classify each token E/U/C/I/P/K — map-side, carrying
     * (doc_id, source, tk, cls). ONE definition so the masker and the
     * exposure report classify identically. The IPv4 class (Dolma-class
     * scrubbing masks IPs alongside emails/phones) tests BEFORE the
     * phone class: a dotted quad is all [0-9.] with ≥ 7 digits, so the
-    * phone regex would otherwise swallow it. */
+    * phone regex would otherwise swallow it. The CREDIT-CARD class
+    * (Dolma masks these too) tests before BOTH: a 13-19 digit run that
+    * passes the integer Luhn checksum (doubling every second digit
+    * from the right, −9 when > 9, total ≡ 0 mod 10 — pure int
+    * arithmetic, identical on both engines) is 'C'; a Luhn-FAILING
+    * digit run deliberately falls through to the phone class (it
+    * satisfies the phone charset + digit floor — masking it as a
+    * phone-like number is the conservative Dolma behavior, and the
+    * ordering is the correctness point). Plants: %19 docs gain a VALID
+    * card, %23 docs a Luhn-broken sibling — both paths fire. */
   private def piiClassified(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("source"), concat(
         col("text"),
@@ -380,16 +389,35 @@ object Curation extends QueryModule {
           concat(lit(" 10."), (col("doc_id") % 200).cast("string"),
             lit("."), (col("doc_id") % 250).cast("string"),
             lit("."), (lit(1L) + col("doc_id") % 254).cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 19 === 0, concat(lit(" "),
+          expr("""CASE doc_id % 3 WHEN 0 THEN '4111111111111111'
+                  WHEN 1 THEN '5500005555555559'
+                  ELSE '340000000000009' END""")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 23 === 0, concat(lit(" "),
+          expr("""CASE doc_id % 3 WHEN 0 THEN '4111111111111112'
+                  WHEN 1 THEN '5500005555555551'
+                  ELSE '340000000000001' END""")))
           .otherwise(lit(""))).as("text"))
       .withColumn("tk", expr("filter(split(text, ' +'), t -> t != '')"))
-      .withColumn("cls", expr("""transform(tk, t -> CASE
-        WHEN t RLIKE '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+$'
+      .withColumn("cls", expr(s"""transform(tk, t -> CASE
+        WHEN t RLIKE '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+$$'
           THEN 'E'
         WHEN t LIKE 'http://%' OR t LIKE 'https://%' OR t LIKE 'www.%'
           THEN 'U'
-        WHEN t RLIKE '^[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}$'
+        WHEN t RLIKE '^[0-9]{13,19}$$'
+             AND aggregate(sequence(1, length(t)), CAST(0 AS BIGINT),
+               (acc, i) -> acc + CASE
+                 WHEN (length(t) - i) % 2 = 1 THEN
+                   CASE WHEN 2 * CAST(ascii(substring(t, i, 1)) - 48 AS BIGINT) > 9
+                        THEN 2 * CAST(ascii(substring(t, i, 1)) - 48 AS BIGINT) - 9
+                        ELSE 2 * CAST(ascii(substring(t, i, 1)) - 48 AS BIGINT) END
+                 ELSE CAST(ascii(substring(t, i, 1)) - 48 AS BIGINT) END) % 10 = 0
+          THEN 'C'
+        WHEN t RLIKE '^[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}$$'
           THEN 'I'
-        WHEN t RLIKE '^[0-9+().-]+$'
+        WHEN t RLIKE '^[0-9+().-]+$$'
              AND length(regexp_replace(t, '[^0-9]', '')) >= 7
           THEN 'P'
         ELSE 'K' END)"""))
@@ -411,6 +439,16 @@ object Curation extends QueryModule {
                  THEN ' 10.' || CAST(doc_id % 200 AS VARCHAR)
                    || '.' || CAST(doc_id % 250 AS VARCHAR)
                    || '.' || CAST(1 + doc_id % 254 AS VARCHAR)
+                 ELSE '' END
+            || CASE WHEN doc_id % 19 = 0
+                 THEN ' ' || CASE doc_id % 3 WHEN 0 THEN '4111111111111111'
+                             WHEN 1 THEN '5500005555555559'
+                             ELSE '340000000000009' END
+                 ELSE '' END
+            || CASE WHEN doc_id % 23 = 0
+                 THEN ' ' || CASE doc_id % 3 WHEN 0 THEN '4111111111111112'
+                             WHEN 1 THEN '5500005555555551'
+                             ELSE '340000000000001' END
                  ELSE '' END AS text
           FROM documents),
         tkc AS (SELECT doc_id, source,
@@ -424,6 +462,15 @@ object Curation extends QueryModule {
                            THEN 'E'
                          WHEN t LIKE 'http://%' OR t LIKE 'https://%'
                               OR t LIKE 'www.%' THEN 'U'
+                         WHEN regexp_matches(t, '^[0-9]{13,19}$$')
+                              AND list_sum(list_transform(
+                                range(1, length(t) + 1), i -> CASE
+                                  WHEN (length(t) - i) % 2 = 1 THEN
+                                    CASE WHEN 2 * CAST(unicode(substring(t, i, 1)) - 48 AS BIGINT) > 9
+                                         THEN 2 * CAST(unicode(substring(t, i, 1)) - 48 AS BIGINT) - 9
+                                         ELSE 2 * CAST(unicode(substring(t, i, 1)) - 48 AS BIGINT) END
+                                  ELSE CAST(unicode(substring(t, i, 1)) - 48 AS BIGINT) END)) % 10 = 0
+                           THEN 'C'
                          WHEN regexp_matches(t,
                            '^[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}$$')
                            THEN 'I'
@@ -1222,12 +1269,14 @@ object Curation extends QueryModule {
           .withColumn("masked", expr("""array_join(
             zip_with(tk, cls, (t, c) -> CASE c
               WHEN 'E' THEN '<EMAIL>' WHEN 'U' THEN '<URL>'
+              WHEN 'C' THEN '<CARD>'
               WHEN 'I' THEN '<IP>' WHEN 'P' THEN '<PHONE>'
               ELSE t END), ' ')"""))
           .select(col("doc_id"),
             size(col("tk")).cast("long").as("n_tokens"),
             expr("CAST(size(filter(cls, c -> c = 'E')) AS BIGINT)").as("n_emails"),
             expr("CAST(size(filter(cls, c -> c = 'U')) AS BIGINT)").as("n_urls"),
+            expr("CAST(size(filter(cls, c -> c = 'C')) AS BIGINT)").as("n_cards"),
             expr("CAST(size(filter(cls, c -> c = 'I')) AS BIGINT)").as("n_ips"),
             expr("CAST(size(filter(cls, c -> c = 'P')) AS BIGINT)").as("n_phones"),
             length(col("masked")).cast("long").as("masked_chars"),
@@ -1239,7 +1288,8 @@ object Curation extends QueryModule {
         mk AS (SELECT doc_id, tk, cl,
                       array_to_string(list_transform(range(1, len(tk) + 1),
                         i -> CASE cl[i] WHEN 'E' THEN '<EMAIL>'
-                             WHEN 'U' THEN '<URL>' WHEN 'I' THEN '<IP>'
+                             WHEN 'U' THEN '<URL>' WHEN 'C' THEN '<CARD>'
+                             WHEN 'I' THEN '<IP>'
                              WHEN 'P' THEN '<PHONE>'
                              ELSE tk[i] END), ' ') AS masked
                FROM cls)
@@ -1247,6 +1297,7 @@ object Curation extends QueryModule {
                CAST(len(tk) AS BIGINT) AS n_tokens,
                CAST(len(list_filter(cl, c -> c = 'E')) AS BIGINT) AS n_emails,
                CAST(len(list_filter(cl, c -> c = 'U')) AS BIGINT) AS n_urls,
+               CAST(len(list_filter(cl, c -> c = 'C')) AS BIGINT) AS n_cards,
                CAST(len(list_filter(cl, c -> c = 'I')) AS BIGINT) AS n_ips,
                CAST(len(list_filter(cl, c -> c = 'P')) AS BIGINT) AS n_phones,
                CAST(length(masked) AS BIGINT) AS masked_chars,
@@ -1271,22 +1322,25 @@ object Curation extends QueryModule {
             size(col("tk")).cast("long").as("n"),
             expr("CAST(size(filter(cls, c -> c = 'E')) AS BIGINT)").as("ne"),
             expr("CAST(size(filter(cls, c -> c = 'U')) AS BIGINT)").as("nu"),
+            expr("CAST(size(filter(cls, c -> c = 'C')) AS BIGINT)").as("nc"),
             expr("CAST(size(filter(cls, c -> c = 'I')) AS BIGINT)").as("ni"),
             expr("CAST(size(filter(cls, c -> c = 'P')) AS BIGINT)").as("np"))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),
-            sum(when(col("ne") + col("nu") + col("ni") + col("np") > 0L, 1L)
-              .otherwise(0L)).as("docs_with_pii"),
+            sum(when(col("ne") + col("nu") + col("nc") + col("ni")
+              + col("np") > 0L, 1L).otherwise(0L)).as("docs_with_pii"),
             sum(col("ne")).as("n_emails"),
             sum(col("nu")).as("n_urls"),
+            sum(col("nc")).as("n_cards"),
             sum(col("ni")).as("n_ips"),
             sum(col("np")).as("n_phones"),
             sum(col("n")).as("n_tokens"))
           .select(col("source"), col("n_docs"), col("docs_with_pii"),
-            col("n_emails"), col("n_urls"), col("n_ips"), col("n_phones"),
+            col("n_emails"), col("n_urls"), col("n_cards"), col("n_ips"),
+            col("n_phones"),
             when(col("n_tokens") === 0L, 0L)
               .otherwise(expr(
-                "((n_emails + n_urls + n_ips + n_phones) * 10000) div n_tokens"))
+                "((n_emails + n_urls + n_cards + n_ips + n_phones) * 10000) div n_tokens"))
               .as("pii_bps"))
           .orderBy(col("source"))
       },
@@ -1296,22 +1350,24 @@ object Curation extends QueryModule {
                         CAST(len(tk) AS BIGINT) AS n,
                         CAST(len(list_filter(cl, c -> c = 'E')) AS BIGINT) AS ne,
                         CAST(len(list_filter(cl, c -> c = 'U')) AS BIGINT) AS nu,
+                        CAST(len(list_filter(cl, c -> c = 'C')) AS BIGINT) AS nc,
                         CAST(len(list_filter(cl, c -> c = 'I')) AS BIGINT) AS ni,
                         CAST(len(list_filter(cl, c -> c = 'P')) AS BIGINT) AS np
                  FROM cls),
         pagg AS (SELECT source, COUNT(*) AS n_docs,
-                        CAST(SUM(CASE WHEN ne + nu + ni + np > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+                        CAST(SUM(CASE WHEN ne + nu + nc + ni + np > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
                         CAST(SUM(ne) AS BIGINT) AS n_emails,
                         CAST(SUM(nu) AS BIGINT) AS n_urls,
+                        CAST(SUM(nc) AS BIGINT) AS n_cards,
                         CAST(SUM(ni) AS BIGINT) AS n_ips,
                         CAST(SUM(np) AS BIGINT) AS n_phones,
                         CAST(SUM(n) AS BIGINT) AS n_tokens
                  FROM pcnt GROUP BY source)
-        SELECT source, n_docs, docs_with_pii, n_emails, n_urls, n_ips,
-               n_phones,
+        SELECT source, n_docs, docs_with_pii, n_emails, n_urls, n_cards,
+               n_ips, n_phones,
                CASE WHEN n_tokens = 0 THEN 0
-                    ELSE CAST(((n_emails + n_urls + n_ips + n_phones) * 10000)
-                      // n_tokens AS BIGINT) END AS pii_bps
+                    ELSE CAST(((n_emails + n_urls + n_cards + n_ips + n_phones)
+                      * 10000) // n_tokens AS BIGINT) END AS pii_bps
         FROM pagg ORDER BY source""")),
   )
 }
