@@ -327,6 +327,52 @@ ${terms.indices.map { i =>
       .select(col("qid"), col("col.doc_id").as("doc_id"),
         (col("pos") + 1).cast("long").as("r"))
 
+  /** Sign-LSH geometry for the batch ANN semantic leg (q201 + q193's
+    * annsem row — the round-15 verdict's item #2: the one batch stage
+    * still ∝ corpus per query batch was the brute semantic dot): 16
+    * tables × 9 bits over the 16-dim hashed-BoW space, signs from
+    * md5("bsem i j") (the q187 mlsh discipline in the BoW vector
+    * space). Parameters from a measured sf0.1 sweep — L=16/b=9 probes
+    * ~16% of the corpus per query at recall@10 = 0.92 vs the brute
+    * leg (L=8/b=8: 12%/0.84; L=16/b=8: 23%/0.96); the q193 annsem row
+    * quantifies the recall cost on every run. */
+  private val BsemTables = 16
+  private val BsemBits = 9
+  private lazy val BsemSigns = graft.functions.VectorFunctions
+    .rpSignsTagged("bsem", 16, BsemTables * BsemBits)
+
+  /** ANN semantic top-K (qid, doc_id, ann_rank): query and doc
+    * hashed-BoW vectors bucket map-side through the compiled
+    * [[graft.functions.SignLshSignatures]] kernel, candidates =
+    * bucket cohabitants in ANY table (distinct), exact integer-cosine
+    * re-rank of candidates only via the bounded-heap top_k — replaces
+    * the brute broadcast cross of the `sem` leg. 100 TB: the corpus
+    * replicates L× into the bucket join (the standard multi-table
+    * cost), candidates stay ∝ Σ |q-bucket ∩ cell| instead of
+    * N_queries × corpus; every join is keyed. */
+  private def batchAnnSemRanked(docs: org.apache.spark.sql.DataFrame,
+      qterms: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val qv0 = X.hashedBow(col("terms"))
+    val qvecs = qterms.groupBy(col("qid"))
+      .agg(collect_list(col("term")).as("terms"))
+      .select(col("qid"), qv0.as("qv"), X.norm2Int(qv0).as("qn2"))
+      .filter(col("qn2") > 0L)
+    val dvecs = docs.select(col("doc_id"), X.hashedBow(col("tk")).as("v"))
+      .withColumn("n2", X.norm2Int(col("v")))
+      .filter(col("n2") > 0L)
+    def buckets(df: org.apache.spark.sql.DataFrame, id: String, v: String) =
+      df.select(col(id), posexplode(graft.functions.VectorFunctions
+          .signLshSigs(col(v), BsemSigns, BsemBits)))
+        .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "sig")
+    val cand = buckets(qvecs, "qid", "qv")
+      .join(buckets(dvecs, "doc_id", "v"), Seq("tbl", "sig"))
+      .select(col("qid"), col("doc_id")).distinct()
+    val scored = cand.join(dvecs, "doc_id").join(broadcast(qvecs), "qid")
+      .select(col("qid"), col("doc_id"), X.cosineFromInts(
+        X.dotInt(col("v"), col("qv")), col("n2"), col("qn2")).as("cos"))
+    batchRanked(scored, "cos", BatchRankK).withColumnRenamed("r", "ann_rank")
+  }
+
   /** The three batch rank structures — lexical top-K list (qid,
     * doc_id, lex_rank), semantic top-K list (qid, doc_id, sem_rank),
     * and the full fused frame (qid, doc_id, lex_rank, sem_rank,
@@ -435,6 +481,63 @@ ${terms.indices.map { i =>
                          CAST(coalesce(1000000 // (60 + l.lex_rank), 0)
                             + coalesce(1000000 // (60 + s2.sem_rank), 0) AS BIGINT) AS rrf_micro
                   FROM blex l FULL JOIN bsem s2
+                    ON l.qid = s2.qid AND l.doc_id = s2.doc_id)"""
+
+  /** The batch ANN-semantic oracle CTE chain (bagrid → … → basem) —
+    * composes AFTER [[batchRanksCtesSql]] and reuses its bqv/bqn/
+    * bhvec/bhn vector CTEs VERBATIM, so the ANN leg ranks exactly the
+    * vectors the brute leg ranks. Signature construction mirrors the
+    * q187 chain (sign grid from md5 text keys, per-table bit packing,
+    * p ≥ 0 sets the bit); only vectors with positive norm bucket
+    * (engine filters n2 > 0 BEFORE bucketing — a doc whose hashed
+    * buckets all cancel has bhvec rows but no defined cosine). Shared
+    * by the q201 oracle and q193's annsem row. */
+  private val batchAnnSemCtesSql = s"""bagrid AS (SELECT gi.i AS i, gj.j AS j,
+                 1 - 2*(${X.h60Sql("'bsem ' || CAST(gi.i AS VARCHAR) || ' ' || CAST(gj.j AS VARCHAR)")} % 2) AS sgn
+               FROM (SELECT unnest(range(0, 16)) AS i) gi,
+                    (SELECT unnest(range(0, ${BsemTables * BsemBits})) AS j) gj),
+        bapd AS (SELECT v.doc_id, g.j AS j, CAST(SUM(v.vj * g.sgn) AS BIGINT) AS p
+                 FROM bhvec v JOIN bagrid g ON g.i = v.j GROUP BY v.doc_id, g.j),
+        badsig AS (SELECT d.doc_id, d.j // $BsemBits AS tbl,
+                          CAST(SUM(CASE WHEN d.p >= 0
+                            THEN (CAST(1 AS BIGINT) << (d.j % $BsemBits))
+                            ELSE 0 END) AS BIGINT) AS sig
+                   FROM bapd d JOIN bhn n ON n.doc_id = d.doc_id AND n.n2 > 0
+                   GROUP BY d.doc_id, d.j // $BsemBits),
+        baqp AS (SELECT q.qid, g.j AS j, CAST(SUM(q.qj * g.sgn) AS BIGINT) AS p
+                 FROM bqv q JOIN bagrid g ON g.i = q.j GROUP BY q.qid, g.j),
+        baqsig AS (SELECT p.qid, p.j // $BsemBits AS tbl,
+                          CAST(SUM(CASE WHEN p.p >= 0
+                            THEN (CAST(1 AS BIGINT) << (p.j % $BsemBits))
+                            ELSE 0 END) AS BIGINT) AS sig
+                   FROM baqp p JOIN bqn n ON n.qid = p.qid AND n.qn2 > 0
+                   GROUP BY p.qid, p.j // $BsemBits),
+        bacand AS (SELECT DISTINCT q.qid, d.doc_id
+                   FROM baqsig q JOIN badsig d
+                     ON q.tbl = d.tbl AND q.sig = d.sig),
+        badot AS (SELECT c.qid, c.doc_id, CAST(SUM(v.vj * q.qj) AS BIGINT) AS dot
+                  FROM bacand c JOIN bhvec v USING (doc_id)
+                  JOIN bqv q ON q.qid = c.qid AND q.j = v.j
+                  GROUP BY c.qid, c.doc_id),
+        basem0 AS (SELECT c.qid, c.doc_id,
+                          ${X.cosineFromIntsSql("coalesce(d.dot, 0)", "n.n2", "q.qn2")} AS cos
+                   FROM bacand c JOIN bhn n USING (doc_id) JOIN bqn q USING (qid)
+                   LEFT JOIN badot d ON d.qid = c.qid AND d.doc_id = c.doc_id
+                   WHERE n.n2 > 0 AND q.qn2 > 0),
+        basem AS (SELECT qid, doc_id, r AS ann_rank FROM (
+                    SELECT qid, doc_id,
+                           row_number() OVER (PARTITION BY qid
+                             ORDER BY cos DESC, doc_id) AS r
+                    FROM basem0) WHERE r <= $BatchRankK)"""
+
+  /** q189's fusion text with the ANN list in the semantic seat —
+    * shared structure, ann_rank column (q201's oracle tail). */
+  private val batchAnnFuseCteSql = s"""bafuse AS (SELECT coalesce(l.qid, s2.qid) AS qid,
+                         coalesce(l.doc_id, s2.doc_id) AS doc_id,
+                         l.lex_rank, s2.ann_rank,
+                         CAST(coalesce(1000000 // (60 + l.lex_rank), 0)
+                            + coalesce(1000000 // (60 + s2.ann_rank), 0) AS BIGINT) AS rrf_micro
+                  FROM blex l FULL JOIN basem s2
                     ON l.qid = s2.qid AND l.doc_id = s2.doc_id)"""
 
   /** Per-query top-5 output tail (qid, rank, doc_id, score_e6) via the
@@ -773,6 +876,7 @@ ${terms.indices.map { i =>
           .localCheckpoint(eager = false) // qterms + scores read it
         val qterms = batchQueryTerms(postings)
         val (lex, sem, fused) = batchHybridParts(docs, postings, qterms)
+        val ann = batchAnnSemRanked(docs, qterms)
         val rrf = batchRanked(fused, "rrf_micro", BatchRankK)
         val qrel = docs.join(broadcast(qterms),
             array_contains(col("tk"), col("term")))
@@ -802,6 +906,7 @@ ${terms.indices.map { i =>
             .select(lit(variant).as("variant"), col("n_rel"),
               col("p5_bps"), col("p10_bps"), col("mrr_e6"))
         Seq(
+          evalList("annsem", ann.withColumnRenamed("ann_rank", "r")),
           evalList("lex", lex.withColumnRenamed("lex_rank", "r")),
           evalList("rrf", rrf),
           evalList("sem", sem.withColumnRenamed("sem_rank", "r")))
@@ -810,6 +915,7 @@ ${terms.indices.map { i =>
       Some(s"""
         WITH $batchBm25CtesSql,
         $batchRanksCtesSql,
+        $batchAnnSemCtesSql,
         brrf AS (SELECT qid, doc_id, r FROM (
                    SELECT qid, doc_id,
                           row_number() OVER (PARTITION BY qid
@@ -822,6 +928,7 @@ ${terms.indices.map { i =>
         bnrel AS (SELECT COUNT(*) AS n_rel FROM bqrel)
         SELECT * FROM (
           ${Seq(
+            "annsem" -> "(SELECT qid, doc_id, ann_rank AS r FROM basem)",
             "lex" -> "(SELECT qid, doc_id, lex_rank AS r FROM blex)",
             "rrf" -> "brrf",
             "sem" -> "(SELECT qid, doc_id, sem_rank AS r FROM bsem)")
@@ -841,7 +948,59 @@ ${terms.indices.map { i =>
                 GROUP BY l.qid), bnrel n
           GROUP BY n.n_rel"""
           }.mkString("\n          UNION ALL\n          ")})
-        ORDER BY variant"""))
+        ORDER BY variant""")),
+
+    // ------------------------------------------------------------------
+    // q201: BATCH HYBRID RRF, ANN-SERVED SEMANTIC LEG — q189 with the
+    // brute semantic cross replaced by the sign-LSH candidate
+    // generator (batchAnnSemRanked): queries and documents bucket
+    // map-side through the compiled signature kernel, candidates are
+    // bucket cohabitants, the exact cosine re-ranks candidates only,
+    // and q189's RRF fusion tail runs unchanged on the ANN list. The
+    // oracle reuses q189's bm25 + vector CTEs verbatim and swaps bsem
+    // for the basem chain; q193's annsem row quantifies the recall
+    // cost of this substitution on every run. 100 TB: the one batch
+    // stage that scanned the corpus per query batch now probes ~16%
+    // of it (measured at sf0.1) with keyed joins only.
+    QueryDef(
+      "q201_hybrid_batch_ann_rrf",
+      (s, dir) => {
+        val docs = tokenizedDocs(s, dir)
+          .localCheckpoint(eager = false) // postings + vectors read it
+        val postings = bm25Postings(docs)
+          .localCheckpoint(eager = false) // qterms + scores read it
+        val qterms = batchQueryTerms(postings)
+        val lex = batchRanked(
+          bm25BatchScores(docs, postings, qterms), "score_e6", BatchRankK)
+          .withColumnRenamed("r", "lex_rank")
+        val ann = batchAnnSemRanked(docs, qterms)
+        lex.join(ann, Seq("qid", "doc_id"), "full_outer")
+          .select(col("qid"), col("doc_id"), col("lex_rank"),
+            col("ann_rank"),
+            expr("CAST(coalesce(1000000 div (60 + lex_rank), 0) " +
+              "+ coalesce(1000000 div (60 + ann_rank), 0) AS BIGINT)")
+              .as("rrf_micro"))
+          .groupBy(col("qid"))
+          .agg(graft.functions.AggFunctions.topK(
+            struct(col("rrf_micro").as("s"), (-col("doc_id")).as("nd"),
+              col("doc_id").as("doc_id"), col("lex_rank").as("lr"),
+              col("ann_rank").as("ar")), 5).as("top"))
+          .select(col("qid"), posexplode(col("top")))
+          .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+            col("col.doc_id").as("doc_id"), col("col.lr").as("lex_rank"),
+            col("col.ar").as("ann_rank"), col("col.s").as("rrf_micro"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""
+        WITH $batchBm25CtesSql,
+        $batchRanksCtesSql,
+        $batchAnnSemCtesSql,
+        $batchAnnFuseCteSql
+        SELECT qid, rank, doc_id, lex_rank, ann_rank, rrf_micro FROM (
+          SELECT qid, doc_id, lex_rank, ann_rank, rrf_micro,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY rrf_micro DESC, doc_id) AS rank
+          FROM bafuse) WHERE rank <= 5 ORDER BY qid, rank"""))
   )
 
   /** Top-K lexical rank list (doc_id, lex_rank) from a BM25-scored

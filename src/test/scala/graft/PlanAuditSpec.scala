@@ -82,6 +82,11 @@ class PlanAuditSpec extends SparkSpec {
     "q193_batch_retrieval_eval", // q189's broadcasts + the 1-row
                                  // relevance-count broadcast per
                                  // variant (q184's shape)
+    "q201_hybrid_batch_ann_rrf", // q188's 1-row stats broadcast; the
+                                 // semantic side is the ANN bucket
+                                 // join (keyed) — the 25-row query
+                                 // frame still broadcasts into the
+                                 // candidate re-rank
     "q195_lm_prune_effect", // q121's 1-row vocabulary broadcast (both
                             // scoring passes) + the 1-row mass-threshold
                             // and model-row-count broadcasts
@@ -342,7 +347,8 @@ class PlanAuditSpec extends SparkSpec {
       "q189_hybrid_batch_rrf" -> 9, // q188's lexical chain (5) + the semantic side: 25-row query-vector agg + per-query cosine top_k over the map-side broadcast cross + the K×K fusion join + final per-query top_k — every added exchange is K-row-bounded
       "q190_lm_fourgram_score" -> 6, // q157's pinned LM shape one order up: 4-gram agg + (w1,w2,w3)-prefix agg + vocab distinct + doc-side joins + per-doc agg + ordered output
       "q191_lm_backoff_chain" -> 11, // THREE-ORDER model (q161's two-model argument, one level deeper): 4-gram/trigram/bigram count aggs + three prefix-mass aggs + vocab distinct + six doc-side joins + per-doc agg + ordered output — chained stupid backoff is definitionally a three-model score
-      "q193_batch_retrieval_eval" -> 16) // q189's full rank construction (lex 5 + sem chain) evaluated three ways: per-variant per-query metric aggs + 1-row relevance broadcast + the qrel broadcast-predicate join + 3-row union sort — each list's standalone budget proven by q188/q189
+      "q193_batch_retrieval_eval" -> 19, // q189's full rank construction (lex 5 + sem chain) evaluated FOUR ways since round 16 (annsem row added): per-variant per-query metric aggs + 1-row relevance broadcast + the qrel broadcast-predicate join + 4-row union sort + the ANN bucket-join/distinct/re-rank chain — each list's standalone budget proven by q188/q189/q201
+      "q201_hybrid_batch_ann_rrf" -> 8) // q189's lexical chain (bm25 batch scores + top_k) + the ANN semantic leg: bucket join (map-side signatures), candidate distinct, re-rank top_k, full-outer fusion + top-5 + sort — one FEWER exchange than q189's brute broadcast cross
     (b0.map(_ -> 0) ++ b1.map(_ -> 1) ++ b2.map(_ -> 2) ++ multi).toMap
   }
 
