@@ -417,6 +417,151 @@ object LmScore extends QueryModule {
         expr("(total_bits * 100) div n_fourgrams").as("centibits_per_fourgram"))
   }
 
+  // -------------------------------------------------------------------
+  // FIVEGRAM model (q202/q203; q195's pruning report re-pointed here)
+  // — KenLM's default order, the round-15 verdict's item #5. The same
+  // shape again with a 4-token prefix key; at order 5 the self-fit is
+  // essentially all singletons, which is exactly why q203's
+  // interpolation and q195's pruning report are interesting AT this
+  // order (a raw add-one 5-gram model prices everything near log2 V,
+  // and pruning at the mass-relative threshold removes almost the
+  // whole table).
+
+  private def fivegramsTk(toks: DataFrame): DataFrame = toks.select(
+    col("doc_id"), explode(X.shingles(col("tk"), 5)).as("pg"))
+
+  /** The persistable 5-gram LM state: (pg, cg) exact counts — linear,
+    * folds additively like every lower order. */
+  def fivegramCountsTk(toks: DataFrame): DataFrame =
+    fivegramsTk(toks).groupBy(col("pg")).agg(count(lit(1)).as("cg"))
+
+  /** The (w1 w2 w3 w4) prefix as a single key column. */
+  private def pgPrefix(pg: Column): Column =
+    concat_ws(" ", slice(split(pg, " "), 1, 4))
+
+  /** Score a pre-tokenized frame against a persisted 5-gram LM —
+    * [[scoreAgainstLm4Tk]]'s contract one order up. Documents with
+    * < 5 tokens have no 5-grams and do not flow. */
+  def scoreAgainstLm5Tk(lm5: DataFrame, vocab: DataFrame,
+      scoreTk: DataFrame): DataFrame = {
+    val prefixMass = lm5
+      .withColumn("p4", pgPrefix(col("pg")))
+      .groupBy(col("p4")).agg(sum(col("cg")).as("cpm"))
+    val v1 = vocab.agg(count(lit(1)).as("v"))
+    fivegramsTk(scoreTk)
+      .withColumn("p4", pgPrefix(col("pg")))
+      .join(lm5, Seq("pg"), "left")
+      .join(prefixMass, Seq("p4"), "left")
+      .crossJoin(broadcast(v1))
+      .select(col("doc_id"),
+        greatest(lit(0L),
+          floorLog2Ratio(coalesce(col("cpm"), lit(0L)) + col("v"),
+            coalesce(col("cg"), lit(0L)) + lit(1L))).as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fivegrams"), sum(col("bits")).as("total_bits"))
+      .select(col("doc_id"), col("n_fivegrams"), col("total_bits"),
+        expr("(total_bits * 100) div n_fivegrams")
+          .as("centibits_per_fivegram"))
+  }
+
+  /** Self-scoring under the 5-gram model (q202; fit = score frame). */
+  def surpriseScores5Tk(fitTk: DataFrame, scoreTk: DataFrame): DataFrame =
+    scoreAgainstLm5Tk(fivegramCountsTk(fitTk), vocabTokensTk(fitTk), scoreTk)
+
+  /** KNESER-NEY-FLAVORED INTERPOLATED scoring (q203) — the principled
+    * replacement for stupid backoff's seen-switch, in exact integers.
+    * Two corrections over [[backoffChainScoresTk]]:
+    *
+    * 1. CONTINUATION counts at the lower orders (Kneser & Ney, ICASSP
+    *    1995): the level-4 price of w5 given (w2 w3 w4) uses
+    *    N1+(· w2 w3 w4 w5) — how many distinct left contexts the tail
+    *    continues (a TYPE count over the 5-gram table) — normalized by
+    *    N1+(· w2 w3 w4 ·); level 3 likewise over the 4-gram type
+    *    table. Raw lower-order counts overprice grams that are
+    *    frequent only inside one fixed collocation; continuation
+    *    counts are the KN fix, and they are exact integers.
+    *
+    * 2. INTERPOLATION instead of a backoff switch: EVERY level is
+    *    priced for EVERY gram (each level k pays k−5 whole-bit
+    *    level-drop penalties, the [[BackoffPenaltyBits]] discipline)
+    *    and the CHEAPEST level wins — the log-domain dominant term of
+    *    λ-interpolation (min over bits ≈ −log2 max_k λ_k·p_k, the
+    *    max-approximation of Σ λ_k p_k; exact rational interpolation
+    *    would multiply four denominators and overflow int64 at corpus
+    *    scale). Unlike stupid backoff, a SEEN 5-gram can still price
+    *    at a lower level when the continuation evidence is stronger
+    *    than its sparse top-order count. Ties go to the higher order.
+    *    The per-level routing counts are hash-checked contract.
+    *
+    * Scale: three model tables + three type-count tables, all
+    * corpus-reduced; scoring is seven keyed doc-side joins + one
+    * per-doc agg — q191's shuffle class, one order up. */
+  def knInterpolatedScoresTk(fitTk: DataFrame, scoreTk: DataFrame): DataFrame = {
+    val lm5 = fivegramCountsTk(fitTk)
+    val pm5 = lm5.withColumn("p4", pgPrefix(col("pg")))
+      .groupBy(col("p4")).agg(sum(col("cg")).as("cp5"))
+    // 5-gram TYPE table → level-4 continuation counts: tail (w2..w5),
+    // normalizer = types sharing the middle context (w2 w3 w4)
+    val cc4 = lm5.select(concat_ws(" ", slice(split(col("pg"), " "), 2, 4))
+        .as("tl4"))
+      .groupBy(col("tl4")).agg(count(lit(1)).as("cc4"))
+    val dn4 = lm5.select(concat_ws(" ", slice(split(col("pg"), " "), 2, 3))
+        .as("md4"))
+      .groupBy(col("md4")).agg(count(lit(1)).as("dn4"))
+    // 4-gram TYPE table → level-3 continuation counts: tail (w3 w4 w5),
+    // normalizer = 4-gram types sharing (w3 w4)
+    val t4 = fourgramCountsTk(fitTk)
+    val cc3 = t4.select(concat_ws(" ", slice(split(col("fg"), " "), 2, 3))
+        .as("tl3"))
+      .groupBy(col("tl3")).agg(count(lit(1)).as("cc3"))
+    val dn3 = t4.select(concat_ws(" ", slice(split(col("fg"), " "), 2, 2))
+        .as("md3"))
+      .groupBy(col("md3")).agg(count(lit(1)).as("dn3"))
+    val v1 = vocabTokensTk(fitTk).agg(count(lit(1)).as("v"))
+    fivegramsTk(scoreTk)
+      .withColumn("p4", pgPrefix(col("pg")))
+      .withColumn("tl4", concat_ws(" ", slice(split(col("pg"), " "), 2, 4)))
+      .withColumn("md4", concat_ws(" ", slice(split(col("pg"), " "), 2, 3)))
+      .withColumn("tl3", concat_ws(" ", slice(split(col("pg"), " "), 3, 3)))
+      .withColumn("md3", concat_ws(" ", slice(split(col("pg"), " "), 3, 2)))
+      .join(lm5, Seq("pg"), "left")
+      .join(pm5, Seq("p4"), "left")
+      .join(cc4, Seq("tl4"), "left")
+      .join(dn4, Seq("md4"), "left")
+      .join(cc3, Seq("tl3"), "left")
+      .join(dn3, Seq("md3"), "left")
+      .crossJoin(broadcast(v1))
+      .withColumn("b5", greatest(lit(0L), floorLog2Ratio(
+        coalesce(col("cp5"), lit(0L)) + col("v"),
+        coalesce(col("cg"), lit(0L)) + lit(1L))))
+      .withColumn("b4", lit(BackoffPenaltyBits) + greatest(lit(0L),
+        floorLog2Ratio(coalesce(col("dn4"), lit(0L)) + col("v"),
+          coalesce(col("cc4"), lit(0L)) + lit(1L))))
+      .withColumn("b3", lit(2L * BackoffPenaltyBits) + greatest(lit(0L),
+        floorLog2Ratio(coalesce(col("dn3"), lit(0L)) + col("v"),
+          coalesce(col("cc3"), lit(0L)) + lit(1L))))
+      .withColumn("bits", least(col("b5"), col("b4"), col("b3")))
+      .withColumn("od",
+        when(col("bits") === col("b5"), 5L)
+          .when(col("bits") === col("b4"), 4L).otherwise(3L))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fivegrams"),
+        sum(when(col("od") === 4L, 1L).otherwise(0L)).as("n_lvl4"),
+        sum(when(col("od") === 3L, 1L).otherwise(0L)).as("n_lvl3"),
+        sum(col("bits")).as("total_bits"))
+      .select(col("doc_id"), col("n_fivegrams"), col("n_lvl4"),
+        col("n_lvl3"), col("total_bits"),
+        expr("(total_bits * 100) div n_fivegrams")
+          .as("centibits_per_fivegram"))
+  }
+
+  /** `split_part` concatenation of tokens `from..from+n-1` of a
+    * space-joined gram column — the oracle-side slice(split(·)) (def,
+    * not val: referenced from `defs`, the init-order rule). */
+  private def partsSql(c: String, from: Int, n: Int): String =
+    (from until from + n).map(i => s"split_part($c, ' ', $i)")
+      .mkString(" || ' ' || ")
+
   /** The English-fit trigram + bigram model CTEs (lmt/pm3/lmb/pm2/vc)
     * shared VERBATIM by the q161 and q191 oracles — the chained
     * backoff prices its lower orders against the IDENTICAL model text
@@ -1148,6 +1293,229 @@ object LmScore extends QueryModule {
                  FROM pbits GROUP BY doc_id)
         SELECT (SELECT COUNT(*) FROM lmb) AS model_rows_full,
                (SELECT COUNT(*) FROM plmb) AS model_rows_pruned,
+               COUNT(*) AS docs_scored,
+               CAST(SUM(f.bf) AS BIGINT) AS sum_bits_full,
+               CAST(SUM(p.bp) AS BIGINT) AS sum_bits_pruned,
+               CAST(SUM(CASE WHEN p.bp < f.bf THEN 1 ELSE 0 END) AS BIGINT)
+                 AS docs_cheaper,
+               CAST(SUM(CASE WHEN p.bp > f.bf THEN 1 ELSE 0 END) AS BIGINT)
+                 AS docs_costlier
+        FROM fdoc f JOIN pdoc p USING (doc_id)""")),
+
+    // ------------------------------------------------------------------
+    // q202: 5-GRAM SELF-SCORING — q190 one order up, at KenLM's
+    // default order (the round-15 verdict's item #5). The self-fit is
+    // near-singleton at this order, so per-doc centibits concentrate
+    // near log2 of the prefix mass — which is exactly the regime
+    // q203's interpolation and q204's pruning report exist to handle.
+    QueryDef(
+      "q202_lm_fivegram_score",
+      (s, dir) => {
+        val toks = tokenized(T.documents(s, dir))
+        surpriseScores5Tk(toks, toks).orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH tk AS (SELECT doc_id, ${X.tokensSql("text")} AS tk FROM documents),
+        pg AS (SELECT doc_id, unnest(${X.shinglesSql("tk", 5)}) AS pg FROM tk),
+        lmg AS (SELECT pg, COUNT(*) AS cg FROM pg GROUP BY pg),
+        lmp AS (SELECT ${partsSql("pg", 1, 4)} AS p4,
+                       CAST(SUM(cg) AS BIGINT) AS cpm
+                FROM lmg GROUP BY 1),
+        vc AS (SELECT COUNT(DISTINCT t) AS v
+               FROM (SELECT unnest(tk) AS t FROM tk)),
+        gsc AS (SELECT g.doc_id, l.cg + 1 AS den, p.cpm + vc.v AS num
+                FROM pg g
+                JOIN lmg l USING (pg)
+                JOIN lmp p ON p.p4 = ${partsSql("g.pg", 1, 4)}
+                CROSS JOIN vc),
+        bits AS (SELECT doc_id,
+                        greatest(0, CASE WHEN (den << k) > num THEN k - 1 ELSE k END) AS bits
+                 FROM (SELECT doc_id, den, num,
+                              length(printf('%b', num))
+                                - length(printf('%b', den)) AS k
+                       FROM gsc))
+        SELECT doc_id, COUNT(*) AS n_fivegrams,
+               CAST(SUM(bits) AS BIGINT) AS total_bits,
+               CAST(SUM(bits) * 100 // COUNT(*) AS BIGINT)
+                 AS centibits_per_fivegram
+        FROM bits GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q203: KNESER-NEY-FLAVORED INTERPOLATED SCORING — the principled
+    // replacement for q191's stupid-backoff switch (see
+    // [[knInterpolatedScoresTk]]): every 5-gram is priced at ALL three
+    // levels (5-gram raw counts; 4- and 3-token tails under
+    // CONTINUATION counts — type counts over the 5-/4-gram tables, the
+    // KN correction, exact integers) with whole-bit level-drop
+    // penalties, and the cheapest level wins (the log-domain dominant
+    // term of λ-interpolation — exact rational interpolation would
+    // overflow int64 at corpus scale). The per-level routing counts
+    // (n_lvl4/n_lvl3) are hash-checked contract, like q191's.
+    QueryDef(
+      "q203_lm_interpolated_score",
+      (s, dir) => {
+        val docs = T.documents(s, dir)
+        val fitTk = tokenized(docs.filter(col("lang") === "en"))
+        knInterpolatedScoresTk(fitTk, tokenized(docs))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH tk AS (SELECT doc_id, lang, ${X.tokensSql("text")} AS tk
+                    FROM documents),
+        pgall AS (SELECT doc_id, unnest(${X.shinglesSql("tk", 5)}) AS pg
+                  FROM tk),
+        lmg AS (SELECT pg, COUNT(*) AS cg
+                FROM (SELECT unnest(${X.shinglesSql("tk", 5)}) AS pg
+                      FROM tk WHERE lang = 'en')
+                GROUP BY pg),
+        pm5 AS (SELECT ${partsSql("pg", 1, 4)} AS p4,
+                       CAST(SUM(cg) AS BIGINT) AS cp5
+                FROM lmg GROUP BY 1),
+        cc4 AS (SELECT ${partsSql("pg", 2, 4)} AS tl4, COUNT(*) AS cc4
+                FROM lmg GROUP BY 1),
+        dn4 AS (SELECT ${partsSql("pg", 2, 3)} AS md4, COUNT(*) AS dn4
+                FROM lmg GROUP BY 1),
+        lmf4 AS (SELECT fg, COUNT(*) AS cf
+                 FROM (SELECT unnest(${X.shinglesSql("tk", 4)}) AS fg
+                       FROM tk WHERE lang = 'en')
+                 GROUP BY fg),
+        cc3 AS (SELECT ${partsSql("fg", 2, 3)} AS tl3, COUNT(*) AS cc3
+                FROM lmf4 GROUP BY 1),
+        dn3 AS (SELECT ${partsSql("fg", 2, 2)} AS md3, COUNT(*) AS dn3
+                FROM lmf4 GROUP BY 1),
+        vc AS (SELECT COUNT(DISTINCT t) AS v
+               FROM (SELECT unnest(tk) AS t FROM tk WHERE lang = 'en')),
+        isc AS (SELECT g.doc_id,
+                       coalesce(p5.cp5, 0) + vc.v AS n5,
+                       coalesce(l.cg, 0) + 1 AS d5,
+                       coalesce(d4.dn4, 0) + vc.v AS n4,
+                       coalesce(c4.cc4, 0) + 1 AS d4x,
+                       coalesce(d3.dn3, 0) + vc.v AS n3,
+                       coalesce(c3.cc3, 0) + 1 AS d3x
+                FROM pgall g
+                LEFT JOIN lmg l USING (pg)
+                LEFT JOIN pm5 p5 ON p5.p4 = ${partsSql("g.pg", 1, 4)}
+                LEFT JOIN cc4 c4 ON c4.tl4 = ${partsSql("g.pg", 2, 4)}
+                LEFT JOIN dn4 d4 ON d4.md4 = ${partsSql("g.pg", 2, 3)}
+                LEFT JOIN cc3 c3 ON c3.tl3 = ${partsSql("g.pg", 3, 3)}
+                LEFT JOIN dn3 d3 ON d3.md3 = ${partsSql("g.pg", 3, 2)}
+                CROSS JOIN vc),
+        kbits AS (SELECT doc_id,
+                    greatest(0, CASE WHEN (d5 << k5) > n5 THEN k5 - 1 ELSE k5 END) AS b5r,
+                    $BackoffPenaltyBits + greatest(0,
+                      CASE WHEN (d4x << k4) > n4 THEN k4 - 1 ELSE k4 END) AS b4r,
+                    ${2 * BackoffPenaltyBits} + greatest(0,
+                      CASE WHEN (d3x << k3) > n3 THEN k3 - 1 ELSE k3 END) AS b3r
+                  FROM (SELECT doc_id, n5, d5, n4, d4x, n3, d3x,
+                               length(printf('%b', n5)) - length(printf('%b', d5)) AS k5,
+                               length(printf('%b', n4)) - length(printf('%b', d4x)) AS k4,
+                               length(printf('%b', n3)) - length(printf('%b', d3x)) AS k3
+                        FROM isc)),
+        obits AS (SELECT doc_id, least(b5r, b4r, b3r) AS bits,
+                         CASE WHEN least(b5r, b4r, b3r) = b5r THEN 5
+                              WHEN least(b5r, b4r, b3r) = b4r THEN 4
+                              ELSE 3 END AS od
+                  FROM kbits)
+        SELECT doc_id, COUNT(*) AS n_fivegrams,
+               CAST(SUM(CASE WHEN od = 4 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_lvl4,
+               CAST(SUM(CASE WHEN od = 3 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_lvl3,
+               CAST(SUM(bits) AS BIGINT) AS total_bits,
+               CAST(SUM(bits) * 100 // COUNT(*) AS BIGINT)
+                 AS centibits_per_fivegram
+        FROM obits GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q204: 5-GRAM PRUNING EFFECT — q195's report re-run at order 5,
+    // where pruning actually bites. The floor is one decade looser
+    // than q195's (cg ≥ max(2, Σcg/100000)): a 5-gram table is
+    // singleton-dominated (measured ~95% singletons at every fixture
+    // SF — the type space is V^5 ≫ corpus, so counts do NOT grow ∝
+    // docs the way bigram counts do), and q195's 1e-4 mass floor
+    // empties the order-5 model entirely (measured: 0 surviving rows
+    // at sf0.1). At 1e-5 the pruned model keeps the ~5% repeated tail
+    // and the report quantifies the score movement that shipping only
+    // that tail costs — the measurement that justifies WHY a shipped
+    // 5-gram model is pruned+interpolated rather than raw. Same report
+    // columns, same full-vs-pruned two-pass shape as q195.
+    QueryDef(
+      "q204_lm_prune_effect_5gram",
+      (s, dir) => {
+        val toks = tokenized(T.documents(s, dir))
+          .localCheckpoint(eager = false) // fit + both scoring passes
+        val lm = fivegramCountsTk(toks)
+          .localCheckpoint(eager = false) // model count + prune + score
+        val vocab = vocabTokensTk(toks)
+        val nTot = lm.agg(sum(col("cg")).as("ng"))
+        val lmP = lm.crossJoin(broadcast(nTot))
+          .filter(col("cg") >= greatest(lit(2L), expr("ng div 100000")))
+          .select(col("pg"), col("cg"))
+        val full = scoreAgainstLm5Tk(lm, vocab, toks)
+          .select(col("doc_id"), col("total_bits").as("bf"))
+        val pruned = scoreAgainstLm5Tk(lmP, vocab, toks)
+          .select(col("doc_id"), col("total_bits").as("bp"))
+        val mFull = lm.agg(count(lit(1)).as("model_rows_full"))
+        val mPruned = lmP.agg(count(lit(1)).as("model_rows_pruned"))
+        full.join(pruned, "doc_id")
+          .agg(count(lit(1)).as("docs_scored"),
+            sum(col("bf")).as("sum_bits_full"),
+            sum(col("bp")).as("sum_bits_pruned"),
+            sum(when(col("bp") < col("bf"), 1L).otherwise(0L))
+              .as("docs_cheaper"),
+            sum(when(col("bp") > col("bf"), 1L).otherwise(0L))
+              .as("docs_costlier"))
+          .crossJoin(broadcast(mFull))
+          .crossJoin(broadcast(mPruned))
+          .select(col("model_rows_full"), col("model_rows_pruned"),
+            col("docs_scored"), col("sum_bits_full"),
+            col("sum_bits_pruned"), col("docs_cheaper"),
+            col("docs_costlier"))
+      },
+      Some(s"""
+        WITH tk AS (SELECT doc_id, ${X.tokensSql("text")} AS tk FROM documents),
+        pg AS (SELECT doc_id, unnest(${X.shinglesSql("tk", 5)}) AS pg FROM tk),
+        lmg AS (SELECT pg, COUNT(*) AS cg FROM pg GROUP BY pg),
+        lmp AS (SELECT ${partsSql("pg", 1, 4)} AS p4,
+                       CAST(SUM(cg) AS BIGINT) AS cpm
+                FROM lmg GROUP BY 1),
+        vc AS (SELECT COUNT(DISTINCT t) AS v
+               FROM (SELECT unnest(tk) AS t FROM tk)),
+        gsc AS (SELECT g.doc_id, l.cg + 1 AS den, p.cpm + vc.v AS num
+                FROM pg g
+                JOIN lmg l USING (pg)
+                JOIN lmp p ON p.p4 = ${partsSql("g.pg", 1, 4)}
+                CROSS JOIN vc),
+        fbits AS (SELECT doc_id,
+                         greatest(0, CASE WHEN (den << k) > num THEN k - 1 ELSE k END) AS bits
+                  FROM (SELECT doc_id, den, num,
+                               length(printf('%b', num))
+                                 - length(printf('%b', den)) AS k
+                        FROM gsc)),
+        gn AS (SELECT CAST(SUM(cg) AS BIGINT) AS ng FROM lmg),
+        plmg AS (SELECT pg, cg FROM lmg, gn
+                 WHERE cg >= greatest(2, ng // 100000)),
+        plmp AS (SELECT ${partsSql("pg", 1, 4)} AS p4,
+                        CAST(SUM(cg) AS BIGINT) AS cpm
+                 FROM plmg GROUP BY 1),
+        psc AS (SELECT g.doc_id, coalesce(l.cg, 0) + 1 AS den,
+                       coalesce(p.cpm, 0) + vc.v AS num
+                FROM pg g
+                LEFT JOIN plmg l USING (pg)
+                LEFT JOIN plmp p ON p.p4 = ${partsSql("g.pg", 1, 4)}
+                CROSS JOIN vc),
+        pbits AS (SELECT doc_id,
+                         greatest(0, CASE WHEN (den << k) > num THEN k - 1 ELSE k END) AS bits
+                  FROM (SELECT doc_id, den, num,
+                               length(printf('%b', num))
+                                 - length(printf('%b', den)) AS k
+                        FROM psc)),
+        fdoc AS (SELECT doc_id, CAST(SUM(bits) AS BIGINT) AS bf
+                 FROM fbits GROUP BY doc_id),
+        pdoc AS (SELECT doc_id, CAST(SUM(bits) AS BIGINT) AS bp
+                 FROM pbits GROUP BY doc_id)
+        SELECT (SELECT COUNT(*) FROM lmg) AS model_rows_full,
+               (SELECT COUNT(*) FROM plmg) AS model_rows_pruned,
                COUNT(*) AS docs_scored,
                CAST(SUM(f.bf) AS BIGINT) AS sum_bits_full,
                CAST(SUM(p.bp) AS BIGINT) AS sum_bits_pruned,

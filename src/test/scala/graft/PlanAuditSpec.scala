@@ -90,6 +90,14 @@ class PlanAuditSpec extends SparkSpec {
     "q195_lm_prune_effect", // q121's 1-row vocabulary broadcast (both
                             // scoring passes) + the 1-row mass-threshold
                             // and model-row-count broadcasts
+    "q202_lm_fivegram_score", // the same 1-row vocabulary broadcast at
+                              // order 5 (q190's shape)
+    "q203_lm_interpolated_score", // the 1-row vocabulary broadcast into
+                                  // the six-table interpolated scoring
+                                  // join (q191's shape, KN counts)
+    "q204_lm_prune_effect_5gram", // q195's exact broadcast set at
+                                  // order 5 (vocab + mass threshold +
+                                  // model-row counts)
     "q158_lm3_catalog_serving", // q122's per-version 1-row vocabulary
                                 // broadcast under the trigram model
     "q153_classifier_cross_corpus", // q121's 1-row vocabulary broadcast in
@@ -347,6 +355,9 @@ class PlanAuditSpec extends SparkSpec {
       "q189_hybrid_batch_rrf" -> 9, // q188's lexical chain (5) + the semantic side: 25-row query-vector agg + per-query cosine top_k over the map-side broadcast cross + the K×K fusion join + final per-query top_k — every added exchange is K-row-bounded
       "q190_lm_fourgram_score" -> 6, // q157's pinned LM shape one order up: 4-gram agg + (w1,w2,w3)-prefix agg + vocab distinct + doc-side joins + per-doc agg + ordered output
       "q191_lm_backoff_chain" -> 11, // THREE-ORDER model (q161's two-model argument, one level deeper): 4-gram/trigram/bigram count aggs + three prefix-mass aggs + vocab distinct + six doc-side joins + per-doc agg + ordered output — chained stupid backoff is definitionally a three-model score
+      "q202_lm_fivegram_score" -> 6, // q190's pinned LM shape one more order up: 5-gram agg + 4-token-prefix agg + vocab distinct + doc-side joins + per-doc agg + ordered output
+      "q203_lm_interpolated_score" -> 12, // KN interpolation: 5-gram + 4-gram count aggs, prefix-mass + two continuation-type + two normalizer aggs, vocab distinct, seven doc-side joins + per-doc agg + ordered output — every level priced for every gram is definitionally a six-table score
+      "q204_lm_prune_effect_5gram" -> 10, // q195's exact two-pass report shape at order 5: full + pruned scoring passes over one checkpointed tokenization + mass-threshold and model-count broadcasts + the 1-row report agg
       "q193_batch_retrieval_eval" -> 19, // q189's full rank construction (lex 5 + sem chain) evaluated FOUR ways since round 16 (annsem row added): per-variant per-query metric aggs + 1-row relevance broadcast + the qrel broadcast-predicate join + 4-row union sort + the ANN bucket-join/distinct/re-rank chain — each list's standalone budget proven by q188/q189/q201
       "q201_hybrid_batch_ann_rrf" -> 8) // q189's lexical chain (bm25 batch scores + top_k) + the ANN semantic leg: bucket join (map-side signatures), candidate distinct, re-rank top_k, full-outer fusion + top-5 + sort — one FEWER exchange than q189's brute broadcast cross
     (b0.map(_ -> 0) ++ b1.map(_ -> 1) ++ b2.map(_ -> 2) ++ multi).toMap
