@@ -157,6 +157,118 @@ object PipelineOps extends QueryModule {
                           ELSE o_totalprice END AS price
               FROM orders
               WHERE o_orderkey % 3 = 0 OR o_orderkey % 3 = 1)
-        GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ------------------------------------------------------------------
+    // q205: CDC INCREMENTAL VIEW MAINTENANCE — the materialized-view
+    // complement of merge (q66) and diff (q117), the round-15
+    // verdict's item #8: a per-status aggregate view is maintained
+    // ACROSS catalog versions by folding diff deltas, never
+    // recomputing. Three snapshot versions slide a key window
+    // (inserts + deletes), double one residue class's price (update),
+    // and MOVE one residue class to a new status (v3: %10 = 4 →
+    // status 'Z' — the group-key-move edge: the fold treats every
+    // update as delete(old row) + insert(new row), so measures leave
+    // the old group and enter the new one; a naive "update in place"
+    // fold would corrupt both groups). Measures: count, key sum, and
+    // an exact DECIMAL(30,2) price sum — kept decimal END TO END in
+    // the maintained table (adding doubles would break exactness; the
+    // decimal fold is exact cents arithmetic, cast to double only in
+    // the final output, the dsum convention). Output = the maintained
+    // view at ALL THREE versions; the oracle recomputes each version's
+    // aggregate from the snapshot definition — hash equality IS the
+    // maintained ≡ recompute proof. 100 TB: each fold is one diff
+    // (co-partitioned full-outer on the key) + a #groups-row
+    // join — work ∝ the delta, never the table; the view is
+    // catalog-versioned state like every other serving family.
+    QueryDef(
+      "q205_cdc_view_maintenance",
+      (s, dir) => {
+        val work = graft.Scratch.dir("q205")
+        val cat = new VersionedCatalog(s, work)
+        val orders = T.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice").as("price"))
+        def snap(lo: Int, hi: Int, bump: Int, move: Int) = orders
+          .filter(col("o_orderkey") % 10 >= lo && col("o_orderkey") % 10 <= hi)
+          .withColumn("price",
+            when(col("o_orderkey") % 10 === bump, col("price") * 2)
+              .otherwise(col("price")))
+          .withColumn("o_orderstatus",
+            when(col("o_orderkey") % 10 === move, lit("Z"))
+              .otherwise(col("o_orderstatus")))
+          .select(col("o_orderkey"), col("o_orderstatus"), col("price"))
+        cat.writeNext("snap", snap(0, 3, -1, -1))
+        cat.writeNext("snap", snap(2, 5, 3, -1))
+        cat.writeNext("snap", snap(4, 7, 5, 4))
+        val snapSchema = org.apache.spark.sql.types.StructType.fromDDL(
+          "o_orderkey BIGINT, o_orderstatus STRING, price DOUBLE")
+        val viewSchema = org.apache.spark.sql.types.StructType.fromDDL(
+          "o_orderstatus STRING, n_orders BIGINT, key_sum BIGINT, " +
+            "price_sum DECIMAL(30,2)")
+        val dec = "decimal(30,2)"
+        cat.writeNext("view", cat.read("snap", 1, Some(snapSchema))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(col("price").cast(dec)).cast(dec).as("price_sum")))
+        for (v <- 2 to 3) {
+          val d = cat.diff("snap", v - 1, v, Seq("o_orderkey"),
+            Some(snapSchema))
+          val minus = d.filter(col("old").isNotNull).select(
+            col("old.o_orderstatus").as("o_orderstatus"),
+            lit(-1L).as("dn"), (-col("old.o_orderkey")).as("dk"),
+            (-col("old.price").cast(dec)).as("dp"))
+          val plus = d.filter(col("new").isNotNull).select(
+            col("new.o_orderstatus").as("o_orderstatus"),
+            lit(1L).as("dn"), col("new.o_orderkey").as("dk"),
+            col("new.price").cast(dec).as("dp"))
+          val delta = minus.unionByName(plus).groupBy(col("o_orderstatus"))
+            .agg(sum(col("dn")).as("dn"), sum(col("dk")).as("dk"),
+              sum(col("dp")).as("dp"))
+          cat.writeNext("view", cat.read("view", v - 1, Some(viewSchema))
+            .join(delta, Seq("o_orderstatus"), "full_outer")
+            .select(col("o_orderstatus"),
+              (coalesce(col("n_orders"), lit(0L))
+                + coalesce(col("dn"), lit(0L))).as("n_orders"),
+              (coalesce(col("key_sum"), lit(0L))
+                + coalesce(col("dk"), lit(0L))).as("key_sum"),
+              (coalesce(col("price_sum"), lit(0).cast(dec))
+                + coalesce(col("dp"), lit(0).cast(dec))).cast(dec)
+                .as("price_sum"))
+            // a fully-deleted group leaves the view (recompute never
+            // emits it)
+            .filter(col("n_orders") > 0L))
+        }
+        (1 to 3).map(v => cat.read("view", v, Some(viewSchema))
+            .withColumn("version", lit(v.toLong)))
+          .reduce(_ unionByName _)
+          .select(col("version"), col("o_orderstatus"), col("n_orders"),
+            col("key_sum"), col("price_sum").cast("double").as("price_sum"))
+          .orderBy(col("version"), col("o_orderstatus"))
+      },
+      Some("""
+        WITH snaps AS (
+          SELECT 1 AS v, o_orderkey, o_orderstatus,
+                 o_totalprice AS price
+          FROM orders WHERE o_orderkey % 10 <= 3
+          UNION ALL
+          SELECT 2, o_orderkey, o_orderstatus,
+                 CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice * 2
+                      ELSE o_totalprice END
+          FROM orders WHERE o_orderkey % 10 BETWEEN 2 AND 5
+          UNION ALL
+          SELECT 3, o_orderkey,
+                 CASE WHEN o_orderkey % 10 = 4 THEN 'Z'
+                      ELSE o_orderstatus END,
+                 CASE WHEN o_orderkey % 10 = 5 THEN o_totalprice * 2
+                      ELSE o_totalprice END
+          FROM orders WHERE o_orderkey % 10 BETWEEN 4 AND 7)
+        SELECT CAST(v AS BIGINT) AS version, o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(SUM(CAST(price AS DECIMAL(30,2))) AS DOUBLE)
+                 AS price_sum
+        FROM snaps GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

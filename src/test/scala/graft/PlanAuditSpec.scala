@@ -358,6 +358,7 @@ class PlanAuditSpec extends SparkSpec {
       "q202_lm_fivegram_score" -> 6, // q190's pinned LM shape one more order up: 5-gram agg + 4-token-prefix agg + vocab distinct + doc-side joins + per-doc agg + ordered output
       "q203_lm_interpolated_score" -> 12, // KN interpolation: 5-gram + 4-gram count aggs, prefix-mass + two continuation-type + two normalizer aggs, vocab distinct, seven doc-side joins + per-doc agg + ordered output — every level priced for every gram is definitionally a six-table score
       "q204_lm_prune_effect_5gram" -> 10, // q195's exact two-pass report shape at order 5: full + pruned scoring passes over one checkpointed tokenization + mass-threshold and model-count broadcasts + the 1-row report agg
+      "q205_cdc_view_maintenance" -> 1, // catalog-served maintained view: the diffs + delta folds ran at construct (each a co-partitioned full-outer ∝ the delta); the returned plan unions three ≤#groups-row parquet reads + sort
       "q193_batch_retrieval_eval" -> 19, // q189's full rank construction (lex 5 + sem chain) evaluated FOUR ways since round 16 (annsem row added): per-variant per-query metric aggs + 1-row relevance broadcast + the qrel broadcast-predicate join + 4-row union sort + the ANN bucket-join/distinct/re-rank chain — each list's standalone budget proven by q188/q189/q201
       "q201_hybrid_batch_ann_rrf" -> 8) // q189's lexical chain (bm25 batch scores + top_k) + the ANN semantic leg: bucket join (map-side signatures), candidate distinct, re-rank top_k, full-outer fusion + top-5 + sort — one FEWER exchange than q189's brute broadcast cross
     (b0.map(_ -> 0) ++ b1.map(_ -> 1) ++ b2.map(_ -> 2) ++ multi).toMap
