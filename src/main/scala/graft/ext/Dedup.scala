@@ -592,6 +592,83 @@ object Dedup extends QueryModule {
         ORDER BY d.doc_id""")),
 
     // ------------------------------------------------------------------
+    // q206: MULTI-L repeated-span coverage — q123 generalized to
+    // L ∈ {10, 20, 50} with the spans from all three lengths UNIONED
+    // into one interval sweep (variable `end` replaces pos+L; the
+    // per-doc sum telescopes to the union measure regardless of
+    // equal-pos tie order, so it is engine-exact). Per-L span counts
+    // ride along hash-checked — the routing between lengths is part
+    // of the contract. Approximates Lee et al.'s arbitrary-length
+    // ≥50-char semantics relationally; see repeatedSpansMulti.
+    QueryDef(
+      "q206_repeated_span_coverage_multi",
+      (s, dir) => repeatedSpanCoverageMulti(T.documents(s, dir))
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH toks AS (SELECT doc_id, ${X.tokensSql("text")} AS tk FROM documents),
+        $multiSpansCtesSql,
+        sw AS (SELECT doc_id, l,
+                      greatest(0, e - greatest(pos,
+                        coalesce(max(e) OVER (PARTITION BY doc_id
+                          ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), -1))) AS contrib
+               FROM mspans),
+        cov AS (SELECT doc_id, COUNT(*) AS n_rep_spans,
+                       CAST(SUM(CASE WHEN l = 10 THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_spans_l10,
+                       CAST(SUM(CASE WHEN l = 20 THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_spans_l20,
+                       CAST(SUM(CASE WHEN l = 50 THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_spans_l50,
+                       CAST(SUM(contrib) AS BIGINT) AS covered_tokens
+                FROM sw GROUP BY doc_id)
+        SELECT d.doc_id, CAST(d.n_tokens AS BIGINT) AS n_tokens,
+               coalesce(c.n_rep_spans, 0) AS n_rep_spans,
+               coalesce(c.n_spans_l10, 0) AS n_spans_l10,
+               coalesce(c.n_spans_l20, 0) AS n_spans_l20,
+               coalesce(c.n_spans_l50, 0) AS n_spans_l50,
+               coalesce(c.covered_tokens, 0) AS covered_tokens,
+               CASE WHEN d.n_tokens = 0 THEN 0
+                    ELSE coalesce(c.covered_tokens, 0) * 100 // d.n_tokens
+               END AS coverage_pct
+        FROM (SELECT doc_id, len(tk) AS n_tokens FROM toks) d
+        LEFT JOIN cov c USING (doc_id)
+        ORDER BY d.doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q207: MULTI-L repeated-span REMOVAL — q124's cut with the
+    // covered-position set unioned across the three lengths; the
+    // cleaned text is hash-compared byte for byte, so the cross-L
+    // union, anti-join, and ordered reassembly must all agree.
+    QueryDef(
+      "q207_repeated_span_removal_multi",
+      (s, dir) => removeRepeatedSpansMulti(T.documents(s, dir))
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH toks AS (SELECT doc_id, ${X.tokensSql("text")} AS tk FROM documents),
+        $multiSpansCtesSql,
+        covered AS (SELECT DISTINCT doc_id, tpos
+                    FROM (SELECT doc_id, unnest(range(pos, e)) AS tpos
+                          FROM mspans)),
+        ptok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS tpos, tk[i] AS tok
+                 FROM (SELECT doc_id, tk, unnest(range(1, len(tk)+1)) AS i
+                       FROM toks)),
+        kept AS (SELECT p.doc_id, p.tpos, p.tok
+                 FROM ptok p ANTI JOIN covered c
+                   ON p.doc_id = c.doc_id AND p.tpos = c.tpos),
+        cleaned AS (SELECT doc_id, COUNT(*) AS kept_tokens,
+                           string_agg(tok, ' ' ORDER BY tpos) AS cleaned_text
+                    FROM kept GROUP BY doc_id)
+        SELECT d.doc_id, CAST(d.n_tokens AS BIGINT) AS n_tokens,
+               coalesce(c.kept_tokens, 0) AS kept_tokens,
+               CAST(d.n_tokens - coalesce(c.kept_tokens, 0) AS BIGINT)
+                 AS removed_tokens,
+               coalesce(c.cleaned_text, '') AS cleaned_text
+        FROM (SELECT doc_id, len(tk) AS n_tokens FROM toks) d
+        LEFT JOIN cleaned c USING (doc_id)
+        ORDER BY d.doc_id""")),
+
+    // ------------------------------------------------------------------
     // q128: span-level decontamination ([[spanContamination]]) — eval
     // slice = source 'src0', train = every other source. Per eval doc:
     // how many of its 10-token spans occur anywhere in train, and what
@@ -1245,6 +1322,116 @@ object Dedup extends QueryModule {
         when(col("n_tokens") === 0L, lit(0L))
           .otherwise(expr("(covered_tokens * 100) div n_tokens")))
   }
+
+  /** Span lengths for the MULTI-L sweep (q206/q207) — the round-15
+    * verdict's item #6: q123/q124 fix L = 10, Lee et al.'s suffix
+    * array removes arbitrary ≥ 50-char matches; sweeping L ∈ {10, 20,
+    * 50} and UNIONING the intervals approximates the arbitrary-length
+    * semantics relationally (a repeated run of length n is covered by
+    * its repeated 10-spans up to the last n mod 10 tail; the longer Ls
+    * add precision for long verbatim blocks where the 10-span signal
+    * is noisy). Repetition is judged PER L — each length's key space
+    * is its own occurrence universe. (def, not val: referenced from
+    * `defs` via multiSpansCtesSql, the object-init-order rule.) */
+  private def SpanLs = Seq(10, 20, 50)
+
+  /** (doc_id, pos, end, l) of every repeated L-token span for
+    * L ∈ [[SpanLs]] — three linear discovery passes unioned; the
+    * downstream interval sweep/cut is LENGTH-AGNOSTIC (variable `end`
+    * instead of pos+L), so spans from different Ls provably union. */
+  private def repeatedSpansMulti(toks: DataFrame): DataFrame =
+    SpanLs.map { l =>
+      val keyed = toks
+        .select(col("doc_id"), posexplode(X.shingles(col("tk"), l)))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          X.h60(col("col")).as("k"))
+      val repeated = keyed.groupBy(col("k")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select(col("k"))
+      keyed.join(repeated, "k")
+        .select(col("doc_id"), col("pos"), (col("pos") + l).as("end"),
+          lit(l.toLong).as("l"))
+    }.reduce(_ unionByName _)
+
+  /** Multi-L repeated-span coverage (q206): the q123 sweep with
+    * variable-length intervals — contribution = end − max(pos, max
+    * prior end), clamped at 0. The running max ties on equal pos are
+    * engine-order-dependent per ROW but the per-doc SUM telescopes to
+    * the union measure regardless of tie order (max(ends) − max(pos,
+    * prior max)), so only order-invariant aggregates are output. */
+  def repeatedSpanCoverageMulti(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), X.tokens(col("text")).as("tk"))
+    val base = toks.select(col("doc_id"),
+      size(col("tk")).cast("long").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cov = repeatedSpansMulti(toks)
+      .withColumn("prev_end", max(col("end")).over(w))
+      .select(col("doc_id"), col("l"),
+        greatest(lit(0L), col("end")
+          - greatest(col("pos"), coalesce(col("prev_end"), lit(-1L))))
+          .as("contrib"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_rep_spans"),
+        sum(when(col("l") === 10L, 1L).otherwise(0L)).as("n_spans_l10"),
+        sum(when(col("l") === 20L, 1L).otherwise(0L)).as("n_spans_l20"),
+        sum(when(col("l") === 50L, 1L).otherwise(0L)).as("n_spans_l50"),
+        sum(col("contrib")).as("covered_tokens"))
+    base.join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_rep_spans"), lit(0L)).as("n_rep_spans"),
+        coalesce(col("n_spans_l10"), lit(0L)).as("n_spans_l10"),
+        coalesce(col("n_spans_l20"), lit(0L)).as("n_spans_l20"),
+        coalesce(col("n_spans_l50"), lit(0L)).as("n_spans_l50"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+      .withColumn("coverage_pct",
+        when(col("n_tokens") === 0L, lit(0L))
+          .otherwise(expr("(covered_tokens * 100) div n_tokens")))
+  }
+
+  /** Multi-L removal (q207): q124's cut with the covered-position set
+    * unioned across all three span lengths. */
+  def removeRepeatedSpansMulti(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), X.tokens(col("text")).as("tk"))
+    val ptok = toks
+      .select(col("doc_id"), posexplode(col("tk")))
+      .select(col("doc_id"), col("pos").cast("long").as("tpos"),
+        col("col").as("tok"))
+    val covered = repeatedSpansMulti(toks)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("end") - 1)).as("tpos"))
+      .distinct()
+    val cleaned = ptok.join(covered, Seq("doc_id", "tpos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_tokens"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("tpos"), col("tok")))),
+            x => x.getField("tok"))).as("cleaned_text"))
+    toks.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L)))
+          .as("removed_tokens"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
+  /** The q206/q207 shared oracle CTE chain: per-L keyed/repeated CTEs
+    * (keyedN/repN) unioned into `mspans (doc_id, pos, e, l)`. Expects
+    * a `toks (doc_id, tk)` CTE upstream. */
+  private def multiSpansCtesSql: String =
+    SpanLs.map { l =>
+      s"""
+        keyed$l AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                           ${X.h60Sql(s"sh[i]")} AS k
+                    FROM (SELECT doc_id, sh, unnest(range(1, len(sh)+1)) AS i
+                          FROM (SELECT doc_id, ${X.shinglesSql("tk", l)} AS sh
+                                FROM toks))),
+        rep$l AS (SELECT k FROM keyed$l GROUP BY k HAVING COUNT(*) >= 2)"""
+    }.mkString(",") + s""",
+        mspans AS (${SpanLs.map(l =>
+      s"""SELECT doc_id, pos, pos + $l AS e, CAST($l AS BIGINT) AS l
+          FROM keyed$l JOIN rep$l USING (k)""").mkString(" UNION ALL ")})"""
 
   /** The APPLY step of ExactSubstr dedup — Lee et al. remove the
     * repeated substrings rather than whole documents: every token

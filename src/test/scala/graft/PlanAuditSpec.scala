@@ -320,6 +320,8 @@ class PlanAuditSpec extends SparkSpec {
       "q158_lm3_catalog_serving" -> 7, // q122's served shape with trigram counts: per version the trigram + prefix-mass joins and per-doc agg; fit/fold ran at construct
       "q123_repeated_span_coverage" -> 3, // positional-shingle-hash count + repeated-key join + per-doc window/agg — linear in corpus tokens, no pair materialization (ExactSubstr signal)
       "q124_repeated_span_removal" -> 4, // q123's discovery + covered-position distinct + anti-join + ordered per-doc reassembly — the span explosion multiplies only the repeated side
+      "q206_repeated_span_coverage_multi" -> 5, // q123's discovery ×3 lengths (AQE folds the shared-scan count aggs) + the unioned variable-length window sweep + per-doc agg
+      "q207_repeated_span_removal_multi" -> 6, // q206's three-length discovery + covered-position distinct across Ls + anti-join + ordered per-doc reassembly
       "q125_source_overlap_matrix" -> 6, // distinct (shingle-hash, source) + per-source sizes + hash self-join + pair agg + matrix frame + ordered output — work ∝ Σ per-shingle source-count², never doc pairs
       "q126_source_quality_report" -> 16, // COMPOSITION query: four independent corpus passes (LM surprise 7, span coverage 3, exact-dup 3, lang entropy 2) reduced per-source + the #sources-row report joins — the count is the sum of its proven parts, each budget-pinned standalone
       "q127_dsir_sampling" -> 13, // TWO full LM fit+score passes (source and target, ~6 each: q121's pinned shape) + the per-doc bits join — DSIR is definitionally a two-model query

@@ -144,4 +144,60 @@ class RepeatedSpanSpec extends SparkSpec {
       (1L, 10L, 1L, 10L, 100L),
       (2L, 40L, 1L, 10L, 25L)))
   }
+
+  // ------------------------------------------------------------------
+  // Multi-L sweep (q206/q207): spans from different lengths UNION.
+
+  private def runMulti(docs: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    Dedup.repeatedSpanCoverageMulti(docs.toDF("doc_id", "text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+  }
+
+  test("multi-L: a 60-token shared block fires all three lengths, covered is the union") {
+    val shared = words(60, "m")
+    val got = runMulti(Seq(
+      (1L, shared + " " + words(10, "a")),
+      (2L, shared + " " + words(10, "b"))))
+    // per doc: 51 repeated 10-spans, 41 20-spans, 11 50-spans — and the
+    // covered tokens are the 60-token UNION, not 51·10 + 41·20 + 11·50
+    got.foreach { case (_, nTok, nSpans, l10, l20, l50, covered) =>
+      assert(nTok == 70L)
+      assert((l10, l20, l50) == ((51L, 41L, 11L)), s"per-L counts ($l10,$l20,$l50)")
+      assert(nSpans == 103L && covered == 60L)
+    }
+  }
+
+  test("multi-L: a block only L=10 can see still flows through the union sweep") {
+    // 12 shared tokens: L=10 fires (3 spans), L=20/50 cannot exist
+    val shared = words(12, "s")
+    val got = runMulti(Seq(
+      (1L, shared + " " + words(8, "a")),
+      (2L, shared + " " + words(8, "b"))))
+    got.foreach { case (_, nTok, nSpans, l10, l20, l50, covered) =>
+      assert(nTok == 20L && nSpans == 3L)
+      assert((l10, l20, l50) == ((3L, 0L, 0L)))
+      assert(covered == 12L)
+    }
+  }
+
+  test("multi-L removal cuts the cross-length union of covered positions") {
+    val s = spark
+    import s.implicits._
+    val shared = words(60, "m")
+    val docs = Seq(
+      (1L, shared + " " + words(10, "a")),
+      (2L, shared + " " + words(10, "b"))).toDF("doc_id", "text")
+    val got = Dedup.removeRepeatedSpansMulti(docs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    got.zip(Seq("a", "b")).foreach { case ((_, nTok, kept, removed, text), tag) =>
+      assert(nTok == 70L && kept == 10L && removed == 60L)
+      assert(text == words(10, tag))
+    }
+  }
 }
