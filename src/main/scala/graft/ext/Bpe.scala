@@ -292,6 +292,101 @@ object Bpe extends QueryModule {
     } finally { words.unpersist(); () }
   }
 
+  /** GREEDY-DISJOINT batched training — the TAIL MODE the round-15
+    * sweeps measurement motivated (BENCH_NOTES r15: sequential-EXACT
+    * batching stops its prefix at every count tie, and real corpora go
+    * tie-dense within a few merges, so sweeps degrade to ~R for large
+    * R). This mode trades sequential equality for throughput,
+    * DETERMINISTICALLY: per sweep, rank the top `batchK` pairs by the
+    * training order (cnt DESC, l, r — a total order) and accept every
+    * candidate that is pairwise symbol-disjoint from the sweep's
+    * earlier acceptances (counting each winner's concatenation as
+    * occupied), SKIPPING conflicts instead of stopping, with no
+    * strict-decrease requirement. Disjointness still guarantees each
+    * accepted candidate's recorded count is its true count at
+    * acceptance time (no occurrence is consumed or created by earlier
+    * sweep-mates); what is given up is the global argmax ORDER — a
+    * skipped conflicting pair re-ranks next sweep under fresh counts,
+    * and ties are taken in (l, r) order rather than re-examined. That
+    * is the standard industrial trade (Zhang et al.'s distributed BPE
+    * variants make it implicitly); here it is explicit, deterministic,
+    * and oracled. Sweeps ∝ R/acceptance-rate regardless of ties. */
+  private def greedySweepBody(words: DataFrame, merges: Seq[(String, String)],
+      batchK: Int, byteLevel: Boolean): Seq[(String, String, Long)] = {
+    val segExpr =
+      if (byteLevel) BpeFunctions.segmentWordBytes(col("w"), merges)
+      else BpeFunctions.segmentWord(col("w"), merges)
+    val cand = words.select(col("c"), segExpr.as("syms"))
+      .filter(size(col("syms")) >= 2)
+      .select(col("c"), explode(expr(
+        "transform(sequence(1, size(syms)-1), i -> struct(syms[i-1] AS l, syms[i] AS r))"))
+        .as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("c")).as("cnt"))
+      .orderBy(col("cnt").desc, col("l"), col("r"))
+      .limit(batchK).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val used = scala.collection.mutable.Set.empty[String]
+    val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    for ((l, r, cnt) <- cand) {
+      if (!used(l) && !used(r)) {
+        batch += ((l, r, cnt))
+        used += l; used += r; used += (l + r)
+      }
+    }
+    batch.toSeq
+  }
+
+  /** Exactly `sweeps` greedy-disjoint sweeps (q208's deterministic
+    * output shape): (sweep, rank_in_sweep, l, r, cnt) for every
+    * accepted merge. */
+  def trainMergesGreedySweeps(wc: DataFrame, sweeps: Int, batchK: Int,
+      byteLevel: Boolean = false): Seq[(Int, Int, String, String, Long)] = {
+    val words = wc.persist()
+    try {
+      val acc = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, Int, String, String, Long)]
+      var merges = Seq.empty[(String, String)]
+      for (s <- 1 to sweeps) {
+        val batch = greedySweepBody(words, merges, batchK, byteLevel)
+        require(batch.nonEmpty,
+          s"bpe greedy train: vocabulary fully merged before sweep $s")
+        batch.zipWithIndex.foreach { case ((l, r, cnt), i) =>
+          acc += ((s, i + 1, l, r, cnt))
+          merges = merges :+ ((l, r))
+        }
+      }
+      acc.toSeq
+    } finally { words.unpersist(); () }
+  }
+
+  /** Greedy sweeps until ≥ `rounds` merges, truncated — the
+    * sweeps-measurement entry point (tools.BpeSweeps): returns the
+    * merges and the sweep count, the ∝ R/k evidence on tie-dense
+    * tails where the sequential-exact mode degrades to ~R sweeps. */
+  def trainMergesGreedyUntil(wc: DataFrame, rounds: Int, batchK: Int,
+      byteLevel: Boolean = false)
+      : (Seq[(Int, String, String, Long)], Int) = {
+    val words = wc.persist()
+    try {
+      val acc = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, String, String, Long)]
+      var merges = Seq.empty[(String, String)]
+      var sweeps = 0
+      while (acc.length < rounds) {
+        sweeps += 1
+        val batch = greedySweepBody(words, merges, batchK, byteLevel)
+        require(batch.nonEmpty,
+          s"bpe greedy train: vocabulary fully merged after ${acc.length} merges")
+        batch.take(rounds - acc.length).foreach { case (l, r, cnt) =>
+          acc += ((acc.length + 1, l, r, cnt))
+          merges = merges :+ ((l, r))
+        }
+      }
+      (acc.toSeq, sweeps)
+    } finally { words.unpersist(); () }
+  }
+
   /** One training round of the oracle unroll — MATERIALIZED is
     * load-bearing: seg{r} feeds both pc{r+1} and seg{r+1}, and plain
     * CTE inlining doubles the tree per round (2^R blowup). `tag`
@@ -342,6 +437,14 @@ object Bpe extends QueryModule {
     * the fixture exercises the conflict/tie fallbacks, large enough to
     * show the sweep count dropping well below R. */
   val BatchK = 4
+
+  /** Greedy-disjoint mode (q208): sweeps × candidate width — three
+    * sweeps over the top 8 keep the oracle's recursive-CTE unroll
+    * compact while exercising skip decisions on the fixture (measured:
+    * ~4 of 8 accepted per sweep at sf0.001 — conflicts are the norm,
+    * which is the point of the mode). */
+  val GreedySweeps = 3
+  val GreedyK = 8
 
   override val defs: Seq[QueryDef] = Seq(
 
@@ -586,6 +689,90 @@ object Bpe extends QueryModule {
                  FROM wc),
         $rounds
         SELECT * FROM ($sel) ORDER BY merge_rank"""
+      }),
+
+    // ------------------------------------------------------------------
+    // q208: GREEDY-DISJOINT BATCHED TRAINING — the tail mode the
+    // round-15 sweeps measurement motivated (see
+    // [[trainMergesGreedySweeps]]): 3 sweeps × top-8 candidates,
+    // conflicts SKIPPED instead of stopping, no strict-decrease —
+    // deterministic but NOT sequential-equal (q156 is the
+    // sequential-equal mode; this is the trade that keeps sweeps ∝
+    // R/k on tie-dense tails). The full accepted table — sweep,
+    // within-sweep rank, pair, and its true-at-acceptance count — is
+    // hash-checked against an oracle that replays the greedy scan as
+    // a recursive CTE carrying the occupied-symbol set, so the skip
+    // decisions themselves are part of the contract.
+    QueryDef(
+      "q208_bpe_greedy_batched_train",
+      (s, dir) => {
+        import s.implicits._
+        trainMergesGreedySweeps(wordCounts(T.documents(s, dir)),
+          sweeps = GreedySweeps, batchK = GreedyK)
+          .map { case (sw, rk, l, r, c) => (sw.toLong, rk.toLong, l, r, c) }
+          .toDF("sweep", "rank", "merge_left", "merge_right", "pair_count")
+          .orderBy(col("sweep"), col("rank"))
+      },
+      Some {
+        def sweepCtes(s: Int): String = {
+          val prev = s"seg${s - 1}"
+          s"""
+        pc$s AS MATERIALIZED (
+          SELECT syms[i] AS l, syms[i+1] AS r, CAST(SUM(c) AS BIGINT) AS cnt
+          FROM (SELECT c, syms, unnest(range(1, len(syms))) AS i
+                FROM (SELECT c, list_filter(string_split(seg, '||'),
+                               x -> x != '') AS syms
+                      FROM $prev)
+                WHERE len(syms) >= 2)
+          GROUP BY 1, 2),
+        cand$s AS MATERIALIZED (
+          SELECT l, r, cnt, rnk FROM (
+            SELECT l, r, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, l, r) AS rnk
+            FROM pc$s) WHERE rnk <= $GreedyK),
+        gsel$s AS (
+          SELECT CAST(0 AS BIGINT) AS rnk, CAST([] AS VARCHAR[]) AS used,
+                 CAST([] AS BIGINT[]) AS sel
+          UNION ALL
+          SELECT c.rnk,
+                 CASE WHEN NOT list_contains(g.used, c.l)
+                           AND NOT list_contains(g.used, c.r)
+                      THEN list_concat(g.used, [c.l, c.r, c.l || c.r])
+                      ELSE g.used END,
+                 CASE WHEN NOT list_contains(g.used, c.l)
+                           AND NOT list_contains(g.used, c.r)
+                      THEN list_append(g.sel, c.rnk) ELSE g.sel END
+          FROM gsel$s g JOIN cand$s c ON c.rnk = g.rnk + 1),
+        fin$s AS MATERIALIZED (SELECT sel FROM gsel$s ORDER BY rnk DESC LIMIT 1),
+        acc$s AS MATERIALIZED (
+          SELECT x.i AS rank_in_sweep, c.l, c.r, c.cnt
+          FROM (SELECT unnest(range(1, len(sel)+1)) AS i, sel FROM fin$s) x
+          JOIN cand$s c ON c.rnk = x.sel[x.i]),
+        ml$s AS (SELECT list(l || ' ' || r ORDER BY rank_in_sweep) AS ms
+                 FROM acc$s),
+        seg$s AS MATERIALIZED (
+          SELECT w, c, list_reduce(list_prepend(seg, m.ms),
+            (a, p) -> replace(a,
+              '|' || split_part(p, ' ', 1) || '||' || split_part(p, ' ', 2) || '|',
+              '|' || split_part(p, ' ', 1) || split_part(p, ' ', 2) || '|')) AS seg
+          FROM $prev, ml$s m)"""
+        }
+        val sel = (1 to GreedySweeps).map(s =>
+          s"SELECT CAST($s AS BIGINT) AS sweep, " +
+            s"CAST(rank_in_sweep AS BIGINT) AS rank, l AS merge_left, " +
+            s"r AS merge_right, cnt AS pair_count FROM acc$s")
+          .mkString(" UNION ALL ")
+        s"""
+        WITH RECURSIVE wc AS (SELECT w, COUNT(*) AS c
+                    FROM (SELECT unnest(${X.tokensSql("text")}) AS w
+                          FROM documents)
+                    GROUP BY w),
+        seg0 AS (SELECT w, c,
+                        '||' || array_to_string(string_split_regex(w, ''),
+                          '||') || '||' AS seg
+                 FROM wc),
+        ${(1 to GreedySweeps).map(sweepCtes).mkString(",")}
+        SELECT * FROM ($sel) ORDER BY sweep, rank"""
       }),
 
     // ------------------------------------------------------------------

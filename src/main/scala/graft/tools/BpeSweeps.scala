@@ -67,6 +67,16 @@ object BpeSweeps {
         s"batched k=$k diverged from sequential at R=$rounds")
       (k, sweeps, wall)
     }
+    // Greedy-disjoint mode (q208's trade): NOT sequential-equal by
+    // design, so no equality require — report the sweep count and how
+    // many of its merges match the sequential table (the honest
+    // divergence figure next to the throughput win).
+    val greedy = Seq(8, 16).map { k =>
+      val ((m, sweeps), wall) = time(
+        graft.ext.Bpe.trainMergesGreedyUntil(wc, rounds, k, byteLevel = true))
+      val matching = m.zip(seq).count { case (a, b) => a == b }
+      (k, sweeps, wall, matching)
+    }
     // Locale.ROOT: the default-locale f-interpolator writes "63,3" under
     // comma-decimal locales, which is invalid JSON.
     def js(d: Double): String =
@@ -74,9 +84,12 @@ object BpeSweeps {
     val body = batched.map { case (k, sweeps, wall) =>
       s""""k$k":{"sweeps":$sweeps,"wall_sec":${js(wall)}}"""
     }.mkString(",")
+    val gbody = greedy.map { case (k, sweeps, wall, matching) =>
+      s""""greedy_k$k":{"sweeps":$sweeps,"wall_sec":${js(wall)},"seq_prefix_match":$matching}"""
+    }.mkString(",")
     println(s"""{"tool":"bpe_sweeps","sf_dir":"$sfDir","corpus":"$corpus","rounds":$rounds,""" +
       s""""distinct_words":$nWords,"sequential":{"sweeps":$rounds,""" +
-      s""""wall_sec":${js(seqWall)}},$body,"equal":true}""")
+      s""""wall_sec":${js(seqWall)}},$body,$gbody,"equal":true}""")
     spark.stop()
   }
 }

@@ -186,6 +186,9 @@ class PlanAuditSpec extends SparkSpec {
                         // same 12-row local-relation return
       "q156_bpe_batched_train", // q131's 12-row local-relation return;
                         // the batched sweeps ran eagerly at construct
+      "q208_bpe_greedy_batched_train", // the same local-relation return
+                        // (sweep × rank accepted-merge rows); the 3
+                        // greedy sweeps ran eagerly at construct
       "q131_bpe_train") // the RETURNED merges table is a 12-row local
                         // relation + sort; the R training rounds run
                         // eagerly before this plan (each its own

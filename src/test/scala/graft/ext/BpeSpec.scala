@@ -192,6 +192,52 @@ class BpeSpec extends SparkSpec {
     assert(sw == 2, s"expected 2 sweeps (4 merges + 1), got $sw")
   }
 
+  test("property: greedy-disjoint sweeps accept disjoint sets with true counts") {
+    val s = spark
+    import s.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val wordGen = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    for (iter <- 0 until 4) {
+      val words = (0 until 10).map(i => sample(wordGen, 733L * iter + i))
+      val reps = words.zipWithIndex.flatMap { case (w, i) =>
+        Seq.fill(1 + (i * 5 + iter) % 4)(w) }
+      val docs = Seq((1L, reps.mkString(" "))).toDF("doc_id", "text")
+      val wc = Bpe.wordCounts(docs)
+      val got = Bpe.trainMergesGreedySweeps(wc, sweeps = 3, batchK = 4)
+      // within each sweep: accepted symbols pairwise disjoint (incl.
+      // concatenations) and each accepted count is the TRUE pair count
+      // under the merges accepted in earlier sweeps + earlier in this
+      // sweep (disjointness ⇒ unchanged by sweep-mates: re-train
+      // sequentially and compare the first accepted merge per sweep)
+      got.groupBy(_._1).foreach { case (_, rows) =>
+        val used = scala.collection.mutable.Set.empty[String]
+        rows.sortBy(_._2).foreach { case (_, _, l, r, _) =>
+          assert(!used(l) && !used(r), s"conflict accepted: ($l,$r)")
+          used += l; used += r; used += (l + r)
+        }
+      }
+      // determinism
+      val again = Bpe.trainMergesGreedySweeps(wc, sweeps = 3, batchK = 4)
+      assert(got == again)
+      // the first sweep's first acceptance is the sequential argmax
+      val seq1 = Bpe.trainMergesFromCounts(wc, rounds = 1).head
+      val g1 = got.head
+      assert((g1._3, g1._4, g1._5) == ((seq1._2, seq1._3, seq1._4)))
+    }
+    // greedy-until keeps sweeps ∝ R/k on a DISTINCT-count disjoint
+    // corpus (where both modes batch fully)
+    val big = Seq((1L, (Seq.fill(16)("ab") ++ Seq.fill(13)("cd") ++
+      Seq.fill(9)("ef") ++ Seq.fill(5)("gh") ++ Seq.fill(2)("ij"))
+        .mkString(" "))).toDF("doc_id", "text")
+    val (gm, gsw) = Bpe.trainMergesGreedyUntil(
+      Bpe.wordCounts(big), rounds = 5, batchK = 4)
+    assert(gm.length == 5 && gsw == 2, s"expected 5 merges in 2 sweeps, got ${gm.length} in $gsw")
+  }
+
   test("word-count fold law: training on wc(A) ⊕ wc(B) ≡ training on A ∪ B") {
     val s = spark
     import s.implicits._
