@@ -67,15 +67,20 @@ object ClassifierStore {
     * lock serializes a first-use race (writeNext's claim-file promote
     * would keep even a lost race consistent — v2 would duplicate v1 —
     * but building twice wastes the exact work this store exists to
-    * amortize). */
+    * amortize). The gate is the LAST-written artifact (`w`), so a
+    * failure between the two writeNext calls retries the build instead
+    * of leaving the store half-built for the process; `feat` is only
+    * rebuilt if its own v1 is missing (a committed feat v1 is
+    * deterministic from the corpus, so reusing it on retry is exact). */
   private def ensure(s: SparkSession, dir: String): VersionedCatalog =
     lock.synchronized {
       val cat = catalogFor(s, dir)
-      if (cat.latestVersion("feat").isEmpty) {
+      if (cat.latestVersion("w").isEmpty) {
         val scope = new graft.CacheScope
         try {
-          cat.writeNext("feat",
-            Classifier.features(T.documents(s, dir), scope))
+          if (cat.latestVersion("feat").isEmpty)
+            cat.writeNext("feat",
+              Classifier.features(T.documents(s, dir), scope))
           // train on the READ-BACK table — the committed artifact is
           // the single source of truth for both legs of the model
           val snaps = Classifier.trainPerceptron(
@@ -85,6 +90,15 @@ object ClassifierStore {
       }
       cat
     }
+
+  /** Drop the process-local catalog binding for `dir`, forcing the next
+    * serve to rebuild from the (possibly regenerated) corpus. The store
+    * keys by directory PATH for the JVM lifetime; if the data under that
+    * path is rewritten mid-process (fixture regeneration in a long-lived
+    * session), served features would silently go stale — call this after
+    * any in-place rewrite. */
+  def invalidate(dir: String): Unit =
+    lock.synchronized { roots -= dir }
 
   /** The served standardized feature table (doc_id, y, x1..x5). */
   def features(s: SparkSession, dir: String): DataFrame =

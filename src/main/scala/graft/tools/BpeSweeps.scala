@@ -74,7 +74,13 @@ object BpeSweeps {
     val greedy = Seq(8, 16).map { k =>
       val ((m, sweeps), wall) = time(
         graft.ext.Bpe.trainMergesGreedyUntil(wc, rounds, k, byteLevel = true))
-      val matching = m.zip(seq).count { case (a, b) => a == b }
+      // Compare only the (l, r) pair: a greedy merge can match the
+      // sequential table in WHAT it merges while carrying a different
+      // at-acceptance count (different merge history), and counting
+      // full-tuple equality would understate agreement.
+      val matching = m.zip(seq).count { case (a, b) =>
+        (a._2, a._3) == (b._2, b._3)
+      }
       (k, sweeps, wall, matching)
     }
     // Locale.ROOT: the default-locale f-interpolator writes "63,3" under
