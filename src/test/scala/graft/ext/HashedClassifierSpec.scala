@@ -52,6 +52,54 @@ class HashedClassifierSpec extends SparkSpec {
       "bias (j=-1) and length (j=-2) rows must survive training")
   }
 
+  test("operating curve: tighter threshold never increases kept count, " +
+    "and the k=0 point matches the apply gate") {
+    val rows = graft.SparkEntry
+      .queries("q209_hashed_threshold_sweep")(spark, dir)
+      .orderBy(col("thr_k")).collect()
+    assert(rows.length == 5)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_kept") >= b.getAs[Long]("n_kept"),
+        "kept count must be non-increasing in the threshold")
+    }
+    // converged training: at thr = 0 the kept set IS the positive set
+    val mid = rows(2)
+    assert(mid.getAs[Long]("precision_e4") == 10000L &&
+      mid.getAs[Long]("recall_e4") == 10000L,
+      s"k=0 row should match the converged separator: $mid")
+  }
+
+  test("calibration: positive rate is monotone non-decreasing in bin") {
+    val rows = graft.SparkEntry
+      .queries("q210_hashed_calibration")(spark, dir)
+      .orderBy(col("bin")).collect()
+    assert(rows.nonEmpty)
+    rows.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("pos_rate_e4") <= b.getAs[Long]("pos_rate_e4"),
+        s"calibration must be monotone: bins ${a.getAs[Long]("bin")} -> " +
+          s"${b.getAs[Long]("bin")}")
+    }
+  }
+
+  test("active learning: 5 picks per source, margins non-decreasing, " +
+    "middle band eligible") {
+    val rows = graft.SparkEntry
+      .queries("q211_hashed_active_learning")(spark, dir)
+      .collect()
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    assert(bySrc.values.forall(_.length == 5))
+    bySrc.values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Long]("pick"))
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a.getAs[Long]("margin") <= b.getAs[Long]("margin"))
+      }
+    }
+    // uncertainty sampling surfaces the ambiguous middle band: on the
+    // fixture the lowest-margin docs are overwhelmingly y = 0 docs
+    assert(rows.exists(_.getAs[Long]("y") == 0L),
+      "expected at least one middle-band (y = 0) selection")
+  }
+
   test("store is idempotent: serving twice returns identical weights") {
     val a = HashedClassifier.weights(spark, dir, "hw")
       .orderBy(col("j")).collect().map(r => (r.getLong(0), r.getLong(1)))
