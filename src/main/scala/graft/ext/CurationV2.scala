@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.{QueryDef, QueryModule, Tables => T}
 import graft.ext.{TextDsl => X}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** The round-13 CURATION PIPELINE V2 — the capstone composition: every
@@ -45,43 +46,84 @@ object CurationV2 extends QueryModule {
   /** Packing budget in (cleaned) whitespace tokens. */
   val PackBudget = 512L
 
+  /** Stages 1–2 — line-level boilerplate removal + repetition gate —
+    * as ONE construction shared by the v2 (q152) and v3 (q212)
+    * capstones: the cached gated cleaned corpus (doc_id, source, ctk,
+    * n_tokens). The two pipelines differ only in WHICH learned filter
+    * gates stage 3; their input corpus is held identical by sharing
+    * this code and [[gateCtesSql]]. */
+  private[ext] def gatedCleaned(docs: DataFrame,
+      scope: graft.CacheScope): DataFrame = {
+    // stage 1: line removal → per-doc cleaned token stream. The
+    // hashed line frame feeds the stats build AND the join back.
+    val linesC = scope.cache(
+      Boilerplate.linesTokenWindows(docs)
+        .withColumn("lh", X.h60(col("line"))))
+    val stats = linesC.groupBy(col("lh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    val cleaned = linesC.join(stats, Seq("lh"), "left")
+      .filter(coalesce(col("nd"), lit(0L)) < Boilerplate.DupDocs)
+      .groupBy(col("doc_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("line_idx"), col("line")))),
+        x => split(x.getField("line"), " "))).as("ctk"))
+    // stage 2: repetition gate on the cleaned stream (map-side)
+    scope.cache(cleaned
+      .filter(size(col("ctk")) >= MinTokens)
+      .withColumn("s3", X.shingles(col("ctk"), 3))
+      .withColumn("dup3_bps", expr(
+        "(CAST(size(s3) - size(array_distinct(s3)) AS BIGINT) * 10000) div size(s3)"))
+      .withColumn("top_cnt", expr("""aggregate(sort_array(ctk),
+          named_struct('prev', '', 'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),
+          (acc, t) -> named_struct(
+            'prev', t,
+            'run',  IF(t = acc.prev, acc.run + 1, CAST(1 AS BIGINT)),
+            'best', greatest(acc.best, IF(t = acc.prev, acc.run + 1, CAST(1 AS BIGINT)))),
+          acc -> acc.best)"""))
+      .withColumn("top_bps", expr("(top_cnt * 10000) div size(ctk)"))
+      .filter(col("dup3_bps") <= MaxDup3Bps && col("top_bps") <= MaxTopBps)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("doc_id"), col("source"), col("ctk"),
+        size(col("ctk")).cast("long").as("n_tokens")))
+  }
+
+  /** The stage-1/2 oracle CTE prefix (tk → ln → sig → d → ck → gate0 →
+    * gate) shared VERBATIM by the q152 and q212 oracles — both
+    * capstones gate the IDENTICAL cleaned corpus. `gate` carries
+    * (doc_id, source, text, n_tokens) with text = the space-rejoined
+    * cleaned stream (the BoilerplateSpec identity law makes the
+    * re-tokenization exact). */
+  private[ext] val gateCtesSql: String = s"""${Boilerplate.linesTokenWindowsSql},
+        sig AS MATERIALIZED (
+          SELECT doc_id, line_idx, line, ${X.h60Sql("line")} AS lh FROM ln),
+        d AS (SELECT lh, COUNT(DISTINCT doc_id) AS nd FROM sig GROUP BY lh),
+        ck AS (SELECT doc_id,
+                      flatten(list(string_split(line, ' ')
+                        ORDER BY line_idx)) AS ctk
+               FROM sig LEFT JOIN d USING (lh)
+               WHERE coalesce(d.nd, 0) < ${Boilerplate.DupDocs}
+               GROUP BY doc_id),
+        gate0 AS (SELECT doc_id, ctk, ${X.shinglesSql("ctk", 3)} AS s3,
+                         CAST(list_max(list_transform(list_distinct(ctk),
+                                dd -> len(list_filter(ctk, x -> x = dd))))
+                           AS BIGINT) AS top_cnt
+                  FROM ck WHERE len(ctk) >= $MinTokens),
+        gate AS MATERIALIZED (
+          SELECT g.doc_id, dd.source,
+                 array_to_string(g.ctk, ' ') AS text,
+                 CAST(len(g.ctk) AS BIGINT) AS n_tokens
+          FROM gate0 g JOIN documents dd USING (doc_id)
+          WHERE (len(g.s3) - len(list_distinct(g.s3))) * 10000
+                  // len(g.s3) <= $MaxDup3Bps
+            AND g.top_cnt * 10000 // len(g.ctk) <= $MaxTopBps)"""
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q152_curation_pipeline_v2",
       (s, dir) => {
         val docs = T.documents(s, dir)
         val scope = new graft.CacheScope
-        // stage 1: line removal → per-doc cleaned token stream. The
-        // hashed line frame feeds the stats build AND the join back.
-        val linesC = scope.cache(
-          Boilerplate.linesTokenWindows(docs)
-            .withColumn("lh", X.h60(col("line"))))
-        val stats = linesC.groupBy(col("lh"))
-          .agg(countDistinct(col("doc_id")).as("nd"))
-        val cleaned = linesC.join(stats, Seq("lh"), "left")
-          .filter(coalesce(col("nd"), lit(0L)) < Boilerplate.DupDocs)
-          .groupBy(col("doc_id"))
-          .agg(flatten(transform(
-            array_sort(collect_list(struct(col("line_idx"), col("line")))),
-            x => split(x.getField("line"), " "))).as("ctk"))
-        // stage 2: repetition gate on the cleaned stream (map-side)
-        val gate = scope.cache(cleaned
-          .filter(size(col("ctk")) >= MinTokens)
-          .withColumn("s3", X.shingles(col("ctk"), 3))
-          .withColumn("dup3_bps", expr(
-            "(CAST(size(s3) - size(array_distinct(s3)) AS BIGINT) * 10000) div size(s3)"))
-          .withColumn("top_cnt", expr("""aggregate(sort_array(ctk),
-              named_struct('prev', '', 'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),
-              (acc, t) -> named_struct(
-                'prev', t,
-                'run',  IF(t = acc.prev, acc.run + 1, CAST(1 AS BIGINT)),
-                'best', greatest(acc.best, IF(t = acc.prev, acc.run + 1, CAST(1 AS BIGINT)))),
-              acc -> acc.best)"""))
-          .withColumn("top_bps", expr("(top_cnt * 10000) div size(ctk)"))
-          .filter(col("dup3_bps") <= MaxDup3Bps && col("top_bps") <= MaxTopBps)
-          .join(docs.select(col("doc_id"), col("source")), "doc_id")
-          .select(col("doc_id"), col("source"), col("ctk"),
-            size(col("ctk")).cast("long").as("n_tokens")))
+        val gate = gatedCleaned(docs, scope)
         // stage 3: train the quality filter ON the gated cleaned
         // corpus. The cleaned stream IS already the tokenized universe
         // (token-window lines reassemble the token stream exactly —
@@ -106,29 +148,7 @@ object CurationV2 extends QueryModule {
           budget = PackBudget)
       },
       Some(s"""
-        WITH ${Boilerplate.linesTokenWindowsSql},
-        sig AS MATERIALIZED (
-          SELECT doc_id, line_idx, line, ${X.h60Sql("line")} AS lh FROM ln),
-        d AS (SELECT lh, COUNT(DISTINCT doc_id) AS nd FROM sig GROUP BY lh),
-        ck AS (SELECT doc_id,
-                      flatten(list(string_split(line, ' ')
-                        ORDER BY line_idx)) AS ctk
-               FROM sig LEFT JOIN d USING (lh)
-               WHERE coalesce(d.nd, 0) < ${Boilerplate.DupDocs}
-               GROUP BY doc_id),
-        gate0 AS (SELECT doc_id, ctk, ${X.shinglesSql("ctk", 3)} AS s3,
-                         CAST(list_max(list_transform(list_distinct(ctk),
-                                dd -> len(list_filter(ctk, x -> x = dd))))
-                           AS BIGINT) AS top_cnt
-                  FROM ck WHERE len(ctk) >= $MinTokens),
-        gate AS MATERIALIZED (
-          SELECT g.doc_id, dd.source,
-                 array_to_string(g.ctk, ' ') AS text,
-                 CAST(len(g.ctk) AS BIGINT) AS n_tokens
-          FROM gate0 g JOIN documents dd USING (doc_id)
-          WHERE (len(g.s3) - len(list_distinct(g.s3))) * 10000
-                  // len(g.s3) <= $MaxDup3Bps
-            AND g.top_cnt * 10000 // len(g.ctk) <= $MaxTopBps),
+        WITH $gateCtesSql,
         ${Classifier.featChainSql("c", "", src = "gate")},
         ${Classifier.trainChainSql(1, Classifier.Epochs, "featc")},
         ${Classifier.scoredCtesSql("c")},

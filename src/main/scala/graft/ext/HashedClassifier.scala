@@ -167,6 +167,147 @@ object HashedClassifier extends QueryModule {
         .as("s"))
       .join(lab, "doc_id")
 
+  /** Per-doc scores over the FULL universe (no label join):
+    * (doc_id, score) — the capstone's apply seat. */
+  private[ext] def scoreAll(occ: DataFrame, w: DataFrame): DataFrame =
+    occ.join(w, Seq("j"), "left")
+      .groupBy(col("doc_id"))
+      .agg(coalesce(sum(col("c") * coalesce(col("w"), lit(0L))), lit(0L))
+        .as("score"))
+
+  /** The cooled-mean batch perceptron epoch loop (see class doc) over a
+    * prepared (occT, labT) training slice. `materialize` pins each
+    * epoch's merged weight table (catalog version write+read for the
+    * Store; bare persist for transient capstone training) — without it
+    * the weight lineage doubles per epoch. Returns the LAST epoch's
+    * materialized table and the per-epoch log rows. Control state per
+    * epoch: n_mis + two weight-table stats — three longs, the
+    * Lloyd/BPE discipline. */
+  private def epochLoop(s: SparkSession, occT: DataFrame, labT: DataFrame,
+      materialize: (DataFrame, Int) => DataFrame)
+      : (DataFrame, Seq[(Long, Long, Long, Long, Long)]) = {
+    var wPrev = s.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      ddl(WSchemaDdl))
+    val log = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long)]
+    for (r <- 1 to Epochs) {
+      val mis = scoreUnder(occT, labT, wPrev)
+        .filter(col("y") * col("s") <= 0L)
+        .select(col("doc_id"), col("y")).persist()
+      val nm = mis.count()
+      val k = (if (nm == 0L) 0
+        else 64 - java.lang.Long.numberOfLeadingZeros(nm)) + (r - 1)
+      val delta = occT.join(mis, "doc_id")
+        .groupBy(col("j"))
+        .agg(shiftright(sum(col("y") * col("c")), k).as("dw"))
+      val wr = materialize(wPrev.join(delta, Seq("j"), "full_outer")
+        .select(col("j"),
+          (coalesce(col("w"), lit(0L)) + coalesce(col("dw"), lit(0L)))
+            .as("w")), r)
+      mis.unpersist(blocking = false)
+      val st = wr.agg(
+        coalesce(sum(when(col("w") =!= 0L, 1L)), lit(0L)).as("nnz"),
+        coalesce(sum(abs(col("w"))), lit(0L)).as("l1")).collect()(0)
+      log += ((r.toLong, nm, k.toLong, st.getLong(0), st.getLong(1)))
+      wPrev = wr
+    }
+    (wPrev, log.toSeq)
+  }
+
+  /** Transient training for capstone compositions (q212): the same
+    * cooled-mean dynamics as [[epochLoop]], restructured to ONE Spark
+    * action per epoch — the capstone pays this training on every run,
+    * so the Store loop's 3 actions/epoch (mis count, weight write,
+    * stats log) are pure scheduling floor here (measured: 13.4 s vs
+    * q152's 11.3 s at sf0.1 before this shape). Two changes, neither
+    * touching a single computed value:
+    *
+    *  - the cooled shift k = bit_length(n_mis) + (r−1) computes
+    *    IN-PLAN (a 1-row count aggregate broadcast into the delta
+    *    projection — `length(bin(nm))` is bit_length for nm > 0, and
+    *    at nm = 0 the delta is empty so the shift is vacuous), exactly
+    *    the oracle's `(SELECT k FROM hbk_r)` scalar;
+    *  - no per-epoch log (q212's gate is the final bin-table hash;
+    *    the log queries q198/q200 serve from the Store).
+    *
+    * Epoch snapshots are pinned by EAGER localCheckpoint — the one
+    * action — not persist: a persist materializes the DATA but leaves
+    * the LOGICAL plan nested, and with wPrev referenced twice per
+    * epoch (score + merge) the plan tree doubles per epoch and the
+    * per-action plan-string rendering (SQLExecution events) goes
+    * exponential (measured: minutes of single-threaded driver burn by
+    * epoch 5). The checkpoint truncates lineage to the ≤ 2^16 + 2 row
+    * materialized table — the Store's parquet round-trip without the
+    * disk. Returns the converged LAST weight table. */
+  private[ext] def trainTransient(s: SparkSession, occ: DataFrame,
+      lab: DataFrame): DataFrame = {
+    // Runtime Bloom-filter join pruning OFF for the epoch jobs: every
+    // side of every epoch join is an in-memory cache, a broadcast, or
+    // a checkpointed ≤ 2^16 + 2 row table — there is no scan to prune,
+    // but the injected bloom (an 8 MB bloom_filter_agg build + a
+    // might_contain probe over the corpus-linear occ side, PER JOIN
+    // PER EPOCH) was measured at ~5 s/epoch of pure task time at
+    // sf0.1 — several times the epoch's real work. Scoped + restored:
+    // outside the loop (real scans at 100 TB) the optimization stays
+    // on.
+    val bloomKey = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val bloomPrev = s.conf.get(bloomKey, "true")
+    val aqePrev = s.conf.get(aqeKey, "true")
+    s.conf.set(bloomKey, "false")
+    // AQE OFF inside the loop: every epoch exchange is a known-tiny
+    // table, so runtime re-planning buys nothing — but each AQE query
+    // stage is its own job barrier, and the barriers (4-6 per epoch ×
+    // 6 epochs over sub-second stages) WERE the training wall clock.
+    // Static planning pipelines each epoch into one job.
+    s.conf.set(aqeKey, "false")
+    try trainTransientLoop(s, occ, lab)
+    finally {
+      s.conf.set(bloomKey, bloomPrev)
+      s.conf.set(aqeKey, aqePrev)
+    }
+  }
+
+  private def trainTransientLoop(s: SparkSession, occ: DataFrame,
+      lab: DataFrame): DataFrame = {
+    val labT = lab.filter(col("y") =!= 0L)
+    var wPrev = s.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      ddl(WSchemaDdl))
+    for (r <- 1 to Epochs) {
+      // persisted, not recomputed: the score join is the epoch's real
+      // work and both the shift scalar and the delta read it; the k1
+      // broadcast materializes the cache, the main job reuses it.
+      // Every small side is HINTED broadcast: checkpointed weight
+      // tables and cached label frames carry no stats, so unhinted
+      // AQE sort-merge-joins them — shuffling the corpus-linear occ
+      // table on j once per epoch (measured 2.3 s/epoch of pure
+      // exchange at sf0.1; the weight side is ≤ 2^16 + 2 rows by
+      // construction and the label frame is one row per doc).
+      val mis = scoreUnder(occ, broadcast(labT), broadcast(wPrev))
+        .filter(col("y") * col("s") <= 0L)
+        .select(col("doc_id"), col("y")).persist()
+      val k1 = mis.agg(count(lit(1)).as("nm"))
+        .select((when(col("nm") === 0L, lit(0L))
+          .otherwise(length(bin(col("nm"))).cast("long")) + lit(r - 1))
+          .as("k"))
+      val delta = occ.join(broadcast(mis), "doc_id")
+        .groupBy(col("j"))
+        .agg(sum(col("y") * col("c")).as("sd"))
+        .crossJoin(broadcast(k1))
+        .select(col("j"), expr("shiftright(sd, CAST(k AS INT))").as("dw"))
+      val w = wPrev.join(delta, Seq("j"), "full_outer")
+        .select(col("j"),
+          (coalesce(col("w"), lit(0L)) + coalesce(col("dw"), lit(0L)))
+            .as("w"))
+        .localCheckpoint(eager = false)
+      mis.unpersist(blocking = false)
+      wPrev = w
+    }
+    wPrev
+  }
+
   /** Catalog-backed build-once store for the hashed-classifier family
     * (the [[ClassifierStore]] pattern): `hocc`/`hlab`/`hthr` v1, the
     * full-universe training's weight snapshots `hw` v1..vEpochs + log
@@ -213,46 +354,23 @@ object HashedClassifier extends QueryModule {
         cat
       }
 
-    /** The cooled-mean batch perceptron (see class doc): Epochs weight
-      * versions committed under `wStep`, the per-epoch log under
-      * `logStep`. Control state per epoch: n_mis + two weight-table
-      * stats — three longs, the Lloyd/BPE discipline. */
+    /** The cooled-mean batch perceptron (see class doc) through
+      * [[epochLoop]]: Epochs weight versions committed under `wStep`
+      * (each epoch trains on the READ-BACK committed version), the
+      * per-epoch log under `logStep`. */
     private def trainLoop(s: SparkSession, cat: VersionedCatalog,
         occ: DataFrame, lab: DataFrame,
         trainFilter: org.apache.spark.sql.Column,
         wStep: String, logStep: String): Unit = {
       import s.implicits._
-      val occT = occ.filter(trainFilter)
-      val labT = lab.filter(col("y") =!= 0L)
-      var wPrev = s.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-        ddl(WSchemaDdl))
-      val log = scala.collection.mutable.ArrayBuffer
-        .empty[(Long, Long, Long, Long, Long)]
-      for (r <- 1 to Epochs) {
-        val mis = scoreUnder(occT, labT, wPrev)
-          .filter(col("y") * col("s") <= 0L)
-          .select(col("doc_id"), col("y")).persist()
-        val nm = mis.count()
-        val k = (if (nm == 0L) 0
-          else 64 - java.lang.Long.numberOfLeadingZeros(nm)) + (r - 1)
-        val delta = occT.join(mis, "doc_id")
-          .groupBy(col("j"))
-          .agg(shiftright(sum(col("y") * col("c")), k).as("dw"))
-        cat.writeNext(wStep, wPrev.join(delta, Seq("j"), "full_outer")
-          .select(col("j"),
-            (coalesce(col("w"), lit(0L)) + coalesce(col("dw"), lit(0L)))
-              .as("w")))
-        mis.unpersist(blocking = false)
-        val wr = cat.read(wStep, r, Some(ddl(WSchemaDdl)))
-        val st = wr.agg(
-          coalesce(sum(when(col("w") =!= 0L, 1L)), lit(0L)).as("nnz"),
-          coalesce(sum(abs(col("w"))), lit(0L)).as("l1")).collect()(0)
-        log += ((r.toLong, nm, k.toLong, st.getLong(0), st.getLong(1)))
-        wPrev = wr
-      }
+      val (_, log) = epochLoop(s, occ.filter(trainFilter),
+        lab.filter(col("y") =!= 0L),
+        (w, r) => {
+          cat.writeNext(wStep, w)
+          cat.read(wStep, r, Some(ddl(WSchemaDdl)))
+        })
       cat.writeNext(logStep,
-        log.toSeq.toDF("epoch", "n_mis", "k_shift", "nnz", "l1"))
+        log.toDF("epoch", "n_mis", "k_shift", "nnz", "l1"))
     }
   }
 
@@ -271,10 +389,13 @@ object HashedClassifier extends QueryModule {
   // Oracle side (DuckDB). CTE names are hb-prefixed (hbocc, hbw$r, ...)
   // so composition can never collide with the classifier/LM builders.
 
-  private val baseCtesSql = s"""
+  /** The hb base CTE chain with the token universe sourced from `src`
+    * (any relation with doc_id, text) — "documents" for the q198
+    * family, the gated cleaned corpus for the q212 capstone. */
+  private[ext] def baseCtesFromSql(src: String): String = s"""
         hbtk AS (SELECT doc_id, tk
                  FROM (SELECT doc_id, ${X.tokensSql("text")} AS tk
-                       FROM documents)
+                       FROM $src)
                  WHERE len(tk) >= 3),
         hbq AS (SELECT doc_id, least(len(tk), $LenCap)*25
                   + (CAST(len(list_filter(tk, t ->
@@ -310,12 +431,14 @@ object HashedClassifier extends QueryModule {
                            CAST(least(len(tk), $LenCap)*50 AS BIGINT)
                     FROM hbtk)"""
 
+  private val baseCtesSql = baseCtesFromSql("documents")
+
   /** The unrolled cooled-mean train chain: per epoch r, scores hbs$r,
     * misclassified set hbm$r, count+shift hbk$r, shifted deltas hbd$r,
     * merged weights hbw$r. `filter` restricts the TRAINING universe
     * (e.g. "AND o.doc_id % 2 = 0"); epoch 1 starts from an empty weight
     * table, so the general form needs no zero-init special case. */
-  private def trainChainSql(filter: String): String =
+  private[ext] def trainChainSql(filter: String): String =
     (1 to Epochs).map { r =>
       val wPrev =
         if (r == 1)

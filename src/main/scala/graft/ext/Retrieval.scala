@@ -811,47 +811,25 @@ ${terms.indices.map { i =>
       Some(batchBm25OracleSql)),
 
     // ------------------------------------------------------------------
-    // q189: BATCH HYBRID RRF — q175's fusion stack at the query-table
-    // shape: per query, a lexical top-10 from the batch BM25 scores
-    // (bm25BatchScores — q188's exact code and oracle text) and a
-    // semantic top-10 from hashed-BoW cosine (query vectors = the
-    // 3-term hashed bags, a 25-row broadcast against map-side document
-    // vectors — hashedBow is an order-free linear fold, so the
-    // collect_list assembly order cannot matter), fused per (query,
-    // doc) by the same integer RRF formula, top-5 per query. Queries
-    // with a zero-norm hashed bag are excluded from the semantic side
-    // on BOTH engines (cosine undefined). 100 TB: the semantic side is
-    // a bounded broadcast cross (N queries × corpus, map-side compiled
-    // dots — the q166 sample-bounded discipline); every ranking is a
-    // bounded top_k heap; fusion joins K-row lists.
+    // q189: BATCH HYBRID RRF — the DEFAULT batch fusion query, SERVED
+    // FROM THE ANN LEG (round-16 verdict item #4): per query, a lexical
+    // top-10 from the batch BM25 scores (bm25BatchScores — q188's exact
+    // code and oracle text) and a semantic top-10 from the sign-LSH
+    // candidate generator (batchAnnSemRanked — q201 proved the shape,
+    // q193's annsem row quantifies its recall against the brute leg on
+    // every run), fused per (query, doc) by the integer RRF formula,
+    // top-5 per query. The brute N_queries × corpus semantic cross now
+    // lives ONLY in q193's eval truth columns — at 100 TB the served
+    // fusion probes ~16% of the corpus (measured at sf0.1) with keyed
+    // joins, never a corpus-wide broadcast cross. q189 and q201 are ONE
+    // construction by design ([[annFusedBatchTop5]] / the shared oracle
+    // text): q201 is the named variant that first proved the ANN seat,
+    // q189 is the default it graduated into — the hash gate holds the
+    // two together so the default can never drift from the proof.
     QueryDef(
       "q189_hybrid_batch_rrf",
-      (s, dir) => {
-        val docs = tokenizedDocs(s, dir)
-          .localCheckpoint(eager = false) // postings + vectors read it
-        val postings = bm25Postings(docs)
-          .localCheckpoint(eager = false) // qterms + scores read it
-        val (_, _, fused) =
-          batchHybridParts(docs, postings, batchQueryTerms(postings))
-        fused.groupBy(col("qid"))
-          .agg(graft.functions.AggFunctions.topK(
-            struct(col("rrf_micro").as("s"), (-col("doc_id")).as("nd"),
-              col("doc_id").as("doc_id"), col("lex_rank").as("lr"),
-              col("sem_rank").as("sr")), 5).as("top"))
-          .select(col("qid"), posexplode(col("top")))
-          .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
-            col("col.doc_id").as("doc_id"), col("col.lr").as("lex_rank"),
-            col("col.sr").as("sem_rank"), col("col.s").as("rrf_micro"))
-          .orderBy(col("qid"), col("rank"))
-      },
-      Some(s"""
-        WITH $batchBm25CtesSql,
-        $batchRanksCtesSql
-        SELECT qid, rank, doc_id, lex_rank, sem_rank, rrf_micro FROM (
-          SELECT qid, doc_id, lex_rank, sem_rank, rrf_micro,
-                 row_number() OVER (PARTITION BY qid
-                   ORDER BY rrf_micro DESC, doc_id) AS rank
-          FROM bfuse) WHERE rank <= 5 ORDER BY qid, rank""")),
+      (s, dir) => annFusedBatchTop5(s, dir),
+      Some(annFusedBatchOracleSql)),
 
     // ------------------------------------------------------------------
     // q193: BATCH RETRIEVAL EVAL — q184's TREC-style regression table
@@ -964,34 +942,46 @@ ${terms.indices.map { i =>
     // of it (measured at sf0.1) with keyed joins only.
     QueryDef(
       "q201_hybrid_batch_ann_rrf",
-      (s, dir) => {
-        val docs = tokenizedDocs(s, dir)
-          .localCheckpoint(eager = false) // postings + vectors read it
-        val postings = bm25Postings(docs)
-          .localCheckpoint(eager = false) // qterms + scores read it
-        val qterms = batchQueryTerms(postings)
-        val lex = batchRanked(
-          bm25BatchScores(docs, postings, qterms), "score_e6", BatchRankK)
-          .withColumnRenamed("r", "lex_rank")
-        val ann = batchAnnSemRanked(docs, qterms)
-        lex.join(ann, Seq("qid", "doc_id"), "full_outer")
-          .select(col("qid"), col("doc_id"), col("lex_rank"),
-            col("ann_rank"),
-            expr("CAST(coalesce(1000000 div (60 + lex_rank), 0) " +
-              "+ coalesce(1000000 div (60 + ann_rank), 0) AS BIGINT)")
-              .as("rrf_micro"))
-          .groupBy(col("qid"))
-          .agg(graft.functions.AggFunctions.topK(
-            struct(col("rrf_micro").as("s"), (-col("doc_id")).as("nd"),
-              col("doc_id").as("doc_id"), col("lex_rank").as("lr"),
-              col("ann_rank").as("ar")), 5).as("top"))
-          .select(col("qid"), posexplode(col("top")))
-          .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
-            col("col.doc_id").as("doc_id"), col("col.lr").as("lex_rank"),
-            col("col.ar").as("ann_rank"), col("col.s").as("rrf_micro"))
-          .orderBy(col("qid"), col("rank"))
-      },
-      Some(s"""
+      (s, dir) => annFusedBatchTop5(s, dir),
+      Some(annFusedBatchOracleSql))
+  )
+
+  /** The ANN-served batch fusion — ONE construction behind q189 (the
+    * default batch RRF) and q201 (the named ANN variant that proved
+    * the shape): lexical BM25 top-K + sign-LSH semantic top-K, integer
+    * RRF, per-query top-5 via the bounded heap. */
+  private def annFusedBatchTop5(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = tokenizedDocs(s, dir)
+      .localCheckpoint(eager = false) // postings + vectors read it
+    val postings = bm25Postings(docs)
+      .localCheckpoint(eager = false) // qterms + scores read it
+    val qterms = batchQueryTerms(postings)
+    val lex = batchRanked(
+      bm25BatchScores(docs, postings, qterms), "score_e6", BatchRankK)
+      .withColumnRenamed("r", "lex_rank")
+    val ann = batchAnnSemRanked(docs, qterms)
+    lex.join(ann, Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid"), col("doc_id"), col("lex_rank"),
+        col("ann_rank"),
+        expr("CAST(coalesce(1000000 div (60 + lex_rank), 0) " +
+          "+ coalesce(1000000 div (60 + ann_rank), 0) AS BIGINT)")
+          .as("rrf_micro"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.AggFunctions.topK(
+        struct(col("rrf_micro").as("s"), (-col("doc_id")).as("nd"),
+          col("doc_id").as("doc_id"), col("lex_rank").as("lr"),
+          col("ann_rank").as("ar")), 5).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.doc_id").as("doc_id"), col("col.lr").as("lex_rank"),
+        col("col.ar").as("ann_rank"), col("col.s").as("rrf_micro"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** The shared q189/q201 oracle text: batch BM25 + vector CTEs, the
+    * basem ANN chain in the semantic seat, the bafuse RRF tail. */
+  private def annFusedBatchOracleSql: String = s"""
         WITH $batchBm25CtesSql,
         $batchRanksCtesSql,
         $batchAnnSemCtesSql,
@@ -1000,8 +990,7 @@ ${terms.indices.map { i =>
           SELECT qid, doc_id, lex_rank, ann_rank, rrf_micro,
                  row_number() OVER (PARTITION BY qid
                    ORDER BY rrf_micro DESC, doc_id) AS rank
-          FROM bafuse) WHERE rank <= 5 ORDER BY qid, rank"""))
-  )
+          FROM bafuse) WHERE rank <= 5 ORDER BY qid, rank"""
 
   /** Top-K lexical rank list (doc_id, lex_rank) from a BM25-scored
     * frame — the ONE ranking tail behind q175/q184 (in-query scores)

@@ -74,11 +74,11 @@ class PlanAuditSpec extends SparkSpec {
     "q196_bm25_batch_catalog_served", // the same 1-row stats broadcast,
                                       // read from the persisted index
                                       // version (q169's served shape)
-    "q189_hybrid_batch_rrf", // q188's 1-row stats broadcast + the
-                             // 25-row query-vector broadcast cross
-                             // (N queries × docs is the batch
-                             // semantic ranking's definition,
-                             // sample-bounded like q166's truth)
+    "q189_hybrid_batch_rrf", // q188's 1-row stats broadcast; the
+                             // semantic seat is the ANN bucket join
+                             // since round 17 — the 25-row query
+                             // frame still broadcasts into the
+                             // candidate re-rank (q201's shape)
     "q193_batch_retrieval_eval", // q189's broadcasts + the 1-row
                                  // relevance-count broadcast per
                                  // variant (q184's shape)
@@ -357,7 +357,7 @@ class PlanAuditSpec extends SparkSpec {
       "q195_lm_prune_effect" -> 10, // TWO q121-class scoring passes (full + pruned model: each bigram agg reuse + prefix agg + doc-side joins + per-doc agg) over one checkpointed tokenization + the 1-row mass-threshold and model-count broadcasts + the final 1-row report agg
       "q192_ann_lsh_catalog_served" -> 3, // q187's served twin reading the persisted bucket index + vector store: same bucket join + distinct + top_k shape; index builds ran at construct into the catalog
       "q188_bm25_batch" -> 5, // batch BM25: postings agg (the ONE index shuffle) + df agg + 1-row stats agg + per-(query, doc) exact-int contribution SUM + per-query top_k; the 75-row query table and stats broadcast
-      "q189_hybrid_batch_rrf" -> 9, // q188's lexical chain (5) + the semantic side: 25-row query-vector agg + per-query cosine top_k over the map-side broadcast cross + the K×K fusion join + final per-query top_k — every added exchange is K-row-bounded
+      "q189_hybrid_batch_rrf" -> 8, // re-pointed to the ANN-served leg (round-16 item #4): identical construction to q201 — lexical chain + sign-LSH bucket join/distinct/re-rank + fusion; the brute broadcast cross now lives only in q193's eval
       "q190_lm_fourgram_score" -> 6, // q157's pinned LM shape one order up: 4-gram agg + (w1,w2,w3)-prefix agg + vocab distinct + doc-side joins + per-doc agg + ordered output
       "q191_lm_backoff_chain" -> 11, // THREE-ORDER model (q161's two-model argument, one level deeper): 4-gram/trigram/bigram count aggs + three prefix-mass aggs + vocab distinct + six doc-side joins + per-doc agg + ordered output — chained stupid backoff is definitionally a three-model score
       "q202_lm_fivegram_score" -> 6, // q190's pinned LM shape one more order up: 5-gram agg + 4-token-prefix agg + vocab distinct + doc-side joins + per-doc agg + ordered output
