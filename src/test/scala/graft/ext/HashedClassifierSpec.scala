@@ -52,6 +52,39 @@ class HashedClassifierSpec extends SparkSpec {
       "bias (j=-1) and length (j=-2) rows must survive training")
   }
 
+  test("char model: subword training converges and holds the held-out " +
+    "gate for both classes") {
+    val log = HashedClassifier.charTrainLog(spark, dir, "hclog")
+      .orderBy(col("epoch")).collect()
+    assert(log.length == HashedClassifier.Epochs)
+    assert(log.last.getAs[Long]("n_mis") == 0L,
+      s"char-model training did not converge: ${log.map(_.getAs[Long]("n_mis")).mkString(",")}")
+    val rows = graft.SparkEntry
+      .queries("q214_hashed_char_heldout")(spark, dir).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("agree_e4") >= 9300L,
+        s"char model class ${r.getAs[Long]("y")}: ${r.getAs[Long]("agree_e4")} bps")
+    }
+  }
+
+  test("char model: feature table carries subword buckets beyond the " +
+    "word model's and stays within the hashed space") {
+    val word = HashedClassifier.servedOcc(spark, dir)
+    val char = HashedClassifier.servedOccChar(spark, dir)
+    val wStats = word.agg(count(lit(1)).as("n"),
+      countDistinct(col("j")).as("dj")).collect()(0)
+    val cStats = char.agg(count(lit(1)).as("n"),
+      countDistinct(col("j")).as("dj"),
+      max(col("j")).as("jmax"), min(col("j")).as("jmin")).collect()(0)
+    assert(cStats.getAs[Long]("n") > wStats.getAs[Long]("n"),
+      "subword features should add occupied (doc, bucket) pairs")
+    assert(cStats.getAs[Long]("dj") > wStats.getAs[Long]("dj"),
+      "subword features should occupy more distinct buckets")
+    assert(cStats.getAs[Long]("jmax") < HashedClassifier.Dim.toLong &&
+      cStats.getAs[Long]("jmin") >= -2L)
+  }
+
   test("operating curve: tighter threshold never increases kept count, " +
     "and the k=0 point matches the apply gate") {
     val rows = graft.SparkEntry
