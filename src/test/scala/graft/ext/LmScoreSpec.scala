@@ -150,4 +150,31 @@ class LmScoreSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(got == Seq(3L))
   }
+
+  test("KN mixture: probabilities proper (p5s <= S), weights bounded, " +
+    "bits within the 30-bit resolution") {
+    val rows = graft.SparkEntry
+      .queries("q215_lm_kn_mixture_score")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_fivegrams")
+      // γ ∈ [0, 1e6] per gram — the mixture weights are true masses
+      assert(r.getAs[Long]("sum_g5_e6") <= n * 1000000L)
+      assert(r.getAs[Long]("sum_g4_e6") <= n * 1000000L)
+      // p5s ∈ [1, S] ⇒ 0 <= bits <= 30 per gram (S = 1e9 < 2^30)
+      assert(r.getAs[Long]("total_bits") <= n * 30L)
+      assert(r.getAs[Long]("centibits_per_fivegram") <= 3000L)
+    }
+  }
+
+  test("KN prune report: the pruned table shrinks, every doc accounted") {
+    val r = graft.SparkEntry
+      .queries("q216_lm_kn_prune_effect")(spark, "/root/testdata/sf0.001")
+      .collect()(0)
+    assert(r.getAs[Long]("model_rows_pruned") < r.getAs[Long]("model_rows_full"))
+    assert(r.getAs[Long]("model_rows_pruned") >= 0L)
+    assert(r.getAs[Long]("docs_cheaper") + r.getAs[Long]("docs_costlier")
+      <= r.getAs[Long]("docs_scored"))
+  }
 }
