@@ -284,7 +284,23 @@ object HashedClassifier extends QueryModule {
     * materialized table — the Store's parquet round-trip without the
     * disk. Returns the converged LAST weight table. */
   private[ext] def trainTransient(s: SparkSession, occ: DataFrame,
-      lab: DataFrame): DataFrame = {
+      lab: DataFrame): DataFrame =
+    trainTransientFrom(s, occ, lab,
+      s.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        ddl(WSchemaDdl)))
+
+  /** [[trainTransient]] WARM-STARTED from an existing weight TABLE —
+    * the q147 warm-start law at (j, w)-table scale: epoch N of the
+    * streaming sink ([[graft.streaming.EventPipelines
+    * .runCatalogHashedClassifierSink]]) continues training from
+    * version N−1's committed table instead of restarting from zero.
+    * The cooling schedule restarts per call (each batch is a fresh
+    * training phase over its own universe, exactly like the 6-feature
+    * sink's per-batch epoch budget). */
+  def trainTransientFrom(s: SparkSession, occ: DataFrame,
+      lab: DataFrame, init: DataFrame,
+      epochs: Int = Epochs): DataFrame = {
     // Runtime Bloom-filter join pruning OFF for the epoch jobs: every
     // side of every epoch join is an in-memory cache, a broadcast, or
     // a checkpointed ≤ 2^16 + 2 row table — there is no scan to prune,
@@ -305,7 +321,7 @@ object HashedClassifier extends QueryModule {
     // 6 epochs over sub-second stages) WERE the training wall clock.
     // Static planning pipelines each epoch into one job.
     s.conf.set(aqeKey, "false")
-    try trainTransientLoop(s, occ, lab)
+    try trainTransientLoop(s, occ, lab, init, epochs)
     finally {
       s.conf.set(bloomKey, bloomPrev)
       s.conf.set(aqeKey, aqePrev)
@@ -313,12 +329,10 @@ object HashedClassifier extends QueryModule {
   }
 
   private def trainTransientLoop(s: SparkSession, occ: DataFrame,
-      lab: DataFrame): DataFrame = {
+      lab: DataFrame, init: DataFrame, epochs: Int): DataFrame = {
     val labT = lab.filter(col("y") =!= 0L)
-    var wPrev = s.createDataFrame(
-      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-      ddl(WSchemaDdl))
-    for (r <- 1 to Epochs) {
+    var wPrev = init
+    for (r <- 1 to epochs) {
       // persisted, not recomputed: the score join is the epoch's real
       // work and both the shift scalar and the delta read it; the k1
       // broadcast materializes the cache, the main job reuses it.

@@ -938,6 +938,84 @@ object EventPipelines {
     } finally scope.release()
   }
 
+  /** Streaming HASHED classifier → catalog: the warm-start discipline
+    * of [[runCatalogClassifierSink]] generalized from 6 driver longs
+    * to the (j, w) WEIGHT TABLE (round-16 verdict item #3) — no driver
+    * array exists at any point. The FIRST epoch bootstraps the frozen
+    * artifact: quality-quartile thresholds from its own batch
+    * (committed as `<step>_thr` v1 — the training-serving-skew rule;
+    * the hashed model has no standardization stats, hashing needs no
+    * fit) and the weight table trained from empty. Every later epoch
+    * labels its batch UNDER the frozen v1 thresholds, warm-starts from
+    * the newest `<step>_w` VERSION ([[graft.ext.HashedClassifier
+    * .trainTransientFrom]] — the capstone's one-action-per-epoch
+    * loop), and commits the continued table as the next version —
+    * model time travel at table scale.
+    *
+    * Exactly-once: training is neither idempotent nor foldable, so
+    * every artifact write is individually guarded by the atomic epoch
+    * tag (a crash between the bootstrap's two writes replays safely —
+    * the weights write, last, decides whether the epoch happened). */
+  def runCatalogHashedClassifierSink(
+      docs: DataFrame,
+      checkpoint: String,
+      cat: graft.catalog.VersionedCatalog,
+      step: String,
+      epochsPerBatch: Int = graft.ext.HashedClassifier.Epochs): Unit = {
+    val q = docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        trainHashedEpoch(cat, step, batch, epoch, epochsPerBatch)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  private[streaming] def trainHashedEpoch(
+      cat: graft.catalog.VersionedCatalog, step: String,
+      batch: DataFrame, epoch: Long, epochsPerBatch: Int): Unit = {
+    import graft.ext.{Classifier, HashedClassifier => H}
+    val wStep = s"${step}_w"
+    if (cat.maxEpochTag(wStep).exists(_ >= epoch)) return
+    def writeOnce(s0: String, df: => DataFrame): Unit =
+      if (!cat.maxEpochTag(s0).exists(_ >= epoch)) {
+        cat.writeNext(s0, df, epochTag = Some(epoch)); ()
+      }
+    val T_ = org.apache.spark.sql.types.StructType.fromDDL _
+    val thrSchema = T_(H.ThrSchemaDdl)
+    val wSchema = T_(H.WSchemaDdl)
+    val spark = batch.sparkSession
+    val scope = new graft.CacheScope
+    try {
+      val tk = scope.cache(Classifier.tk3(batch))
+      if (cat.latestVersion(wStep).isEmpty) {
+        // bootstrap — same degeneracy guard as the 6-feature sink: an
+        // empty tk3 universe would freeze NULL thresholds forever
+        if (tk.isEmpty) return
+        val hq = scope.cache(H.qualityE4(tk))
+        writeOnce(s"${step}_thr", H.qThresholds(hq))
+        val lab = scope.cache(H.labelsUnder(hq,
+          cat.read(s"${step}_thr", 1, Some(thrSchema))).coalesce(4))
+        val occ = scope.cache(H.hashedOcc(tk).coalesce(8))
+        writeOnce(wStep, H.trainTransientFrom(spark, occ, lab,
+          spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            wSchema), epochsPerBatch))
+      } else {
+        // continuation: labels under the FROZEN v1 thresholds,
+        // warm-started from the newest committed weight TABLE
+        val hq = scope.cache(H.qualityE4(tk))
+        val lab = scope.cache(H.labelsUnder(hq,
+          cat.read(s"${step}_thr", 1, Some(thrSchema))).coalesce(4))
+        val occ = scope.cache(H.hashedOcc(tk).coalesce(8))
+        writeOnce(wStep, H.trainTransientFrom(spark, occ, lab,
+          cat.latest(wStep, Some(wSchema)), epochsPerBatch))
+      }
+    } finally scope.release()
+  }
+
   /** Batch views of the streaming transforms over the fixture table —
     * the unified-API property: identical code, batch source. */
   def eventsBatch(spark: SparkSession, dir: String): DataFrame =

@@ -1316,6 +1316,78 @@ class EventPipelinesSpec extends SparkSpec {
     }
   }
 
+  test("streaming hashed-classifier sink: weight TABLE warm-start under " +
+    "the frozen thresholds, streamed == batch chain, replay-safe") {
+    val s = spark
+    import s.implicits._
+    withTempDir { dir =>
+      val in = s"$dir/in"; val ckpt = s"$dir/ckpt"; val root = s"$dir/cat"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      def writeInput(name: String, docs: Seq[(Long, String)]): Unit =
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/$name"),
+          docs.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+            .mkString("\n").getBytes)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING")
+      def stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(in)
+      val cat = new graft.catalog.VersionedCatalog(spark, root, format = "parquet")
+      val fixture = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val e1docs = fixture.filter(col("doc_id") % 2 === 0)
+      val e2docs = fixture.filter(col("doc_id") % 2 === 1)
+      def lines(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      writeInput("e1.json", lines(e1docs))
+      EventPipelines.runCatalogHashedClassifierSink(stream, ckpt, cat, "hclf")
+      assert(cat.latestVersion("hclf_thr").contains(1))
+      assert(cat.latestVersion("hclf_w").contains(1))
+      writeInput("e2.json", lines(e2docs))
+      EventPipelines.runCatalogHashedClassifierSink(stream, ckpt, cat, "hclf")
+      // thresholds FROZEN at v1; the weight TABLE advanced a version
+      assert(cat.latestVersion("hclf_thr").contains(1))
+      assert(cat.latestVersion("hclf_w").contains(2))
+
+      // the streamed two-epoch table equals the BATCH warm-start chain
+      // over the same two phases (the q147 law at table scale) — phase
+      // B labeled under phase A's FROZEN thresholds
+      import graft.ext.{Classifier, HashedClassifier => H}
+      val T_ = org.apache.spark.sql.types.StructType.fromDDL _
+      def wSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val scope = new graft.CacheScope
+      try {
+        val tkA = scope.cache(Classifier.tk3(e1docs))
+        val hqA = scope.cache(H.qualityE4(tkA))
+        val thrA = H.qThresholds(hqA).localCheckpoint()
+        val labA = scope.cache(H.labelsUnder(hqA, thrA).coalesce(4))
+        val occA = scope.cache(H.hashedOcc(tkA).coalesce(8))
+        val wA = H.trainTransientFrom(spark, occA, labA,
+          spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            T_(H.WSchemaDdl))).localCheckpoint()
+        val tkB = scope.cache(Classifier.tk3(e2docs))
+        val hqB = scope.cache(H.qualityE4(tkB))
+        val labB = scope.cache(H.labelsUnder(hqB, thrA).coalesce(4))
+        val occB = scope.cache(H.hashedOcc(tkB).coalesce(8))
+        val wB = H.trainTransientFrom(spark, occB, labB, wA)
+        assert(wSet(cat.read("hclf_w", 1, Some(T_(H.WSchemaDdl)))) ==
+          wSet(wA), "epoch-1 table != batch phase-A training")
+        assert(wSet(cat.read("hclf_w", 2, Some(T_(H.WSchemaDdl)))) ==
+          wSet(wB), "epoch-2 table != batch warm-start continuation")
+      } finally scope.release()
+      // replay with no new input: training is neither idempotent nor
+      // foldable — nothing may move
+      EventPipelines.runCatalogHashedClassifierSink(stream, ckpt, cat, "hclf")
+      assert(cat.latestVersion("hclf_w").contains(2))
+      // crash-replay of a COMMITTED epoch id: the tag guard no-ops it
+      EventPipelines.trainHashedEpoch(cat, "hclf",
+        e2docs, epoch = 1L, epochsPerBatch = 6)
+      assert(cat.latestVersion("hclf_w").contains(2))
+    }
+  }
+
   test("foreachBatch retry: transient sink failure retried within an epoch (ST3)") {
     val s = spark
     import s.implicits._
