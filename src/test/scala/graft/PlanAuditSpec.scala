@@ -121,11 +121,22 @@ class PlanAuditSpec extends SparkSpec {
     "q163_classifier_calibration", // 1-row score-bounds broadcast
                                    // crossed with the scored corpus
                                    // (the q139 scalar-stats shape)
-    "q150_classifier_threshold_sweep" // the 5-row literal threshold GRID
+    "q150_classifier_threshold_sweep", // the 5-row literal threshold GRID
                                    // broadcast-crossed with the scored
                                    // corpus (every doc × every threshold
                                    // is the sweep's definition; the grid
                                    // side is 5 rows by construction)
+    "q209_hashed_threshold_sweep", // the same 5-row grid cross, with the
+                                   // grid derived IN-PLAN from a 1-row
+                                   // score-bounds broadcast (no driver
+                                   // weight array exists for this model)
+    "q210_hashed_calibration", // 1-row score-bounds broadcast crossed
+                               // with the served scores (q163's shape)
+    "q215_lm_kn_mixture_score", // q203's 1-row vocabulary broadcast in
+                                // the mixture's six-table score
+    "q216_lm_kn_prune_effect" // q204's broadcast set under the mixture:
+                              // vocab + mass threshold + model-row
+                              // counts, once per scoring pass
     // q81/q87/q91/q97/q98 carried a probe-stage centroid crossJoin
     // until round 8; the compiled top_cells kernel removed it — the
     // serving paths are now all equi-joins and must STAY that way
@@ -365,7 +376,15 @@ class PlanAuditSpec extends SparkSpec {
       "q204_lm_prune_effect_5gram" -> 10, // q195's exact two-pass report shape at order 5: full + pruned scoring passes over one checkpointed tokenization + mass-threshold and model-count broadcasts + the 1-row report agg
       "q205_cdc_view_maintenance" -> 1, // catalog-served maintained view: the diffs + delta folds ran at construct (each a co-partitioned full-outer ∝ the delta); the returned plan unions three ≤#groups-row parquet reads + sort
       "q193_batch_retrieval_eval" -> 19, // q189's full rank construction (lex 5 + sem chain) evaluated FOUR ways since round 16 (annsem row added): per-variant per-query metric aggs + 1-row relevance broadcast + the qrel broadcast-predicate join + 4-row union sort + the ANN bucket-join/distinct/re-rank chain — each list's standalone budget proven by q188/q189/q201
-      "q201_hybrid_batch_ann_rrf" -> 8) // q189's lexical chain (bm25 batch scores + top_k) + the ANN semantic leg: bucket join (map-side signatures), candidate distinct, re-rank top_k, full-outer fusion + top-5 + sort — one FEWER exchange than q189's brute broadcast cross
+      "q201_hybrid_batch_ann_rrf" -> 8, // q189's lexical chain (bm25 batch scores + top_k) + the ANN semantic leg: bucket join (map-side signatures), candidate distinct, re-rank top_k, full-outer fusion + top-5 + sort — one FEWER exchange than q189's brute broadcast cross
+      "q209_hashed_threshold_sweep" -> 4, // served score join-agg (occ scan + broadcast weight table) × the in-plan 5-row grid (1-row base agg broadcast) + 5-row sweep agg + sort — training ran at construct into the store
+      "q210_hashed_calibration" -> 4, // the q209 served-score shape with the 1-row bounds broadcast instead of the grid + 8-row bin agg + sort (q163's shape on the hashed model)
+      "q211_hashed_active_learning" -> 3, // served score join-agg + docs source join + per-source bounded-heap top_k + ordered output (q171's shape on the hashed model; the weight table broadcasts)
+      "q212_curation_pipeline_v3" -> 5, // the RETURNED plan: kept-score join-agg over the CACHED occ table × the checkpointed weight table + gate join + the per-source pack window/agg — stages 1-3 (line removal, gate, 6 training epochs) materialized into caches/checkpoints at construct (q152's accounting)
+      "q213_hashed_char_train" -> 1, // catalog-served char-model train log: one parquet read + the 6-row sort (q198's served shape; the subword build ran at construct)
+      "q214_hashed_char_heldout" -> 3, // q200's served score shape over the char-model feature table + the 2-row per-class agreement agg
+      "q215_lm_kn_mixture_score" -> 13, // q203's six-table interpolated score + the discount-mass type counts riding the SAME aggs (t5c in the prefix agg, t4c in the normalizer agg) + one extra distinct for t4c — the mixture prices every level for every gram by definition
+      "q216_lm_kn_prune_effect" -> 18) // TWO q215 mixture passes (full + pruned model tables, each rebuilding its L5/L4 aggregate set over the checkpointed fit/score tokenizations; L3 + vocab shared) + mass-threshold and model-row-count broadcasts + the 1-row report agg
     (b0.map(_ -> 0) ++ b1.map(_ -> 1) ++ b2.map(_ -> 2) ++ multi).toMap
   }
 
