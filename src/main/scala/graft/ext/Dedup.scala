@@ -1209,7 +1209,161 @@ object Dedup extends QueryModule {
           WHERE t.doc_id != g.surv AND t.doc_id % 2 = 1
           UNION ALL
           SELECT d AS doc_id, mp AS survivor_id, 'near' AS modality FROM inear)
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q217: INCREMENTAL cluster maintenance — q46's transitive clusters
+    // kept up to date as a batch arrives, WITHOUT re-closing the corpus
+    // graph. Prior state = connected components over the existing half
+    // (even doc_ids — in production the cluster table read from the
+    // catalog); delta = the q80 incremental LSH pairs (≥1 new member);
+    // the merge contracts old endpoints to their prior cluster label and
+    // runs min-label CC on the delta-sized contracted graph
+    // ([[graft.operators.Graph.mergeComponents]]). The oracle re-closes
+    // the FULL pair set from scratch — hash equality per cluster (id,
+    // size, new-member count, #old clusters united) IS the incremental ≡
+    // full-recompute proof. 100 TB: the corpus is never re-tokenized
+    // (old side enters through band tuples + its signature table, the
+    // q80 contract) and never re-closed (CC work ∝ delta edges) — the
+    // two costs that make daily full dedup runs infeasible.
+    QueryDef(
+      "q217_dedup_clusters_incremental",
+      (s, dir) => {
+        val docs = T.documents(s, dir)
+        val isNew = col("doc_id") % 2 === 1
+        val scope = new graft.CacheScope
+        // prior state: clusters over the existing corpus only
+        val oldPairs = graft.operators.NearDup.minhashLsh(
+            docs.filter(col("doc_id") % 2 === 0), col("doc_id"), col("text"),
+            numHashes = 12, bands = 3, shingleWidth = 3, threshold = 0.5)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        val oldLabels = graft.operators.Graph.connectedComponents(oldPairs)
+        // delta: only pairs involving the new batch (new-new + new-old).
+        // Cached: the merge walks it twice (endpoint set + contraction)
+        // and the output reads the merge twice (sizes + united count) —
+        // uncached, the whole LSH pipeline would replay 4× in one plan.
+        val newEdges = scope.cache(
+          graft.operators.NearDup.minhashLshIncremental(
+              docs, col("doc_id"), col("text"), isNew,
+              numHashes = 12, bands = 3, shingleWidth = 3, threshold = 0.5)
+            .select(col("doc_a").as("a"), col("doc_b").as("b")))
+        val merged = scope.cache(
+          graft.operators.Graph.mergeComponents(oldLabels, newEdges))
+        val perCluster = merged.groupBy(col("label").as("survivor_id"))
+          .agg(count(lit(1)).as("cluster_size"),
+            sum(when(col("node") % 2 === 1, 1L).otherwise(0L)).as("n_new"))
+        // how many PRIOR clusters each final cluster united (old
+        // singleton endpoints are not prior clusters — their repr is
+        // not a prior label)
+        val oldClusterIds = oldLabels.select(col("label").as("repr")).distinct()
+        val united = merged.join(oldClusterIds, "repr")
+          .select(col("label"), col("repr")).distinct()
+          .groupBy(col("label")).agg(count(lit(1)).as("n_old_clusters"))
+        perCluster
+          .join(united, perCluster("survivor_id") === united("label"), "left")
+          .select(col("survivor_id"), col("cluster_size"), col("n_new"),
+            coalesce(col("n_old_clusters"), lit(0L)).as("n_old_clusters"))
+          .orderBy(col("survivor_id"))
+      },
+      Some(s"""
+        WITH RECURSIVE ${minhashPairsSqlCte()},
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+                  UNION SELECT doc_b, doc_a FROM mh_pairs),
+        reach(a, b) AS (SELECT a, b FROM edges
+                        UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        lbl AS (SELECT r.a AS doc, least(MIN(r.b), r.a) AS root
+                FROM reach r GROUP BY r.a),
+        oedges AS (SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+                   WHERE doc_a % 2 = 0 AND doc_b % 2 = 0
+                   UNION SELECT doc_b, doc_a FROM mh_pairs
+                   WHERE doc_a % 2 = 0 AND doc_b % 2 = 0),
+        oreach(a, b) AS (SELECT a, b FROM oedges
+                         UNION SELECT r.a, e.b FROM oreach r JOIN oedges e ON r.b = e.a),
+        olbl AS (SELECT r.a AS doc, least(MIN(r.b), r.a) AS root
+                 FROM oreach r GROUP BY r.a),
+        mgd AS (SELECT root AS survivor_id, COUNT(*) AS cluster_size,
+                       CAST(SUM(CASE WHEN doc % 2 = 1 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_new
+                FROM lbl GROUP BY root),
+        uni AS (SELECT froot, CAST(COUNT(DISTINCT oroot) AS BIGINT)
+                         AS n_old_clusters
+                FROM (SELECT DISTINCT o.root AS oroot, l.root AS froot
+                      FROM olbl o JOIN lbl l ON o.doc = l.doc)
+                GROUP BY froot)
+        SELECT m.survivor_id, m.cluster_size, m.n_new,
+               coalesce(u.n_old_clusters, 0) AS n_old_clusters
+        FROM mgd m LEFT JOIN uni u ON u.froot = m.survivor_id
+        ORDER BY m.survivor_id""")),
+
+    // ------------------------------------------------------------------
+    // q218: the cluster table as CATALOG STATE — q217's merge persisted
+    // the way every other serving family keeps its index: v1 = the
+    // existing corpus's components committed to the versioned catalog,
+    // v2 = v1 + the batch delta folded in by graph contraction (the
+    // prior state is READ BACK from the catalog, never recomputed —
+    // the maintenance contract). Output = both versions' cluster
+    // summaries served from catalog parquet; the oracle recomputes each
+    // version's components from scratch, so hash equality proves the
+    // persisted v2 ≡ a full re-close of old ∪ new. 100 TB: between
+    // batches the cluster table IS the state (time-travelable like the
+    // ANN/LM/BM25 indexes); each arrival pays one delta-LSH + one
+    // contracted CC + one version write, never a corpus re-close.
+    QueryDef(
+      "q218_dedup_cluster_catalog",
+      (s, dir) => {
+        val work = graft.Scratch.dir("q218")
+        val cat = new graft.catalog.VersionedCatalog(s, work)
+        val docs = T.documents(s, dir)
+        val clSchema = org.apache.spark.sql.types.StructType.fromDDL(
+          "node BIGINT, label BIGINT")
+        // v1: components over the existing corpus, committed
+        val oldPairs = graft.operators.NearDup.minhashLsh(
+            docs.filter(col("doc_id") % 2 === 0), col("doc_id"), col("text"),
+            numHashes = 12, bands = 3, shingleWidth = 3, threshold = 0.5)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        cat.writeNext("clusters",
+          graft.operators.Graph.connectedComponents(oldPairs))
+        // v2: the batch folded into the CATALOG-READ prior state
+        val newEdges = graft.operators.NearDup.minhashLshIncremental(
+            docs, col("doc_id"), col("text"), col("doc_id") % 2 === 1,
+            numHashes = 12, bands = 3, shingleWidth = 3, threshold = 0.5)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        cat.writeNext("clusters",
+          graft.operators.Graph
+            .mergeComponents(cat.read("clusters", 1, Some(clSchema)), newEdges)
+            .select(col("node"), col("label")))
+        // serve both versions' summaries from the committed parquet
+        (1 to 2).map { v =>
+          cat.read("clusters", v, Some(clSchema))
+            .groupBy(col("label").as("survivor_id"))
+            .agg(count(lit(1)).as("cluster_size"))
+            .select(lit(v.toLong).as("version"), col("survivor_id"),
+              col("cluster_size"))
+        }.reduce(_ unionByName _)
+          .orderBy(col("version"), col("survivor_id"))
+      },
+      Some(s"""
+        WITH RECURSIVE ${minhashPairsSqlCte()},
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+                  UNION SELECT doc_b, doc_a FROM mh_pairs),
+        reach(a, b) AS (SELECT a, b FROM edges
+                        UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        lbl AS (SELECT r.a AS doc, least(MIN(r.b), r.a) AS root
+                FROM reach r GROUP BY r.a),
+        oedges AS (SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+                   WHERE doc_a % 2 = 0 AND doc_b % 2 = 0
+                   UNION SELECT doc_b, doc_a FROM mh_pairs
+                   WHERE doc_a % 2 = 0 AND doc_b % 2 = 0),
+        oreach(a, b) AS (SELECT a, b FROM oedges
+                         UNION SELECT r.a, e.b FROM oreach r JOIN oedges e ON r.b = e.a),
+        olbl AS (SELECT r.a AS doc, least(MIN(r.b), r.a) AS root
+                 FROM oreach r GROUP BY r.a)
+        SELECT CAST(1 AS BIGINT) AS version, root AS survivor_id,
+               COUNT(*) AS cluster_size
+        FROM olbl GROUP BY root
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), root, COUNT(*) FROM lbl GROUP BY root
+        ORDER BY version, survivor_id"""))
   )
 
   /** Span length (in tokens) for [[repeatedSpanCoverage]] / q123. */

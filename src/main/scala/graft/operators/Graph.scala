@@ -62,6 +62,64 @@ object Graph {
     labels
   }
 
+  /** Incremental connected components by GRAPH CONTRACTION: fold a batch
+    * of NEW edges into an existing component assignment without
+    * re-closing the old graph.
+    *
+    * `oldLabels` is the prior state — (node, label) with label = the
+    * component's min node id, exactly [[connectedComponents]]' output
+    * (in production: the cluster table read from the versioned catalog).
+    * `newEdges` is the delta — every (a, b) pair that involves the new
+    * batch (e.g. [[NearDup.minhashLshIncremental]]'s output). Old
+    * endpoints contract to their prior label, so each old cluster enters
+    * the merge as ONE node; min-label propagation then runs on a graph
+    * whose size is ∝ the delta, never the corpus. Because an old
+    * cluster's label IS its minimum member id, the contracted minimum
+    * equals the full-graph minimum — the result is bit-identical to
+    * re-running [[connectedComponents]] on old ∪ new edges (the q217
+    * oracle proves this equality per run).
+    *
+    * Returns (node, repr, label) for every node of the merged graph:
+    * `repr` = the contracted representative (prior label for old nodes,
+    * self for new ones), `label` = the final component min id. Nodes of
+    * old clusters untouched by the delta pass through unchanged.
+    *
+    * Scale shape: one left join to contract endpoints (delta-sized),
+    * one CC over the contracted graph (rounds = its diameter — merges
+    * are shallow star-unions), one delta-sized left join to relabel.
+    * The corpus-sized `oldLabels` table is touched by exactly one
+    * broadcast-able join against the delta's endpoint set and one
+    * union into the output — no corpus-wide iteration. */
+  def mergeComponents(oldLabels: DataFrame, newEdges: DataFrame): DataFrame = {
+    val lbl = oldLabels.select(col("node").as("_n"), col("label").as("_l"))
+    val ends = newEdges.select(col("a").as("node"))
+      .unionAll(newEdges.select(col("b").as("node")))
+      .distinct()
+    // contracted representative per delta endpoint: the prior label when
+    // the node was already clustered, itself otherwise (old singletons
+    // and genuinely new nodes look the same to the merge)
+    val endRepr = ends.join(lbl, ends("node") === lbl("_n"), "left")
+      .select(col("node"), coalesce(col("_l"), col("node")).as("repr"))
+    val ra = endRepr.select(col("node").as("a"), col("repr").as("ra"))
+    val rb = endRepr.select(col("node").as("b"), col("repr").as("rb"))
+    // edges between representatives; edges inside one old cluster vanish
+    val contracted = newEdges
+      .join(ra, "a").join(rb, "b")
+      .filter(col("ra") =!= col("rb"))
+      .select(col("ra").as("a"), col("rb").as("b"))
+    val small = connectedComponents(contracted)
+      .select(col("node").as("repr"), col("label").as("flbl"))
+    // merged node set: every previously-clustered node + every delta
+    // endpoint (old endpoints appear in both with the SAME repr — the
+    // distinct collapses them)
+    val allNodes = oldLabels.select(col("node"), col("label").as("repr"))
+      .unionAll(endRepr)
+      .distinct()
+    allNodes.join(small, Seq("repr"), "left")
+      .select(col("node"), col("repr"),
+        coalesce(col("flbl"), col("repr")).as("label"))
+  }
+
   /** Fixed-iteration PageRank in exact int64 arithmetic: ranks live in
     * `scale`-ths (millionths by default), each node contributes
     * `rank div outdeg` to its out-neighbors, and the damped update is

@@ -817,6 +817,104 @@ object EventPipelines {
     q.awaitTermination()
   }
 
+  /** STREAMING CLUSTER MAINTENANCE — q217/q218's contraction merge as a
+    * catalog sink: each epoch appends its band + hashed-shingle rows
+    * (the q170 serving state) and folds its DELTA EDGES into the
+    * persisted cluster table by graph contraction
+    * ([[graft.operators.Graph.mergeComponents]]) — the corpus is never
+    * re-tokenized (the old side enters through the persisted
+    * band/shingle tables) and never re-closed (CC work ∝ the epoch's
+    * edges). Every near-dup pair is discovered exactly once — when its
+    * LATER member arrives — so the union of epoch deltas is the full
+    * pair set and the folded clusters equal a batch re-close of
+    * everything streamed (the EventPipelinesSpec law).
+    *
+    * Exactly-once: the merge is not content-idempotent (re-merging an
+    * epoch against the post-merge table would re-commit a version), so
+    * all three writes ride the shared atomic epoch tag, individually
+    * guarded, CLUSTERS FIRST: the fold must compute its edges against
+    * the PRE-epoch band state, and guarding it first means a crash
+    * replay sees exactly that state (the appends commit after, each
+    * skipping if already tagged; a replay after the appends committed
+    * would see its own batch in the probe side, which changes nothing —
+    * the pair set is defined by least/greatest + distinct). */
+  def runCatalogClusterSink(
+      docs: DataFrame,
+      checkpoint: String,
+      cat: graft.catalog.VersionedCatalog,
+      step: String): Unit = {
+    val q = docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        foldClusterEpoch(cat, step, batch, epoch)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  private[streaming] def foldClusterEpoch(
+      cat: graft.catalog.VersionedCatalog, step: String,
+      batch: DataFrame, epoch: Long): Unit = {
+    import graft.operators.{Graph, NearDup}
+    val T_ = org.apache.spark.sql.types.StructType.fromDDL _
+    val bandSchema = T_("band INT, bsig STRING, doc_id BIGINT")
+    val shSchema = T_("doc_id BIGINT, hsh ARRAY<BIGINT>")
+    val clSchema = T_("node BIGINT, label BIGINT")
+    val scope = new graft.CacheScope
+    try {
+      val (base, banded) = NearDup.minhashBandTable(
+        batch, col("doc_id"), col("text"), scope = scope)
+      val bandRows = scope.cache(
+        banded.select(col("band"), col("bsig"), col("doc_id")))
+      val shRows = scope.cache(base.select(col("doc_id"),
+        array_distinct(transform(col("sh"),
+          sh => graft.ext.TextDsl.hp(sh))).as("hsh")))
+      val clStep = s"${step}_clusters"
+      if (!cat.maxEpochTag(clStep).exists(_ >= epoch)) {
+        // delta edges: batch × (persisted corpus ∪ batch) — the q170
+        // probe join, verified by exact Jaccard over the hashed
+        // shingle sets (both sides' arrays come from the same store,
+        // so a ≈2⁻⁶⁰ hash collision hits both engines identically)
+        val rhsBands = cat.latestVersion(s"${step}_bands")
+          .map(v => cat.read(s"${step}_bands", v, Some(bandSchema))
+            .unionByName(bandRows)).getOrElse(bandRows)
+        val rhsSh = cat.latestVersion(s"${step}_shingles")
+          .map(v => cat.read(s"${step}_shingles", v, Some(shSchema))
+            .unionByName(shRows)).getOrElse(shRows)
+        val cand = bandRows
+          .select(col("band"), col("bsig"), col("doc_id").as("nid"))
+          .join(rhsBands.select(col("band"), col("bsig"),
+            col("doc_id").as("mid")), Seq("band", "bsig"))
+          .filter(col("nid") =!= col("mid"))
+          .select(least(col("nid"), col("mid")).as("a"),
+            greatest(col("nid"), col("mid")).as("b"))
+          .distinct()
+        val inter = size(array_intersect(col("ha"), col("hb")))
+        val edges = cand
+          .join(rhsSh.select(col("doc_id").as("a"), col("hsh").as("ha")), "a")
+          .join(rhsSh.select(col("doc_id").as("b"), col("hsh").as("hb")), "b")
+          .filter(inter.cast("double") /
+            (size(col("ha")) + size(col("hb")) - inter).cast("double") >= 0.5)
+          .select(col("a"), col("b"))
+        val next = cat.latestVersion(clStep) match {
+          case None => Graph.connectedComponents(edges)
+          case Some(v) => Graph.mergeComponents(
+              cat.read(clStep, v, Some(clSchema)), edges)
+            .select(col("node"), col("label"))
+        }
+        cat.writeNext(clStep, next, epochTag = Some(epoch))
+        ()
+      }
+      // serving-state appends commit AFTER the fold (ordering note above)
+      foldEpoch(cat, s"${step}_bands", bandRows, epoch,
+        (b, f) => b.unionByName(f))
+      foldEpoch(cat, s"${step}_shingles", shRows, epoch,
+        (b, f) => b.unionByName(f))
+    } finally scope.release()
+  }
+
   /** STREAMING ANN-LSH INDEX — the q115/q170 append discipline for the
     * q192 multi-table LSH serving pair: each epoch's new vectors scale
     * map-side ([[graft.ext.Similarity.annScaled]] — the exact q187

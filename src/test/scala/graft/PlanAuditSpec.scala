@@ -384,7 +384,9 @@ class PlanAuditSpec extends SparkSpec {
       "q213_hashed_char_train" -> 1, // catalog-served char-model train log: one parquet read + the 6-row sort (q198's served shape; the subword build ran at construct)
       "q214_hashed_char_heldout" -> 3, // q200's served score shape over the char-model feature table + the 2-row per-class agreement agg
       "q215_lm_kn_mixture_score" -> 13, // q203's six-table interpolated score + the discount-mass type counts riding the SAME aggs (t5c in the prefix agg, t4c in the normalizer agg) + one extra distinct for t4c — the mixture prices every level for every gram by definition
-      "q216_lm_kn_prune_effect" -> 18) // TWO q215 mixture passes (full + pruned model tables, each rebuilding its L5/L4 aggregate set over the checkpointed fit/score tokenizations; L3 + vocab shared) + mass-threshold and model-row-count broadcasts + the 1-row report agg
+      "q216_lm_kn_prune_effect" -> 18, // TWO q215 mixture passes (full + pruned model tables, each rebuilding its L5/L4 aggregate set over the checkpointed fit/score tokenizations; L3 + vocab shared) + mass-threshold and model-row-count broadcasts + the 1-row report agg
+      "q217_dedup_clusters_incremental" -> 4, // contraction merge: the delta-edge LSH and the merged label table are CACHED (each read twice in the returned plan — uncached the LSH replayed 4×, measured 31 exchanges); the prior-state CC rounds live behind localCheckpoints; what remains = per-cluster agg + the united-count distinct/agg + sort
+      "q218_dedup_cluster_catalog" -> 3) // catalog-served cluster summaries: two committed parquet version reads, each one per-cluster agg, + the union output sort — the LSH/CC/merge construction committed versions eagerly at construct (the q205 accounting)
     (b0.map(_ -> 0) ++ b1.map(_ -> 1) ++ b2.map(_ -> 2) ++ multi).toMap
   }
 

@@ -48,6 +48,50 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  private def merge(oldEdges: Seq[(Long, Long)],
+      newEdges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    val oldLabels = Graph.connectedComponents(oldEdges.toDF("a", "b"))
+    Graph.mergeComponents(oldLabels, newEdges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+  }
+
+  test("mergeComponents: delta fold equals full recompute (chain, star-union, singleton bridge)") {
+    // old graph: {1,2} and {5,6}; delta bridges them through new node 9
+    // and pulls in old singleton 7 (never in the old label table)
+    val old1 = Seq((1L, 2L), (5L, 6L))
+    val delta = Seq((2L, 9L), (9L, 5L), (7L, 9L), (30L, 31L))
+    assert(merge(old1, delta) == unionFind(old1 ++ delta))
+  }
+
+  test("mergeComponents: empty delta endpoints pass old clusters through; label-only merges") {
+    // delta edge connects two old LABELS directly (both endpoints old)
+    val old1 = Seq((10L, 12L), (20L, 22L), (40L, 41L))
+    val delta = Seq((12L, 22L))
+    val got = merge(old1, delta)
+    assert(got == unionFind(old1 ++ delta))
+    assert(got(41L) == 40L) // untouched old cluster passes through
+  }
+
+  test("mergeComponents: random old/new splits match full union-find (property)") {
+    val edgesGen = Gen.listOf(for {
+      a <- Gen.choose(0L, 24L); b <- Gen.choose(0L, 24L) if a != b
+    } yield (a, b)).suchThat(_.nonEmpty)
+    (0 until 8).flatMap(i =>
+      edgesGen.apply(Gen.Parameters.default, Seed(777L + i))).foreach { edges =>
+      // the q217 split: "old" = both endpoints even, delta = the rest
+      val (oldE, newE) = edges.partition(e => e._1 % 2 == 0 && e._2 % 2 == 0)
+      if (newE.nonEmpty) {
+        val got = merge(oldE, newE)
+        val full = unionFind(edges)
+        // merge output covers old-graph nodes + delta endpoints; full
+        // union-find has the same node set here by construction
+        assert(got == full, s"old=$oldE new=$newE")
+      }
+    }
+  }
+
   test("pageRank: hub dominates a star; symmetric nodes tie; matches scalar model") {
     val s = spark
     import s.implicits._

@@ -1245,6 +1245,50 @@ class EventPipelinesSpec extends SparkSpec {
     }
   }
 
+  test("streaming cluster sink: contraction folds equal the batch re-close, replay-safe") {
+    val s = spark
+    import s.implicits._
+    withTempDir { dir =>
+      val in = s"$dir/in"; val ckpt = s"$dir/ckpt"; val root = s"$dir/cat"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING")
+      def stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(in)
+      val cat = new graft.catalog.VersionedCatalog(spark, root, format = "parquet")
+      val fixture = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      def writeEpoch(name: String, docs: org.apache.spark.sql.DataFrame): Unit =
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/$name"),
+          docs.toJSON.collect().mkString("\n").getBytes)
+      // one file per run: each version must pair with exactly one epoch
+      (0 to 2).foreach { r =>
+        writeEpoch(s"e$r.json", fixture.filter(col("doc_id") % 3 === r))
+        EventPipelines.runCatalogClusterSink(stream, ckpt, cat, "cl")
+      }
+      assert(cat.versions("cl_clusters") == Seq(1, 2, 3))
+      assert(cat.versions("cl_bands") == Seq(1, 2, 3))
+      val clSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "node BIGINT, label BIGINT")
+      def labelMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val streamed = labelMap(cat.latest("cl_clusters", Some(clSchema)))
+      // the law: three contraction folds ≡ one batch re-close of the
+      // full pair set (epoch order discovered every pair exactly once)
+      val pairs = graft.operators.NearDup.minhashLsh(
+          fixture, col("doc_id"), col("text"))
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val direct = labelMap(graft.operators.Graph.connectedComponents(pairs))
+      assert(streamed == direct && streamed.nonEmpty)
+      // replay with no new input: adds nothing anywhere
+      EventPipelines.runCatalogClusterSink(stream, ckpt, cat, "cl")
+      assert(cat.versions("cl_clusters") == Seq(1, 2, 3))
+      assert(cat.versions("cl_bands") == Seq(1, 2, 3))
+      assert(cat.versions("cl_shingles") == Seq(1, 2, 3))
+    }
+  }
+
   test("streaming classifier sink: bootstrap then warm-start under the frozen artifact, replay-safe") {
     val s = spark
     import s.implicits._
