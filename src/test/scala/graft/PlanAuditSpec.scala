@@ -386,7 +386,11 @@ class PlanAuditSpec extends SparkSpec {
       "q215_lm_kn_mixture_score" -> 13, // q203's six-table interpolated score + the discount-mass type counts riding the SAME aggs (t5c in the prefix agg, t4c in the normalizer agg) + one extra distinct for t4c — the mixture prices every level for every gram by definition
       "q216_lm_kn_prune_effect" -> 18, // TWO q215 mixture passes (full + pruned model tables, each rebuilding its L5/L4 aggregate set over the checkpointed fit/score tokenizations; L3 + vocab shared) + mass-threshold and model-row-count broadcasts + the 1-row report agg
       "q217_dedup_clusters_incremental" -> 4, // contraction merge: the delta-edge LSH and the merged label table are CACHED (each read twice in the returned plan — uncached the LSH replayed 4×, measured 31 exchanges); the prior-state CC rounds live behind localCheckpoints; what remains = per-cluster agg + the united-count distinct/agg + sort
-      "q218_dedup_cluster_catalog" -> 3) // catalog-served cluster summaries: two committed parquet version reads, each one per-cluster agg, + the union output sort — the LSH/CC/merge construction committed versions eagerly at construct (the q205 accounting)
+      "q218_dedup_cluster_catalog" -> 3, // catalog-served cluster summaries: two committed parquet version reads, each one per-cluster agg, + the union output sort — the LSH/CC/merge construction committed versions eagerly at construct (the q205 accounting)
+      "q219_phrase_search" -> 2, // row-local shingle tf (zero corpus shuffle) + the per-phrase bounded-heap top_k agg + ordered output
+      "q220_phrase_catalog_served" -> 5, // served positional index: per-phrase adjacency joins broadcast the smaller posting list, leaving one per-doc count agg per phrase (3) + the top_k agg + ordered output; the index write's range exchange happens at construct
+      "q221_proximity_search" -> 2, // the smaller posting list broadcasts into the pair join, + per-doc min/count agg + ordered output
+      "q222_postings_delta" -> 2) // gap window and term agg share the `term` hash partitioning (one exchange serves both) + ordered output
     (b0.map(_ -> 0) ++ b1.map(_ -> 1) ++ b2.map(_ -> 2) ++ multi).toMap
   }
 
