@@ -130,6 +130,38 @@ object HashedClassifier extends QueryModule {
       when(col("q") > col("t3"), 1L)
         .when(col("q") <= col("t1"), -1L).otherwise(0L).as("y"))
 
+  /** Median-augmented quartile thresholds (t1, t2, t3) — the ordinal
+    * family's cut points ([[qThresholds]] plus the median, same
+    * value-domain histogram). */
+  def qThresholdsMid(hq: DataFrame): DataFrame = {
+    val n1 = hq.agg(count(lit(1)).as("n"))
+    val cum = hq.groupBy(col("q")).agg(count(lit(1)).as("c"))
+      .withColumn("cc", sum(col("c")).over(
+        Window.orderBy(col("q"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cum.crossJoin(broadcast(n1)).agg(
+      min(when(col("cc") >= expr("(1*n+3) div 4"), col("q"))).as("t1"),
+      min(when(col("cc") >= expr("(2*n+3) div 4"), col("q"))).as("t2"),
+      min(when(col("cc") >= expr("(3*n+3) div 4"), col("q"))).as("t3"))
+  }
+
+  /** Ordinal cut labels (Frank & Hall 2001's decomposition: band
+    * membership = the sum of K−1 binary "q > cut" answers), margin
+    * manufactured per cut by skipping the adjacent quartile — the same
+    * Wenzek skip-band rule the binary task uses, applied around EACH
+    * cut so both perceptrons keep a whole quartile of separation:
+    * cut A ("q > t1"): −1 on q ≤ t1, +1 on q > t2, skip (t1, t2];
+    * cut B ("q > t3"): +1 on q > t3, −1 on q ≤ t2, skip (t2, t3]. */
+  def ordinalLabelsA(hq: DataFrame, thr: DataFrame): DataFrame =
+    hq.crossJoin(broadcast(thr)).select(col("doc_id"),
+      when(col("q") > col("t2"), 1L)
+        .when(col("q") <= col("t1"), -1L).otherwise(0L).as("y"))
+
+  def ordinalLabelsB(hq: DataFrame, thr: DataFrame): DataFrame =
+    hq.crossJoin(broadcast(thr)).select(col("doc_id"),
+      when(col("q") > col("t3"), 1L)
+        .when(col("q") <= col("t2"), -1L).otherwise(0L).as("y"))
+
   /** The sparse hashed feature table (doc_id, j, c): normalized
     * unigram+bigram bucket counts plus the bias and length rows. */
   def hashedOcc(tk3d: DataFrame): DataFrame = {
@@ -194,6 +226,7 @@ object HashedClassifier extends QueryModule {
   val OccSchemaDdl = "doc_id BIGINT, j BIGINT, c BIGINT"
   val LabSchemaDdl = "doc_id BIGINT, y BIGINT"
   val ThrSchemaDdl = "t1 BIGINT, t3 BIGINT"
+  val OrdThrSchemaDdl = "t1 BIGINT, t2 BIGINT, t3 BIGINT"
   val WSchemaDdl = "j BIGINT, w BIGINT"
   val LogSchemaDdl =
     "epoch BIGINT, n_mis BIGINT, k_shift BIGINT, nnz BIGINT, l1 BIGINT"
@@ -440,6 +473,42 @@ object HashedClassifier extends QueryModule {
       }
     }
 
+    /** Build-if-absent for the ORDINAL BAND artifacts (q223/q224): the
+      * median-augmented thresholds `hothr`, the two cut label tables
+      * `holaba`/`holabb`, and each cut's training twins (`howa`/
+      * `hologa`, `howb`/`hologb`) over the SHARED word feature table —
+      * band quality is comparable to the binary head/tail model gate
+      * for gate. Gated on the LAST-written artifact (`hologb` — the
+      * ClassifierStore retry rule). */
+    def ensureOrdinal(s: SparkSession, dir: String): VersionedCatalog = {
+      val cat = ensure(s, dir)
+      lock.synchronized {
+        if (cat.latestVersion("hologb").isEmpty) {
+          val scope = new graft.CacheScope
+          try {
+            val hq = scope.cache(
+              qualityE4(Classifier.tk3(T.documents(s, dir))))
+            if (cat.latestVersion("hothr").isEmpty)
+              cat.writeNext("hothr", qThresholdsMid(hq))
+            val thr = cat.read("hothr", 1, Some(ddl(OrdThrSchemaDdl)))
+            if (cat.latestVersion("holaba").isEmpty)
+              cat.writeNext("holaba", ordinalLabelsA(hq, thr))
+            if (cat.latestVersion("holabb").isEmpty)
+              cat.writeNext("holabb", ordinalLabelsB(hq, thr))
+            val occ = scope.cache(
+              cat.read("hocc", 1, Some(ddl(OccSchemaDdl))).coalesce(8))
+            trainLoop(s, cat,
+              occ, cat.read("holaba", 1, Some(ddl(LabSchemaDdl))),
+              lit(true), "howa", "hologa")
+            trainLoop(s, cat,
+              occ, cat.read("holabb", 1, Some(ddl(LabSchemaDdl))),
+              lit(true), "howb", "hologb")
+          } finally scope.release()
+        }
+        cat
+      }
+    }
+
     /** The cooled-mean batch perceptron (see class doc) through
       * [[epochLoop]]: Epochs weight versions committed under `wStep`
       * (each epoch trains on the READ-BACK committed version), the
@@ -470,6 +539,14 @@ object HashedClassifier extends QueryModule {
     Store.ensure(s, dir).read("hocc", 1, Some(ddl(OccSchemaDdl)))
   def servedLab(s: SparkSession, dir: String): DataFrame =
     Store.ensure(s, dir).read("hlab", 1, Some(ddl(LabSchemaDdl)))
+
+  /** Ordinal-band twins (build the cut artifacts if absent). */
+  def ordTrainLog(s: SparkSession, dir: String, logStep: String): DataFrame =
+    Store.ensureOrdinal(s, dir).read(logStep, 1, Some(ddl(LogSchemaDdl)))
+  def ordWeights(s: SparkSession, dir: String, wStep: String): DataFrame =
+    Store.ensureOrdinal(s, dir).read(wStep, Epochs, Some(ddl(WSchemaDdl)))
+  def ordThresholds(s: SparkSession, dir: String): DataFrame =
+    Store.ensureOrdinal(s, dir).read("hothr", 1, Some(ddl(OrdThrSchemaDdl)))
 
   /** Char-model twins (build the subword artifacts if absent). */
   def charTrainLog(s: SparkSession, dir: String, logStep: String): DataFrame =
@@ -527,6 +604,28 @@ object HashedClassifier extends QueryModule {
 
   private val baseCtesSql = baseCtesFromSql("documents")
 
+  /** Ordinal cut CTEs (compose AFTER [[baseCtesFromSql]] — reuses its
+    * hbq/hbcum/hbn histogram): the median-augmented thresholds and the
+    * two margin-banded cut label tables mirroring [[ordinalLabelsA]]/
+    * [[ordinalLabelsB]]. */
+  private val ordinalCtesSql = s"""
+        hbothr AS (SELECT MIN(CASE WHEN cc >= (1*n+3)//4 THEN q END) AS t1,
+                          MIN(CASE WHEN cc >= (2*n+3)//4 THEN q END) AS t2,
+                          MIN(CASE WHEN cc >= (3*n+3)//4 THEN q END) AS t3
+                   FROM hbcum, hbn),
+        hbolaba AS MATERIALIZED (
+          SELECT h.doc_id,
+                 CASE WHEN h.q > t.t2 THEN CAST(1 AS BIGINT)
+                      WHEN h.q <= t.t1 THEN CAST(-1 AS BIGINT)
+                      ELSE CAST(0 AS BIGINT) END AS y
+          FROM hbq h CROSS JOIN hbothr t),
+        hbolabb AS MATERIALIZED (
+          SELECT h.doc_id,
+                 CASE WHEN h.q > t.t3 THEN CAST(1 AS BIGINT)
+                      WHEN h.q <= t.t2 THEN CAST(-1 AS BIGINT)
+                      ELSE CAST(0 AS BIGINT) END AS y
+          FROM hbq h CROSS JOIN hbothr t)"""
+
   /** The char-n-gram occurrence oracle CTE chain (hcwg → hctok → hccg
     * → hcall → hcng → hcocc) — composes AFTER [[baseCtesFromSql]]'s
     * hbtk and mirrors [[hashedOccChar]] gram for gram: word uni+bigram
@@ -567,40 +666,46 @@ object HashedClassifier extends QueryModule {
     * misclassified set hbm$r, count+shift hbk$r, shifted deltas hbd$r,
     * merged weights hbw$r. `filter` restricts the TRAINING universe
     * (e.g. "AND o.doc_id % 2 = 0"); `occCte` picks the feature table
-    * (hbocc word model, hcocc subword model); epoch 1 starts from an
-    * empty weight table, so the general form needs no zero-init
-    * special case. */
+    * (hbocc word model, hcocc subword model); `labCte` picks the label
+    * table (hblab default; the ordinal cuts supply their own); `tag`
+    * namespaces the per-epoch CTEs (hb${tag}s$r, ...) so two chains
+    * can train in ONE statement (the q147/q152 tagging rule). Epoch 1
+    * starts from an empty weight table, so the general form needs no
+    * zero-init special case. */
   private[ext] def trainChainSql(filter: String,
-      occCte: String = "hbocc"): String =
+      occCte: String = "hbocc", labCte: String = "hblab",
+      tag: String = ""): String =
     (1 to Epochs).map { r =>
       val wPrev =
         if (r == 1)
           "(SELECT CAST(NULL AS BIGINT) AS j, CAST(NULL AS BIGINT) AS w " +
             "WHERE FALSE)"
-        else s"hbw${r - 1}"
+        else s"hb${tag}w${r - 1}"
       s"""
-        hbs$r AS (SELECT o.doc_id, l.y,
+        hb${tag}s$r AS (SELECT o.doc_id, l.y,
                          CAST(coalesce(SUM(o.c * coalesce(w.w, 0)), 0)
                            AS BIGINT) AS s
-                  FROM $occCte o JOIN hblab l USING (doc_id)
+                  FROM $occCte o JOIN $labCte l USING (doc_id)
                   LEFT JOIN $wPrev w ON w.j = o.j
                   WHERE l.y <> 0 $filter
                   GROUP BY o.doc_id, l.y),
-        hbm$r AS MATERIALIZED (SELECT doc_id, y FROM hbs$r WHERE y * s <= 0),
-        hbk$r AS MATERIALIZED (
+        hb${tag}m$r AS MATERIALIZED (
+          SELECT doc_id, y FROM hb${tag}s$r WHERE y * s <= 0),
+        hb${tag}k$r AS MATERIALIZED (
           SELECT COUNT(*) AS nm,
                  (CASE WHEN COUNT(*) = 0 THEN 0
                        ELSE length(printf('%b', COUNT(*))) END) + ${r - 1}
                    AS k
-          FROM hbm$r),
-        hbd$r AS (SELECT o.j,
+          FROM hb${tag}m$r),
+        hb${tag}d$r AS (SELECT o.j,
                          CAST(SUM(m.y * o.c) AS BIGINT)
-                           >> (SELECT k FROM hbk$r) AS dw
-                  FROM $occCte o JOIN hbm$r m USING (doc_id) GROUP BY o.j),
-        hbw$r AS MATERIALIZED (
+                           >> (SELECT k FROM hb${tag}k$r) AS dw
+                  FROM $occCte o JOIN hb${tag}m$r m USING (doc_id)
+                  GROUP BY o.j),
+        hb${tag}w$r AS MATERIALIZED (
           SELECT coalesce(w.j, d.j) AS j,
                  CAST(coalesce(w.w, 0) + coalesce(d.dw, 0) AS BIGINT) AS w
-          FROM $wPrev w FULL OUTER JOIN hbd$r d ON w.j = d.j)"""
+          FROM $wPrev w FULL OUTER JOIN hb${tag}d$r d ON w.j = d.j)"""
     }.mkString(",")
 
   override val defs: Seq[QueryDef] = Seq(
@@ -930,6 +1035,104 @@ object HashedClassifier extends QueryModule {
                  AS BIGINT) AS n_agree,
                CAST(SUM(CASE WHEN (s > 0) = (y = 1) THEN 1 ELSE 0 END)
                  * 10000 // COUNT(*) AS BIGINT) AS agree_e4
-        FROM hcsv GROUP BY y ORDER BY y"""))
+        FROM hcsv GROUP BY y ORDER BY y""")),
+
+    // ------------------------------------------------------------------
+    // q223: ORDINAL BAND TRAINING — learned 3-band quality bucketing by
+    // the Frank & Hall decomposition: two independent cut perceptrons
+    // ("q > t1", "q > t3") over the SHARED hashed feature table, each
+    // with a whole skipped quartile of manufactured margin around its
+    // cut (see ordinalLabelsA/B). Both cut chains train in ONE oracle
+    // statement via the tagged CTE namespaces; the per-epoch log is
+    // hash-checked cut by cut — a drift in either cut's dynamics fails
+    // loudly. Serving reads the build-once store (no per-query
+    // retraining — the round-15 weak-row rule).
+    QueryDef(
+      "q223_ordinal_band_train",
+      (s, dir) => {
+        val a = ordTrainLog(s, dir, "hologa").withColumn("cut", lit("a"))
+        val b = ordTrainLog(s, dir, "hologb").withColumn("cut", lit("b"))
+        a.unionByName(b)
+          .select(col("cut"), col("epoch"), col("n_mis"), col("k_shift"),
+            col("nnz"), col("l1"))
+          .orderBy(col("cut"), col("epoch"))
+      },
+      Some {
+        def rows(tag: String, cut: String) = (1 to Epochs).map(r =>
+          s"""SELECT '$cut' AS cut, CAST($r AS BIGINT) AS epoch,
+                 nm AS n_mis, CAST(k AS BIGINT) AS k_shift,
+                 (SELECT COUNT(*) FROM hb${tag}w$r WHERE w <> 0) AS nnz,
+                 (SELECT CAST(coalesce(SUM(ABS(w)), 0) AS BIGINT)
+                  FROM hb${tag}w$r) AS l1
+          FROM hb${tag}k$r""").mkString(" UNION ALL ")
+        s"""
+        WITH $baseCtesSql, $ordinalCtesSql,
+        ${trainChainSql("", labCte = "hbolaba", tag = "oa")},
+        ${trainChainSql("", labCte = "hbolabb", tag = "ob")}
+        SELECT * FROM (${rows("oa", "a")} UNION ALL ${rows("ob", "b")})
+        ORDER BY cut, epoch"""
+      }),
+
+    // ------------------------------------------------------------------
+    // q224: ORDINAL BAND REPORT — the full universe scored under both
+    // converged cut snapshots, band = Σ positive cut answers, crossed
+    // against the rule band (the 3×3 confusion a production quality
+    // bucketer ships with), plus the per-cell ORDINAL INVERSION count
+    // (cut A negative while cut B positive — the decomposition's
+    // incoherence metric; forced into band 1 by the sum, so it must be
+    // surfaced, not silently absorbed).
+    QueryDef(
+      "q224_ordinal_band_report",
+      (s, dir) => {
+        val occ = servedOcc(s, dir)
+        val sa = scoreAll(occ, ordWeights(s, dir, "howa"))
+          .withColumnRenamed("score", "sa")
+        val sb = scoreAll(occ, ordWeights(s, dir, "howb"))
+          .withColumnRenamed("score", "sb")
+        val hq = qualityE4(Classifier.tk3(T.documents(s, dir)))
+        hq.crossJoin(broadcast(ordThresholds(s, dir)))
+          .select(col("doc_id"),
+            when(col("q") > col("t3"), 2L)
+              .when(col("q") > col("t1"), 1L).otherwise(0L).as("rule_band"))
+          .join(sa, "doc_id").join(sb, "doc_id")
+          .select(col("rule_band"),
+            (when(col("sa") > 0L, 1L).otherwise(0L)
+              + when(col("sb") > 0L, 1L).otherwise(0L)).as("pred_band"),
+            when(col("sa") <= 0L && col("sb") > 0L, 1L)
+              .otherwise(0L).as("inv"))
+          .groupBy(col("rule_band"), col("pred_band"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("inv")).as("n_inv"))
+          .orderBy(col("rule_band"), col("pred_band"))
+      },
+      Some(s"""
+        WITH $baseCtesSql, $ordinalCtesSql,
+        ${trainChainSql("", labCte = "hbolaba", tag = "oa")},
+        ${trainChainSql("", labCte = "hbolabb", tag = "ob")},
+        hbosa AS (SELECT o.doc_id,
+                         CAST(coalesce(SUM(o.c * coalesce(w.w, 0)), 0)
+                           AS BIGINT) AS sa
+                  FROM hbocc o LEFT JOIN hboaw$Epochs w ON w.j = o.j
+                  GROUP BY o.doc_id),
+        hbosb AS (SELECT o.doc_id,
+                         CAST(coalesce(SUM(o.c * coalesce(w.w, 0)), 0)
+                           AS BIGINT) AS sb
+                  FROM hbocc o LEFT JOIN hbobw$Epochs w ON w.j = o.j
+                  GROUP BY o.doc_id),
+        hboband AS (SELECT q.doc_id,
+                           CASE WHEN q.q > t.t3 THEN CAST(2 AS BIGINT)
+                                WHEN q.q > t.t1 THEN CAST(1 AS BIGINT)
+                                ELSE CAST(0 AS BIGINT) END AS rule_band,
+                           CAST(CASE WHEN a.sa > 0 THEN 1 ELSE 0 END
+                              + CASE WHEN b.sb > 0 THEN 1 ELSE 0 END
+                              AS BIGINT) AS pred_band,
+                           CASE WHEN a.sa <= 0 AND b.sb > 0 THEN 1
+                                ELSE 0 END AS inv
+                    FROM hbq q CROSS JOIN hbothr t
+                    JOIN hbosa a USING (doc_id)
+                    JOIN hbosb b USING (doc_id))
+        SELECT rule_band, pred_band, COUNT(*) AS n_docs,
+               CAST(SUM(inv) AS BIGINT) AS n_inv
+        FROM hboband GROUP BY rule_band, pred_band
+        ORDER BY rule_band, pred_band"""))
   )
 }

@@ -133,6 +133,42 @@ class HashedClassifierSpec extends SparkSpec {
       "expected at least one middle-band (y = 0) selection")
   }
 
+  test("ordinal cuts: both trainings run their epoch budget and the band " +
+      "report is a coherent partition of the universe") {
+    val log = graft.SparkEntry
+      .queries("q223_ordinal_band_train")(spark, dir).collect()
+    assert(log.length == 2 * HashedClassifier.Epochs)
+    assert(log.map(_.getAs[String]("cut")).distinct.sorted.sameElements(
+      Array("a", "b")))
+    val rep = graft.SparkEntry
+      .queries("q224_ordinal_band_report")(spark, dir).collect()
+    val universe = HashedClassifier.servedLab(spark, dir).count()
+    assert(rep.map(_.getAs[Long]("n_docs")).sum == universe,
+      "confusion cells must partition the scored universe")
+    rep.foreach { r =>
+      assert(r.getAs[Long]("rule_band") >= 0L && r.getAs[Long]("rule_band") <= 2L)
+      assert(r.getAs[Long]("pred_band") >= 0L && r.getAs[Long]("pred_band") <= 2L)
+      assert(r.getAs[Long]("n_inv") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("ordinal cuts: the clear extreme bands agree with the rule") {
+    // docs the RULE puts in band 0 (q <= t1) or band 2 (q > t3) are the
+    // cut models' own clear training regions; agreement there is the
+    // serving floor (the middle band is margin-excluded by design).
+    val rep = graft.SparkEntry
+      .queries("q224_ordinal_band_report")(spark, dir).collect()
+      .map(r => ((r.getAs[Long]("rule_band"), r.getAs[Long]("pred_band")),
+        r.getAs[Long]("n_docs"))).toMap
+    for (band <- Seq(0L, 2L)) {
+      val total = rep.collect { case ((rb, _), n) if rb == band => n }.sum
+      val hit = rep.getOrElse((band, band), 0L)
+      assert(total > 0)
+      assert(hit * 10000L / total >= 9000L,
+        s"rule band $band served at ${hit * 10000 / total} bps")
+    }
+  }
+
   test("store is idempotent: serving twice returns identical weights") {
     val a = HashedClassifier.weights(spark, dir, "hw")
       .orderBy(col("j")).collect().map(r => (r.getLong(0), r.getLong(1)))
