@@ -15,6 +15,8 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
 class PlanAuditSpec extends SparkSpec {
 
   private val allPairsByDesign = Set(
+    "q224_ordinal_band_report", // 1-row ordinal-thresholds broadcast
+                                // crossed into the rule-band projection
     "q50_nn_brute", // brute-force baseline: the cross join IS the query
     "q19_above_avg_parts", // scalar subquery = 1-row broadcast cross join
     "q49_mixture_sample", // 1-row max-sqrt scalar broadcast to the counts
@@ -390,7 +392,9 @@ class PlanAuditSpec extends SparkSpec {
       "q219_phrase_search" -> 2, // row-local shingle tf (zero corpus shuffle) + the per-phrase bounded-heap top_k agg + ordered output
       "q220_phrase_catalog_served" -> 5, // served positional index: per-phrase adjacency joins broadcast the smaller posting list, leaving one per-doc count agg per phrase (3) + the top_k agg + ordered output; the index write's range exchange happens at construct
       "q221_proximity_search" -> 2, // the smaller posting list broadcasts into the pair join, + per-doc min/count agg + ordered output
-      "q222_postings_delta" -> 2) // gap window and term agg share the `term` hash partitioning (one exchange serves both) + ordered output
+      "q222_postings_delta" -> 2, // gap window and term agg share the `term` hash partitioning (one exchange serves both) + ordered output
+      "q223_ordinal_band_train" -> 1, // store-served cut logs: two committed parquet reads unioned + the 12-row sort (q198's served shape; both cut trainings ran at construct)
+      "q224_ordinal_band_report" -> 4) // two full-universe score join-aggs over the served feature table (weight tables broadcast) + the rule-band join + the 3x3 confusion agg/sort
     (b0.map(_ -> 0) ++ b1.map(_ -> 1) ++ b2.map(_ -> 2) ++ multi).toMap
   }
 
