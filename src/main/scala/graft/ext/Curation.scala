@@ -480,6 +480,32 @@ object Curation extends QueryModule {
                          ELSE 'K' END) AS cl
                 FROM tkc)"""
 
+  /** q225's priority assignment: pri = ⌊hp(doc)·10⁶ / n_chars⌋ —
+    * U/w order sampling (sequential Poisson), deterministic via the
+    * shared doc hash. private[graft]: the streaming weighted-sample
+    * sink scores its batches with the same rule. */
+  private[graft] def orderSamplePriorities(docs: DataFrame): DataFrame =
+    docs.select(col("source"), col("doc_id"), col("n_chars"),
+        X.hp(col("doc_id").cast("string")).as("h"))
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        expr("(h * 1000000) div n_chars").as("pri"))
+
+  /** Per-source k-minimum-priority sample over a (source, doc_id,
+    * n_chars, pri) frame, ranked — the q225 tail. Min-k is
+    * ASSOCIATIVE over unions (with the doc_id tiebreak every key is
+    * distinct), so the streaming sink folds per-batch samples into an
+    * exact whole-history sample with k·|sources| bounded state. */
+  private[graft] def orderSampleTopK(pri: DataFrame, k: Int = 10): DataFrame =
+    pri.groupBy(col("source"))
+      .agg(graft.functions.AggFunctions.topK(
+        struct((-col("pri")).as("np"), (-col("doc_id")).as("nd"),
+          col("doc_id").as("doc_id"), col("n_chars").as("n_chars"),
+          col("pri").as("pri")), k).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.doc_id").as("doc_id"),
+        col("col.n_chars").as("n_chars"), col("col.pri").as("pri"))
+
   override val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -1369,6 +1395,37 @@ object Curation extends QueryModule {
                     ELSE CAST(((n_emails + n_urls + n_cards + n_ips + n_phones)
                       * 10000) // n_tokens AS BIGINT) END AS pii_bps
         FROM pagg ORDER BY source""")),
+
+    // ------------------------------------------------------------------
+    // q225: WEIGHTED ORDER SAMPLING (sequential Poisson, Ohlsson 1998)
+    // — exact-k per-source sampling with inclusion probability ∝ doc
+    // size, the fixed-BUDGET complement to q49's rate-based mixture
+    // sampling: q49 keeps a per-source RATE (output size floats with
+    // the corpus); this draws exactly k docs per source, biased toward
+    // the weight, without replacement. Priority = ⌊U·10⁶/w⌋ with U the
+    // shared 31-bit doc hash and w = n_chars (U/w order sampling — the
+    // k smallest priorities are the sample; both operands non-negative,
+    // hp·10⁶ < 2^51 so int64-exact, ties broken by doc_id).
+    // Deterministic by construction: the "randomness" is the seeded
+    // doc hash, so the sample is reproducible and oracle-checkable —
+    // the production property (resumable sampling across reruns), not
+    // a test concession. Scale: one partial-aggregable bounded-heap
+    // top_k per source — k rows per partition ship, never the corpus.
+    QueryDef(
+      "q225_weighted_order_sample",
+      (s, dir) =>
+        orderSampleTopK(orderSamplePriorities(T.documents(s, dir)))
+          .orderBy(col("source"), col("rank")),
+      Some(s"""
+        WITH wsp AS (SELECT source, doc_id, n_chars,
+               (${X.hpSql("CAST(doc_id AS VARCHAR)")} * 1000000) // n_chars
+                 AS pri
+             FROM documents)
+        SELECT source, rank, doc_id, n_chars, pri FROM (
+          SELECT source, doc_id, n_chars, pri,
+                 CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY pri, doc_id) AS BIGINT) AS rank
+          FROM wsp) WHERE rank <= 10 ORDER BY source, rank""")),
   )
 }
 

@@ -407,6 +407,9 @@ object HashedClassifier extends QueryModule {
     private val lock = new Object
     private var roots = Map.empty[String, String]
 
+    def invalidate(dir: String): Unit =
+      lock.synchronized { roots -= dir }
+
     private def catalogFor(s: SparkSession, dir: String): VersionedCatalog = {
       val root = lock.synchronized {
         roots.getOrElse(dir, {
@@ -528,6 +531,14 @@ object HashedClassifier extends QueryModule {
         log.toDF("epoch", "n_mis", "k_shift", "nnz", "l1"))
     }
   }
+
+  /** Drop the process-local store binding for `dir` (the
+    * [[ClassifierStore.invalidate]] twin): the store keys by directory
+    * PATH for the JVM lifetime, so an in-place rewrite of the corpus
+    * under that path (fixture regeneration in a long-lived session)
+    * would otherwise serve stale features/weights. The next serve
+    * rebuilds from the current data. */
+  def invalidateStore(dir: String): Unit = Store.invalidate(dir)
 
   /** Served train log / weight snapshot / feature & label tables —
     * build-if-absent, then reads only. */

@@ -750,7 +750,8 @@ object EventPipelines {
       checkpoint: String,
       cat: graft.catalog.VersionedCatalog,
       step: String,
-      retain: Option[Int] = None): Unit = {
+      retain: Option[Int] = None,
+      positional: Boolean = false): Unit = {
     val q = docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -758,6 +759,16 @@ object EventPipelines {
         val tk = graft.ext.Retrieval.bm25Tokenize(batch)
           .localCheckpoint(eager = false) // 4 epoch tables read it
         val postings = graft.ext.Retrieval.bm25Postings(tk)
+        // positional postings ride the same sink (the phrase/proximity
+        // index, q219/q220's layout): per-doc rows are disjoint across
+        // epochs, so UNION append is the whole maintenance story —
+        // streamed history is never re-tokenized and any version
+        // serves the adjacency-join phrase plan.
+        if (positional)
+          foldEpoch(cat, s"${step}_ppost",
+            graft.ext.PhraseSearch.positionalPostings(
+              tk.select(col("doc_id"), col("tk"))), epoch,
+            (a, b) => a.unionByName(b), retain = retain)
         foldEpoch(cat, s"${step}_postings", postings, epoch,
           (a, b) => a.unionByName(b), retain = retain)
         foldEpoch(cat, s"${step}_docstats",
@@ -771,6 +782,43 @@ object EventPipelines {
           tk.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot")), epoch,
           (a, b) => a.unionByName(b)
             .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot")).as("tot")),
+          boundedState = true, retain = retain)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Streaming WEIGHTED ORDER SAMPLE → catalog (q225's sampler as
+    * maintained state): each epoch scores its batch with the shared
+    * priority rule ([[graft.ext.Curation.orderSamplePriorities]]) and
+    * folds into the per-source k-minimum-priority sample by
+    * union + re-top-k — EXACT because min-k is associative over unions
+    * (the law test proves streamed ≡ batch-over-union row for row).
+    * State is k·|sources| rows regardless of history length: the
+    * distributed, resumable form of reservoir-style PPS sampling —
+    * every version is a complete servable sample, time-travelable like
+    * every other serving family. Fold-type sink ⇒ retain applies; the
+    * atomic epoch tag is the exactly-once guard (a replayed epoch
+    * would re-union rows already sampled — harmless for min-k, which
+    * is content-idempotent, but the tag still skips the redundant
+    * version). */
+  def runCatalogWeightedSampleSink(
+      docs: DataFrame,
+      checkpoint: String,
+      cat: graft.catalog.VersionedCatalog,
+      step: String,
+      retain: Option[Int] = None): Unit = {
+    val cols = Seq("source", "doc_id", "n_chars", "pri").map(col)
+    val q = docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        foldEpoch(cat, s"${step}_sample",
+          graft.ext.Curation.orderSampleTopK(
+            graft.ext.Curation.orderSamplePriorities(batch)), epoch,
+          (a, b) => graft.ext.Curation.orderSampleTopK(
+            a.select(cols: _*).unionByName(b.select(cols: _*))),
           boundedState = true, retain = retain)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

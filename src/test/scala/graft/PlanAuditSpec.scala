@@ -394,7 +394,8 @@ class PlanAuditSpec extends SparkSpec {
       "q221_proximity_search" -> 2, // the smaller posting list broadcasts into the pair join, + per-doc min/count agg + ordered output
       "q222_postings_delta" -> 2, // gap window and term agg share the `term` hash partitioning (one exchange serves both) + ordered output
       "q223_ordinal_band_train" -> 1, // store-served cut logs: two committed parquet reads unioned + the 12-row sort (q198's served shape; both cut trainings ran at construct)
-      "q224_ordinal_band_report" -> 4) // two full-universe score join-aggs over the served feature table (weight tables broadcast) + the rule-band join + the 3x3 confusion agg/sort
+      "q224_ordinal_band_report" -> 4, // two full-universe score join-aggs over the served feature table (weight tables broadcast) + the rule-band join + the 3x3 confusion agg/sort
+      "q225_weighted_order_sample" -> 2) // map-side priorities + the per-source bounded-heap top_k agg + ordered output
     (b0.map(_ -> 0) ++ b1.map(_ -> 1) ++ b2.map(_ -> 2) ++ multi).toMap
   }
 

@@ -176,4 +176,14 @@ class HashedClassifierSpec extends SparkSpec {
       .orderBy(col("j")).collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(a.sameElements(b))
   }
+
+  test("invalidateStore forces a rebuild that reproduces the same weights") {
+    val before = HashedClassifier.weights(spark, dir, "hw")
+      .orderBy(col("j")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    HashedClassifier.invalidateStore(dir)
+    val after = HashedClassifier.weights(spark, dir, "hw")
+      .orderBy(col("j")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(before.sameElements(after),
+      "rebuild from the unchanged corpus must reproduce the weights")
+  }
 }

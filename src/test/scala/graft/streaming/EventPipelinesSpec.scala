@@ -1151,6 +1151,90 @@ class EventPipelinesSpec extends SparkSpec {
     }
   }
 
+  test("streaming positional-postings sink: streamed phrase index equals the full-corpus build, replay-safe") {
+    val s = spark
+    import s.implicits._
+    withTempDir { dir =>
+      val in = s"$dir/in"; val ckpt = s"$dir/ckpt"; val root = s"$dir/cat"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING")
+      def stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(in)
+      val cat = new graft.catalog.VersionedCatalog(spark, root, format = "parquet")
+      val fixture = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      def writeEpoch(name: String, docs: org.apache.spark.sql.DataFrame): Unit =
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/$name"),
+          docs.toJSON.collect().mkString("\n").getBytes)
+      writeEpoch("e1.json", fixture.filter(col("doc_id") % 2 === 0))
+      EventPipelines.runCatalogRetrievalIndexSink(stream, ckpt, cat, "px",
+        positional = true)
+      writeEpoch("e2.json", fixture.filter(col("doc_id") % 2 === 1))
+      EventPipelines.runCatalogRetrievalIndexSink(stream, ckpt, cat, "px",
+        positional = true)
+      val ppSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "term STRING, doc_id BIGINT, pos BIGINT")
+      val streamed = cat.latest("px_ppost", Some(ppSchema))
+      val tokenizedAll = fixture.select(col("doc_id"),
+        graft.ext.TextDsl.tokens(col("text")).as("tk"))
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val full = rows(graft.ext.PhraseSearch.positionalPostings(tokenizedAll))
+      assert(rows(streamed) == full)
+      assert(full.nonEmpty)
+      // the streamed index serves the phrase plan: adjacency-join tf
+      // over the streamed table == the row-local shingle definition
+      def tfs(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(tfs(graft.ext.PhraseSearch.phraseTfPostings(streamed)) ==
+        tfs(graft.ext.PhraseSearch.phraseTfShingle(tokenizedAll)))
+      // replay with no new input: no new version
+      EventPipelines.runCatalogRetrievalIndexSink(stream, ckpt, cat, "px",
+        positional = true)
+      assert(cat.latestVersion("px_ppost").contains(2))
+    }
+  }
+
+  test("streaming weighted-sample sink: streamed min-k sample equals the batch sample over the union") {
+    val s = spark
+    import s.implicits._
+    withTempDir { dir =>
+      val in = s"$dir/in"; val ckpt = s"$dir/ckpt"; val root = s"$dir/cat"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, source STRING, n_chars BIGINT")
+      def stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(in)
+      val cat = new graft.catalog.VersionedCatalog(spark, root, format = "parquet")
+      val fixture = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      def writeEpoch(name: String, docs: org.apache.spark.sql.DataFrame): Unit =
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/$name"),
+          docs.toJSON.collect().mkString("\n").getBytes)
+      writeEpoch("e1.json", fixture.filter(col("doc_id") % 2 === 0))
+      EventPipelines.runCatalogWeightedSampleSink(stream, ckpt, cat, "ws")
+      assert(cat.latestVersion("ws_sample").contains(1))
+      writeEpoch("e2.json", fixture.filter(col("doc_id") % 2 === 1))
+      EventPipelines.runCatalogWeightedSampleSink(stream, ckpt, cat, "ws")
+      val stSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "source STRING, rank BIGINT, doc_id BIGINT, n_chars BIGINT, pri BIGINT")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Long]("rank"),
+          r.getAs[Long]("doc_id"), r.getAs[Long]("pri"))).toSet
+      val streamed = rows(cat.latest("ws_sample", Some(stSchema)))
+      val batch = rows(graft.ext.Curation.orderSampleTopK(
+        graft.ext.Curation.orderSamplePriorities(fixture)))
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+      // replay with no new input: no new version
+      EventPipelines.runCatalogWeightedSampleSink(stream, ckpt, cat, "ws")
+      assert(cat.latestVersion("ws_sample").contains(2))
+    }
+  }
+
   test("streaming retrieval-index sink retention: retain=1 keeps one servable version per table") {
     val s = spark
     import s.implicits._
