@@ -1052,6 +1052,64 @@ object Relational extends QueryModule {
         SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin,
                COUNT(*) AS n, ${dsumSql("value")} AS bin_value
         FROM events GROUP BY event_type, bin
-        ORDER BY event_type, bin"""))
+        ORDER BY event_type, bin""")),
+
+    // ------------------------------------------------------------------
+    // q226: COHORT RETENTION — the classic product-analytics triangle
+    // over the events stream: users cohorted by first-seen week
+    // (relative to the corpus' first activity date, computed in-plan —
+    // a 1-row broadcast, no fixture-anchored constant), activity
+    // bucketed by whole-week offset from EACH USER'S OWN first day,
+    // retained share in basis points against the cohort size. All
+    // date math is integer day differences div 7 on provably
+    // non-negative operands (no engine week-boundary semantics in
+    // play). Scale: two aggregations partitioned by user feed a
+    // cohort×offset cell grid bounded by (weeks)², not events; the
+    // distinct collapses map-side per user-week first.
+    QueryDef(
+      "q226_retention_cohorts",
+      (s, dir) => {
+        val ev = T.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+        val fd = ev.groupBy(col("user_id")).agg(min(col("d")).as("fd"))
+        val m0 = fd.agg(min(col("fd")).as("m0"))
+        val cohorts = fd.crossJoin(broadcast(m0))
+          .select(col("user_id"), col("fd"),
+            expr("CAST(datediff(fd, m0) AS BIGINT) div 7").as("cohort_week"))
+        val sizes = cohorts.groupBy(col("cohort_week"))
+          .agg(count(lit(1)).as("cohort_size"))
+        val cells = ev.join(cohorts, "user_id")
+          .select(col("user_id"), col("cohort_week"),
+            expr("CAST(datediff(d, fd) AS BIGINT) div 7").as("week_offset"))
+          .distinct()
+          .groupBy(col("cohort_week"), col("week_offset"))
+          .agg(count(lit(1)).as("n_users"))
+        cells.join(broadcast(sizes), "cohort_week")
+          .select(col("cohort_week"), col("week_offset"), col("n_users"),
+            col("cohort_size"),
+            expr("(n_users * 10000) div cohort_size").as("retained_bps"))
+          .orderBy(col("cohort_week"), col("week_offset"))
+      },
+      Some(s"""
+        WITH rcev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        rcfd AS (SELECT user_id, MIN(d) AS fd FROM rcev GROUP BY user_id),
+        rcm AS (SELECT MIN(fd) AS m0 FROM rcfd),
+        rcco AS (SELECT user_id, fd,
+                        CAST(date_diff('day', m0, fd) AS BIGINT) // 7
+                          AS cohort_week
+                 FROM rcfd CROSS JOIN rcm),
+        rcsz AS (SELECT cohort_week, COUNT(*) AS cohort_size
+                 FROM rcco GROUP BY cohort_week),
+        rccell AS (SELECT cohort_week, week_offset,
+                          COUNT(*) AS n_users FROM (
+                     SELECT DISTINCT e.user_id, c.cohort_week,
+                            CAST(date_diff('day', c.fd, e.d) AS BIGINT) // 7
+                              AS week_offset
+                     FROM rcev e JOIN rcco c USING (user_id))
+                   GROUP BY cohort_week, week_offset)
+        SELECT l.cohort_week, l.week_offset, l.n_users, z.cohort_size,
+               (l.n_users * 10000) // z.cohort_size AS retained_bps
+        FROM rccell l JOIN rcsz z USING (cohort_week)
+        ORDER BY l.cohort_week, l.week_offset"""))
   )
 }

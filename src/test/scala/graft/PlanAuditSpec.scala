@@ -17,6 +17,8 @@ class PlanAuditSpec extends SparkSpec {
   private val allPairsByDesign = Set(
     "q224_ordinal_band_report", // 1-row ordinal-thresholds broadcast
                                 // crossed into the rule-band projection
+    "q226_retention_cohorts", // 1-row corpus-first-date broadcast
+                              // crossed into the cohort projection
     "q50_nn_brute", // brute-force baseline: the cross join IS the query
     "q19_above_avg_parts", // scalar subquery = 1-row broadcast cross join
     "q49_mixture_sample", // 1-row max-sqrt scalar broadcast to the counts
@@ -395,7 +397,8 @@ class PlanAuditSpec extends SparkSpec {
       "q222_postings_delta" -> 2, // gap window and term agg share the `term` hash partitioning (one exchange serves both) + ordered output
       "q223_ordinal_band_train" -> 1, // store-served cut logs: two committed parquet reads unioned + the 12-row sort (q198's served shape; both cut trainings ran at construct)
       "q224_ordinal_band_report" -> 4, // two full-universe score join-aggs over the served feature table (weight tables broadcast) + the rule-band join + the 3x3 confusion agg/sort
-      "q225_weighted_order_sample" -> 2) // map-side priorities + the per-source bounded-heap top_k agg + ordered output
+      "q225_weighted_order_sample" -> 2, // map-side priorities + the per-source bounded-heap top_k agg + ordered output
+      "q226_retention_cohorts" -> 6) // first-date agg by user + 1-row min broadcast + cohort-size agg + the user-week distinct + the cell agg + ordered output (cohort sizes broadcast into the cell join)
     (b0.map(_ -> 0) ++ b1.map(_ -> 1) ++ b2.map(_ -> 2) ++ multi).toMap
   }
 

@@ -17,6 +17,38 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q226 retention: planted multi-cohort events yield the exact triangle") {
+    val s = spark
+    import s.implicits._
+    withTempDir { tmp =>
+      val rows = Seq(
+        // (user, day): u1 cohort wk0 active wk0/1/2; u2 cohort wk0
+        // twice in wk0 (distinct collapses); u3 cohort wk1 (day 8),
+        // active offsets 0 and 1 (day 21 = +13 days); u4 cohort wk2
+        (1L, 0), (1L, 7), (1L, 14),
+        (2L, 0), (2L, 1),
+        (3L, 8), (3L, 21),
+        (4L, 16))
+      rows.zipWithIndex.map { case ((u, day), i) =>
+        (i.toLong, java.sql.Timestamp.valueOf(
+          java.time.LocalDateTime.of(2024, 1, 1, 12, 0).plusDays(day)),
+          u, "click", 1.0d, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      val got = graft.SparkEntry.queries("q226_retention_cohorts")(
+          spark, tmp.toString).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSeq
+      assert(got == Seq(
+        (0L, 0L, 2L, 2L, 10000L),
+        (0L, 1L, 1L, 2L, 5000L),
+        (0L, 2L, 1L, 2L, 5000L),
+        (1L, 0L, 1L, 1L, 10000L),
+        (1L, 1L, 1L, 1L, 10000L),
+        (2L, 0L, 1L, 1L, 10000L)))
+    }
+  }
+
   test("every declared oracle references only fixture tables") {
     val tables = graft.Tables.names.toSet
     graft.SparkEntry.oracleSql.foreach { case (name, sql) =>
