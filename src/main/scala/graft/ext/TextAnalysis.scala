@@ -458,6 +458,61 @@ object TextAnalysis extends QueryModule {
                CAST(new_types AS BIGINT) AS new_types, cum_types,
                CAST(CASE WHEN cum_tokens = 0 THEN 0
                     ELSE (cum_types * 1000000) // cum_tokens END AS BIGINT) AS ttr_e6
-        FROM gcum ORDER BY decile"""))
+        FROM gcum ORDER BY decile""")),
+
+    // ------------------------------------------------------------------
+    // q228: COLLOCATION MINING — adjacent-pair association by scaled
+    // PMI ratio: for bigram (a,b), score_e6 = ((c_ab·10⁶ div c_a) · N)
+    // div c_b ≈ 10⁶·N·p(ab)/(p(a)p(b)) — the lift a tokenizer/phrase-
+    // vocabulary induction pass ranks merge candidates by, kept in
+    // exact integer arithmetic instead of a float log (both engines
+    // truncate identically; the inner div caps the intermediate at
+    // 10⁶ so ·N stays int64-safe to N ≈ 9·10¹²). Support floor
+    // c_ab ≥ 5 (the standard collocation noise gate), top-20 by
+    // (score, bigram) via TakeOrderedAndProject — k rows per
+    // partition ship. Counts: one bigram agg + one unigram agg + a
+    // 1-row total broadcast; the unigram table joins twice (left and
+    // right word), both sides broadcastable (vocabulary-sized).
+    QueryDef(
+      "q228_collocations",
+      (s, dir) => {
+        val tk = T.documents(s, dir)
+          .select(col("doc_id"), X.tokens(col("text")).as("tk"))
+        val uni = tk.select(explode(col("tk")).as("t"))
+          .groupBy(col("t")).agg(count(lit(1)).as("c"))
+        val n1 = uni.agg(sum(col("c")).as("n_uni"))
+        val bg = tk.select(explode(X.shingles(col("tk"), 2)).as("bigram"))
+          .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+          .filter(col("c_ab") >= 5L)
+          .withColumn("a", split(col("bigram"), " ").getItem(0))
+          .withColumn("b", split(col("bigram"), " ").getItem(1))
+        bg.join(broadcast(uni.withColumnRenamed("t", "a")
+            .withColumnRenamed("c", "c_a")), "a")
+          .join(broadcast(uni.withColumnRenamed("t", "b")
+            .withColumnRenamed("c", "c_b")), "b")
+          .crossJoin(broadcast(n1))
+          .select(col("bigram"), col("c_ab"), col("c_a"), col("c_b"),
+            expr("(((c_ab * 1000000) div c_a) * n_uni) div c_b")
+              .as("score_e6"))
+          .orderBy(col("score_e6").desc, col("bigram"))
+          .limit(20)
+      },
+      Some(s"""
+        WITH cltk AS (SELECT doc_id, ${X.tokensSql("text")} AS tk
+                      FROM documents),
+        cluni AS (SELECT t, COUNT(*) AS c
+                  FROM cltk, unnest(tk) AS u(t) GROUP BY t),
+        cln AS (SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM cluni),
+        clbg AS (SELECT g AS bigram, COUNT(*) AS c_ab
+                 FROM cltk, unnest(${X.shinglesSql("tk", 2)}) AS u(g)
+                 GROUP BY g HAVING COUNT(*) >= 5)
+        SELECT bigram, c_ab, c_a, c_b, score_e6 FROM (
+          SELECT bigram, c_ab, a.c AS c_a, b.c AS c_b,
+                 (((c_ab * 1000000) // a.c) * n_uni) // b.c AS score_e6
+          FROM clbg
+          JOIN cluni a ON a.t = string_split(bigram, ' ')[1]
+          JOIN cluni b ON b.t = string_split(bigram, ' ')[2]
+          CROSS JOIN cln)
+        ORDER BY score_e6 DESC, bigram LIMIT 20"""))
   )
 }

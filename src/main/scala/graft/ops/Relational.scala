@@ -1110,6 +1110,53 @@ object Relational extends QueryModule {
         SELECT l.cohort_week, l.week_offset, l.n_users, z.cohort_size,
                (l.n_users * 10000) // z.cohort_size AS retained_bps
         FROM rccell l JOIN rcsz z USING (cohort_week)
-        ORDER BY l.cohort_week, l.week_offset"""))
+        ORDER BY l.cohort_week, l.week_offset""")),
+
+    // ------------------------------------------------------------------
+    // q227: Z-ORDER-SERVED EVENT PROBE — the 2-D clustered layout
+    // (VersionedCatalog.writeNextZOrdered: Morton-interleaved range
+    // layout, VersionedCatalogSpec proves every file covers a bounded
+    // rectangle of BOTH keys) activated in a serving path: construct
+    // commits events keyed (user_id, day-index) Z-ordered, the served
+    // plan probes a user range × day range — parquet min/max prunes
+    // files on EITHER predicate, where a single-key sort layout serves
+    // only its leading column. The day index anchors to the corpus'
+    // first date in-plan (1-row broadcast). At 100 TB this is the
+    // time×entity slice every ops dashboard runs; the probe reads
+    // ~(range/extent)² of the files instead of a full scan.
+    QueryDef(
+      "q227_events_zorder_served",
+      (s, dir) => {
+        val cat = new graft.catalog.VersionedCatalog(
+          s, graft.Scratch.dir("q227"), format = "parquet")
+        val ev = T.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("d"), col("value"))
+        val m0 = ev.agg(min(col("d")).as("m0"))
+        val cells = ev.crossJoin(broadcast(m0))
+          .select(col("user_id"),
+            expr("CAST(datediff(d, m0) AS BIGINT)").as("di"), col("value"))
+        cat.writeNextZOrdered("ez", cells, "user_id", "di", numFiles = 8)
+        val served = cat.read("ez", 1,
+          Some(org.apache.spark.sql.types.StructType.fromDDL(
+            "user_id BIGINT, di BIGINT, value DOUBLE")))
+        served
+          .filter(col("user_id").between(3L, 9L)
+            && col("di").between(5L, 14L))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            dsum(col("value")).as("total_value"))
+          .orderBy(col("user_id"))
+      },
+      Some(s"""
+        WITH ezev AS (SELECT user_id, CAST(ts AS DATE) AS d, value
+                      FROM events),
+        ezm AS (SELECT MIN(d) AS m0 FROM ezev),
+        ezc AS (SELECT user_id,
+                       CAST(date_diff('day', m0, d) AS BIGINT) AS di, value
+                FROM ezev CROSS JOIN ezm)
+        SELECT user_id, COUNT(*) AS n_events,
+               ${dsumSql("value")} AS total_value
+        FROM ezc WHERE user_id BETWEEN 3 AND 9 AND di BETWEEN 5 AND 14
+        GROUP BY user_id ORDER BY user_id"""))
   )
 }

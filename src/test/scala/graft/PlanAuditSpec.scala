@@ -19,6 +19,10 @@ class PlanAuditSpec extends SparkSpec {
                                 // crossed into the rule-band projection
     "q226_retention_cohorts", // 1-row corpus-first-date broadcast
                               // crossed into the cohort projection
+    "q227_events_zorder_served", // the same 1-row date-anchor broadcast
+                                 // at construct
+    "q228_collocations", // 1-row corpus-token-total broadcast crossed
+                         // into the PMI projection
     "q50_nn_brute", // brute-force baseline: the cross join IS the query
     "q19_above_avg_parts", // scalar subquery = 1-row broadcast cross join
     "q49_mixture_sample", // 1-row max-sqrt scalar broadcast to the counts
@@ -398,7 +402,9 @@ class PlanAuditSpec extends SparkSpec {
       "q223_ordinal_band_train" -> 1, // store-served cut logs: two committed parquet reads unioned + the 12-row sort (q198's served shape; both cut trainings ran at construct)
       "q224_ordinal_band_report" -> 4, // two full-universe score join-aggs over the served feature table (weight tables broadcast) + the rule-band join + the 3x3 confusion agg/sort
       "q225_weighted_order_sample" -> 2, // map-side priorities + the per-source bounded-heap top_k agg + ordered output
-      "q226_retention_cohorts" -> 6) // first-date agg by user + 1-row min broadcast + cohort-size agg + the user-week distinct + the cell agg + ordered output (cohort sizes broadcast into the cell join)
+      "q226_retention_cohorts" -> 6, // first-date agg by user + 1-row min broadcast + cohort-size agg + the user-week distinct + the cell agg + ordered output (cohort sizes broadcast into the cell join)
+      "q227_events_zorder_served" -> 2, // served probe over the Z-ordered committed version: per-user agg + ordered output (the Z-order write's range exchange happens at construct; the 1-row date anchor broadcasts)
+      "q228_collocations" -> 3) // bigram agg + unigram agg (broadcast into both join sides) + the ordered top-20
     (b0.map(_ -> 0) ++ b1.map(_ -> 1) ++ b2.map(_ -> 2) ++ multi).toMap
   }
 
