@@ -478,8 +478,14 @@ object TextAnalysis extends QueryModule {
       (s, dir) => {
         val tk = T.documents(s, dir)
           .select(col("doc_id"), X.tokens(col("text")).as("tk"))
+        // persisted: the vocabulary-sized count table feeds the corpus
+        // total AND both join sides — uncached each reference re-runs
+        // the corpus tokenize+explode (measured: the ×100 scale point
+        // went super-linear on exactly this, 3 corpus passes instead
+        // of 1; bare persist per the verify/bench clearCache convention)
         val uni = tk.select(explode(col("tk")).as("t"))
           .groupBy(col("t")).agg(count(lit(1)).as("c"))
+          .persist()
         val n1 = uni.agg(sum(col("c")).as("n_uni"))
         val bg = tk.select(explode(X.shingles(col("tk"), 2)).as("bigram"))
           .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))

@@ -1157,6 +1157,91 @@ object Relational extends QueryModule {
         SELECT user_id, COUNT(*) AS n_events,
                ${dsumSql("value")} AS total_value
         FROM ezc WHERE user_id BETWEEN 3 AND 9 AND di BETWEEN 5 AND 14
-        GROUP BY user_id ORDER BY user_id"""))
+        GROUP BY user_id ORDER BY user_id""")),
+
+    // ------------------------------------------------------------------
+    // q229: EVENT-RATE ANOMALY DETECTION — the monitoring query every
+    // ingest pipeline runs: per event type, daily counts against a
+    // trailing 7-day baseline, flag days beyond 2σ. Day-EXACT: counts
+    // join a dense (type × day-index) spine (zero-event days count as
+    // 0 — a gap is exactly the anomaly a row-offset window would
+    // silently absorb into its baseline); the spine's day range and
+    // anchor compute in-plan (1-row broadcast). All window statistics
+    // are exact integers — dev = 7·x − S, varn = 7·Q − S² (≥ 0 by
+    // Cauchy-Schwarz) — and z_e4 = ⌊(dev·10⁴)/√varn⌋ is one IEEE
+    // multiply-divide-sqrt chain on identical exact operands, mirrored
+    // token for token in the oracle. Scale: the spine is |types|×days
+    // (tiny vs events); one count agg + one windowed pass partitioned
+    // by type.
+    QueryDef(
+      "q229_event_anomalies",
+      (s, dir) => {
+        val ev = T.events(s, dir)
+          .select(col("event_type"), to_date(col("ts")).as("d"))
+        val m = ev.agg(min(col("d")).as("m0"), max(col("d")).as("m1"))
+        val di = ev.crossJoin(broadcast(m))
+          .select(col("event_type"),
+            expr("CAST(datediff(d, m0) AS BIGINT)").as("di"),
+            expr("CAST(datediff(m1, m0) AS BIGINT)").as("dmax"))
+        val counts = di.groupBy(col("event_type"), col("di"), col("dmax"))
+          .agg(count(lit(1)).as("n"))
+        val spine = counts.select(col("event_type"), col("dmax")).distinct()
+          .select(col("event_type"), explode(expr(
+            "sequence(CAST(0 AS BIGINT), dmax)")).as("di"))
+        val dense = spine.join(counts.select(col("event_type"), col("di"),
+            col("n")), Seq("event_type", "di"), "left")
+          .select(col("event_type"), col("di"),
+            coalesce(col("n"), lit(0L)).as("n"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("di"))
+          .rowsBetween(-7, -1)
+        dense
+          .select(col("event_type"), col("di"), col("n"),
+            sum(col("n")).over(w).as("s"),
+            sum(col("n") * col("n")).over(w).as("q"),
+            count(lit(1)).over(w).as("wn"))
+          .filter(col("wn") === 7L)
+          .select(col("event_type"), col("di"), col("n"),
+            (col("n") * 7L - col("s")).as("dev"),
+            (col("q") * 7L - col("s") * col("s")).as("varn"))
+          .filter(col("varn") > 0L)
+          .select(col("event_type"), col("di"), col("n"),
+            floor((col("dev").cast("double") * lit(10000.0d))
+              / sqrt(col("varn").cast("double"))).cast("long").as("z_e4"))
+          .filter(abs(col("z_e4")) >= 20000L)
+          .orderBy(col("event_type"), col("di"))
+      },
+      Some(s"""
+        WITH anev AS (SELECT event_type, CAST(ts AS DATE) AS d FROM events),
+        anm AS (SELECT MIN(d) AS m0, MAX(d) AS m1 FROM anev),
+        andi AS (SELECT event_type,
+                        CAST(date_diff('day', m0, d) AS BIGINT) AS di,
+                        CAST(date_diff('day', m0, m1) AS BIGINT) AS dmax
+                 FROM anev CROSS JOIN anm),
+        ancnt AS (SELECT event_type, di, dmax, COUNT(*) AS n
+                  FROM andi GROUP BY event_type, di, dmax),
+        anspine AS (SELECT event_type,
+                           CAST(unnest(range(0, dmax + 1)) AS BIGINT) AS di
+                    FROM (SELECT DISTINCT event_type, dmax FROM ancnt)),
+        andense AS (SELECT s.event_type, s.di,
+                           CAST(coalesce(c.n, 0) AS BIGINT) AS n
+                    FROM anspine s LEFT JOIN ancnt c
+                      ON c.event_type = s.event_type AND c.di = s.di),
+        anwin AS (SELECT event_type, di, n,
+                         CAST(SUM(n) OVER wt AS BIGINT) AS s,
+                         CAST(SUM(n * n) OVER wt AS BIGINT) AS q,
+                         COUNT(*) OVER wt AS wn
+                  FROM andense
+                  WINDOW wt AS (PARTITION BY event_type ORDER BY di
+                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        anz AS (SELECT event_type, di, n,
+                       n * 7 - s AS dev, q * 7 - s * s AS varn
+                FROM anwin WHERE wn = 7)
+        SELECT event_type, di, n,
+               CAST(floor((CAST(dev AS DOUBLE) * 10000.0)
+                 / sqrt(CAST(varn AS DOUBLE))) AS BIGINT) AS z_e4
+        FROM anz WHERE varn > 0
+          AND ABS(CAST(floor((CAST(dev AS DOUBLE) * 10000.0)
+                / sqrt(CAST(varn AS DOUBLE))) AS BIGINT)) >= 20000
+        ORDER BY event_type, di"""))
   )
 }

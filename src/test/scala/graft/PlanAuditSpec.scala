@@ -23,6 +23,8 @@ class PlanAuditSpec extends SparkSpec {
                                  // at construct
     "q228_collocations", // 1-row corpus-token-total broadcast crossed
                          // into the PMI projection
+    "q229_event_anomalies", // 1-row date-anchor (min/max) broadcast
+                            // crossed into the day-index projection
     "q50_nn_brute", // brute-force baseline: the cross join IS the query
     "q19_above_avg_parts", // scalar subquery = 1-row broadcast cross join
     "q49_mixture_sample", // 1-row max-sqrt scalar broadcast to the counts
@@ -404,7 +406,8 @@ class PlanAuditSpec extends SparkSpec {
       "q225_weighted_order_sample" -> 2, // map-side priorities + the per-source bounded-heap top_k agg + ordered output
       "q226_retention_cohorts" -> 6, // first-date agg by user + 1-row min broadcast + cohort-size agg + the user-week distinct + the cell agg + ordered output (cohort sizes broadcast into the cell join)
       "q227_events_zorder_served" -> 2, // served probe over the Z-ordered committed version: per-user agg + ordered output (the Z-order write's range exchange happens at construct; the 1-row date anchor broadcasts)
-      "q228_collocations" -> 3) // bigram agg + unigram agg (broadcast into both join sides) + the ordered top-20
+      "q228_collocations" -> 2, // bigram agg + the PERSISTED unigram agg (computed once, broadcast into both join sides and the 1-row total) + the ordered top-20 rides the agg exchange
+      "q229_event_anomalies" -> 5) // daily count agg + the dense-spine distinct + the spine left join + the per-type window + ordered output (the 1-row date-anchor broadcast at the scan)
     (b0.map(_ -> 0) ++ b1.map(_ -> 1) ++ b2.map(_ -> 2) ++ multi).toMap
   }
 

@@ -49,6 +49,31 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q229 anomalies: a planted spike beyond 2 sigma is flagged, steady days are not") {
+    val s = spark
+    import s.implicits._
+    withTempDir { tmp =>
+      // days 0-6 noisy-steady baseline (one 16 keeps varn > 0), day 7
+      // spikes to 30 (z ≈ 9σ), day 8 returns to 10 (z within bounds)
+      val perDay = Seq(10, 10, 10, 10, 10, 10, 16, 30, 10)
+      val rows = perDay.zipWithIndex.flatMap { case (n, day) =>
+        (0 until n).map(i => (day.toLong * 100 + i,
+          java.sql.Timestamp.valueOf(
+            java.time.LocalDateTime.of(2024, 3, 1, 8, 0).plusDays(day)),
+          i.toLong, "click", 1.0d, "{}"))
+      }
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      val got = graft.SparkEntry.queries("q229_event_anomalies")(
+        spark, tmp.toString).collect()
+      assert(got.length == 1, got.mkString(";"))
+      assert(got(0).getAs[String]("event_type") == "click")
+      assert(got(0).getAs[Long]("di") == 7L)
+      assert(got(0).getAs[Long]("n") == 30L)
+      assert(got(0).getAs[Long]("z_e4") > 20000L)
+    }
+  }
+
   test("every declared oracle references only fixture tables") {
     val tables = graft.Tables.names.toSet
     graft.SparkEntry.oracleSql.foreach { case (name, sql) =>
