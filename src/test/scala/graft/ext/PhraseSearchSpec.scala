@@ -87,6 +87,27 @@ class PhraseSearchSpec extends SparkSpec {
     assert(decoded.filter(col("dec") =!= col("doc_id")).count() == 0)
   }
 
+  test("law holds on seeded random corpora (not just the fixture): postings == shingles") {
+    val s = spark
+    import s.implicits._
+    // 120 random docs over a 5-token alphabet — dense with repeated and
+    // overlapping phrase hits, the adversarial regime for adjacency
+    // counting (the fixture's 31-token vocabulary rarely overlaps)
+    val rnd = new scala.util.Random(42)
+    val alpha = Seq("spark", "join", "window", "group", "order")
+    val docs = (0 until 120).map { i =>
+      (i.toLong, Seq.fill(2 + rnd.nextInt(20))(
+        alpha(rnd.nextInt(alpha.length))))
+    }.toDF("doc_id", "tk")
+    val byShingle = PhraseSearch.phraseTfShingle(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val byPostings = PhraseSearch
+      .phraseTfPostings(PhraseSearch.positionalPostings(docs))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(byShingle.nonEmpty)
+    assert(byPostings == byShingle)
+  }
+
   test("q222 audit: every gap >= 1 and varint pricing never exceeds the raw layout") {
     val rows = PhraseSearch.queries("q222_postings_delta")(
       spark, "/root/testdata/sf0.001").collect()
