@@ -15,7 +15,8 @@ object SparkEntry {
     ext.TextAnalysis, ext.Dedup, ext.Similarity, ext.Multimodal, ext.Curation,
     ext.Chunking, ext.Retrieval, ext.CountMin, ext.Hll, ext.HistSketch,
     ext.LmScore, ext.Bpe, ext.Classifier, ext.Boilerplate, ext.CurationV2,
-    ext.HashedClassifier, ext.CurationV3, ext.PhraseSearch)
+    ext.HashedClassifier, ext.CurationV3, ext.PhraseSearch, ext.SuffixDedup,
+    ext.UnigramLm)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

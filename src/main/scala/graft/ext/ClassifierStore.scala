@@ -91,6 +91,71 @@ object ClassifierStore {
       cat
     }
 
+  private val thrDdl = "t1 BIGINT, t2 BIGINT, t3 BIGINT"
+  private val statsDdl = ((1 to 5).flatMap(j =>
+    Seq(s"lo_x$j BIGINT", s"hi_x$j BIGINT", s"s_x$j BIGINT")) :+ "n BIGINT")
+    .mkString(", ")
+
+  /** Build-if-absent for q153's CROSS-CORPUS reference artifacts (the
+    * round-17 store-discipline item): the English-slice reference
+    * model — its bigram LM `xlmb`, vocab `xvoc`, label thresholds
+    * `xthr`, feature stats `xstats`, and the trained weight table
+    * `xw` — commits once per sfDir, so the cross-corpus scorer pays
+    * only the full-corpus scan per run (the CCNet deployment shape:
+    * the reference model is a frozen artifact, not a per-query
+    * training). Gated on the LAST artifact (`xw`); the deterministic
+    * intermediates reuse on retry. */
+  private def ensureCross(s: SparkSession, dir: String): VersionedCatalog =
+    lock.synchronized {
+      val cat = catalogFor(s, dir)
+      if (cat.latestVersion("xw").isEmpty) {
+        val scope = new graft.CacheScope
+        try {
+          val tkR = scope.cache(Classifier.tk3(
+            T.documents(s, dir).filter(col("lang") === "en")))
+          if (cat.latestVersion("xlmb").isEmpty)
+            cat.writeNext("xlmb", LmScore.bigramCountsTk(tkR))
+          if (cat.latestVersion("xvoc").isEmpty)
+            cat.writeNext("xvoc", LmScore.vocabTokensTk(tkR))
+          val lmb = scope.cache(cat.read("xlmb", 1,
+            Some(StructType.fromDDL("bg STRING, cb BIGINT"))))
+          val voc = scope.cache(cat.read("xvoc", 1,
+            Some(StructType.fromDDL("t STRING"))))
+          val scoredR = scope.cache(
+            LmScore.scoreAgainstLmTk(lmb, voc, tkR)
+              .select(col("doc_id"), col("centibits_per_bigram").as("cb")))
+          if (cat.latestVersion("xthr").isEmpty)
+            cat.writeNext("xthr", Classifier.labelThresholds(scoredR))
+          val thr = cat.read("xthr", 1, Some(StructType.fromDDL(thrDdl)))
+          val rawR = scope.cache(
+            Classifier.rawFeaturesUnder(tkR, scoredR, thr))
+          if (cat.latestVersion("xstats").isEmpty)
+            cat.writeNext("xstats", Classifier.featureStats(rawR))
+          val stats = cat.read("xstats", 1,
+            Some(StructType.fromDDL(statsDdl)))
+          val featR = Classifier.standardizeUnder(rawR, stats).coalesce(4)
+          cat.writeNext("xw",
+            Classifier.weightsDf(s, Classifier.trainPerceptron(featR)))
+        } finally scope.release()
+      }
+      cat
+    }
+
+  /** The served reference artifacts for the cross-corpus scorer:
+    * (lm bigrams, vocab, thresholds, stats, averaged weights). */
+  def crossArtifacts(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, Array[Long]) = {
+    val cat = ensureCross(s, dir)
+    val rows = cat.read("xw", 1, Some(wSchema))
+      .orderBy(col("epoch")).collect()
+    val wavg = (0 to 5).map(j => rows.map(_.getLong(j + 1)).sum).toArray
+    (cat.read("xlmb", 1, Some(StructType.fromDDL("bg STRING, cb BIGINT"))),
+      cat.read("xvoc", 1, Some(StructType.fromDDL("t STRING"))),
+      cat.read("xthr", 1, Some(StructType.fromDDL(thrDdl))),
+      cat.read("xstats", 1, Some(StructType.fromDDL(statsDdl))),
+      wavg)
+  }
+
   /** Drop the process-local catalog binding for `dir`, forcing the next
     * serve to rebuild from the (possibly regenerated) corpus. The store
     * keys by directory PATH for the JVM lifetime; if the data under that

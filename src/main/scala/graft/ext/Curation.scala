@@ -487,6 +487,11 @@ object Curation extends QueryModule {
   private[graft] def orderSamplePriorities(docs: DataFrame): DataFrame =
     docs.select(col("source"), col("doc_id"), col("n_chars"),
         X.hp(col("doc_id").cast("string")).as("h"))
+      // Zero-weight docs are excluded from the draw rather than divided
+      // by: Spark's integer div would yield NULL (undefined placement in
+      // the top-k struct) while DuckDB's `//` errors — filtering keeps
+      // both engines on the same sample for empty documents.
+      .where(col("n_chars") > 0)
       .select(col("source"), col("doc_id"), col("n_chars"),
         expr("(h * 1000000) div n_chars").as("pri"))
 
@@ -1420,7 +1425,7 @@ object Curation extends QueryModule {
         WITH wsp AS (SELECT source, doc_id, n_chars,
                (${X.hpSql("CAST(doc_id AS VARCHAR)")} * 1000000) // n_chars
                  AS pri
-             FROM documents)
+             FROM documents WHERE n_chars > 0)
         SELECT source, rank, doc_id, n_chars, pri FROM (
           SELECT source, doc_id, n_chars, pri,
                  CAST(row_number() OVER (PARTITION BY source

@@ -44,31 +44,18 @@ object CurationV3 extends QueryModule {
     QueryDef(
       "q212_curation_pipeline_v3",
       (s, dir) => {
-        val docs = T.documents(s, dir)
-        val scope = new graft.CacheScope
-        // stages 1-2: the shared gated cleaned corpus
-        val gate = CurationV2.gatedCleaned(docs, scope)
-        // stage 3: hashed-BoW classifier trained on the gated corpus.
-        // The cleaned stream IS the tokenized universe (≥ 20 tokens,
-        // so q198's ≥ 3 filter is a no-op) — no text round-trip.
-        val tkG = gate.select(col("doc_id"), col("ctk").as("tk"))
-        val hq = scope.cache(HashedClassifier.qualityE4(tkG))
-        // cached: the label frame is referenced by every epoch's score
-        // pass, and its threshold chain carries a 1-partition window —
-        // uncached it re-executes per epoch (measured +4 s at sf0.1)
-        val lab = scope.cache(HashedClassifier.labelsUnder(hq,
-          HashedClassifier.qThresholds(hq)))
-        // cached at 8 partitions (the Store's sizing): the epoch
-        // stages run over a ~10^5-row table — 32 task launches per
-        // stage are pure overhead at this width
-        val occ = scope.cache(HashedClassifier.hashedOcc(tkG).coalesce(8))
-        val w = HashedClassifier.trainTransient(s, occ, lab)
-        val kept = HashedClassifier.scoreAll(occ, w)
+        // stages 1–3's corpus state serves from the shared build-once
+        // gated-universe store (CurationV2.Store — the round-17
+        // verdict's store discipline for the capstones): the hashed
+        // feature table and the transiently-trained-once (j, w) table
+        // are committed parquet; the query pays score + packing.
+        val kept = HashedClassifier.scoreAll(
+            CurationV2.Store.hashedOcc(s, dir),
+            CurationV2.Store.hashedWeights(s, dir))
           .filter(col("score") > 0L)
         // stage 4: pack survivors into 512-token bins per source
         Curation.packByBudget(
-          kept.join(gate.select(col("doc_id"), col("source"),
-              col("n_tokens")), "doc_id")
+          kept.join(CurationV2.Store.gate(s, dir), "doc_id")
             .select(col("doc_id"), col("source"), col("n_tokens")),
           budget = CurationV2.PackBudget)
       },

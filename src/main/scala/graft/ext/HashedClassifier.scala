@@ -92,6 +92,7 @@ object HashedClassifier extends QueryModule {
   /** q32's length cap, reused by the label and the length feature. */
   val LenCap = 200L
 
+
   // -------------------------------------------------------------------
   // Engine side.
 
@@ -161,6 +162,7 @@ object HashedClassifier extends QueryModule {
     hq.crossJoin(broadcast(thr)).select(col("doc_id"),
       when(col("q") > col("t3"), 1L)
         .when(col("q") <= col("t2"), -1L).otherwise(0L).as("y"))
+
 
   /** The sparse hashed feature table (doc_id, j, c): normalized
     * unigram+bigram bucket counts plus the bias and length rows. */
@@ -250,6 +252,136 @@ object HashedClassifier extends QueryModule {
       .groupBy(col("doc_id"))
       .agg(coalesce(sum(col("c") * coalesce(col("w"), lit(0L))), lit(0L))
         .as("score"))
+
+  // -------------------------------------------------------------------
+  // Hashed multinomial NAIVE BAYES (q232/q233): the canonical learned
+  // language-ID algorithm (Cavnar & Trenkle 1994's n-gram text
+  // categorization; langid.py's model class) over the SAME char-n-gram
+  // feature table as the perceptron family, in the LM family's exact
+  // floor-log2 integer discipline — closed-form (one aggregation pass,
+  // no epochs), so the whole train+serve path is a plain query plan.
+  //
+  // Model, all int64: per class k over the even-half training docs,
+  //  cnt(k, j) = Σ c  (c = the L1-normalized occ counts, so every doc
+  //              contributes equal mass — length-normalized NB),
+  //  bit cost b(k, j)  = ⌊log2((tot_k + Dim) / (cnt_kj + 1))⌋  (add-one
+  //              over the 2^16 hashed vocab),
+  //  unseen cost b0(k) = ⌊log2(tot_k + Dim)⌋,
+  //  prior cost pb(k)  = ⌊log2(n / n_k)⌋.
+  // Doc cost under k: pb(k) + b0(k)·Σc + Σ_seen c·(b − b0); predict
+  // argMIN (ties → class name ASC). 100 TB shape: the model is one
+  // (cls, j) aggregate (≤ K·2^16 rows, broadcastable), scoring is one
+  // join-aggregate — NB is embarrassingly partial-aggregable.
+
+  /** FIXED-POINT log2 in 1/1024-bit units: cb = ⌊1024·log2(num/den)⌋
+    * for num ≥ den ≥ 1, num < 2^40 — the LM family's floor-log2 made
+    * 1024× finer so per-gram quantization noise (±1 whole bit × the
+    * gram count) cannot swamp a real likelihood-ratio signal. Exact
+    * integer algorithm, identical on both engines: integer bits k via
+    * [[LmScore.floorLog2Ratio]], mantissa m = (num·2^20) div
+    * (den·2^k) ∈ [2^20, 2^21), then 10 square-and-renormalize steps
+    * extract 10 fractional bits (the classic binary-logarithm
+    * iteration; every step stays under 2^42 so int64 is exact). */
+  private[ext] def cbCol(df: DataFrame, num: Column, den: Column,
+      out: String): DataFrame = {
+    def exactDiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    var d = df
+      .withColumn("_cb_k", LmScore.floorLog2Ratio(num, den))
+      .withColumn("_cb_m", exactDiv(shiftleft(num, 20),
+        call_function("shiftleft", den, col("_cb_k").cast("int"))))
+      .withColumn("_cb_f", lit(0L))
+    for (_ <- 1 to 10) {
+      d = d
+        .withColumn("_cb_m", shiftright(col("_cb_m") * col("_cb_m"), 20))
+        .withColumn("_cb_f", shiftleft(col("_cb_f"), 1)
+          + when(col("_cb_m") >= lit(1L << 21), 1L).otherwise(0L))
+        .withColumn("_cb_m", when(col("_cb_m") >= lit(1L << 21),
+          shiftright(col("_cb_m"), 1)).otherwise(col("_cb_m")))
+    }
+    d.withColumn(out, shiftleft(col("_cb_k"), 10) + col("_cb_f"))
+      .drop("_cb_k", "_cb_m", "_cb_f")
+  }
+
+  /** [[cbCol]]'s oracle mirror: nested-select layers computing the
+    * SAME integer steps (DuckDB `//` and `<<` on the same operands —
+    * every operand is provably non-negative, so the div dialects
+    * agree). `keep` columns pass through; `num`/`den` are expressions
+    * over `inner`'s columns. */
+  private[ext] def cbSql(inner: String, keep: Seq[String], num: String,
+      den: String, out: String): String = {
+    val ks = keep.mkString(", ")
+    var q =
+      s"""(SELECT $ks, _n, _d,
+            CASE WHEN (_d << _kk) > _n THEN _kk - 1 ELSE _kk END AS _k
+          FROM (SELECT $ks, $num AS _n, $den AS _d,
+                       length(printf('%b', $num))
+                         - length(printf('%b', $den)) AS _kk
+                FROM $inner))"""
+    q =
+      s"""(SELECT $ks, _k, ((_n << 20) // (_d << _k)) AS _m,
+                  CAST(0 AS BIGINT) AS _f
+          FROM $q)"""
+    for (_ <- 1 to 10) {
+      q =
+        s"""(SELECT $ks, _k,
+              CASE WHEN _mm >= (1 << 21) THEN _mm >> 1 ELSE _mm END AS _m,
+              (_f << 1) + CASE WHEN _mm >= (1 << 21) THEN 1 ELSE 0 END AS _f
+            FROM (SELECT $ks, _k, (_m * _m) >> 20 AS _mm, _f FROM $q))"""
+    }
+    s"""(SELECT $ks, CAST((_k << 10) + _f AS BIGINT) AS $out FROM $q)"""
+  }
+
+  /** The (cls, j, db) delta-centibit weight table and the per-class
+    * (cls, tot, b0, pb) row from a TRAINING slice — all costs in
+    * [[cbCol]]'s 1/128-bit units. */
+  private[ext] def nbModel(occT: DataFrame, lab: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val joined = occT.join(lab, "doc_id")
+    val cnt = joined.groupBy(col("cls"), col("j"))
+      .agg(sum(col("c")).as("cnt"))
+    val nk = joined.groupBy(col("cls"))
+      .agg(countDistinct(col("doc_id")).as("nk"))
+    val n1 = nk.agg(sum(col("nk")).as("n"))
+    val cls0 = cnt.groupBy(col("cls")).agg(sum(col("cnt")).as("tot"))
+      .join(nk, "cls").crossJoin(broadcast(n1))
+    val cls = cbCol(
+      cbCol(cls0, col("tot") + lit(Dim.toLong), lit(1L), "b0"),
+      col("n"), col("nk"), "pb")
+      .select(col("cls"), col("tot"), col("b0"), col("pb"))
+    val w0 = cnt.join(cls.select(col("cls"), col("tot"), col("b0")), "cls")
+    val w = cbCol(w0, col("tot") + lit(Dim.toLong), col("cnt") + 1L, "b")
+      .select(col("cls"), col("j"), (col("b") - col("b0")).as("db"))
+    (w, cls)
+  }
+
+  /** Per-(doc, cls) NB bit cost over a target occ frame: the dense
+    * doc × class spine (5 classes — a broadcast cross) with the seen-
+    * gram delta folded in. */
+  private[ext] def nbScores(occ: DataFrame, w: DataFrame,
+      cls: DataFrame): DataFrame = {
+    val sd = occ.groupBy(col("doc_id")).agg(sum(col("c")).as("sd"))
+    val delta = occ.join(w, Seq("j"))
+      .groupBy(col("doc_id"), col("cls"))
+      .agg(sum(col("c") * col("db")).as("delta"))
+    sd.crossJoin(broadcast(cls))
+      .join(delta, Seq("doc_id", "cls"), "left")
+      .select(col("doc_id"), col("cls"),
+        (col("pb") + col("b0") * col("sd")
+          + coalesce(col("delta"), lit(0L))).as("bits"))
+  }
+
+  /** ArgMIN-bits prediction, ties → class name ASC (integer costs, so
+    * ties are exact and the rule mirrors the oracle). Key-partitioned
+    * window, never global. */
+  private[ext] def nbArgmin(scores: DataFrame): DataFrame = {
+    val win = Window.partitionBy(col("doc_id"))
+      .orderBy(col("bits").asc, col("cls").asc)
+    scores.withColumn("rn", row_number().over(win))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cls").as("pred"))
+  }
+
 
   /** The cooled-mean batch perceptron epoch loop (see class doc) over a
     * prepared (occT, labT) training slice. `materialize` pins each
@@ -424,7 +556,13 @@ object HashedClassifier extends QueryModule {
     def ensure(s: SparkSession, dir: String): VersionedCatalog =
       lock.synchronized {
         val cat = catalogFor(s, dir)
-        if (cat.latestVersion("hlog").isEmpty) {
+        // Gate on the LAST-written artifact (`hloge` closes the second
+        // trainLoop); a missing gate means a prior build crashed
+        // mid-chain, so drop every family step — partial weight chains
+        // would desync trainLoop's write/read-back version numbers.
+        if (cat.latestVersion("hloge").isEmpty) {
+          Seq("hthr", "hlab", "hocc", "hw", "hlog", "hwe", "hloge")
+            .foreach(cat.dropStep)
           val scope = new graft.CacheScope
           try {
             val t = scope.cache(Classifier.tk3(T.documents(s, dir)))
@@ -458,6 +596,10 @@ object HashedClassifier extends QueryModule {
       val cat = ensure(s, dir)
       lock.synchronized {
         if (cat.latestVersion("hcloge").isEmpty) {
+          // crash-retry rule: the gate artifact is missing ⇒ the char
+          // family is mid-build; clear any partial chains first
+          Seq("hcocc", "hcw", "hclog", "hcwe", "hcloge")
+            .foreach(cat.dropStep)
           val scope = new graft.CacheScope
           try {
             if (cat.latestVersion("hcocc").isEmpty)
@@ -487,6 +629,10 @@ object HashedClassifier extends QueryModule {
       val cat = ensure(s, dir)
       lock.synchronized {
         if (cat.latestVersion("hologb").isEmpty) {
+          // crash-retry rule: clear partial ordinal chains before
+          // re-training (see ensure — desynced version numbers)
+          Seq("hothr", "holaba", "holabb", "howa", "hologa",
+            "howb", "hologb").foreach(cat.dropStep)
           val scope = new graft.CacheScope
           try {
             val hq = scope.cache(
@@ -512,6 +658,7 @@ object HashedClassifier extends QueryModule {
       }
     }
 
+
     /** The cooled-mean batch perceptron (see class doc) through
       * [[epochLoop]]: Epochs weight versions committed under `wStep`
       * (each epoch trains on the READ-BACK committed version), the
@@ -530,6 +677,7 @@ object HashedClassifier extends QueryModule {
       cat.writeNext(logStep,
         log.toDF("epoch", "n_mis", "k_shift", "nnz", "l1"))
     }
+
   }
 
   /** Drop the process-local store binding for `dir` (the
@@ -718,6 +866,50 @@ object HashedClassifier extends QueryModule {
                  CAST(coalesce(w.w, 0) + coalesce(d.dw, 0) AS BIGINT) AS w
           FROM $wPrev w FULL OUTER JOIN hb${tag}d$r d ON w.j = d.j)"""
     }.mkString(",")
+
+  /** The NB oracle chain (composes after [[charOccCtesSql]]'s hcocc):
+    * model build on the even half, per-(doc, cls) bit costs on the odd
+    * half. Floor-log2 ratios use the LM family's length(printf('%b'))
+    * bit-length mirror. */
+  private def nbCtesSql: String = s"""
+        nblab AS (SELECT doc_id, lang AS cls FROM documents),
+        nbj AS MATERIALIZED (
+          SELECT l.cls, o.j, CAST(SUM(o.c) AS BIGINT) AS cnt
+          FROM hcocc o JOIN nblab l USING (doc_id)
+          WHERE o.doc_id % 2 = 0 GROUP BY l.cls, o.j),
+        nbnk AS (SELECT cls, COUNT(*) AS nk FROM (
+          SELECT DISTINCT o.doc_id, l.cls
+          FROM hcocc o JOIN nblab l USING (doc_id)
+          WHERE o.doc_id % 2 = 0)
+          GROUP BY cls),
+        nbn AS (SELECT CAST(SUM(nk) AS BIGINT) AS n FROM nbnk),
+        nbcls AS MATERIALIZED (
+          SELECT cls, tot, b0, pb FROM
+          ${cbSql(
+            cbSql(
+              s"""(SELECT t.cls, t.tot, k.nk, x.n
+                  FROM (SELECT cls, CAST(SUM(cnt) AS BIGINT) AS tot
+                        FROM nbj GROUP BY cls) t
+                  JOIN nbnk k USING (cls) CROSS JOIN nbn x)""",
+              Seq("cls", "tot", "nk", "n"), s"tot + $Dim", "1", "b0"),
+            Seq("cls", "tot", "b0"), "n", "nk", "pb")} nbclsq),
+        nbw AS MATERIALIZED (
+          SELECT cls, j, b - b0 AS db FROM
+          ${cbSql(
+            """(SELECT c.cls, c.j, c.cnt, k.b0, k.tot
+                FROM nbj c JOIN nbcls k USING (cls))""",
+            Seq("cls", "j", "b0"), s"tot + $Dim", "cnt + 1", "b")} nbwq),
+        nbsd AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS sd
+                 FROM hcocc WHERE doc_id % 2 <> 0 GROUP BY doc_id),
+        nbdelta AS (SELECT o.doc_id, w.cls,
+                           CAST(SUM(o.c * w.db) AS BIGINT) AS delta
+                    FROM hcocc o JOIN nbw w ON w.j = o.j
+                    WHERE o.doc_id % 2 <> 0 GROUP BY o.doc_id, w.cls),
+        nbsc AS MATERIALIZED (
+          SELECT s.doc_id, k.cls,
+                 k.pb + k.b0 * s.sd + coalesce(d.delta, 0) AS bits
+          FROM nbsd s CROSS JOIN nbcls k
+          LEFT JOIN nbdelta d ON d.doc_id = s.doc_id AND d.cls = k.cls)"""
 
   override val defs: Seq[QueryDef] = Seq(
 
@@ -1144,6 +1336,84 @@ object HashedClassifier extends QueryModule {
         SELECT rule_band, pred_band, COUNT(*) AS n_docs,
                CAST(SUM(inv) AS BIGINT) AS n_inv
         FROM hboband GROUP BY rule_band, pred_band
-        ORDER BY rule_band, pred_band"""))
+        ORDER BY rule_band, pred_band""")),
+
+    // ------------------------------------------------------------------
+    // q232: LEARNED LANGUAGE ID — hashed multinomial Naive Bayes over
+    // the char-n-gram feature table (Cavnar & Trenkle 1994 n-gram text
+    // categorization, the langid.py model class), integer floor-log2
+    // bit costs with add-one smoothing and the class prior, trained on
+    // the even half / confused on the odd half. On THIS corpus the
+    // held-out matrix is a PRIOR-COLLAPSE AUDIT: the fixture's lang is
+    // content-independent metadata (token distributions are identical
+    // across languages — measured; same reason LM labels don't
+    // transfer, BENCH_NOTES r15), so the smoothed likelihoods order by
+    // class data volume and essentially every doc lands on the
+    // majority class — held-out accuracy = the majority prior within
+    // quantization (measured 38.4% vs prior 39.2% at sf0.001), well
+    // above the q31 stopword heuristic's 26.4%, without hallucinating
+    // language structure. Closed-form (one aggregation builds the
+    // model), so train + serve is one plan; q233 quantifies the same
+    // no-signal fact in 1/1024-bit units.
+    QueryDef(
+      "q232_nb_langid_confusion",
+      (s, dir) => {
+        val occ = servedOccChar(s, dir)
+        val lab = T.documents(s, dir)
+          .select(col("doc_id"), col("lang").as("cls"))
+        val (w, clsT) = nbModel(occ.filter(col("doc_id") % 2 === 0), lab)
+        nbArgmin(nbScores(occ.filter(col("doc_id") % 2 =!= 0), w, clsT))
+          .join(T.documents(s, dir).select(col("doc_id"), col("lang")),
+            "doc_id")
+          .groupBy(col("lang"), col("pred").as("guess"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("guess"))
+      },
+      Some(s"""
+        WITH $baseCtesSql, $charOccCtesSql,
+        $nbCtesSql,
+        nbpred AS (SELECT doc_id, cls AS pred FROM (
+          SELECT doc_id, cls,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY bits ASC, cls ASC) AS rn
+          FROM nbsc) WHERE rn = 1)
+        SELECT d.lang, p.pred AS guess, COUNT(*) AS n
+        FROM nbpred p JOIN documents d USING (doc_id)
+        GROUP BY d.lang, p.pred ORDER BY d.lang, guess""")),
+
+    // ------------------------------------------------------------------
+    // q233: CROSS-CLASS BITS MATRIX — every held-out doc priced under
+    // EVERY class's NB model, aggregated to (true lang, model) mean
+    // bits: the cross-corpus perplexity-matrix discipline (q127) at
+    // classifier scale. A flat matrix row (each lang's docs cost the
+    // same under all five models, within quantization) IS the
+    // measured proof of the fixture's content-independence — the
+    // audit a production lang-ID ships to detect label/content drift.
+    QueryDef(
+      "q233_nb_langid_bits",
+      (s, dir) => {
+        val occ = servedOccChar(s, dir)
+        val lab = T.documents(s, dir)
+          .select(col("doc_id"), col("lang").as("cls"))
+        val (w, clsT) = nbModel(occ.filter(col("doc_id") % 2 === 0), lab)
+        nbScores(occ.filter(col("doc_id") % 2 =!= 0), w, clsT)
+          .join(T.documents(s, dir).select(col("doc_id"), col("lang")),
+            "doc_id")
+          .groupBy(col("lang"), col("cls").as("model"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("bits")).as("total_cbits"))
+          .select(col("lang"), col("model"), col("n_docs"),
+            col("total_cbits"),
+            expr("total_cbits div n_docs").as("cbits_per_doc"))
+          .orderBy(col("lang"), col("model"))
+      },
+      Some(s"""
+        WITH $baseCtesSql, $charOccCtesSql,
+        $nbCtesSql
+        SELECT d.lang, s.cls AS model, COUNT(*) AS n_docs,
+               CAST(SUM(s.bits) AS BIGINT) AS total_cbits,
+               CAST(SUM(s.bits) // COUNT(*) AS BIGINT) AS cbits_per_doc
+        FROM nbsc s JOIN documents d USING (doc_id)
+        GROUP BY d.lang, s.cls ORDER BY d.lang, model"""))
   )
 }

@@ -138,6 +138,41 @@ object PhraseSearch extends QueryModule {
           FROM pptf WHERE tf > 0)
         WHERE rank <= $TopN ORDER BY phrase, rank"""
 
+  /** Build-once positional-index store (the round-17 verdict's
+    * serve-path item): the term-clustered postings version commits
+    * once per sfDir, so q220 benches the SERVE path users pay per
+    * query instead of re-writing the index per invocation. Single
+    * writeNextSorted ⇒ atomic gate. */
+  private object Store {
+    private val lock = new Object
+    private var roots = Map.empty[String, String]
+
+    def invalidate(dir: String): Unit =
+      lock.synchronized { roots -= dir }
+
+    def postings(s: SparkSession, dir: String): DataFrame = {
+      val cat = lock.synchronized {
+        val root = roots.getOrElse(dir, {
+          val r = graft.Scratch.dir("phrase-store")
+          roots += dir -> r
+          r
+        })
+        val c = new graft.catalog.VersionedCatalog(s, root,
+          format = "parquet")
+        if (c.latestVersion("ppost").isEmpty)
+          c.writeNextSorted("ppost",
+            positionalPostings(tokenized(s, dir)), Seq("term"), 8)
+        c
+      }
+      cat.read("ppost", 1,
+        Some(StructType.fromDDL("term STRING, doc_id BIGINT, pos BIGINT")))
+    }
+  }
+
+  /** Test seam: drop the store binding for `dir` (fixture rewrite). */
+  private[graft] def invalidateStore(dir: String): Unit =
+    Store.invalidate(dir)
+
   override val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -160,15 +195,7 @@ object PhraseSearch extends QueryModule {
     // definition on every run.
     QueryDef(
       "q220_phrase_catalog_served",
-      (s, dir) => {
-        val cat = new graft.catalog.VersionedCatalog(
-          s, graft.Scratch.dir("q220"), format = "parquet")
-        cat.writeNextSorted("ppost",
-          positionalPostings(tokenized(s, dir)), Seq("term"), 8)
-        val post = cat.read("ppost", 1,
-          Some(StructType.fromDDL("term STRING, doc_id BIGINT, pos BIGINT")))
-        rankTop(phraseTfPostings(post))
-      },
+      (s, dir) => rankTop(phraseTfPostings(Store.postings(s, dir))),
       Some(phraseOracleSql)),
 
     // ------------------------------------------------------------------

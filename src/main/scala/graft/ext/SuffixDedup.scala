@@ -1,0 +1,472 @@
+package graft.ext
+
+import graft.{QueryDef, QueryModule, Tables => T}
+import graft.ext.{TextDsl => X}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+
+/** EXACT variable-length repeated-substring dedup via DISTRIBUTED
+  * SUFFIX RANKS (prefix doubling) — the full ExactSubstr algorithm of
+  * Lee, Ippolito, Nystrom, Zhang, Eck, Callison-Burch & Carlini,
+  * "Deduplicating Training Data Makes Language Models Better" (ACL
+  * 2022). The fixed-L shingle family (q123/q124/q206/q207,
+  * ext/Dedup.scala) detects positions inside repeated spans of the
+  * SWEPT lengths; this module computes, for every corpus position, the
+  * TRUE maximal repeated-match length ℓ(p) = the longest prefix of the
+  * suffix at p that occurs anywhere else in the corpus — any length,
+  * no grid — then removes/measures spans with ℓ(p) ≥ [[MinL]] exactly
+  * as the paper specifies.
+  *
+  * Lee et al. build a single-node suffix array; the distributed
+  * re-expression is Manber–Myers PREFIX DOUBLING as log(maxMatchLen)
+  * rounds of relational rank refinement (the same construction used by
+  * distributed-memory suffix-array builders, e.g. Flick & Aluru,
+  * "Parallel distributed memory construction of suffix and LCP
+  * arrays", SC 2015 — re-derived here on Spark primitives):
+  *
+  *  1. positional token table (doc_id, pos, tok), suffixes never cross
+  *     documents (rank lookups past a doc's end resolve to a -1
+  *     sentinel that equals nothing real, so no separator tokens are
+  *     ever materialized);
+  *  2. per round ℓ → 2ℓ: pair each position's rank with the rank ℓ
+  *     ahead (equi-join on (doc_id, pos+ℓ)), then re-rank pairs with
+  *     one GLOBAL RANGE SORT + per-partition contiguous index
+  *     (`RDD.zipWithIndex` — the one genuinely imperative step; a
+  *     global `Window.orderBy` would single-partition) + a min-per-
+  *     group window to make equal pairs share a rank. Rank VALUES are
+  *     engine-local (Spark: 0-based global sort position; oracle:
+  *     dense_rank) — only their order/equality classes are compared,
+  *     and those are isomorphic by construction;
+  *  3. adjacent suffixes in final rank order realize every position's
+  *     maximum LCP (the classic suffix-array identity), and each
+  *     adjacent pair's LCP is computed DIRECTLY on the two
+  *     [[MaxLen]]-token windows: one equi-join pair against the
+  *     doc-level token arrays, then an O(MaxLen) element-wise
+  *     first-mismatch scan per pair;
+  *  4. ℓ(p) = max LCP over p's ≤2 suffix-order neighbors, and
+  *     coverage/removal reuse the q123/q124 interval-union and
+  *     cut-and-rejoin tails with variable span lengths.
+  *
+  * 100 TB shape: log₂(MaxLen/BaseL) + 1 rounds, each one range-sort
+  * shuffle + one keyed window + one equi-join — all corpus-token-
+  * linear, no pair materialization anywhere; the LCP stage ships
+  * n·O(MaxLen) tokens through one join (linear, constant = the match-
+  * length cap — chosen over the rank-table doubling-walk, whose
+  * 2·log₂(MaxLen) CHAINED joins measured ~10× slower on local stage
+  * floors while moving less data; at a larger MaxLen the walk becomes
+  * the right trade and the level tables it needs are exactly this
+  * build's intermediates). MaxLen caps the match length the index can
+  * resolve (128 ≥ every fixture doc; a production corpus raises it per
+  * its document cap — build cost grows only logarithmically). Both
+  * queries serve from [[Store]]'s committed span table (build-once per
+  * corpus, the ClassifierStore discipline); SuffixDedupSpec's planted
+  * corpora are the transient-construction law witness.
+  */
+object SuffixDedup extends QueryModule {
+
+  /** Minimum repeated-match length (tokens) to count/remove — Lee et
+    * al. use 50 BPE tokens at web scale; the fixture corpus plants
+    * near-dup stretches of a few dozen word tokens, so 20 keeps the
+    * operator exercised end to end at every SF. */
+  private val MinL = 20
+
+  /** Longest resolvable match (tokens): levels cover lengths 1, 2, 4,
+    * …, MaxLen with MaxLen ≥ the corpus document cap (fixture max doc
+    * = 100 tokens), so final ranks ARE full suffix ranks. */
+  private val MaxLen = 128
+
+  /** Base level: ranks start from [[BaseL]]-token shingle STRINGS
+    * (one sort on a wider key replaces log₂(BaseL) doubling rounds).
+    * Space-joined token shingles order EXACTLY like token-wise
+    * lexicographic suffix order truncated at BaseL — the separator
+    * (0x20) sorts below every token character ([a-z0-9]), so a
+    * shorter suffix that is a prefix of a longer one sorts first,
+    * matching the -1 end-sentinel convention of the doubling rounds —
+    * and their equality classes equal the doubling construction's
+    * level-BaseL classes. */
+  private val BaseL = 8
+
+  /** Level lengths ascending: BaseL, 2·BaseL, …, MaxLen. */
+  private def levelLens: Seq[Int] =
+    Iterator.iterate(BaseL)(_ * 2).takeWhile(_ <= MaxLen).toSeq
+
+  // -------------------------------------------------------------------
+  // Rank machinery
+  // -------------------------------------------------------------------
+
+  /** Append `sid` = the row's exact position in the global sort by
+    * `keys`: range-repartition + in-partition sort, then
+    * `RDD.zipWithIndex` (partition-ordered contiguous numbering — the
+    * distributed replacement for a global ROW_NUMBER window, which
+    * would single-partition). The sorted frame is persisted and
+    * MATERIALIZED by zipWithIndex's size job, so every consumer of the
+    * index reads the sort once; the returned cleanup drops that cache
+    * once the caller has materialized downstream. Deterministic
+    * whenever `keys` is a total order on the rows; under ties only
+    * min-per-group consumers ([[rankify]]) are deterministic. */
+  private def withSortIndex(df: DataFrame, keys: Seq[String])
+      : (DataFrame, () => Unit) = {
+    val s = df.sparkSession
+    val sorted = df.repartitionByRange(keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col): _*)
+      .persist()
+    val schema = sorted.schema.add("sid", LongType, nullable = false)
+    val out = s.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+      schema)
+    (out, () => { sorted.unpersist(blocking = false); () })
+  }
+
+  /** Order-preserving, equality-consistent rank over `keys`: global
+    * sort position collapsed to the min within each equal-key group
+    * (= count of strictly-smaller rows — deterministic under ties, and
+    * order-isomorphic to the oracle's dense_rank). Returned persisted
+    * AND materialized, projected to `keep` + rk — each doubling round
+    * is computed exactly once and the caller can unpersist it as soon
+    * as the next round lands. */
+  private def rankify(df: DataFrame, keys: Seq[String],
+      keep: Seq[String]): DataFrame = {
+    val (idx, done) = withSortIndex(df, keys)
+    val out = idx
+      .withColumn("rk", min(col("sid")).over(
+        Window.partitionBy(keys.map(col): _*)))
+      .select((keep :+ "rk").map(col): _*)
+      .persist()
+    out.count()
+    done()
+    out
+  }
+
+  /** (doc_id, tk) token arrays — the shared input of the base-level
+    * shingles and the token-window LCP. */
+  private def toksArr(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), X.tokens(col("text")).as("tk"))
+
+  /** Full suffix ranks (doc_id, pos, rk): base level sorts [[BaseL]]-
+    * token shingle strings (order-isomorphic to truncated suffix order
+    * — see [[BaseL]]), then Manber–Myers (rank, rank-at-offset)
+    * refinement rounds with a -1 end sentinel up to [[MaxLen]].
+    * Intermediate rounds are unpersisted as soon as their successor
+    * materializes; the returned top level stays cached for the
+    * adjacency sort. */
+  private def suffixRanks(tk: DataFrame): DataFrame = {
+    val sh = tk.select(col("doc_id"), col("tk"), posexplode(col("tk")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        concat_ws(" ", slice(col("tk"), col("pos") + 1, lit(BaseL)))
+          .as("sh"))
+    var lv = rankify(sh, Seq("sh"), Seq("doc_id", "pos"))
+    levelLens.takeWhile(_ < MaxLen).foreach { len =>
+      val shifted = lv.select(col("doc_id"),
+        (col("pos") - len).as("pos"), col("rk").as("r2"))
+      val paired = lv.select(col("doc_id"), col("pos"), col("rk").as("r1"))
+        .join(shifted, Seq("doc_id", "pos"), "left")
+        .select(col("doc_id"), col("pos"), col("r1"),
+          coalesce(col("r2"), lit(-1L)).as("r2"))
+      val next = rankify(paired, Seq("r1", "r2"), Seq("doc_id", "pos"))
+      lv.unpersist(blocking = false)
+      lv = next
+    }
+    lv
+  }
+
+  /** Common-prefix length of two token windows, O(window): first
+    * mismatch position in the element-wise comparison (zip_with pads
+    * the shorter side with nulls, so a window that is a strict prefix
+    * of the other mismatches right after its end — no separate length
+    * clamp needed). */
+  private def commonPrefixLen(sa: Column, sb: Column): Column = {
+    val mis = zip_with(sa, sb, (x, y) =>
+      when(x <=> y, lit(0)).otherwise(lit(1)))
+    val p = array_position(mis, 1)
+    when(p === 0, size(mis).cast("long")).otherwise(p - 1)
+  }
+
+  /** Per-position maximal repeated-match length: (doc_id, pos, len)
+    * for every position whose longest corpus-repeated prefix has
+    * len ≥ 1 (callers filter to [[MinL]]). Adjacent suffixes in rank
+    * order realize every position's maximum LCP (the suffix-array
+    * identity), and each adjacent pair's LCP is computed DIRECTLY on
+    * the two MaxLen-token windows — one equi-join pair against the
+    * doc-level token arrays and one O(MaxLen) comparison per pair,
+    * trading the classic rank-table walk's 2·log₂(MaxLen) chained
+    * joins for n·MaxLen map-side token compares (linear, constant =
+    * the match-length cap; the walk's join chain measured ~10× slower
+    * wall-clock on local[32] stage floors). */
+  private[graft] def maxRepeatLens(docs: DataFrame): DataFrame = {
+    val tk = toksArr(docs).persist()
+    tk.count()
+    val top = suffixRanks(tk)
+    // adjacency in suffix order: (rk, doc_id, pos) is a strict total
+    // order, so the sort index is deterministic without collapsing
+    val (ordRaw, ordDone) = withSortIndex(top, Seq("rk", "doc_id", "pos"))
+    val ord = ordRaw.select(col("sid"), col("doc_id"), col("pos"))
+      .persist()
+    ord.count()
+    ordDone()
+    top.unpersist(blocking = false)
+    val a = ord.select(col("sid"),
+      col("doc_id").as("da"), col("pos").as("pa"))
+    val b = ord.select((col("sid") - 1).as("sid"),
+      col("doc_id").as("db"), col("pos").as("pb"))
+    val pairs = a.join(b, "sid")
+      .select(col("da"), col("pa"), col("db"), col("pb"))
+    val lcp = pairs
+      .join(tk.select(col("doc_id").as("da"), col("tk").as("ta")), "da")
+      .join(tk.select(col("doc_id").as("db"), col("tk").as("tb")), "db")
+      .select(col("da"), col("pa"), col("db"), col("pb"),
+        commonPrefixLen(
+          slice(col("ta"), col("pa") + 1, lit(MaxLen)),
+          slice(col("tb"), col("pb") + 1, lit(MaxLen))).as("lcp"))
+    lcp.select(col("da").as("doc_id"), col("pa").as("pos"), col("lcp"))
+      .unionByName(lcp.select(col("db").as("doc_id"),
+        col("pb").as("pos"), col("lcp")))
+      .groupBy(col("doc_id"), col("pos"))
+      .agg(max(col("lcp")).as("len"))
+  }
+
+  /** Spans worth acting on: positions with maximal repeated-match
+    * length ≥ [[MinL]]. */
+  private[graft] def repeatSpans(docs: DataFrame): DataFrame =
+    maxRepeatLens(docs).filter(col("len") >= MinL)
+
+  // -------------------------------------------------------------------
+  // Coverage / removal tails (the q123/q124 shapes, variable lengths)
+  // -------------------------------------------------------------------
+
+  /** Per-doc coverage by ≥MinL repeated spans: interval union of
+    * [pos, pos+len) via the running-max sweep, plus the per-doc
+    * longest repeat — the variable-length statistic the fixed-L family
+    * cannot produce. */
+  def suffixRepeatCoverage(docs: DataFrame): DataFrame =
+    coverageOf(docs, repeatSpans(docs))
+
+  private def coverageOf(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      size(X.tokens(col("text"))).cast("long").as("n_tokens"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cov = spans
+      .withColumn("prev_end", max(col("pos") + col("len")).over(win))
+      .select(col("doc_id"), col("len"),
+        greatest(lit(0L), col("pos") + col("len")
+          - greatest(col("pos"), coalesce(col("prev_end"), lit(-1L))))
+          .as("contrib"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_rep_spans"),
+        sum(col("contrib")).as("covered_tokens"),
+        max(col("len")).as("max_rep_len"))
+    base.join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_rep_spans"), lit(0L)).as("n_rep_spans"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        when(col("n_tokens") === 0L, lit(0L))
+          .otherwise(expr("(coalesce(covered_tokens, 0) * 100) div n_tokens"))
+          .as("coverage_pct"),
+        coalesce(col("max_rep_len"), lit(0L)).as("max_rep_len"))
+  }
+
+  /** Cut every token inside a ≥MinL repeated span and rejoin survivors
+    * in order (the q124 cut-and-rejoin, variable span lengths). */
+  def removeSuffixRepeats(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), X.tokens(col("text")).as("tk"))
+    val positional = toks
+      .select(col("doc_id"), posexplode(col("tk")))
+      .select(col("doc_id"), col("pos").cast("long").as("tpos"),
+        col("col").as("tok"))
+    val covered = spans
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + col("len") - 1))
+          .as("tpos"))
+      .distinct()
+    val cleaned = positional.join(covered, Seq("doc_id", "tpos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_tokens"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("tpos"), col("tok")))),
+            x => x.getField("tok"))).as("cleaned_text"))
+    toks.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L)))
+          .as("removed_tokens"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
+  // -------------------------------------------------------------------
+  // Build-once span store (the ClassifierStore discipline): the span
+  // table is deterministic corpus state, so the removal query serves
+  // from the committed artifact instead of re-running the doubling
+  // chain per invocation. Single writeNext ⇒ atomic gate, no partial-
+  // chain retry hazard.
+  // -------------------------------------------------------------------
+  private object Store {
+    private val lock = new Object
+    private var roots = Map.empty[String, String]
+
+    def invalidate(dir: String): Unit =
+      lock.synchronized { roots -= dir }
+
+    private val spanDdl = "doc_id BIGINT, pos BIGINT, len BIGINT"
+
+    def spans(s: SparkSession, dir: String): DataFrame = {
+      val cat = lock.synchronized {
+        val root = roots.getOrElse(dir, {
+          val r = graft.Scratch.dir("sfx-store")
+          roots += dir -> r
+          r
+        })
+        val c = new graft.catalog.VersionedCatalog(s, root, format = "parquet")
+        if (c.latestVersion("sspans").isEmpty)
+          c.writeNext("sspans", repeatSpans(T.documents(s, dir)))
+        c
+      }
+      cat.read("sspans", 1,
+        Some(org.apache.spark.sql.types.StructType.fromDDL(spanDdl)))
+    }
+  }
+
+  /** Test seam: drop the store binding for `dir` (fixture rewrite). */
+  private[graft] def invalidateStore(dir: String): Unit =
+    Store.invalidate(dir)
+
+  // -------------------------------------------------------------------
+  // Oracle SQL builders (DuckDB), mirroring each stage exactly. Every
+  // CTE referenced twice is MATERIALIZED (the round-unrolled-chain
+  // rule). Namespaced sfx* to keep clear of the shared builders.
+  // -------------------------------------------------------------------
+
+  /** The shared chain up to the span table `sfxspans`. */
+  private def spanCtesSql: String = {
+    val lvls = levelLens
+    val lvBase =
+      s"""        sfxlv$BaseL AS MATERIALIZED (
+          SELECT doc_id, pos,
+                 CAST(dense_rank() OVER (ORDER BY sh) AS BIGINT) AS rk
+          FROM (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                       array_to_string(tk[i:i + ${BaseL - 1}], ' ') AS sh
+                FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i
+                      FROM sfxt)))"""
+    val lvRest = lvls.takeWhile(_ < MaxLen).map { len =>
+      s"""        sfxlv${2 * len} AS MATERIALIZED (
+          SELECT a.doc_id, a.pos,
+                 CAST(dense_rank() OVER (ORDER BY a.rk, coalesce(b.rk, -1)) AS BIGINT) AS rk
+          FROM sfxlv$len a LEFT JOIN sfxlv$len b
+            ON a.doc_id = b.doc_id AND b.pos = a.pos + $len)"""
+    }
+    s"""sfxt AS MATERIALIZED (
+          SELECT doc_id, ${X.tokensSql("text")} AS tk FROM documents),
+        sfxtok AS MATERIALIZED (
+          SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, tk[i] AS tok
+          FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i
+                FROM sfxt)),
+        sfxnt AS MATERIALIZED (
+          SELECT doc_id, CAST(len(tk) AS BIGINT) AS n FROM sfxt),
+$lvBase,
+${lvRest.mkString(",\n")},
+        sfxord AS MATERIALIZED (
+          SELECT doc_id, pos,
+                 row_number() OVER (ORDER BY rk, doc_id, pos) AS sid
+          FROM sfxlv$MaxLen),
+        sfxadj AS MATERIALIZED (
+          SELECT a.doc_id AS da, a.pos AS pa, b.doc_id AS db, b.pos AS pb
+          FROM sfxord a JOIN sfxord b ON b.sid = a.sid + 1),
+        sfxlcp AS MATERIALIZED (
+          SELECT w.da, w.pa, w.db, w.pb,
+                 CASE WHEN mp IS NULL OR mp = 0 THEN ml
+                      ELSE mp - 1 END AS lcp
+          FROM (SELECT w.da, w.pa, w.db, w.pb,
+                       least(len(ta.tk) - w.pa, len(tb.tk) - w.pb,
+                             $MaxLen) AS ml,
+                       list_position(list_transform(
+                         range(1, CAST(least(len(ta.tk) - w.pa,
+                                             len(tb.tk) - w.pb,
+                                             $MaxLen) AS BIGINT) + 1),
+                         i -> CASE WHEN ta.tk[w.pa + i] = tb.tk[w.pb + i]
+                                   THEN 0 ELSE 1 END), 1) AS mp
+                FROM sfxadj w
+                JOIN sfxt ta ON ta.doc_id = w.da
+                JOIN sfxt tb ON tb.doc_id = w.db) w),
+        sfxell AS MATERIALIZED (
+          SELECT doc_id, pos, max(lcp) AS len
+          FROM (SELECT da AS doc_id, pa AS pos, lcp FROM sfxlcp
+                UNION ALL
+                SELECT db AS doc_id, pb AS pos, lcp FROM sfxlcp)
+          GROUP BY doc_id, pos),
+        sfxspans AS MATERIALIZED (
+          SELECT doc_id, pos, len FROM sfxell WHERE len >= $MinL)"""
+  }
+
+  override val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // q230: EXACT variable-length repeated-span coverage — Lee et al.'s
+    // ExactSubstr signal with TRUE maximal match lengths from the
+    // distributed suffix-rank build (vs q123/q206's fixed-L grid). The
+    // whole table is hash-checked against the oracle's FULL re-
+    // derivation: rank refinement, the LCP walk, the end clamp, and
+    // the variable-length interval union must all agree exactly. Both
+    // members serve the committed span table ([[Store]]) — the
+    // doubling chain runs once per corpus (the ClassifierStore
+    // discipline; SuffixDedupSpec is the transient-construction law
+    // witness against brute force on planted corpora).
+    QueryDef(
+      "q230_suffix_repeat_coverage",
+      (s, dir) => coverageOf(T.documents(s, dir), Store.spans(s, dir))
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH ${spanCtesSql},
+        sfxsw AS (SELECT doc_id, pos, len,
+                         max(pos + len) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                           AS prev_end
+                  FROM sfxspans),
+        sfxcov AS (SELECT doc_id, COUNT(*) AS n_rep_spans,
+                          CAST(SUM(greatest(0, pos + len
+                            - greatest(pos, coalesce(prev_end, -1)))) AS BIGINT)
+                            AS covered_tokens,
+                          CAST(MAX(len) AS BIGINT) AS max_rep_len
+                   FROM sfxsw GROUP BY doc_id)
+        SELECT d.doc_id, d.n AS n_tokens,
+               coalesce(c.n_rep_spans, 0) AS n_rep_spans,
+               coalesce(c.covered_tokens, 0) AS covered_tokens,
+               CASE WHEN d.n = 0 THEN 0
+                    ELSE coalesce(c.covered_tokens, 0) * 100 // d.n
+               END AS coverage_pct,
+               coalesce(c.max_rep_len, 0) AS max_rep_len
+        FROM sfxnt d LEFT JOIN sfxcov c USING (doc_id)
+        ORDER BY d.doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q231: EXACT variable-length repeated-span REMOVAL — the apply
+    // step (q230 measures, this cuts), served from the committed span
+    // table ([[Store]]: the doubling chain runs once per corpus, the
+    // query pays only the cut-and-rejoin — the path a production
+    // pipeline runs per ingest). Cleaned text is hash-compared byte
+    // for byte against the oracle's full recomputation.
+    QueryDef(
+      "q231_suffix_repeat_removal",
+      (s, dir) => removeSuffixRepeats(T.documents(s, dir), Store.spans(s, dir))
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH ${spanCtesSql},
+        sfxcovered AS (SELECT DISTINCT doc_id, tpos
+                       FROM (SELECT doc_id, unnest(range(pos, pos + len)) AS tpos
+                             FROM sfxspans)),
+        sfxkept AS (SELECT p.doc_id, p.pos AS tpos, p.tok
+                    FROM sfxtok p ANTI JOIN sfxcovered c
+                      ON p.doc_id = c.doc_id AND p.pos = c.tpos),
+        sfxcleaned AS (SELECT doc_id, COUNT(*) AS kept_tokens,
+                              string_agg(tok, ' ' ORDER BY tpos) AS cleaned_text
+                       FROM sfxkept GROUP BY doc_id)
+        SELECT d.doc_id, d.n AS n_tokens,
+               coalesce(c.kept_tokens, 0) AS kept_tokens,
+               CAST(d.n - coalesce(c.kept_tokens, 0) AS BIGINT)
+                 AS removed_tokens,
+               coalesce(c.cleaned_text, '') AS cleaned_text
+        FROM sfxnt d LEFT JOIN sfxcleaned c USING (doc_id)
+        ORDER BY d.doc_id"""))
+  )
+}

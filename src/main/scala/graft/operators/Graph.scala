@@ -204,6 +204,14 @@ object Graph {
             .as("rank"))
       if (round % ckptEvery == 0 && round < iters) ranks = ranks.localCheckpoint()
     }
+    // Round-18 closing measurement for the standing "batch rank rounds
+    // per job" experiment: an eager AQE-off evaluation of the whole
+    // 3-round plan (one statically-planned job, zero AQE stage
+    // barriers) benched SLOWER than this lazy shape at sf0.1 warm
+    // (5.18 s vs 4.66 s min-of-passes, idle box) — the wall clock is
+    // the distinct + co-partitioned round work itself, not scheduling
+    // floor, so the adjudication vs the single-process oracle is
+    // permanent (BENCH_NOTES r18).
     ranks
   }
 }

@@ -1105,6 +1105,31 @@ object SimilarityJoin {
         (col("n_new") - coalesce(col("n_new_dups"), lit(0L))).as("n_new_kept"))
   }
 
+  /** Fixed-centroid batch assignment for the STREAMING semantic-dedup
+    * sink ([[graft.streaming.EventPipelines
+    * .runCatalogSemanticDedupSink]]): (vec_id, v, n2, cell) rows —
+    * [[assignedVectors]]'s exact kernel without the scope cache (an
+    * epoch's batch is consumed once, then committed as parquet). */
+  def assignVectorsOnce(vecs: DataFrame, id: Column, vec: Column,
+      centroidsDf: DataFrame): DataFrame = {
+    val matrix = centroidMatrix(centroidsDf)
+    vecs
+      .select(id.as("vec_id"), X.scaledVec(vec).as("v"),
+        vec.cast("array<double>").as("fd"))
+      .withColumn("n2", X.norm2Int(col("v")))
+      .withColumn("cell",
+        graft.functions.VectorIndexFunctions.nearestCentroid(col("fd"), matrix))
+      .drop("fd")
+  }
+
+  /** [[semanticDedupIncremental]] over an ALREADY-ASSIGNED frame
+    * (vec_id, v, n2, cell, is_new) — the streaming sink's seam: the
+    * pool side comes back from committed parquet with its original
+    * assignment, only the batch side runs the kernel. */
+  def semanticDedupIncrementalAssigned(assigned: DataFrame,
+      threshold: Double, maxCell: Int = 65536): DataFrame =
+    semanticDedupIncrementalCore(assigned, threshold, maxCell)
+
   /** Serve ANN top-k from a persisted (cell, centroid) index table.
     * `probe` opts the probe stage into the two-level coarse quantizer
     * ([[CoarseProbe]]) for ≳10⁴-cell indexes. */

@@ -799,10 +799,12 @@ object EventPipelines {
     * distributed, resumable form of reservoir-style PPS sampling —
     * every version is a complete servable sample, time-travelable like
     * every other serving family. Fold-type sink ⇒ retain applies; the
-    * atomic epoch tag is the exactly-once guard (a replayed epoch
-    * would re-union rows already sampled — harmless for min-k, which
-    * is content-idempotent, but the tag still skips the redundant
-    * version). */
+    * atomic epoch tag is REQUIRED for exactness, not just dedup
+    * hygiene: the merge unions raw rows and the bounded-heap top-k has
+    * bag semantics, so a re-applied epoch would insert already-sampled
+    * docs twice and evict legitimate rows — this fold is NOT
+    * content-idempotent (same discipline as the other fold sinks in
+    * this file). */
   def runCatalogWeightedSampleSink(
       docs: DataFrame,
       checkpoint: String,
@@ -820,6 +822,68 @@ object EventPipelines {
           (a, b) => graft.ext.Curation.orderSampleTopK(
             a.select(cols: _*).unionByName(b.select(cols: _*))),
           boundedState = true, retain = retain)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Streaming SEMANTIC DEDUP → catalog: the embedding-side member of
+    * the streaming dedup matrix (MinHash clusters
+    * [[runCatalogClusterSink]], band index [[runCatalogDedupIndexSink]];
+    * this one closes the q89/q93 embedding-verdict hole). Each epoch's
+    * vectors assign through the FIXED centroid table — the persisted
+    * structure, so cell membership cannot drift across epochs — then
+    * the batch dedups against the committed pool ∪ itself with q89's
+    * exact primitive (a new vector is a dup iff a lower-id same-cell
+    * vector clears the cosine threshold), the per-cell verdict summary
+    * commits as this epoch's `<step>_verdicts` version, and the
+    * assigned batch folds into the `<step>_pool` union. Work per epoch
+    * ∝ Σ |new∩cell|·|cell| — delta-sized, the q80 shape at embedding
+    * level. NEITHER fold is content-idempotent (the pool union would
+    * duplicate rows, a re-run verdict version would double-report), so
+    * the atomic epoch tags are the exactly-once guard on both steps;
+    * the two writes are individually guarded, so a crash between them
+    * replays safely (the committed verdicts write is skipped, the pool
+    * fold completes). Every pool version is a complete servable
+    * assigned corpus; every verdicts version is that epoch's q89
+    * report. */
+  def runCatalogSemanticDedupSink(
+      vecs: DataFrame,
+      id: org.apache.spark.sql.Column,
+      vec: org.apache.spark.sql.Column,
+      centroidsDf: DataFrame,
+      threshold: Double,
+      checkpoint: String,
+      cat: graft.catalog.VersionedCatalog,
+      step: String,
+      maxCell: Int = 65536): Unit = {
+    val q = vecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val poolStep = s"${step}_pool"
+        val verdictStep = s"${step}_verdicts"
+        val asg = graft.operators.SimilarityJoin
+          .assignVectorsOnce(batch, id, vec, centroidsDf)
+          .persist()
+        if (!cat.maxEpochTag(verdictStep).exists(_ >= epoch)) {
+          val fresh = asg.withColumn("is_new", lit(true))
+          val assigned = cat.latestVersion(poolStep) match {
+            case Some(_) =>
+              cat.latest(poolStep).withColumn("is_new", lit(false))
+                .unionByName(fresh)
+            case None => fresh
+          }
+          cat.writeNext(verdictStep,
+            graft.operators.SimilarityJoin.semanticDedupIncrementalAssigned(
+              assigned, threshold, maxCell),
+            epochTag = Some(epoch))
+        }
+        foldEpoch(cat, poolStep, asg, epoch,
+          (base, freshPool) => base.unionByName(freshPool))
+        asg.unpersist(blocking = false)
+        ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

@@ -25,6 +25,14 @@ class PlanAuditSpec extends SparkSpec {
                          // into the PMI projection
     "q229_event_anomalies", // 1-row date-anchor (min/max) broadcast
                             // crossed into the day-index projection
+    "q232_nb_langid_confusion", // the K-row (5 lang classes) NB model
+                                // table broadcast crossed into the
+                                // doc × class score spine
+    "q233_nb_langid_bits", // the same K-row class-model broadcast cross
+    "q234_unigram_segment", // 1-row piece-mass total broadcast crossed
+                            // into the cost projection (cbCol input)
+    "q235_unigram_prune_train", // the same 1-row total broadcast, once
+                                // per vocabulary (seed + pruned)
     "q50_nn_brute", // brute-force baseline: the cross join IS the query
     "q19_above_avg_parts", // scalar subquery = 1-row broadcast cross join
     "q49_mixture_sample", // 1-row max-sqrt scalar broadcast to the counts
@@ -242,6 +250,15 @@ class PlanAuditSpec extends SparkSpec {
                                        // training) materialized into caches
                                        // at construct
       "q129_dedup_survivor_quality",
+      "q230_suffix_repeat_coverage", // served span table: the per-doc
+                                     // interval-union window + the
+                                     // coverage agg share the doc
+                                     // partitioning; + ordered output
+                                     // (the suffix-rank build runs once
+                                     // in the span store)
+      "q234_unigram_segment", // vocabulary-sized: word-count agg + the
+                              // final join/sort (the DP rounds
+                              // checkpoint eagerly at construct)
       "q155_dhash_near_dup", // 7x9 band self-join buckets + candidate
                              // distinct; the hash side is map-side
                              // (q154) and the verify joins broadcast
@@ -390,7 +407,12 @@ class PlanAuditSpec extends SparkSpec {
       "q209_hashed_threshold_sweep" -> 4, // served score join-agg (occ scan + broadcast weight table) × the in-plan 5-row grid (1-row base agg broadcast) + 5-row sweep agg + sort — training ran at construct into the store
       "q210_hashed_calibration" -> 4, // the q209 served-score shape with the 1-row bounds broadcast instead of the grid + 8-row bin agg + sort (q163's shape on the hashed model)
       "q211_hashed_active_learning" -> 3, // served score join-agg + docs source join + per-source bounded-heap top_k + ordered output (q171's shape on the hashed model; the weight table broadcasts)
-      "q212_curation_pipeline_v3" -> 5, // the RETURNED plan: kept-score join-agg over the CACHED occ table × the checkpointed weight table + gate join + the per-source pack window/agg — stages 1-3 (line removal, gate, 6 training epochs) materialized into caches/checkpoints at construct (q152's accounting)
+      "q212_curation_pipeline_v3" -> 3, // the SERVED plan (r18 store): kept-score join-agg over the committed occ × weight parquet + gate join + the per-source pack window/agg — stages 1-3 live in the build-once gated-universe store
+      "q230_suffix_repeat_coverage" -> 2, // served spans: per-doc interval-union window + the left-join coverage agg ride one doc partitioning; + ordered output (the suffix-rank build runs once in the span store)
+      "q231_suffix_repeat_removal" -> 3, // served spans explode to covered positions (distinct) + anti-join + the per-doc reassembly agg + ordered output
+      "q232_nb_langid_confusion" -> 16, // transient NB train+serve in ONE plan: class-count/usage aggs, the cb-layer model build, the doc×class score spine (distinct + left join), argmin window, confusion agg + sort — closed-form, so the whole model lifecycle is these exchanges
+      "q233_nb_langid_bits" -> 15, // q232's chain minus the argmin window, plus the (lang, model) matrix agg
+      "q235_unigram_prune_train" -> 8, // two Viterbi passes (their DP rounds checkpoint eagerly at construct; the exchanges here are the usage aggs, prune window, cost builds) + the final piece-table joins + sort
       "q213_hashed_char_train" -> 1, // catalog-served char-model train log: one parquet read + the 6-row sort (q198's served shape; the subword build ran at construct)
       "q214_hashed_char_heldout" -> 3, // q200's served score shape over the char-model feature table + the 2-row per-class agreement agg
       "q215_lm_kn_mixture_score" -> 13, // q203's six-table interpolated score + the discount-mass type counts riding the SAME aggs (t5c in the prefix agg, t4c in the normalizer agg) + one extra distinct for t4c — the mixture prices every level for every gram by definition

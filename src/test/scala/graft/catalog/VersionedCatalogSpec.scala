@@ -486,6 +486,22 @@ class VersionedCatalogSpec extends SparkSpec {
     }
   }
 
+  test("dropStep clears every version AND the claims, so a retry restarts at v1") {
+    withTempDir { dir =>
+      val cat = new VersionedCatalog(spark, dir.toString)
+      (1 to 3).foreach(i => cat.writeNext("t", df(i)))
+      assert(cat.dropStep("t") == Seq(1, 2, 3))
+      assert(cat.versions("t").isEmpty)
+      // unlike vacuum, numbering RESTARTS: the build-once stores'
+      // crash-retry contract is that epoch r's read-back version is r
+      assert(cat.writeNext("t", df(7)) == 1)
+      assert(cat.read("t", 1, Some(schema)).collect()
+        .map(_.getInt(0)).toSeq == Seq(7))
+      // dropping a step that never existed is a no-op
+      assert(cat.dropStep("never").isEmpty)
+    }
+  }
+
   test("vacuumStaging removes crash orphans, committed versions untouched") {
     withTempDir { dir =>
       val cat = new VersionedCatalog(spark, dir.toString)

@@ -1329,6 +1329,67 @@ class EventPipelinesSpec extends SparkSpec {
     }
   }
 
+  test("streaming semantic-dedup sink: per-epoch verdicts equal the batch primitive, replay-safe") {
+    val s = spark
+    import s.implicits._
+    withTempDir { dir =>
+      val in = s"$dir/in"; val ckpt = s"$dir/ckpt"; val root = s"$dir/cat"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+      def stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(in)
+      val cat = new graft.catalog.VersionedCatalog(spark, root, format = "parquet")
+      // double-cast once: float→double is exact and JSON round-trips
+      // doubles exactly, so streamed epochs see the same values the
+      // batch reference below sees
+      val fixture = spark.read
+        .parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+      val cents = graft.operators.SimilarityJoin.md5CentroidTable(spark)
+      def writeEpoch(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/$name"),
+          df.toJSON.collect().mkString("\n").getBytes)
+      // one file per run: each verdicts version pairs with one epoch
+      (0 to 2).foreach { r =>
+        writeEpoch(s"e$r.json", fixture.filter(col("vec_id") % 3 === r))
+        EventPipelines.runCatalogSemanticDedupSink(stream, col("vec_id"),
+          col("embedding"), cents, 0.4, ckpt, cat, "sd")
+      }
+      assert(cat.versions("sd_pool") == Seq(1, 2, 3))
+      assert(cat.versions("sd_verdicts") == Seq(1, 2, 3))
+      val vSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "cell BIGINT, n_new BIGINT, n_new_dups BIGINT, n_new_kept BIGINT")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // the law: verdicts version r+1 ≡ q89's batch primitive with
+      // pool = epochs < r and new = epoch r
+      (0 to 2).foreach { r =>
+        val expect = graft.operators.SimilarityJoin.semanticDedupIncremental(
+          fixture.filter(col("vec_id") % 3 <= r), col("vec_id"),
+          col("embedding"), isNew = col("vec_id") % 3 === r, cents, 0.4)
+        assert(rows(cat.read("sd_verdicts", r + 1, Some(vSchema))) ==
+          rows(expect), s"verdicts v${r + 1} != batch primitive")
+      }
+      // pool latest ≡ the batch assignment of the whole corpus
+      val pSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "vec_id BIGINT, v ARRAY<BIGINT>, n2 BIGINT, cell INT")
+      def poolRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2), r.getInt(3)))
+        .toSet
+      assert(poolRows(cat.latest("sd_pool", Some(pSchema))) ==
+        poolRows(graft.operators.SimilarityJoin.assignVectorsOnce(
+          fixture, col("vec_id"), col("embedding"), cents)))
+      // replay with no new input: adds nothing anywhere
+      EventPipelines.runCatalogSemanticDedupSink(stream, col("vec_id"),
+        col("embedding"), cents, 0.4, ckpt, cat, "sd")
+      assert(cat.versions("sd_pool") == Seq(1, 2, 3))
+      assert(cat.versions("sd_verdicts") == Seq(1, 2, 3))
+    }
+  }
+
   test("streaming cluster sink: contraction folds equal the batch re-close, replay-safe") {
     val s = spark
     import s.implicits._
