@@ -34,8 +34,15 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // Queries may persist() intermediates (e.g. minhash signatures);
-      // drop them so runs stay independent and memory-bounded.
+      // drop them so runs stay independent and memory-bounded. The RDD
+      // sweep also drops localCheckpoint leaves, which clearCache does
+      // not cover — safe between queries (each dump is complete and no
+      // store holds RDD state), and without it a 235-query run
+      // accumulates checkpoint blocks per-JVM (the r18 bench-tail
+      // block-manager churn).
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

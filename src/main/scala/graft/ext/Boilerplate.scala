@@ -190,9 +190,17 @@ object Boilerplate extends QueryModule {
     // non-negative operands.
     QueryDef(
       "q143_line_boilerplate_signals",
-      (s, dir) =>
-        lineSignalReport(linesTokenWindows(T.documents(s, dir)))
-          .orderBy(col("doc_id")),
+      (s, dir) => {
+        // cache the line derivation (r19): the signal report reads it
+        // twice (signals + dup counts) — was two tokenize+window
+        // corpus passes. Construct runs no actions, so the early
+        // one-shot release registration is exactly right here.
+        val scope = new graft.CacheScope
+        graft.CacheScope.releaseAfterNextAction(s, scope)
+        lineSignalReport(
+            scope.cache(linesTokenWindows(T.documents(s, dir))))
+          .orderBy(col("doc_id"))
+      },
       Some(s"""
         WITH $linesTokenWindowsSql,
         sig AS (SELECT doc_id, line_idx, line,
@@ -226,9 +234,16 @@ object Boilerplate extends QueryModule {
     // anywhere in either engine corrupts cleaned_fp and fails loudly.
     QueryDef(
       "q144_line_boilerplate_removal",
-      (s, dir) =>
-        removeDuplicatedLines(linesTokenWindows(T.documents(s, dir)), " ")
-          .orderBy(col("doc_id")),
+      (s, dir) => {
+        // cache the line derivation (r19): removal reads it four ways
+        // (signals→dup counts, the kept join, the doc universe) — was
+        // four tokenize+window corpus passes (q143's move).
+        val scope = new graft.CacheScope
+        graft.CacheScope.releaseAfterNextAction(s, scope)
+        removeDuplicatedLines(
+            scope.cache(linesTokenWindows(T.documents(s, dir))), " ")
+          .orderBy(col("doc_id"))
+      },
       Some(s"""
         WITH $linesTokenWindowsSql,
         sig AS (SELECT doc_id, line_idx, line, ${X.h60Sql("line")} AS lh
@@ -270,12 +285,24 @@ object Boilerplate extends QueryModule {
         val stSchema = org.apache.spark.sql.types.StructType.fromDDL(
           "lh BIGINT, nd BIGINT")
         val docs = T.documents(s, dir)
+        // ONE line-derivation pass (r19; was four): the token-window
+        // table is per-doc map-side, so doc_id filters commute with it
+        // exactly — cache it once, slice epochs and the probe from the
+        // cache. The probe is cached too (both version branches clean
+        // it). Values identical; only the pass count changes.
+        val scope = new graft.CacheScope
+        val lsig = scope.cache(linesTokenWindows(docs))
+        // rebalance before write (guide §6 — the q122/q140 move)
         cat.writeNext("line_stats",
-          lineStats(linesTokenWindows(docs.filter(col("doc_id") % 2 === 0))))
+          lineStats(lsig.filter(col("doc_id") % 2 === 0)).hint("rebalance"))
         cat.writeNext("line_stats", mergeLineStats(
           cat.read("line_stats", 1, Some(stSchema)),
-          lineStats(linesTokenWindows(docs.filter(col("doc_id") % 2 === 1)))))
-        val probe = linesTokenWindows(docs.filter(col("doc_id") % 5 === 0))
+          lineStats(lsig.filter(col("doc_id") % 2 === 1))).hint("rebalance"))
+        val probe = scope.cache(lsig.filter(col("doc_id") % 5 === 0))
+        // registered AFTER the construct-time writes (the q140 lesson:
+        // an early registration fires on the first write and drops the
+        // cache before the returned plan runs)
+        graft.CacheScope.releaseAfterNextAction(s, scope)
         (1 to 2).map { v =>
           removeLinesUnder(probe, cat.read("line_stats", v, Some(stSchema)), " ")
             .select(lit(v.toLong).as("version"), col("doc_id"),

@@ -166,8 +166,42 @@ object Bpe extends QueryModule {
     * training re-derives the merges from whatever fold it is handed.
     * `byteLevel` seeds segmentation with UTF-8 hex-byte symbols
     * instead of code points (the q151 training path). */
+  /** AQE OFF inside the train loops (r19, the
+    * [[HashedClassifier.trainTransientFrom]] lesson verbatim): every
+    * round's aggregate runs over the persisted vocabulary-sized word
+    * table, so runtime re-planning buys nothing — but each AQE query
+    * stage is its own job barrier, and R rounds × sub-second stages
+    * make the barriers the training wall clock. Static planning
+    * pipelines each round into one job. Scoped + restored; values
+    * unchanged (planning only). */
+  private def withStaticPlanning[T](s: org.apache.spark.sql.SparkSession)
+      (body: => T): T = {
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val spKey = "spark.sql.shuffle.partitions"
+    val prevAqe = s.conf.get(aqeKey, "true")
+    val prevSp = s.conf.get(spKey)
+    s.conf.set(aqeKey, "false")
+    // vocabulary-sized per-round aggregates: at local[32] a static
+    // 32-partition shuffle is ~32 near-empty tasks per stage per round
+    // — pure scheduling floor (AQE would coalesce them, but it is off
+    // here for the barrier reason above). 4 partitions is plenty for a
+    // vocab table and keeps the round a single short stage; scoped to
+    // the loop, so corpus-scale plans outside keep the session value.
+    s.conf.set(spKey, math.min(4, prevSp.toInt).toString)
+    try body finally {
+      s.conf.set(aqeKey, prevAqe)
+      s.conf.set(spKey, prevSp)
+    }
+  }
+
   def trainMergesFromCounts(wc: DataFrame, rounds: Int,
-      byteLevel: Boolean = false): Seq[(Int, String, String, Long)] = {
+      byteLevel: Boolean = false): Seq[(Int, String, String, Long)] =
+    withStaticPlanning(wc.sparkSession) {
+      trainMergesFromCountsLoop(wc, rounds, byteLevel)
+    }
+
+  private def trainMergesFromCountsLoop(wc: DataFrame, rounds: Int,
+      byteLevel: Boolean): Seq[(Int, String, String, Long)] = {
     val words = wc.persist()
     try {
       val acc = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
@@ -237,6 +271,13 @@ object Bpe extends QueryModule {
     * (driver round-trips) — the measured job-count ∝ R/k evidence. */
   def trainMergesBatchedWithSweeps(wc: DataFrame, rounds: Int,
       batchK: Int, byteLevel: Boolean = false)
+      : (Seq[(Int, String, String, Long)], Int) =
+    withStaticPlanning(wc.sparkSession) {
+      trainMergesBatchedLoop(wc, rounds, batchK, byteLevel)
+    }
+
+  private def trainMergesBatchedLoop(wc: DataFrame, rounds: Int,
+      batchK: Int, byteLevel: Boolean)
       : (Seq[(Int, String, String, Long)], Int) = {
     require(batchK >= 1, "bpe batched train: batchK must be >= 1")
     val words = wc.persist()
@@ -848,16 +889,39 @@ object Bpe extends QueryModule {
         val wcSchema = org.apache.spark.sql.types.StructType.fromDDL(
           "w STRING, c BIGINT")
         val docs = T.documents(s, dir)
-        cat.writeNext("bpe_wc", wordCounts(docs.filter(col("doc_id") % 2 === 0)))
+        // ONE corpus tokenize (r19; was three — the q140 parity-count
+        // move): counts keyed by doc parity serve the even-half write
+        // and the odd-half fold; the probe token table rides the same
+        // cache. Values identical.
+        val scope = new graft.CacheScope
+        val tkAll = scope.cache(docs
+          .select(col("doc_id"), X.tokens(col("text")).as("tk")))
+        val wpar = tkAll
+          .select((col("doc_id") % 2).as("par"), explode(col("tk")).as("w"))
+          .groupBy(col("w"), col("par")).agg(count(lit(1)).as("c"))
+        // rebalance before write (guide §6): AQE sizes the committed
+        // files to the data (1 file for a vocabulary-sized table, many
+        // at scale) instead of one near-empty file per shuffle
+        // partition — the 32-file version was most of the write AND
+        // every later read/train-sweep of it (measured ~0.7 s/write
+        // for a 31-row table at local[32])
+        cat.writeNext("bpe_wc", wpar.filter(col("par") === 0)
+          .select(col("w"), col("c")).hint("rebalance"))
         cat.writeNext("bpe_wc", mergeWordCounts(
           cat.read("bpe_wc", 1, Some(wcSchema)),
-          wordCounts(docs.filter(col("doc_id") % 2 === 1))))
-        val probe = docs.filter(col("doc_id") % 5 === 0)
-          .select(col("doc_id"), X.tokens(col("text")).as("tk"))
+          wpar.filter(col("par") === 1).select(col("w"), col("c")))
+          .hint("rebalance"))
+        val probe = scope.cache(tkAll.filter(col("doc_id") % 5 === 0))
         import s.implicits._
-        (1 to 2).map { v =>
-          val merges = trainMergesFromCounts(
-            cat.read("bpe_wc", v, Some(wcSchema)), TrainRounds)
+        val served = (1 to 2).map { v =>
+          // batched trainer (r19): provably bit-equal to the
+          // sequential loop (trainMergesBatched's prefix-equivalence
+          // proof; q156 pins it against the sequential oracle,
+          // BpeFuzzSpec fuzzes it) at ~R/k driver round-trips — the
+          // serving query keeps the committed artifact identical while
+          // paying a quarter of the train-loop scheduling floor.
+          val merges = trainMergesBatched(
+            cat.read("bpe_wc", v, Some(wcSchema)), TrainRounds, BatchK)
           // persist each version's trained merges alongside its counts —
           // the serving artifact a tokenizer consumer would load
           cat.writeNext("bpe_merges", merges
@@ -873,6 +937,10 @@ object Bpe extends QueryModule {
               graft.functions.HashFunctions.positionalFingerprint(col("syms"))
                 .as("bpe_fp"))
         }.reduce(_ unionByName _).orderBy(col("version"), col("doc_id"))
+        // registered AFTER the construct-time writes/trains (the q140
+        // lesson: early registration drops the cache on the first one)
+        graft.CacheScope.releaseAfterNextAction(s, scope)
+        served
       },
       Some(s"""
         WITH wca AS (SELECT w, COUNT(*) AS c
@@ -1085,23 +1153,49 @@ object Bpe extends QueryModule {
         val wcSchema = org.apache.spark.sql.types.StructType.fromDDL(
           "w STRING, c BIGINT")
         val docs = T.documents(s, dir)
-        cat.writeNext("bpe_wc", wordCounts(docs.filter(col("doc_id") % 2 === 0)))
+        val scope = new graft.CacheScope
+        // ONE corpus tokenize (r19; was three): counts keyed by doc
+        // PARITY serve the even-half epoch write, the odd-half fold,
+        // AND the full-corpus audit table — identical values (a count
+        // over parity-filtered docs ≡ the parity slice of this table,
+        // and the full counts are the parity sum).
+        val wpar = scope.cache(docs
+          .select((col("doc_id") % 2).as("par"),
+            explode(X.tokens(col("text"))).as("w"))
+          .groupBy(col("w"), col("par")).agg(count(lit(1)).as("c")))
+        // rebalance before write (guide §6): AQE sizes the committed
+        // files to the data (1 file for a vocabulary-sized table, many
+        // at scale) instead of one near-empty file per shuffle
+        // partition — the 32-file version was most of the write AND
+        // every later read/train-sweep of it (measured ~0.7 s/write
+        // for a 31-row table at local[32])
+        cat.writeNext("bpe_wc", wpar.filter(col("par") === 0)
+          .select(col("w"), col("c")).hint("rebalance"))
         cat.writeNext("bpe_wc", mergeWordCounts(
           cat.read("bpe_wc", 1, Some(wcSchema)),
-          wordCounts(docs.filter(col("doc_id") % 2 === 1))))
-        val scope = new graft.CacheScope
-        graft.CacheScope.releaseAfterNextAction(s, scope)
+          wpar.filter(col("par") === 1).select(col("w"), col("c")))
+          .hint("rebalance"))
         // the FULL corpus word-frequency table — both versions segment
         // it (the audit asks how each tokenizer treats today's corpus)
-        val wcAll = scope.cache(wordCounts(docs))
+        val wcAll = scope.cache(
+          wpar.groupBy(col("w")).agg(sum(col("c")).as("c")))
         val segd = (1 to 2).map { v =>
-          val ms = trainMergesFromCounts(
-            cat.read("bpe_wc", v, Some(wcSchema)), TrainRounds)
+          // batched trainer (r19): bit-equal to the sequential loop
+          // (q135's swap — see trainMergesBatched's equivalence proof)
+          // at ~R/k driver round-trips
+          val ms = trainMergesBatched(
+            cat.read("bpe_wc", v, Some(wcSchema)), TrainRounds, BatchK)
             .map { case (_, l, r, _) => (l, r) }
           wcAll.select(lit(v.toLong).as("version"), col("w"), col("c"),
             BpeFunctions.segmentWord(col("w"), ms).as("syms"))
         }
         val both = scope.cache(segd.reduce(_ unionByName _))
+        // register the one-shot release only NOW: the construct above
+        // runs its own actions (catalog writes, train rounds) — an
+        // earlier registration made the FIRST of those fire the
+        // release, so wcAll was never actually cached for the returned
+        // plan (each version branch re-tokenized the corpus)
+        graft.CacheScope.releaseAfterNextAction(s, scope)
         val totals = both.groupBy(col("version"))
           .agg(sum(col("c") * size(col("syms"))).as("total_subwords"),
             sum(col("c")).as("total_words"))

@@ -480,8 +480,15 @@ object Classifier extends QueryModule {
         val docs = T.documents(s, dir)
         val scope = new graft.CacheScope
         try {
+          // ONE corpus tokenize (r19; was two): tk3 is per-doc
+          // map-side, so the phase-A epoch is a doc_id slice of the
+          // cached full table — phase B reuses the same cache. The
+          // LM/threshold fits still run per phase on their own slices
+          // (slicing happens BELOW the fit, so fitted stats are
+          // unchanged). Values identical.
+          val tkF = scope.cache(tk3(docs))
           // phase A: even-doc_id epoch, self-contained model
-          val tkA = scope.cache(tk3(docs.filter(col("doc_id") % 2 === 0)))
+          val tkA = tkF.filter(col("doc_id") % 2 === 0)
           val scoredA = scope.cache(scoredCb(tkA))
           cat.writeNext("clf_thr", labelThresholds(scoredA))
           val rawA = scope.cache(rawFeaturesUnder(tkA, scoredA,
@@ -492,7 +499,6 @@ object Classifier extends QueryModule {
           val snapsA = trainPerceptron(featA, Epochs / 2)
           cat.writeNext("clf_w", weightsDf(s, snapsA))
           // phase B: full corpus under the PERSISTED v1 artifact
-          val tkF = scope.cache(tk3(docs))
           val rawF = scope.cache(rawFeaturesUnder(tkF, scoredCb(tkF),
             cat.read("clf_thr", 1, Some(thrSchema))))
           val featF = scope.cache(standardizeUnder(rawF,

@@ -156,6 +156,14 @@ object ClassifierStore {
       wavg)
   }
 
+  /** Bench warmup seam: build both artifact chains (base feature/weight
+    * + cross-corpus reference model) before timed passes. */
+  private[graft] def prebuild(s: SparkSession, dir: String): Unit = {
+    ensure(s, dir)
+    ensureCross(s, dir)
+    ()
+  }
+
   /** Drop the process-local catalog binding for `dir`, forcing the next
     * serve to rebuild from the (possibly regenerated) corpus. The store
     * keys by directory PATH for the JVM lifetime; if the data under that

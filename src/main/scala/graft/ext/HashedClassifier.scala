@@ -232,6 +232,8 @@ object HashedClassifier extends QueryModule {
   val WSchemaDdl = "j BIGINT, w BIGINT"
   val LogSchemaDdl =
     "epoch BIGINT, n_mis BIGINT, k_shift BIGINT, nnz BIGINT, l1 BIGINT"
+  val NbWSchemaDdl = "cls STRING, j BIGINT, db BIGINT"
+  val NbClsSchemaDdl = "cls STRING, tot BIGINT, b0 BIGINT, pb BIGINT"
 
   private def ddl(s: String) = StructType.fromDDL(s)
 
@@ -273,8 +275,11 @@ object HashedClassifier extends QueryModule {
   // (cls, j) aggregate (≤ K·2^16 rows, broadcastable), scoring is one
   // join-aggregate — NB is embarrassingly partial-aggregable.
 
-  /** FIXED-POINT log2 in 1/1024-bit units: cb = ⌊1024·log2(num/den)⌋
-    * for num ≥ den ≥ 1, num < 2^40 — the LM family's floor-log2 made
+  /** FIXED-POINT log2 in 1/1024-bit units: cb ≈ ⌊1024·log2(num/den)⌋
+    * for num ≥ den ≥ 1, num < 2^40 — within 1 BELOW the exact floor
+    * (the truncating mantissa squarings can undershoot by one ulp;
+    * NbLangIdSpec pins the band), and IDENTICAL on both engines, which
+    * is the contract that matters — the LM family's floor-log2 made
     * 1024× finer so per-gram quantization noise (±1 whole bit × the
     * gram count) cannot swamp a real likelihood-ratio signal. Exact
     * integer algorithm, identical on both engines: integer bits k via
@@ -334,7 +339,7 @@ object HashedClassifier extends QueryModule {
 
   /** The (cls, j, db) delta-centibit weight table and the per-class
     * (cls, tot, b0, pb) row from a TRAINING slice — all costs in
-    * [[cbCol]]'s 1/128-bit units. */
+    * [[cbCol]]'s 1/1024-bit units. */
   private[ext] def nbModel(occT: DataFrame, lab: DataFrame)
       : (DataFrame, DataFrame) = {
     val joined = occT.join(lab, "doc_id")
@@ -357,11 +362,14 @@ object HashedClassifier extends QueryModule {
 
   /** Per-(doc, cls) NB bit cost over a target occ frame: the dense
     * doc × class spine (5 classes — a broadcast cross) with the seen-
-    * gram delta folded in. */
+    * gram delta folded in. The weight table is HINTED broadcast
+    * (≤ K·2^16 rows by construction — a catalog-read table carries no
+    * stats, so unhinted AQE sort-merge-joins it, shuffling the
+    * corpus-linear occ side on j; the trainTransientLoop lesson). */
   private[ext] def nbScores(occ: DataFrame, w: DataFrame,
       cls: DataFrame): DataFrame = {
     val sd = occ.groupBy(col("doc_id")).agg(sum(col("c")).as("sd"))
-    val delta = occ.join(w, Seq("j"))
+    val delta = occ.join(broadcast(w), Seq("j"))
       .groupBy(col("doc_id"), col("cls"))
       .agg(sum(col("c") * col("db")).as("delta"))
     sd.crossJoin(broadcast(cls))
@@ -618,6 +626,38 @@ object HashedClassifier extends QueryModule {
       }
     }
 
+    /** Build-if-absent for the NB LANGUAGE-ID model artifacts (q232/
+      * q233): the even-half-trained class weight table `nbw` (cls, j,
+      * db) and the per-class row `nbcls` (cls, tot, b0, pb) — the
+      * closed-form [[nbModel]] is deterministic corpus state exactly
+      * like the perceptron weight chains, so the confusion/bits
+      * queries serve the committed model and pay only the held-out
+      * scoring pass per invocation (r19: the model rebuilt inside
+      * every call, ~7 s/invocation at sf0.1). Runs [[ensureChar]]
+      * first — the model trains on the committed `hcocc` feature
+      * table. Gated on the LAST-written artifact (`nbcls`, the
+      * ClassifierStore retry rule). */
+    def ensureNb(s: SparkSession, dir: String): VersionedCatalog = {
+      val cat = ensureChar(s, dir)
+      lock.synchronized {
+        if (cat.latestVersion("nbcls").isEmpty) {
+          Seq("nbw", "nbcls").foreach(cat.dropStep)
+          val scope = new graft.CacheScope
+          try {
+            val occE = scope.cache(
+              cat.read("hcocc", 1, Some(ddl(OccSchemaDdl)))
+                .filter(col("doc_id") % 2 === 0).coalesce(8))
+            val lab = T.documents(s, dir)
+              .select(col("doc_id"), col("lang").as("cls"))
+            val (w, clsT) = nbModel(occE, lab)
+            cat.writeNext("nbw", w)
+            cat.writeNext("nbcls", clsT)
+          } finally scope.release()
+        }
+        cat
+      }
+    }
+
     /** Build-if-absent for the ORDINAL BAND artifacts (q223/q224): the
       * median-augmented thresholds `hothr`, the two cut label tables
       * `holaba`/`holabb`, and each cut's training twins (`howa`/
@@ -680,6 +720,16 @@ object HashedClassifier extends QueryModule {
 
   }
 
+  /** Build every artifact family of this store (word + char + ordinal
+    * + NB chains) — the bench warmup seam: pre-paying the build-once
+    * state before pass 1 makes every timed pass measure the SERVE
+    * path (the steady-state cost users pay), not a one-off build. */
+  private[graft] def prebuild(s: SparkSession, dir: String): Unit = {
+    Store.ensureNb(s, dir) // ⊇ ensureChar ⊇ ensure
+    Store.ensureOrdinal(s, dir)
+    ()
+  }
+
   /** Drop the process-local store binding for `dir` (the
     * [[ClassifierStore.invalidate]] twin): the store keys by directory
     * PATH for the JVM lifetime, so an in-place rewrite of the corpus
@@ -706,6 +756,14 @@ object HashedClassifier extends QueryModule {
     Store.ensureOrdinal(s, dir).read(wStep, Epochs, Some(ddl(WSchemaDdl)))
   def ordThresholds(s: SparkSession, dir: String): DataFrame =
     Store.ensureOrdinal(s, dir).read("hothr", 1, Some(ddl(OrdThrSchemaDdl)))
+
+  /** NB language-ID model twins (build the committed even-half-trained
+    * model if absent — identical values to an in-plan [[nbModel]]
+    * rebuild, int64 through a parquet round-trip). */
+  def nbWeights(s: SparkSession, dir: String): DataFrame =
+    Store.ensureNb(s, dir).read("nbw", 1, Some(ddl(NbWSchemaDdl)))
+  def nbClassModel(s: SparkSession, dir: String): DataFrame =
+    Store.ensureNb(s, dir).read("nbcls", 1, Some(ddl(NbClsSchemaDdl)))
 
   /** Char-model twins (build the subword artifacts if absent). */
   def charTrainLog(s: SparkSession, dir: String, logStep: String): DataFrame =
@@ -1358,10 +1416,14 @@ object HashedClassifier extends QueryModule {
     QueryDef(
       "q232_nb_langid_confusion",
       (s, dir) => {
+        // r19: the closed-form model SERVES from the committed store
+        // (Store.ensureNb — the ensure/dropStep discipline every other
+        // trained family uses); the per-invocation plan is only the
+        // held-out scoring pass. Identical values: nbModel is
+        // deterministic int64, read back from parquet.
         val occ = servedOccChar(s, dir)
-        val lab = T.documents(s, dir)
-          .select(col("doc_id"), col("lang").as("cls"))
-        val (w, clsT) = nbModel(occ.filter(col("doc_id") % 2 === 0), lab)
+        val w = nbWeights(s, dir)
+        val clsT = nbClassModel(s, dir)
         nbArgmin(nbScores(occ.filter(col("doc_id") % 2 =!= 0), w, clsT))
           .join(T.documents(s, dir).select(col("doc_id"), col("lang")),
             "doc_id")
@@ -1392,10 +1454,11 @@ object HashedClassifier extends QueryModule {
     QueryDef(
       "q233_nb_langid_bits",
       (s, dir) => {
+        // r19: served committed model (see q232) — the returned plan
+        // is the held-out cross-class pricing pass alone.
         val occ = servedOccChar(s, dir)
-        val lab = T.documents(s, dir)
-          .select(col("doc_id"), col("lang").as("cls"))
-        val (w, clsT) = nbModel(occ.filter(col("doc_id") % 2 === 0), lab)
+        val w = nbWeights(s, dir)
+        val clsT = nbClassModel(s, dir)
         nbScores(occ.filter(col("doc_id") % 2 =!= 0), w, clsT)
           .join(T.documents(s, dir).select(col("doc_id"), col("lang")),
             "doc_id")

@@ -1017,19 +1017,33 @@ object LmScore extends QueryModule {
           "bg STRING, cb BIGINT")
         val vSchema = org.apache.spark.sql.types.StructType.fromDDL("t STRING")
         val docs = T.documents(s, dir)
-        val even = docs.filter(col("doc_id") % 2 === 0)
-        val odd = docs.filter(col("doc_id") % 2 === 1)
-        cat.writeNext("lm_bg", bigramCounts(even))
-        cat.writeNext("lm_vocab", vocabTokens(even))
+        // ONE corpus tokenize (r19; was six: two counts + two vocabs at
+        // construct, plus the probe tokenized once per served version):
+        // tokenization is per-doc map-side, so doc_id slices commute —
+        // cache it, feed every stage through the *Tk seams. Values
+        // identical (bigramCounts ≡ bigramCountsTk ∘ tokenized).
+        val scope = new graft.CacheScope
+        val tk = scope.cache(docs.select(col("doc_id"),
+          X.tokens(col("text")).as("tk")))
+        val evenTk = tk.filter(col("doc_id") % 2 === 0)
+        val oddTk = tk.filter(col("doc_id") % 2 === 1)
+        // rebalance before write (guide §6): file count follows data
+        // size instead of the shuffle-partition count (the q140 lesson
+        // — near-empty files dominated write + every served read)
+        cat.writeNext("lm_bg", bigramCountsTk(evenTk).hint("rebalance"))
+        cat.writeNext("lm_vocab", vocabTokensTk(evenTk).hint("rebalance"))
         cat.writeNext("lm_bg", mergeBigramCounts(
-          cat.read("lm_bg", 1, Some(bgSchema)), bigramCounts(odd)))
+          cat.read("lm_bg", 1, Some(bgSchema)), bigramCountsTk(oddTk))
+          .hint("rebalance"))
         cat.writeNext("lm_vocab",
           cat.read("lm_vocab", 1, Some(vSchema))
-            .unionByName(vocabTokens(odd)).distinct())
-        val probe = docs.filter(col("doc_id") % 5 === 0)
+            .unionByName(vocabTokensTk(oddTk)).distinct().hint("rebalance"))
+        val probeTk = scope.cache(tk.filter(col("doc_id") % 5 === 0))
+        // registered AFTER the construct-time writes (the q140 lesson)
+        graft.CacheScope.releaseAfterNextAction(s, scope)
         (1 to 2).map { v =>
-          scoreAgainstLm(cat.read("lm_bg", v, Some(bgSchema)),
-              cat.read("lm_vocab", v, Some(vSchema)), probe)
+          scoreAgainstLmTk(cat.read("lm_bg", v, Some(bgSchema)),
+              cat.read("lm_vocab", v, Some(vSchema)), probeTk)
             .select(lit(v.toLong).as("version"), col("doc_id"),
               col("n_bigrams"), col("total_bits"),
               col("centibits_per_bigram"))
@@ -1140,16 +1154,25 @@ object LmScore extends QueryModule {
           "tg STRING, ct BIGINT")
         val vSchema = org.apache.spark.sql.types.StructType.fromDDL("t STRING")
         val docs = T.documents(s, dir)
-        val even = tokenized(docs.filter(col("doc_id") % 2 === 0))
-        val odd = tokenized(docs.filter(col("doc_id") % 2 === 1))
-        cat.writeNext("lm3_tg", trigramCountsTk(even))
-        cat.writeNext("lm3_vocab", vocabTokensTk(even))
+        // ONE corpus tokenize (r19; was six — q122's caching, one
+        // order up): slices of the cached token table feed both epoch
+        // writes and the per-version probe scoring.
+        val scope = new graft.CacheScope
+        val tk = scope.cache(tokenized(docs))
+        val even = tk.filter(col("doc_id") % 2 === 0)
+        val odd = tk.filter(col("doc_id") % 2 === 1)
+        // rebalance before write (guide §6 — the q122 move)
+        cat.writeNext("lm3_tg", trigramCountsTk(even).hint("rebalance"))
+        cat.writeNext("lm3_vocab", vocabTokensTk(even).hint("rebalance"))
         cat.writeNext("lm3_tg", mergeTrigramCounts(
-          cat.read("lm3_tg", 1, Some(tgSchema)), trigramCountsTk(odd)))
+          cat.read("lm3_tg", 1, Some(tgSchema)), trigramCountsTk(odd))
+          .hint("rebalance"))
         cat.writeNext("lm3_vocab",
           cat.read("lm3_vocab", 1, Some(vSchema))
-            .unionByName(vocabTokensTk(odd)).distinct())
-        val probe = tokenized(docs.filter(col("doc_id") % 5 === 0))
+            .unionByName(vocabTokensTk(odd)).distinct().hint("rebalance"))
+        val probe = scope.cache(tk.filter(col("doc_id") % 5 === 0))
+        // registered AFTER the construct-time writes (the q140 lesson)
+        graft.CacheScope.releaseAfterNextAction(s, scope)
         (1 to 2).map { v =>
           scoreAgainstLm3Tk(cat.read("lm3_tg", v, Some(tgSchema)),
               cat.read("lm3_vocab", v, Some(vSchema)), probe)

@@ -152,10 +152,15 @@ ${terms.indices.map { i =>
   private def bm25IndexBuild(cat: graft.catalog.VersionedCatalog,
       docs: org.apache.spark.sql.DataFrame): Unit = {
     val postings = bm25Postings(docs)
-    cat.writeNext("bm25_postings", postings)
-    cat.writeNext("bm25_docstats", docs.select(col("doc_id"), col("dl")))
+    // rebalance before write (guide §6): AQE sizes the committed files
+    // to the data instead of one near-empty file per shuffle partition
+    // — the served reads pay the file count on every probe
+    cat.writeNext("bm25_postings", postings.hint("rebalance"))
+    cat.writeNext("bm25_docstats",
+      docs.select(col("doc_id"), col("dl")).hint("rebalance"))
     cat.writeNext("bm25_terms",
-      postings.groupBy(col("term")).agg(count(lit(1)).as("df")))
+      postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .hint("rebalance"))
     cat.writeNext("bm25_stats",
       docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot")))
   }
@@ -633,7 +638,8 @@ ${terms.indices.map { i =>
           .localCheckpoint(eager = false) // 4 index builds read it
         bm25IndexBuild(cat, docs)
         cat.writeNext("hyb_vectors",
-          docs.select(col("doc_id"), X.hashedBow(col("tk")).as("v")))
+          docs.select(col("doc_id"), X.hashedBow(col("tk")).as("v"))
+            .hint("rebalance"))
         val vecs = cat.read("hyb_vectors", 1,
           Some(org.apache.spark.sql.types.StructType.fromDDL(
             "doc_id BIGINT, v ARRAY<BIGINT>")))

@@ -1963,9 +1963,12 @@ object Similarity extends QueryModule {
           s, graft.Scratch.dir("q192"), format = "parquet")
         val base = scaled(s, dir)
           .localCheckpoint(eager = false) // both index builds read it
+        // rebalance before write (guide §6): file count follows data
+        // size, and the served probe re-reads these versions
         cat.writeNext("mlsh_vectors",
-          base.select(col("vec_id"), col("v"), col("n2")))
-        cat.writeNext("mlsh_index", annIndexRows(base))
+          base.select(col("vec_id"), col("v"), col("n2"))
+            .hint("rebalance"))
+        cat.writeNext("mlsh_index", annIndexRows(base).hint("rebalance"))
         import org.apache.spark.sql.types.StructType
         val vecs = cat.read("mlsh_vectors", 1,
           Some(StructType.fromDDL(
@@ -2040,13 +2043,15 @@ object Similarity extends QueryModule {
           .select(col("vec_id"), col("v"), col("n2"))
         val odd = base.filter(col("vec_id") % 2 === 1)
           .select(col("vec_id"), col("v"), col("n2"))
-        cat.writeNext("ann_vectors", even)
-        cat.writeNext("ann_index", annIndexRows(even))
+        // rebalance before write (guide §6 — the q192 move)
+        cat.writeNext("ann_vectors", even.hint("rebalance"))
+        cat.writeNext("ann_index", annIndexRows(even).hint("rebalance"))
         cat.writeNext("ann_vectors",
-          cat.read("ann_vectors", 1, Some(vSchema)).unionByName(odd))
+          cat.read("ann_vectors", 1, Some(vSchema)).unionByName(odd)
+            .hint("rebalance"))
         cat.writeNext("ann_index",
           cat.read("ann_index", 1, Some(iSchema))
-            .unionByName(annIndexRows(odd)))
+            .unionByName(annIndexRows(odd)).hint("rebalance"))
         (1 to 2).map { v =>
           annServeTop3(cat.read("ann_vectors", v, Some(vSchema)),
               cat.read("ann_index", v, Some(iSchema)))

@@ -332,6 +332,12 @@ object SuffixDedup extends QueryModule {
   private[graft] def invalidateStore(dir: String): Unit =
     Store.invalidate(dir)
 
+  /** Bench warmup seam: run the suffix-rank build and commit the span
+    * version before timed passes. */
+  private[graft] def prebuild(s: SparkSession, dir: String): Unit = {
+    Store.spans(s, dir); ()
+  }
+
   // -------------------------------------------------------------------
   // Oracle SQL builders (DuckDB), mirroring each stage exactly. Every
   // CTE referenced twice is MATERIALIZED (the round-unrolled-chain

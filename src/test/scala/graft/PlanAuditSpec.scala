@@ -29,10 +29,10 @@ class PlanAuditSpec extends SparkSpec {
                                 // table broadcast crossed into the
                                 // doc × class score spine
     "q233_nb_langid_bits", // the same K-row class-model broadcast cross
-    "q234_unigram_segment", // 1-row piece-mass total broadcast crossed
-                            // into the cost projection (cbCol input)
-    "q235_unigram_prune_train", // the same 1-row total broadcast, once
-                                // per vocabulary (seed + pruned)
+    // q234/q235 left this list in r19: the compiled-Viterbi rewrite
+    // moved the 1-row piece-mass broadcast cross into construct-time
+    // jobs (the collected cost table); the RETURNED plans are
+    // kernel + agg + local-relation joins with no cross join
     "q50_nn_brute", // brute-force baseline: the cross join IS the query
     "q19_above_avg_parts", // scalar subquery = 1-row broadcast cross join
     "q49_mixture_sample", // 1-row max-sqrt scalar broadcast to the counts
@@ -218,6 +218,12 @@ class PlanAuditSpec extends SparkSpec {
       "q208_bpe_greedy_batched_train", // the same local-relation return
                         // (sweep × rank accepted-merge rows); the 3
                         // greedy sweeps ran eagerly at construct
+      "q234_unigram_segment", // r19 compiled-Viterbi plan: ONE
+                        // word-count agg whose exchange also feeds the
+                        // kernel projection + TakeOrdered output — the
+                        // DP itself is a map-side kernel over the
+                        // cached word table, zero per-round shuffles
+                        // (was 2: relational rounds + final join/sort)
       "q131_bpe_train") // the RETURNED merges table is a 12-row local
                         // relation + sort; the R training rounds run
                         // eagerly before this plan (each its own
@@ -256,9 +262,6 @@ class PlanAuditSpec extends SparkSpec {
                                      // partitioning; + ordered output
                                      // (the suffix-rank build runs once
                                      // in the span store)
-      "q234_unigram_segment", // vocabulary-sized: word-count agg + the
-                              // final join/sort (the DP rounds
-                              // checkpoint eagerly at construct)
       "q155_dhash_near_dup", // 7x9 band self-join buckets + candidate
                              // distinct; the hash side is map-side
                              // (q154) and the verify joins broadcast
@@ -325,7 +328,7 @@ class PlanAuditSpec extends SparkSpec {
       "q71_media_fingerprints" -> 3, // per-media hash, duplicate groups, ordered output
       "q75_pagerank" -> 5, // one equi-join (deg pre-attached to edges) + partial-agg sum per round, checkpoint cadence 4
       "q146_pagerank_catalog_served" -> 5, // q75's per-round shape reading the PERSISTED degree-attached edge/node versions — base build/write ran at construct; the files are the checkpoint
-      "q149_line_stats_catalog_serving" -> 4, // per-version probe clean: line-hash left join vs the persisted stats version + per-doc reassembly + union + ordered output; the stats fold ran at construct
+      "q149_line_stats_catalog_serving" -> 5, // per-version probe clean: line-hash left join vs the persisted stats version + per-doc reassembly + union + ordered output; the stats fold ran at construct. +1 in r19: the probe is a slice of the CACHED one-pass line table (was four derivation passes), whose materializing exchange now sits inside the served plan
       "q153_classifier_cross_corpus" -> 4, // the SERVING plan: full-corpus bigrams left-joined against the cached reference LM (bigram + prefix keys) + per-doc agg + ordered score output — reference training ran at construct
       "q80_dedup_incremental" -> 6, // new-side bands, bucket join vs corpus, verify, summaries
       "q83_bloom_decontam_sharded" -> 8, // per-shard bloom build + sharded membership + union summary
@@ -410,9 +413,9 @@ class PlanAuditSpec extends SparkSpec {
       "q212_curation_pipeline_v3" -> 3, // the SERVED plan (r18 store): kept-score join-agg over the committed occ × weight parquet + gate join + the per-source pack window/agg — stages 1-3 live in the build-once gated-universe store
       "q230_suffix_repeat_coverage" -> 2, // served spans: per-doc interval-union window + the left-join coverage agg ride one doc partitioning; + ordered output (the suffix-rank build runs once in the span store)
       "q231_suffix_repeat_removal" -> 3, // served spans explode to covered positions (distinct) + anti-join + the per-doc reassembly agg + ordered output
-      "q232_nb_langid_confusion" -> 16, // transient NB train+serve in ONE plan: class-count/usage aggs, the cb-layer model build, the doc×class score spine (distinct + left join), argmin window, confusion agg + sort — closed-form, so the whole model lifecycle is these exchanges
-      "q233_nb_langid_bits" -> 15, // q232's chain minus the argmin window, plus the (lang, model) matrix agg
-      "q235_unigram_prune_train" -> 8, // two Viterbi passes (their DP rounds checkpoint eagerly at construct; the exchanges here are the usage aggs, prune window, cost builds) + the final piece-table joins + sort
+      "q232_nb_langid_confusion" -> 6, // r19 SERVED plan (model reads from the nbw/nbcls store; was 16 with the in-plan model build): held-out occ scan → per-doc mass agg + broadcast-w delta agg + the (doc, cls) spine join + argmin window + confusion agg + sort
+      "q233_nb_langid_bits" -> 5, // q232's served chain minus the argmin window
+      "q235_unigram_prune_train" -> 2, // r19 compiled-Viterbi plan (was 8 relational): the re-segmentation usage agg + ordered output; the pruned vocabulary and its costs join as LOCAL relations (collected at construct — the tokenizer artifact)
       "q213_hashed_char_train" -> 1, // catalog-served char-model train log: one parquet read + the 6-row sort (q198's served shape; the subword build ran at construct)
       "q214_hashed_char_heldout" -> 3, // q200's served score shape over the char-model feature table + the 2-row per-class agreement agg
       "q215_lm_kn_mixture_score" -> 13, // q203's six-table interpolated score + the discount-mass type counts riding the SAME aggs (t5c in the prefix agg, t4c in the normalizer agg) + one extra distinct for t4c — the mixture prices every level for every gram by definition

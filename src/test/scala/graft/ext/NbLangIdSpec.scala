@@ -41,6 +41,28 @@ class NbLangIdSpec extends SparkSpec {
     }
   }
 
+  test("served NB model (store) equals an in-plan nbModel rebuild") {
+    // q232/q233 serve the committed nbw/nbcls artifacts (r19); this
+    // pins the store round-trip: deterministic int64 model, identical
+    // value for value to a fresh closed-form build over the same
+    // committed feature table.
+    val s = spark
+    val dir = "/root/testdata/sf0.001"
+    val occ = HashedClassifier.servedOccChar(s, dir)
+    val lab = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang").as("cls"))
+    val (w, clsT) = HashedClassifier.nbModel(
+      occ.filter(col("doc_id") % 2 === 0), lab)
+    def key3(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2))
+    assert(HashedClassifier.nbWeights(s, dir).collect().map(key3).sorted
+      .sameElements(w.collect().map(key3).sorted))
+    def key4(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(HashedClassifier.nbClassModel(s, dir).collect().map(key4).sorted
+      .sameElements(clsT.collect().map(key4).sorted))
+  }
+
   test("NB learns a real vocabulary split near-perfectly held out") {
     val s = spark
     import s.implicits._

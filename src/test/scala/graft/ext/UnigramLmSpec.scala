@@ -60,6 +60,48 @@ class UnigramLmSpec extends SparkSpec {
     }
   }
 
+  test("compiled Viterbi kernel equals the relational DP, value for value") {
+    // The q234/q235 serving path (r19) runs the DP as a compiled
+    // per-word kernel; the relational unrolling stays as THIS witness.
+    // Fixture corpus + a seeded random corpus with words LONGER than
+    // Lmax = 8 chars, which must drop identically on both paths.
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7L)
+    val letters = "abcde"
+    def word() = (0 until (1 + rnd.nextInt(10)))
+      .map(_ => letters(rnd.nextInt(letters.length))).mkString
+    val rndDocs = (1L to 30L)
+      .map(i => (i, (0 until 8).map(_ => word()).mkString(" ")))
+    for (c <- Seq(corpus, rndDocs)) {
+      val docs = c.toDF("doc_id", "text")
+      val wc = UnigramLm.wordCounts(docs).persist()
+      val piecesDf = UnigramLm.pieceCosts(UnigramLm.seedUsage(wc)).persist()
+      val rel = UnigramLm.viterbi(wc.select(col("w")), piecesDf).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      val costs = piecesDf.collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val ker = wc.select(col("w"),
+          graft.functions.UnigramFunctions
+            .viterbiSegment(col("w"), costs, 8).as("v"))
+        .collect().map { r =>
+          r.getString(0) -> (if (r.isNullAt(1)) None
+            else {
+              val v = r.getStruct(1)
+              Some((v.getLong(0), v.getLong(1), v.getString(2)))
+            })
+        }.toMap
+      assert(ker.filter(_._2.isDefined).keySet == rel.keySet,
+        "kernel and relational DP disagree on which words segment")
+      rel.foreach { case (w, want) =>
+        assert(ker(w).contains(want),
+          s"$w: kernel ${ker(w)} vs relational $want")
+      }
+      wc.unpersist(); piecesDf.unpersist()
+    }
+  }
+
   test("every word still segments under the pruned vocabulary") {
     val s = spark
     import s.implicits._
