@@ -217,6 +217,23 @@ object Classifier extends QueryModule {
   def trainPerceptronFrom(feat: DataFrame, epochs: Int,
       init: Array[Long]): Seq[(Int, Array[Long], Long)] = {
     require(init.length == 6, s"classifier: 6 weights expected, got ${init.length}")
+    // AQE OFF inside the epoch loop (r19 — the Bpe/HashedClassifier
+    // trainTransientFrom lesson verbatim): every epoch is one global
+    // aggregate over the persisted coalesce(4) feature frame, so
+    // runtime re-planning buys nothing, but each AQE query stage is
+    // its own job barrier and R epochs × sub-second aggs make the
+    // barriers the training wall clock. Scoped + restored; planning
+    // only, values unchanged.
+    val s = feat.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = s.conf.get(aqeKey, "true")
+    s.conf.set(aqeKey, "false")
+    try trainPerceptronLoop(feat, epochs, init)
+    finally s.conf.set(aqeKey, prevAqe)
+  }
+
+  private def trainPerceptronLoop(feat: DataFrame, epochs: Int,
+      init: Array[Long]): Seq[(Int, Array[Long], Long)] = {
     var w = init.clone()
     val snaps = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Long], Long)]
     for (r <- 1 to epochs) {

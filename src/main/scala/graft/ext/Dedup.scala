@@ -602,8 +602,14 @@ object Dedup extends QueryModule {
     // ≥50-char semantics relationally; see repeatedSpansMulti.
     QueryDef(
       "q206_repeated_span_coverage_multi",
-      (s, dir) => repeatedSpanCoverageMulti(T.documents(s, dir))
-        .orderBy(col("doc_id")),
+      (s, dir) => {
+        // action-free construct: the one-shot release fires on the
+        // returned plan's own materialization (the q143/q144 shape)
+        val scope = new graft.CacheScope
+        graft.CacheScope.releaseAfterNextAction(s, scope)
+        repeatedSpanCoverageMulti(T.documents(s, dir), scope)
+          .orderBy(col("doc_id"))
+      },
       Some(s"""
         WITH toks AS (SELECT doc_id, ${X.tokensSql("text")} AS tk FROM documents),
         $multiSpansCtesSql,
@@ -642,8 +648,12 @@ object Dedup extends QueryModule {
     // union, anti-join, and ordered reassembly must all agree.
     QueryDef(
       "q207_repeated_span_removal_multi",
-      (s, dir) => removeRepeatedSpansMulti(T.documents(s, dir))
-        .orderBy(col("doc_id")),
+      (s, dir) => {
+        val scope = new graft.CacheScope
+        graft.CacheScope.releaseAfterNextAction(s, scope)
+        removeRepeatedSpansMulti(T.documents(s, dir), scope)
+          .orderBy(col("doc_id"))
+      },
       Some(s"""
         WITH toks AS (SELECT doc_id, ${X.tokensSql("text")} AS tk FROM documents),
         $multiSpansCtesSql,
@@ -1493,12 +1503,18 @@ object Dedup extends QueryModule {
     * L ∈ [[SpanLs]] — three linear discovery passes unioned; the
     * downstream interval sweep/cut is LENGTH-AGNOSTIC (variable `end`
     * instead of pos+L), so spans from different Ls provably union. */
-  private def repeatedSpansMulti(toks: DataFrame): DataFrame =
+  private def repeatedSpansMulti(toks: DataFrame,
+      scope: graft.CacheScope = new graft.CacheScope): DataFrame =
     SpanLs.map { l =>
-      val keyed = toks
+      // each L's keyed table feeds BOTH the repetition count and the
+      // join probe — cached (r19, guide §2.3 do fewer passes), or the
+      // tokenize+shingle+hash pipeline runs twice per L (the two
+      // branches shuffle with different subtrees, so ReuseExchange
+      // never dedups them)
+      val keyed = scope.cache(toks
         .select(col("doc_id"), posexplode(X.shingles(col("tk"), l)))
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
-          X.h60(col("col")).as("k"))
+          X.h60(col("col")).as("k")))
       val repeated = keyed.groupBy(col("k")).agg(count(lit(1)).as("c"))
         .filter(col("c") >= 2).select(col("k"))
       keyed.join(repeated, "k")
@@ -1512,14 +1528,18 @@ object Dedup extends QueryModule {
     * engine-order-dependent per ROW but the per-doc SUM telescopes to
     * the union measure regardless of tie order (max(ends) − max(pos,
     * prior max)), so only order-invariant aggregates are output. */
-  def repeatedSpanCoverageMulti(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), X.tokens(col("text")).as("tk"))
+  def repeatedSpanCoverageMulti(docs: DataFrame,
+      scope: graft.CacheScope = new graft.CacheScope): DataFrame = {
+    // the token table feeds the per-doc base AND all three per-L span
+    // discoveries — cached (r19), or tokenization re-runs per branch
+    val toks = scope.cache(
+      docs.select(col("doc_id"), X.tokens(col("text")).as("tk")))
     val base = toks.select(col("doc_id"),
       size(col("tk")).cast("long").as("n_tokens"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val cov = repeatedSpansMulti(toks)
+    val cov = repeatedSpansMulti(toks, scope)
       .withColumn("prev_end", max(col("end")).over(w))
       .select(col("doc_id"), col("l"),
         greatest(lit(0L), col("end")
@@ -1545,13 +1565,17 @@ object Dedup extends QueryModule {
 
   /** Multi-L removal (q207): q124's cut with the covered-position set
     * unioned across all three span lengths. */
-  def removeRepeatedSpansMulti(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), X.tokens(col("text")).as("tk"))
+  def removeRepeatedSpansMulti(docs: DataFrame,
+      scope: graft.CacheScope = new graft.CacheScope): DataFrame = {
+    // cached for the same three-consumer reason as coverage (r19):
+    // ptok, the span discoveries, and the n_tokens base all read it
+    val toks = scope.cache(
+      docs.select(col("doc_id"), X.tokens(col("text")).as("tk")))
     val ptok = toks
       .select(col("doc_id"), posexplode(col("tk")))
       .select(col("doc_id"), col("pos").cast("long").as("tpos"),
         col("col").as("tok"))
-    val covered = repeatedSpansMulti(toks)
+    val covered = repeatedSpansMulti(toks, scope)
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("end") - 1)).as("tpos"))
       .distinct()

@@ -709,6 +709,16 @@ ${terms.indices.map { i =>
       (s, dir) => {
         val docs = tokenizedDocs(s, dir)
           .localCheckpoint(eager = false) // rankers + qrels read it
+        // the lex and sem rank lists feed their own variants AND the
+        // RRF fusion — cached (r19, guide §2.3): each corpus-wide
+        // ranking pipeline (BM25 score / hashed-BoW cosine) runs ONCE
+        // and the fusion joins the ≤RankK-row cached lists, instead of
+        // re-running both pipelines inside fusedRanks. Action-free
+        // construct: one-shot release (the q143/q144 shape).
+        val scope = new graft.CacheScope
+        graft.CacheScope.releaseAfterNextAction(s, scope)
+        val lex = scope.cache(lexRanked(docs))
+        val sem = scope.cache(semRanked(docs))
         val rel = docs
           .filter(terms.map(t => array_contains(col("tk"), t)).reduce(_ && _))
           .select(col("doc_id"), lit(1L).as("is_rel"))
@@ -716,11 +726,11 @@ ${terms.indices.map { i =>
         val fusedW = org.apache.spark.sql.expressions.Window
           .orderBy(col("rrf_micro").desc, col("doc_id"))
         val lists = Seq(
-          "lex" -> lexRanked(docs).select(col("doc_id"), col("lex_rank").as("r")),
-          "rrf" -> fusedRanks(docs)
+          "lex" -> lex.select(col("doc_id"), col("lex_rank").as("r")),
+          "rrf" -> fuseLists(lex, sem)
             .select(col("doc_id"),
               row_number().over(fusedW).cast("long").as("r")),
-          "sem" -> semRanked(docs).select(col("doc_id"), col("sem_rank").as("r")))
+          "sem" -> sem.select(col("doc_id"), col("sem_rank").as("r")))
         lists.map { case (variant, list) =>
           list.join(rel, Seq("doc_id"), "left")
             .withColumn("hit", coalesce(col("is_rel"), lit(0L)))

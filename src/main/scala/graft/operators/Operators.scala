@@ -707,6 +707,26 @@ object SimilarityJoin {
       scope: graft.CacheScope = new graft.CacheScope,
       fitSampleStride: Int = 1)
       : (Array[Array[Double]], Array[Array[Int]]) = {
+    // AQE OFF across the Lloyd sweeps (r19 — the Bpe/perceptron train-
+    // loop lesson): every sweep is one assignment + k×dim-row partial
+    // aggregate over the CACHED cell table, so runtime re-planning buys
+    // nothing, but each AQE stage is a job barrier and iters+2 tiny
+    // jobs make the barriers the fit's wall clock. Scoped + restored;
+    // planning only — the collected sums are order-free int64, so the
+    // fit stays bit-identical.
+    val sess = centroidsDf.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = sess.conf.get(aqeKey, "true")
+    sess.conf.set(aqeKey, "false")
+    try twoLevelFitExactDistributedLoop(
+      centroidsDf, nCoarse, iters, scope, fitSampleStride)
+    finally sess.conf.set(aqeKey, prevAqe)
+  }
+
+  private def twoLevelFitExactDistributedLoop(
+      centroidsDf: DataFrame, nCoarse: Int, iters: Int,
+      scope: graft.CacheScope, fitSampleStride: Int)
+      : (Array[Array[Double]], Array[Array[Int]]) = {
     require(fitSampleStride >= 1,
       s"two_level_fit_distributed: fitSampleStride must be >= 1, got $fitSampleStride")
     val base = centroidsDf

@@ -381,7 +381,7 @@ class PlanAuditSpec extends SparkSpec {
       "q181_dedup_lineage" -> 2, // exact-group hash agg + the lineage union sort; the near pass's banded pair machinery and min-label propagation run at construct via localCheckpoint (q174's shape)
       "q182_packing_efficiency_sweep" -> 4, // three q47 pack passes (per-source sort window + partial agg each) over ONE checkpointed counted frame + the 3-row union sort — sweep passes share the tokenize
       "q183_incremental_lineage" -> 13, // the exact-group hash agg + survivor semi-join feeding q80's incremental machinery IN-PLAN (bucket-size agg, new-side and all-side bucket joins, two verify joins — q80's 6-exchange class) + the min-partner agg + lineage union sort; every exchange ∝ batch∩bucket, not corpus
-      "q184_retrieval_eval" -> 4, // q175's 1-exchange ranker shape evaluated three ways: per-variant metric aggs over ≤2K-row candidate lists + the 3-row union sort; relevance count is a 1-row broadcast
+      "q184_retrieval_eval" -> 3, // q175's 1-exchange ranker shape evaluated three ways: per-variant metric aggs over ≤2K-row candidate lists + the 3-row union sort; relevance count is a 1-row broadcast. −1 in r19: the lex/sem rank lists are CACHED (each pipeline ran twice — standalone + inside the RRF fusion — now once; the fusion joins the cached ≤RankK-row lists)
       "q185_hybrid_catalog_served" -> 2, // the SERVED hybrid plan: postings pivot agg + ordered output — index builds (postings shuffle, vector fold) run at construct into the catalog; rankers ride broadcasts
       "q186_pii_exposure_report" -> 2, // map-side plant+classify (q162's shared pass) + ONE per-source partial agg + ordered output
       "q143_line_boilerplate_signals" -> 4, // line-hash distinct-doc count (∝ distinct lines) + hash-keyed join back + per-doc agg + ordered output — map-side line derivation
