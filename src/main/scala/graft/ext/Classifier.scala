@@ -97,6 +97,42 @@ object Classifier extends QueryModule {
     LmScore.surpriseScoresTk(tk3d, tk3d)
       .select(col("doc_id"), col("centibits_per_bigram").as("cb"))
 
+  /** q147's TWO LM self-scorings from ONE fit-side derivation (r19,
+    * guide §2.3 — do fewer passes): phase A fits on the even-doc_id
+    * half, phase B on the full corpus, and bigram counts are exact
+    * integers that DECOMPOSE BY DOC PARITY — counts(full) ≡
+    * counts(even) ⊕ counts(odd) ([[LmScore.mergeBigramCounts]]' fold
+    * law) and the vocabulary unions the same way — so one parity-keyed
+    * count table and one parity-keyed distinct-token table serve both
+    * fits. Value-identical to `scoredCb(even)` / `scoredCb(full)` by
+    * count linearity: the even slice of the parity table IS
+    * bigramCountsTk(evenTk), and the parity-summed table IS
+    * bigramCountsTk(tkF). Returns (scoredA over even docs, scoredF
+    * over the full universe); SCORING passes are unchanged — only the
+    * fit side stops deriving the corpus twice. */
+  private def parityScoredCb(tkF: DataFrame, scope: graft.CacheScope)
+      : (DataFrame, DataFrame) = {
+    val bgP = scope.cache(tkF
+      .select((col("doc_id") % 2).as("p"),
+        explode(X.shingles(col("tk"), 2)).as("bg"))
+      .groupBy(col("p"), col("bg")).agg(count(lit(1)).as("cb")))
+    val tokP = scope.cache(tkF
+      .select((col("doc_id") % 2).as("p"), explode(col("tk")).as("t"))
+      .distinct())
+    def scored(lmB: DataFrame, vocab: DataFrame, tk: DataFrame) =
+      LmScore.scoreAgainstLmTk(lmB, vocab, tk)
+        .select(col("doc_id"), col("centibits_per_bigram").as("cb"))
+    val scoredA = scored(
+      bgP.filter(col("p") === 0).select(col("bg"), col("cb")),
+      tokP.filter(col("p") === 0).select(col("t")),
+      tkF.filter(col("doc_id") % 2 === 0))
+    val scoredF = scored(
+      bgP.groupBy(col("bg")).agg(sum(col("cb")).as("cb")),
+      tokP.select(col("t")).distinct(),
+      tkF)
+    (scoredA, scoredF)
+  }
+
   /** Weak-label quartile thresholds (1 row: t1, t2, t3) of a scored
     * (doc_id, cb) frame — the q139 value-domain histogram (the window
     * is over distinct centibit values, domain-bounded). Part of the
@@ -506,7 +542,11 @@ object Classifier extends QueryModule {
           val tkF = scope.cache(tk3(docs))
           // phase A: even-doc_id epoch, self-contained model
           val tkA = tkF.filter(col("doc_id") % 2 === 0)
-          val scoredA = scope.cache(scoredCb(tkA))
+          // BOTH phases' LM fits from one parity-keyed derivation
+          // (r19; see parityScoredCb — value-identical by count
+          // linearity, the fit corpus stops being derived twice)
+          val (scoredA0, scoredF) = parityScoredCb(tkF, scope)
+          val scoredA = scope.cache(scoredA0)
           cat.writeNext("clf_thr", labelThresholds(scoredA))
           val rawA = scope.cache(rawFeaturesUnder(tkA, scoredA,
             cat.read("clf_thr", 1, Some(thrSchema))))
@@ -516,7 +556,7 @@ object Classifier extends QueryModule {
           val snapsA = trainPerceptron(featA, Epochs / 2)
           cat.writeNext("clf_w", weightsDf(s, snapsA))
           // phase B: full corpus under the PERSISTED v1 artifact
-          val rawF = scope.cache(rawFeaturesUnder(tkF, scoredCb(tkF),
+          val rawF = scope.cache(rawFeaturesUnder(tkF, scoredF,
             cat.read("clf_thr", 1, Some(thrSchema))))
           val featF = scope.cache(standardizeUnder(rawF,
             cat.read("clf_stats", 1, Some(statsSchema))).coalesce(4))

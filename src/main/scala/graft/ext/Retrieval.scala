@@ -155,11 +155,19 @@ ${terms.indices.map { i =>
     // rebalance before write (guide §6): AQE sizes the committed files
     // to the data instead of one near-empty file per shuffle partition
     // — the served reads pay the file count on every probe
-    cat.writeNext("bm25_postings", postings.hint("rebalance"))
+    val pv = cat.writeNext("bm25_postings", postings.hint("rebalance"))
     cat.writeNext("bm25_docstats",
       docs.select(col("doc_id"), col("dl")).hint("rebalance"))
+    // df table FROM THE COMMITTED POSTINGS (guide §2.3 — do fewer
+    // passes): aggregating the `postings` plan here would re-run the
+    // explode + groupBy shuffle a second time; the committed version
+    // is that exact table, so the read-back agg is value-identical and
+    // scans a vocabulary-clustered parquet file instead
     cat.writeNext("bm25_terms",
-      postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      cat.read("bm25_postings", pv, Some(
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "term STRING, doc_id BIGINT, tf BIGINT")))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
         .hint("rebalance"))
     cat.writeNext("bm25_stats",
       docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot")))
@@ -261,13 +269,20 @@ ${terms.indices.map { i =>
     * overlapping selections, so N queries isn't bounded by vocabulary
     * size. The rank window runs over the TakeOrdered top-31 survivors,
     * never the vocabulary. */
-  private def batchQueryTerms(postings: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private def batchQueryTerms(postings: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    batchQueryTermsFromDfs(
+      postings.groupBy(col("term")).agg(count(lit(1)).as("df")))
+
+  /** [[batchQueryTerms]] from a PRE-AGGREGATED (term, df) frame — the
+    * served seam (q196): the committed `bm25_terms` version IS the df
+    * aggregate this derivation starts from, so ranking the read-back
+    * table is value-identical and skips a full postings scan. */
+  private def batchQueryTermsFromDfs(dfs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dfs = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val ranked = dfs.orderBy(col("df").desc, col("term")).limit(BatchVocabTop)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("df").desc, col("term"))).cast("long"))
-    val sess = postings.sparkSession
+    val sess = dfs.sparkSession
     val qgrid = sess.range(BatchNQ.toLong).toDF("qid")
       .crossJoin(sess.range(BatchQTerms.toLong).toDF("k"))
       .select(col("qid"),
@@ -821,8 +836,15 @@ ${terms.indices.map { i =>
           Some(StructType.fromDDL("doc_id BIGINT, dl BIGINT")))
         val stats = cat.read("bm25_stats", 1,
           Some(StructType.fromDDL("n_docs BIGINT, tot BIGINT")))
+        // query-term ranking from the committed df version (r19): the
+        // `bm25_terms` table IS batchQueryTerms' first aggregate, so
+        // ranking the read-back rows is value-identical and the served
+        // plan scans the full postings ONCE (the scoring join), not
+        // twice (guide §2.3)
+        val dfs = cat.read("bm25_terms", 1,
+          Some(StructType.fromDDL("term STRING, df BIGINT")))
         batchTop5(bm25BatchScoresFrom(
-          dstat, stats, post, batchQueryTerms(post)))
+          dstat, stats, post, batchQueryTermsFromDfs(dfs)))
       },
       Some(batchBm25OracleSql)),
 

@@ -141,7 +141,7 @@ object Graph {
     * oracle-expressible (each round = one SQL CTE).
     */
   def pageRank(edges: DataFrame, iters: Int = 3, scale: Long = 1000000L,
-      ckptEvery: Int = 4): DataFrame = {
+      ckptEvery: Int = 4, edgesDistinct: Boolean = false): DataFrame = {
     require(ckptEvery > 0,
       s"pageRank: ckptEvery must be positive (got $ckptEvery) — 0 would " +
         "divide by zero and a negative value would never cut lineage")
@@ -156,16 +156,28 @@ object Graph {
     // repeated distinct/deg subtrees across the per-round joins, so each
     // round recomputes them. The ROUND-cadence checkpoints below stay
     // eager: cutting lineage mid-loop is their whole point.
-    val e = edges.select(col("src"), col("dst")).distinct()
+    //
+    // `edgesDistinct` (r19): a caller whose edge table is distinct BY
+    // CONSTRUCTION (q75 mirrors a deduped pair list across disjoint id
+    // namespaces) skips the defensive distinct — one full edge-table
+    // shuffle fewer before the loop even starts (guide §2.4).
+    val e0 = edges.select(col("src"), col("dst"))
+    val e = if (edgesDistinct) e0 else e0.distinct()
+    // ONE exchange builds the loop's co-partitioned degree-attached
+    // edge table (r19; guide §2.4 "share one exchange"): hash by src,
+    // then deg as a window count over that same partitioning — the
+    // former groupBy+join spent TWO more edge-scale exchanges (the
+    // partial-agg shuffle and the join's re-exchange of e) to attach
+    // the same column. The window's per-partition sort is local work;
+    // its output keeps the hashpartitioning(src) the rounds join on.
+    val eP = e.repartition(col("src"))
+      .withColumn("deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .localCheckpoint(eager = false)
-    val nodes = e.select(col("src").as("id"))
-      .unionAll(e.select(col("dst").as("id"))).distinct()
-    // deg is static across rounds — attach it to the edge table ONCE so
-    // each round is a single equi-join + partial agg, not edges⋈ranks⋈deg
-    // (one window-free shuffle join per round fewer, at every scale)
-    val eDeg = e.join(
-        e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
-    pageRankRounds(eDeg, nodes, iters, scale, ckptEvery)
+    val nodes = eP.select(col("src").as("id"))
+      .unionAll(eP.select(col("dst").as("id"))).distinct()
+    pageRankRounds(eP, nodes, iters, scale, ckptEvery,
+      eDegPartitioned = true)
   }
 
   /** The rank-iteration loop over a PRE-BUILT degree-attached edge
@@ -176,7 +188,8 @@ object Graph {
     * each round re-reads columnar files instead of recomputing
     * subtrees — the files ARE the checkpoint. */
   def pageRankRounds(eDeg: DataFrame, nodes: DataFrame, iters: Int,
-      scale: Long = 1000000L, ckptEvery: Int = 4): DataFrame = {
+      scale: Long = 1000000L, ckptEvery: Int = 4,
+      eDegPartitioned: Boolean = false): DataFrame = {
     require(ckptEvery > 0,
       s"pageRank: ckptEvery must be positive (got $ckptEvery) — 0 would " +
         "divide by zero and a negative value would never cut lineage")
@@ -190,7 +203,13 @@ object Graph {
     // stats, so without this the planner sort-merge-joined with a
     // fresh edge-table exchange EVERY round — at 1000 executors the
     // difference between iters× and 1× edge traffic.
-    val eP = eDeg.repartition(col("src")).localCheckpoint(eager = false)
+    // `eDegPartitioned` (r19): [[pageRank]] hands over a table that is
+    // already hashpartitioned(src) AND lazily checkpointed — a second
+    // repartition+checkpoint here would materialize one more full copy
+    // of the edge table for nothing.
+    val eP =
+      if (eDegPartitioned) eDeg
+      else eDeg.repartition(col("src")).localCheckpoint(eager = false)
     val nP = nodes.repartition(col("id")).localCheckpoint(eager = false)
     val base = (scale * 15L) / 100L
     var ranks = nP.withColumn("rank", lit(scale))

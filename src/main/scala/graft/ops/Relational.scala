@@ -939,7 +939,12 @@ object Relational extends QueryModule {
           .distinct()
         val edges = li.select(col("sk").as("src"), col("pk").as("dst"))
           .unionAll(li.select(col("pk").as("src"), col("sk").as("dst")))
-        graft.operators.Graph.pageRank(edges, iters = 3)
+        // edgesDistinct: li is already distinct and the sk/pk id
+        // namespaces are disjoint, so the mirrored union carries no
+        // duplicates — pageRank's defensive distinct would re-shuffle
+        // the full edge table to remove nothing (r19, guide §2.4)
+        graft.operators.Graph.pageRank(edges, iters = 3,
+          edgesDistinct = true)
           .orderBy(col("rank").desc, col("id"))
           .limit(20)
       },
@@ -990,9 +995,13 @@ object Relational extends QueryModule {
           .unionAll(li.select(col("pk").as("src"), col("sk").as("dst")))
           .localCheckpoint(eager = false)
         // rebalance before write (guide §6): every PageRank round
-        // re-reads these versions, so file count is paid per round
-        cat.writeNext("pr_edges", e.join(
-          e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+        // re-reads these versions, so file count is paid per round.
+        // deg attaches as a window count over ONE hash(src) exchange
+        // (r19, the pageRank construction shape) instead of the former
+        // groupBy shuffle + join re-exchange — same exact counts
+        cat.writeNext("pr_edges", e.repartition(col("src"))
+          .withColumn("deg", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
           .hint("rebalance"))
         cat.writeNext("pr_nodes", e.select(col("src").as("id"))
           .unionAll(e.select(col("dst").as("id"))).distinct()

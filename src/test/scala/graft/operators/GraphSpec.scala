@@ -138,6 +138,21 @@ class GraphSpec extends SparkSpec {
     ranks
   }
 
+  test("pageRank: edgesDistinct=true on pre-deduped edges matches the defensive path") {
+    val s = spark
+    import s.implicits._
+    // already-distinct digraph with asymmetric degrees so the window
+    // degree count is exercised on partitions of different sizes
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (3L, 1L),
+      (4L, 5L), (5L, 1L), (5L, 2L))
+    def run(skip: Boolean) = Graph.pageRank(edges.toDF("src", "dst"),
+        iters = 3, edgesDistinct = skip)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = run(true)
+    assert(fast == run(false))
+    assert(fast == scalarPageRank(edges, 3))
+  }
+
   test("pageRank: random digraphs match the scalar model (property)") {
     val s = spark
     import s.implicits._
