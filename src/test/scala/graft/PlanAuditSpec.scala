@@ -390,7 +390,7 @@ class PlanAuditSpec extends SparkSpec {
       "q167_dedup_containment" -> 4, // q43's exact shape (df-capped shingle buckets, pair-count agg, two size joins, ordered output) over the doc+excerpt union — the union and planting are map-side, zero extra exchanges vs q43
       "q187_ann_lsh_multitable" -> 3, // multi-table LSH serving: the (tbl, sig) bucket join (signature pack is ONE map-side compiled pass) + candidate distinct + bounded-heap top_k; re-rank vector joins broadcast at fixture scale
       "q194_ann_lsh_multiprobe" -> 3, // q187's bucket-join shape with the 9-key probe explode on the QUERY side only (map-side array explode, zero extra exchanges) — same distinct + top_k tail
-      "q196_bm25_batch_catalog_served" -> 4, // q188's served twin: the postings-read df agg + contribution SUM + per-query top_k + the query-table rank window over the TakeOrdered top-31 — index builds ran at construct; docstats/stats ride catalog-read broadcasts
+      "q196_bm25_batch_catalog_served" -> 3, // q188's served twin: contribution SUM + per-query top_k + the query-table rank window over the TakeOrdered top-31 — index builds ran at construct; docstats/stats ride catalog-read broadcasts, and the query-term ranking reads the committed bm25_terms df version (r19), so the served plan no longer re-aggregates the postings read (was 4)
       "q197_ann_index_versions" -> 5, // q192's 3-exchange probe shape TWICE (once per served version, candidates distinct + top_k each; the v1/v2 appends ran at construct) + the 2-version union sort — AQE folds one exchange across the shared scan
       "q198_hashed_classifier_train" -> 1, // catalog-served train log: one parquet read + the 6-row sort (both trainings ran at construct)
       "q199_hashed_classifier_apply" -> 2, // served feature-table scan joined to the <=2^16-row weight table (broadcast) + per-doc score agg + output sort
